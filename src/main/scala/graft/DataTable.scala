@@ -1,0 +1,162 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Spark-native re-expression of the reference's `data-table` CLOS class
+  * (reference: data-table.lisp:94-98 — slots column-names/column-types/rows).
+  *
+  * Design (SURVEY.md §7.1):
+  *   - immutable: every reference mutator (`setf`, overlay, add-column) is a pure
+  *     transformation returning a new [[DataTable]];
+  *   - schema lives in the DataFrame's StructType (names+types), never ragged;
+  *   - column lookup is case-insensitive (reference: data-table.lisp:123,414 uses
+  *     `string-equal`);
+  *   - positional (row-index) semantics — first-class in the reference
+  *     (data-table.lisp:119-129) — are opt-in via [[DataTable.withRowIdx]], which
+  *     attaches a deterministic `_row_idx` derived from caller-supplied sort keys.
+  *     Spark DataFrames carry no implicit row order, so order is always explicit.
+  *
+  * Scale notes: `_row_idx` is assigned with a range-partitioned sort +
+  * per-partition zipWithIndex (distributed, two jobs) rather than a global
+  * `row_number()` window, which would funnel 100 TB through one partition.
+  */
+final case class DataTable(df: DataFrame) {
+
+  def schema: StructType = df.schema
+  def columnNames: Seq[String] = df.columns.toSeq
+  /** reference: data-table.lisp:100-104 */
+  def numberOfColumns: Int = df.columns.length
+  /** reference: data-table.lisp:106-107 */
+  def numberOfRows: Long = df.count()
+
+  /** Case-insensitive column index; -1 when absent (reference: data-table.lisp:409-414). */
+  def columnIndex(name: String): Int =
+    df.columns.indexWhere(_.equalsIgnoreCase(name))
+
+  /** Resolve a user-supplied name to the actual column name, case-insensitively.
+    * Unknown names error, matching `select-columns` (data-table.lisp:199). */
+  def resolve(name: String): String = {
+    val i = columnIndex(name)
+    require(i >= 0, s"column '$name' not found in ${columnNames.mkString("[", ", ", "]")}")
+    df.columns(i)
+  }
+
+  /** reference: data-table.lisp:416-423 */
+  def columnType(name: String): DataType = df.schema(resolve(name)).dataType
+  def columnType(i: Int): DataType = df.schema(i).dataType
+
+  /** set column-type = cast (reference setf at data-table.lisp:420-423). */
+  def withColumnType(name: String, t: DataType): DataTable = {
+    val c = resolve(name)
+    DataTable(df.withColumn(c, col(c).cast(t)))
+  }
+
+  /** reference: data-table.lisp:425-432 */
+  def columnName(i: Int): String = df.columns(i)
+  def renameColumn(oldName: String, newName: String): DataTable =
+    DataTable(df.withColumnRenamed(resolve(oldName), newName))
+
+  /** `symbolize-column-names` (data-table.lisp:109-117): english → kebab-case
+    * keyword-ish names, e.g. "first name" → "first-name", "c_custkey" → "c-custkey". */
+  def symbolizeColumnNames: DataTable =
+    DataTable(df.toDF(df.columns.map(DataTable.kebabCase): _*))
+
+  /** `select-columns` (data-table.lisp:193-208): projection by name with
+    * reordering; case-insensitive; unknown name errors. */
+  def selectColumns(names: Seq[String]): DataTable =
+    DataTable(df.select(names.map(n => col(resolve(n))): _*))
+
+  /** Column-range half of `make-sub-table` (data-table.lisp:172-191):
+    * half-open column slice [lci, uci). Row slicing needs [[withRowIdx]]. */
+  def subTableCols(lci: Int, uci: Int): DataTable =
+    DataTable(df.select(df.columns.slice(lci, uci).map(col): _*))
+
+  /** `add-column` (data-table.lisp:494-502): insert a column with a default
+    * value at `index` (negative = append). */
+  def addColumn(name: String, default: Column = lit(null), index: Int = -1): DataTable = {
+    val withC = df.withColumn(name, default)
+    if (index < 0 || index >= df.columns.length) DataTable(withC)
+    else {
+      val (pre, post) = df.columns.splitAt(index)
+      DataTable(withC.select((pre :+ name) ++ post map col: _*))
+    }
+  }
+
+  /** `data-table-data-compare` (data-table.lisp:210-216) — multiset equality.
+    * The reference compares positionally; a distributed engine compares as a
+    * multiset (positions live in `_row_idx` when they matter). */
+  def dataEquals(other: DataTable): Boolean =
+    df.count() == other.df.count() &&
+      df.exceptAll(other.df).isEmpty && other.df.exceptAll(df).isEmpty
+
+  /** `data-table-to-alists`/`-plists` (data-table.lisp:523-537): collect to the
+    * driver as ordered maps. Driver-side by definition — not for large tables. */
+  def toMaps: Seq[Map[String, Any]] = {
+    val cols = df.columns
+    df.collect().toSeq.map(r => cols.zipWithIndex.map { case (c, i) => c -> r.get(i) }.toMap)
+  }
+
+  /** Attach `_row_idx` (0-based) ordered by `sortCols`. Distributed: range
+    * partition + sort, then per-partition index offsets via zipWithIndex —
+    * no single-partition window at 100 TB. */
+  def withRowIdx(sortCols: Seq[Column]): PositionalTable = {
+    val sorted =
+      if (df.isStreaming) df
+      else df.repartitionByRange(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt, sortCols: _*)
+        .sortWithinPartitions(sortCols: _*)
+    val outSchema = StructType(sorted.schema.fields :+ StructField(PositionalTable.RowIdx, LongType, nullable = false))
+    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
+    PositionalTable(sorted.sparkSession.createDataFrame(rdd, outSchema))
+  }
+}
+
+object DataTable {
+  /** english->keyword munge (reference: symbol-munger via data-table.lisp:109-117). */
+  def kebabCase(name: String): String =
+    name.trim.toLowerCase.replaceAll("[^a-z0-9]+", "-").stripPrefix("-").stripSuffix("-")
+
+  def fromParquet(spark: SparkSession, path: String): DataTable =
+    DataTable(spark.read.parquet(path))
+
+  /** CSV scan: PERMISSIVE squares ragged rows, exactly what
+    * `fill-in-missing-cells` (data-table.lisp:240-264) does eagerly. With
+    * `autoType`, runs the reference's guess/coerce pipeline (§2.4). */
+  def fromCsv(spark: SparkSession, path: String, header: Boolean = true, autoType: Boolean = false): DataTable = {
+    val dt = DataTable(
+      spark.read.option("header", header.toString).option("mode", "PERMISSIVE").csv(path))
+    if (autoType) TypeGuess.coerceStringsToTypes(dt) else dt
+  }
+
+  def fromJson(spark: SparkSession, path: String): DataTable =
+    DataTable(spark.read.json(path))
+
+  /** `alists-to-data-table`/`plists-to-data-table` (data-table.lisp:504-521):
+    * keys come from the first record (or explicit `keys`); records missing a
+    * key get null; extra keys are dropped. */
+  def fromMaps(spark: SparkSession, maps: Seq[Map[String, Any]], keys: Seq[String] = Nil): DataTable = {
+    require(maps.nonEmpty || keys.nonEmpty, "fromMaps needs at least one record or explicit keys")
+    val cols = if (keys.nonEmpty) keys else maps.head.keys.toSeq
+    def dtypeOf(v: Any): DataType = v match {
+      case _: Int | _: Long     => LongType
+      case _: Double | _: Float => DoubleType
+      case _: Boolean           => BooleanType
+      case _                    => StringType
+    }
+    val fieldTypes = cols.map { c =>
+      maps.iterator.flatMap(_.get(c)).collectFirst { case v if v != null => dtypeOf(v) }.getOrElse(StringType)
+    }
+    val schema = StructType(cols.zip(fieldTypes).map { case (c, t) => StructField(c, t, nullable = true) })
+    val norm: Any => Any = { case i: Int => i.toLong; case f: Float => f.toDouble; case v => v }
+    val rows = maps.map(m => Row.fromSeq(cols.map(c => m.get(c).map(norm).orNull)))
+    DataTable(spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema))
+  }
+
+  /** All-string table from literal rows — the shape every reference fixture uses. */
+  def fromStringRows(spark: SparkSession, names: Seq[String], rows: Seq[Seq[String]]): DataTable = {
+    val schema = StructType(names.map(StructField(_, StringType, nullable = true)))
+    val padded = rows.map(r => Row.fromSeq(r.padTo(names.length, null)))
+    DataTable(spark.createDataFrame(spark.sparkContext.parallelize(padded, 1), schema))
+  }
+}

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Output formatting (`coerce-value-for-output` data-table.lisp:437-454 and
+  * `coerce-data-table-values-for-output` data-table.lisp:456-469) as
+  * codegen-friendly column expressions:
+  *   - NULL → ""                       (data-table.lisp:446)
+  *   - string → itself                 (data-table.lisp:447)
+  *   - list → join with ", "           (`*list-delimiter*`, data-table.lisp:434-435, 448-451)
+  *   - integer → decimal digits        (data-table.lisp:452)
+  *   - real → fixed 2 decimals (~,2f)  (data-table.lisp:453)
+  */
+object Fns {
+
+  val ListDelimiter = ", "
+
+  /** Formatting expression for one column of the given type. */
+  def formatForOutput(c: Column, t: DataType): Column = {
+    val s = t match {
+      case StringType                           => c
+      case DoubleType | FloatType               => format_string("%.2f", c.cast(DoubleType))
+      case _: DecimalType                       => format_string("%.2f", c.cast(DoubleType))
+      case LongType | IntegerType | ShortType | ByteType => c.cast(StringType)
+      case ArrayType(et, _)                     => concat_ws(ListDelimiter, c.cast(ArrayType(et match {
+        case DoubleType | FloatType => StringType
+        case _                      => StringType
+      })))
+      case _                                    => c.cast(StringType)
+    }
+    coalesce(s, lit(""))
+  }
+
+  /** Whole-table formatting: every column becomes its display string. */
+  def formatTable(dt: DataTable): DataTable =
+    DataTable(dt.df.select(dt.df.schema.fields.map(f => formatForOutput(col(f.name), f.dataType).as(f.name)): _*))
+}

@@ -1,0 +1,263 @@
+package graft.queries
+
+import graft.DataTable
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Tables._
+
+/** Relational capability extensions (SURVEY.md §2.8): scans, filters,
+  * projections, sorts, joins, aggregates, windows, set-ops.
+  *
+  * Scale notes per query are in each entry; the common rules:
+  *   - dimension tables (region/nation/supplier) are broadcast — no shuffle of
+  *     the fact side;
+  *   - aggregates are partial (map-side combine) by construction (groupBy.agg);
+  *   - every output is deterministically ordered and every computed integer is
+  *     LongType to match the DuckDB oracle's BIGINT.
+  */
+object QueriesRelational {
+
+  val queries: Map[String, Q] = Map(
+    // Parquet scan with pushed filter + pruned columns (PushedFilters in .explain).
+    "scan_source" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .where(col("l_quantity") >= 48.0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    "filter_pred" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .where(col("l_returnflag") === "R" && col("l_quantity") > 45.0 && col("l_discount") <= 0.05)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), round(col("l_extendedprice"), 2).as("price"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // select-columns through the facade: case-insensitive + reorder (SURVEY §2.3).
+    "select_columns" -> ((s, dir) => {
+      DataTable(t(s, dir, "customer"))
+        .selectColumns(Seq("C_MKTSEGMENT", "c_custkey")) // intentionally wrong case: resolution is case-insens
+        .df.orderBy(col("c_custkey"))
+    }),
+
+    "sort_limit" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+        .limit(20)
+    }),
+
+    // Flagship: TPC-H Q1-shaped pricing summary (SURVEY §7.2 M0).
+    "agg_group" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    "agg_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem").agg(
+        countDistinct(col("l_partkey")).as("d_parts"),
+        countDistinct(col("l_suppkey")).as("d_supps"),
+        countDistinct(col("l_returnflag"), col("l_linestatus")).as("d_flag_status"))
+    }),
+
+    // HLL sketch — no exact oracle (approximate by design); rows-only check.
+    "agg_approx_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem").agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+    }),
+
+    "agg_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("sum_qty"), col("n"))
+        .orderBy(col("flag"), col("status"))
+    }),
+
+    // Inner 3-way join; nation is broadcast (tiny dim → zero shuffle for it).
+    "join_inner" -> ((s, dir) => {
+      val o = t(s, dir, "orders"); val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy(col("n_name"))
+    }),
+
+    "join_left" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(col("c_custkey"), col("c_mktsegment"))
+        .agg(count(col("o_orderkey")).as("cnt"))
+        .groupBy(col("c_mktsegment"))
+        .agg(round(avg(col("cnt")), 4).as("avg_orders"),
+             sum(when(col("cnt") === 0, 1L).otherwise(0L)).as("n_orderless"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    "join_semi_anti" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      val semi = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi").count()
+      val anti = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti").count()
+      import s.implicits._
+      Seq((semi, anti)).toDF("n_with_orders", "n_without_orders")
+    }),
+
+    // Explicit broadcast chain: region+nation+supplier are all small dims.
+    "join_broadcast" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem"); val sup = t(s, dir, "supplier")
+      val n = t(s, dir, "nation"); val r = t(s, dir, "region")
+      l.join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+             count(lit(1)).as("n_items"))
+        .orderBy(col("r_name"))
+    }),
+
+    "window_rank" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"), round(col("o_totalprice"), 2).as("best_price"))
+        .orderBy(col("o_custkey"))
+    }),
+
+    "window_frame" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("run_sum", round(sum(col("value")).over(w), 2))
+        .select(col("event_id"), col("user_id"), col("run_sum"))
+        .orderBy(col("event_id"))
+    }),
+
+    "set_ops" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val a = o.where(col("o_orderstatus") === "F").select(col("o_custkey"))
+      val b = o.where(col("o_orderstatus") === "O").select(col("o_custkey"))
+      import s.implicits._
+      Seq((a.intersect(b).count(), a.except(b).count(), a.union(b).distinct().count()))
+        .toDF("n_intersect", "n_except", "n_union")
+    }),
+
+    "scalar_funcs" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          upper(col("o_orderpriority")).as("pri_upper"),
+          substring(col("o_orderpriority"), 1, 1).as("pri_code"),
+          year(col("o_orderdate")).cast(LongType).as("o_year"),
+          month(col("o_orderdate")).cast(LongType).as("o_month"),
+          length(col("o_orderstatus")).cast(LongType).as("status_len"),
+          round(abs(col("o_totalprice") - 100000.0), 2).as("price_delta"),
+          concat_ws("|", col("o_orderstatus"), col("o_orderpriority")).as("tag"))
+        .orderBy(col("o_orderkey")).limit(100)
+    }),
+
+    "json_extract" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_id"), get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+        .orderBy(col("event_id"))
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "scan_source" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_quantity >= 48.0 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "filter_pred" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, round(l_extendedprice, 2) AS price FROM lineitem
+        |WHERE l_returnflag = 'R' AND l_quantity > 45.0 AND l_discount <= 0.05
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "select_columns" ->
+      "SELECT c_mktsegment, c_custkey FROM customer ORDER BY c_custkey",
+    "sort_limit" ->
+      "SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20",
+    "agg_group" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  CAST(count(*) AS BIGINT) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "agg_distinct" ->
+      """SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS d_parts,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS d_supps,
+        |  CAST(count(DISTINCT (l_returnflag, l_linestatus)) AS BIGINT) AS d_flag_status
+        |FROM lineitem""".stripMargin,
+    "agg_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag, coalesce(l_linestatus, 'ALL') AS status,
+        |  round(sum(l_quantity), 2) AS sum_qty, CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus) ORDER BY flag, status""".stripMargin,
+    "join_inner" ->
+      """SELECT n_name, CAST(count(*) AS BIGINT) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "join_left" ->
+      """WITH per_cust AS (
+        |  SELECT c_custkey, c_mktsegment, count(o_orderkey) AS cnt
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey, c_mktsegment)
+        |SELECT c_mktsegment, round(avg(cnt), 4) AS avg_orders,
+        |  CAST(sum(CASE WHEN cnt = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_orderless
+        |FROM per_cust GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "join_semi_anti" ->
+      """SELECT CAST((SELECT count(*) FROM customer WHERE EXISTS
+        |    (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS BIGINT) AS n_with_orders,
+        |  CAST((SELECT count(*) FROM customer WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS BIGINT) AS n_without_orders""".stripMargin,
+    "join_broadcast" ->
+      """SELECT r_name, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "window_rank" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS best_price FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+    "window_frame" ->
+      """SELECT event_id, user_id,
+        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_sum
+        |FROM events ORDER BY event_id""".stripMargin,
+    "set_ops" ->
+      """SELECT
+        |  CAST((SELECT count(*) FROM (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |    INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')) AS BIGINT) AS n_intersect,
+        |  CAST((SELECT count(*) FROM (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |    EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')) AS BIGINT) AS n_except,
+        |  CAST((SELECT count(DISTINCT o_custkey) FROM orders
+        |    WHERE o_orderstatus IN ('F','O')) AS BIGINT) AS n_union""".stripMargin,
+    "scalar_funcs" ->
+      """SELECT o_orderkey, upper(o_orderpriority) AS pri_upper,
+        |  substring(o_orderpriority, 1, 1) AS pri_code,
+        |  CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(month(o_orderdate) AS BIGINT) AS o_month,
+        |  CAST(length(o_orderstatus) AS BIGINT) AS status_len,
+        |  round(abs(o_totalprice - 100000.0), 2) AS price_delta,
+        |  concat_ws('|', o_orderstatus, o_orderpriority) AS tag
+        |FROM orders ORDER BY o_orderkey LIMIT 100""".stripMargin,
+    "json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin)
+}

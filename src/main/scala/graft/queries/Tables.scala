@@ -1,0 +1,23 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Parquet testdata loaders (TESTDATA.md). */
+object Tables {
+
+  /** events.ts is parquet TIMESTAMP(NANOS) which Spark doesn't natively read;
+    * read it as a raw nanos long and truncate to microseconds (integer DIV —
+    * a double division would lose precision on ~1.7e18 nanos values). DuckDB
+    * truncates ns→µs the same way, so the oracle agrees. */
+  def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else df
+  }
+
+  type Q = (SparkSession, String) => DataFrame
+}
