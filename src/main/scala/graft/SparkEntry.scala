@@ -9,7 +9,9 @@ import graft.queries._
 object SparkEntry {
 
   private val modules: Seq[(Map[String, Tables.Q], Map[String, String])] = Seq(
-    (QueriesRelational.queries, QueriesRelational.oracle))
+    (QueriesRelational.queries, QueriesRelational.oracle),
+    (QueriesFacade.queries, QueriesFacade.oracle),
+    (QueriesTypes.queries, QueriesTypes.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,137 @@
+package graft.queries
+
+import graft.{DataTable, Fns}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Tables._
+
+/** Facade-parity queries — the reference's core table operators (SURVEY.md
+  * §2.1–2.3, 2.5, 2.6) declared as oracle-checkable queries over the parquet
+  * testdata.
+  *
+  * Positional queries (`cell_access`, `set_cell`, `sub_table`,
+  * `overlay_region`) go through [[graft.PositionalTable]]: `_row_idx` is
+  * derived from an explicit sort key (never implicit order), assigned with a
+  * distributed range-partition + zipWithIndex — no single-partition window,
+  * so the same plan holds at 100 TB. The DuckDB oracles express the same
+  * positions with `row_number() OVER (ORDER BY key) - 1`.
+  */
+object QueriesFacade {
+
+  val queries: Map[String, Q] = Map(
+    // number-of-rows / number-of-columns (reference: data-table.lisp:100-107).
+    "meta_counts" -> ((s, dir) => {
+      val dt = DataTable(t(s, dir, "lineitem"))
+      import s.implicits._
+      Seq((dt.numberOfRows, dt.numberOfColumns.toLong)).toDF("n_rows", "n_cols")
+    }),
+
+    // symbolize-column-names (data-table.lisp:109-117): "r_regionkey" → "r-regionkey".
+    "rename_columns" -> ((s, dir) => {
+      DataTable(t(s, dir, "region")).symbolizeColumnNames.df.orderBy(col("`r-regionkey`"))
+    }),
+
+    // data-table-value row read (data-table.lisp:119-129): row 5 under n_nationkey order.
+    "cell_access" -> ((s, dir) => {
+      DataTable(t(s, dir, "nation")).withRowIdx(Seq(col("n_nationkey"))).rowAt(5)
+    }),
+
+    // (setf data-table-value) (data-table.lisp:139-170): functional single-cell write.
+    "set_cell" -> ((s, dir) => {
+      DataTable(t(s, dir, "nation")).withRowIdx(Seq(col("n_nationkey")))
+        .setCell(3, "n_name", lit("REDACTED"))
+        .table.df.orderBy(col("n_nationkey"))
+    }),
+
+    // add-column at an index with a default (data-table.lisp:494-502).
+    "add_column" -> ((s, dir) => {
+      DataTable(t(s, dir, "region")).addColumn("priority", lit(1L), 1)
+        .df.orderBy(col("r_regionkey"))
+    }),
+
+    // make-sub-table (data-table.lisp:172-191): cols [1,3) × rows [10,20).
+    "sub_table" -> ((s, dir) => {
+      DataTable(t(s, dir, "customer")).withRowIdx(Seq(col("c_custkey")))
+        .subTable(1, 3, 10L, 20L)
+        .df.orderBy(col(graft.PositionalTable.RowIdx))
+    }),
+
+    // data-table-data-compare (data-table.lisp:210-216) as a declared query:
+    // identity compare is true; compare against a filtered copy is false.
+    "table_compare" -> ((s, dir) => {
+      val r = DataTable(t(s, dir, "region"))
+      val filtered = DataTable(r.df.where(col("r_regionkey") < 3))
+      import s.implicits._
+      Seq((r.dataEquals(r), r.dataEquals(filtered))).toDF("eq_self", "eq_filtered")
+    }),
+
+    // overlay-region (data-table.lisp:218-238): paste region names into the
+    // nation table at (rowOff=2, colOff=1) — spreadsheet-style composition.
+    "overlay_region" -> ((s, dir) => {
+      val base = DataTable(t(s, dir, "nation")).withRowIdx(Seq(col("n_nationkey")))
+      val ovl = DataTable(t(s, dir, "region")).selectColumns(Seq("r_name"))
+        .withRowIdx(Seq(col("r_name")))
+      base.overlay(ovl, rowOff = 2L, colOff = 1)
+        .df.orderBy(col(graft.PositionalTable.RowIdx))
+    }),
+
+    // alists/plists-to-data-table (data-table.lisp:504-521): keys from the
+    // first record; missing keys → null; extra keys dropped.
+    "from_maps" -> ((s, dir) => {
+      DataTable.fromMaps(s, Seq(
+        Map("a" -> 1L, "b" -> 2L, "c" -> 3L),
+        Map("a" -> 4L, "c" -> 6L),
+        Map("a" -> 7L, "b" -> 8L, "c" -> 9L, "d" -> 99L))).df
+    }),
+
+    // coerce-data-table-values-for-output (data-table.lisp:437-469):
+    // nulls → "", doubles → %.2f, longs → digits; all-string output.
+    "format_output" -> ((s, dir) => {
+      val proj = t(s, dir, "lineitem")
+        .orderBy(col("l_orderkey"), col("l_linenumber")).limit(50)
+        .select(
+          col("l_orderkey"),
+          col("l_quantity"),
+          col("l_extendedprice"),
+          nullif(col("l_returnflag"), lit("R")).as("flag_or_null"))
+      Fns.formatTable(DataTable(proj)).df
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "meta_counts" ->
+      "SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(11 AS BIGINT) AS n_cols FROM lineitem",
+    "rename_columns" ->
+      """SELECT r_regionkey AS "r-regionkey", r_name AS "r-name" FROM region ORDER BY 1""",
+    "cell_access" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey LIMIT 1 OFFSET 5",
+    "set_cell" ->
+      """SELECT n_nationkey,
+        |  CASE WHEN rn = 4 THEN 'REDACTED' ELSE n_name END AS n_name, n_regionkey
+        |FROM (SELECT *, row_number() OVER (ORDER BY n_nationkey) AS rn FROM nation)
+        |ORDER BY n_nationkey""".stripMargin,
+    "add_column" ->
+      "SELECT r_regionkey, CAST(1 AS BIGINT) AS priority, r_name FROM region ORDER BY r_regionkey",
+    "sub_table" ->
+      """SELECT c_name, c_nationkey, CAST(rn - 1 AS BIGINT) AS _row_idx
+        |FROM (SELECT c_name, c_nationkey, row_number() OVER (ORDER BY c_custkey) AS rn FROM customer)
+        |WHERE rn >= 11 AND rn <= 20 ORDER BY _row_idx""".stripMargin,
+    "table_compare" ->
+      "SELECT CAST(1 AS BOOLEAN) AS eq_self, CAST(0 AS BOOLEAN) AS eq_filtered",
+    "overlay_region" ->
+      """WITH b AS (SELECT n_nationkey, n_name, n_regionkey,
+        |    CAST(row_number() OVER (ORDER BY n_nationkey) - 1 AS BIGINT) AS _row_idx FROM nation),
+        |  o AS (SELECT r_name,
+        |    CAST(row_number() OVER (ORDER BY r_name) + 1 AS BIGINT) AS _row_idx FROM region)
+        |SELECT b.n_nationkey, coalesce(o.r_name, b.n_name) AS n_name, b.n_regionkey, b._row_idx
+        |FROM b LEFT JOIN o USING (_row_idx) ORDER BY _row_idx""".stripMargin,
+    "from_maps" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(3 AS BIGINT)),
+        |  (4, NULL, 6), (7, 8, 9)) t(a, b, c)""".stripMargin,
+    "format_output" ->
+      """SELECT CAST(l_orderkey AS VARCHAR) AS l_orderkey,
+        |  printf('%.2f', l_quantity) AS l_quantity,
+        |  printf('%.2f', l_extendedprice) AS l_extendedprice,
+        |  coalesce(nullif(l_returnflag, 'R'), '') AS flag_or_null
+        |FROM (SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 50)""".stripMargin)
+}
