@@ -11,7 +11,10 @@ object SparkEntry {
   private val modules: Seq[(Map[String, Tables.Q], Map[String, String])] = Seq(
     (QueriesRelational.queries, QueriesRelational.oracle),
     (QueriesFacade.queries, QueriesFacade.oracle),
-    (QueriesTypes.queries, QueriesTypes.oracle))
+    (QueriesTypes.queries, QueriesTypes.oracle),
+    (QueriesText.queries, QueriesText.oracle),
+    (QueriesDedup.queries, QueriesDedup.oracle),
+    (QueriesSim.queries, QueriesSim.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis column functions for large-scale training-data pipelines:
+  * tokenization, language ID, quality scoring, fingerprinting.
+  *
+  * Everything here is composed Spark built-ins (codegen-friendly, no UDFs),
+  * so Catalyst keeps whole-stage codegen and the same expression tree runs
+  * unchanged on a 1000-executor cluster — per-row work, no shuffle.
+  */
+object TextFns {
+
+  /** Whitespace tokens, lowercased, empties dropped. */
+  def tokens(c: Column): Column =
+    filter(split(lower(c), "\\s+"), t => t =!= "")
+
+  /** Whitespace token count. */
+  def tokenCount(c: Column): Column = size(tokens(c)).cast(LongType)
+
+  /** BPE-ish token count: letter runs, single digits, single punctuation —
+    * a cheap proxy for byte-pair-encoding token counts. */
+  val BpeIshPattern = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]"
+  def bpeTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(BpeIshPattern), lit(0))).cast(LongType)
+
+  /** Marker-word sets for the n-gram/stopword language-ID heuristic. */
+  val LangMarkers: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|and|of|to|in|is|a)\\b",
+    "de" -> "\\b(der|die|das|und|nicht|ein)\\b",
+    "fr" -> "\\b(le|la|les|et|est|une)\\b",
+    "es" -> "\\b(el|los|las|es|y|una)\\b")
+
+  def markerCount(c: Column, pattern: String): Column =
+    size(regexp_extract_all(lower(c), lit(pattern), lit(0))).cast(LongType)
+
+  /** Heuristic language ID: argmax of marker-word hit counts, first listed
+    * language wins ties; "und" (undetermined) when nothing matches. */
+  def langId(c: Column): Column = {
+    val counts = LangMarkers.map { case (lang, p) => lang -> markerCount(c, p) }
+    val best = counts.map(_._2).reduce((a, b) => greatest(a, b))
+    counts.foldRight(lit("und")) { case ((lang, cnt), els) =>
+      when(cnt === best && best > 0, lit(lang)).otherwise(els)
+    }
+  }
+
+  /** English stopword ratio — a quality-score component. */
+  val StopPattern = "\\b(the|and|of|to|in|is|a|for|on|with|as|by|at|it)\\b"
+
+  /** Punctuation-character count. */
+  def punctCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[^a-zA-Z0-9\\s]"), lit(0))).cast(LongType)
+
+  /** Document quality score in [0,1]: length band + low punctuation +
+    * healthy stopword ratio + mean word length band. Deterministic, portable
+    * arithmetic (everything through DoubleType). */
+  def qualityScore(c: Column): Column = {
+    val nChars = length(c).cast(DoubleType)
+    val nToks = tokenCount(c).cast(DoubleType)
+    val punctRatio = punctCount(c).cast(DoubleType) / greatest(nChars, lit(1.0))
+    val stopRatio = markerCount(c, StopPattern).cast(DoubleType) / greatest(nToks, lit(1.0))
+    val meanWordLen = nChars / greatest(nToks, lit(1.0))
+    val lenScore = when(nChars >= 100 && nChars <= 10000, 1.0)
+      .when(nChars >= 20, 0.5).otherwise(0.0)
+    val punctScore = when(punctRatio <= 0.1, 1.0).when(punctRatio <= 0.3, 0.5).otherwise(0.0)
+    val stopScore = when(stopRatio >= 0.05 && stopRatio <= 0.6, 1.0).otherwise(0.3)
+    val wordScore = when(meanWordLen >= 3.0 && meanWordLen <= 12.0, 1.0).otherwise(0.3)
+    round((lenScore * 0.3 + punctScore * 0.2 + stopScore * 0.3 + wordScore * 0.2), 6)
+  }
+
+  /** Canonical text normalization for fingerprinting: lowercase, strip
+    * non-alphanumerics, collapse whitespace. */
+  def normalize(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9\\s]", ""), "\\s+", " "))
+
+  /** Whole-document fingerprint: md5 of the normalized text. */
+  def fingerprint(c: Column): Column = md5(normalize(c))
+
+  /** Token n-gram shingles (1-based element_at; empty array when the doc is
+    * shorter than n). */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))
+      .otherwise(array().cast(ArrayType(StringType)))
+
+  /** Min-hash-of-shingles fingerprint (winnowing-style): the minimum md5
+    * prefix over token n-gram shingles — robust to local edits. */
+  def minShingleFingerprint(c: Column, n: Int = 4): Column =
+    array_min(transform(shingles(tokens(c), n), x => substring(md5(x), 1, 16)))
+}

@@ -1,0 +1,127 @@
+package graft.queries
+
+import graft.operators.Dedup
+import graft.functions.SimFns
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Tables._
+
+/** Deduplication queries (SURVEY.md §2.8 LLM extensions). The testdata has
+  * no duplicates, so each query builds a corpus with known duplicates
+  * in-query (exact copies at +100000, near-copies with appended tokens at
+  * +200000) — the DuckDB oracle mirrors the construction and computes the
+  * ground truth exhaustively, while the Spark side must find the same pairs
+  * through the scalable path (LSH banding, never all-pairs).
+  */
+object QueriesDedup {
+
+  /** Restricted corpus (1/25th of documents) + exact + near copies. */
+  private def corpus(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").where(col("doc_id") % 25 === 0)
+      .select(col("doc_id"), col("text"))
+    base
+      .unionByName(base.select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+      .unionByName(base.select((col("doc_id") + 200000L).as("doc_id"),
+        concat(col("text"), lit(" xtra xtra")).as("text")))
+  }
+
+  private val corpusSql =
+    """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0),
+      |corpus AS (
+      |  SELECT doc_id, text FROM base
+      |  UNION ALL SELECT doc_id + 100000, text FROM base
+      |  UNION ALL SELECT doc_id + 200000, text || ' xtra xtra' FROM base)""".stripMargin
+
+  private val toksSql = """list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"""
+  /** Distinct token-trigram shingles in DuckDB. */
+  private val shinglesSql =
+    s"""SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(tk) - 1, 1)),
+       |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+       |  FROM (SELECT doc_id, $toksSql AS tk FROM corpus)""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    // Exact dedup: hash-groupBy on full text; keep min id + multiplicity.
+    "dedup_exact" -> ((s, dir) => {
+      corpus(s, dir)
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+        .select(col("doc_id"), col("n_copies"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Exact n-gram Jaccard on the constructed duplicate pairs.
+    "ngram_jaccard" -> ((s, dir) => {
+      val sh = Dedup.shingleSets(corpus(s, dir), "doc_id", "text", 3)
+      sh.as("a").join(sh.as("b"),
+          col("b.doc_id") === col("a.doc_id") + 100000L ||
+            col("b.doc_id") === col("a.doc_id") + 200000L)
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          round(Dedup.jaccard(col("a.shingles"), col("b.shingles")), 6).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // MinHash+LSH near-dup detection: 128 hashes, 32 bands × 4 rows;
+    // candidates from band-bucket equi-join only, exact-verified at j ≥ 0.8.
+    // The oracle computes ALL pairs ≥ 0.8 exhaustively — recall of the LSH
+    // path at j ≥ 0.8 with these parameters is 1 - 5e-8.
+    "minhash_dedup" -> ((s, dir) => {
+      Dedup.minhashNearDups(corpus(s, dir), "doc_id", "text", threshold = 0.8)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // SimHash near-dup: 64-bit signatures, 8-chunk blocking, hamming ≤ 7.
+    // Hash-function-dependent → no SQL oracle; rows-only (exact copies
+    // guarantee hamming-0 pairs, so rows > 0 always).
+    "simhash_dedup" -> ((s, dir) => {
+      Dedup.simhashNearDups(corpus(s, dir), "doc_id", "text", maxHamming = 7)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Embedding cosine near-dup: exact copies at +100000 must be found at
+    // cosine ≥ 0.9 (natural max pairwise cosine in the data is ~0.31).
+    "embed_neardup" -> ((s, dir) => {
+      val base = t(s, dir, "embeddings").where(col("vec_id") % 25 === 0)
+        .select(col("vec_id"), col("embedding"))
+      val all = base.unionByName(
+        base.select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+      all.as("a").join(all.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+          SimFns.cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+        .where(col("cos") >= 0.9)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+        .orderBy(col("id_a"), col("id_b"))
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact" ->
+      s"""$corpusSql
+         |SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies
+         |FROM corpus GROUP BY text ORDER BY doc_id""".stripMargin,
+    "ngram_jaccard" ->
+      s"""$corpusSql,
+         |sh AS ($shinglesSql)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  round(CAST(len(list_distinct(list_intersect(a.s, b.s))) AS DOUBLE) /
+         |        CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 6) AS jaccard
+         |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 100000 OR b.doc_id = a.doc_id + 200000
+         |ORDER BY id_a, id_b""".stripMargin,
+    "minhash_dedup" ->
+      s"""$corpusSql,
+         |sh AS ($shinglesSql)
+         |SELECT id_a, id_b, round(j, 6) AS jaccard FROM (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(len(list_distinct(list_intersect(a.s, b.s))) AS DOUBLE) /
+         |    CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS j
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |WHERE j >= 0.8 ORDER BY id_a, id_b""".stripMargin,
+    "embed_neardup" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |    FROM embeddings WHERE vec_id % 25 = 0),
+        |  allv AS (SELECT vec_id, v FROM base
+        |    UNION ALL SELECT vec_id + 100000, v FROM base)
+        |SELECT id_a, id_b, round(c, 6) AS cos FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, list_cosine_similarity(a.v, b.v) AS c
+        |  FROM allv a JOIN allv b ON a.vec_id < b.vec_id)
+        |WHERE c >= 0.9 ORDER BY id_a, id_b""".stripMargin)
+}

@@ -1,0 +1,88 @@
+package graft.queries
+
+import graft.functions.SimFns
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Tables._
+
+/** Similarity-search queries over the `embeddings` table (SURVEY.md §2.8):
+  * brute-force cosine top-k as the exact baseline, an IVF-style
+  * cell-restricted variant, and a random-hyperplane LSH-bucketed variant as
+  * the approximate scale path.
+  *
+  * Scale shape: the query set is tiny and broadcast; candidates stream
+  * through a narrow map (codegen'd zip_with/aggregate dot product); ranking
+  * is a per-query-key window — partitioned by query id, so it scales with
+  * the number of queries × candidates, never a global sort.
+  */
+object QueriesSim {
+
+  private val rank10 = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+
+  val queries: Map[String, Q] = Map(
+    // Exact brute-force cosine top-10 for 5 query vectors.
+    "sim_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      e.join(broadcast(q))
+        .select(col("qid"), col("vec_id"),
+          SimFns.cosine(col("qe"), col("embedding")).as("cos"))
+        .withColumn("rank", row_number().over(rank10))
+        .where(col("rank") <= 10)
+        .select(col("qid"), col("vec_id"), round(col("cos"), 6).as("cos"),
+          col("rank").cast(LongType).as("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // IVF-style: the label column is the coarse cell; search only the
+    // query's own cell (1-probe). Exactly mirrored by the oracle.
+    "sim_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("label").as("qlabel"))
+      e.join(broadcast(q), col("label") === col("qlabel"))
+        .select(col("qid"), col("vec_id"),
+          SimFns.cosine(col("qe"), col("embedding")).as("cos"))
+        .withColumn("rank", row_number().over(rank10))
+        .where(col("rank") <= 5)
+        .select(col("qid"), col("vec_id"), round(col("cos"), 6).as("cos"),
+          col("rank").cast(LongType).as("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // Random-hyperplane LSH bucketing: probe only the query's sign-bucket.
+    // Recall is probabilistic → no SQL oracle (rows-only check).
+    "sim_lsh" -> ((s, dir) => {
+      val planes = SimFns.fixedPlanes(nPlanes = 6, dim = 64)
+      val e = t(s, dir, "embeddings")
+        .withColumn("bucket", SimFns.rpLshKey(col("embedding"), planes))
+      val q = e.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bucket").as("qbucket"))
+      e.join(broadcast(q), col("bucket") === col("qbucket"))
+        .select(col("qid"), col("vec_id"),
+          SimFns.cosine(col("qe"), col("embedding")).as("cos"))
+        .withColumn("rank", row_number().over(rank10))
+        .where(col("rank") <= 10)
+        .select(col("qid"), col("vec_id"), round(col("cos"), 6).as("cos"),
+          col("rank").cast(LongType).as("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "sim_topk" ->
+      """SELECT qid, vec_id, round(c, 6) AS cos, CAST(rn AS BIGINT) AS rank FROM (
+        |  SELECT qid, vec_id, c, row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS rn
+        |  FROM (SELECT q.vec_id AS qid, e.vec_id,
+        |      list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS c
+        |    FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 5) q))
+        |WHERE rn <= 10 ORDER BY qid, rank""".stripMargin,
+    "sim_ivf" ->
+      """SELECT qid, vec_id, round(c, 6) AS cos, CAST(rn AS BIGINT) AS rank FROM (
+        |  SELECT qid, vec_id, c, row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS rn
+        |  FROM (SELECT q.vec_id AS qid, e.vec_id,
+        |      list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS c
+        |    FROM embeddings e JOIN (SELECT * FROM embeddings WHERE vec_id < 20) q ON e.label = q.label))
+        |WHERE rn <= 5 ORDER BY qid, rank""".stripMargin)
+}

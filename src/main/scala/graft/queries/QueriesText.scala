@@ -1,0 +1,109 @@
+package graft.queries
+
+import graft.functions.TextFns
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Tables._
+
+/** Text-analysis queries over the `documents` table (SURVEY.md §2.8 LLM
+  * extensions): tokenization, token counting, language ID, quality scoring,
+  * fingerprinting. All per-row narrow transforms — the only shuffle is the
+  * final aggregation/sort where the query itself demands one.
+  */
+object QueriesText {
+
+  val queries: Map[String, Q] = Map(
+    // Tokenize + explode + count: top-20 corpus tokens.
+    "text_tokens" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(explode(TextFns.tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token")).limit(20)
+    }),
+
+    // Per-document token counts: whitespace + BPE-ish regex.
+    "token_count" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFns.tokenCount(col("text")).as("ws_tokens"),
+          TextFns.bpeTokenCount(col("text")).as("bpe_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Marker-word language ID vs the labeled lang column.
+    "lang_id" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), TextFns.langId(col("text")).as("detected"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Quality scoring: length/punct/stopword/word-length components.
+    "quality_score" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          length(col("text")).cast(LongType).as("n_chars"),
+          TextFns.tokenCount(col("text")).as("n_tokens"),
+          TextFns.qualityScore(col("text")).as("score"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Document fingerprints: md5-of-normalized + min-shingle (rolling-hash
+    // style, robust to local edits).
+    "fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFns.fingerprint(col("text")).as("fp"),
+          TextFns.minShingleFingerprint(col("text"), 4).as("min_shingle_fp"))
+        .orderBy(col("doc_id"))
+    }))
+
+  // DuckDB mirrors. Tokens: list_filter(string_split_regex(lower(text))).
+  private val toks = """list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"""
+
+  private def markers(pat: String) =
+    s"len(regexp_extract_all(lower(text), '$pat'))"
+  private val en = markers("\\b(the|and|of|to|in|is|a)\\b")
+  private val de = markers("\\b(der|die|das|und|nicht|ein)\\b")
+  private val fr = markers("\\b(le|la|les|et|est|une)\\b")
+  private val es = markers("\\b(el|los|las|es|y|una)\\b")
+
+  val oracle: Map[String, String] = Map(
+    "text_tokens" ->
+      s"""SELECT token, CAST(count(*) AS BIGINT) AS n
+         |FROM (SELECT unnest($toks) AS token FROM documents)
+         |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+    "token_count" ->
+      s"""SELECT doc_id, CAST(len($toks) AS BIGINT) AS ws_tokens,
+         |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]')) AS BIGINT) AS bpe_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "lang_id" ->
+      s"""SELECT doc_id, lang,
+         |  CASE WHEN $en > 0 AND $en >= $de AND $en >= $fr AND $en >= $es THEN 'en'
+         |       WHEN $de > 0 AND $de >= $fr AND $de >= $es THEN 'de'
+         |       WHEN $fr > 0 AND $fr >= $es THEN 'fr'
+         |       WHEN $es > 0 THEN 'es'
+         |       ELSE 'und' END AS detected
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "quality_score" ->
+      s"""WITH m AS (SELECT doc_id,
+         |    CAST(length(text) AS DOUBLE) AS nc,
+         |    CAST(len($toks) AS DOUBLE) AS nt,
+         |    CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE) AS np,
+         |    CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|a|for|on|with|as|by|at|it)\\b')) AS DOUBLE) AS ns
+         |  FROM documents)
+         |SELECT doc_id, CAST(nc AS BIGINT) AS n_chars, CAST(nt AS BIGINT) AS n_tokens,
+         |  round(
+         |    (CASE WHEN nc >= 100 AND nc <= 10000 THEN 1.0 WHEN nc >= 20 THEN 0.5 ELSE 0.0 END) * 0.3 +
+         |    (CASE WHEN np / greatest(nc, 1.0) <= 0.1 THEN 1.0 WHEN np / greatest(nc, 1.0) <= 0.3 THEN 0.5 ELSE 0.0 END) * 0.2 +
+         |    (CASE WHEN ns / greatest(nt, 1.0) >= 0.05 AND ns / greatest(nt, 1.0) <= 0.6 THEN 1.0 ELSE 0.3 END) * 0.3 +
+         |    (CASE WHEN nc / greatest(nt, 1.0) >= 3.0 AND nc / greatest(nt, 1.0) <= 12.0 THEN 1.0 ELSE 0.3 END) * 0.2, 6) AS score
+         |FROM m ORDER BY doc_id""".stripMargin,
+    "fingerprint" ->
+      s"""WITH tk AS (SELECT doc_id,
+         |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS fp,
+         |    $toks AS t FROM documents)
+         |SELECT doc_id, fp,
+         |  list_min(list_transform(range(1, greatest(len(t) - 2, 1)),
+         |    i -> substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]), 1, 16))) AS min_shingle_fp
+         |FROM tk ORDER BY doc_id""".stripMargin)
+}
