@@ -14,7 +14,8 @@ object SparkEntry {
     (QueriesTypes.queries, QueriesTypes.oracle),
     (QueriesText.queries, QueriesText.oracle),
     (QueriesDedup.queries, QueriesDedup.oracle),
-    (QueriesSim.queries, QueriesSim.oracle))
+    (QueriesSim.queries, QueriesSim.oracle),
+    (QueriesStream.queries, QueriesStream.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

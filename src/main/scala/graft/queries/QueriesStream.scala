@@ -1,0 +1,81 @@
+package graft.queries
+
+import graft.streaming.Streams
+import org.apache.spark.sql.functions._
+import Tables._
+
+/** Windowed event-stream queries (SURVEY.md §2.8): the same
+  * [[graft.streaming.Streams]] transforms that run under `readStream` are
+  * declared here in batch mode so the DuckDB oracle can check them; the
+  * streaming execution path (watermarks, MemoryStream, late data) is pinned
+  * by StreamingSpec.
+  */
+object QueriesStream {
+
+  val queries: Map[String, Q] = Map(
+    // Tumbling 1-hour windows per event type.
+    "stream_tumbling" -> ((s, dir) => {
+      Streams.tumbling(t(s, dir, "events"), "ts", "1 hour",
+          keys = Seq(col("event_type")),
+          aggs = Seq(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value")))
+        .select(col("window_start"), col("event_type"), col("n"), col("sum_value"))
+        .orderBy(col("window_start"), col("event_type"))
+    }),
+
+    // Sliding 1-hour windows every 30 minutes (each event in 2 windows).
+    "stream_sliding" -> ((s, dir) => {
+      Streams.sliding(t(s, dir, "events"), "ts", "1 hour", "30 minutes",
+          keys = Nil,
+          aggs = Seq(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value")))
+        .select(col("window_start"), col("n"), col("sum_value"))
+        .orderBy(col("window_start"))
+    }),
+
+    // Per-user session windows with a 10-minute gap.
+    "stream_session" -> ((s, dir) => {
+      Streams.sessionized(t(s, dir, "events"), "ts", "10 minutes",
+          keys = Seq(col("user_id")),
+          aggs = Seq(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value")))
+        .select(col("user_id"), col("session_start"), col("n_events"), col("sum_value"))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
+    // Streaming dedup surface in its batch form.
+    "stream_dedup" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val doubled = e.unionByName(e) // construct duplicates
+      Streams.dedupWithinWatermark(doubled, "ts", "1 hour", Seq("event_id"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("event_type"))
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "stream_tumbling" ->
+      """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
+        |  CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "stream_sliding" ->
+      """WITH g AS (
+        |  SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS ws, value FROM events
+        |  UNION ALL
+        |  SELECT time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE AS ws, value FROM events)
+        |SELECT ws AS window_start, CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_value
+        |FROM g GROUP BY ws ORDER BY ws""".stripMargin,
+    "stream_session" ->
+      """WITH e AS (SELECT user_id, date_trunc('microseconds', ts) AS ts, value FROM events),
+        |x AS (SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |y AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM x)
+        |SELECT user_id, min(ts) AS session_start, CAST(count(*) AS BIGINT) AS n_events,
+        |  round(sum(value), 2) AS sum_value
+        |FROM y GROUP BY user_id, sess ORDER BY user_id, session_start""".stripMargin,
+    "stream_dedup" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_value
+        |FROM (SELECT DISTINCT ON (event_id) * FROM
+        |  (SELECT * FROM events UNION ALL SELECT * FROM events))
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+}

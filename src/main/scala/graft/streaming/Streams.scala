@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.Row
+
+/** Structured-Streaming surface (SURVEY.md §2.8 streaming). The reference has
+  * no streaming at all; this is the Spark-native extension: every transform
+  * below is a plain DataFrame→DataFrame function, so the SAME code runs in a
+  * batch job (DuckDB-oracle-checkable) and in a `readStream` pipeline with
+  * watermark-bounded state.
+  *
+  * Scale notes: windowed aggregation state is partitioned by (window, keys)
+  * — the watermark bounds state size; session windows use Spark's built-in
+  * session_window merge (no custom state store needed for these shapes).
+  */
+object Streams {
+
+  /** Tumbling-window aggregation: fixed-size, non-overlapping. */
+  def tumbling(df: DataFrame, tsCol: String, duration: String, keys: Seq[Column],
+               aggs: Seq[Column]): DataFrame =
+    df.groupBy(window(col(tsCol), duration) +: keys: _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("window_start", col("window.start"))
+      .drop("window")
+
+  /** Sliding-window aggregation: overlapping windows every `slide`. */
+  def sliding(df: DataFrame, tsCol: String, duration: String, slide: String,
+              keys: Seq[Column], aggs: Seq[Column]): DataFrame =
+    df.groupBy(window(col(tsCol), duration, slide) +: keys: _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("window_start", col("window.start"))
+      .drop("window")
+
+  /** Session-window aggregation: merge events whose gap < `gap`. */
+  def sessionized(df: DataFrame, tsCol: String, gap: String, keys: Seq[Column],
+                  aggs: Seq[Column]): DataFrame =
+    df.groupBy(session_window(col(tsCol), gap) +: keys: _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("session_start", col("session_window.start"))
+      .drop("session_window")
+
+  /** Event-time watermark: bounds streaming state and admits late data up to
+    * `threshold`. No-op on batch DataFrames. */
+  def withWatermark(df: DataFrame, tsCol: String, threshold: String): DataFrame =
+    if (df.isStreaming) df.withWatermark(tsCol, threshold) else df
+
+  /** Streaming dedup by id columns with watermark-bounded state. */
+  def dedupWithinWatermark(df: DataFrame, tsCol: String, threshold: String,
+                           idCols: Seq[String]): DataFrame = {
+    val wm = withWatermark(df, tsCol, threshold)
+    if (df.isStreaming) wm.dropDuplicatesWithinWatermark(idCols)
+    else wm.dropDuplicates(idCols)
+  }
+
+  /** File-source stream over a directory of parquet (the 100 TB ingest
+    * shape: new files appear, Spark tails them incrementally). */
+  def parquetStream(spark: SparkSession, dir: String, schema: StructType,
+                    maxFilesPerTrigger: Int = 16): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+
+  /** In-memory sink for tests/smoke: query the result via its table name. */
+  def toMemorySink(df: DataFrame, name: String, outputMode: String = "update"): StreamingQuery =
+    df.writeStream.format("memory").queryName(name).outputMode(outputMode).start()
+
+  /** Parquet sink with checkpointing — the durable production shape. */
+  def toParquetSink(df: DataFrame, path: String, checkpoint: String): DataStreamWriter[Row] =
+    df.writeStream.format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+}
