@@ -15,7 +15,8 @@ object SparkEntry {
     (QueriesText.queries, QueriesText.oracle),
     (QueriesDedup.queries, QueriesDedup.oracle),
     (QueriesSim.queries, QueriesSim.oracle),
-    (QueriesStream.queries, QueriesStream.oracle))
+    (QueriesStream.queries, QueriesStream.oracle),
+    (QueriesDdl.queries, QueriesDdl.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

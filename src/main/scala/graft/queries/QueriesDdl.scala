@@ -1,0 +1,137 @@
+package graft.queries
+
+import graft.{DataTable, Ddl}
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Tables._
+
+/** SQL-bridge (DDL generation, sinks) and multimodal queries. The DDL
+  * oracles reconstruct the exact generated strings in DuckDB — including the
+  * aggregation-driven varchar sizing — so the cross-engine check covers the
+  * sizing rule (`next-highest-power-of-two(max length)`,
+  * clsql-data-table.lisp:56-80), not just the string templates.
+  */
+object QueriesDdl {
+
+  val queries: Map[String, Q] = Map(
+    // Full CREATE TABLE strings, both dialects, for the part table.
+    "ddl_generate" -> ((s, dir) => {
+      val part = t(s, dir, "part")
+      import s.implicits._
+      Seq((Ddl.postgresDdl(part, "part_tbl"), Ddl.mssqlDdl(part, "part_tbl")))
+        .toDF("postgres_ddl", "mssql_ddl")
+    }),
+
+    // Per-column aggregation-driven mssql type decisions.
+    "ddl_sizing" -> ((s, dir) => {
+      val types = Ddl.mssqlTypes(t(s, dir, "part"))
+      import s.implicits._
+      types.toDF("col_name", "mssql_type")
+    }),
+
+    // Sink round-trip: filter → write parquet (partition-batched, the
+    // anti-pattern-free version of the reference's per-row INSERT) → read
+    // back → aggregate. Oracle aggregates the same filter directly.
+    "sink_write" -> ((s, dir) => {
+      val out = "target/tmp_sink_parquet"
+      t(s, dir, "lineitem").where(col("l_quantity") >= 30.0)
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("sum_price"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // CSV sink + source with the reference's auto-type pipeline end-to-end:
+    // all-string CSV comes back typed via guess/coerce.
+    "csv_roundtrip" -> ((s, dir) => {
+      val out = "target/tmp_sink_csv"
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        .write.mode("overwrite").option("header", "true").csv(out)
+      val back = DataTable.fromCsv(s, out, header = true, autoType = true).df
+      back.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"),
+          sum(col("o_orderkey")).as("sum_key"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // Multimodal: binary payload struct + metadata/content features.
+    "multimodal_features" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), Multimodal.mediaFromText(col("text"), "text/plain").as("media"))
+        .select(col("doc_id"),
+          length(col("media.bytes")).cast(LongType).as("n_bytes"),
+          hex(substring(col("media.bytes"), 1, 8)).as("head_hex"),
+          md5(col("media.bytes")).as("content_md5"),
+          col("media.mime").as("mime"),
+          col("media.duration_ms").as("duration_ms"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Multimodal decode path (stubbed codec, real mapPartitions plumbing):
+    // rows-only — the byte-histogram stub has no SQL twin.
+    "multimodal_decode" -> ((s, dir) => {
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"), Multimodal.mediaFromText(col("text"), "image/fake").as("media"))
+      Multimodal.decodeAndFeaturize(s, media).toDF()
+        .select(col("doc_id"), col("n_bytes"), round(element_at(col("feature"), 1), 6).as("f0"))
+        .orderBy(col("doc_id"))
+    }))
+
+  /** DuckDB `next-highest-power-of-two` of a max-length aggregate. */
+  private def pow2(agg: String) =
+    s"CAST(CAST(POWER(2, FLOOR(LOG2(GREATEST($agg, 1))) + 1) AS BIGINT) AS VARCHAR)"
+  private def varchar(agg: String) =
+    s"CASE WHEN CAST(POWER(2, FLOOR(LOG2(GREATEST($agg, 1))) + 1) AS BIGINT) < 8000 " +
+      s"THEN 'varchar (' || ${pow2(agg)} || ')' ELSE 'text' END"
+  private def intOrBig(maxE: String, minE: String) =
+    s"CASE WHEN $maxE > 2147483647 OR $minE < -2147483648 THEN 'bigint' ELSE 'int' END"
+
+  val oracle: Map[String, String] = Map(
+    "ddl_generate" ->
+      s"""WITH a AS (SELECT max(length(p_name)) AS name_len, max(length(p_brand)) AS brand_len,
+         |    max(length(p_type)) AS type_len, max(p_partkey) AS pk_max, min(p_partkey) AS pk_min,
+         |    max(p_size) AS sz_max, min(p_size) AS sz_min FROM part)
+         |SELECT
+         |  'CREATE TABLE public.part_tbl ( "id" serial PRIMARY KEY,' || chr(10) ||
+         |  '  p_partkey bigint,' || chr(10) || '  p_name text,' || chr(10) ||
+         |  '  p_brand text,' || chr(10) || '  p_type text,' || chr(10) ||
+         |  '  p_size int,' || chr(10) || '  p_retailprice double precision );' AS postgres_ddl,
+         |  'CREATE TABLE dbo.part_tbl ( Id int IDENTITY (1,1) PRIMARY KEY,' || chr(10) ||
+         |  '  PPartkey ' || ${intOrBig("pk_max", "pk_min")} || ',' || chr(10) ||
+         |  '  PName ' || ${varchar("name_len")} || ',' || chr(10) ||
+         |  '  PBrand ' || ${varchar("brand_len")} || ',' || chr(10) ||
+         |  '  PType ' || ${varchar("type_len")} || ',' || chr(10) ||
+         |  '  PSize ' || ${intOrBig("sz_max", "sz_min")} || ',' || chr(10) ||
+         |  '  PRetailprice float );' AS mssql_ddl
+         |FROM a""".stripMargin,
+    "ddl_sizing" ->
+      s"""WITH a AS (SELECT max(length(p_name)) AS name_len, max(length(p_brand)) AS brand_len,
+         |    max(length(p_type)) AS type_len, max(p_partkey) AS pk_max, min(p_partkey) AS pk_min,
+         |    max(p_size) AS sz_max, min(p_size) AS sz_min FROM part)
+         |SELECT col_name, mssql_type FROM (
+         |  SELECT 1 AS ord, 'p_partkey' AS col_name, ${intOrBig("pk_max", "pk_min")} AS mssql_type FROM a
+         |  UNION ALL SELECT 2, 'p_name', ${varchar("name_len")} FROM a
+         |  UNION ALL SELECT 3, 'p_brand', ${varchar("brand_len")} FROM a
+         |  UNION ALL SELECT 4, 'p_type', ${varchar("type_len")} FROM a
+         |  UNION ALL SELECT 5, 'p_size', ${intOrBig("sz_max", "sz_min")} FROM a
+         |  UNION ALL SELECT 6, 'p_retailprice', 'float' FROM a) ORDER BY ord""".stripMargin,
+    "sink_write" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem WHERE l_quantity >= 30.0
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "csv_roundtrip" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(o_totalprice), 2) AS sum_price, CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "multimodal_features" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  hex(encode(substring(text, 1, 8))) AS head_hex,
+        |  md5(text) AS content_md5,
+        |  'text/plain' AS mime,
+        |  CAST(length(text) * 40 AS BIGINT) AS duration_ms
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}
