@@ -49,6 +49,21 @@ final case class PositionalTable(df: DataFrame) {
     PositionalTable(rowSlice(lri, uri).df.select(keep.map(col): _*))
   }
 
+  /** Materialize missing row indices 0..max as null rows — the reference's
+    * `ensure-rows` growth (data-table.lisp:156-163): a paste at row 3 of an
+    * empty table leaves rows 0-2 present-but-nil. Distributed: left join
+    * from a `spark.range` spine, no driver loop. */
+  def densify: PositionalTable = {
+    val maxIdx = df.agg(max(col(RowIdx))).head() match {
+      case r if r.isNullAt(0) => -1L
+      case r                  => r.getLong(0)
+    }
+    if (maxIdx < 0) return this
+    val spine = df.sparkSession.range(maxIdx + 1).toDF(RowIdx)
+    PositionalTable(spine.join(df, Seq(RowIdx), "left")
+      .select(dataCols.map(col) :+ col(RowIdx): _*))
+  }
+
   /** `overlay-region` (data-table.lisp:218-238): paste `other` into this table
     * with its row 0 landing at `rowOff` and its column 0 at column `colOff`.
     * Grows rows (full-outer join on `_row_idx`) and columns (null-backed,
@@ -86,4 +101,11 @@ final case class PositionalTable(df: DataFrame) {
 
 object PositionalTable {
   val RowIdx = "_row_idx"
+
+  /** Zero-column, zero-row positional table — the reference's
+    * `(make-instance 'data-table)` starting point for overlay composition. */
+  def empty(spark: org.apache.spark.sql.SparkSession): PositionalTable =
+    PositionalTable(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField(RowIdx, LongType, nullable = false)))))
 }

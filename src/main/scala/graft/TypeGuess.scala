@@ -60,12 +60,19 @@ object TypeGuess {
     when(t.rlike("^[0-9eE+\\-.,$%]*$"), lit(null).cast(TimestampType)).otherwise(try_to_timestamp(t))
   }
 
+  /** Integer-looking pattern — used for the ±2⁶³ demotion: a column of pure
+    * integer strings where try_cast-to-long fails (overflow) is STRING, not
+    * double (reference `simplify-types`, data-table.lisp:269-280; boundary
+    * tests tests/data-table.lisp:199-206). */
+  private val intLookRe = "^[+-]?[0-9]+$"
+  def looksInteger(c: Column): Column = c.rlike(intLookRe)
+
   /** One column's inferred Spark type from probe counts (the lattice,
-    * data-table.lisp:336-343). */
-  private[graft] def decide(n: Long, nLong: Long, nDouble: Long, nTs: Long): DataType =
+    * data-table.lisp:336-343, with the ±2⁶³ overflow demotion). */
+  private[graft] def decide(n: Long, nIntLook: Long, nLong: Long, nDouble: Long, nTs: Long): DataType =
     if (n == 0L) StringType
     else if (nTs == n) TimestampType
-    else if (nLong == n) LongType
+    else if (nIntLook == n) { if (nLong == n) LongType else StringType } // overflow ⇒ demote
     else if (nDouble == n) DoubleType
     else StringType
 
@@ -81,13 +88,15 @@ object TypeGuess {
       val v = trimAndNullify(col(c))
       Seq(
         count(v).as(s"${c}__n"),
+        count(when(looksInteger(v), 1)).as(s"${c}__intlook"),
         count(tryLong(v)).as(s"${c}__long"),
         count(relaxedDouble(v)).as(s"${c}__dbl"),
         count(tryTimestamp(v)).as(s"${c}__ts"))
     }
     val row = sampled.agg(aggs.head, aggs.tail: _*).head()
     stringCols.zipWithIndex.map { case (c, i) =>
-      c -> decide(row.getLong(4 * i), row.getLong(4 * i + 1), row.getLong(4 * i + 2), row.getLong(4 * i + 3))
+      c -> decide(row.getLong(5 * i), row.getLong(5 * i + 1), row.getLong(5 * i + 2),
+        row.getLong(5 * i + 3), row.getLong(5 * i + 4))
     }.toMap
   }
 

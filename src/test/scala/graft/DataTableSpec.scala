@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Ports of the reference's core unit tests (tests/data-table.lisp) to the
+  * DataFrame facade. */
+class DataTableSpec extends SparkSpec {
+
+  /** FIXTURES.md A.1 — the flagship all-string fixture (tests/data-table.lisp:15-24). */
+  def fixture: DataTable = DataTable.fromStringRows(spark,
+    Seq("first name", "last name", "job title", "number of hours", "id"),
+    Seq(
+      Seq("Russ", "Tyndall", "Software Developer", "26.2", "1"),
+      Seq("Adam", "Smith", "Economist", "37.5", "2"),
+      Seq("John", "Doe", "Anonymous Human", "42.1", "3"),
+      Seq("Chuck", "Darwin", "Natural Philosipher", "17.68", "4"),
+      Seq("Bill", "Shakespear", "Bard", "12.2", "5"),
+      Seq("James", "Kirk", "Starship Captain", "13.1", "6")))
+
+  test("flagship inference: (string string string double long) — tests/data-table.lisp:26-40") {
+    val coerced = TypeGuess.coerceStringsToTypes(fixture)
+    assert(coerced.schema.fields.map(_.dataType).toSeq ==
+      Seq(StringType, StringType, StringType, DoubleType, LongType))
+    val hours = coerced.df.select(col("`number of hours`")).collect().map(_.getDouble(0)).sorted
+    assert(hours.toSeq == Seq(12.2, 13.1, 17.68, 26.2, 37.5, 42.1))
+  }
+
+  test("metadata: numberOfColumns fallback + numberOfRows — data-table.lisp:100-107") {
+    assert(fixture.numberOfColumns == 5)
+    assert(fixture.numberOfRows == 6L)
+  }
+
+  test("columnIndex is case-insensitive — data-table.lisp:409-414") {
+    assert(fixture.columnIndex("FIRST NAME") == 0)
+    assert(fixture.columnIndex("Id") == 4)
+    assert(fixture.columnIndex("nope") == -1)
+  }
+
+  test("selectColumns: reorder + case-insens + unknown errors — tests/data-table.lisp:171-189") {
+    val sel = fixture.selectColumns(Seq("ID", "first name"))
+    assert(sel.columnNames == Seq("id", "first name"))
+    intercept[IllegalArgumentException](fixture.selectColumns(Seq("missing")))
+  }
+
+  test("addColumn at index with default — tests/data-table.lisp:42-53") {
+    val dt = fixture.addColumn("seniority", lit(null).cast(StringType), 1)
+    assert(dt.columnNames == Seq("first name", "seniority", "last name", "job title", "number of hours", "id"))
+    assert(dt.df.where(col("seniority").isNull).count() == 6L)
+  }
+
+  test("subTableCols keeps names — tests/data-table.lisp:102-125") {
+    val sub = fixture.subTableCols(0, 3)
+    assert(sub.columnNames == Seq("first name", "last name", "job title"))
+    assert(sub.dataEquals(fixture.selectColumns(Seq("first name", "last name", "job title"))))
+  }
+
+  test("dataEquals: multiset compare — data-table.lisp:210-216") {
+    assert(fixture.dataEquals(fixture))
+    assert(!fixture.dataEquals(DataTable(fixture.df.limit(3))))
+  }
+
+  test("fromMaps: keys from first record, missing→null, extras dropped — tests/data-table.lisp:127-169") {
+    val dt = DataTable.fromMaps(spark, Seq(
+      Map("a" -> 1L, "b" -> 2L, "c" -> 3L),
+      Map("c" -> 6L, "a" -> 4L, "d" -> 99L),
+      Map("b" -> 7L, "a" -> 5L, "c" -> 8L)))
+    assert(dt.columnNames == Seq("a", "b", "c"))
+    val b = dt.df.orderBy(col("a")).select(col("b")).collect().map(r => Option(r.get(0)))
+    assert(b.toSeq == Seq(Some(2L), None, Some(7L)))
+  }
+
+  test("toMaps round-trip — data-table.lisp:523-537") {
+    val maps = fixture.toMaps
+    assert(maps.size == 6)
+    assert(maps.head.keySet == Set("first name", "last name", "job title", "number of hours", "id"))
+  }
+
+  test("symbolize / kebabCase — data-table.lisp:109-117") {
+    assert(DataTable.kebabCase("first name") == "first-name")
+    assert(DataTable.kebabCase("Number Of Hours") == "number-of-hours")
+    assert(DataTable.kebabCase("first name") == DataTable.kebabCase(DataTable.kebabCase("first name")), "idempotent")
+    assert(fixture.symbolizeColumnNames.columnNames.head == "first-name")
+  }
+
+  test("withColumnType casts — data-table.lisp:416-423") {
+    val dt = fixture.withColumnType("id", LongType)
+    assert(dt.columnType("ID") == LongType)
+  }
+}

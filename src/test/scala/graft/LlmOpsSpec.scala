@@ -1,0 +1,109 @@
+package graft
+
+import graft.functions.{SimFns, TextFns}
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** Text / dedup / similarity operator units. */
+class LlmOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("tokens + counts") {
+    val df = Seq("The  quick brown fox", "", "  one ").toDF("t")
+    val got = df.select(TextFns.tokenCount(col("t"))).collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(4L, 0L, 1L))
+    val bpe = Seq("don't stop 42!").toDF("t")
+      .select(TextFns.bpeTokenCount(col("t"))).head().getLong(0)
+    // don + ' + t + stop + 4 + 2 + !
+    assert(bpe == 7L)
+  }
+
+  test("language ID heuristic picks marker-dominant language") {
+    val df = Seq(
+      "the cat and the dog sat on the mat",
+      "der hund und die katze sind nicht hier",
+      "le chat et la maison est une belle",
+      "el gato y los perros es una casa",
+      "zzz qqq xxx").toDF("t")
+    val got = df.select(TextFns.langId(col("t"))).collect().map(_.getString(0))
+    assert(got.toSeq == Seq("en", "de", "fr", "es", "und"))
+  }
+
+  test("quality score in [0,1] and penalizes garbage") {
+    val df = Seq(
+      "The quick brown fox jumps over the lazy dog and runs through the quiet field for a while longer today.",
+      "!!!###$$$%%%^^^&&&").toDF("t")
+    val s = df.select(TextFns.qualityScore(col("t"))).collect().map(_.getDouble(0))
+    assert(s.forall(v => v >= 0.0 && v <= 1.0))
+    assert(s(0) > s(1))
+  }
+
+  test("fingerprint: stable under whitespace/punct noise") {
+    val df = Seq(("a", "Hello,  World!"), ("b", "hello world")).toDF("id", "t")
+    val fps = df.select(TextFns.fingerprint(col("t"))).collect().map(_.getString(0))
+    assert(fps(0) == fps(1))
+  }
+
+  test("shingles: n-grams, short docs → empty") {
+    val got = Seq("a b c d").toDF("t")
+      .select(TextFns.shingles(TextFns.tokens(col("t")), 3)).head().getSeq[String](0)
+    assert(got == Seq("a b c", "b c d"))
+    val short = Seq("a b").toDF("t")
+      .select(TextFns.shingles(TextFns.tokens(col("t")), 3)).head().getSeq[String](0)
+    assert(short.isEmpty)
+  }
+
+  test("jaccard exact") {
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+    assert(df.select(Dedup.jaccard(col("x"), col("y"))).head().getDouble(0) == 0.5)
+  }
+
+  test("minhash LSH finds exact and near duplicates, skips unrelated") {
+    val text = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val near = text + " extra trailing"
+    val other = (100 to 140).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, text), (2L, text), (3L, near), (4L, other)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(p => (p._1, p._2))
+    assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(pairs.find(p => (p._1, p._2) == (1L, 2L)).get._3 == 1.0)
+  }
+
+  test("simhash: identical docs at hamming 0, found via chunk blocking") {
+    val text = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val other = (100 to 140).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, text), (2L, text), (3L, other)).toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 0L)))
+  }
+
+  test("cosine: identity ~1, orthogonal 0") {
+    val df = Seq(
+      (Seq(1f, 0f, 2f), Seq(1f, 0f, 2f)),
+      (Seq(1f, 0f, 0f), Seq(0f, 1f, 0f))).toDF("a", "b")
+    val got = df.select(round(SimFns.cosine(col("a"), col("b")), 9)).collect().map(_.getDouble(0))
+    assert(got.toSeq == Seq(1.0, 0.0))
+  }
+
+  test("rp-LSH: identical vectors share buckets; planes deterministic") {
+    val planes = SimFns.fixedPlanes(6, 3)
+    assert(planes == SimFns.fixedPlanes(6, 3))
+    val df = Seq((1L, Seq(1f, 2f, 3f)), (2L, Seq(1f, 2f, 3f))).toDF("id", "v")
+    val keys = df.select(SimFns.rpLshKey(col("v"), planes)).collect().map(_.getString(0))
+    assert(keys(0) == keys(1) && keys(0).length == 6)
+  }
+
+  test("multimodal: decode stub features + frame sampling shapes") {
+    import graft.multimodal.Multimodal
+    val docs = Seq((1L, "hello world"), (2L, "abcdefghij")).toDF("doc_id", "text")
+    val media = docs.select(col("doc_id"), Multimodal.mediaFromText(col("text"), "text/plain").as("media"))
+    val feats = Multimodal.decodeAndFeaturize(spark, media).collect().sortBy(_.doc_id)
+    assert(feats.length == 2 && feats.forall(_.feature.length == 8))
+    assert(feats(0).n_bytes == 11L)
+    assert(math.abs(feats(0).feature.sum - 1.0f) < 1e-5) // histogram normalized
+    val frames = Multimodal.sampleFrames(media, "media", 2).collect()
+    assert(frames.length == 4) // 2 docs × 2 frames
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import graft.streaming.Streams
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Real streaming execution: MemoryStream source, watermark semantics, late
+  * data, streaming dedup — the paths the DuckDB oracle can't check. */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s"2024-01-01 $s:00")
+
+  test("tumbling windows under readStream; watermark drops late data") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, String, Double)]
+    val agg = Streams.tumbling(
+      Streams.withWatermark(ms.toDF().toDF("ts", "event_type", "value"), "ts", "10 minutes"),
+      "ts", "1 hour", Seq(col("event_type")), Seq(count(lit(1)).as("n")))
+    val q = Streams.toMemorySink(agg, "tumble_test", "update")
+    try {
+      ms.addData((ts("00:05"), "a", 1.0), (ts("00:10"), "a", 1.0))
+      q.processAllAvailable()
+      // advance the watermark far past hour 0
+      ms.addData((ts("03:00"), "a", 1.0))
+      q.processAllAvailable()
+      // late event for hour 0 — behind the watermark, must be dropped
+      ms.addData((ts("00:20"), "a", 1.0))
+      q.processAllAvailable()
+      val hour0 = spark.table("tumble_test")
+        .where(col("window_start") === ts("00:00")).agg(max(col("n"))).head().getLong(0)
+      assert(hour0 == 2L, "late event must not reach the finalized window")
+    } finally q.stop()
+  }
+
+  test("streaming dedup within watermark") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, Long, Double)]
+    val dedup = Streams.dedupWithinWatermark(
+      ms.toDF().toDF("ts", "event_id", "value"), "ts", "1 hour", Seq("event_id"))
+    val q = Streams.toMemorySink(dedup, "dedup_test", "append")
+    try {
+      ms.addData((ts("00:01"), 1L, 1.0), (ts("00:02"), 1L, 1.0), (ts("00:03"), 2L, 2.0))
+      q.processAllAvailable()
+      ms.addData((ts("00:04"), 1L, 1.0)) // still duplicate
+      q.processAllAvailable()
+      assert(spark.table("dedup_test").count() == 2L)
+    } finally q.stop()
+  }
+
+  test("session windows merge events within the gap (batch = stream semantics)") {
+    import spark.implicits._
+    val df = Seq(
+      (ts("00:00"), 1L, 1.0), (ts("00:05"), 1L, 1.0), (ts("00:09"), 1L, 1.0), // one session
+      (ts("01:00"), 1L, 1.0), // new session (gap > 10m)
+      (ts("00:00"), 2L, 5.0)).toDF("ts", "user_id", "value")
+    val sess = Streams.sessionized(df, "ts", "10 minutes", Seq(col("user_id")),
+      Seq(count(lit(1)).as("n"), sum(col("value")).as("s")))
+    val got = sess.select("user_id", "n").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(identity)
+    assert(got.toSeq == Seq((1L, 1L), (1L, 3L), (2L, 1L)))
+  }
+
+  test("file-source parquet stream reads incrementally") {
+    import spark.implicits._
+    val dir = "target/tmp_stream_src"
+    val chk = "target/tmp_stream_chk"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(chk))
+    val batch = Seq((ts("00:01"), "a", 1.0), (ts("00:02"), "b", 2.0)).toDF("ts", "event_type", "value")
+    batch.write.mode("overwrite").parquet(dir)
+    val stream = Streams.parquetStream(spark, dir, batch.schema)
+    assert(stream.isStreaming)
+    val q = Streams.toMemorySink(stream.groupBy(col("event_type")).count(), "file_stream_test", "complete")
+    try {
+      q.processAllAvailable()
+      assert(spark.table("file_stream_test").count() == 2L)
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.Gen
+
+/** Type inference/coercion semantics (SURVEY.md §2.4) incl. the reference's
+  * boundary tests (tests/data-table.lisp:199-206) and parsing edge cases. */
+class TypeGuessSpec extends SparkSpec {
+
+  private def guessOne(values: Seq[String]): DataType = {
+    val dt = DataTable.fromStringRows(spark, Seq("c"), values.map(Seq(_)))
+    TypeGuess.guessTypes(dt).getOrElse("c", StringType)
+  }
+
+  test("±2⁶³ boundary demotion — tests/data-table.lisp:199-206") {
+    assert(guessOne(Seq("1", "9223372036854775807")) == LongType)          // 2⁶³−1
+    assert(guessOne(Seq("1", "9223372036854775809")) == StringType)        // 2⁶³+1 → demote
+    assert(guessOne(Seq("1", "-9223372036854775809")) == StringType)       // −2⁶³−1 → demote
+    assert(guessOne(Seq("1.5", "2")) == DoubleType)
+    assert(guessOne(Seq("foo", "1")) == StringType)
+  }
+
+  test("relaxed float parsing: $ , % and whitespace — data-table.lisp:74-90") {
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row("$1,234.50"), org.apache.spark.sql.Row("26.2 "),
+        org.apache.spark.sql.Row("15%"), org.apache.spark.sql.Row(" 7.5 "),
+        org.apache.spark.sql.Row("abc"))),
+      StructType(Seq(StructField("c", StringType))))
+    val got = df.select(TypeGuess.relaxedDouble(col("c"))).collect().map(r => Option(r.get(0)))
+    assert(got.toSeq == Seq(Some(1234.5), Some(26.2), Some(15.0), Some(7.5), None))
+  }
+
+  test("trim-and-nullify: empty / nil / NBSP — data-table.lisp:40-56") {
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(""), org.apache.spark.sql.Row("  "),
+        org.apache.spark.sql.Row("nil"), org.apache.spark.sql.Row("NIL"),
+        org.apache.spark.sql.Row(" x "), org.apache.spark.sql.Row(" ok "))),
+      StructType(Seq(StructField("c", StringType))))
+    val got = df.select(TypeGuess.trimAndNullify(col("c"))).collect().map(r => Option(r.get(0)))
+    assert(got.toSeq == Seq(None, None, None, None, Some("x"), Some("ok")))
+  }
+
+  test("per-column transactional fallback: unsampled defeat reverts the column — data-table.lisp:396-404") {
+    // 1001 rows: the first 1000 (the sample) are clean longs, row 1001 is "oops"
+    val rows = (1 to 1000).map(i => Seq(i.toString, i.toString)) :+ Seq("1001", "oops")
+    val dt = DataTable.fromStringRows(spark, Seq("good", "bad"), rows)
+    val out = TypeGuess.coerceStringsToTypes(dt)
+    assert(out.schema("good").dataType == LongType)
+    assert(out.schema("bad").dataType == StringType) // defeated → fell back wholesale
+    assert(out.df.where(col("bad").isNull).count() == 0L)
+  }
+
+  test("simplifyType driver-side — data-table.lisp:269-280") {
+    assert(TypeGuess.simplifyType(1L) == LongType)
+    assert(TypeGuess.simplifyType(1.5) == DoubleType)
+    assert(TypeGuess.simplifyType("foo") == StringType)
+    assert(TypeGuess.simplifyType(BigInt("9223372036854775809")) == StringType)
+    assert(TypeGuess.simplifyType(BigInt("9223372036854775807")) == LongType)
+    assert(TypeGuess.simplifyType(null) == NullType)
+  }
+
+  test("decide lattice properties") {
+    import TypeGuess.decide
+    // all-timestamp wins; any miss falls through
+    assert(decide(10, 0, 0, 0, 10) == TimestampType)
+    assert(decide(10, 0, 0, 0, 9) != TimestampType)
+    // pure ints: long iff castable, string on overflow
+    assert(decide(10, 10, 10, 10, 0) == LongType)
+    assert(decide(10, 10, 9, 10, 0) == StringType)
+    // numeric mix → double (the {integer,double}⇒double unification)
+    assert(decide(10, 5, 5, 10, 0) == DoubleType)
+    // empty column → string
+    assert(decide(0, 0, 0, 0, 0) == StringType)
+  }
+
+  test("property: relaxedDouble agrees with parseDouble on clean doubles") {
+    val doubles = Gen.listOfN(64, Gen.chooseNum(-1e12, 1e12)).sample.get
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(doubles.map(d => org.apache.spark.sql.Row(d.toString))),
+      StructType(Seq(StructField("c", StringType))))
+    val got = df.select(TypeGuess.relaxedDouble(col("c"))).collect().map(_.getDouble(0))
+    assert(got.toSeq == doubles.map(s => java.lang.Double.parseDouble(s.toString)))
+  }
+}
