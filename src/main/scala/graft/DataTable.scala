@@ -132,6 +132,16 @@ object DataTable {
   def fromJson(spark: SparkSession, path: String): DataTable =
     DataTable(spark.read.json(path))
 
+  /** `get-data-table` (clsql-data-table.lisp:13-19): run a SQL query and
+    * wrap the result. The reference shells out to a DB over clsql; here the
+    * query runs IN the engine (Catalyst), against whatever views/catalog
+    * tables are registered. With `autoType`, all-string results go through
+    * the same guess/coerce pipeline the reference applies. */
+  def fromSql(spark: SparkSession, query: String, autoType: Boolean = false): DataTable = {
+    val dt = DataTable(spark.sql(query))
+    if (autoType) TypeGuess.coerceStringsToTypes(dt) else dt
+  }
+
   /** `alists-to-data-table`/`plists-to-data-table` (data-table.lisp:504-521):
     * keys come from the first record (or explicit `keys`); records missing a
     * key get null; extra keys are dropped. */

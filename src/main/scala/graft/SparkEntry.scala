@@ -10,6 +10,7 @@ object SparkEntry {
 
   private val modules: Seq[(Map[String, Tables.Q], Map[String, String])] = Seq(
     (QueriesRelational.queries, QueriesRelational.oracle),
+    (QueriesRelationalExt.queries, QueriesRelationalExt.oracle),
     (QueriesFacade.queries, QueriesFacade.oracle),
     (QueriesTypes.queries, QueriesTypes.oracle),
     (QueriesText.queries, QueriesText.oracle),

@@ -1,0 +1,122 @@
+package graft.queries
+
+import graft.DataTable
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Tables._
+
+/** Relational extensions beyond the first batch: the SQL bridge, temporal
+  * joins (as-of, bucketized range), cube, pivot.
+  *
+  * Scale notes:
+  *   - `join_asof` does NO join at all — it is one window pass over the
+  *     unioned stream (`last(..., ignoreNulls)` over rows-preceding), the
+  *     shape that survives any skew because state per key is O(1);
+  *   - `join_range` never evaluates the range predicate over the cross
+  *     product: each order explodes into the day buckets its window covers
+  *     and the join is a plain equi-join on the bucket key, so work scales
+  *     with (rows × window-days), not rows².
+  */
+object QueriesRelationalExt {
+
+  /** One SQL text both engines run verbatim — the `get-data-table` bridge. */
+  private val BridgeSql =
+    """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n, round(sum(o_totalprice), 2) AS rev
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE o_orderstatus <> 'F'
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    // get-data-table: arbitrary SQL in, DataTable out (clsql-data-table.lisp:13-19).
+    "sql_bridge" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      DataTable.fromSql(s, BridgeSql).df
+    }),
+
+    // As-of join: for each purchase, the user's latest strictly-preceding
+    // click — one window pass, no join.
+    "join_asof" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t(s, dir, "events")
+        .withColumn("prev_click_ts",
+          last(when(col("event_type") === "click", col("ts")), ignoreNulls = true).over(w))
+        .where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("prev_click_ts"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Range join, bucketized: for each error event, the same user's events
+    // in the following 6 hours. Anchors explode into the hour buckets their
+    // window covers; the join is an equi-join on (user, hour-bucket) with
+    // the exact range predicate applied after — never a cross product.
+    "join_range" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val anchors = ev.where(col("event_type") === "error" && col("event_id") < 500)
+        .select(col("event_id").as("anchor_id"), col("user_id"), col("ts").as("a_ts"))
+        .withColumn("bucket", explode(sequence(
+          date_trunc("hour", col("a_ts")),
+          date_trunc("hour", col("a_ts") + expr("INTERVAL 6 HOURS")),
+          expr("INTERVAL 1 HOUR"))))
+      val e = ev.select(col("user_id"), col("value"), col("ts"),
+        date_trunc("hour", col("ts")).as("bucket"))
+      anchors.join(e, Seq("user_id", "bucket"))
+        .where(col("ts") >= col("a_ts") && col("ts") < col("a_ts") + expr("INTERVAL 6 HOURS"))
+        .groupBy(col("anchor_id"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("anchor_id"))
+    }),
+
+    // CUBE over flag × status.
+    "agg_cube" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("sum_qty"), col("n"))
+        .orderBy(col("flag"), col("status"))
+    }),
+
+    // Pivot: event counts per user bucket × event type.
+    "pivot_counts" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy((col("user_id") % 10).as("bucket"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .orderBy(col("bucket"))
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "sql_bridge" -> BridgeSql,
+    "join_asof" ->
+      """SELECT event_id, user_id, ts, prev_click_ts FROM (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_click_ts
+        |  FROM (SELECT event_id, user_id, event_type, date_trunc('microseconds', ts) AS ts FROM events))
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    "join_range" ->
+      """SELECT a.event_id AS anchor_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  round(sum(e.value), 2) AS sum_value
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'error' AND event_id < 500) a
+        |JOIN events e ON e.user_id = a.user_id
+        |  AND e.ts >= a.ts AND e.ts < a.ts + INTERVAL 6 HOUR
+        |GROUP BY a.event_id ORDER BY anchor_id""".stripMargin,
+    "agg_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag, coalesce(l_linestatus, 'ALL') AS status,
+        |  round(sum(l_quantity), 2) AS sum_qty, CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus) ORDER BY flag, status""".stripMargin,
+    "pivot_counts" ->
+      """SELECT user_id % 10 AS bucket,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
+}

@@ -20,4 +20,12 @@ object Tables {
   }
 
   type Q = (SparkSession, String) => DataFrame
+
+  val All: Seq[String] = Seq("region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Register every testdata table as a temp view so `spark.sql` queries —
+    * the reference's `get-data-table` surface — can run against them. */
+  def registerAll(s: SparkSession, dir: String): Unit =
+    All.foreach(n => t(s, dir, n).createOrReplaceTempView(n))
 }
