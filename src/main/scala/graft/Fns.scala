@@ -36,4 +36,23 @@ object Fns {
   /** Whole-table formatting: every column becomes its display string. */
   def formatTable(dt: DataTable): DataTable =
     DataTable(dt.df.select(dt.df.schema.fields.map(f => formatForOutput(col(f.name), f.dataType).as(f.name)): _*))
+
+  /** Register the graft scalar library as Spark SQL functions (Spark 4 SQL
+    * UDFs — pure expression bodies, inlined by Catalyst into codegen, unlike
+    * JVM closures). Gives `spark.sql` users the reference's parsing
+    * semantics by name. */
+  def registerSqlFunctions(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val trimRe = "'^[\\\\s\\u00A0]+|[\\\\s\\u00A0]+$'"
+    spark.sql(
+      s"""CREATE OR REPLACE TEMPORARY FUNCTION relaxed_double(s STRING) RETURNS DOUBLE
+         |RETURN try_cast(regexp_replace(s, '[\\\\s\\u00A0$$,%]', '') AS DOUBLE)""".stripMargin)
+    spark.sql(
+      s"""CREATE OR REPLACE TEMPORARY FUNCTION trim_nullify(s STRING) RETURNS STRING
+         |RETURN CASE WHEN regexp_replace(s, $trimRe, '') = ''
+         |              OR lower(regexp_replace(s, $trimRe, '')) = 'nil' THEN NULL
+         |            ELSE regexp_replace(s, $trimRe, '') END""".stripMargin)
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION ws_token_count(s STRING) RETURNS BIGINT
+        |RETURN size(filter(split(lower(s), '\\\\s+'), x -> x <> ''))""".stripMargin)
+  }
 }

@@ -80,6 +80,31 @@ object QueriesRelationalExt {
         .orderBy(col("flag"), col("status"))
     }),
 
+    // Skew-salted shuffle join: same result as the plain join, but the hot
+    // keys' rows spread across saltBuckets reducers (SkewJoin scaladoc).
+    "join_salted" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem"); val sup = t(s, dir, "supplier")
+      graft.operators.SkewJoin.saltedEquiJoin(l, sup, "l_suppkey", "s_suppkey",
+          saltBuckets = 8, saltSource = col("l_orderkey") * 10 + col("l_linenumber"))
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("sum_price"))
+        .orderBy(col("s_nationkey"))
+    }),
+
+    // The scalar library exposed as Spark SQL functions (SQL UDFs are pure
+    // expressions — Catalyst inlines them into codegen).
+    "sql_functions" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      graft.Fns.registerSqlFunctions(s)
+      s.sql(
+        """SELECT p_partkey,
+          |  relaxed_double('$' || CAST(p_retailprice AS STRING) || ' ') AS parsed,
+          |  trim_nullify('  ' || p_brand || ' ') AS brand,
+          |  trim_nullify(' NIL ') AS nil_val,
+          |  ws_token_count(p_type) AS type_tokens
+          |FROM part ORDER BY p_partkey LIMIT 500""".stripMargin)
+    }),
+
     // Pivot: event counts per user bucket × event type.
     "pivot_counts" -> ((s, dir) => {
       t(s, dir, "events")
@@ -111,6 +136,16 @@ object QueriesRelationalExt {
       """SELECT coalesce(l_returnflag, 'ALL') AS flag, coalesce(l_linestatus, 'ALL') AS status,
         |  round(sum(l_quantity), 2) AS sum_qty, CAST(count(*) AS BIGINT) AS n
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus) ORDER BY flag, status""".stripMargin,
+    "join_salted" ->
+      """SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    "sql_functions" ->
+      """SELECT p_partkey, CAST(p_retailprice AS DOUBLE) AS parsed, p_brand AS brand,
+        |  CAST(NULL AS VARCHAR) AS nil_val,
+        |  CAST(len(list_filter(string_split_regex(lower(p_type), '\s+'), x -> x <> '')) AS BIGINT) AS type_tokens
+        |FROM part ORDER BY p_partkey LIMIT 500""".stripMargin,
     "pivot_counts" ->
       """SELECT user_id % 10 AS bucket,
         |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,

@@ -10,6 +10,8 @@ object SparkTestSession {
     val s = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.warehouse.dir", "target/warehouse")
+      .config("spark.sql.catalogImplementation", "in-memory")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
