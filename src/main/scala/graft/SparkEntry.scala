@@ -11,6 +11,7 @@ object SparkEntry {
   private val modules: Seq[(Map[String, Tables.Q], Map[String, String])] = Seq(
     (QueriesRelational.queries, QueriesRelational.oracle),
     (QueriesRelationalExt.queries, QueriesRelationalExt.oracle),
+    (QueriesFunctions.queries, QueriesFunctions.oracle),
     (QueriesFacade.queries, QueriesFacade.oracle),
     (QueriesTypes.queries, QueriesTypes.oracle),
     (QueriesText.queries, QueriesText.oracle),

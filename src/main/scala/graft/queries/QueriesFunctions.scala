@@ -1,0 +1,132 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Tables._
+
+/** Function-library coverage: extended window functions, exact percentiles,
+  * collect aggregates, date and string scalar batteries — each pinned
+  * cross-engine against DuckDB. */
+object QueriesFunctions {
+
+  val queries: Map[String, Q] = Map(
+    // lag / lead / ntile / first_value over per-customer order history.
+    "window_lag_lead" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("price"),
+          round(lag(col("o_totalprice"), 1).over(w), 2).as("prev_price"),
+          round(lead(col("o_totalprice"), 1).over(w), 2).as("next_price"),
+          ntile(4).over(w).cast(LongType).as("quartile"),
+          round(first(col("o_totalprice")).over(w), 2).as("first_price"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // RANGE frame: sum of prices within ±5000 of each order's price.
+    "window_range_frame" -> ((s, dir) => {
+      val w = Window.orderBy(col("o_totalprice")).rangeBetween(-5000L, 5000L)
+      t(s, dir, "orders").where(col("o_orderkey") < 1000)
+        .select(col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("price"),
+          count(lit(1)).over(w).as("n_similar"),
+          round(sum(col("o_totalprice")).over(w), 2).as("sum_similar"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Exact percentiles (continuous interpolation) per group.
+    "agg_percentile" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+          round(expr("percentile(l_quantity, 0.25)"), 4).as("q1_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Collect aggregates: sorted distinct set, joined to a stable string.
+    "agg_collect" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          array_join(array_sort(collect_set(col("l_linestatus"))), ",").as("statuses"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Date battery: trunc/extract/arithmetic on order dates.
+    "date_funcs" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).cast(LongType).as("y"),
+          quarter(col("o_orderdate")).cast(LongType).as("q"),
+          month(col("o_orderdate")).cast(LongType).as("m"),
+          dayofmonth(col("o_orderdate")).cast(LongType).as("d"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+          to_date(date_trunc("month", col("o_orderdate"))).as("month_start"),
+          datediff(lit("1998-01-01").cast(DateType), to_date(col("o_orderdate")))
+            .cast(LongType).as("days_to_98"))
+        .orderBy(col("o_orderkey")).limit(1000)
+    }),
+
+    // String battery incl. levenshtein (fuzzy-match building block).
+    "string_funcs" -> ((s, dir) => {
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          lower(col("p_name")).as("lname"),
+          reverse(col("p_brand")).as("rbrand"),
+          lpad(col("p_partkey").cast(StringType), 8, "0").as("padded"),
+          replace(col("p_type"), lit(" "), lit("_")).as("snake_type"),
+          levenshtein(col("p_brand"), lit("Brand#13")).cast(LongType).as("lev"),
+          split(col("p_type"), " ").getItem(0).as("first_word"))
+        .orderBy(col("p_partkey")).limit(500)
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "window_lag_lead" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price,
+        |  round(lag(o_totalprice, 1) OVER w, 2) AS prev_price,
+        |  round(lead(o_totalprice, 1) OVER w, 2) AS next_price,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  round(first_value(o_totalprice) OVER w, 2) AS first_price
+        |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "window_range_frame" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_similar,
+        |  round(sum(o_totalprice) OVER w, 2) AS sum_similar
+        |FROM orders WHERE o_orderkey < 1000
+        |WINDOW w AS (ORDER BY o_totalprice RANGE BETWEEN 5000 PRECEDING AND 5000 FOLLOWING)
+        |ORDER BY o_orderkey""".stripMargin,
+    "agg_percentile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+        |  round(quantile_cont(l_quantity, 0.25), 4) AS q1_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_collect" ->
+      """SELECT l_returnflag,
+        |  list_aggregate(list_sort(list(DISTINCT l_linestatus)), 'string_agg', ',') AS statuses,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "date_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS BIGINT) AS y,
+        |  CAST(quarter(o_orderdate) AS BIGINT) AS q,
+        |  CAST(month(o_orderdate) AS BIGINT) AS m,
+        |  CAST(day(o_orderdate) AS BIGINT) AS d,
+        |  strftime(o_orderdate, '%Y-%m') AS ym,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS BIGINT) AS days_to_98
+        |FROM orders ORDER BY o_orderkey LIMIT 1000""".stripMargin,
+    "string_funcs" ->
+      """SELECT p_partkey, lower(p_name) AS lname, reverse(p_brand) AS rbrand,
+        |  lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded,
+        |  replace(p_type, ' ', '_') AS snake_type,
+        |  CAST(levenshtein(p_brand, 'Brand#13') AS BIGINT) AS lev,
+        |  string_split(p_type, ' ')[1] AS first_word
+        |FROM part ORDER BY p_partkey LIMIT 500""".stripMargin)
+}
