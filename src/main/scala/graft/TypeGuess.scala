@@ -45,9 +45,13 @@ object TypeGuess {
   }
 
   /** `relaxed-parse-float` (data-table.lisp:74-90): strip whitespace, $, comma,
-    * % then parse; null (not error) on failure, like the reference's nil return. */
-  def relaxedDouble(c: Column): Column =
-    regexp_replace(c, "[\\s\\u00A0$,%]", "").try_cast(DoubleType)
+    * % then parse; null (not error) on failure, like the reference's nil
+    * return. Backed by the native codegen'd [[graft.plans.RelaxedParseDouble]]
+    * (single char scan) instead of regexp_replace + try_cast (two passes). */
+  def relaxedDouble(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.plans.RelaxedParseDouble(ColumnBridge.expression(c)))
+  }
 
   /** Long probe: ANSI try_cast — "26.0" fails (stays non-integer), matching
     * `parse-integer` strictness (data-table.lisp:323). */

@@ -18,6 +18,11 @@ class BucketingSpec extends SparkSpec {
         concat(lit("dim_"), col("id")).as("name"))
       spark.sql("DROP TABLE IF EXISTS b_facts")
       spark.sql("DROP TABLE IF EXISTS b_dims")
+      // the in-memory catalog forgets tables across JVMs but the warehouse
+      // directories survive — saveAsTable refuses to overwrite orphans
+      Seq("b_facts", "b_dims").foreach { t =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"target/warehouse/$t"))
+      }
       facts.write.bucketBy(8, "k").sortBy("k").saveAsTable("b_facts")
       dims.write.bucketBy(8, "k").sortBy("k").saveAsTable("b_dims")
 

@@ -76,6 +76,29 @@ class TypeGuessSpec extends SparkSpec {
     assert(decide(0, 0, 0, 0, 0) == StringType)
   }
 
+  test("native RelaxedParseDouble matches the composed regexp+try_cast form") {
+    val inputs = Seq("$1,234.50", "26.2 ", "15%", " 7.5 ", "abc", "", "1e3", "-2.5E-2",
+      "+42", "  9  ", "$ , %", "1.2.3", "--5", "Infinity", "NaN", "0x1p3")
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(inputs.map(org.apache.spark.sql.Row(_))),
+      StructType(Seq(StructField("c", StringType))))
+    val composed = regexp_replace(col("c"), "[\\s\\u00A0$,%]", "").try_cast(DoubleType)
+    val both = df.select(TypeGuess.relaxedDouble(col("c")).as("n"), composed.as("o")).collect()
+    inputs.zip(both).foreach { case (in, r) =>
+      val n = Option(r.get(0)); val o = Option(r.get(1))
+      // the native form is stricter only on Java-isms try_cast also rejects
+      // in practice data (Infinity/NaN/hex) — everything else must agree
+      if (!Seq("Infinity", "NaN", "0x1p3").contains(in))
+        assert(n == o, s"input '$in': native=$n composed=$o")
+    }
+  }
+
+  test("relaxed_double_native registers as a SQL function") {
+    graft.plans.GraftExtensions.register(spark)
+    val v = spark.sql("SELECT relaxed_double_native(' $2,500.75 ') AS v").head().getDouble(0)
+    assert(v == 2500.75)
+  }
+
   test("property: relaxedDouble agrees with parseDouble on clean doubles") {
     val doubles = Gen.listOfN(64, Gen.chooseNum(-1e12, 1e12)).sample.get
     val df = spark.createDataFrame(
