@@ -71,6 +71,20 @@ object QueriesFunctions {
         .orderBy(col("o_orderkey")).limit(1000)
     }),
 
+    // Typed Aggregator UDAFs (partial->final merged like built-ins).
+    "agg_custom_udaf" -> ((s, dir) => {
+      import graft.functions.Aggregators
+      val rms = udaf(Aggregators.Rms)
+      val geo = udaf(Aggregators.GeoMean)
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(rms(col("l_extendedprice")), 4).as("rms_price"),
+          round(geo(col("l_quantity")), 6).as("geo_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // String battery incl. levenshtein (fuzzy-match building block).
     "string_funcs" -> ((s, dir) => {
       t(s, dir, "part")
@@ -122,6 +136,12 @@ object QueriesFunctions {
         |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
         |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS BIGINT) AS days_to_98
         |FROM orders ORDER BY o_orderkey LIMIT 1000""".stripMargin,
+    "agg_custom_udaf" ->
+      """SELECT l_returnflag,
+        |  round(sqrt(avg(l_extendedprice * l_extendedprice)), 4) AS rms_price,
+        |  round(exp(avg(ln(l_quantity)) FILTER (WHERE l_quantity > 0)), 6) AS geo_qty,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "string_funcs" ->
       """SELECT p_partkey, lower(p_name) AS lname, reverse(p_brand) AS rbrand,
         |  lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded,

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery}
 import org.apache.spark.sql.types.StructType
@@ -73,4 +73,39 @@ object Streams {
     df.writeStream.format("parquet")
       .option("path", path)
       .option("checkpointLocation", checkpoint)
+
+  // ---- custom state: mapGroupsWithState ------------------------------------
+
+  final case class UserEvent(ts: java.sql.Timestamp, user_id: Long, value: Double)
+  final case class UserRunning(user_id: Long, n_events: Long, sum_value: Double)
+
+  /** Arbitrary per-key state via flatMapGroupsWithState: a running
+    * (count, sum) per user, emitted on every update. Pass a `timeout` to
+    * expire idle keys (processing-time) in long-running production streams —
+    * NB a registered timeout keeps the micro-batch engine triggering to
+    * evaluate expirations, so `processAllAvailable`-style draining never
+    * settles; leave it None for tests/finite streams. State per key is
+    * O(1), partitioned by user_id: the 100 TB shape. */
+  def runningUserTotals(spark: SparkSession, events: Dataset[UserEvent],
+                        timeout: Option[String] = None): Dataset[UserRunning] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val streaming = events.isStreaming // captured as a plain Boolean, not the Dataset
+    def update(user: Long, rows: Iterator[UserEvent],
+               state: GroupState[(Long, Double)]): Iterator[UserRunning] = {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        val (n0, s0) = state.getOption.getOrElse((0L, 0.0))
+        var n = n0; var s = s0
+        rows.foreach { e => n += 1; s += e.value }
+        state.update((n, s))
+        timeout.foreach(t => if (streaming) state.setTimeoutDuration(t))
+        Iterator.single(UserRunning(user, n, s))
+      }
+    }
+    val mode = if (timeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+               else GroupStateTimeout.NoTimeout()
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(), mode)(update)
+  }
 }

@@ -63,6 +63,26 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 1L), (1L, 3L), (2L, 1L)))
   }
 
+  test("flatMapGroupsWithState keeps running per-user totals across batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Streams.UserEvent]
+    val running = Streams.runningUserTotals(spark, ms.toDS())
+    val q = running.toDF().writeStream.format("memory")
+      .queryName("state_test").outputMode("update").start()
+    try {
+      ms.addData(Streams.UserEvent(ts("00:01"), 1L, 10.0), Streams.UserEvent(ts("00:02"), 1L, 5.0))
+      q.processAllAvailable()
+      ms.addData(Streams.UserEvent(ts("00:03"), 1L, 1.0), Streams.UserEvent(ts("00:04"), 2L, 7.0))
+      q.processAllAvailable()
+      val rows = spark.table("state_test")
+        .groupBy($"user_id").agg(max($"n_events").as("n"), max($"sum_value").as("s"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+      // state carried across batches: user 1 ends at n=3, sum=16
+      assert(rows.toSeq == Seq((1L, 3L, 16.0), (2L, 1L, 7.0)))
+    } finally q.stop()
+  }
+
   test("file-source parquet stream reads incrementally") {
     import spark.implicits._
     val dir = "target/tmp_stream_src"
