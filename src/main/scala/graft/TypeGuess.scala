@@ -38,10 +38,12 @@ object TypeGuess {
 
   def trimWhitespace(c: Column): Column = regexp_replace(c, trimRe, "")
 
-  /** `trim-and-nullify` (data-table.lisp:48-56): trim; "" or "nil" (any case) → NULL. */
+  /** `trim-and-nullify` (data-table.lisp:48-56): trim; "" or "nil" (any case)
+    * → NULL. Native codegen'd single-pass expression
+    * ([[graft.plans.TrimNullify]]) — this sits under every inference probe. */
   def trimAndNullify(c: Column): Column = {
-    val t = trimWhitespace(c)
-    when(t === "" || lower(t) === "nil", lit(null).cast(StringType)).otherwise(t)
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.plans.TrimNullify(ColumnBridge.expression(c)))
   }
 
   /** `relaxed-parse-float` (data-table.lisp:74-90): strip whitespace, $, comma,
