@@ -1,0 +1,67 @@
+package graft
+
+import graft.operators.{Dedup, SkewJoin}
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, rng}
+
+/** Randomized property checks (ScalaCheck generators, evaluated in batched
+  * DataFrames — one Spark job per property, not per case). */
+class PropertiesSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def seeded[T](gen: Gen[T], n: Int, seed: Long): List[T] =
+    Gen.listOfN(n, gen).apply(Gen.Parameters.default, rng.Seed(seed)).get
+
+  test("property: salted join ≡ plain join on random data") {
+    val facts = seeded(Gen.zip(Gen.chooseNum(0L, 30L), Gen.chooseNum(-1000.0, 1000.0)), 500, 1L)
+      .zipWithIndex.map { case ((k, v), i) => (i.toLong, k, v) }.toDF("id", "k", "v")
+    val dims = (0L to 30L).map(k => (k, s"dim_$k")).toDF("dk", "name")
+    val salted = SkewJoin.saltedEquiJoin(facts, dims, "k", "dk", 4, col("id"))
+      .groupBy(col("name")).agg(count(lit(1)).as("n"), round(sum(col("v")), 6).as("s"))
+    val plain = facts.join(dims, col("k") === col("dk"))
+      .groupBy(col("name")).agg(count(lit(1)).as("n"), round(sum(col("v")), 6).as("s"))
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("property: jaccard is symmetric, in [0,1], and 1 iff equal sets") {
+    val wordGen = Gen.listOfN(12, Gen.oneOf("a", "b", "c", "d", "e", "f", "g", "h"))
+    val pairs = seeded(Gen.zip(wordGen, wordGen), 200, 2L)
+      .map { case (x, y) => (x.distinct, y.distinct) }.toDF("x", "y")
+    val j = pairs.select(
+      Dedup.jaccard(col("x"), col("y")).as("xy"),
+      Dedup.jaccard(col("y"), col("x")).as("yx"),
+      (size(array_distinct(concat(col("x"), col("y")))) === size(array_intersect(col("x"), col("y")))).as("eq"))
+      .collect()
+    j.foreach { r =>
+      val xy = r.getDouble(0); val yx = r.getDouble(1); val eq = r.getBoolean(2)
+      assert(xy == yx, "symmetric")
+      assert(xy >= 0.0 && xy <= 1.0, "bounded")
+      assert((xy == 1.0) == eq, "1 iff set-equal")
+    }
+  }
+
+  test("property: relaxed_double(format(x)) == x for random doubles with $ , % noise") {
+    val xs = seeded(Gen.chooseNum(-1e6, 1e6), 300, 3L)
+    val df = xs.map(x => (x, s" $$${x} % ")).toDF("x", "s")
+    val got = df.select(col("x"), TypeGuess.relaxedDouble(col("s")).as("p")).collect()
+    got.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("property: type lattice — adding a string value always demotes to string") {
+    val numericCols = Seq(Seq("1", "2", "3"), Seq("1.5", "2"), Seq("2020-01-01 00:00:00"))
+    numericCols.foreach { vals =>
+      val dt = DataTable.fromStringRows(spark, Seq("c"), (vals :+ "definitely-not-a-number").map(Seq(_)))
+      assert(TypeGuess.guessTypes(dt)("c") == org.apache.spark.sql.types.StringType)
+    }
+  }
+
+  test("property: kebabCase is idempotent on random strings") {
+    val strGen = Gen.listOfN(12, Gen.frequency(
+      8 -> Gen.alphaNumChar, 2 -> Gen.oneOf(' ', '_', '-', '.', '!'))).map(_.mkString)
+    seeded(strGen, 200, 4L).foreach { s =>
+      val once = DataTable.kebabCase(s)
+      assert(DataTable.kebabCase(once) == once, s"input '$s'")
+    }
+  }
+}
