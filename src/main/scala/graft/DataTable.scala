@@ -98,6 +98,36 @@ final case class DataTable(df: DataFrame) {
     df.collect().toSeq.map(r => cols.zipWithIndex.map { case (c, i) => c -> r.get(i) }.toMap)
   }
 
+  /** `fill-in-missing-cells`' non-nil fill value (data-table.lisp:240-264):
+    * DataFrames are never ragged, so only the fill half remains — replace NULLs
+    * with `value` in every column whose type admits it. */
+  def fillMissing(value: Any): DataTable = {
+    val targets = value match {
+      case _: String => df.schema.fields.collect { case f if f.dataType == StringType => f.name }
+      case _: Double | _: Float => df.schema.fields.collect {
+        case f if f.dataType == DoubleType || f.dataType == FloatType => f.name }
+      case _: Long | _: Int => df.schema.fields.collect {
+        case f if f.dataType == LongType || f.dataType == IntegerType => f.name }
+      case _ => Array.empty[String]
+    }
+    if (targets.isEmpty) this
+    else DataTable(value match {
+      case s: String => df.na.fill(s, targets)
+      case d: Double => df.na.fill(d, targets)
+      case f: Float  => df.na.fill(f.toDouble, targets)
+      case l: Long   => df.na.fill(l, targets)
+      case i: Int    => df.na.fill(i.toLong, targets)
+      case _         => df
+    })
+  }
+
+  /** Sinks — the reference's `import-data-table` surface, partition-batched
+    * instead of one INSERT per row (clsql-data-table.lisp:229). */
+  def saveParquet(path: String): Unit = df.write.mode("overwrite").parquet(path)
+  def saveCsv(path: String, header: Boolean = true): Unit =
+    df.write.mode("overwrite").option("header", header.toString).csv(path)
+  def saveJson(path: String): Unit = df.write.mode("overwrite").json(path)
+
   /** Attach `_row_idx` (0-based) ordered by `sortCols`. Distributed: range
     * partition + sort, then per-partition index offsets via zipWithIndex —
     * no single-partition window at 100 TB. */

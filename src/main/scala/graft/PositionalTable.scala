@@ -38,6 +38,21 @@ final case class PositionalTable(df: DataFrame) {
     PositionalTable(df.withColumn(c, when(col(RowIdx) === rowIdx, value.cast(t)).otherwise(col(c))))
   }
 
+  /** Replace a whole row's data cells (the row form of the reference's
+    * `(setf data-table-value)`, data-table.lisp:147-151). `values` are
+    * positional; fewer values than columns leaves the remainder unchanged. */
+  def setRow(rowIdx: Long, values: Seq[Column]): PositionalTable = {
+    val cols = dataCols
+    require(values.length <= cols.length, "more values than columns")
+    val updated = cols.zipWithIndex.map { case (c, i) =>
+      if (i < values.length) {
+        val t = df.schema(c).dataType
+        when(col(RowIdx) === rowIdx, values(i).cast(t)).otherwise(col(c)).as(c)
+      } else col(c)
+    }
+    PositionalTable(df.select(updated :+ col(RowIdx): _*))
+  }
+
   /** Half-open row slice [lri, uri) — the row half of `make-sub-table`
     * (data-table.lisp:172-191). */
   def rowSlice(lri: Long, uri: Long): PositionalTable =

@@ -44,6 +44,23 @@ class PositionalTableSpec extends SparkSpec {
     assert(types == Seq(LongType, StringType, StringType, StringType, LongType))
   }
 
+  test("setRow replaces a row's cells positionally — data-table.lisp:147-151") {
+    val pt = strTable(Seq("a", "b"), Seq(Seq("r0", "x"), Seq("r1", "y")))
+    val set = pt.setRow(1L, Seq(lit("R1"), lit("Y")))
+    assert(set.rowAt(1L).collect().head.toSeq == Seq("R1", "Y"))
+    assert(set.rowAt(0L).collect().head.toSeq == Seq("r0", "x"))
+    // partial replacement leaves trailing columns untouched
+    val part = pt.setRow(0L, Seq(lit("R0")))
+    assert(part.rowAt(0L).collect().head.toSeq == Seq("R0", "x"))
+  }
+
+  test("fillMissing replaces nulls of matching type") {
+    val dt = DataTable.fromStringRows(spark, Seq("a", "b"),
+      Seq(Seq("x", null), Seq(null, "y")))
+    val filled = dt.fillMissing("?")
+    assert(filled.df.collect().map(_.toSeq).toSet == Set(Seq("x", "?"), Seq("?", "y")))
+  }
+
   test("densify fills gaps with null rows") {
     val pt = strTable(Seq("a"), Seq(Seq("x"))).overlay(
       strTable(Seq("a"), Seq(Seq("y"))), 4, 0)
