@@ -47,6 +47,28 @@ object QueriesText {
         .orderBy(col("doc_id"))
     }),
 
+    // TF-IDF: top-scoring term per document (first 100 docs). tf and df are
+    // two aggregations over the exploded token table; idf joins back via a
+    // broadcast of the (small) term-df side. At 100 TB the df table is the
+    // only global state and it is tiny (vocabulary-sized).
+    "tfidf_top" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val n = docs.count()
+      val toks = docs.where(col("doc_id") < 100)
+        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
+      val allToks = docs.select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
+      val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dfreq = allToks.select(col("doc_id"), col("term")).distinct()
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val scored = tf.join(broadcast(dfreq), "term")
+        .withColumn("tfidf", col("tf") * log(lit(n.toDouble) / col("df")))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
+      scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("doc_id"), col("term"), round(col("tfidf"), 6).as("tfidf"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Document fingerprints: md5-of-normalized + min-shingle (rolling-hash
     // style, robust to local edits).
     "fingerprint" -> ((s, dir) => {
@@ -98,6 +120,16 @@ object QueriesText {
          |    (CASE WHEN ns / greatest(nt, 1.0) >= 0.05 AND ns / greatest(nt, 1.0) <= 0.6 THEN 1.0 ELSE 0.3 END) * 0.3 +
          |    (CASE WHEN nc / greatest(nt, 1.0) >= 3.0 AND nc / greatest(nt, 1.0) <= 12.0 THEN 1.0 ELSE 0.3 END) * 0.2, 6) AS score
          |FROM m ORDER BY doc_id""".stripMargin,
+    "tfidf_top" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toks) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok WHERE doc_id < 100 GROUP BY 1, 2),
+         |dfreq AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY term),
+         |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+         |scored AS (SELECT doc_id, tf.term AS term, tf * ln(n.n / df) AS tfidf
+         |  FROM tf JOIN dfreq USING (term), n)
+         |SELECT doc_id, term, round(tfidf, 6) AS tfidf FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+         |  FROM scored) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "fingerprint" ->
       s"""WITH tk AS (SELECT doc_id,
          |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS fp,
