@@ -74,6 +74,44 @@ object Streams {
       .option("path", path)
       .option("checkpointLocation", checkpoint)
 
+  // ---- custom state: transformWithState (Spark 4 API) ----------------------
+
+  /** The modern arbitrary-state API: a StatefulProcessor with typed
+    * ValueState, requiring the RocksDB state store
+    * (`spark.sql.streaming.stateStore.providerClass` →
+    * RocksDBStateStoreProvider). Same running-totals semantics as
+    * [[runningUserTotals]] but with per-state-variable TTL support and
+    * store-side changelog checkpointing — the preferred surface going
+    * forward. */
+  class RunningTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, UserEvent, UserRunning] {
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+    @transient private var state: ValueState[(Long, Double)] = _
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+                      timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[(Long, Double)]("totals",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble), TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[UserEvent],
+                                 timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[UserRunning] = {
+      val (n0, s0) = Option(state.get()).getOrElse((0L, 0.0))
+      var n = n0; var s = s0
+      rows.foreach { e => n += 1; s += e.value }
+      state.update((n, s))
+      Iterator.single(UserRunning(key, n, s))
+    }
+  }
+
+  /** runningUserTotals on the transformWithState API. */
+  def runningUserTotalsTws(spark: SparkSession, events: Dataset[UserEvent]): Dataset[UserRunning] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
   // ---- custom state: mapGroupsWithState ------------------------------------
 
   final case class UserEvent(ts: java.sql.Timestamp, user_id: Long, value: Double)

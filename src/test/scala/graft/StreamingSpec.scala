@@ -83,6 +83,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState (RocksDB store) keeps running totals across batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[Streams.UserEvent]
+    val running = Streams.runningUserTotalsTws(spark, ms.toDS())
+    val q = running.toDF().writeStream.format("memory")
+      .queryName("tws_test").outputMode("update").start()
+    try {
+      ms.addData(Streams.UserEvent(ts("00:01"), 1L, 10.0), Streams.UserEvent(ts("00:02"), 1L, 5.0))
+      q.processAllAvailable()
+      ms.addData(Streams.UserEvent(ts("00:03"), 1L, 1.0))
+      q.processAllAvailable()
+      val n = spark.table("tws_test").where($"user_id" === 1L)
+        .agg(max($"n_events")).head().getLong(0)
+      assert(n == 3L, "state carried across batches via RocksDB store")
+    } finally {
+      q.stop()
+      prev match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+    }
+  }
+
   test("file-source parquet stream reads incrementally") {
     import spark.implicits._
     val dir = "target/tmp_stream_src"
