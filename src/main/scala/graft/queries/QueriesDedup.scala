@@ -78,6 +78,26 @@ object QueriesDedup {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Train/eval contamination: training docs sharing any 8-token-gram with
+    // an eval doc (doc_id < 50 plays the eval set; a planted copy guarantees
+    // hits). The shuffle key is the shingle hash — work scales with corpus
+    // size × overlap, never |train| × |eval|.
+    "contamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val evalSet = docs.where(col("doc_id") < 50)
+      val train = docs.where(col("doc_id") >= 50)
+        .unionByName(evalSet.select((col("doc_id") + 500000L).as("doc_id"),
+          col("text"), col("lang"), col("source"), col("n_chars"))) // planted leakage
+      val evalSh = Dedup.shingleSets(evalSet, "doc_id", "text", 8)
+        .select(col("doc_id").as("eval_id"), explode(col("shingles")).as("sh"))
+      val trainSh = Dedup.shingleSets(train, "doc_id", "text", 8)
+        .select(col("doc_id").as("train_id"), explode(col("shingles")).as("sh"))
+      trainSh.join(evalSh, "sh")
+        .groupBy(col("train_id"), col("eval_id"))
+        .agg(count(lit(1)).as("n_shared_8grams"))
+        .orderBy(col("train_id"), col("eval_id"))
+    }),
+
     // Embedding cosine near-dup: exact copies at +100000 must be found at
     // cosine ≥ 0.9 (natural max pairwise cosine in the data is ~0.31).
     "embed_neardup" -> ((s, dir) => {
@@ -115,6 +135,23 @@ object QueriesDedup {
          |    CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS j
          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
          |WHERE j >= 0.8 ORDER BY id_a, id_b""".stripMargin,
+    "contamination" ->
+      s"""WITH ev AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
+         |tr AS (SELECT doc_id, text FROM documents WHERE doc_id >= 50
+         |       UNION ALL SELECT doc_id + 500000, text FROM ev),
+         |evsh AS (SELECT doc_id AS eval_id, unnest(s) AS sh FROM (
+         |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(tk) - 6, 1)),
+         |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' ||
+         |         tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6] || ' ' || tk[i+7])) AS s
+         |  FROM (SELECT doc_id, $toksSql AS tk FROM ev))),
+         |trsh AS (SELECT doc_id AS train_id, unnest(s) AS sh FROM (
+         |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(tk) - 6, 1)),
+         |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' ||
+         |         tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6] || ' ' || tk[i+7])) AS s
+         |  FROM (SELECT doc_id, $toksSql AS tk FROM tr)))
+         |SELECT train_id, eval_id, CAST(count(*) AS BIGINT) AS n_shared_8grams
+         |FROM trsh JOIN evsh USING (sh)
+         |GROUP BY train_id, eval_id ORDER BY train_id, eval_id""".stripMargin,
     "embed_neardup" ->
       """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |    FROM embeddings WHERE vec_id % 25 = 0),
