@@ -24,10 +24,7 @@ object Fns {
       case DoubleType | FloatType               => format_string("%.2f", c.cast(DoubleType))
       case _: DecimalType                       => format_string("%.2f", c.cast(DoubleType))
       case LongType | IntegerType | ShortType | ByteType => c.cast(StringType)
-      case ArrayType(et, _)                     => concat_ws(ListDelimiter, c.cast(ArrayType(et match {
-        case DoubleType | FloatType => StringType
-        case _                      => StringType
-      })))
+      case ArrayType(_, _)                      => concat_ws(ListDelimiter, c.cast(ArrayType(StringType)))
       case _                                    => c.cast(StringType)
     }
     coalesce(s, lit(""))

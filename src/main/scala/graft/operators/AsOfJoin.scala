@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Generic as-of join: for each left row, the latest right row with
+  * `rightTs <= leftTs` (or strictly `<`) within the same key.
+  *
+  * Implemented as union → single window pass (`last(..., ignoreNulls)` over
+  * rows-preceding), NOT a join: per-key state is O(1), there is exactly one
+  * shuffle (by key), and a hot key degrades to a sort instead of a row
+  * explosion — the shape that survives 100 TB and arbitrary skew. The
+  * right side's carried columns are null on left rows and vice versa, so
+  * the window simply forwards the most recent right values onto each left
+  * row.
+  */
+object AsOfJoin {
+
+  /** @param carry right-side columns to carry onto left rows (prefixed `asof_`)
+    * @param strict if true, right rows at exactly leftTs are not matched */
+  def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
+           leftTs: String, rightTs: String, carry: Seq[String],
+           strict: Boolean = false): DataFrame = {
+    val leftCols = left.columns
+    val l = left
+      .withColumn("_ts", col(leftTs))
+      .withColumn("_side", lit(1))
+      .select((keys.map(col) :+ col("_ts") :+ col("_side")) ++
+        leftCols.filterNot(keys.contains).map(c => col(c).as(s"_l_$c")) ++
+        carry.map(c => lit(null).cast(right.schema(c).dataType).as(s"_r_$c")): _*)
+    val r = right
+      .withColumn("_ts", col(rightTs))
+      .withColumn("_side", lit(0))
+      .select((keys.map(col) :+ col("_ts") :+ col("_side")) ++
+        leftCols.filterNot(keys.contains).map(c => lit(null).cast(left.schema(c).dataType).as(s"_l_$c")) ++
+        carry.map(c => col(c).as(s"_r_$c")): _*)
+    // at equal ts: non-strict lets left rows see same-ts right rows (right
+    // sorts first); strict hides them (left sorts first, frame ends at self)
+    val sideOrder = if (strict) col("_side").desc else col("_side").asc
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_ts").asc, sideOrder)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = carry.foldLeft(l.unionByName(r)) { (df, c) =>
+      df.withColumn(s"asof_$c", last(col(s"_r_$c"), ignoreNulls = true).over(w))
+    }
+    carried.where(col("_side") === 1)
+      .select(keys.map(col) ++
+        leftCols.filterNot(keys.contains).map(c => col(s"_l_$c").as(c)) ++
+        carry.map(c => col(s"asof_$c")): _*)
+  }
+}

@@ -35,15 +35,17 @@ object QueriesRelationalExt {
     }),
 
     // As-of join: for each purchase, the user's latest strictly-preceding
-    // click — one window pass, no join.
+    // click — the generic union+window operator, no join (operators/AsOfJoin).
     "join_asof" -> ((s, dir) => {
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      t(s, dir, "events")
-        .withColumn("prev_click_ts",
-          last(when(col("event_type") === "click", col("ts")), ignoreNulls = true).over(w))
-        .where(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"), col("ts"), col("prev_click_ts"))
+      val ev = t(s, dir, "events")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"))
+      graft.operators.AsOfJoin.asOf(purchases, clicks, Seq("user_id"),
+          leftTs = "ts", rightTs = "click_ts", carry = Seq("click_ts"), strict = true)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("asof_click_ts").as("prev_click_ts"))
         .orderBy(col("event_id"))
     }),
 

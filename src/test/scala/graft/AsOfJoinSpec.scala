@@ -1,0 +1,48 @@
+package graft
+
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.functions._
+
+/** Generic as-of join: boundary semantics (equal-ts, strict vs not), key
+  * isolation, no-match nulls, and equivalence with the inline window form. */
+class AsOfJoinSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val quotes = Seq(
+    (1L, 10L, 100.0), (1L, 20L, 101.0), (1L, 30L, 102.0),
+    (2L, 15L, 200.0)).toDF("k", "qts", "px")
+  private val trades = Seq(
+    (1L, 5L, "t0"),   // before any quote → null
+    (1L, 20L, "t1"),  // exactly at a quote
+    (1L, 25L, "t2"),  // between quotes
+    (2L, 40L, "t3"),  // different key
+    (3L, 50L, "t4"))  // key with no quotes → null
+    .toDF("k", "tts", "tid")
+
+  test("non-strict: equal-ts right row matches") {
+    val out = AsOfJoin.asOf(trades, quotes, Seq("k"), "tts", "qts", Seq("px", "qts"))
+      .orderBy(col("tts")).collect()
+      .map(r => (r.getAs[String]("tid"), Option(r.get(r.fieldIndex("asof_px")))))
+    assert(out.toSeq == Seq(
+      ("t0", None), ("t1", Some(101.0)), ("t2", Some(101.0)),
+      ("t3", Some(200.0)), ("t4", None)))
+  }
+
+  test("strict: equal-ts right row excluded") {
+    val out = AsOfJoin.asOf(trades, quotes, Seq("k"), "tts", "qts", Seq("px"), strict = true)
+      .orderBy(col("tts")).collect()
+      .map(r => (r.getAs[String]("tid"), Option(r.get(r.fieldIndex("asof_px")))))
+    assert(out.toSeq == Seq(
+      ("t0", None), ("t1", Some(100.0)), ("t2", Some(101.0)),
+      ("t3", Some(200.0)), ("t4", None)))
+  }
+
+  test("contentHash: equal for equal content, differs on change") {
+    val a = DataTable(quotes)
+    val b = DataTable(quotes.orderBy(col("px").desc)) // same multiset, any order
+    assert(a.contentHash == b.contentHash)
+    assert(a.contentHash != DataTable(quotes.limit(2)).contentHash)
+    assert(a.contentHash != DataTable(quotes.withColumn("px", col("px") + 1.0)).contentHash)
+  }
+}
