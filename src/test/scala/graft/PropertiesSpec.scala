@@ -56,6 +56,37 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("property: selectColumns composes (narrowing twice = narrowing once)") {
+    val dt = DataTable(spark.range(50).select(
+      col("id"), (col("id") * 2).as("a"), (col("id") * 3).as("b"), lit("x").as("c")))
+    val twice = dt.selectColumns(Seq("a", "b", "c")).selectColumns(Seq("c", "a"))
+    val once = dt.selectColumns(Seq("c", "a"))
+    assert(twice.columnNames == once.columnNames && twice.dataEquals(once))
+  }
+
+  test("property: overlay of a table onto itself at (0,0) is identity") {
+    val pt = DataTable(spark.range(20).select(
+      col("id"), concat(lit("v"), col("id")).as("v"))).withRowIdx(Seq(col("id")))
+    val overlaid = pt.overlay(pt, 0L, 0)
+    assert(DataTable(overlaid.df.select("id", "v")).dataEquals(DataTable(pt.df.select("id", "v"))))
+  }
+
+  test("property: formatTable always yields all-string schema and no nulls") {
+    val dt = DataTable(spark.range(30).select(
+      col("id"),
+      when(col("id") % 3 === 0, col("id").cast("double") / 7.0).as("d"),
+      when(col("id") % 2 === 0, concat(lit("s"), col("id"))).as("s")))
+    val out = Fns.formatTable(dt)
+    assert(out.schema.fields.forall(_.dataType == org.apache.spark.sql.types.StringType))
+    assert(out.df.columns.map(c => out.df.where(col(c).isNull).count()).forall(_ == 0L))
+  }
+
+  test("property: contentHash invariant under repartition and row order") {
+    val dt = DataTable(spark.range(500).select(col("id"), (col("id") * 17 % 91).as("k")))
+    val shuffled = DataTable(dt.df.repartition(13, col("k")).sortWithinPartitions(col("k").desc))
+    assert(dt.contentHash == shuffled.contentHash)
+  }
+
   test("property: kebabCase is idempotent on random strings") {
     val strGen = Gen.listOfN(12, Gen.frequency(
       8 -> Gen.alphaNumChar, 2 -> Gen.oneOf(' ', '_', '-', '.', '!'))).map(_.mkString)
