@@ -52,6 +52,21 @@ object QueriesSim {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // IVF with a trained coarse quantizer (deterministic k-means): probe the
+    // 3 nearest of 8 cells. Training has no SQL twin → rows-only check;
+    // recall vs brute force is pinned by IvfSpec.
+    "sim_ivf_kmeans" -> ((s, dir) => {
+      import graft.operators.Ivf
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val centroids = Ivf.train(e, "vec_id", "embedding", k = 8)
+      val q = e.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      Ivf.search(e, centroids, q, "vec_id", "embedding", "qid", "qe", topK = 10, nprobe = 3)
+        .select(col("qid"), col("vec_id"), round(col("cos"), 6).as("cos"),
+          col("rank").cast(LongType).as("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // Random-hyperplane LSH bucketing: probe only the query's sign-bucket.
     // Recall is probabilistic → no SQL oracle (rows-only check).
     "sim_lsh" -> ((s, dir) => {

@@ -1,0 +1,47 @@
+package graft
+
+import graft.operators.Ivf
+import graft.functions.SimFns
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF ANN: deterministic k-means training, cell partitioning, and probe
+  * search recall against exact brute force on the real embeddings table. */
+class IvfSpec extends SparkSpec {
+
+  private lazy val vecs = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    .select(col("vec_id"), col("embedding"))
+
+  test("train is deterministic and assigns every vector to one of k cells") {
+    val c1 = Ivf.train(vecs, "vec_id", "embedding", k = 8)
+    val c2 = Ivf.train(vecs, "vec_id", "embedding", k = 8)
+    assert(c1.orderBy("cell").collect().toSeq == c2.orderBy("cell").collect().toSeq)
+    val cells = Ivf.assign(vecs, c1, "vec_id", "embedding")
+    assert(cells.count() == vecs.count())
+    assert(cells.select("cell").distinct().count() <= 8)
+  }
+
+  test("search finds the query itself and beats 50% recall@10 at nprobe=3/8") {
+    val centroids = Ivf.train(vecs, "vec_id", "embedding", k = 8)
+    val queries = vecs.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val approx = Ivf.search(vecs, centroids, queries,
+      "vec_id", "embedding", "qid", "qe", topK = 10, nprobe = 3)
+
+    // the query's own cell is always its nearest → self-match at rank 1
+    val self = approx.where(col("rank") === 1)
+      .select(col("qid"), col("vec_id")).collect()
+    assert(self.forall(r => r.getLong(0) == r.getLong(1)))
+
+    // exact brute-force top-10
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    val exact = vecs.join(broadcast(queries))
+      .select(col("qid"), col("vec_id"), SimFns.cosine(col("qe"), col("embedding")).as("cos"))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= 10)
+    val exactSet = exact.select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approxSet = approx.select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = approxSet.count(exactSet.contains).toDouble / exactSet.size
+    assert(recall >= 0.5, s"recall@10 was $recall")
+  }
+}

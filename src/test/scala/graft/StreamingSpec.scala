@@ -108,6 +108,45 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream-stream inner join with watermark time constraint") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long)]
+    val buys = MemoryStream[(Timestamp, Long)]
+    val c = clicks.toDF().toDF("cts", "cuser").withWatermark("cts", "30 minutes")
+    val b = buys.toDF().toDF("bts", "buser").withWatermark("bts", "30 minutes")
+    // purchase joins clicks by the same user within the preceding hour
+    val joined = b.join(c, expr(
+      "cuser = buser AND cts BETWEEN bts - INTERVAL 1 HOUR AND bts"))
+    val q = joined.writeStream.format("memory").queryName("ss_join_test")
+      .outputMode("append").start()
+    try {
+      clicks.addData((ts("00:10"), 1L), (ts("00:20"), 2L))
+      buys.addData((ts("00:40"), 1L))   // within 1h of user 1's click → joins
+      buys.addData((ts("02:30"), 2L))   // user 2's click is 2h10m old → no join
+      q.processAllAvailable()
+      val rows = spark.table("ss_join_test").select("buser").collect().map(_.getLong(0))
+      assert(rows.toSeq == Seq(1L))
+    } finally q.stop()
+  }
+
+  test("foreachBatch sink: per-batch custom writes with batch ids") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, Double)]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = ms.toDF().toDF("ts", "v").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        seen.synchronized { seen += ((id, batch.count())) } : Unit
+      }
+      .start()
+    try {
+      ms.addData((ts("00:01"), 1.0), (ts("00:02"), 2.0)); q.processAllAvailable()
+      ms.addData((ts("00:03"), 3.0)); q.processAllAvailable()
+      assert(seen.map(_._2).sum == 3L && seen.map(_._1).distinct.size == seen.size)
+    } finally q.stop()
+  }
+
   test("file-source parquet stream reads incrementally") {
     import spark.implicits._
     val dir = "target/tmp_stream_src"
