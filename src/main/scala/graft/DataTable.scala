@@ -131,6 +131,28 @@ final case class DataTable(df: DataFrame) {
     })
   }
 
+  /** Per-numeric-column summary statistics in ONE distributed aggregate:
+    * (column, count, min, max, mean, stddev) — long-format rows, typed
+    * doubles (unlike `df.describe()`'s stringly output). */
+  def describeStats: DataFrame = {
+    val numeric = df.schema.fields.filter(f => f.dataType match {
+      case _: NumericType => true; case _ => false
+    }).map(_.name)
+    require(numeric.nonEmpty, "no numeric columns")
+    val aggs = numeric.flatMap { c =>
+      val d = col(c).cast(DoubleType)
+      Seq(count(d).as(s"${c}__n"), min(d).as(s"${c}__min"), max(d).as(s"${c}__max"),
+        avg(d).as(s"${c}__avg"), stddev(d).as(s"${c}__sd"))
+    }
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    val spark = df.sparkSession
+    import spark.implicits._
+    numeric.toSeq.map { c =>
+      (c, r.getAs[Long](s"${c}__n"), r.getAs[Double](s"${c}__min"), r.getAs[Double](s"${c}__max"),
+        r.getAs[Double](s"${c}__avg"), r.getAs[Double](s"${c}__sd"))
+    }.toDF("col_name", "n", "min", "max", "mean", "stddev")
+  }
+
   /** Sinks — the reference's `import-data-table` surface, partition-batched
     * instead of one INSERT per row (clsql-data-table.lisp:229). */
   def saveParquet(path: String): Unit = df.write.mode("overwrite").parquet(path)

@@ -84,6 +84,16 @@ object QueriesFacade {
         Map("a" -> 7L, "b" -> 8L, "c" -> 9L, "d" -> 99L))).df
     }),
 
+    // One-pass numeric summary (count/min/max/mean/stddev per column).
+    "describe_stats" -> ((s, dir) => {
+      val stats = DataTable(t(s, dir, "lineitem")
+        .select(col("l_quantity"), col("l_extendedprice"), col("l_discount"))).describeStats
+      stats.select(col("col_name"), col("n"),
+          round(col("min"), 4).as("min"), round(col("max"), 4).as("max"),
+          round(col("mean"), 4).as("mean"), round(col("stddev"), 4).as("stddev"))
+        .orderBy(col("col_name"))
+    }),
+
     // coerce-data-table-values-for-output (data-table.lisp:437-469):
     // nulls → "", doubles → %.2f, longs → digits; all-string output.
     "format_output" -> ((s, dir) => {
@@ -128,6 +138,19 @@ object QueriesFacade {
       """SELECT * FROM (VALUES
         |  (CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(3 AS BIGINT)),
         |  (4, NULL, 6), (7, 8, 9)) t(a, b, c)""".stripMargin,
+    "describe_stats" ->
+      """SELECT col_name, n, round(mn, 4) AS min, round(mx, 4) AS max,
+        |  round(av, 4) AS mean, round(sd, 4) AS stddev FROM (
+        |  SELECT 'l_quantity' AS col_name, CAST(count(l_quantity) AS BIGINT) AS n,
+        |    CAST(min(l_quantity) AS DOUBLE) AS mn, CAST(max(l_quantity) AS DOUBLE) AS mx,
+        |    avg(l_quantity) AS av, stddev_samp(l_quantity) AS sd FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', count(l_extendedprice),
+        |    min(l_extendedprice), max(l_extendedprice),
+        |    avg(l_extendedprice), stddev_samp(l_extendedprice) FROM lineitem
+        |  UNION ALL SELECT 'l_discount', count(l_discount),
+        |    min(l_discount), max(l_discount),
+        |    avg(l_discount), stddev_samp(l_discount) FROM lineitem)
+        |ORDER BY col_name""".stripMargin,
     "format_output" ->
       """SELECT CAST(l_orderkey AS VARCHAR) AS l_orderkey,
         |  printf('%.2f', l_quantity) AS l_quantity,
