@@ -45,7 +45,10 @@ object Ivf {
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cell"), transform(col("pm"), p => p.getField("m")).as("centroid"))
     }
-    centroids
+    // materialize: centroids are k tiny rows of driver-side metadata, but as
+    // a lazy plan every downstream use would re-run all Lloyd iterations
+    val rows = centroids.collect().toSeq
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), centroids.schema)
   }
 
   /** Assign every vector to its nearest centroid: broadcast the k centroids,
