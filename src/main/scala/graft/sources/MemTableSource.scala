@@ -1,0 +1,98 @@
+package graft.sources
+
+import java.util
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import scala.jdk.CollectionConverters._
+
+/** DataSource V2 source serving named in-memory tables — the engine's
+  * custom-source seam (SURVEY.md §2.8 "file scans/sinks"), demonstrating the
+  * full connector contract: TableProvider → ScanBuilder with COLUMN PRUNING
+  * (`SupportsPushDownRequiredColumns`) → partitioned Batch → per-partition
+  * readers. The same skeleton is what a real external-system connector
+  * (the reference's clsql bridge, clsql-data-table.lisp:13-19) fills in
+  * with remote I/O; pruned columns never leave the source.
+  *
+  * Usage:
+  * {{{
+  *   MemTableRegistry.register("fixture", schema, rows)
+  *   spark.read.format("graft.sources.MemTableSource")
+  *     .option("name", "fixture").load()
+  * }}}
+  */
+class MemTableSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    MemTableRegistry.schemaOf(options.get("name"))
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new MemTable(properties.get("name"))
+}
+
+object MemTableRegistry {
+  private val tables = new java.util.concurrent.ConcurrentHashMap[String, (StructType, Seq[Seq[Any]])]()
+
+  def register(name: String, schema: StructType, rows: Seq[Seq[Any]]): Unit =
+    tables.put(name, (schema, rows))
+
+  def schemaOf(name: String): StructType =
+    Option(tables.get(name)).map(_._1)
+      .getOrElse(throw new IllegalArgumentException(s"memtable '$name' not registered"))
+  def rowsOf(name: String): Seq[Seq[Any]] = tables.get(name)._2
+}
+
+private class MemTable(name: String) extends Table with SupportsRead {
+  override def name(): String = s"memtable:$name"
+  override def schema(): StructType = MemTableRegistry.schemaOf(name)
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new MemTableScanBuilder(name, schema())
+}
+
+private class MemTableScanBuilder(name: String, full: StructType)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = full
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new Scan with Batch {
+    override def readSchema(): StructType = required
+    override def toBatch: Batch = this
+    override def description(): String = s"MemTableScan($name, cols=${required.fieldNames.mkString(",")})"
+
+    override def planInputPartitions(): Array[InputPartition] = {
+      val rows = MemTableRegistry.rowsOf(name)
+      val idxs = required.fieldNames.map(full.fieldIndex)
+      val pruned = rows.map(r => idxs.map(r(_)).toSeq)
+      // split into up to 4 partitions — the parallel shape, even in memory
+      val nPart = math.min(4, math.max(1, pruned.size))
+      pruned.grouped(math.max(1, (pruned.size + nPart - 1) / nPart))
+        .map(chunk => MemTablePartition(chunk, required): InputPartition).toArray
+    }
+    override def createReaderFactory(): PartitionReaderFactory = new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+        val part = p.asInstanceOf[MemTablePartition]
+        val conv = CatalystTypeConverters.createToCatalystConverter(part.schema)
+        val it = part.rows.iterator
+        new PartitionReader[InternalRow] {
+          private var current: InternalRow = _
+          override def next(): Boolean = {
+            if (!it.hasNext) return false
+            current = conv(org.apache.spark.sql.Row.fromSeq(it.next())).asInstanceOf[InternalRow]
+            true
+          }
+          override def get(): InternalRow = current
+          override def close(): Unit = ()
+        }
+      }
+    }
+  }
+}
+
+private case class MemTablePartition(rows: Seq[Seq[Any]], schema: StructType) extends InputPartition

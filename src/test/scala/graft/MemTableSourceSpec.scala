@@ -1,0 +1,44 @@
+package graft
+
+import graft.sources.MemTableRegistry
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** DSv2 custom source: read path, parallel partitions, and column pruning
+  * reaching the scan. */
+class MemTableSourceSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("name", StringType),
+    StructField("score", DoubleType)))
+
+  test("reads a registered in-memory table through the DSv2 contract") {
+    MemTableRegistry.register("people", schema,
+      (1 to 100).map(i => Seq(i.toLong, s"p$i", i * 1.5)))
+    val df = spark.read.format("graft.sources.MemTableSource")
+      .option("name", "people").load()
+    assert(df.schema == schema)
+    assert(df.count() == 100L)
+    assert(df.rdd.getNumPartitions > 1, "parallel partitions")
+    assert(df.where(col("id") <= 10).agg(sum("score")).head().getDouble(0) == (1 to 10).map(_ * 1.5).sum)
+  }
+
+  test("column pruning reaches the source (pruned columns never produced)") {
+    MemTableRegistry.register("people2", schema,
+      (1 to 10).map(i => Seq(i.toLong, s"p$i", i * 1.5)))
+    val df = spark.read.format("graft.sources.MemTableSource")
+      .option("name", "people2").load()
+      .select("name")
+    val scanDesc = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scanDesc.contains("cols=name"), s"scan should be pruned to 'name':\n$scanDesc")
+    assert(df.collect().map(_.getString(0)).toSet == (1 to 10).map(i => s"p$i").toSet)
+  }
+
+  test("facade round-trip: DataTable over the custom source") {
+    MemTableRegistry.register("people3", schema, Seq(Seq(1L, "a", 2.0), Seq(2L, null, 4.0)))
+    val dt = DataTable(spark.read.format("graft.sources.MemTableSource")
+      .option("name", "people3").load())
+    assert(dt.numberOfRows == 2L && dt.columnIndex("NAME") == 1)
+    assert(dt.fillMissing("?").df.where(col("name") === "?").count() == 1L)
+  }
+}
