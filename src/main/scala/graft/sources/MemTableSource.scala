@@ -43,6 +43,9 @@ object MemTableRegistry {
     Option(tables.get(name)).map(_._1)
       .getOrElse(throw new IllegalArgumentException(s"memtable '$name' not registered"))
   def rowsOf(name: String): Seq[Seq[Any]] = tables.get(name)._2
+
+  /** Rows surviving source-side filtering (test observability). */
+  val emitted = new java.util.concurrent.atomic.AtomicLong(0L)
 }
 
 private class MemTable(name: String) extends Table with SupportsRead {
@@ -55,19 +58,56 @@ private class MemTable(name: String) extends Table with SupportsRead {
 }
 
 private class MemTableScanBuilder(name: String, full: StructType)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+  import org.apache.spark.sql.sources._
   private var required: StructType = full
+  private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  /** Accept the comparison filters we can evaluate source-side; everything
+    * else stays in Spark's post-scan Filter. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rejected) = filters.partition {
+      case _: EqualTo | _: GreaterThan | _: GreaterThanOrEqual |
+           _: LessThan | _: LessThanOrEqual | _: IsNotNull => true
+      case _ => false
+    }
+    pushed = accepted
+    rejected
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  private def matches(row: Seq[Any], f: Filter): Boolean = {
+    def v(attr: String): Any = row(full.fieldIndex(attr))
+    def cmp(attr: String, value: Any): Option[Int] = (v(attr), value) match {
+      case (null, _) => None
+      case (a: Long, b: Number)   => Some(java.lang.Long.compare(a, b.longValue()))
+      case (a: Int, b: Number)    => Some(java.lang.Long.compare(a.toLong, b.longValue()))
+      case (a: Double, b: Number) => Some(java.lang.Double.compare(a, b.doubleValue()))
+      case (a: String, b: String) => Some(a.compareTo(b))
+      case _ => None
+    }
+    f match {
+      case EqualTo(a, b)            => cmp(a, b).contains(0)
+      case GreaterThan(a, b)        => cmp(a, b).exists(_ > 0)
+      case GreaterThanOrEqual(a, b) => cmp(a, b).exists(_ >= 0)
+      case LessThan(a, b)           => cmp(a, b).exists(_ < 0)
+      case LessThanOrEqual(a, b)    => cmp(a, b).exists(_ <= 0)
+      case IsNotNull(a)             => v(a) != null
+      case _                        => true
+    }
+  }
+
   override def build(): Scan = new Scan with Batch {
     override def readSchema(): StructType = required
     override def toBatch: Batch = this
-    override def description(): String = s"MemTableScan($name, cols=${required.fieldNames.mkString(",")})"
+    override def description(): String =
+      s"MemTableScan($name, cols=${required.fieldNames.mkString(",")}, pushed=[${pushed.mkString(",")}])"
 
     override def planInputPartitions(): Array[InputPartition] = {
-      val rows = MemTableRegistry.rowsOf(name)
+      val rows = MemTableRegistry.rowsOf(name).filter(r => pushed.forall(matches(r, _)))
       val idxs = required.fieldNames.map(full.fieldIndex)
       val pruned = rows.map(r => idxs.map(r(_)).toSeq)
       // split into up to 4 partitions — the parallel shape, even in memory
@@ -84,6 +124,7 @@ private class MemTableScanBuilder(name: String, full: StructType)
           private var current: InternalRow = _
           override def next(): Boolean = {
             if (!it.hasNext) return false
+            MemTableRegistry.emitted.incrementAndGet() // rows actually read
             current = conv(org.apache.spark.sql.Row.fromSeq(it.next())).asInstanceOf[InternalRow]
             true
           }

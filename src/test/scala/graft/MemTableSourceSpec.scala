@@ -34,6 +34,21 @@ class MemTableSourceSpec extends SparkSpec {
     assert(df.collect().map(_.getString(0)).toSet == (1 to 10).map(i => s"p$i").toSet)
   }
 
+  test("filter pushdown: rows are dropped AT the source, not post-scan") {
+    MemTableRegistry.register("people4", schema,
+      (1 to 1000).map(i => Seq(i.toLong, s"p$i", i * 1.5)))
+    val df = spark.read.format("graft.sources.MemTableSource")
+      .option("name", "people4").load()
+      .where(col("id") > 900L)
+    val before = MemTableRegistry.emitted.get()
+    val n = df.count()
+    val produced = MemTableRegistry.emitted.get() - before
+    assert(n == 100L)
+    assert(produced == 100L, s"source emitted $produced rows — filter not pushed")
+    val scanDesc = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scanDesc.contains("pushed=") && scanDesc.contains("GreaterThan(id,900)"), scanDesc)
+  }
+
   test("facade round-trip: DataTable over the custom source") {
     MemTableRegistry.register("people3", schema, Seq(Seq(1L, "a", 2.0), Seq(2L, null, 4.0)))
     val dt = DataTable(spark.read.format("graft.sources.MemTableSource")
