@@ -46,6 +46,19 @@ object QueriesFunctions {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Sketch percentiles (t-digest style accuracy) — approximate by design,
+    // rows-only like the HLL query.
+    "agg_approx_percentile" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 1000)").as("pcts"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"), round(element_at(col("pcts"), 1), 2).as("p50"),
+          round(element_at(col("pcts"), 2), 2).as("p90"),
+          round(element_at(col("pcts"), 3), 2).as("p99"), col("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Collect aggregates: sorted distinct set, joined to a stable string.
     "agg_collect" -> ((s, dir) => {
       t(s, dir, "lineitem")

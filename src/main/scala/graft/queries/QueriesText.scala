@@ -47,6 +47,25 @@ object QueriesText {
         .orderBy(col("doc_id"))
     }),
 
+    // End-to-end cleaning pipeline — the composition story: inject dups →
+    // quality-score filter → language filter → exact dedup → corpus stats.
+    // One narrow pass plus the dedup groupBy; this is the whole
+    // training-data-cleaning shape at any scale.
+    "pipeline_e2e" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs.unionByName(
+        docs.where(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+      val cleaned = corpus
+        .where(TextFns.qualityScore(col("text")) >= 0.7 &&
+          TextFns.langId(col("text")) === "en")
+        .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+      cleaned
+        .select(col("doc_id"), TextFns.tokenCount(col("text")).as("toks"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("total_tokens"),
+          min(col("doc_id")).as("first_doc"))
+    }),
+
     // TF-IDF: top-scoring term per document (first 100 docs). tf and df are
     // two aggregations over the exploded token table; idf joins back via a
     // broadcast of the (small) term-df side. At 100 TB the df table is the
@@ -120,6 +139,31 @@ object QueriesText {
          |    (CASE WHEN ns / greatest(nt, 1.0) >= 0.05 AND ns / greatest(nt, 1.0) <= 0.6 THEN 1.0 ELSE 0.3 END) * 0.3 +
          |    (CASE WHEN nc / greatest(nt, 1.0) >= 3.0 AND nc / greatest(nt, 1.0) <= 12.0 THEN 1.0 ELSE 0.3 END) * 0.2, 6) AS score
          |FROM m ORDER BY doc_id""".stripMargin,
+    "pipeline_e2e" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents
+         |    UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0),
+         |m AS (SELECT doc_id, text,
+         |    CAST(length(text) AS DOUBLE) AS nc, CAST(len($toks) AS DOUBLE) AS nt,
+         |    CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE) AS np,
+         |    CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|a|for|on|with|as|by|at|it)\\b')) AS DOUBLE) AS ns,
+         |    $en AS en, $de AS de, $fr AS fr, $es AS es
+         |  FROM corpus),
+         |scored AS (SELECT doc_id, text, CAST(nt AS BIGINT) AS toks,
+         |    round(
+         |      (CASE WHEN nc >= 100 AND nc <= 10000 THEN 1.0 WHEN nc >= 20 THEN 0.5 ELSE 0.0 END) * 0.3 +
+         |      (CASE WHEN np / greatest(nc, 1.0) <= 0.1 THEN 1.0 WHEN np / greatest(nc, 1.0) <= 0.3 THEN 0.5 ELSE 0.0 END) * 0.2 +
+         |      (CASE WHEN ns / greatest(nt, 1.0) >= 0.05 AND ns / greatest(nt, 1.0) <= 0.6 THEN 1.0 ELSE 0.3 END) * 0.3 +
+         |      (CASE WHEN nc / greatest(nt, 1.0) >= 3.0 AND nc / greatest(nt, 1.0) <= 12.0 THEN 1.0 ELSE 0.3 END) * 0.2, 6) AS score,
+         |    CASE WHEN en > 0 AND en >= de AND en >= fr AND en >= es THEN 'en'
+         |         WHEN de > 0 AND de >= fr AND de >= es THEN 'de'
+         |         WHEN fr > 0 AND fr >= es THEN 'fr'
+         |         WHEN es > 0 THEN 'es' ELSE 'und' END AS detected
+         |  FROM m),
+         |clean AS (SELECT min(doc_id) AS doc_id, max(toks) AS toks FROM scored
+         |  WHERE score >= 0.7 AND detected = 'en' GROUP BY text)
+         |SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(toks) AS BIGINT) AS total_tokens,
+         |  CAST(min(doc_id) AS BIGINT) AS first_doc
+         |FROM clean""".stripMargin,
     "tfidf_top" ->
       s"""WITH tok AS (SELECT doc_id, unnest($toks) AS term FROM documents),
          |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok WHERE doc_id < 100 GROUP BY 1, 2),
