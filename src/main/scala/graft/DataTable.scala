@@ -96,7 +96,10 @@ final case class DataTable(df: DataFrame) {
     * comparison path for verifying 100 TB copies. Collision odds for a
     * differing table are ~2⁻⁶⁴ per comparison. */
   def contentHash: (BigInt, Long) = {
-    val h = df.select(xxhash64(df.columns.map(col): _*).cast(DecimalType(30, 0)).as("h"))
+    // include per-column null flags: xxhash64 skips null children, so
+    // ('a', null) and (null, 'a') would otherwise hash identically
+    val hashed = df.columns.map(col) ++ df.columns.map(c => isnull(col(c)))
+    val h = df.select(xxhash64(hashed: _*).cast(DecimalType(30, 0)).as("h"))
       .agg(sum(col("h")), count(lit(1))).head()
     (Option(h.getDecimal(0)).map(d => BigInt(d.toBigInteger)).getOrElse(BigInt(0)), h.getLong(1))
   }
@@ -147,9 +150,13 @@ final case class DataTable(df: DataFrame) {
     val r = df.agg(aggs.head, aggs.tail: _*).head()
     val spark = df.sparkSession
     import spark.implicits._
+    // Option-typed stats: all-null columns (and stddev of <2 values) stay
+    // null rather than unboxing to a fabricated 0.0
+    def opt(name: String): Option[Double] =
+      Option(r.getAs[Any](name)).map(_.asInstanceOf[Double])
     numeric.toSeq.map { c =>
-      (c, r.getAs[Long](s"${c}__n"), r.getAs[Double](s"${c}__min"), r.getAs[Double](s"${c}__max"),
-        r.getAs[Double](s"${c}__avg"), r.getAs[Double](s"${c}__sd"))
+      (c, r.getAs[Long](s"${c}__n"), opt(s"${c}__min"), opt(s"${c}__max"),
+        opt(s"${c}__avg"), opt(s"${c}__sd"))
     }.toDF("col_name", "n", "min", "max", "mean", "stddev")
   }
 
@@ -164,9 +171,10 @@ final case class DataTable(df: DataFrame) {
     * partition + sort, then per-partition index offsets via zipWithIndex —
     * no single-partition window at 100 TB. */
   def withRowIdx(sortCols: Seq[Column]): PositionalTable = {
+    require(!df.isStreaming,
+      "positional _row_idx requires a bounded table (zipWithIndex has no streaming equivalent)")
     val sorted =
-      if (df.isStreaming) df
-      else df.repartitionByRange(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt, sortCols: _*)
+      df.repartitionByRange(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt, sortCols: _*)
         .sortWithinPartitions(sortCols: _*)
     val outSchema = StructType(sorted.schema.fields :+ StructField(PositionalTable.RowIdx, LongType, nullable = false))
     val rdd = sorted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }

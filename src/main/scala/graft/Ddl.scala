@@ -40,15 +40,23 @@ object Ddl {
   case object DupSuffix extends OnDupColumn
 
   def dedupColumnNames(names: Seq[String], policy: OnDupColumn = DupSuffix): Seq[String] = {
-    val seen = scala.collection.mutable.Map.empty[String, Int]
-    names.map { n =>
+    val lowerNames = names.map(_.toLowerCase)
+    val emitted = scala.collection.mutable.Set.empty[String]
+    names.zipWithIndex.map { case (n, i) =>
       val k = n.toLowerCase
-      val c = seen.getOrElse(k, 0)
-      seen(k) = c + 1
-      if (c == 0) n
+      if (!emitted.contains(k) && lowerNames.indexOf(k) == i) { emitted += k; n }
       else policy match {
         case DupError  => throw new IllegalArgumentException(s"duplicate column name: $n")
-        case DupSuffix => s"${n}_$c"
+        case DupSuffix =>
+          // probe suffixes until the candidate collides with neither an
+          // emitted name nor a name still to come (e.g. Seq("a","a","a_1"))
+          var c = 1
+          var candidate = s"${n}_$c"
+          while (emitted.contains(candidate.toLowerCase) || lowerNames.contains(candidate.toLowerCase)) {
+            c += 1; candidate = s"${n}_$c"
+          }
+          emitted += candidate.toLowerCase
+          candidate
       }
     }
   }

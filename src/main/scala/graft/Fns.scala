@@ -48,8 +48,10 @@ object Fns {
          |RETURN CASE WHEN regexp_replace(s, $trimRe, '') = ''
          |              OR lower(regexp_replace(s, $trimRe, '')) = 'nil' THEN NULL
          |            ELSE regexp_replace(s, $trimRe, '') END""".stripMargin)
+    // NB plain triple-quoted string (no interpolator): two source backslashes
+    // reach the SQL parser as \\s+, which unescapes to the regex \s+.
     spark.sql(
       """CREATE OR REPLACE TEMPORARY FUNCTION ws_token_count(s STRING) RETURNS BIGINT
-        |RETURN size(filter(split(lower(s), '\\\\s+'), x -> x <> ''))""".stripMargin)
+        |RETURN size(filter(split(lower(s), '\\s+'), x -> x <> ''))""".stripMargin)
   }
 }

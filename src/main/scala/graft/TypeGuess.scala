@@ -113,7 +113,11 @@ object TypeGuess {
     t match {
       case DoubleType    => relaxedDouble(v)
       case LongType      => tryLong(v)
-      case TimestampType => try_to_timestamp(v)
+      // the GUARDED probe, not bare try_to_timestamp: Spark parses '2020' as
+      // a timestamp, which would let a numeric string in an unsampled row
+      // slip through the defeat-validation instead of triggering the
+      // fall-back-to-string path (reference rejects bare numbers as dates)
+      case TimestampType => tryTimestamp(v)
       case _             => v
     }
   }

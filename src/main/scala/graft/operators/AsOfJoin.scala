@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** Generic as-of join: for each left row, the latest right row with
   * `rightTs <= leftTs` (or strictly `<`) within the same key.
@@ -23,30 +24,33 @@ object AsOfJoin {
            leftTs: String, rightTs: String, carry: Seq[String],
            strict: Boolean = false): DataFrame = {
     val leftCols = left.columns
+    // carry travels as ONE struct per right row: last(ignoreNulls) must skip
+    // whole rows, never individual null fields — per-column carries would
+    // stitch values from different right rows and resurrect overwritten nulls
+    val carryT = StructType(carry.map(c => right.schema(c)))
     val l = left
       .withColumn("_ts", col(leftTs))
       .withColumn("_side", lit(1))
       .select((keys.map(col) :+ col("_ts") :+ col("_side")) ++
-        leftCols.filterNot(keys.contains).map(c => col(c).as(s"_l_$c")) ++
-        carry.map(c => lit(null).cast(right.schema(c).dataType).as(s"_r_$c")): _*)
+        leftCols.filterNot(keys.contains).map(c => col(c).as(s"_l_$c")) :+
+        lit(null).cast(carryT).as("_r"): _*)
     val r = right
       .withColumn("_ts", col(rightTs))
       .withColumn("_side", lit(0))
       .select((keys.map(col) :+ col("_ts") :+ col("_side")) ++
-        leftCols.filterNot(keys.contains).map(c => lit(null).cast(left.schema(c).dataType).as(s"_l_$c")) ++
-        carry.map(c => col(c).as(s"_r_$c")): _*)
+        leftCols.filterNot(keys.contains).map(c => lit(null).cast(left.schema(c).dataType).as(s"_l_$c")) :+
+        struct(carry.map(col): _*).as("_r"): _*)
     // at equal ts: non-strict lets left rows see same-ts right rows (right
     // sorts first); strict hides them (left sorts first, frame ends at self)
     val sideOrder = if (strict) col("_side").desc else col("_side").asc
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("_ts").asc, sideOrder)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = carry.foldLeft(l.unionByName(r)) { (df, c) =>
-      df.withColumn(s"asof_$c", last(col(s"_r_$c"), ignoreNulls = true).over(w))
-    }
+    val carried = l.unionByName(r)
+      .withColumn("_asof", last(col("_r"), ignoreNulls = true).over(w))
     carried.where(col("_side") === 1)
       .select(keys.map(col) ++
         leftCols.filterNot(keys.contains).map(c => col(s"_l_$c").as(c)) ++
-        carry.map(c => col(s"asof_$c")): _*)
+        carry.map(c => col(s"_asof.$c").as(s"asof_$c")): _*)
   }
 }

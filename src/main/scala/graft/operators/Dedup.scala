@@ -95,6 +95,8 @@ object Dedup {
     * ≤ maxHamming. Output: (id_a, id_b, hamming). */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3, numChunks: Int = 4, shingleN: Int = 3): DataFrame = {
+    require(maxHamming < numChunks,
+      s"chunk blocking is only complete for hamming < numChunks ($numChunks); got maxHamming=$maxHamming")
     // 4 chunks × 16 bits: complete for hamming < 4 and keeps bucket
     // collisions (and thus candidate pairs) ~256× rarer than 8-bit chunks.
     val chunkLen = 64 / numChunks

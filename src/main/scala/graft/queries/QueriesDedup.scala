@@ -70,11 +70,12 @@ object QueriesDedup {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // SimHash near-dup: 64-bit signatures, 8-chunk blocking, hamming ≤ 7.
-    // Hash-function-dependent → no SQL oracle; rows-only (exact copies
-    // guarantee hamming-0 pairs, so rows > 0 always).
+    // SimHash near-dup: 64-bit signatures, 4×16-bit chunk blocking —
+    // complete for hamming ≤ 3 (pigeonhole: <4 differing bits always leave
+    // one chunk identical). Hash-function-dependent → no SQL oracle;
+    // rows-only (exact copies guarantee hamming-0 pairs, so rows > 0).
     "simhash_dedup" -> ((s, dir) => {
-      Dedup.simhashNearDups(corpus(s, dir), "doc_id", "text", maxHamming = 7)
+      Dedup.simhashNearDups(corpus(s, dir), "doc_id", "text", maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))
     }),
 

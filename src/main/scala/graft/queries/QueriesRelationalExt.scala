@@ -103,16 +103,19 @@ object QueriesRelationalExt {
           |  relaxed_double('$' || CAST(p_retailprice AS STRING) || ' ') AS parsed,
           |  trim_nullify('  ' || p_brand || ' ') AS brand,
           |  trim_nullify(' NIL ') AS nil_val,
-          |  ws_token_count(p_type) AS type_tokens
+          |  ws_token_count(p_name) AS name_tokens
           |FROM part ORDER BY p_partkey LIMIT 500""".stripMargin)
     }),
 
-    // Pivot: event counts per user bucket × event type.
+    // Pivot: event counts per user bucket × event type. Empty cells are
+    // coalesced to 0 — Spark pivots them to NULL, the oracle's CASE sums to 0.
     "pivot_counts" -> ((s, dir) => {
-      t(s, dir, "events")
+      val p = t(s, dir, "events")
         .groupBy((col("user_id") % 10).as("bucket"))
         .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
         .agg(count(lit(1)))
+      p.select(col("bucket") +: p.columns.filter(_ != "bucket")
+          .map(c => coalesce(col(c), lit(0L)).as(c)): _*)
         .orderBy(col("bucket"))
     }))
 
@@ -146,7 +149,7 @@ object QueriesRelationalExt {
     "sql_functions" ->
       """SELECT p_partkey, CAST(p_retailprice AS DOUBLE) AS parsed, p_brand AS brand,
         |  CAST(NULL AS VARCHAR) AS nil_val,
-        |  CAST(len(list_filter(string_split_regex(lower(p_type), '\s+'), x -> x <> '')) AS BIGINT) AS type_tokens
+        |  CAST(len(list_filter(string_split_regex(lower(p_name), '\s+'), x -> x <> '')) AS BIGINT) AS name_tokens
         |FROM part ORDER BY p_partkey LIMIT 500""".stripMargin,
     "pivot_counts" ->
       """SELECT user_id % 10 AS bucket,

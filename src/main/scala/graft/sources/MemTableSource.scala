@@ -66,12 +66,25 @@ private class MemTableScanBuilder(name: String, full: StructType)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  /** Accept the comparison filters we can evaluate source-side; everything
-    * else stays in Spark's post-scan Filter. */
+  /** Accept only comparison filters over column types the evaluator can
+    * compare (long/int/double/string); everything else stays in Spark's
+    * post-scan Filter — accepting a filter we'd mis-evaluate would silently
+    * drop matching rows. */
+  private def comparable(attr: String): Boolean =
+    full.fields.find(_.name == attr).map(_.dataType).exists {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.DoubleType | org.apache.spark.sql.types.StringType => true
+      case _ => false
+    }
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, rejected) = filters.partition {
-      case _: EqualTo | _: GreaterThan | _: GreaterThanOrEqual |
-           _: LessThan | _: LessThanOrEqual | _: IsNotNull => true
+      case EqualTo(a, _)            => comparable(a)
+      case GreaterThan(a, _)        => comparable(a)
+      case GreaterThanOrEqual(a, _) => comparable(a)
+      case LessThan(a, _)           => comparable(a)
+      case LessThanOrEqual(a, _)    => comparable(a)
+      case IsNotNull(_)             => true
       case _ => false
     }
     pushed = accepted

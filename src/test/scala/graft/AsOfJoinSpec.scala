@@ -38,11 +38,25 @@ class AsOfJoinSpec extends SparkSpec {
       ("t3", Some(200.0)), ("t4", None)))
   }
 
+  test("row-atomic carry: a null field in the latest right row is NOT patched from older rows") {
+    val q = Seq((1L, 10L, Option(100.0), "q0"), (1L, 20L, Option.empty[Double], "q1"))
+      .toDF("k", "qts", "px", "qid")
+    val t = Seq((1L, 30L, "t")).toDF("k", "tts", "tid")
+    val out = AsOfJoin.asOf(t, q, Seq("k"), "tts", "qts", Seq("px", "qid")).collect().head
+    // latest right row is q1 with px=null — px must stay null, not q0's 100.0
+    assert(out.getAs[String]("asof_qid") == "q1")
+    assert(out.isNullAt(out.fieldIndex("asof_px")))
+  }
+
   test("contentHash: equal for equal content, differs on change") {
     val a = DataTable(quotes)
     val b = DataTable(quotes.orderBy(col("px").desc)) // same multiset, any order
     assert(a.contentHash == b.contentHash)
     assert(a.contentHash != DataTable(quotes.limit(2)).contentHash)
     assert(a.contentHash != DataTable(quotes.withColumn("px", col("px") + 1.0)).contentHash)
+    // null-position discrimination: ('a', null) vs (null, 'a') must differ
+    val x = DataTable(Seq((Option("a"), Option.empty[String])).toDF("c1", "c2"))
+    val y = DataTable(Seq((Option.empty[String], Option("a"))).toDF("c1", "c2"))
+    assert(x.contentHash != y.contentHash)
   }
 }

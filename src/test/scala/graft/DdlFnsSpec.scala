@@ -25,6 +25,9 @@ class DdlFnsSpec extends SparkSpec {
     assert(Ddl.dedupColumnNames(Seq("a", "A", "b", "a")) == Seq("a", "A_1", "b", "a_2"))
     intercept[IllegalArgumentException](
       Ddl.dedupColumnNames(Seq("a", "A"), Ddl.DupError))
+    // a generated suffix must not collide with a name still to come
+    val out = Ddl.dedupColumnNames(Seq("a", "a", "a_1"))
+    assert(out.map(_.toLowerCase).distinct.size == 3, out.toString)
   }
 
   test("mssql sizing: varchar pow2 + int vs bigint — clsql-data-table.lisp:59-80") {
