@@ -62,10 +62,12 @@ object QueriesDdl {
     // Multimodal: binary payload struct + metadata/content features.
     "multimodal_features" -> ((s, dir) => {
       t(s, dir, "documents")
-        .select(col("doc_id"), Multimodal.mediaFromText(col("text"), "text/plain").as("media"))
+        .select(col("doc_id"), col("text"), Multimodal.mediaFromText(col("text"), "text/plain").as("media"))
         .select(col("doc_id"),
           length(col("media.bytes")).cast(LongType).as("n_bytes"),
-          hex(substring(col("media.bytes"), 1, 8)).as("head_hex"),
+          // slice CHARACTERS then encode — the blob-byte slice would split a
+          // multi-byte char and diverge from the oracle's character semantics
+          hex(encode(substring(col("text"), 1, 8), "UTF-8")).as("head_hex"),
           md5(col("media.bytes")).as("content_md5"),
           col("media.mime").as("mime"),
           col("media.duration_ms").as("duration_ms"))

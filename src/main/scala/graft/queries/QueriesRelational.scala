@@ -78,12 +78,16 @@ object QueriesRelational {
     "agg_rollup" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"),
+          // grouping flags (legal only inside the agg) disambiguate subtotal
+          // rows from genuine NULL-key groups, which coalesce alone collides
+          grouping(col("l_returnflag")).cast(LongType).as("g_flag"),
+          grouping(col("l_linestatus")).cast(LongType).as("g_status"))
         .select(
           coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
           coalesce(col("l_linestatus"), lit("ALL")).as("status"),
-          col("sum_qty"), col("n"))
-        .orderBy(col("flag"), col("status"))
+          col("g_flag"), col("g_status"), col("sum_qty"), col("n"))
+        .orderBy(col("flag"), col("status"), col("g_flag"), col("g_status"))
     }),
 
     // Inner 3-way join; nation is broadcast (tiny dim → zero shuffle for it).
@@ -205,8 +209,11 @@ object QueriesRelational {
         |FROM lineitem""".stripMargin,
     "agg_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS flag, coalesce(l_linestatus, 'ALL') AS status,
+        |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+        |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
         |  round(sum(l_quantity), 2) AS sum_qty, CAST(count(*) AS BIGINT) AS n
-        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus) ORDER BY flag, status""".stripMargin,
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY flag, status, g_flag, g_status""".stripMargin,
     "join_inner" ->
       """SELECT n_name, CAST(count(*) AS BIGINT) AS n_orders, round(sum(o_totalprice), 2) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey
@@ -246,8 +253,8 @@ object QueriesRelational {
         |    INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')) AS BIGINT) AS n_intersect,
         |  CAST((SELECT count(*) FROM (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
         |    EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')) AS BIGINT) AS n_except,
-        |  CAST((SELECT count(DISTINCT o_custkey) FROM orders
-        |    WHERE o_orderstatus IN ('F','O')) AS BIGINT) AS n_union""".stripMargin,
+        |  CAST((SELECT count(*) FROM (SELECT DISTINCT o_custkey FROM orders
+        |    WHERE o_orderstatus IN ('F','O'))) AS BIGINT) AS n_union""".stripMargin,
     "scalar_funcs" ->
       """SELECT o_orderkey, upper(o_orderpriority) AS pri_upper,
         |  substring(o_orderpriority, 1, 1) AS pri_code,
@@ -258,6 +265,6 @@ object QueriesRelational {
         |  concat_ws('|', o_orderstatus, o_orderpriority) AS tag
         |FROM orders ORDER BY o_orderkey LIMIT 100""".stripMargin,
     "json_extract" ->
-      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      """SELECT event_id, TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin)
 }

@@ -74,12 +74,14 @@ object QueriesRelationalExt {
     "agg_cube" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .cube(col("l_returnflag"), col("l_linestatus"))
-        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"),
+          grouping(col("l_returnflag")).cast(LongType).as("g_flag"),
+          grouping(col("l_linestatus")).cast(LongType).as("g_status"))
         .select(
           coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
           coalesce(col("l_linestatus"), lit("ALL")).as("status"),
-          col("sum_qty"), col("n"))
-        .orderBy(col("flag"), col("status"))
+          col("g_flag"), col("g_status"), col("sum_qty"), col("n"))
+        .orderBy(col("flag"), col("status"), col("g_flag"), col("g_status"))
     }),
 
     // Skew-salted shuffle join: same result as the plain join, but the hot
@@ -125,22 +127,27 @@ object QueriesRelationalExt {
       """SELECT event_id, user_id, ts, prev_click_ts FROM (
         |  SELECT event_id, user_id, ts, event_type,
         |    last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
-        |      OVER (PARTITION BY user_id ORDER BY ts
+        |      OVER (PARTITION BY user_id
+        |            ORDER BY ts, CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_click_ts
         |  FROM (SELECT event_id, user_id, event_type, date_trunc('microseconds', ts) AS ts FROM events))
         |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
     "join_range" ->
       """SELECT a.event_id AS anchor_id, CAST(count(*) AS BIGINT) AS n_events,
         |  round(sum(e.value), 2) AS sum_value
-        |FROM (SELECT event_id, user_id, ts FROM events
+        |FROM (SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts FROM events
         |      WHERE event_type = 'error' AND event_id < 500) a
-        |JOIN events e ON e.user_id = a.user_id
+        |JOIN (SELECT user_id, value, date_trunc('microseconds', ts) AS ts FROM events) e
+        |  ON e.user_id = a.user_id
         |  AND e.ts >= a.ts AND e.ts < a.ts + INTERVAL 6 HOUR
         |GROUP BY a.event_id ORDER BY anchor_id""".stripMargin,
     "agg_cube" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS flag, coalesce(l_linestatus, 'ALL') AS status,
+        |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+        |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
         |  round(sum(l_quantity), 2) AS sum_qty, CAST(count(*) AS BIGINT) AS n
-        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus) ORDER BY flag, status""".stripMargin,
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY flag, status, g_flag, g_status""".stripMargin,
     "join_salted" ->
       """SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n,
         |  round(sum(l_extendedprice), 2) AS sum_price

@@ -54,12 +54,12 @@ object QueriesStream {
     "stream_tumbling" ->
       """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
         |  CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+        |FROM events WHERE ts IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "stream_sliding" ->
       """WITH g AS (
-        |  SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS ws, value FROM events
+        |  SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS ws, value FROM events WHERE ts IS NOT NULL
         |  UNION ALL
-        |  SELECT time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE AS ws, value FROM events)
+        |  SELECT time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE AS ws, value FROM events WHERE ts IS NOT NULL)
         |SELECT ws AS window_start, CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_value
         |FROM g GROUP BY ws ORDER BY ws""".stripMargin,
     "stream_session" ->
