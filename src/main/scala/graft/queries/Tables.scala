@@ -15,7 +15,9 @@ object Tables {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = s.read.parquet(s"$dir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      // floor division via pmod (DIV truncates toward zero, which would
+      // round pre-1970 nanos the wrong way; DuckDB floors)
+      df.withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) DIV 1000")))
     else df
   }
 
