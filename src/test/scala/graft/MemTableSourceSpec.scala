@@ -49,6 +49,21 @@ class MemTableSourceSpec extends SparkSpec {
     assert(scanDesc.contains("pushed=") && scanDesc.contains("GreaterThan(id,900)"), scanDesc)
   }
 
+  test("filters on non-comparable column types are NOT pushed and still evaluate correctly") {
+    val s2 = StructType(Seq(StructField("id", LongType), StructField("flag", BooleanType),
+      StructField("f", FloatType)))
+    MemTableRegistry.register("typed", s2,
+      Seq(Seq(1L, true, 1.5f), Seq(2L, false, 2.5f), Seq(3L, true, 3.5f)))
+    val df = spark.read.format("graft.sources.MemTableSource")
+      .option("name", "typed").load()
+    // boolean + float predicates must fall back to Spark's post-scan Filter
+    assert(df.where(col("flag") === true).count() == 2L)
+    assert(df.where(col("f") > 2.0f).count() == 2L)
+    val scanDesc = df.where(col("f") > 2.0f)
+      .queryExecution.executedPlan.collectLeaves().head.toString
+    assert(!scanDesc.contains("GreaterThan(f"), s"float filter must not be pushed:\n$scanDesc")
+  }
+
   test("facade round-trip: DataTable over the custom source") {
     MemTableRegistry.register("people3", schema, Seq(Seq(1L, "a", 2.0), Seq(2L, null, 4.0)))
     val dt = DataTable(spark.read.format("graft.sources.MemTableSource")
