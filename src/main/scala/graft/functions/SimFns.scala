@@ -21,10 +21,17 @@ object SimFns {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = {
-    val ad = toDouble(a); val bd = toDouble(b)
-    dot(ad, bd) / (norm(ad) * norm(bd))
-  }
+  /** Cosine with the let-binding idiom (CLAUDE.md): the cast arrays are
+    * bound once per row via a single-element struct transform — naive
+    * composition would re-run the full-array cast ~3× per side per row
+    * inside interpreted HOFs. */
+  def cosine(a: Column, b: Column): Column =
+    element_at(
+      transform(array(struct(toDouble(a).as("x"), toDouble(b).as("y"))), p => {
+        val ad = p.getField("x"); val bd = p.getField("y")
+        dot(ad, bd) / (sqrt(dot(ad, ad)) * sqrt(dot(bd, bd)))
+      }),
+      1)
 
   /** Sign-of-random-hyperplane LSH bucket key: `planes` hash the vector to a
     * compact bit signature; vectors in the same bucket are cosine-close with

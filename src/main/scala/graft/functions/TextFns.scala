@@ -13,7 +13,11 @@ import org.apache.spark.sql.types._
   */
 object TextFns {
 
-  /** Whitespace tokens, lowercased, empties dropped. */
+  /** Whitespace tokens, lowercased, empties dropped. NB splits on Java
+    * `\s` (ASCII whitespace) only — NBSP is deliberately NOT a separator
+    * here, unlike the type-inference trimbag: the DuckDB oracles use RE2
+    * `\s` with identical ASCII semantics, keeping tokenization cross-engine
+    * exact. */
   def tokens(c: Column): Column =
     filter(split(lower(c), "\\s+"), t => t =!= "")
 

@@ -63,13 +63,16 @@ object Multimodal {
       }
   }
 
-  /** STUB frame sampler: slice the payload into `n` equal "frames" — stands
-    * in for video frame extraction; produces one row per frame, the real
-    * explode shape for downstream per-frame featurization. */
+  /** STUB frame sampler: slice the payload into `n` contiguous frames —
+    * stands in for video frame extraction; produces one row per frame, the
+    * real explode shape for downstream per-frame featurization. Boundaries
+    * are cumulative floor(i·len/n) offsets, so frames tile the payload with
+    * no gaps (independent per-frame truncation would silently skip bytes). */
   def sampleFrames(df: DataFrame, mediaCol: String, n: Int): DataFrame = {
     val len = length(col(s"$mediaCol.bytes"))
+    def off(i: org.apache.spark.sql.Column) = (i * len / n).cast(IntegerType)
     df.select(col("doc_id"), posexplode(transform(sequence(lit(0), lit(n - 1)),
-        i => col(s"$mediaCol.bytes").substr((i * (len / n) + 1).cast(IntegerType), (len / n).cast(IntegerType)))))
+        i => col(s"$mediaCol.bytes").substr(off(i) + 1, off(i + 1) - off(i)))))
       .toDF("doc_id", "frame_idx", "frame_bytes")
   }
 }

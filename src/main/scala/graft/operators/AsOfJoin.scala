@@ -41,10 +41,14 @@ object AsOfJoin {
         leftCols.filterNot(keys.contains).map(c => lit(null).cast(left.schema(c).dataType).as(s"_l_$c")) :+
         struct(carry.map(col): _*).as("_r"): _*)
     // at equal ts: non-strict lets left rows see same-ts right rows (right
-    // sorts first); strict hides them (left sorts first, frame ends at self)
+    // sorts first); strict hides them (left sorts first, frame ends at self).
+    // The carry struct is the final sort key so ties among right rows with
+    // identical (key, ts) resolve deterministically (max struct wins) —
+    // without it, last() picks whichever row the partition sort happened to
+    // place last.
     val sideOrder = if (strict) col("_side").desc else col("_side").asc
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("_ts").asc, sideOrder)
+      .orderBy(col("_ts").asc, sideOrder, col("_r").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = l.unionByName(r)
       .withColumn("_asof", last(col("_r"), ignoreNulls = true).over(w))

@@ -52,9 +52,14 @@ object Dedup {
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       threshold: Double, numHashes: Int = 64, numBands: Int = 16,
                       shingleN: Int = 3): DataFrame = {
+    require(numBands >= 1 && numBands <= numHashes && numHashes % numBands == 0,
+      s"numHashes ($numHashes) must be a positive multiple of numBands ($numBands) — " +
+        "zero-length band slices would make every document collide in every band (all-pairs blowup)")
     val rowsPerBand = numHashes / numBands
     // shingle sets feed the signature path AND both sides of the verify join
     // — persist once instead of recomputing the tokenize+shingle pass 3×.
+    // (Deliberately not unpersisted: the operator returns a lazy plan over
+    // the cache; lifetime is the session's, which suits batch dedup jobs.)
     val sh = shingleSets(docs, idCol, textCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = minhashSignatures(sh, idCol, numHashes)
@@ -97,6 +102,8 @@ object Dedup {
                       maxHamming: Int = 3, numChunks: Int = 4, shingleN: Int = 3): DataFrame = {
     require(maxHamming < numChunks,
       s"chunk blocking is only complete for hamming < numChunks ($numChunks); got maxHamming=$maxHamming")
+    require(numChunks >= 1 && numChunks <= 64 && 64 % numChunks == 0,
+      s"numChunks ($numChunks) must divide 64 — zero-length chunks would collide every signature")
     // 4 chunks × 16 bits: complete for hamming < 4 and keeps bucket
     // collisions (and thus candidate pairs) ~256× rarer than 8-bit chunks.
     val chunkLen = 64 / numChunks

@@ -58,12 +58,18 @@ object Ivf {
       .groupBy(col(idCol))
       .agg(min_by(col("cell"), struct(dist2(col(vecCol), col("centroid")), col("cell"))).as("cell"))
 
-  /** Top-k cosine search probing the query's `nprobe` nearest cells. */
-  def search(vectors: DataFrame, centroids: DataFrame, queries: DataFrame,
+  /** Build the searchable index ONCE: vectors tagged with their cell. In
+    * production this is written out partitioned by `cell` so probes become
+    * partition-pruned scans; re-assigning per query would swamp IVF's
+    * candidate-set savings with a full-corpus shuffle. */
+  def index(vectors: DataFrame, centroids: DataFrame, idCol: String, vecCol: String): DataFrame =
+    vectors.join(assign(vectors, centroids, idCol, vecCol), idCol)
+
+  /** Top-k cosine search probing the query's `nprobe` nearest cells, over a
+    * pre-built [[index]]. */
+  def search(indexed: DataFrame, centroids: DataFrame, queries: DataFrame,
              idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
              topK: Int, nprobe: Int): DataFrame = {
-    val cells = assign(vectors, centroids, idCol, vecCol)
-    val indexed = vectors.join(cells, idCol)
     val qCells = queries.join(broadcast(centroids))
       .withColumn("d2", dist2(col(qVecCol), col("centroid")))
       .withColumn("rnk", row_number().over(

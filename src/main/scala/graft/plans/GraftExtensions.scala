@@ -19,7 +19,11 @@ object GraftExtensions {
   private val relaxedDoubleNative: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("relaxed_double_native"),
     new ExpressionInfo(classOf[RelaxedParseDouble].getName, "relaxed_double_native"),
-    (exprs: Seq[Expression]) => RelaxedParseDouble(exprs.head))
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 1,
+        s"relaxed_double_native expects exactly 1 argument, got ${exprs.length}")
+      RelaxedParseDouble(exprs.head)
+    })
 
   /** Imperative registration into an existing session's function registry. */
   def register(spark: SparkSession): Unit =

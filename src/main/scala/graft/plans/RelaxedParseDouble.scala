@@ -49,8 +49,10 @@ object RelaxedParseDouble {
       ch == '\u000B' || ch == '\u00A0' || ch == '$' || ch == ',' || ch == '%'
 
   /** Single-pass strip + validate + parse; null (never throw) on failure.
-    * Accepts the same shape as `try_cast(... as double)` on the stripped
-    * text: optional sign, digits with one dot, optional exponent. */
+    * INTENTIONALLY stricter than `try_cast(... as double)`: only finite
+    * decimal/scientific literals parse — NaN/Infinity/hex-float/`1.5f`
+    * Java-isms are rejected, matching the reference's relaxed-parse-float
+    * (data-table.lisp:74-90), which never produces non-finite floats. */
   def parse(s: UTF8String): java.lang.Double = {
     if (s == null) return null
     val str = s.toString

@@ -59,9 +59,10 @@ object QueriesSim {
       import graft.operators.Ivf
       val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       val centroids = Ivf.train(e, "vec_id", "embedding", k = 8)
+      val idx = Ivf.index(e, centroids, "vec_id", "embedding")
       val q = e.where(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-      Ivf.search(e, centroids, q, "vec_id", "embedding", "qid", "qe", topK = 10, nprobe = 3)
+      Ivf.search(idx, centroids, q, "vec_id", "embedding", "qid", "qe", topK = 10, nprobe = 3)
         .select(col("qid"), col("vec_id"), round(col("cos"), 6).as("cos"),
           col("rank").cast(LongType).as("rank"))
         .orderBy(col("qid"), col("rank"))

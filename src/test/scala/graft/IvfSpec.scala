@@ -24,9 +24,10 @@ class IvfSpec extends SparkSpec {
 
   test("search finds the query itself and beats 50% recall@10 at nprobe=3/8") {
     val centroids = Ivf.train(vecs, "vec_id", "embedding", k = 8)
+    val idx = Ivf.index(vecs, centroids, "vec_id", "embedding")
     val queries = vecs.where(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-    val approx = Ivf.search(vecs, centroids, queries,
+    val approx = Ivf.search(idx, centroids, queries,
       "vec_id", "embedding", "qid", "qe", topK = 10, nprobe = 3)
 
     // the query's own cell is always its nearest → self-match at rank 1

@@ -86,8 +86,9 @@ class TypeGuessSpec extends SparkSpec {
     val both = df.select(TypeGuess.relaxedDouble(col("c")).as("n"), composed.as("o")).collect()
     inputs.zip(both).foreach { case (in, r) =>
       val n = Option(r.get(0)); val o = Option(r.get(1))
-      // the native form is stricter only on Java-isms try_cast also rejects
-      // in practice data (Infinity/NaN/hex) — everything else must agree
+      // the native form is INTENTIONALLY stricter on non-finite/hex Java-isms
+      // (try_cast accepts 'NaN'/'Infinity'/'0x1p3'; the reference's
+      // relaxed-parse-float does not) — everything else must agree
       if (!Seq("Infinity", "NaN", "0x1p3").contains(in))
         assert(n == o, s"input '$in': native=$n composed=$o")
     }
