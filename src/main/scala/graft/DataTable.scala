@@ -134,6 +134,17 @@ final case class DataTable(df: DataFrame) {
     })
   }
 
+  /** Append literal rows (the reference's row-growth via `(setf
+    * data-table-value)` + `ensure-rows`, data-table.lisp:156-163):
+    * missing keys → null, extra keys dropped — fromMaps semantics, then
+    * unionByName on the existing schema. */
+  def appendRows(maps: Seq[Map[String, Any]]): DataTable = {
+    val added = DataTable.fromMaps(df.sparkSession, maps, keys = df.columns.toSeq)
+    val aligned = added.df.select(df.schema.fields.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)): _*)
+    DataTable(df.unionByName(aligned))
+  }
+
   /** Per-numeric-column summary statistics in ONE distributed aggregate:
     * (column, count, min, max, mean, stddev) — long-format rows, typed
     * doubles (unlike `df.describe()`'s stringly output). */

@@ -83,6 +83,16 @@ class DataTableSpec extends SparkSpec {
     assert(fixture.symbolizeColumnNames.columnNames.head == "first-name")
   }
 
+  test("appendRows: missing keys null, extras dropped, types cast — data-table.lisp:156-163") {
+    val dt = fixture.appendRows(Seq(
+      Map("first name" -> "Grace", "id" -> "7", "extra" -> "dropped"),
+      Map("last name" -> "Hopper")))
+    assert(dt.numberOfRows == 8L)
+    val grace = dt.df.where(col("`first name`") === "Grace").collect().head
+    assert(grace.getAs[String]("id") == "7")
+    assert(grace.isNullAt(grace.fieldIndex("last name")))
+  }
+
   test("withColumnType casts — data-table.lisp:416-423") {
     val dt = fixture.withColumnType("id", LongType)
     assert(dt.columnType("ID") == LongType)

@@ -147,6 +147,19 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("rate source drives the same transforms (built-in synthetic stream)") {
+    val rate = spark.readStream.format("rate").option("rowsPerSecond", "50").load()
+    val agg = Streams.tumbling(
+      Streams.withWatermark(rate.withColumnRenamed("timestamp", "ts"), "ts", "0 seconds"),
+      "ts", "1 second", Seq(), Seq(count(lit(1)).as("n")))
+    val q = Streams.toMemorySink(agg, "rate_test", "update")
+    try {
+      Thread.sleep(1500)
+      q.processAllAvailable()
+      assert(spark.table("rate_test").count() >= 1L)
+    } finally q.stop()
+  }
+
   test("file-source parquet stream reads incrementally") {
     import spark.implicits._
     val dir = "target/tmp_stream_src"
