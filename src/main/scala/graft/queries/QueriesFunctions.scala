@@ -98,6 +98,20 @@ object QueriesFunctions {
         .orderBy(col("l_returnflag"))
     }),
 
+    // MapType surface: JSON -> typed map, key/value extraction, and a map
+    // built from entries (the reference has no nested types at all; this is
+    // the ArrayType/MapType extension of SURVEY §1.3).
+    "map_funcs" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .withColumn("props_map", from_json(col("props"), MapType(StringType, LongType)))
+      e.select(col("event_id"),
+          array_join(map_keys(col("props_map")), ",").as("keys"),
+          element_at(col("props_map"), "k").as("k_val"),
+          size(col("props_map")).cast(LongType).as("n_entries"),
+          element_at(map_from_arrays(array(lit("type")), array(col("event_type"))), "type").as("roundtrip"))
+        .orderBy(col("event_id")).limit(2000)
+    }),
+
     // String battery incl. levenshtein (fuzzy-match building block).
     "string_funcs" -> ((s, dir) => {
       t(s, dir, "part")
@@ -155,6 +169,13 @@ object QueriesFunctions {
         |  round(exp(avg(ln(l_quantity)) FILTER (WHERE l_quantity > 0)), 6) AS geo_qty,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "map_funcs" ->
+      """SELECT event_id,
+        |  array_to_string(json_keys(props), ',') AS keys,
+        |  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+        |  CAST(len(json_keys(props)) AS BIGINT) AS n_entries,
+        |  event_type AS roundtrip
+        |FROM events ORDER BY event_id LIMIT 2000""".stripMargin,
     "string_funcs" ->
       """SELECT p_partkey, lower(p_name) AS lname, reverse(p_brand) AS rbrand,
         |  lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded,
