@@ -48,13 +48,55 @@ object MemTableRegistry {
   val emitted = new java.util.concurrent.atomic.AtomicLong(0L)
 }
 
-private class MemTable(name: String) extends Table with SupportsRead {
+private class MemTable(name: String) extends Table
+    with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  import org.apache.spark.sql.connector.write._
   override def name(): String = s"memtable:$name"
   override def schema(): StructType = MemTableRegistry.schemaOf(name)
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new MemTableScanBuilder(name, schema())
+
+  /** Write path: executors buffer rows per task, the driver commits them
+    * atomically into the registry — the standard two-phase DSv2 sink
+    * contract (task commit → job commit), here with truncate support. */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite = new BatchWrite {
+          override def createBatchWriterFactory(pi: PhysicalWriteInfo): DataWriterFactory =
+            new MemTableWriterFactory(info.schema())
+          override def commit(messages: Array[WriterCommitMessage]): Unit = {
+            val rows = messages.toSeq.flatMap(_.asInstanceOf[MemTableCommit].rows)
+            val existing = if (overwrite) Seq.empty else MemTableRegistry.rowsOf(name)
+            MemTableRegistry.register(name, info.schema(), existing ++ rows)
+          }
+          override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+        }
+      }
+    }
+}
+
+private case class MemTableCommit(rows: Seq[Seq[Any]])
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+private class MemTableWriterFactory(schema: StructType)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  import org.apache.spark.sql.connector.write.{DataWriter, WriterCommitMessage}
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val buf = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+      private val conv = CatalystTypeConverters.createToScalaConverter(schema)
+      override def write(record: InternalRow): Unit =
+        buf += conv(record).asInstanceOf[org.apache.spark.sql.Row].toSeq
+      override def commit(): WriterCommitMessage = MemTableCommit(buf.toSeq)
+      override def abort(): Unit = buf.clear()
+      override def close(): Unit = ()
+    }
 }
 
 private class MemTableScanBuilder(name: String, full: StructType)

@@ -64,6 +64,23 @@ class MemTableSourceSpec extends SparkSpec {
     assert(!scanDesc.contains("GreaterThan(f"), s"float filter must not be pushed:\n$scanDesc")
   }
 
+  test("write path: append and overwrite commit atomically through the DSv2 sink") {
+    MemTableRegistry.register("sink", schema, Seq(Seq(1L, "a", 1.0)))
+    import spark.implicits._
+    val add = Seq((2L, "b", 2.0), (3L, "c", 3.0)).toDF("id", "name", "score")
+    add.write.format("graft.sources.MemTableSource")
+      .option("name", "sink").mode("append").save()
+    val afterAppend = spark.read.format("graft.sources.MemTableSource")
+      .option("name", "sink").load()
+    assert(afterAppend.count() == 3L)
+    Seq((9L, "z", 9.0)).toDF("id", "name", "score")
+      .write.format("graft.sources.MemTableSource")
+      .option("name", "sink").mode("overwrite").save()
+    val afterOverwrite = spark.read.format("graft.sources.MemTableSource")
+      .option("name", "sink").load().collect()
+    assert(afterOverwrite.length == 1 && afterOverwrite.head.getLong(0) == 9L)
+  }
+
   test("facade round-trip: DataTable over the custom source") {
     MemTableRegistry.register("people3", schema, Seq(Seq(1L, "a", 2.0), Seq(2L, null, 4.0)))
     val dt = DataTable(spark.read.format("graft.sources.MemTableSource")
