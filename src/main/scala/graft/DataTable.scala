@@ -134,6 +134,19 @@ final case class DataTable(df: DataFrame) {
     })
   }
 
+  /** `sample-rows` (data-table.lisp:295-307): ≤ n rows, every sample row
+    * from the original. The reference's reservoir is random (and has an
+    * off-by-one vs Algorithm R — SURVEY §2.4); at scale we use limit(n)
+    * for bounded-cost sampling (the guess-types use case) — the contract
+    * the reference's own test pins is size + subset, both preserved. */
+  def sampleRows(n: Int): DataTable = DataTable(df.limit(n))
+
+  /** Deterministic 1-in-k systematic sample by key — reproducible across
+    * runs and engines, the property random samples can't give a verification
+    * pipeline. */
+  def systematicSample(keyCol: String, k: Int): DataTable =
+    DataTable(df.where(pmod(col(keyCol), lit(k)) === 0))
+
   /** Append literal rows (the reference's row-growth via `(setf
     * data-table-value)` + `ensure-rows`, data-table.lisp:156-163):
     * missing keys → null, extra keys dropped — fromMaps semantics, then

@@ -84,6 +84,16 @@ object QueriesFacade {
         Map("a" -> 7L, "b" -> 8L, "c" -> 9L, "d" -> 99L))).df
     }),
 
+    // sample-rows re-expressed deterministically (data-table.lisp:295-307):
+    // 1-in-7 systematic sample by key, aggregated so the subset property is
+    // oracle-checkable.
+    "sample_rows" -> ((s, dir) => {
+      DataTable(t(s, dir, "documents")).systematicSample("doc_id", 7)
+        .df.agg(count(lit(1)).as("n_sampled"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("first_id"), max(col("doc_id")).as("last_id"))
+    }),
+
     // One-pass numeric summary (count/min/max/mean/stddev per column).
     "describe_stats" -> ((s, dir) => {
       val stats = DataTable(t(s, dir, "lineitem")
@@ -138,6 +148,10 @@ object QueriesFacade {
       """SELECT * FROM (VALUES
         |  (CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(3 AS BIGINT)),
         |  (4, NULL, 6), (7, 8, 9)) t(a, b, c)""".stripMargin,
+    "sample_rows" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_sampled, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(min(doc_id) AS BIGINT) AS first_id, CAST(max(doc_id) AS BIGINT) AS last_id
+        |FROM documents WHERE doc_id % 7 = 0""".stripMargin,
     "describe_stats" ->
       """SELECT col_name, n, round(mn, 4) AS min, round(mx, 4) AS max,
         |  round(av, 4) AS mean, round(sd, 4) AS stddev FROM (

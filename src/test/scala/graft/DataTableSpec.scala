@@ -93,6 +93,13 @@ class DataTableSpec extends SparkSpec {
     assert(grace.isNullAt(grace.fieldIndex("last name")))
   }
 
+  test("sampleRows: exact size, subset of original — tests/data-table.lisp:191-197") {
+    val s = fixture.sampleRows(3)
+    assert(s.numberOfRows == 3L)
+    assert(s.df.exceptAll(fixture.df).isEmpty, "samples must come from the original")
+    assert(fixture.sampleRows(100).numberOfRows == 6L) // n > rows → all rows
+  }
+
   test("withColumnType casts — data-table.lisp:416-423") {
     val dt = fixture.withColumnType("id", LongType)
     assert(dt.columnType("ID") == LongType)
