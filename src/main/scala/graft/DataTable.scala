@@ -257,6 +257,10 @@ object DataTable {
     DataTable(spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema))
   }
 
+  /** `has-table?` (clsql-data-table.lisp:8-10): catalog probe. */
+  def tableExists(spark: SparkSession, name: String): Boolean =
+    spark.catalog.tableExists(name)
+
   /** All-string table from literal rows — the shape every reference fixture uses. */
   def fromStringRows(spark: SparkSession, names: Seq[String], rows: Seq[Seq[String]]): DataTable = {
     val schema = StructType(names.map(StructField(_, StringType, nullable = true)))

@@ -104,4 +104,10 @@ class DataTableSpec extends SparkSpec {
     val dt = fixture.withColumnType("id", LongType)
     assert(dt.columnType("ID") == LongType)
   }
+
+  test("tableExists catalog probe — clsql-data-table.lisp:8-10") {
+    fixture.df.createOrReplaceTempView("fixture_view")
+    assert(DataTable.tableExists(spark, "fixture_view"))
+    assert(!DataTable.tableExists(spark, "no_such_table"))
+  }
 }
