@@ -40,9 +40,15 @@ object Fns {
     * semantics by name. */
   def registerSqlFunctions(spark: org.apache.spark.sql.SparkSession): Unit = {
     val trimRe = "'^[\\\\s\\u00A0]+|[\\\\s\\u00A0]+$'"
+    // Same semantics as the native RelaxedParseDouble: only finite decimal /
+    // scientific literals parse — the validity RLIKE rejects the
+    // NaN/Infinity/hex-float/'1.5f' Java-isms that a bare try_cast accepts,
+    // so the SQL name and the native expression can't disagree.
     spark.sql(
       s"""CREATE OR REPLACE TEMPORARY FUNCTION relaxed_double(s STRING) RETURNS DOUBLE
-         |RETURN try_cast(regexp_replace(s, '[\\\\s\\u00A0$$,%]', '') AS DOUBLE)""".stripMargin)
+         |RETURN CASE WHEN regexp_replace(s, '[\\\\s\\u00A0$$,%]', '')
+         |              RLIKE '^[+-]?([0-9]+\\\\.?[0-9]*|\\\\.[0-9]+)([eE][+-]?[0-9]+)?$$'
+         |            THEN cast(regexp_replace(s, '[\\\\s\\u00A0$$,%]', '') AS DOUBLE) END""".stripMargin)
     spark.sql(
       s"""CREATE OR REPLACE TEMPORARY FUNCTION trim_nullify(s STRING) RETURNS STRING
          |RETURN CASE WHEN regexp_replace(s, $trimRe, '') = ''

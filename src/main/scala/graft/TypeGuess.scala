@@ -60,10 +60,16 @@ object TypeGuess {
   def tryLong(c: Column): Column = trimWhitespace(c).try_cast(LongType)
 
   /** Timestamp probe, guarded so numeric-looking strings never classify as
-    * dates (the reference's date parser also rejects bare numbers). */
+    * dates (the reference's date parser also rejects bare numbers). Date-only
+    * strings ('2020-01-01') are digits+hyphens too, so they are explicitly
+    * exempted from the numeric guard — the reference's clsql date probe
+    * parses them (clsql-data-table.lisp:49-54), and without the exemption a
+    * pure-date column would demote to string while 'yyyy-MM-dd HH:mm:ss'
+    * inferred as timestamp. */
   def tryTimestamp(c: Column): Column = {
     val t = trimWhitespace(c)
-    when(t.rlike("^[0-9eE+\\-.,$%]*$"), lit(null).cast(TimestampType)).otherwise(try_to_timestamp(t))
+    val numericLook = t.rlike("^[0-9eE+\\-.,$%]*$") && !t.rlike("^\\d{1,4}-\\d{1,2}-\\d{1,2}$")
+    when(numericLook, lit(null).cast(TimestampType)).otherwise(try_to_timestamp(t))
   }
 
   /** Integer-looking pattern — used for the ±2⁶³ demotion: a column of pure

@@ -24,12 +24,20 @@ object SimFns {
   /** Cosine with the let-binding idiom (CLAUDE.md): the cast arrays are
     * bound once per row via a single-element struct transform — naive
     * composition would re-run the full-array cast ~3× per side per row
-    * inside interpreted HOFs. */
+    * inside interpreted HOFs.
+    *
+    * A zero vector has norm 0: under ANSI that division throws, and under
+    * non-ANSI it is 0/0 = NaN, which sorts ABOVE every real value in a
+    * descending rank window — an unguarded zero vector would claim rank 1 in
+    * every top-k. `try_divide` yields NULL on a zero divisor (and `nanvl`
+    * catches NaN-laden inputs); NULL sorts last under desc, so zero vectors
+    * drop out of ranking. */
   def cosine(a: Column, b: Column): Column =
     element_at(
       transform(array(struct(toDouble(a).as("x"), toDouble(b).as("y"))), p => {
         val ad = p.getField("x"); val bd = p.getField("y")
-        dot(ad, bd) / (sqrt(dot(ad, ad)) * sqrt(dot(bd, bd)))
+        nanvl(try_divide(dot(ad, bd), sqrt(dot(ad, ad)) * sqrt(dot(bd, bd))),
+          lit(null).cast(DoubleType))
       }),
       1)
 

@@ -34,7 +34,10 @@ object AsOfJoin {
       .select((keys.map(col) :+ col("_ts") :+ col("_side")) ++
         leftCols.filterNot(keys.contains).map(c => col(c).as(s"_l_$c")) :+
         lit(null).cast(carryT).as("_r"): _*)
-    val r = right
+    // a NULL right timestamp would sort first (asc nulls-first) and be
+    // carried as the "earliest" match onto every left row until a real
+    // right row appears — unmatchable rows are excluded up front instead
+    val r = right.where(col(rightTs).isNotNull)
       .withColumn("_ts", col(rightTs))
       .withColumn("_side", lit(0))
       .select((keys.map(col) :+ col("_ts") :+ col("_side")) ++

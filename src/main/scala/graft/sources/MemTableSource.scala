@@ -42,7 +42,18 @@ object MemTableRegistry {
   def schemaOf(name: String): StructType =
     Option(tables.get(name)).map(_._1)
       .getOrElse(throw new IllegalArgumentException(s"memtable '$name' not registered"))
-  def rowsOf(name: String): Seq[Seq[Any]] = tables.get(name)._2
+  def rowsOf(name: String): Seq[Seq[Any]] =
+    Option(tables.get(name)).map(_._2)
+      .getOrElse(throw new IllegalArgumentException(s"memtable '$name' not registered"))
+
+  /** Atomic job-commit merge: read-existing + register in one `compute` so
+    * concurrent writers can't lose each other's rows; an append to a table
+    * that doesn't exist yet starts from empty rather than erroring. */
+  def commitRows(name: String, schema: StructType, rows: Seq[Seq[Any]], overwrite: Boolean): Unit =
+    tables.compute(name, (_, prev) => {
+      val existing = if (overwrite || prev == null) Seq.empty[Seq[Any]] else prev._2
+      (schema, existing ++ rows)
+    })
 
   /** Rows surviving source-side filtering (test observability). */
   val emitted = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -72,8 +83,7 @@ private class MemTable(name: String) extends Table
             new MemTableWriterFactory(info.schema())
           override def commit(messages: Array[WriterCommitMessage]): Unit = {
             val rows = messages.toSeq.flatMap(_.asInstanceOf[MemTableCommit].rows)
-            val existing = if (overwrite) Seq.empty else MemTableRegistry.rowsOf(name)
-            MemTableRegistry.register(name, info.schema(), existing ++ rows)
+            MemTableRegistry.commitRows(name, info.schema(), rows, overwrite)
           }
           override def abort(messages: Array[WriterCommitMessage]): Unit = ()
         }

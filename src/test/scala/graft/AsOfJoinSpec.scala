@@ -48,6 +48,17 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.isNullAt(out.fieldIndex("asof_px")))
   }
 
+  test("null right timestamp is never carried as a match — ADVICE r1") {
+    val q = Seq((1L, Option.empty[Long], 999.0), (1L, Option(20L), 101.0))
+      .toDF("k", "qts", "px")
+    val t = Seq((1L, 10L, "t0"), (1L, 25L, "t1")).toDF("k", "tts", "tid")
+    val out = AsOfJoin.asOf(t, q, Seq("k"), "tts", "qts", Seq("px"))
+      .orderBy(col("tts")).collect()
+      .map(r => (r.getAs[String]("tid"), Option(r.get(r.fieldIndex("asof_px")))))
+    // t0 precedes every real quote → no match (NOT the null-ts row's 999.0)
+    assert(out.toSeq == Seq(("t0", None), ("t1", Some(101.0))))
+  }
+
   test("contentHash: equal for equal content, differs on change") {
     val a = DataTable(quotes)
     val b = DataTable(quotes.orderBy(col("px").desc)) // same multiset, any order

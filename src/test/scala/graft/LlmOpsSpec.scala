@@ -87,6 +87,19 @@ class LlmOpsSpec extends SparkSpec {
     assert(got.toSeq == Seq(1.0, 0.0))
   }
 
+  test("cosine: zero vector yields NULL (not NaN), so it drops out of desc top-k — ADVICE r1") {
+    val df = Seq(
+      (1L, Seq(0f, 0f), Seq(1f, 2f)),
+      (2L, Seq(1f, 2f), Seq(1f, 2f))).toDF("id", "a", "b")
+    val got = df.select(col("id"), SimFns.cosine(col("a"), col("b")).as("cos"))
+    val byId = got.collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(byId(1L).isEmpty, "zero vector must be NULL, not NaN")
+    assert(byId(2L).exists(v => math.abs(v.asInstanceOf[Double] - 1.0) < 1e-9))
+    // NULL sorts last under desc → the real match outranks the zero vector
+    val first = got.orderBy(col("cos").desc).head()
+    assert(first.getLong(0) == 2L)
+  }
+
   test("rp-LSH: identical vectors share buckets; planes deterministic") {
     val planes = SimFns.fixedPlanes(6, 3)
     assert(planes == SimFns.fixedPlanes(6, 3))

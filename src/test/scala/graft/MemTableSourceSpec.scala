@@ -81,6 +81,12 @@ class MemTableSourceSpec extends SparkSpec {
     assert(afterOverwrite.length == 1 && afterOverwrite.head.getLong(0) == 9L)
   }
 
+  test("rowsOf errors clearly on unknown name; commit treats missing as empty — ADVICE r1") {
+    intercept[IllegalArgumentException] { MemTableRegistry.rowsOf("never_registered") }
+    MemTableRegistry.commitRows("fresh_sink", schema, Seq(Seq(5L, "e", 5.0)), overwrite = false)
+    assert(MemTableRegistry.rowsOf("fresh_sink") == Seq(Seq(5L, "e", 5.0)))
+  }
+
   test("facade round-trip: DataTable over the custom source") {
     MemTableRegistry.register("people3", schema, Seq(Seq(1L, "a", 2.0), Seq(2L, null, 4.0)))
     val dt = DataTable(spark.read.format("graft.sources.MemTableSource")

@@ -94,6 +94,24 @@ class TypeGuessSpec extends SparkSpec {
     }
   }
 
+  test("date-only strings infer as timestamp; bare numbers still guarded — ADVICE r1") {
+    assert(guessOne(Seq("2020-01-01", "2021-12-31")) == TimestampType)
+    assert(guessOne(Seq("2020-01-01 10:00:00", "2021-12-31 23:59:59")) == TimestampType)
+    assert(guessOne(Seq("2020", "2021")) == LongType)       // bare year ≠ date
+    assert(guessOne(Seq("1,234", "56")) == DoubleType)       // comma-float ≠ date
+  }
+
+  test("SQL relaxed_double matches native semantics: rejects NaN/Infinity/hex — ADVICE r1") {
+    Fns.registerSqlFunctions(spark)
+    val r = spark.sql(
+      """SELECT relaxed_double('NaN') a, relaxed_double('Infinity') b,
+        |       relaxed_double('0x1p3') c, relaxed_double('1.5f') d,
+        |       relaxed_double(' $2,500.75 ') e, relaxed_double('1.5e3') f,
+        |       relaxed_double('-.5') g""".stripMargin).head()
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3))
+    assert(r.getDouble(4) == 2500.75 && r.getDouble(5) == 1500.0 && r.getDouble(6) == -0.5)
+  }
+
   test("relaxed_double_native registers as a SQL function") {
     graft.plans.GraftExtensions.register(spark)
     val v = spark.sql("SELECT relaxed_double_native(' $2,500.75 ') AS v").head().getDouble(0)
