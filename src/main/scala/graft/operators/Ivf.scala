@@ -1,10 +1,11 @@
 package graft.operators
 
 import graft.functions.SimFns
-import org.apache.spark.sql.DataFrame
+import graft.plans.NearestCells
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
+import org.apache.spark.sql.graftbridge.ColumnBridge
 
 /** IVF (inverted-file) approximate nearest neighbour: a coarse k-means
   * quantizer partitions the vectors into cells; a query probes only its
@@ -13,69 +14,81 @@ import org.apache.spark.sql.types._
   * ~(nprobe/k), and cells are a partitioning key, so each probe is a
   * partition-pruned scan.
   *
-  * Training is deterministic Lloyd iterations (seeded by the first k
-  * vectors in id order, no randomness): assignment is a broadcast join
-  * against the k centroids + per-vector argmin; the update step re-averages
-  * per (cell, dimension) via posexplode — both plain shuffles that scale
-  * with the corpus, never corpus².
+  * The quantizer is k small driver-side centroids, so cell assignment is a
+  * native codegen'd expression ([[graft.plans.NearestCells]]) — a NARROW map
+  * over the corpus with no join and no shuffle. Training is deterministic
+  * Lloyd iterations (seeded by the first k vectors in id order, no
+  * randomness): each iteration is one narrow assign pass + one
+  * (cell, dimension) partial aggregate — cost scales with the corpus,
+  * never corpus², and the only shuffled rows are k×dim partial sums.
   */
 object Ivf {
 
-  /** Squared L2 distance between two (double-cast) array columns. */
-  private def dist2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-    aggregate(zip_with(SimFns.toDouble(a), SimFns.toDouble(b), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, v) => acc + v)
+  /** The `n` nearest cells of `vec` among driver-side `cents` — codegen'd,
+    * shuffle-free (see [[graft.plans.NearestCells]]). */
+  def nearestCells(vec: Column, cents: Array[Array[Double]], n: Int): Column =
+    ColumnBridge.column(NearestCells(ColumnBridge.expression(vec), cents, n))
 
-  /** Train k centroids with `iters` Lloyd iterations.
-    * Returns (cell: Int, centroid: Array[Double]) — k small, driver-side. */
-  def train(vectors: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int = 2): DataFrame = {
-    val spark = vectors.sparkSession
-    var centroids = vectors.orderBy(col(idCol)).limit(k)
-      .select(col(idCol), SimFns.toDouble(col(vecCol)).as("centroid"))
-      .withColumn("cell", row_number().over(Window.orderBy(col(idCol))) - 1)
-      .select(col("cell"), col("centroid"))
-    for (_ <- 1 to iters) {
-      val assigned = assign(vectors, centroids, idCol, vecCol)
-      centroids = assigned
-        .join(vectors, idCol)
-        .select(col("cell"), posexplode(SimFns.toDouble(col(vecCol))))
-        .toDF("cell", "pos", "x")
-        .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("m"))
-        .groupBy(col("cell"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cell"), transform(col("pm"), p => p.getField("m")).as("centroid"))
-    }
-    // materialize: centroids are k tiny rows of driver-side metadata, but as
-    // a lazy plan every downstream use would re-run all Lloyd iterations
-    val rows = centroids.collect().toSeq
-    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), centroids.schema)
+  /** Materialize a (cell, centroid) DataFrame to the driver-side matrix the
+    * assignment expression embeds. Cells are dense 0..k-1 by construction. */
+  def collectCentroids(centroids: DataFrame): Array[Array[Double]] = {
+    val rows = centroids.select(col("cell"), col("centroid")).collect()
+    val out = new Array[Array[Double]](rows.map(_.getInt(0)).max + 1)
+    rows.foreach(r => out(r.getInt(0)) = r.getSeq[Double](1).toArray)
+    out
   }
 
-  /** Assign every vector to its nearest centroid: broadcast the k centroids,
-    * argmin via min_by. Returns (idCol, cell). */
-  def assign(vectors: DataFrame, centroids: DataFrame, idCol: String, vecCol: String): DataFrame =
-    vectors.join(broadcast(centroids))
-      .groupBy(col(idCol))
-      .agg(min_by(col("cell"), struct(dist2(col(vecCol), col("centroid")), col("cell"))).as("cell"))
+  /** Train k centroids with `iters` Lloyd iterations; returns the
+    * (cell: Int, centroid: Array[Double]) table (k tiny rows). Each
+    * iteration materializes k×dim averaged sums on the driver — chaining
+    * iterations lazily instead would nest every previous iteration's plan
+    * into the next. A cell that captures no vectors keeps its previous
+    * centroid (deterministic, no respawn heuristics). */
+  def train(vectors: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int = 2): DataFrame = {
+    val spark = vectors.sparkSession
+    var cents: Array[Array[Double]] = vectors.orderBy(col(idCol)).limit(k)
+      .select(SimFns.toDouble(col(vecCol)).as("v")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    for (_ <- 1 to iters) {
+      val means = vectors
+        .select(element_at(nearestCells(col(vecCol), cents, 1), 1).as("cell"),
+          posexplode(SimFns.toDouble(col(vecCol))))
+        .toDF("cell", "pos", "x")
+        .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("m"))
+        .collect()
+      val next = cents.map(_.clone())
+      means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      cents = next
+    }
+    import spark.implicits._
+    cents.toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toDF("cell", "centroid")
+  }
+
+  /** Assign every vector to its nearest centroid. Returns (idCol, cell) —
+    * one codegen'd projection, no join, no shuffle. */
+  def assign(vectors: DataFrame, centroids: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val cents = collectCentroids(centroids)
+    vectors.select(col(idCol), element_at(nearestCells(col(vecCol), cents, 1), 1).as("cell"))
+  }
 
   /** Build the searchable index ONCE: vectors tagged with their cell. In
     * production this is written out partitioned by `cell` so probes become
-    * partition-pruned scans; re-assigning per query would swamp IVF's
-    * candidate-set savings with a full-corpus shuffle. */
-  def index(vectors: DataFrame, centroids: DataFrame, idCol: String, vecCol: String): DataFrame =
-    vectors.join(assign(vectors, centroids, idCol, vecCol), idCol)
+    * partition-pruned scans. */
+  def index(vectors: DataFrame, centroids: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val cents = collectCentroids(centroids)
+    vectors.withColumn("cell", element_at(nearestCells(col(vecCol), cents, 1), 1))
+  }
 
   /** Top-k cosine search probing the query's `nprobe` nearest cells, over a
-    * pre-built [[index]]. */
+    * pre-built [[index]]. The probe-cell choice is the same codegen'd
+    * expression (exploded to `nprobe` rows per query); ranking is a window
+    * per query id, so work scales with queries × probed candidates. */
   def search(indexed: DataFrame, centroids: DataFrame, queries: DataFrame,
              idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
              topK: Int, nprobe: Int): DataFrame = {
-    val qCells = queries.join(broadcast(centroids))
-      .withColumn("d2", dist2(col(qVecCol), col("centroid")))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col(qIdCol)).orderBy(col("d2"), col("cell"))))
-      .where(col("rnk") <= nprobe)
-      .select(col(qIdCol), col(qVecCol), col("cell"))
+    val cents = collectCentroids(centroids)
+    val qCells = queries.select(col(qIdCol), col(qVecCol),
+      explode(nearestCells(col(qVecCol), cents, nprobe)).as("cell"))
     val w = Window.partitionBy(col(qIdCol)).orderBy(col("cos").desc, col(idCol))
     qCells.join(indexed, "cell")
       .select(col(qIdCol), col(idCol),
