@@ -99,6 +99,25 @@ object QueriesDedup {
         .orderBy(col("train_id"), col("eval_id"))
     }),
 
+    // Near-dup pairs resolved into duplicate CLUSTERS: MinHash-LSH edges →
+    // large-star/small-star connected components (log-round convergence —
+    // a duplicate chain a~b~c~… would take diameter rounds under naive
+    // label flooding). Output: every doc with its cluster id (= min doc_id
+    // in the cluster) and cluster size.
+    "dedup_clusters" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val c = corpus(s, dir)
+      val edges = Dedup.minhashNearDups(c, "doc_id", "text", threshold = 0.8)
+        .select(col("id_a"), col("id_b"))
+      val labels = graft.operators.ConnectedComponents.components(
+        edges, c.select(col("doc_id")))
+      labels
+        .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+        .orderBy(col("doc_id"))
+    }),
+
     // Embedding cosine near-dup: exact copies at +100000 must be found at
     // cosine ≥ 0.9 (natural max pairwise cosine in the data is ~0.31).
     "embed_neardup" -> ((s, dir) => {
@@ -153,6 +172,31 @@ object QueriesDedup {
          |SELECT train_id, eval_id, CAST(count(*) AS BIGINT) AS n_shared_8grams
          |FROM trsh JOIN evsh USING (sh)
          |GROUP BY train_id, eval_id ORDER BY train_id, eval_id""".stripMargin,
+    // Ground truth: exhaustive jaccard edges + recursive transitive closure.
+    // (The driver-side compare is engine-agnostic; the Spark side must reach
+    // the same clusters through LSH banding + star contraction.)
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE base AS (SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0),
+         |corpus AS (
+         |  SELECT doc_id, text FROM base
+         |  UNION ALL SELECT doc_id + 100000, text FROM base
+         |  UNION ALL SELECT doc_id + 200000, text || ' xtra xtra' FROM base),
+         |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(tk) - 1, 1)),
+         |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+         |  FROM (SELECT doc_id, $toksSql AS tk FROM corpus)),
+         |edges AS (
+         |  SELECT a.doc_id AS u, b.doc_id AS v FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_distinct(list_intersect(a.s, b.s))) AS DOUBLE) /
+         |        CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.8),
+         |bidir AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
+         |reach(src, dst) AS (
+         |  SELECT doc_id, doc_id FROM corpus
+         |  UNION
+         |  SELECT r.src, b.v FROM reach r JOIN bidir b ON r.dst = b.u),
+         |lab AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src)
+         |SELECT doc_id, cluster_id,
+         |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+         |FROM lab ORDER BY doc_id""".stripMargin,
     "embed_neardup" ->
       """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |    FROM embeddings WHERE vec_id % 25 = 0),

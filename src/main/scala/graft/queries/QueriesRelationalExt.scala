@@ -109,6 +109,41 @@ object QueriesRelationalExt {
           |FROM part ORDER BY p_partkey LIMIT 500""".stripMargin)
     }),
 
+    // Unpivot/melt: wide measure columns → (measure, value) rows — the
+    // inverse of pivot, a pure narrow Expand (no shuffle until the sort).
+    "unpivot_melt" -> ((s, dir) => {
+      t(s, dir, "lineitem").where(col("l_orderkey") < 100)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"), col("l_tax"))
+        .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+          "measure", "val")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"))
+    }),
+
+    // Explicit GROUPING SETS (rollup/cube's general form), one SQL text
+    // both engines run verbatim.
+    "agg_grouping_sets" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(GroupingSetsSql)
+    }),
+
+    // Correlated + scalar + IN subqueries in one query, verbatim SQL.
+    "sql_subqueries" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(SubqueriesSql)
+    }),
+
+    // ntile / percent_rank / cume_dist distribution windows.
+    "window_ntile" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal"), col("c_custkey"))
+      t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"),
+          ntile(4).over(w).cast(LongType).as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cdist"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // Pivot: event counts per user bucket × event type. Empty cells are
     // coalesced to 0 — Spark pivots them to NULL, the oracle's CASE sums to 0.
     "pivot_counts" -> ((s, dir) => {
@@ -121,8 +156,44 @@ object QueriesRelationalExt {
         .orderBy(col("bucket"))
     }))
 
+  /** GROUPING SETS — runnable verbatim by Spark and DuckDB. */
+  private val GroupingSetsSql =
+    """SELECT coalesce(l_returnflag, 'ALL') AS flag, coalesce(l_linestatus, 'ALL') AS status,
+      |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+      |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+      |  round(sum(l_quantity), 2) AS sum_qty, CAST(count(*) AS BIGINT) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus), ())
+      |ORDER BY flag, status, g_flag, g_status""".stripMargin
+
+  /** Scalar + correlated-EXISTS + IN subqueries — verbatim in both engines. */
+  private val SubqueriesSql =
+    """SELECT c_custkey, round(c_acctbal, 2) AS acctbal
+      |FROM customer c
+      |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+      |  AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |  AND c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 1)
+      |ORDER BY c_custkey""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "sql_bridge" -> BridgeSql,
+    "agg_grouping_sets" -> GroupingSetsSql,
+    "sql_subqueries" -> SubqueriesSql,
+    "unpivot_melt" ->
+      """SELECT l_orderkey, l_linenumber, measure, val FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+        |  UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+        |  UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem)
+        |WHERE l_orderkey < 100
+        |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin,
+    "window_ntile" ->
+      """SELECT c_custkey, c_nationkey, CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cdist
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
     "join_asof" ->
       """SELECT event_id, user_id, ts, prev_click_ts FROM (
         |  SELECT event_id, user_id, ts, event_type,

@@ -88,6 +88,49 @@ object QueriesText {
         .orderBy(col("doc_id"))
     }),
 
+    // Fixed-size token chunking with overlap (64-token windows, stride 48) —
+    // the context-window prep step of a training pipeline. One narrow pass:
+    // tokens are let-bound per row, chunk starts come from `sequence`, and
+    // posexplode emits (doc, chunk) rows; no shuffle until the final sort.
+    "doc_chunks" -> ((s, dir) => {
+      val chunks = element_at(
+        transform(array(TextFns.tokens(col("text"))), tk =>
+          transform(sequence(lit(1), greatest(size(tk), lit(1)), lit(48)),
+            st => concat_ws(" ", slice(tk, st, lit(64))))),
+        1)
+      t(s, dir, "documents").where(col("doc_id") < 200)
+        .select(col("doc_id"), posexplode(chunks))
+        .toDF("doc_id", "chunk_idx", "chunk_text")
+        .select(col("doc_id"), col("chunk_idx").cast(LongType).as("chunk_idx"),
+          col("chunk_text"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
+    // PII detection + redaction: emails / IPv4s / SSN-shaped ids are
+    // counted and replaced. Deterministic synthetic PII is injected
+    // in-query (the corpus has none); output carries the md5 of the
+    // redacted text so the oracle compares full redaction results without
+    // shipping whole documents through the harness.
+    "pii_redact" -> ((s, dir) => {
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      val ssnRe = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+      val docs = t(s, dir, "documents").where(col("doc_id") < 300)
+        .select(col("doc_id"), concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" contact user"), col("doc_id").cast(StringType), lit("@example.com")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit(" from 192.168.1.77")).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0, lit(" ssn 123-45-6789")).otherwise(lit(""))).as("text"))
+      docs.select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(emailRe), lit(0))).cast(LongType).as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(ipRe), lit(0))).cast(LongType).as("n_ips"),
+        size(regexp_extract_all(col("text"), lit(ssnRe), lit(0))).cast(LongType).as("n_ssns"),
+        md5(regexp_replace(regexp_replace(regexp_replace(col("text"),
+          emailRe, "[EMAIL]"), ipRe, "[IP]"), ssnRe, "[SSN]")).as("redacted_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Document fingerprints: md5-of-normalized + min-shingle (rolling-hash
     // style, robust to local edits).
     "fingerprint" -> ((s, dir) => {
@@ -174,6 +217,27 @@ object QueriesText {
          |SELECT doc_id, term, round(tfidf, 6) AS tfidf FROM (
          |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
          |  FROM scored) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "doc_chunks" ->
+      s"""WITH tk AS (SELECT doc_id, $toks AS tk FROM documents WHERE doc_id < 200),
+         |ch AS (SELECT doc_id, unnest(range(1, greatest(len(tk), 1) + 1, 48)) AS st, tk FROM tk)
+         |SELECT doc_id, CAST((st - 1) // 48 AS BIGINT) AS chunk_idx,
+         |  array_to_string(tk[st:st+63], ' ') AS chunk_text
+         |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
+    "pii_redact" ->
+      """WITH d AS (SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id || '@example.com' ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' from 192.168.1.77' ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN ' ssn 123-45-6789' ELSE '' END AS text
+        |  FROM documents WHERE doc_id < 300)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssns,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+        |    '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g')) AS redacted_md5
+        |FROM d ORDER BY doc_id""".stripMargin,
     "fingerprint" ->
       s"""WITH tk AS (SELECT doc_id,
          |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS fp,
