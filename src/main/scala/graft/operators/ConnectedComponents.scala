@@ -38,16 +38,26 @@ object ConnectedComponents {
       .distinct()
       .localCheckpoint(true)
 
+    // Fixpoint detection: (count, XOR of xxhash64(u,v)) of the edge set —
+    // ONE cheap aggregate per round instead of an exceptAll join. Star
+    // rounds only ever rewrite the edge set toward the fixpoint, so an
+    // unchanged (count, hash-xor) pair means converged (collision between
+    // consecutive DIFFERENT sets ~2⁻⁶⁴ — the standard large-scale check).
+    // XOR, not sum: overflow-free under ANSI mode, and edges are distinct
+    // so no pair can self-cancel.
+    def sig(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var eSig = sig(e)
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
-      val ls = largeStar(e)
-      val next = smallStar(ls).localCheckpoint(true)
-      // converged when the star rounds are a no-op (edge sets equal);
-      // at production scale this compare is a cheap count+anti-join on the
-      // already-checkpointed sets
-      converged = next.count() == e.count() && next.exceptAll(e).isEmpty
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val nextSig = sig(next)
+      converged = nextSig == eSig
       e = next
+      eSig = nextSig
       it += 1
     }
 
