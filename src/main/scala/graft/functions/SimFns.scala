@@ -21,18 +21,25 @@ object SimFns {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine with the let-binding idiom (CLAUDE.md): the cast arrays are
-    * bound once per row via a single-element struct transform — naive
-    * composition would re-run the full-array cast ~3× per side per row
-    * inside interpreted HOFs.
+  /** Cosine similarity — native codegen'd expression (graft.plans.CosineSim):
+    * one fused dot/norm loop inside whole-stage codegen. This is the
+    * most-executed scalar in the similarity path (once per query×candidate
+    * pair), so it must not fall out of codegen the way interpreted
+    * higher-order functions do.
     *
-    * A zero vector has norm 0: under ANSI that division throws, and under
-    * non-ANSI it is 0/0 = NaN, which sorts ABOVE every real value in a
-    * descending rank window — an unguarded zero vector would claim rank 1 in
-    * every top-k. `try_divide` yields NULL on a zero divisor (and `nanvl`
-    * catches NaN-laden inputs); NULL sorts last under desc, so zero vectors
-    * drop out of ranking. */
+    * NULL on zero-norm/NaN (zero vectors must not claim rank 1 in desc
+    * top-k), on any NULL element, and on length mismatch — identical to
+    * [[cosineComposed]], which the spec cross-checks bit-for-bit. */
   def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.CosineSim(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(a),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(b)))
+
+  /** The composed-built-in form cosine replaced (kept as the spec's
+    * differential oracle): let-binding idiom (CLAUDE.md) so the cast arrays
+    * bind once per row; `try_divide`/`nanvl` give the same NULL contract. */
+  def cosineComposed(a: Column, b: Column): Column =
     element_at(
       transform(array(struct(toDouble(a).as("x"), toDouble(b).as("y"))), p => {
         val ad = p.getField("x"); val bd = p.getField("y")

@@ -11,22 +11,29 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction(GraftExtensions.relaxedDoubleNative)
+    GraftExtensions.all.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
 
-  private val relaxedDoubleNative: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
-    FunctionIdentifier("relaxed_double_native"),
-    new ExpressionInfo(classOf[RelaxedParseDouble].getName, "relaxed_double_native"),
+  private type FnDef = (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  private def fn(name: String, cls: Class[_], arity: Int)(
+      build: Seq[Expression] => Expression): FnDef = (
+    FunctionIdentifier(name),
+    new ExpressionInfo(cls.getName, name),
     (exprs: Seq[Expression]) => {
-      require(exprs.length == 1,
-        s"relaxed_double_native expects exactly 1 argument, got ${exprs.length}")
-      RelaxedParseDouble(exprs.head)
+      require(exprs.length == arity,
+        s"$name expects exactly $arity argument(s), got ${exprs.length}")
+      build(exprs)
     })
+
+  private val all: Seq[FnDef] = Seq(
+    fn("relaxed_double_native", classOf[RelaxedParseDouble], 1)(e => RelaxedParseDouble(e.head)),
+    fn("cosine_sim", classOf[CosineSim], 2)(e => CosineSim(e(0), e(1))))
 
   /** Imperative registration into an existing session's function registry. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      relaxedDoubleNative._1.funcName, relaxedDoubleNative._3, "built-in")
+    all.foreach(d => spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction(d._1.funcName, d._3, "built-in"))
 }

@@ -42,6 +42,52 @@ class CodegenSpec extends SparkSpec {
     assert(byId(5L) == Seq(0, 1))
   }
 
+  test("CosineSim: codegen'd, bit-identical to the composed-builtin form") {
+    import graft.functions.SimFns
+    // deterministic float vectors incl. negatives and magnitude spread
+    val df = spark.range(0, 200)
+      .select(col("id"), array((0 until 8).map(i =>
+        ((col("id") * (i + 3) % 17).cast(FloatType) - lit(8.0f)) / lit(3.0f)): _*).as("v"))
+    val pairs = df.as("a").join(df.as("b"), col("a.id") + 100 === col("b.id"))
+    // codegen check on a native-only projection (the composed HOF form is
+    // interpreted BY DESIGN — putting it in the same Project would disable
+    // codegen for the whole stage and prove nothing about the native expr)
+    val nativeOnly = pairs.select(SimFns.cosine(col("a.v"), col("b.v")).as("native"))
+    nativeOnly.collect()
+    val plan = nativeOnly.queryExecution.executedPlan.toString
+    assert(plan.contains("cosine_sim"), s"native cosine missing from plan:\n$plan")
+    assert(plan.contains("*(") && plan.contains("Project [cosine_sim"),
+      s"cosine projection lost codegen:\n$plan")
+    val both = pairs.select(
+      SimFns.cosine(col("a.v"), col("b.v")).as("native"),
+      SimFns.cosineComposed(col("a.v"), col("b.v")).as("composed"))
+    both.collect().foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)),
+        s"native=${r.getDouble(0)} composed=${r.getDouble(1)}")
+    }
+    // NULL-contract edges: zero vector, NULL element, length mismatch — the
+    // native expression must agree with the composed form on every one
+    import spark.implicits._
+    val edge = Seq(
+      (Array(0.0f, 0.0f), Array(1.0f, 2.0f)),   // zero norm → NULL
+      (Array(1.0f, 2.0f), Array(1.0f, 2.0f)),   // identity → 1.0
+      (Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f))) // length mismatch → NULL
+      .toDF("a", "b")
+      .union(Seq((Seq[java.lang.Float](1.0f, null), Seq[java.lang.Float](1.0f, 2.0f)))
+        .toDF("a", "b")) // NULL element → NULL
+    edge.select(SimFns.cosine($"a", $"b").as("n"), SimFns.cosineComposed($"a", $"b").as("c"))
+      .collect().foreach(r => assert(r.isNullAt(0) == r.isNullAt(1) &&
+        (r.isNullAt(0) || r.getDouble(0) == r.getDouble(1)), s"edge mismatch: $r"))
+  }
+
+  test("cosine_sim is SQL-registered via GraftExtensions") {
+    graft.plans.GraftExtensions.register(spark)
+    val got = spark.sql(
+      "SELECT cosine_sim(array(1.0D, 0.0D), array(0.6D, 0.8D)) AS c").head().getDouble(0)
+    assert(math.abs(got - 0.6) < 1e-12)
+  }
+
   test("flagship aggregate runs in a codegen'd pipeline") {
     val df = SparkEntry.queries("agg_group")(spark, "/root/testdata/sf0.001")
     df.collect() // AQE finalizes the plan only on execution
