@@ -8,13 +8,15 @@ import org.apache.spark.sql.types.StructType
 /** Generic as-of join: for each left row, the latest right row with
   * `rightTs <= leftTs` (or strictly `<`) within the same key.
   *
-  * Implemented as union → single window pass (`last(..., ignoreNulls)` over
-  * rows-preceding), NOT a join: per-key state is O(1), there is exactly one
-  * shuffle (by key), and a hot key degrades to a sort instead of a row
-  * explosion — the shape that survives 100 TB and arbitrary skew. The
-  * right side's carried columns are null on left rows and vice versa, so
-  * the window simply forwards the most recent right values onto each left
-  * row.
+  * Default path is the native Catalyst operator (graft.plans.AsOfJoinPlan →
+  * AsOfMergeJoinExec): each side shuffles only its own pruned columns,
+  * EnsureRequirements co-partitions them, and the merge is one streaming
+  * pass with O(1) state — no row widening through the exchange. A hot key
+  * degrades to a sort, never a row explosion.
+  *
+  * [[asOfUnionWindow]] keeps the composable union → window-carry
+  * formulation (one shuffle of L+R null-padded rows) as the differential
+  * oracle — AsOfJoinSpec proves both produce identical results.
   */
 object AsOfJoin {
 
@@ -23,6 +25,37 @@ object AsOfJoin {
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
            leftTs: String, rightTs: String, carry: Seq[String],
            strict: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.graftbridge.PlanBridge
+    val spark = left.sparkSession
+    PlanBridge.addStrategy(spark, graft.plans.AsOfJoinStrategy)
+    // left: keys first then the rest (the documented output order); right:
+    // pruned to exactly keys+ts+carry with unmatchable NULL-ts rows dropped
+    val leftCols = left.columns
+    val lPrep = left.select((keys ++ leftCols.filterNot(keys.contains)).map(col): _*)
+    val rPrep = right.where(col(rightTs).isNotNull)
+      .select(((keys :+ rightTs) ++ carry).distinct.map(col): _*)
+    val lPlan = lPrep.queryExecution.analyzed
+    val rPlan = rPrep.queryExecution.analyzed
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"as-of column not found: $n"))
+    val carryAttrs = carry.map(attr(rPlan, _))
+    val plan = graft.plans.AsOfJoinPlan(
+      lPlan, rPlan,
+      keys.map(attr(lPlan, _)), keys.map(attr(rPlan, _)),
+      attr(lPlan, leftTs), attr(rPlan, rightTs),
+      carryAttrs,
+      graft.plans.AsOfMergeJoin.carryAttrs(carryAttrs.map(a => a.name -> a.dataType)),
+      strict)
+    PlanBridge.ofRows(spark, plan)
+  }
+
+  /** The union → single-window-pass formulation (differential oracle for
+    * the native operator; also the shape to reach for where a custom
+    * strategy cannot be installed). */
+  def asOfUnionWindow(left: DataFrame, right: DataFrame, keys: Seq[String],
+                      leftTs: String, rightTs: String, carry: Seq[String],
+                      strict: Boolean = false): DataFrame = {
     val leftCols = left.columns
     // carry travels as ONE struct per right row: last(ignoreNulls) must skip
     // whole rows, never individual null fields — per-column carries would

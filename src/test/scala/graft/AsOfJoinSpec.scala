@@ -59,6 +59,40 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.toSeq == Seq(("t0", None), ("t1", Some(101.0))))
   }
 
+  test("native plan: AsOfMergeJoin with co-partitioned sorted children") {
+    val df = AsOfJoin.asOf(trades, quotes, Seq("k"), "tts", "qts", Seq("px"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfMergeJoin"), s"custom exec missing:\n$plan")
+    assert(plan.contains("Sort ["), s"children not sorted:\n$plan")
+  }
+
+  test("differential: native merge exec ≡ union-window formulation") {
+    // adversarial corpus: hot key, duplicate (key,ts) on both sides, null
+    // left ts, null right ts, keys present on only one side
+    val rng = new scala.util.Random(7)
+    val lRows = (0 until 400).map { i =>
+      val k = if (i % 3 == 0) 1L else rng.nextInt(8).toLong // key 1 is hot
+      val ts = if (i % 37 == 0) None else Some(rng.nextInt(50).toLong)
+      (k, ts, s"l$i")
+    }
+    val rRows = (0 until 300).map { i =>
+      val k = rng.nextInt(10).toLong // keys 8,9 absent from left
+      val ts = if (i % 23 == 0) None else Some(rng.nextInt(50).toLong)
+      (k, ts, rng.nextInt(5).toDouble, s"r$i")
+    }
+    val l = lRows.toDF("k", "lts", "lid")
+    val r = rRows.toDF("k", "rts", "v", "rid")
+    for (strict <- Seq(false, true)) {
+      val native = AsOfJoin.asOf(l, r, Seq("k"), "lts", "rts", Seq("v", "rid"), strict)
+      val window = AsOfJoin.asOfUnionWindow(l, r, Seq("k"), "lts", "rts", Seq("v", "rid"), strict)
+      assert(native.columns.toSeq == window.columns.toSeq)
+      val n = native.orderBy(col("lid")).collect().map(_.toSeq).toSeq
+      val w = window.orderBy(col("lid")).collect().map(_.toSeq).toSeq
+      assert(n == w, s"strict=$strict: native and union-window disagree")
+    }
+  }
+
   test("contentHash: equal for equal content, differs on change") {
     val a = DataTable(quotes)
     val b = DataTable(quotes.orderBy(col("px").desc)) // same multiset, any order
