@@ -33,10 +33,13 @@ object ConnectedComponents {
     * @return (id, component) — component = min node id in the component */
   def components(edges: DataFrame, nodes: DataFrame, maxIters: Int = 25): DataFrame = {
     val n = nodes.toDF("id")
+    // LAZY checkpoints throughout: the fixpoint signature aggregate is the
+    // action that materializes each round's checkpoint, so every round costs
+    // ONE job (star rounds + sig) instead of two (eager checkpoint, then sig)
     var e = edges.toDF("u", "v").where(col("u") =!= col("v"))
       .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
 
     // Fixpoint detection: (count, XOR of xxhash64(u,v)) of the edge set —
     // ONE cheap aggregate per round instead of an exceptAll join. Star
@@ -53,7 +56,7 @@ object ConnectedComponents {
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
-      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val next = smallStar(largeStar(e)).localCheckpoint(false)
       val nextSig = sig(next)
       converged = nextSig == eSig
       e = next

@@ -38,18 +38,26 @@ object Ivf {
     out
   }
 
-  /** Train k centroids with `iters` Lloyd iterations; returns the
-    * (cell: Int, centroid: Array[Double]) table (k tiny rows). Each
-    * iteration materializes k×dim averaged sums on the driver — chaining
-    * iterations lazily instead would nest every previous iteration's plan
-    * into the next. A cell that captures no vectors keeps its previous
-    * centroid (deterministic, no respawn heuristics). */
-  def train(vectors: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int = 2): DataFrame = {
+  /** Train k centroids with Lloyd iterations to convergence (max centroid
+    * L2 movement < `tol`) or `maxIters`; returns the (cell: Int,
+    * centroid: Array[Double]) table (k tiny rows). Each iteration is one
+    * narrow codegen'd assign pass + one (cell, dim) aggregate whose map-side
+    * combine collapses the posexplode blowup to k×dim partials per
+    * partition — the shuffle moves k×dim×partitions rows regardless of
+    * corpus size. Results materialize on the driver per iteration: chaining
+    * iterations lazily would nest every previous iteration's plan into the
+    * next. A cell that captures no vectors keeps its previous centroid
+    * (deterministic, no respawn heuristics); seeding is the first k vectors
+    * in id order (deterministic, no randomness). */
+  def train(vectors: DataFrame, idCol: String, vecCol: String, k: Int,
+            maxIters: Int = 6, tol: Double = 1e-2): DataFrame = {
     val spark = vectors.sparkSession
     var cents: Array[Array[Double]] = vectors.orderBy(col(idCol)).limit(k)
       .select(SimFns.toDouble(col(vecCol)).as("v")).collect()
       .map(_.getSeq[Double](0).toArray)
-    for (_ <- 1 to iters) {
+    var it = 0
+    var moved = Double.PositiveInfinity
+    while (it < maxIters && moved >= tol) {
       val means = vectors
         .select(element_at(nearestCells(col(vecCol), cents, 1), 1).as("cell"),
           posexplode(SimFns.toDouble(col(vecCol))))
@@ -58,7 +66,11 @@ object Ivf {
         .collect()
       val next = cents.map(_.clone())
       means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      moved = cents.zip(next).map { case (a, b) =>
+        math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+      }.max
       cents = next
+      it += 1
     }
     import spark.implicits._
     cents.toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toDF("cell", "centroid")
