@@ -20,6 +20,14 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a failed query must not leave a STALE result from a previous run
+        // for the driver to compare against — delete any leftover output
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(): Unit
+        }
+        val dir = new java.io.File(s"$outDir/$name")
+        if (dir.exists()) rm(dir)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -37,6 +45,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // the full declared-query list, so the checker can flag a query whose
+    // output is MISSING (crashed + cleaned) instead of silently skipping it
+    Files.writeString(Paths.get(s"$outDir/_declared.txt"),
+      SparkEntry.queries.keys.toSeq.sorted.mkString("\n"))
     spark.stop()
   }
 }

@@ -35,7 +35,46 @@ object AsOfJoin {
     val rPrep = right.where(col(rightTs).isNotNull)
       .select(((keys :+ rightTs) ++ carry).distinct.map(col): _*)
     val lPlan = lPrep.queryExecution.analyzed
-    val rPlan = rPrep.queryExecution.analyzed
+    // Self-join hazard: if left and right derive from the same relation the
+    // two analyzed plans SHARE attribute exprIds, and the optimizer then
+    // treats a right-side key as already provided by the left (it pruned the
+    // right key column entirely — ATTRIBUTE_NOT_FOUND at exec). Spark's
+    // analyzer fixes this for built-in joins in DeduplicateRelations; a
+    // custom node must do it itself: re-instance every shared leaf relation
+    // on the right, letting transformUpWithNewOutput rewrite the plan's
+    // upstream references to the fresh ids.
+    val rPlan = {
+      import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
+      import org.apache.spark.sql.catalyst.expressions.{Alias, NamedExpression}
+      import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+      // conflicts are EVERY left-subtree attribute, not just its output —
+      // a shared leaf or shared intermediate alias collides even when the
+      // left's final projection hides it
+      val lAll = lPlan.outputSet ++ org.apache.spark.sql.catalyst.expressions.AttributeSet(
+        lPlan.collect { case p => p.output }.flatten)
+      val raw = rPrep.queryExecution.analyzed
+      def renewAliases(nes: Seq[NamedExpression]): Seq[NamedExpression] = nes.map {
+        case a: Alias if lAll.contains(a.toAttribute) => Alias(a.child, a.name)()
+        case ne => ne
+      }
+      val deduped =
+        if (raw.outputSet.intersect(lPlan.outputSet).isEmpty) raw
+        else raw.transformUpWithNewOutput {
+          case m: MultiInstanceRelation
+              if m.asInstanceOf[LogicalPlan].outputSet.intersect(lAll).nonEmpty =>
+            val fresh = m.newInstance()
+            fresh -> m.asInstanceOf[LogicalPlan].output.zip(fresh.output)
+          case p: Project if p.outputSet.intersect(lAll).nonEmpty =>
+            val np = p.copy(projectList = renewAliases(p.projectList))
+            np -> p.output.zip(np.output).filter { case (o, n) => o != n }
+          case a: Aggregate if a.outputSet.intersect(lAll).nonEmpty =>
+            val na = a.copy(aggregateExpressions = renewAliases(a.aggregateExpressions))
+            na -> a.output.zip(na.output).filter { case (o, n) => o != n }
+        }
+      require(deduped.outputSet.intersect(lPlan.outputSet).isEmpty,
+        "as-of join: could not deduplicate attributes shared between left and right")
+      deduped
+    }
     def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"as-of column not found: $n"))

@@ -42,6 +42,10 @@ case class AsOfJoinPlan(
 
   require(leftKeys.length == rightKeys.length, "as-of key arity mismatch")
   require(carry.length == carryOut.length, "carry/carryOut arity mismatch")
+  // NOTE deliberately NO require on child output disjointness here: plan
+  // canonicalization (cache/exchange reuse) rebuilds nodes with normalized
+  // attrs ("none#0"...) that collide across children by design. The facade
+  // (graft.operators.AsOfJoin.asOf) performs the self-join dedup + check.
 
   override def output: Seq[Attribute] = left.output ++ carryOut
 

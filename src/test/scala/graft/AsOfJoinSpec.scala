@@ -93,6 +93,22 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("self-join: left and right from the same relation (shared exprIds) — regression") {
+    // both sides derive from ONE DataFrame: without dedup the custom node's
+    // children share attribute ids, the optimizer prunes the right key, and
+    // execution dies with ATTRIBUTE_NOT_FOUND (found via stale verify output)
+    val events = Seq(
+      (1L, 10L, "purchase"), (1L, 5L, "click"), (1L, 8L, "click"),
+      (2L, 10L, "purchase"), (2L, 20L, "click")).toDF("k", "ts", "typ")
+    val l = events.where(col("typ") === "purchase").select(col("k"), col("ts"))
+    val r = events.where(col("typ") === "click")
+      .select(col("k"), col("ts").as("cts"))
+    val out = AsOfJoin.asOf(l, r, Seq("k"), "ts", "cts", Seq("cts"), strict = true)
+      .orderBy(col("k")).collect()
+      .map(rw => (rw.getLong(0), Option(rw.get(rw.fieldIndex("asof_cts")))))
+    assert(out.toSeq == Seq((1L, Some(8L)), (2L, None)))
+  }
+
   test("contentHash: equal for equal content, differs on change") {
     val a = DataTable(quotes)
     val b = DataTable(quotes.orderBy(col("px").desc)) // same multiset, any order

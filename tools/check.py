@@ -66,6 +66,17 @@ def main():
             print(f"FAIL  {name}: " + "; ".join(mism[:3])); n_fail += 1
         else:
             print(f"PASS  {name}: {len(a)} rows x {len(a.columns)} cols"); n_pass += 1
+    # a declared query with NO output dir crashed in Verify — flag it loudly
+    # instead of silently skipping (stale-output hazard found in round 2)
+    declared_path = os.path.join(out_dir, "_declared.txt")
+    if os.path.exists(declared_path):
+        declared = set(open(declared_path).read().split())
+        missing = sorted(declared - set(names))
+        for name in missing:
+            if only and name not in only:
+                continue
+            print(f"FAIL  {name}: MISSING output (query crashed in Verify)")
+            n_fail += 1
     print(f"\n== {n_pass} pass, {n_fail} fail, {n_rows_only} rows-only ==")
     sys.exit(1 if n_fail else 0)
 
