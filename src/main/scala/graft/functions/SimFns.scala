@@ -48,6 +48,36 @@ object SimFns {
       }),
       1)
 
+  /** Symmetric per-vector int8 quantization stats — the compression step a
+    * 100 TB embedding store runs before ANN indexing (4× smaller than f32,
+    * reconstruction error ≤ scale/2 per element). Returns
+    * struct(scale, max_err, cos_deq):
+    *   - scale  = max|x| / 127 (NULL for the all-zero vector);
+    *   - q_i    = round(x_i/scale), so the max element maps to ±127 exactly
+    *     (no clipping by construction);
+    *   - max_err = max_i |x_i − q_i·scale|;
+    *   - cos_deq = cosine(x, dequantized) — how much ANN geometry survives.
+    *
+    * Both `xd` and `scale` are LET-BOUND via the struct-array idiom
+    * (CLAUDE.md): interpreted HOF lambda bodies re-evaluate non-variable
+    * subtrees per element, so an unbound `scale` would recompute the
+    * array_max 64× per row. */
+  def quantizeStats(v: Column): Column = element_at(
+    transform(array(struct(toDouble(v).as("x"))), p => {
+      val xd = p.getField("x")
+      val sc = array_max(transform(xd, x => abs(x))) / lit(127.0)
+      element_at(transform(array(struct(xd.as("x"),
+          when(sc > 0.0, sc).as("s"))), q => {
+        val x = q.getField("x")
+        val s = q.getField("s")
+        val deq = transform(x, xi => round(xi / s, 0) * s)
+        struct(
+          s.as("scale"),
+          array_max(zip_with(x, deq, (a, b) => abs(a - b))).as("max_err"),
+          cosine(x, deq).as("cos_deq"))
+      }), 1)
+    }), 1)
+
   /** Sign-of-random-hyperplane LSH bucket key: `planes` hash the vector to a
     * compact bit signature; vectors in the same bucket are cosine-close with
     * high probability. `planes` is a small driver-side matrix — broadcast as
@@ -59,6 +89,33 @@ object SimFns {
       when(dot(vd, plane) >= 0.0, lit(1)).otherwise(lit(0))
     }
     concat_ws("", bits: _*)
+  }
+
+  /** Multi-probe LSH keys: the query's own sign-bucket plus every bucket at
+    * Hamming distance 1 (one flipped hyperplane bit) — the standard recall
+    * lever for sign-LSH: a near neighbour that lands just across ONE
+    * hyperplane is still probed, at the cost of nPlanes extra (tiny,
+    * bucket-pruned) lookups instead of a bigger index. The plane dot
+    * products are computed ONCE per row (let-bound struct); the flipped
+    * keys are pure integer recombinations. */
+  def rpLshProbeKeys(v: Column, planes: Seq[Seq[Double]]): Column = {
+    val vd = toDouble(v)
+    val bitsStruct = struct(planes.zipWithIndex.map { case (p, i) =>
+      val plane = array(p.map(lit): _*)
+      when(dot(vd, plane) >= 0.0, lit(1)).otherwise(lit(0)).as(s"b$i")
+    }: _*)
+    element_at(
+      transform(array(bitsStruct), s => {
+        val bits = planes.indices.map(i => s.getField(s"b$i"))
+        val base = concat_ws("", bits: _*)
+        val flips = planes.indices.map { i =>
+          concat_ws("", bits.zipWithIndex.map {
+            case (b, j) => if (j == i) lit(1) - b else b
+          }: _*)
+        }
+        array((base +: flips): _*)
+      }),
+      1)
   }
 
   /** Deterministic pseudo-random unit-ish planes (LCG on the driver — tiny,

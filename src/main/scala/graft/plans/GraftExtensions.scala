@@ -10,8 +10,12 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * Per-session: `GraftExtensions.register(spark)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.all.foreach(ext.injectFunction)
+    // lowers AsOfJoinPlan → AsOfMergeJoinExec cluster-wide (the per-session
+    // path is PlanBridge.addStrategy, done lazily by AsOfJoin.asOf)
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+  }
 }
 
 object GraftExtensions {

@@ -68,6 +68,19 @@ object QueriesSim {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // Int8 symmetric quantization: per-vector scale, max reconstruction
+    // error, and cosine(original, dequantized) — the embedding-compression
+    // step before ANN indexing. Deterministic arithmetic → exact SQL twin.
+    "embed_quantize" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").where(col("vec_id") < 500)
+      e.select(col("vec_id"), SimFns.quantizeStats(col("embedding")).as("qs"))
+        .select(col("vec_id"),
+          round(col("qs.scale"), 6).as("scale"),
+          round(col("qs.max_err"), 6).as("max_err"),
+          round(col("qs.cos_deq"), 6).as("cos_deq"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Random-hyperplane LSH bucketing: probe only the query's sign-bucket.
     // Recall is probabilistic → no SQL oracle (rows-only check).
     "sim_lsh" -> ((s, dir) => {
@@ -84,9 +97,45 @@ object QueriesSim {
         .select(col("qid"), col("vec_id"), round(col("cos"), 6).as("cos"),
           col("rank").cast(LongType).as("rank"))
         .orderBy(col("qid"), col("rank"))
+    }),
+
+    // Multi-probe LSH: probe the query's bucket AND every Hamming-1 bucket
+    // (one flipped hyperplane) — recall rises toward brute force while the
+    // scan stays bucket-pruned. Hash-dependent → rows-only; recall vs the
+    // exact top-k is pinned by PropertiesSpec.
+    "sim_lsh_multiprobe" -> ((s, dir) => {
+      val planes = SimFns.fixedPlanes(nPlanes = 6, dim = 64)
+      val e = t(s, dir, "embeddings")
+        .withColumn("bucket", SimFns.rpLshKey(col("embedding"), planes))
+      val q = e.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          explode(SimFns.rpLshProbeKeys(col("embedding"), planes)).as("probe"))
+      e.join(broadcast(q), col("bucket") === col("probe"))
+        .select(col("qid"), col("vec_id"),
+          SimFns.cosine(col("qe"), col("embedding")).as("cos"))
+        .withColumn("rank", row_number().over(rank10))
+        .where(col("rank") <= 10)
+        .select(col("qid"), col("vec_id"), round(col("cos"), 6).as("cos"),
+          col("rank").cast(LongType).as("rank"))
+        .orderBy(col("qid"), col("rank"))
     }))
 
   val oracle: Map[String, String] = Map(
+    "embed_quantize" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x
+        |           FROM embeddings WHERE vec_id < 500),
+        |s AS (SELECT vec_id, x,
+        |        list_max(list_transform(x, e -> abs(e))) / CAST(127.0 AS DOUBLE) AS sc0
+        |      FROM v),
+        |s2 AS (SELECT vec_id, x, CASE WHEN sc0 > 0 THEN sc0 END AS sc FROM s),
+        |d AS (SELECT vec_id, x, sc,
+        |        list_transform(x, e -> round(e / sc) * sc) AS deq
+        |      FROM s2)
+        |SELECT vec_id, round(sc, 6) AS scale,
+        |  round(list_max(list_transform(range(1, len(x) + 1),
+        |    i -> abs(x[i] - deq[i]))), 6) AS max_err,
+        |  round(list_cosine_similarity(x, deq), 6) AS cos_deq
+        |FROM d ORDER BY vec_id""".stripMargin,
     "sim_topk" ->
       """SELECT qid, vec_id, round(c, 6) AS cos, CAST(rn AS BIGINT) AS rank FROM (
         |  SELECT qid, vec_id, c, row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS rn

@@ -40,6 +40,21 @@ object QueriesStream {
         .orderBy(col("user_id"), col("session_start"))
     }),
 
+    // Stream-static enrichment: events enriched with the (broadcast)
+    // customer dimension, then tumbling windows per market segment — the
+    // canonical streaming dimension-lookup + window rollup.
+    "stream_enrich" -> ((s, dir) => {
+      val dim = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val enriched = Streams.enrichStatic(t(s, dir, "events"), dim,
+        col("user_id") === col("c_custkey"))
+      Streams.tumbling(enriched, "ts", "1 hour",
+          keys = Seq(col("c_mktsegment")),
+          aggs = Seq(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value")))
+        .select(col("window_start"), col("c_mktsegment"), col("n"), col("sum_value"))
+        .orderBy(col("window_start"), col("c_mktsegment"))
+    }),
+
     // Streaming dedup surface in its batch form.
     "stream_dedup" -> ((s, dir) => {
       val e = t(s, dir, "events")
@@ -73,6 +88,11 @@ object QueriesStream {
         |SELECT user_id, min(ts) AS session_start, CAST(count(*) AS BIGINT) AS n_events,
         |  round(sum(value), 2) AS sum_value
         |FROM y GROUP BY user_id, sess ORDER BY user_id, session_start""".stripMargin,
+    "stream_enrich" ->
+      """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, c_mktsegment,
+        |  CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |WHERE ts IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "stream_dedup" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_value
         |FROM (SELECT DISTINCT ON (event_id) * FROM

@@ -55,6 +55,14 @@ object Streams {
     else wm.dropDuplicates(idCols)
   }
 
+  /** Stream-static enrichment join — THE dimension-lookup pattern at scale:
+    * the static side is broadcast to every task, so the stream is never
+    * shuffled and no join state accumulates (unlike stream-stream joins).
+    * Works identically on a batch DataFrame for oracle checking. */
+  def enrichStatic(stream: DataFrame, dim: DataFrame, joinExpr: Column,
+                   joinType: String = "inner"): DataFrame =
+    stream.join(broadcast(dim), joinExpr, joinType)
+
   /** File-source stream over a directory of parquet (the 100 TB ingest
     * shape: new files appear, Spark tails them incrementally). */
   def parquetStream(spark: SparkSession, dir: String, schema: StructType,

@@ -116,6 +116,29 @@ class PropertiesSpec extends SparkSpec {
     assert((0L until 3L).forall(q => h8.contains((q, q)) && h1.contains((q, q))))
   }
 
+  test("property: multi-probe LSH candidate set contains the single-probe set") {
+    import graft.functions.SimFns
+    val planes = SimFns.fixedPlanes(nPlanes = 6, dim = 64)
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("bucket", SimFns.rpLshKey(col("embedding"), planes))
+    val qs = e.where(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bucket").as("qbucket"),
+        SimFns.rpLshProbeKeys(col("embedding"), planes).as("probes"))
+    // probe key 0 IS the base bucket — single-probe is the first multi-probe
+    val probes0 = qs.select(col("qbucket"), element_at(col("probes"), 1)).collect()
+    probes0.foreach(r => assert(r.getString(0) == r.getString(1)))
+    def cands(probeCount: Int) = qs
+      .select(col("qid"), explode(slice(col("probes"), 1, probeCount)).as("probe"))
+      .join(e, col("bucket") === col("probe"))
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = cands(1); val multi = cands(7)
+    assert(single.subsetOf(multi))
+    assert(multi.size >= single.size)
+    // every query still finds itself
+    assert((0L until 3L).forall(q => single.contains((q, q))))
+  }
+
   test("property: kebabCase is idempotent on random strings") {
     val strGen = Gen.listOfN(12, Gen.frequency(
       8 -> Gen.alphaNumChar, 2 -> Gen.oneOf(' ', '_', '-', '.', '!'))).map(_.mkString)

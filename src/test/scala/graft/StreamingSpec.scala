@@ -50,6 +50,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join stays broadcast under readStream") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val dim = Seq((1L, "SEG_A"), (2L, "SEG_B")).toDF("key", "seg")
+    val ms = MemoryStream[(Timestamp, Long, Double)]
+    val enriched = Streams.enrichStatic(
+      ms.toDF().toDF("ts", "user", "value"), dim, col("user") === col("key"))
+    val q = Streams.toMemorySink(enriched, "enrich_test", "append")
+    try {
+      ms.addData((ts("00:01"), 1L, 1.0), (ts("00:02"), 2L, 2.0), (ts("00:03"), 9L, 3.0))
+      q.processAllAvailable()
+      val got = spark.table("enrich_test").select("user", "seg").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      // inner join: the unmatched user 9 drops; the stream is enriched, and
+      // the executed plan must broadcast the dim (no stream-side shuffle)
+      assert(got.toSeq == Seq((1L, "SEG_A"), (2L, "SEG_B")))
+      val plan = q.asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), s"dim not broadcast:\n$plan")
+    } finally q.stop()
+  }
+
   test("session windows merge events within the gap (batch = stream semantics)") {
     import spark.implicits._
     val df = Seq(
