@@ -91,6 +91,18 @@ object Ivf {
     vectors.withColumn("cell", element_at(nearestCells(col(vecCol), cents, 1), 1))
   }
 
+  /** Persist the index partitioned by cell — the on-disk ANN layout for a
+    * 100 TB corpus: every cell is its own directory, so a probe against
+    * [[readIndex]] scans ONLY the probed cells' files. With the probe side
+    * broadcast, Spark's dynamic partition pruning turns the cell equi-join
+    * into partition filters at runtime (IvfSpec asserts the `dynamicpruning`
+    * filter in the executed plan). */
+  def writeIndex(indexed: DataFrame, path: String): Unit =
+    indexed.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  def readIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
   /** Top-k cosine search probing the query's `nprobe` nearest cells, over a
     * pre-built [[index]]. The probe-cell choice is the same codegen'd
     * expression (exploded to `nprobe` rows per query); ranking is a window

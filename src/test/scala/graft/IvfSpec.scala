@@ -45,4 +45,27 @@ class IvfSpec extends SparkSpec {
     val recall = approxSet.count(exactSet.contains).toDouble / exactSet.size
     assert(recall >= 0.5, s"recall@10 was $recall")
   }
+
+  test("on-disk index is cell-partitioned and probes prune partitions (DPP)") {
+    val centroids = Ivf.train(vecs, "vec_id", "embedding", k = 8)
+    val path = "target/tmp_ivf_index"
+    Ivf.writeIndex(Ivf.index(vecs, centroids, "vec_id", "embedding"), path)
+    // layout: one directory per cell
+    val dirs = new java.io.File(path).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("cell=")), dirs.mkString(","))
+    val onDisk = Ivf.readIndex(spark, path)
+    val queries = vecs.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val fromDisk = Ivf.search(onDisk, centroids, queries,
+      "vec_id", "embedding", "qid", "qe", topK = 10, nprobe = 3)
+    val inMem = Ivf.search(Ivf.index(vecs, centroids, "vec_id", "embedding"), centroids,
+      queries, "vec_id", "embedding", "qid", "qe", topK = 10, nprobe = 3)
+    assert(fromDisk.orderBy("qid", "rank").collect().map(_.toSeq).toSeq ==
+      inMem.orderBy("qid", "rank").collect().map(_.toSeq).toSeq)
+    // the probe join must reach the scan as a runtime partition filter —
+    // at 100 TB this is the difference between scanning 3 cells and all of them
+    fromDisk.collect()
+    val plan = fromDisk.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), s"no dynamic partition pruning:\n$plan")
+  }
 }
