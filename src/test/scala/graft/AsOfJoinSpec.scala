@@ -72,24 +72,27 @@ class AsOfJoinSpec extends SparkSpec {
     // left ts, null right ts, keys present on only one side
     val rng = new scala.util.Random(7)
     val lRows = (0 until 400).map { i =>
-      val k = if (i % 3 == 0) 1L else rng.nextInt(8).toLong // key 1 is hot
+      val k = if (i % 41 == 0) None // null keys group together (carry semantics)
+        else if (i % 3 == 0) Some(1L) // key 1 is hot
+        else Some(rng.nextInt(8).toLong)
       val ts = if (i % 37 == 0) None else Some(rng.nextInt(50).toLong)
       (k, ts, s"l$i")
     }
     val rRows = (0 until 300).map { i =>
-      val k = rng.nextInt(10).toLong // keys 8,9 absent from left
+      val k = if (i % 29 == 0) None else Some(rng.nextInt(10).toLong) // keys 8,9 absent from left
       val ts = if (i % 23 == 0) None else Some(rng.nextInt(50).toLong)
       (k, ts, rng.nextInt(5).toDouble, s"r$i")
     }
     val l = lRows.toDF("k", "lts", "lid")
     val r = rRows.toDF("k", "rts", "v", "rid")
-    for (strict <- Seq(false, true)) {
-      val native = AsOfJoin.asOf(l, r, Seq("k"), "lts", "rts", Seq("v", "rid"), strict)
-      val window = AsOfJoin.asOfUnionWindow(l, r, Seq("k"), "lts", "rts", Seq("v", "rid"), strict)
+    for (strict <- Seq(false, true); keys <- Seq(Seq("k"), Nil)) {
+      // keys=Nil is the GLOBAL as-of (AllTuples distribution, single group)
+      val native = AsOfJoin.asOf(l, r, keys, "lts", "rts", Seq("v", "rid"), strict)
+      val window = AsOfJoin.asOfUnionWindow(l, r, keys, "lts", "rts", Seq("v", "rid"), strict)
       assert(native.columns.toSeq == window.columns.toSeq)
       val n = native.orderBy(col("lid")).collect().map(_.toSeq).toSeq
       val w = window.orderBy(col("lid")).collect().map(_.toSeq).toSeq
-      assert(n == w, s"strict=$strict: native and union-window disagree")
+      assert(n == w, s"strict=$strict keys=$keys: native and union-window disagree")
     }
   }
 
