@@ -68,7 +68,9 @@ object TypeGuess {
     * inferred as timestamp. */
   def tryTimestamp(c: Column): Column = {
     val t = trimWhitespace(c)
-    val numericLook = t.rlike("^[0-9eE+\\-.,$%]*$") && !t.rlike("^\\d{1,4}-\\d{1,2}-\\d{1,2}$")
+    // the date exemption requires a 4-DIGIT year: '\d{1,4}' would admit
+    // dash-triples like '1-2-3' (version/lot codes) as timestamps
+    val numericLook = t.rlike("^[0-9eE+\\-.,$%]*$") && !t.rlike("^\\d{4}-\\d{1,2}-\\d{1,2}$")
     when(numericLook, lit(null).cast(TimestampType)).otherwise(try_to_timestamp(t))
   }
 

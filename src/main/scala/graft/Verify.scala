@@ -15,6 +15,11 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // written BEFORE the query loop: if a query kills the JVM outright
+    // (OOM), the checker must still know which outputs should exist —
+    // otherwise stale results from a previous run pass as fresh
+    Files.writeString(Paths.get(s"$outDir/_declared.txt"),
+      SparkEntry.queries.keys.toSeq.sorted.mkString("\n"))
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -45,10 +50,6 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    // the full declared-query list, so the checker can flag a query whose
-    // output is MISSING (crashed + cleaned) instead of silently skipping it
-    Files.writeString(Paths.get(s"$outDir/_declared.txt"),
-      SparkEntry.queries.keys.toSeq.sorted.mkString("\n"))
     spark.stop()
   }
 }

@@ -57,8 +57,13 @@ object AsOfJoin {
         case a: Alias if lAll.contains(a.toAttribute) => Alias(a.child, a.name)()
         case ne => ne
       }
+      // entry guard uses lAll, not just lPlan.outputSet: right OUTPUT attrs
+      // can collide with left INTERMEDIATE attrs (left re-aliased on top of
+      // the shared relation) and still confuse attr-id-keyed optimizer state
+      val rawAll = raw.outputSet ++ org.apache.spark.sql.catalyst.expressions.AttributeSet(
+        raw.collect { case p => p.output }.flatten)
       val deduped =
-        if (raw.outputSet.intersect(lPlan.outputSet).isEmpty) raw
+        if (rawAll.intersect(lAll).isEmpty) raw
         else raw.transformUpWithNewOutput {
           case m: MultiInstanceRelation
               if m.asInstanceOf[LogicalPlan].outputSet.intersect(lAll).nonEmpty =>
@@ -78,11 +83,26 @@ object AsOfJoin {
     def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"as-of column not found: $n"))
+    // mismatched key/ts types must COERCE, not silently lose every match:
+    // the exec hashes and compares each side with its own type, so INT vs
+    // BIGINT keys would land in different partitions and compare garbage
+    // (built-in joins get this from the analyzer's type coercion — a custom
+    // node must do it itself). Widen both sides to the tightest common type.
+    import org.apache.spark.sql.catalyst.analysis.TypeCoercion
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
+    def widen(l: Expression, r: Expression, what: String): (Expression, Expression) =
+      if (l.dataType == r.dataType) (l, r)
+      else TypeCoercion.findTightestCommonType(l.dataType, r.dataType) match {
+        case Some(t) => (Cast(l, t), Cast(r, t))
+        case None => throw new IllegalArgumentException(
+          s"as-of $what types are incompatible: ${l.dataType.sql} vs ${r.dataType.sql}")
+      }
+    val (lk, rk) = keys.map(k => widen(attr(lPlan, k), attr(rPlan, k), s"key '$k'")).unzip
+    val (lts, rts) = widen(attr(lPlan, leftTs), attr(rPlan, rightTs), "timestamp")
     val carryAttrs = carry.map(attr(rPlan, _))
     val plan = graft.plans.AsOfJoinPlan(
       lPlan, rPlan,
-      keys.map(attr(lPlan, _)), keys.map(attr(rPlan, _)),
-      attr(lPlan, leftTs), attr(rPlan, rightTs),
+      lk, rk, lts, rts,
       carryAttrs,
       graft.plans.AsOfMergeJoin.carryAttrs(carryAttrs.map(a => a.name -> a.dataType)),
       strict)

@@ -65,7 +65,14 @@ object Ivf {
         .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("m"))
         .collect()
       val next = cents.map(_.clone())
-      means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      // ragged corpora are in-contract (NearestCells pads with 0), so a
+      // vector longer than its cell's seed yields positions past the
+      // centroid dim — ignore them (centroid keeps the seed's dimension);
+      // an all-null dimension yields a NULL avg — keep the previous value
+      means.foreach { r =>
+        val cell = r.getInt(0); val pos = r.getInt(1)
+        if (!r.isNullAt(2) && pos < next(cell).length) next(cell)(pos) = r.getDouble(2)
+      }
       moved = cents.zip(next).map { case (a, b) =>
         math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
       }.max

@@ -99,7 +99,10 @@ object NearestCells {
       var bd = Double.PositiveInfinity
       var c2 = 0
       while (c2 < k) {
-        if (!used(c2) && d2(c2) < bd) { bd = d2(c2); best = c2 } // strict < : ties → lower index
+        // `best == -1` seed: a NaN distance (NaN < x is false) or an
+        // all-Infinity row must still select SOME cell — without the seed,
+        // used(-1) would crash the task on the first NaN embedding
+        if (!used(c2) && (best == -1 || d2(c2) < bd)) { bd = d2(c2); best = c2 } // strict < : ties → lower index
         c2 += 1
       }
       used(best) = true

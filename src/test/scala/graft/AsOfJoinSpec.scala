@@ -112,6 +112,24 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, Some(8L)), (2L, None)))
   }
 
+  test("mixed-width key and ts types coerce instead of silently losing matches") {
+    // left key INT / right key BIGINT, left ts BIGINT / right ts INT: the
+    // exec hashes each side with its own type, so without widening casts
+    // matching keys land in different partitions (review finding r2)
+    val l = Seq((1, 10L, "a"), (2, 20L, "b")).toDF("k", "ts", "tag")
+    val r = Seq((1L, 5, 100.0), (2L, 15, 200.0)).toDF("k", "rts", "px")
+    val out = AsOfJoin.asOf(l, r, Seq("k"), "ts", "rts", Seq("px"))
+      .orderBy(col("k")).collect()
+      .map(rw => (rw.getInt(0), Option(rw.get(rw.fieldIndex("asof_px")))))
+    assert(out.toSeq == Seq((1, Some(100.0)), (2, Some(200.0))))
+    // incompatible types fail loudly, not with garbage results
+    val bad = Seq((java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L)).toDF("k", "ts")
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(l, bad.select(col("k"), col("ts").as("rts"), lit(1.0).as("px")),
+        Seq("k"), "ts", "rts", Seq("px"))
+    }
+  }
+
   test("contentHash: equal for equal content, differs on change") {
     val a = DataTable(quotes)
     val b = DataTable(quotes.orderBy(col("px").desc)) // same multiset, any order

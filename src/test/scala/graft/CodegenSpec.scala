@@ -42,6 +42,20 @@ class CodegenSpec extends SparkSpec {
     assert(byId(5L) == Seq(0, 1))
   }
 
+  test("NearestCells: NaN/Infinity embeddings assign a cell instead of crashing") {
+    import graft.operators.Ivf
+    import spark.implicits._
+    val cents = Array(Array(0.0, 0.0), Array(10.0, 0.0))
+    // NaN distance: every comparison is false — the argmin seed must still
+    // pick a cell (used(-1) crash, review finding r2)
+    val df = Seq(
+      Array(Double.NaN, 1.0), Array(Double.PositiveInfinity, 0.0), Array(1.0, 1.0))
+      .toDF("v").select(Ivf.nearestCells(col("v"), cents, 2).as("cells"))
+    val got = df.collect().map(_.getSeq[Int](0))
+    assert(got.forall(_.toSet == Set(0, 1)), got.mkString(";"))
+    assert(got(2) == Seq(0, 1)) // finite vector still exact argmin order
+  }
+
   test("CosineSim: codegen'd, bit-identical to the composed-builtin form") {
     import graft.functions.SimFns
     // deterministic float vectors incl. negatives and magnitude spread
