@@ -28,6 +28,7 @@ object AsOfJoin {
     import org.apache.spark.sql.graftbridge.PlanBridge
     val spark = left.sparkSession
     PlanBridge.addStrategy(spark, graft.plans.AsOfJoinStrategy)
+    PlanBridge.addOptimization(spark, graft.plans.AsOfJoinRules)
     // left: keys first then the rest (the documented output order); right:
     // pruned to exactly keys+ts+carry with unmatchable NULL-ts rows dropped
     val leftCols = left.columns

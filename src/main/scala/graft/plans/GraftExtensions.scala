@@ -13,8 +13,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.all.foreach(ext.injectFunction)
     // lowers AsOfJoinPlan → AsOfMergeJoinExec cluster-wide (the per-session
-    // path is PlanBridge.addStrategy, done lazily by AsOfJoin.asOf)
+    // path is PlanBridge.addStrategy, done lazily by AsOfJoin.asOf), plus
+    // the pushdown/pruning rules the built-in optimizer can't apply to a
+    // node type it doesn't know
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => AsOfJoinRules)
   }
 }
 

@@ -32,4 +32,11 @@ object PlanBridge {
     if (!exp.extraStrategies.contains(s))
       exp.extraStrategies = exp.extraStrategies :+ s
   }
+
+  /** Idempotent per-session optimizer-rule registration. */
+  def addOptimization(spark: SparkSession, r: org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]): Unit = {
+    val exp = cs(spark).experimental
+    if (!exp.extraOptimizations.contains(r))
+      exp.extraOptimizations = exp.extraOptimizations :+ r
+  }
 }

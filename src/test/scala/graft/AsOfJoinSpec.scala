@@ -130,6 +130,33 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("optimizer rules: left filter + key predicate push below the join; carry pruning") {
+    val out = AsOfJoin.asOf(trades, quotes, Seq("k"), "tts", "qts", Seq("px", "qts"))
+    // 1) a filter above the join over left columns lands below the exec —
+    // and its key conjunct transfers to the RIGHT side too
+    val filtered = out.where(col("k") === 1L && col("tts") > 6L)
+    filtered.collect()
+    val fPlan = filtered.queryExecution.optimizedPlan.toString
+    assert(!fPlan.trim.startsWith("Filter"), s"filter stayed above the join:\n$fPlan")
+    val fExec = filtered.queryExecution.executedPlan.toString
+    assert(fExec.contains("AsOfMergeJoin"), fExec)
+    // both children carry a filter now (left: k && tts; right: k)
+    val belowJoin = fExec.split("AsOfMergeJoin", 2)(1)
+    assert(belowJoin.contains("(k#"), s"key predicate not pushed to children:\n$fExec")
+    assert(filtered.collect().map(_.getAs[String]("tid")).toSet == Set("t1", "t2"))
+    // 2) projecting away one carry column narrows the node; projecting away
+    // ALL carry columns deletes the join entirely
+    val narrowed = out.select(col("k"), col("tid"), col("asof_px"))
+    narrowed.collect()
+    assert(!narrowed.queryExecution.optimizedPlan.toString.contains("asof_qts"),
+      "unused carry column survived pruning")
+    val dead = out.select(col("k"), col("tid"))
+    dead.collect()
+    assert(!dead.queryExecution.executedPlan.toString.contains("AsOfMergeJoin"),
+      "join not eliminated when no carry column is used")
+    assert(dead.count() == trades.count())
+  }
+
   test("contentHash: equal for equal content, differs on change") {
     val a = DataTable(quotes)
     val b = DataTable(quotes.orderBy(col("px").desc)) // same multiset, any order
