@@ -21,14 +21,17 @@ object TextFns {
   def tokens(c: Column): Column =
     filter(split(lower(c), "\\s+"), t => t =!= "")
 
-  /** Whitespace token count. */
-  def tokenCount(c: Column): Column = size(tokens(c)).cast(LongType)
+  /** Whitespace token count. `regexp_count` of non-space runs ≡ counting
+    * [[tokens]]' non-empty splits, but stays codegen'd and never
+    * materializes the token array (this count sits under quality_score and
+    * pipeline_e2e — per-row hot path). */
+  def tokenCount(c: Column): Column = regexp_count(c, lit("\\S+")).cast(LongType)
 
   /** BPE-ish token count: letter runs, single digits, single punctuation —
     * a cheap proxy for byte-pair-encoding token counts. */
   val BpeIshPattern = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]"
   def bpeTokenCount(c: Column): Column =
-    size(regexp_extract_all(c, lit(BpeIshPattern), lit(0))).cast(LongType)
+    regexp_count(c, lit(BpeIshPattern)).cast(LongType)
 
   /** Marker-word sets for the n-gram/stopword language-ID heuristic. */
   val LangMarkers: Seq[(String, String)] = Seq(
@@ -38,7 +41,7 @@ object TextFns {
     "es" -> "\\b(el|los|las|es|y|una)\\b")
 
   def markerCount(c: Column, pattern: String): Column =
-    size(regexp_extract_all(lower(c), lit(pattern), lit(0))).cast(LongType)
+    regexp_count(lower(c), lit(pattern)).cast(LongType)
 
   /** Heuristic language ID: argmax of marker-word hit counts, first listed
     * language wins ties; "und" (undetermined) when nothing matches. */
@@ -55,7 +58,7 @@ object TextFns {
 
   /** Punctuation-character count. */
   def punctCount(c: Column): Column =
-    size(regexp_extract_all(c, lit("[^a-zA-Z0-9\\s]"), lit(0))).cast(LongType)
+    regexp_count(c, lit("[^a-zA-Z0-9\\s]")).cast(LongType)
 
   /** Document quality score in [0,1]: length band + low punctuation +
     * healthy stopword ratio + mean word length band. Deterministic, portable
