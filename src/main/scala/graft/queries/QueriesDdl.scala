@@ -59,6 +59,25 @@ object QueriesDdl {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // JSONL round-trip — the LLM-corpus interchange format: documents out
+    // as JSON-lines, re-ingested with schema-on-read, filtered + aggregated.
+    // Spark's JSON reader preserves types (no string re-inference needed);
+    // text content survives the encode/decode byte-exact (md5-checked).
+    "json_roundtrip" -> ((s, dir) => {
+      val out = "target/tmp_sink_jsonl"
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("text"))
+        .repartition(8)
+        .write.mode("overwrite").json(out)
+      val back = s.read.json(out)
+      back.where(col("lang").isin("en", "de"))
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("text"))).as("total_chars"),
+          md5(concat_ws("", sort_array(collect_list(md5(col("text")))))).as("content_md5"))
+        .orderBy(col("lang"), col("source"))
+    }),
+
     // Multimodal: binary payload struct + metadata/content features.
     "multimodal_features" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -131,6 +150,12 @@ object QueriesDdl {
       """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
         |  round(sum(o_totalprice), 2) AS sum_price, CAST(sum(o_orderkey) AS BIGINT) AS sum_key
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "json_roundtrip" ->
+      """SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        |  md5(string_agg(md5(text), '' ORDER BY md5(text))) AS content_md5
+        |FROM documents WHERE lang IN ('en', 'de')
+        |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
     "multimodal_features" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  hex(encode(substring(text, 1, 8))) AS head_hex,
