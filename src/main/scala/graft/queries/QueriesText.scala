@@ -66,6 +66,55 @@ object QueriesText {
           min(col("doc_id")).as("first_doc"))
     }),
 
+    // Within-document repetition score (Gopher-style quality signal):
+    // fraction of duplicate token trigrams. High values flag
+    // boilerplate/generated text. One narrow pass — total vs distinct
+    // counts of the SAME let-bound shingle array.
+    "repetition_score" -> ((s, dir) => {
+      val rep = element_at(
+        transform(array(TextFns.shingles(TextFns.tokens(col("text")), 3)), sh =>
+          struct(size(sh).cast(LongType).as("total"),
+            size(array_distinct(sh)).cast(LongType).as("uniq"))),
+        1)
+      t(s, dir, "documents")
+        .select(col("doc_id"), rep.as("r"))
+        .select(col("doc_id"), col("r.total").as("n_trigrams"),
+          col("r.uniq").as("n_distinct"),
+          when(col("r.total") > 0,
+            round(lit(1.0) - col("r.uniq").cast("double") / col("r.total"), 6))
+            .otherwise(lit(0.0)).as("rep_score"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Line-level boilerplate dedup (CCNet/RefinedWeb-style): lines occurring
+    // in ≥10 distinct documents (injected nav header / copyright footer)
+    // are dropped from every document; real content lines survive. The
+    // shuffle key is the line hash — work scales with corpus size, and the
+    // doc-frequency side is vocabulary-sized. Order is preserved through a
+    // posexplode index and an array_sort reassembly.
+    "line_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").where(col("doc_id") < 300)
+        .select(col("doc_id"),
+          concat(lit("HOME | ABOUT | CONTACT\n"), col("text"),
+            when(col("doc_id") % 2 === 0, lit("\n(c) 2024 Example Corp"))
+              .otherwise(lit(""))).as("text"))
+      val lines = docs
+        .select(col("doc_id"), posexplode(split(col("text"), "\n")))
+        .toDF("doc_id", "pos", "line")
+      val lineDf = lines.select(col("doc_id"), col("line")).distinct()
+        .groupBy(col("line")).agg(countDistinct(col("doc_id")).as("line_df"))
+      val kept = lines.join(broadcast(lineDf.where(col("line_df") >= 10)),
+          Seq("line"), "left_anti")
+      kept.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("kept_lines"),
+          md5(concat_ws("\n",
+            transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+              x => x.getField("line")))).as("clean_md5"))
+        .join(lines.groupBy(col("doc_id")).agg(count(lit(1)).as("total_lines")), "doc_id")
+        .select(col("doc_id"), col("total_lines"), col("kept_lines"), col("clean_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // TF-IDF: top-scoring term per document (first 100 docs). tf and df are
     // two aggregations over the exploded token table; idf joins back via a
     // broadcast of the (small) term-df side. At 100 TB the df table is the
@@ -152,6 +201,32 @@ object QueriesText {
   private val es = markers("\\b(el|los|las|es|y|una)\\b")
 
   val oracle: Map[String, String] = Map(
+    "repetition_score" ->
+      s"""WITH s AS (SELECT doc_id, list_transform(range(1, greatest(len(tk) - 1, 1)),
+         |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS tri
+         |  FROM (SELECT doc_id, $toks AS tk FROM documents))
+         |SELECT doc_id, CAST(len(tri) AS BIGINT) AS n_trigrams,
+         |  CAST(len(list_distinct(tri)) AS BIGINT) AS n_distinct,
+         |  CASE WHEN len(tri) > 0
+         |       THEN round(CAST(1.0 AS DOUBLE) -
+         |                  CAST(len(list_distinct(tri)) AS DOUBLE) / CAST(len(tri) AS DOUBLE), 6)
+         |       ELSE CAST(0.0 AS DOUBLE) END AS rep_score
+         |FROM s ORDER BY doc_id""".stripMargin,
+    "line_dedup" ->
+      """WITH d AS (SELECT doc_id, 'HOME | ABOUT | CONTACT' || chr(10) || text ||
+        |    CASE WHEN doc_id % 2 = 0 THEN chr(10) || '(c) 2024 Example Corp' ELSE '' END AS text
+        |  FROM documents WHERE doc_id < 300),
+        |l0 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d),
+        |l1 AS (SELECT doc_id, ls, unnest(range(1, len(ls) + 1)) AS pos FROM l0),
+        |lines AS (SELECT doc_id, pos, ls[pos] AS line FROM l1),
+        |freq AS (SELECT line, count(DISTINCT doc_id) AS line_df FROM lines GROUP BY line),
+        |kept AS (SELECT doc_id, pos, line FROM lines
+        |         WHERE line NOT IN (SELECT line FROM freq WHERE line_df >= 10)),
+        |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS total_lines FROM lines GROUP BY doc_id),
+        |kp AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_lines,
+        |       md5(string_agg(line, chr(10) ORDER BY pos)) AS clean_md5 FROM kept GROUP BY doc_id)
+        |SELECT doc_id, total_lines, kept_lines, clean_md5
+        |FROM tot JOIN kp USING (doc_id) ORDER BY doc_id""".stripMargin,
     "text_tokens" ->
       s"""SELECT token, CAST(count(*) AS BIGINT) AS n
          |FROM (SELECT unnest($toks) AS token FROM documents)
