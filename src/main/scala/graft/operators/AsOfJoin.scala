@@ -106,7 +106,8 @@ object AsOfJoin {
       lk, rk, lts, rts,
       carryAttrs,
       graft.plans.AsOfMergeJoin.carryAttrs(carryAttrs.map(a => a.name -> a.dataType)),
-      strict)
+      strict,
+      tieBreak = carryAttrs)
     PlanBridge.ofRows(spark, plan)
   }
 

@@ -16,21 +16,38 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *     so filtering left early never changes surviving rows' results);
   *  2. key-predicate transfer: a pushable conjunct over ONLY the join keys
   *     also copies to the right side with left→right key substitution
-  *     (right rows in excluded key groups can never be carried) — this is
-  *     what lets partition pruning hit BOTH sides' scans;
+  *     (right rows in excluded key groups can never be carried);
   *  3. carry pruning: `asof_*` columns a parent Project never references
   *     drop out of the node (narrower right shuffle); if NO carry survives,
   *     the join disappears entirely;
   *  4. left column pruning: left columns the parent neither projects nor
   *     the join needs (keys, ts) are cut below the node.
+  *
+  * Registration-order caveat: the per-session path
+  * (`experimental.extraOptimizations`) runs in the optimizer's final
+  * "User Provided Optimizers" batch — late enough that path-based parquet
+  * scans still split filters at PHYSICAL planning (PhysicalOperation walks
+  * the Filter/Project stack, so PushedFilters and partition pruning on
+  * `spark.read.parquet(dir)` sources still work — spec-asserted), but too
+  * late for catalog-table `PruneFileSourcePartitions` stats or DSv2
+  * `V2ScanRelationPushDown`, which run in earlier batches. Clusters that
+  * need those install `spark.sql.extensions=graft.plans.GraftExtensions`,
+  * whose injectOptimizerRule runs with the main optimizer batches.
   */
 object AsOfJoinRules extends Rule[LogicalPlan] with PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
 
     case f @ Filter(cond, j: AsOfJoinPlan) =>
-      val (push, keep) = splitConjunctivePredicates(cond)
-        .partition(p => p.deterministic && p.references.subsetOf(j.left.outputSet))
+      // only the conjuncts BEFORE the first nondeterministic one are
+      // candidates (Spark's own pushdown contract): reordering a
+      // deterministic conjunct below e.g. rand() would change which rows
+      // the nondeterministic expression is evaluated on
+      val conjuncts = splitConjunctivePredicates(cond)
+      val (candidates, tail) = conjuncts.span(_.deterministic)
+      val (push, keepHead) =
+        candidates.partition(_.references.subsetOf(j.left.outputSet))
+      val keep = keepHead ++ tail
       if (push.isEmpty) f
       else {
         val leftKeyAttrs = AttributeSet(j.leftKeys.flatMap(_.references))

@@ -38,7 +38,12 @@ case class AsOfJoinPlan(
     rightTs: Expression,
     carry: Seq[Expression],
     carryOut: Seq[Attribute],
-    strict: Boolean) extends BinaryNode {
+    strict: Boolean,
+    /** (key, ts)-tie resolution columns — frozen at construction to the FULL
+      * original carry list so that carry pruning (AsOfJoinRules) can never
+      * change which right row wins a tie: a kept asof_ column's value must
+      * not depend on which OTHER columns the query happens to select. */
+    tieBreak: Seq[Expression]) extends BinaryNode {
 
   require(leftKeys.length == rightKeys.length, "as-of key arity mismatch")
   require(carry.length == carryOut.length, "carry/carryOut arity mismatch")
@@ -61,8 +66,8 @@ case class AsOfJoinPlan(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lts, rts, carry, carryOut, strict) =>
-      AsOfMergeJoinExec(lk, rk, lts, rts, carry, carryOut, strict,
+    case AsOfJoinPlan(l, r, lk, rk, lts, rts, carry, carryOut, strict, tieBreak) =>
+      AsOfMergeJoinExec(lk, rk, lts, rts, carry, carryOut, strict, tieBreak,
         planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
@@ -80,6 +85,7 @@ case class AsOfMergeJoinExec(
     carry: Seq[Expression],
     carryOut: Seq[Attribute],
     strict: Boolean,
+    tieBreak: Seq[Expression],
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
@@ -92,13 +98,14 @@ case class AsOfMergeJoinExec(
     if (leftKeys.isEmpty) AllTuples :: AllTuples :: Nil
     else ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
 
-  /** Right side additionally sorts by the carry tuple so (key, ts) ties
-    * resolve deterministically (max tuple wins via store-last). Skipped for
-    * non-orderable carry types — ties are then input-order. */
+  /** Right side additionally sorts by the tie-break tuple (the FULL original
+    * carry list — stable under carry pruning) so (key, ts) ties resolve
+    * deterministically (max tuple wins via store-last). Skipped for
+    * non-orderable types — ties are then input-order. */
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = {
     val rightTie =
-      if (carry.nonEmpty && carry.forall(c => RowOrdering.isOrderable(c.dataType)))
-        Seq(SortOrder(CreateStruct.create(carry), Ascending))
+      if (tieBreak.nonEmpty && tieBreak.forall(c => RowOrdering.isOrderable(c.dataType)))
+        Seq(SortOrder(CreateStruct.create(tieBreak), Ascending))
       else Nil
     Seq(
       (leftKeys :+ leftTs).map(SortOrder(_, Ascending)),

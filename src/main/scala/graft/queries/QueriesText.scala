@@ -101,16 +101,25 @@ object QueriesText {
       val lines = docs
         .select(col("doc_id"), posexplode(split(col("text"), "\n")))
         .toDF("doc_id", "pos", "line")
-      val lineDf = lines.select(col("doc_id"), col("line")).distinct()
-        .groupBy(col("line")).agg(countDistinct(col("doc_id")).as("line_df"))
-      val kept = lines.join(broadcast(lineDf.where(col("line_df") >= 10)),
-          Seq("line"), "left_anti")
-      kept.groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("kept_lines"),
+      val boiler = lines.groupBy(col("line"))
+        .agg(countDistinct(col("doc_id")).as("line_df"))
+        .where(col("line_df") >= 10)
+        .select(col("line"), lit(true).as("bp"))
+      // ONE pass over the exploded lines: broadcast-flag boilerplate, then a
+      // single per-doc aggregate computes total, kept, and the md5 of the
+      // order-preserved surviving lines (no second explode, no extra join)
+      lines.join(broadcast(boiler), Seq("line"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("total_lines"),
+          count(when(col("bp").isNull, 1)).as("kept_lines"),
           md5(concat_ws("\n",
-            transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            transform(
+              filter(array_sort(collect_list(
+                struct(col("pos"), col("line"), col("bp").isNull.as("keep")))),
+                x => x.getField("keep")),
               x => x.getField("line")))).as("clean_md5"))
-        .join(lines.groupBy(col("doc_id")).agg(count(lit(1)).as("total_lines")), "doc_id")
+        .where(col("kept_lines") > 0) // match the oracle's inner join: a
+        // fully-boilerplate doc has no defined clean text
         .select(col("doc_id"), col("total_lines"), col("kept_lines"), col("clean_md5"))
         .orderBy(col("doc_id"))
     }),

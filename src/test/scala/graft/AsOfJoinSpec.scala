@@ -112,6 +112,25 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, Some(8L)), (2L, None)))
   }
 
+  test("pushed filter reaches a partitioned parquet scan (partition pruning below as-of)") {
+    // even via the per-session (late-batch) rule registration, path-based
+    // parquet partition pruning happens at PHYSICAL planning from the
+    // Filter/Project stack — the pushed key filter must prune partitions
+    val dir = "target/tmp_asof_part"
+    quotes.write.mode("overwrite").partitionBy("k").parquet(dir)
+    val q2 = spark.read.parquet(dir) // k is now a PARTITION column (int-inferred)
+    val out = AsOfJoin.asOf(trades, q2, Seq("k"), "tts", "qts", Seq("px"))
+      .where(col("k") === 2L)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    // the transferred predicate arrives cast-wrapped (int partition col vs
+    // long key) and still prunes: PartitionFilters: [(cast(k#N as bigint) = 2)]
+    val pf = "PartitionFilters: \\[[^\\]]*= 2\\)".r
+    assert(pf.findFirstIn(plan).isDefined,
+      s"transferred key predicate did not prune right-side partitions:\n$plan")
+    assert(out.count() == 1L)
+  }
+
   test("mixed-width key and ts types coerce instead of silently losing matches") {
     // left key INT / right key BIGINT, left ts BIGINT / right ts INT: the
     // exec hashes each side with its own type, so without widening casts
@@ -140,10 +159,20 @@ class AsOfJoinSpec extends SparkSpec {
     assert(!fPlan.trim.startsWith("Filter"), s"filter stayed above the join:\n$fPlan")
     val fExec = filtered.queryExecution.executedPlan.toString
     assert(fExec.contains("AsOfMergeJoin"), fExec)
-    // both children carry a filter now (left: k && tts; right: k)
+    // BOTH children carry a filter now (left: k && tts; right: k) — count
+    // the Filter operators below the join so a broken right-side transfer
+    // can't hide behind the left one
     val belowJoin = fExec.split("AsOfMergeJoin", 2)(1)
-    assert(belowJoin.contains("(k#"), s"key predicate not pushed to children:\n$fExec")
+    val nFilters = "\\+- Filter ".r.findAllIn(belowJoin).length
+    assert(nFilters >= 2, s"expected filters on BOTH children below the join:\n$fExec")
     assert(filtered.collect().map(_.getAs[String]("tid")).toSet == Set("t1", "t2"))
+    // nondeterministic conjuncts block later deterministic ones (Spark's
+    // pushdown contract): nothing may push below rand()
+    val nd = out.where(rand(42) < 0.5 && col("k") === 1L) // NB < 2.0 folds away
+    nd.collect()
+    val ndPlan = nd.queryExecution.executedPlan.toString
+    assert("\\+- Filter ".r.findAllIn(ndPlan.split("AsOfMergeJoin", 2)(1)).isEmpty,
+      s"conjunct pushed below a nondeterministic predicate:\n$ndPlan")
     // 2) projecting away one carry column narrows the node; projecting away
     // ALL carry columns deletes the join entirely
     val narrowed = out.select(col("k"), col("tid"), col("asof_px"))
