@@ -149,6 +149,35 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("differential with STRING keys (UTF8 ordering path)") {
+    val rng = new scala.util.Random(11)
+    val names = Seq("alpha", "Beta", "beta", "Γgamma", "δ", "", "z")
+    val l = (0 until 150).map(i =>
+      (names(rng.nextInt(names.length)), rng.nextInt(30).toLong, s"l$i")).toDF("k", "lts", "lid")
+    val r = (0 until 150).map(i =>
+      (names(rng.nextInt(names.length)), rng.nextInt(30).toLong, s"r$i")).toDF("k", "rts", "rid")
+    val native = AsOfJoin.asOf(l, r, Seq("k"), "lts", "rts", Seq("rid"))
+      .orderBy(col("lid")).collect().map(_.toSeq).toSeq
+    val window = AsOfJoin.asOfUnionWindow(l, r, Seq("k"), "lts", "rts", Seq("rid"))
+      .orderBy(col("lid")).collect().map(_.toSeq).toSeq
+    assert(native == window)
+  }
+
+  test("pre-partitioned inputs: NO exchange under the as-of join (bucketed-pipeline shape)") {
+    // both sides already hash-partitioned on the key: EnsureRequirements
+    // must recognize the distribution and skip both shuffles — the shape a
+    // bucketed 100 TB pipeline relies on to run as-of joins shuffle-free
+    val lp = trades.repartition(4, col("k"))
+    val rp = quotes.repartition(4, col("k"))
+    val out = AsOfJoin.asOf(lp, rp, Seq("k"), "tts", "qts", Seq("px"))
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    val below = plan.split("AsOfMergeJoin", 2)(1)
+      .split("== Initial Plan ==", 2)(0) // AQE string includes the pre-AQE plan
+    assert(!below.contains("ENSURE_REQUIREMENTS"),
+      s"as-of inserted shuffles despite co-partitioned children:\n$plan")
+  }
+
   test("optimizer rules: left filter + key predicate push below the join; carry pruning") {
     val out = AsOfJoin.asOf(trades, quotes, Seq("k"), "tts", "qts", Seq("px", "qts"))
     // 1) a filter above the join over left columns lands below the exec —
