@@ -105,6 +105,23 @@ class DataTableSpec extends SparkSpec {
     assert(dt.columnType("ID") == LongType)
   }
 
+  test("fromCsv PERMISSIVE: ragged rows null-pad, never fail the scan (fill-in-missing-cells analog)") {
+    // the reference squares ragged tables post-hoc (data-table.lisp:240-264);
+    // at scale malformed rows must not kill a 100 TB ingest — PERMISSIVE
+    // null-pads short rows instead of failing the scan
+    val dir = new java.io.File("target/tmp_ragged_csv")
+    dir.mkdirs()
+    java.nio.file.Files.writeString(dir.toPath.resolve("part.csv"),
+      "a,b,c\n1,x,2.5\n2,y\n3\n4,z,9.0\n")
+    val dt = DataTable.fromCsv(spark, dir.getPath, header = true, autoType = true)
+    assert(dt.numberOfRows == 4L)
+    // short rows null-padded; typed columns still infer (a→long, c→double)
+    assert(dt.columnType("a") == org.apache.spark.sql.types.LongType)
+    assert(dt.columnType("c") == org.apache.spark.sql.types.DoubleType)
+    val r3 = dt.df.where(col("a") === 3L).collect().head
+    assert(r3.isNullAt(1) && r3.isNullAt(2))
+  }
+
   test("tableExists catalog probe — clsql-data-table.lisp:8-10") {
     fixture.df.createOrReplaceTempView("fixture_view")
     assert(DataTable.tableExists(spark, "fixture_view"))
