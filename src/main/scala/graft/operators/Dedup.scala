@@ -77,6 +77,57 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Persist a corpus's MinHash-LSH index: `path/bands` holds one
+    * (id, band, bh) row per band bucket, `path/shingles` the shingle sets
+    * for exact verification. This is the production append-batch shape: the
+    * corpus is signature-scanned ONCE, and every future incoming batch
+    * joins against the stored buckets instead of recomputing 100 TB of
+    * signatures. */
+  def writeMinhashIndex(docs: DataFrame, idCol: String, textCol: String, path: String,
+                        numHashes: Int = 64, numBands: Int = 16, shingleN: Int = 3): Unit = {
+    val rowsPerBand = numHashes / numBands
+    val sh = shingleSets(docs, idCol, textCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sh.write.mode("overwrite").parquet(s"$path/shingles")
+    minhashSignatures(sh, idCol, numHashes)
+      .select(col(idCol), posexplode(bandHashes(col("mh"), numBands, rowsPerBand)))
+      .toDF(idCol, "band", "bh")
+      .write.mode("overwrite").parquet(s"$path/bands")
+    sh.unpersist()
+  }
+
+  /** Near-dups of an `incoming` batch AGAINST a stored [[writeMinhashIndex]]
+    * only — no corpus recompute and no incoming×incoming pairs. Work scales
+    * with |incoming| × bucket collision rate; the corpus-side cost is a
+    * band-key equi-join against the index parquet. Hash parameters must
+    * match the ones the index was written with. Output:
+    * (id_new, id_idx, jaccard ≥ threshold). */
+  def incrementalNearDups(incoming: DataFrame, idCol: String, textCol: String,
+                          indexPath: String, threshold: Double,
+                          numHashes: Int = 64, numBands: Int = 16,
+                          shingleN: Int = 3): DataFrame = {
+    val spark = incoming.sparkSession
+    val rowsPerBand = numHashes / numBands
+    val sh = shingleSets(incoming, idCol, textCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val newBands = minhashSignatures(sh, idCol, numHashes)
+      .select(col(idCol), posexplode(bandHashes(col("mh"), numBands, rowsPerBand)))
+      .toDF(idCol, "band", "bh")
+    val idxBands = spark.read.parquet(s"$indexPath/bands")
+      .toDF("_idx_id", "band", "bh")
+    val cand = newBands.join(idxBands, Seq("band", "bh"))
+      .select(col(idCol).as("id_new"), col("_idx_id").as("id_idx"))
+      .distinct()
+    val idxSh = spark.read.parquet(s"$indexPath/shingles")
+      .toDF("id_idx", "sh_idx")
+    cand
+      .join(sh.withColumnRenamed(idCol, "id_new").withColumnRenamed("shingles", "sh_new"), "id_new")
+      .join(idxSh, "id_idx")
+      .select(col("id_new"), col("id_idx"),
+        jaccard(col("sh_new"), col("sh_idx")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   /** 64-bit SimHash signatures per document: per bit, sum ±1 contributions
     * of each feature's xxhash64 bit. Same explode → codegen'd aggregate
     * shape as [[minhashSignatures]]; output column `sig` is a 64-element

@@ -118,6 +118,28 @@ object QueriesDedup {
         .orderBy(col("doc_id"))
     }),
 
+    // Incremental dedup: the append-batch production loop. The existing
+    // corpus (doc_id ≥ 100) is signature-indexed ON DISK once; the incoming
+    // batch (near-copies of some indexed docs + novel docs) joins the
+    // stored band buckets only — no corpus recompute, no incoming×incoming
+    // pairs. Oracle: exhaustive jaccard between the two constructed sets.
+    "dedup_incremental" -> ((s, dir) => {
+      import graft.operators.Dedup
+      val docs = t(s, dir, "documents")
+      val existing = docs.where(col("doc_id") >= 100)
+        .select(col("doc_id"), col("text"))
+      val idxPath = "target/tmp_minhash_idx"
+      Dedup.writeMinhashIndex(existing, "doc_id", "text", idxPath)
+      val incoming = docs.where(col("doc_id") >= 100 && col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 300000L).as("doc_id"),
+          concat(col("text"), lit(" xtra xtra")).as("text"))
+        .unionByName(docs.where(col("doc_id") < 50)
+          .select((col("doc_id") + 400000L).as("doc_id"), col("text")))
+      Dedup.incrementalNearDups(incoming, "doc_id", "text", idxPath, threshold = 0.8)
+        .select(col("id_new"), col("id_idx"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id_new"), col("id_idx"))
+    }),
+
     // Embedding cosine near-dup: exact copies at +100000 must be found at
     // cosine ≥ 0.9 (natural max pairwise cosine in the data is ~0.31).
     "embed_neardup" -> ((s, dir) => {
@@ -172,6 +194,25 @@ object QueriesDedup {
          |SELECT train_id, eval_id, CAST(count(*) AS BIGINT) AS n_shared_8grams
          |FROM trsh JOIN evsh USING (sh)
          |GROUP BY train_id, eval_id ORDER BY train_id, eval_id""".stripMargin,
+    "dedup_incremental" ->
+      s"""WITH ex AS (SELECT doc_id, text FROM documents WHERE doc_id >= 100),
+         |inc AS (
+         |  SELECT doc_id + 300000 AS doc_id, text || ' xtra xtra' AS text
+         |  FROM documents WHERE doc_id >= 100 AND doc_id % 25 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 400000 AS doc_id, text FROM documents WHERE doc_id < 50),
+         |she AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(tk) - 1, 1)),
+         |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+         |  FROM (SELECT doc_id, $toksSql AS tk FROM ex)),
+         |shi AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(tk) - 1, 1)),
+         |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+         |  FROM (SELECT doc_id, $toksSql AS tk FROM inc))
+         |SELECT id_new, id_idx, round(j, 6) AS jaccard FROM (
+         |  SELECT i.doc_id AS id_new, e.doc_id AS id_idx,
+         |    CAST(len(list_distinct(list_intersect(i.s, e.s))) AS DOUBLE) /
+         |    CAST(len(list_distinct(list_concat(i.s, e.s))) AS DOUBLE) AS j
+         |  FROM shi i, she e)
+         |WHERE j >= 0.8 ORDER BY id_new, id_idx""".stripMargin,
     // Ground truth: exhaustive jaccard edges + recursive transitive closure.
     // (The driver-side compare is engine-agnostic; the Spark side must reach
     // the same clusters through LSH banding + star contraction.)

@@ -70,6 +70,26 @@ class LlmOpsSpec extends SparkSpec {
     assert(pairs.find(p => (p._1, p._2) == (1L, 2L)).get._3 == 1.0)
   }
 
+  test("incremental dedup: stored index matches incoming batch, never incoming×incoming") {
+    val text = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val other = (100 to 140).map(i => s"tok$i").mkString(" ")
+    val corpus = Seq((10L, text), (11L, other)).toDF("doc_id", "text")
+    val path = "target/tmp_inc_idx_spec"
+    Dedup.writeMinhashIndex(corpus, "doc_id", "text", path)
+    // incoming: a near-copy of indexed doc 10, a novel doc, and TWO
+    // identical incoming docs (must NOT pair with each other — only the
+    // index side is matched)
+    val incoming = Seq(
+      (20L, text + " extra trailing"),
+      (21L, (200 to 240).map(i => s"tok$i").mkString(" ")),
+      (22L, (300 to 340).map(i => s"tok$i").mkString(" ")),
+      (23L, (300 to 340).map(i => s"tok$i").mkString(" "))).toDF("doc_id", "text")
+    val got = Dedup.incrementalNearDups(incoming, "doc_id", "text", path, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(identity)
+    assert(got.toSeq == Seq((20L, 10L)),
+      s"expected only the planted (incoming→index) pair, got ${got.toSeq}")
+  }
+
   test("simhash: identical docs at hamming 0, found via chunk blocking") {
     val text = (1 to 40).map(i => s"tok$i").mkString(" ")
     val other = (100 to 140).map(i => s"tok$i").mkString(" ")
