@@ -17,8 +17,14 @@ import org.apache.spark.sql.functions._
   *     on unit-ish vectors) pushes cross-copy cosine well under the 0.9
   *     near-dup threshold (scaling a vector would NOT — cosine is
   *     scale-invariant);
-  *   - events: ids/users shifted, timestamps shifted by copy-index hours so
+  *   - events: ids/users shifted (user shift > the distinct-user range, so
+  *     copies never share users), timestamps shifted by copy-index hours so
   *     windows and sessions grow in count, not in per-window size.
+  *
+  * BENCH-ONLY output: events.ts is written back as the raw INT64 nanos the
+  * legacy reader produced (graft.queries.Tables.t handles both layouts, so
+  * Bench/queries run unchanged), but the directory is NOT schema-identical
+  * to the driver testdata and the DuckDB oracle flow does not apply to it.
   */
 object ScaleGen {
 
@@ -59,14 +65,17 @@ object ScaleGen {
 
     val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
     copies(emb) { (df, i) =>
+      // the source embeddings are UNIT-norm; per-dim amplitude 0.2 over 64
+      // dims gives ‖noise‖² ≈ 64·0.2²·½ ≈ 1.3, so cosine between copies of
+      // the same base vector ≈ 1/(1+1.3) ≈ 0.43 and vs the unperturbed
+      // base ≈ 1/√2.3 ≈ 0.66 — both far below the 0.9 near-dup threshold.
+      // The phase comes from xxhash64(vec_id, dim, copy) so noise is
+      // UNCORRELATED across copies — sin(a + i) phases would correlate at
+      // cos(i−j) (≈0.96 for copies 6 apart), planting bogus ≥0.9 pairs.
       val perturbed =
         if (i == 0) col("embedding")
-        // amplitude 1.0 ⇒ ‖noise‖² ≈ 32 on 64-dim unit-ish vectors ⇒
-        // cross-copy cosine ≈ 64/96 ≈ 0.67, safely under the 0.9 near-dup
-        // threshold (0.3 would leave same-base copies at ≈0.96 → quadratic
-        // pair explosion, a different workload)
         else transform(col("embedding"), (x, d) =>
-          (x + sin(col("vec_id") * (d + lit(1)) + lit(i.toDouble)) * lit(1.0f))
+          (x + sin(xxhash64(col("vec_id"), d, lit(i)).cast("double")) * lit(0.2f))
             .cast("float"))
       df.select(
         (col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
@@ -81,7 +90,10 @@ object ScaleGen {
       df.select(
         (col("event_id") + lit(i.toLong * 100000000L)).as("event_id"),
         (col("ts") + lit(i.toLong * 3600L * 1000000000L)).as("ts"),
-        (col("user_id") + lit(i.toLong * 1000L)).as("user_id"),
+        // shift must EXCEED the distinct-user range (1500 at sf0.1): a
+        // smaller shift overlaps users across copies and doubles per-user
+        // event density instead of growing the user population
+        (col("user_id") + lit(i.toLong * 1000000L)).as("user_id"),
         col("event_type"), col("value"), col("props"))
     }.repartition(32).write.mode("overwrite").parquet(s"$outDir/events.parquet")
 

@@ -47,24 +47,34 @@ object Dedup {
     transform(sequence(lit(0), lit(numBands - 1)),
       b => xxhash64(slice(mh, b * rowsPerBand + 1, lit(rowsPerBand))))
 
+  private def requireBandParams(numHashes: Int, numBands: Int): Unit =
+    require(numBands >= 1 && numBands <= numHashes && numHashes % numBands == 0,
+      s"numHashes ($numHashes) must be a positive multiple of numBands ($numBands) — " +
+        "zero-length band slices would make every document collide in every band (all-pairs blowup)")
+
+  /** The ONE (id, band, bh) band-key construction — shared by the in-memory
+    * pair search, the index writer and the incremental reader, so hash/band
+    * layout can never silently diverge between an index and its probes. */
+  private def bandedKeys(sh: DataFrame, idCol: String,
+                         numHashes: Int, numBands: Int): DataFrame = {
+    requireBandParams(numHashes, numBands)
+    minhashSignatures(sh, idCol, numHashes)
+      .select(col(idCol), posexplode(bandHashes(col("mh"), numBands, numHashes / numBands)))
+      .toDF(idCol, "band", "bh")
+  }
+
   /** MinHash-LSH candidate pairs (idA < idB), verified with exact Jaccard ≥
     * `threshold`. Output: (id_a, id_b, jaccard). */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       threshold: Double, numHashes: Int = 64, numBands: Int = 16,
                       shingleN: Int = 3): DataFrame = {
-    require(numBands >= 1 && numBands <= numHashes && numHashes % numBands == 0,
-      s"numHashes ($numHashes) must be a positive multiple of numBands ($numBands) — " +
-        "zero-length band slices would make every document collide in every band (all-pairs blowup)")
-    val rowsPerBand = numHashes / numBands
     // shingle sets feed the signature path AND both sides of the verify join
     // — persist once instead of recomputing the tokenize+shingle pass 3×.
     // (Deliberately not unpersisted: the operator returns a lazy plan over
     // the cache; lifetime is the session's, which suits batch dedup jobs.)
     val sh = shingleSets(docs, idCol, textCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bands = minhashSignatures(sh, idCol, numHashes)
-      .select(col(idCol), posexplode(bandHashes(col("mh"), numBands, rowsPerBand)))
-      .toDF(idCol, "band", "bh")
+    val bands = bandedKeys(sh, idCol, numHashes, numBands)
     val cand = bands.as("x").join(bands.as("y"),
         col(s"x.band") === col(s"y.band") && col(s"x.bh") === col(s"y.bh") &&
           col(s"x.$idCol") < col(s"y.$idCol"))
@@ -85,15 +95,24 @@ object Dedup {
     * signatures. */
   def writeMinhashIndex(docs: DataFrame, idCol: String, textCol: String, path: String,
                         numHashes: Int = 64, numBands: Int = 16, shingleN: Int = 3): Unit = {
-    val rowsPerBand = numHashes / numBands
+    requireBandParams(numHashes, numBands)
     val sh = shingleSets(docs, idCol, textCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sh.write.mode("overwrite").parquet(s"$path/shingles")
-    minhashSignatures(sh, idCol, numHashes)
-      .select(col(idCol), posexplode(bandHashes(col("mh"), numBands, rowsPerBand)))
-      .toDF(idCol, "band", "bh")
+    bandedKeys(sh, idCol, numHashes, numBands)
       .write.mode("overwrite").parquet(s"$path/bands")
     sh.unpersist()
+  }
+
+  /** Build the index only if `path` doesn't already hold a completed one —
+    * the append-batch loop indexes the corpus ONCE and reuses it for every
+    * subsequent batch (and every subsequent bench run). Callers must key
+    * `path` by the corpus identity (e.g. its source directory). */
+  def ensureMinhashIndex(docs: DataFrame, idCol: String, textCol: String, path: String,
+                         numHashes: Int = 64, numBands: Int = 16, shingleN: Int = 3): Unit = {
+    val done = Seq("bands", "shingles").forall(d =>
+      new java.io.File(s"$path/$d/_SUCCESS").exists())
+    if (!done) writeMinhashIndex(docs, idCol, textCol, path, numHashes, numBands, shingleN)
   }
 
   /** Near-dups of an `incoming` batch AGAINST a stored [[writeMinhashIndex]]
@@ -107,12 +126,9 @@ object Dedup {
                           numHashes: Int = 64, numBands: Int = 16,
                           shingleN: Int = 3): DataFrame = {
     val spark = incoming.sparkSession
-    val rowsPerBand = numHashes / numBands
     val sh = shingleSets(incoming, idCol, textCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val newBands = minhashSignatures(sh, idCol, numHashes)
-      .select(col(idCol), posexplode(bandHashes(col("mh"), numBands, rowsPerBand)))
-      .toDF(idCol, "band", "bh")
+    val newBands = bandedKeys(sh, idCol, numHashes, numBands)
     val idxBands = spark.read.parquet(s"$indexPath/bands")
       .toDF("_idx_id", "band", "bh")
     val cand = newBands.join(idxBands, Seq("band", "bh"))
