@@ -99,6 +99,36 @@ object QueriesDedup {
         .orderBy(col("train_id"), col("eval_id"))
     }),
 
+    // Contamination with a BLOOM PREFILTER — the 100 TB shape: the eval
+    // side's 8-gram set is tiny, so a Bloom filter over it (built in one
+    // small job, broadcast as a task-level object) prefilters the train
+    // side BEFORE the shuffle join. False positives only admit extra
+    // candidates that the exact equi-join then drops, so the result is
+    // IDENTICAL to `contamination` (same oracle) while the shuffled volume
+    // collapses from |train-shingles| to |matching-candidates|.
+    "contamination_bloom" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val evalSet = docs.where(col("doc_id") < 50)
+      val train = docs.where(col("doc_id") >= 50)
+        .unionByName(evalSet.select((col("doc_id") + 500000L).as("doc_id"),
+          col("text"), col("lang"), col("source"), col("n_chars")))
+      val evalSh = Dedup.shingleSets(evalSet, "doc_id", "text", 8)
+        .select(col("doc_id").as("eval_id"), explode(col("shingles")).as("sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bloom = evalSh.stat.bloomFilter("sh", expectedNumItems = 200000L, fpp = 0.01)
+      // the UDF is a PREFILTER only (exactness restored by the equi-join);
+      // trading one non-codegen predicate for a corpus-sized shuffle is the
+      // right side of the bargain at scale
+      val mightContain = udf((v: String) => v != null && bloom.mightContainString(v))
+      val trainSh = Dedup.shingleSets(train, "doc_id", "text", 8)
+        .select(col("doc_id").as("train_id"), explode(col("shingles")).as("sh"))
+        .where(mightContain(col("sh")))
+      trainSh.join(evalSh, "sh")
+        .groupBy(col("train_id"), col("eval_id"))
+        .agg(count(lit(1)).as("n_shared_8grams"))
+        .orderBy(col("train_id"), col("eval_id"))
+    }),
+
     // Near-dup pairs resolved into duplicate CLUSTERS: MinHash-LSH edges →
     // large-star/small-star connected components (log-round convergence —
     // a duplicate chain a~b~c~… would take diameter rounds under naive
@@ -163,6 +193,24 @@ object QueriesDedup {
         .orderBy(col("id_a"), col("id_b"))
     }))
 
+  private val contaminationSql =
+    s"""WITH ev AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
+       |tr AS (SELECT doc_id, text FROM documents WHERE doc_id >= 50
+       |       UNION ALL SELECT doc_id + 500000, text FROM ev),
+       |evsh AS (SELECT doc_id AS eval_id, unnest(s) AS sh FROM (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(tk) - 6, 1)),
+       |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' ||
+       |         tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6] || ' ' || tk[i+7])) AS s
+       |  FROM (SELECT doc_id, $toksSql AS tk FROM ev))),
+       |trsh AS (SELECT doc_id AS train_id, unnest(s) AS sh FROM (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(tk) - 6, 1)),
+       |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' ||
+       |         tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6] || ' ' || tk[i+7])) AS s
+       |  FROM (SELECT doc_id, $toksSql AS tk FROM tr)))
+       |SELECT train_id, eval_id, CAST(count(*) AS BIGINT) AS n_shared_8grams
+       |FROM trsh JOIN evsh USING (sh)
+       |GROUP BY train_id, eval_id ORDER BY train_id, eval_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "dedup_exact" ->
       s"""$corpusSql
@@ -185,23 +233,10 @@ object QueriesDedup {
          |    CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS j
          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
          |WHERE j >= 0.8 ORDER BY id_a, id_b""".stripMargin,
-    "contamination" ->
-      s"""WITH ev AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
-         |tr AS (SELECT doc_id, text FROM documents WHERE doc_id >= 50
-         |       UNION ALL SELECT doc_id + 500000, text FROM ev),
-         |evsh AS (SELECT doc_id AS eval_id, unnest(s) AS sh FROM (
-         |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(tk) - 6, 1)),
-         |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' ||
-         |         tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6] || ' ' || tk[i+7])) AS s
-         |  FROM (SELECT doc_id, $toksSql AS tk FROM ev))),
-         |trsh AS (SELECT doc_id AS train_id, unnest(s) AS sh FROM (
-         |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(tk) - 6, 1)),
-         |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' ||
-         |         tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6] || ' ' || tk[i+7])) AS s
-         |  FROM (SELECT doc_id, $toksSql AS tk FROM tr)))
-         |SELECT train_id, eval_id, CAST(count(*) AS BIGINT) AS n_shared_8grams
-         |FROM trsh JOIN evsh USING (sh)
-         |GROUP BY train_id, eval_id ORDER BY train_id, eval_id""".stripMargin,
+    "contamination" -> contaminationSql,
+    // the bloom prefilter is exactness-preserving (FPs removed by the
+    // equi-join) — SAME ground truth as the unfiltered formulation
+    "contamination_bloom" -> contaminationSql,
     "dedup_incremental" ->
       s"""WITH ex AS (SELECT doc_id, text FROM documents WHERE doc_id >= 100),
          |inc AS (
