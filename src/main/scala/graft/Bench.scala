@@ -19,7 +19,15 @@ object Bench {
       w.write.mode("overwrite").parquet("target/tmp_bench_warmup")
       spark.read.parquet("target/tmp_bench_warmup").count()
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // dev-loop filter: SPARK_GRAFT_BENCH_ONLY=q1,q2 times just those
+    // queries (unset for the driver's full run)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.view.filterKeys(names).toMap
+      case None => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // a crashed query must read as BROKEN (-1), never as a fast time
       val ok = try { fn(spark, sfDir).count(); true } catch {

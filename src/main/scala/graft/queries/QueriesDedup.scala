@@ -99,13 +99,20 @@ object QueriesDedup {
         .orderBy(col("train_id"), col("eval_id"))
     }),
 
-    // Contamination with a BLOOM PREFILTER — the 100 TB shape: the eval
-    // side's 8-gram set is tiny, so a Bloom filter over it (built in one
-    // small job, broadcast as a task-level object) prefilters the train
-    // side BEFORE the shuffle join. False positives only admit extra
-    // candidates that the exact equi-join then drops, so the result is
-    // IDENTICAL to `contamination` (same oracle) while the shuffled volume
-    // collapses from |train-shingles| to |matching-candidates|.
+    // Contamination with a BLOOM PREFILTER: the eval side's 8-gram set is
+    // tiny, so a Bloom filter over it (built in one small job, broadcast as
+    // a task-level object) prefilters the train side BEFORE the shuffle
+    // join. False positives only admit extra candidates that the exact
+    // equi-join then drops, so the result is IDENTICAL to `contamination`
+    // (same oracle) while the shuffled volume collapses from
+    // |train-shingles| to |matching-candidates|.
+    //
+    // MEASURED trade (SCALING.md): at 10×sf0.1 on local[32] this is ~4×
+    // SLOWER than the plain join (~5.5s vs ~1.4s) — the non-codegen UDF
+    // hash per train shingle costs more than the in-memory shuffle it
+    // saves. The prefilter wins when the shuffle crosses a network at
+    // corpus scale; both shapes ship so the pipeline can pick per
+    // deployment.
     "contamination_bloom" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val evalSet = docs.where(col("doc_id") < 50)
