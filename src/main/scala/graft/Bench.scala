@@ -20,11 +20,16 @@ object Bench {
       spark.read.parquet("target/tmp_bench_warmup").count()
     }
     // dev-loop filter: SPARK_GRAFT_BENCH_ONLY=q1,q2 times just those
-    // queries (unset for the driver's full run)
+    // queries (unset for the driver's full run). Unknown names FAIL —
+    // a typo'd name silently benching zero queries would read as "instant"
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = only match {
-      case Some(names) => SparkEntry.queries.view.filterKeys(names).toMap
+      case Some(names) =>
+        val unknown = names.diff(SparkEntry.queries.keySet)
+        require(unknown.isEmpty && names.nonEmpty,
+          s"SPARK_GRAFT_BENCH_ONLY names not declared (or empty): ${unknown.mkString(",")}")
+        SparkEntry.queries.view.filterKeys(names).toMap
       case None => SparkEntry.queries
     }
     val results = selected.map { case (name, fn) =>
@@ -38,7 +43,9 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // total over SUCCESSFUL queries only: the -1 crash sentinels are visible
+    // per-query and must not deflate the headline number
+    val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -25,6 +25,22 @@ object QueriesDedup {
         concat(col("text"), lit(" xtra xtra")).as("text")))
   }
 
+  /** One construction for BOTH contamination variants (they share one
+    * oracle string, so their corpora must never drift): eval = doc_id < 50,
+    * train = the rest + planted eval copies at +500000. Returns the
+    * exploded (eval_id|train_id, sh) 8-gram shingle streams. */
+  private def contaminationShingles(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val docs = t(s, dir, "documents")
+    val evalSet = docs.where(col("doc_id") < 50)
+    val train = docs.where(col("doc_id") >= 50)
+      .unionByName(evalSet.select((col("doc_id") + 500000L).as("doc_id"),
+        col("text"), col("lang"), col("source"), col("n_chars"))) // planted leakage
+    (Dedup.shingleSets(evalSet, "doc_id", "text", 8)
+        .select(col("doc_id").as("eval_id"), explode(col("shingles")).as("sh")),
+      Dedup.shingleSets(train, "doc_id", "text", 8)
+        .select(col("doc_id").as("train_id"), explode(col("shingles")).as("sh")))
+  }
+
   private val corpusSql =
     """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0),
       |corpus AS (
@@ -84,15 +100,7 @@ object QueriesDedup {
     // hits). The shuffle key is the shingle hash — work scales with corpus
     // size × overlap, never |train| × |eval|.
     "contamination" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val evalSet = docs.where(col("doc_id") < 50)
-      val train = docs.where(col("doc_id") >= 50)
-        .unionByName(evalSet.select((col("doc_id") + 500000L).as("doc_id"),
-          col("text"), col("lang"), col("source"), col("n_chars"))) // planted leakage
-      val evalSh = Dedup.shingleSets(evalSet, "doc_id", "text", 8)
-        .select(col("doc_id").as("eval_id"), explode(col("shingles")).as("sh"))
-      val trainSh = Dedup.shingleSets(train, "doc_id", "text", 8)
-        .select(col("doc_id").as("train_id"), explode(col("shingles")).as("sh"))
+      val (evalSh, trainSh) = contaminationShingles(s, dir)
       trainSh.join(evalSh, "sh")
         .groupBy(col("train_id"), col("eval_id"))
         .agg(count(lit(1)).as("n_shared_8grams"))
@@ -114,22 +122,14 @@ object QueriesDedup {
     // corpus scale; both shapes ship so the pipeline can pick per
     // deployment.
     "contamination_bloom" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val evalSet = docs.where(col("doc_id") < 50)
-      val train = docs.where(col("doc_id") >= 50)
-        .unionByName(evalSet.select((col("doc_id") + 500000L).as("doc_id"),
-          col("text"), col("lang"), col("source"), col("n_chars")))
-      val evalSh = Dedup.shingleSets(evalSet, "doc_id", "text", 8)
-        .select(col("doc_id").as("eval_id"), explode(col("shingles")).as("sh"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val (evalSh0, trainSh0) = contaminationShingles(s, dir)
+      val evalSh = evalSh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val bloom = evalSh.stat.bloomFilter("sh", expectedNumItems = 200000L, fpp = 0.01)
       // the UDF is a PREFILTER only (exactness restored by the equi-join);
       // trading one non-codegen predicate for a corpus-sized shuffle is the
       // right side of the bargain at scale
       val mightContain = udf((v: String) => v != null && bloom.mightContainString(v))
-      val trainSh = Dedup.shingleSets(train, "doc_id", "text", 8)
-        .select(col("doc_id").as("train_id"), explode(col("shingles")).as("sh"))
-        .where(mightContain(col("sh")))
+      val trainSh = trainSh0.where(mightContain(col("sh")))
       trainSh.join(evalSh, "sh")
         .groupBy(col("train_id"), col("eval_id"))
         .agg(count(lit(1)).as("n_shared_8grams"))
