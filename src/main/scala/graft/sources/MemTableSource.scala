@@ -57,6 +57,23 @@ object MemTableRegistry {
 
   /** Rows surviving source-side filtering (test observability). */
   val emitted = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  // ---- streaming sink bookkeeping ------------------------------------------
+
+  private val committedEpochs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.Set[java.lang.Long]]()
+
+  /** Idempotent per-epoch commit — the exactly-once contract of a streaming
+    * sink: the engine may re-deliver an epoch after a failure, and a
+    * re-delivered epoch must be a no-op, not a duplicate append. */
+  def commitEpoch(name: String, schema: StructType, epochId: Long, rows: Seq[Seq[Any]]): Unit = {
+    val seen = committedEpochs.computeIfAbsent(name,
+      _ => java.util.concurrent.ConcurrentHashMap.newKeySet[java.lang.Long]())
+    if (seen.add(epochId)) commitRows(name, schema, rows, overwrite = false)
+  }
+
+  def epochsCommitted(name: String): Int =
+    Option(committedEpochs.get(name)).map(_.size).getOrElse(0)
 }
 
 private class MemTable(name: String) extends Table
@@ -66,7 +83,7 @@ private class MemTable(name: String) extends Table
   override def schema(): StructType = MemTableRegistry.schemaOf(name)
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE).asJava
+      TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new MemTableScanBuilder(name, schema())
 
@@ -87,8 +104,30 @@ private class MemTable(name: String) extends Table
           }
           override def abort(messages: Array[WriterCommitMessage]): Unit = ()
         }
+
+        /** Streaming sink: same two-phase contract per micro-batch, plus
+          * EPOCH IDEMPOTENCE — the engine re-delivers epochs after failures
+          * and a re-committed epoch must not double-append. */
+        override def toStreaming: streaming.StreamingWrite = new streaming.StreamingWrite {
+          override def createStreamingWriterFactory(
+              pi: PhysicalWriteInfo): streaming.StreamingDataWriterFactory =
+            new MemTableStreamingWriterFactory(info.schema())
+          override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+            val rows = messages.toSeq.flatMap(_.asInstanceOf[MemTableCommit].rows)
+            MemTableRegistry.commitEpoch(name, info.schema(), epochId, rows)
+          }
+          override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+        }
       }
     }
+}
+
+private class MemTableStreamingWriterFactory(schema: StructType)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  import org.apache.spark.sql.connector.write.DataWriter
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new MemTableWriterFactory(schema).createWriter(partitionId, taskId)
 }
 
 private case class MemTableCommit(rows: Seq[Seq[Any]])
