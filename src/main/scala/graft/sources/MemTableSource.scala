@@ -82,8 +82,9 @@ private class MemTable(name: String) extends Table
   override def name(): String = s"memtable:$name"
   override def schema(): StructType = MemTableRegistry.schemaOf(name)
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new MemTableScanBuilder(name, schema())
 
@@ -219,23 +220,59 @@ private class MemTableScanBuilder(name: String, full: StructType)
       pruned.grouped(math.max(1, (pruned.size + nPart - 1) / nPart))
         .map(chunk => MemTablePartition(chunk, required): InputPartition).toArray
     }
-    override def createReaderFactory(): PartitionReaderFactory = new PartitionReaderFactory {
-      override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-        val part = p.asInstanceOf[MemTablePartition]
-        val conv = CatalystTypeConverters.createToCatalystConverter(part.schema)
-        val it = part.rows.iterator
-        new PartitionReader[InternalRow] {
-          private var current: InternalRow = _
-          override def next(): Boolean = {
-            if (!it.hasNext) return false
-            MemTableRegistry.emitted.incrementAndGet() // rows actually read
-            current = conv(org.apache.spark.sql.Row.fromSeq(it.next())).asInstanceOf[InternalRow]
-            true
-          }
-          override def get(): InternalRow = current
-          override def close(): Unit = ()
+    override def createReaderFactory(): PartitionReaderFactory = MemTableReaderFactory
+
+    /** Streaming source half of the contract: the registry's row list is an
+      * append log; an offset is a position in it. Each micro-batch plans
+      * ONLY the rows in (start, end] — the incremental-read shape every
+      * real streaming connector (Kafka, file notification) implements —
+      * with the same column pruning + filter pushdown as the batch scan. */
+    override def toMicroBatchStream(checkpointLocation: String): streaming.MicroBatchStream =
+      new streaming.MicroBatchStream {
+        import streaming.Offset
+        override def initialOffset(): Offset = MemTableOffset(0L)
+        override def latestOffset(): Offset =
+          MemTableOffset(MemTableRegistry.rowsOf(name).size.toLong)
+        override def deserializeOffset(json: String): Offset =
+          MemTableOffset(json.trim.toLong)
+        override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+          val s = start.asInstanceOf[MemTableOffset].count.toInt
+          val e = end.asInstanceOf[MemTableOffset].count.toInt
+          val slice = MemTableRegistry.rowsOf(name).slice(s, e)
+            .filter(r => pushed.forall(matches(r, _)))
+          val idxs = required.fieldNames.map(full.fieldIndex)
+          val pruned = slice.map(r => idxs.map(r(_)).toSeq)
+          if (pruned.isEmpty) Array.empty
+          else Array(MemTablePartition(pruned, required))
         }
+        override def createReaderFactory(): PartitionReaderFactory = MemTableReaderFactory
+        override def commit(end: Offset): Unit = ()
+        override def stop(): Unit = ()
       }
+  }
+}
+
+/** Streaming offset = position in the registry's append log. */
+private case class MemTableOffset(count: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = count.toString
+}
+
+private object MemTableReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[MemTablePartition]
+    val conv = CatalystTypeConverters.createToCatalystConverter(part.schema)
+    val it = part.rows.iterator
+    new PartitionReader[InternalRow] {
+      private var current: InternalRow = _
+      override def next(): Boolean = {
+        if (!it.hasNext) return false
+        MemTableRegistry.emitted.incrementAndGet() // rows actually read
+        current = conv(org.apache.spark.sql.Row.fromSeq(it.next())).asInstanceOf[InternalRow]
+        true
+      }
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
     }
   }
 }
