@@ -16,6 +16,7 @@ object SparkEntry {
     (QueriesTypes.queries, QueriesTypes.oracle),
     (QueriesText.queries, QueriesText.oracle),
     (QueriesDedup.queries, QueriesDedup.oracle),
+    (QueriesPipeline.queries, QueriesPipeline.oracle),
     (QueriesSim.queries, QueriesSim.oracle),
     (QueriesStream.queries, QueriesStream.oracle),
     (QueriesDdl.queries, QueriesDdl.oracle))

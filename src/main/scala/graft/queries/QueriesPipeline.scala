@@ -1,0 +1,193 @@
+package graft.queries
+
+import graft.functions.{SimFns, TextFns}
+import graft.operators.GlobalOrder
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Tables._
+
+/** Corpus-assembly operators — the steps between a cleaned document set and
+  * a training run (SURVEY.md §2.8 LLM extensions): sequence packing,
+  * weighted source mixing, deterministic global shuffling, per-source
+  * quotas, semantic (embedding-cluster) dedup, and rare-token quality
+  * signals. Everything is deterministic (hash-keyed, no RNG) so the DuckDB
+  * oracle can replay it exactly, and every global order is produced by the
+  * distributed two-phase scan in [[GlobalOrder]] — no single-partition
+  * windows anywhere.
+  */
+object QueriesPipeline {
+
+  /** 16-bit hex threshold for a deterministic keep-rate: keep iff the first
+    * 4 md5 hex chars (uniform over 0000..ffff) sort below it. "zzzz" > "ffff"
+    * in ASCII ⇒ rate 1.0 without a special case.
+    */
+  private def rateThr(rate: Double): String =
+    if (rate >= 1.0) "zzzz" else f"${math.floor(rate * 65536).toLong}%04x"
+
+  val queries: Map[String, Q] = Map(
+    // GPT-style sequence packing: documents are concatenated in doc_id order
+    // into one token stream cut into fixed 512-token training sequences; each
+    // doc reports its global token offset and the sequence ids it spans.
+    // The offset is an EXCLUSIVE PREFIX SUM over the whole corpus —
+    // GlobalOrder's range-shuffle + driver-cumulated partition bases keep it
+    // distributed (the naive global window is one task at 100 TB).
+    "pack_sequences" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), TextFns.tokenCount(col("text")).as("n_tokens"))
+      GlobalOrder.withExclusivePrefixSum(
+          docs, Seq(col("doc_id")), col("n_tokens"), "tok_offset", numParts = 8)
+        .withColumn("first_seq", when(col("n_tokens") > 0, expr("tok_offset DIV 512")))
+        .withColumn("last_seq",
+          when(col("n_tokens") > 0, expr("(tok_offset + n_tokens - 1) DIV 512")))
+        .withColumn("n_seqs",
+          coalesce(col("last_seq") - col("first_seq") + lit(1L), lit(0L)))
+        .select(col("doc_id"), col("n_tokens"), col("tok_offset"),
+          col("first_seq"), col("last_seq"), col("n_seqs"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Weighted dataset mixing: each source contributes at its configured
+    // rate (1.0 / 0.5 / 0.25 / 0.1 cycling over src0..src19), decided by a
+    // deterministic per-row hash against the rate threshold — reproducible
+    // across runs/engines, no RNG. The rates table is broadcast (it is
+    // mixture-config-sized at any corpus scale); the filter is a narrow
+    // per-row predicate, so the whole mix is shuffle-free.
+    "mix_weighted" -> ((s, dir) => {
+      import s.implicits._
+      val rates = broadcast(
+        (0 until 20).map(i => ("src" + i, rateThr(Seq(1.0, 0.5, 0.25, 0.1)(i % 4))))
+          .toDF("source", "thr"))
+      t(s, dir, "documents").join(rates, Seq("source"))
+        .where(substring(md5(concat(lit("mix:"), col("doc_id").cast(StringType))), 1, 4)
+          < col("thr"))
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Deterministic global shuffle — the training-order pass: rows get a
+    // 1-based position in md5-key order (seeded by the key prefix, so a new
+    // "epoch" = a new prefix). Positions come from GlobalOrder's distributed
+    // row numbering: range shuffle on the hash key + per-partition
+    // row_number + driver-cumulated bases, never a global window.
+    "global_shuffle" -> ((s, dir) => {
+      val keyed = t(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(concat(lit("shuf:"), col("doc_id").cast(StringType))).as("skey"))
+      GlobalOrder.withGlobalRowNumber(
+          keyed, Seq(col("skey"), col("doc_id")), "pos", numParts = 8)
+        .select(col("pos"), col("doc_id"), col("skey"))
+        .orderBy(col("pos"))
+    }),
+
+    // Per-source quota (per-domain cap, Common-Crawl style): keep at most 10
+    // docs per source, chosen by deterministic hash order (an unbiased
+    // subsample, not first-N). The rank filter is recognized by Spark 4's
+    // InferWindowGroupLimit ⇒ WindowGroupLimit prunes each group to 10 rows
+    // BEFORE the full per-group sort materializes; skewed giant domains cap
+    // out early instead of sorting whole partitions.
+    "source_quota" -> ((s, dir) => {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(md5(concat(lit("q:"), col("doc_id").cast(StringType))), col("doc_id"))
+      t(s, dir, "documents")
+        .withColumn("rk", row_number().over(w).cast(LongType))
+        .where(col("rk") <= 10)
+        .select(col("source"), col("doc_id"), col("rk"))
+        .orderBy(col("source"), col("doc_id"))
+    }),
+
+    // SemDeDup-style semantic dedup: within an embedding cluster (the label
+    // column stands in for the k-means cell id — sim_ivf_kmeans covers the
+    // learned variant), a vector whose cosine to any LOWER-id cluster-mate
+    // exceeds 0.9 is dropped. Injected exact copies (+100000) must all drop;
+    // natural within-label cosines top out at ~0.47. The self-join is
+    // cluster-local — quadratic only within a cell, the property that makes
+    // SemDeDup tractable at corpus scale (cells are ~√N-sized).
+    "semantic_dedup" -> ((s, dir) => {
+      val base = t(s, dir, "embeddings").select(col("vec_id"), col("label"), col("embedding"))
+      val all = base.unionByName(
+        base.select((col("vec_id") + 100000L).as("vec_id"), col("label"), col("embedding")))
+      val dropped = all.as("a").join(all.as("b"),
+          col("a.label") === col("b.label") && col("b.vec_id") < col("a.vec_id") &&
+            SimFns.cosine(col("a.embedding"), col("b.embedding")) > 0.9)
+        .select(col("a.vec_id").as("vec_id")).distinct()
+        .withColumn("_d", lit(1))
+      all.join(dropped, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("label"),
+          when(col("_d").isNull, lit(1L)).otherwise(lit(0L)).as("kept"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // Rare-token ratio (OOV-rate quality signal): fraction of a doc's tokens
+    // whose corpus-wide frequency is < 5. The broadcast side is the COMMON
+    // vocabulary (freq ≥ 5) — the Zipf head, tiny at any corpus size —
+    // and rare = missed the broadcast join; broadcasting the rare tail
+    // (most of the vocabulary) would not survive a scale-up.
+    "rare_token_ratio" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("token"))
+      val common = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        .where(col("cnt") >= 5).select(col("token"), lit(1).as("_c"))
+      toks.join(broadcast(common), Seq("token"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          count(when(col("_c").isNull, 1)).as("n_rare"))
+        .withColumn("rare_ratio",
+          round(col("n_rare").cast(DoubleType) / col("n_tokens").cast(DoubleType), 6))
+        .select(col("doc_id"), col("n_tokens"), col("n_rare"), col("rare_ratio"))
+        .orderBy(col("doc_id"))
+    }))
+
+  private val toks = """list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"""
+
+  val oracle: Map[String, String] = Map(
+    "pack_sequences" ->
+      """WITH tc AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |o AS (SELECT doc_id, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
+        |  FROM tc)
+        |SELECT doc_id, n_tokens, CAST(tok_offset AS BIGINT) AS tok_offset,
+        |  CAST(CASE WHEN n_tokens > 0 THEN tok_offset // 512 END AS BIGINT) AS first_seq,
+        |  CAST(CASE WHEN n_tokens > 0 THEN (tok_offset + n_tokens - 1) // 512 END AS BIGINT) AS last_seq,
+        |  CAST(COALESCE((tok_offset + n_tokens - 1) // 512 - tok_offset // 512 + 1, 0) AS BIGINT) AS n_seqs
+        |FROM o ORDER BY doc_id""".stripMargin,
+    "mix_weighted" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE substr(md5('mix:' || doc_id), 1, 4) <
+        |  CASE CAST(substr(source, 4, 10) AS INT) % 4
+        |    WHEN 0 THEN 'zzzz' WHEN 1 THEN '8000' WHEN 2 THEN '4000' ELSE '1999' END
+        |ORDER BY doc_id""".stripMargin,
+    "global_shuffle" ->
+      """SELECT CAST(row_number() OVER (ORDER BY md5('shuf:' || doc_id), doc_id) AS BIGINT) AS pos,
+        |  doc_id, md5('shuf:' || doc_id) AS skey
+        |FROM documents ORDER BY pos""".stripMargin,
+    "source_quota" ->
+      """SELECT source, doc_id, CAST(rk AS BIGINT) AS rk FROM (
+        |  SELECT source, doc_id, row_number() OVER (PARTITION BY source
+        |    ORDER BY md5('q:' || doc_id), doc_id) AS rk
+        |  FROM documents) WHERE rk <= 10
+        |ORDER BY source, doc_id""".stripMargin,
+    "semantic_dedup" ->
+      """WITH base AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |allv AS (SELECT vec_id, label, v FROM base
+        |  UNION ALL SELECT vec_id + 100000, label, v FROM base)
+        |SELECT a.vec_id, a.label,
+        |  CAST(CASE WHEN EXISTS (SELECT 1 FROM allv b
+        |      WHERE b.label = a.label AND b.vec_id < a.vec_id
+        |        AND list_cosine_similarity(a.v, b.v) > 0.9)
+        |    THEN 0 ELSE 1 END AS BIGINT) AS kept
+        |FROM allv a ORDER BY a.vec_id""".stripMargin,
+    "rare_token_ratio" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toks) AS token FROM documents),
+         |common AS (SELECT token FROM (
+         |  SELECT token, count(*) AS cnt FROM tok GROUP BY token) WHERE cnt >= 5)
+         |SELECT t.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(count(*) FILTER (c.token IS NULL) AS BIGINT) AS n_rare,
+         |  round(CAST(count(*) FILTER (c.token IS NULL) AS DOUBLE) /
+         |        CAST(count(*) AS DOUBLE), 6) AS rare_ratio
+         |FROM tok t LEFT JOIN common c ON t.token = c.token
+         |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,132 @@
+package graft
+
+import graft.operators.GlobalOrder
+import graft.queries.QueriesPipeline
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-assembly operators (QueriesPipeline) + the GlobalOrder distributed
+  * prefix-sum they are built on. Semantics are differential-tested against
+  * the naive single-partition forms; plan shape is asserted where the scale
+  * story depends on it (no global window, broadcast mixes).
+  */
+class PipelineOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("GlobalOrder prefix sum matches the single-partition window on a seeded table") {
+    // values with duplicates and zeros; keys shuffled relative to values
+    val df = (1L to 500L).map(i => (i * 7919L % 501L, i % 13L)).toDF("k", "v")
+    val got = GlobalOrder.withExclusivePrefixSum(
+        df, Seq(col("k")), col("v"), "off", numParts = 7)
+      .select(col("k"), col("v"), col("off"))
+    val naive = df.withColumn("off",
+      coalesce(sum(col("v")).over(Window.orderBy(col("k"))
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty)
+  }
+
+  test("GlobalOrder row number is the 1..N permutation of the sort order") {
+    val df = (1L to 300L).map(i => Tuple1(i * 104729L % 300L)).toDF("k")
+    val got = GlobalOrder.withGlobalRowNumber(df, Seq(col("k")), "pos", numParts = 5)
+      .orderBy(col("pos")).select(col("pos"), col("k")).as[(Long, Long)].collect()
+    assert(got.map(_._1).toSeq == (1L to 300L))
+    assert(got.map(_._2).toSeq == got.map(_._2).sorted.toSeq) // pos order == key order
+    // empty-partition robustness: more partitions than rows
+    val tiny = Seq(5L, 1L, 3L).map(Tuple1(_)).toDF("k")
+    val tgot = GlobalOrder.withGlobalRowNumber(tiny, Seq(col("k")), "pos", numParts = 8)
+      .orderBy(col("pos")).select(col("k")).as[Long].collect().toSeq
+    assert(tgot == Seq(1L, 3L, 5L))
+  }
+
+  test("pack_sequences: offsets are contiguous and seq spans are consistent") {
+    val rows = QueriesPipeline.queries("pack_sequences")(spark, sf)
+      .orderBy(col("doc_id")).collect()
+    var expect = 0L
+    rows.foreach { r =>
+      assert(r.getLong(2) == expect, s"offset gap at doc ${r.getLong(0)}")
+      expect += r.getLong(1)
+      if (r.getLong(1) > 0) {
+        assert(r.getLong(3) == r.getLong(2) / 512)
+        assert(r.getLong(4) == (r.getLong(2) + r.getLong(1) - 1) / 512)
+        assert(r.getLong(5) == r.getLong(4) - r.getLong(3) + 1 && r.getLong(5) >= 1)
+      }
+    }
+  }
+
+  test("no single-partition window in the GlobalOrder-backed plans") {
+    for (q <- Seq("pack_sequences", "global_shuffle")) {
+      // sparkPlan, not executedPlan: AQE wraps the tree and collect() would
+      // not descend into the adaptive subtree before execution
+      val windows = QueriesPipeline.queries(q)(spark, sf)
+        .queryExecution.sparkPlan.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec => w
+        }
+      assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+        s"$q has a global (single-partition) window")
+    }
+  }
+
+  test("global_shuffle: positions are 1..N and deterministic across runs") {
+    val a = QueriesPipeline.queries("global_shuffle")(spark, sf)
+      .select(col("pos"), col("doc_id")).as[(Long, Long)].collect().sortBy(_._1)
+    val b = QueriesPipeline.queries("global_shuffle")(spark, sf)
+      .select(col("pos"), col("doc_id")).as[(Long, Long)].collect().sortBy(_._1)
+    assert(a.map(_._1).toSeq == (1L to a.length))
+    assert(a.toSeq == b.toSeq)
+    // it actually permutes: doc_ids not in id order
+    assert(a.map(_._2).toSeq != a.map(_._2).sorted.toSeq)
+  }
+
+  test("mix_weighted: rate-1.0 sources keep everything, rates monotone, broadcast join") {
+    val docs = graft.queries.Tables.t(spark, sf, "documents")
+    val perSource = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    val kept = QueriesPipeline.queries("mix_weighted")(spark, sf)
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    def srcIdx(s: String) = s.drop(3).toInt
+    for ((s, n) <- perSource if srcIdx(s) % 4 == 0)
+      assert(kept.getOrElse(s, 0L) == n, s"rate-1.0 source $s dropped rows")
+    // aggregate keep-rate of the 0.1 bucket must be well below the 0.5 bucket
+    def bucketRate(m: Int) = {
+      val ks = perSource.keys.filter(srcIdx(_) % 4 == m)
+      ks.map(kept.getOrElse(_, 0L)).sum.toDouble / ks.map(perSource).sum
+    }
+    assert(bucketRate(3) < bucketRate(1))
+    val plan = QueriesPipeline.queries("mix_weighted")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("source_quota: ≤10 per source, rank dense from 1, group-limit pushed") {
+    val rows = QueriesPipeline.queries("source_quota")(spark, sf)
+      .select(col("source"), col("rk")).as[(String, Long)].collect()
+    val bySrc = rows.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(bySrc.values.forall(rks => rks == (1L to rks.length) && rks.length <= 10))
+    val plan = QueriesPipeline.queries("source_quota")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), "rank filter not pushed to WindowGroupLimit")
+  }
+
+  test("semantic_dedup: injected copies drop, originals keep, cluster-locality") {
+    val rows = QueriesPipeline.queries("semantic_dedup")(spark, sf)
+      .select(col("vec_id"), col("kept")).as[(Long, Long)].collect().toMap
+    val (orig, copies) = rows.partition(_._1 < 100000L)
+    assert(copies.nonEmpty && copies.values.forall(_ == 0L), "an exact copy survived")
+    assert(orig.values.forall(_ == 1L), "a natural vector was dropped (threshold too low)")
+  }
+
+  test("rare_token_ratio: all-common and all-rare bounds hold") {
+    val rows = QueriesPipeline.queries("rare_token_ratio")(spark, sf)
+      .select(col("n_tokens"), col("n_rare"), col("rare_ratio"))
+      .as[(Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (nt, nr, ratio) =>
+      assert(nr >= 0 && nr <= nt)
+      assert(math.abs(ratio - math.round(nr.toDouble / nt * 1e6) / 1e6) < 1e-9)
+    }
+  }
+}
