@@ -118,6 +118,50 @@ object QueriesPipeline {
         .orderBy(col("vec_id"))
     }),
 
+    // Per-source data card: the corpus-composition summary every dataset
+    // release ships — doc counts, token mass, exact token percentiles, and a
+    // high-quality-doc count (an INTEGER threshold count, not a float mean:
+    // a mean of doubles is accumulation-order-dependent and can't hash-match
+    // an oracle). One aggregation, shuffled by source.
+    "corpus_stats" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("source"), TextFns.tokenCount(col("text")).as("nt"),
+          TextFns.qualityScore(col("text")).as("q"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nt")).as("total_tokens"),
+          round(expr("percentile(nt, 0.5)"), 4).as("p50_tokens"),
+          round(expr("percentile(nt, 0.95)"), 4).as("p95_tokens"),
+          count(when(col("q") >= 0.7, 1)).as("n_hi_quality"))
+        .orderBy(col("source"))
+    }),
+
+    // Exact-substring duplication mass (the published exact-substring dedup
+    // signal): fraction of a doc's 10-token windows that occur ≥2 times
+    // corpus-wide. Injected full copies (+700000) score dup_frac 1.0.
+    // Windows shuffle as 16-hex md5 prefixes, not strings — the shuffle
+    // payload is what this costs at scale, and 8 bytes/window is the floor;
+    // the same hash feeds the oracle, so collisions (if any) are shared.
+    "substring_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs.unionByName(
+        docs.where(col("doc_id") < 50)
+          .select((col("doc_id") + 700000L).as("doc_id"), col("text")))
+      val win = corpus.select(col("doc_id"),
+          explode(TextFns.shingles(TextFns.tokens(col("text")), 10)).as("sh"))
+        .select(col("doc_id"), substring(md5(col("sh")), 1, 16).as("h"))
+      val dup = win.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+        .where(col("cnt") >= 2).select(col("h"), lit(1).as("_dup"))
+      win.join(dup, Seq("h"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_windows"),
+          count(col("_dup")).as("n_dup_windows"))
+        .withColumn("dup_frac",
+          round(col("n_dup_windows").cast(DoubleType) / col("n_windows").cast(DoubleType), 6))
+        .select(col("doc_id"), col("n_windows"), col("n_dup_windows"), col("dup_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Rare-token ratio (OOV-rate quality signal): fraction of a doc's tokens
     // whose corpus-wide frequency is < 5. The broadcast side is the COMMON
     // vocabulary (freq ≥ 5) — the Zipf head, tiny at any corpus size —
@@ -180,6 +224,38 @@ object QueriesPipeline {
         |        AND list_cosine_similarity(a.v, b.v) > 0.9)
         |    THEN 0 ELSE 1 END AS BIGINT) AS kept
         |FROM allv a ORDER BY a.vec_id""".stripMargin,
+    "corpus_stats" ->
+      s"""WITH m0 AS (SELECT source,
+         |    CAST(length(text) AS DOUBLE) AS nc, CAST(len($toks) AS DOUBLE) AS nt,
+         |    CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE) AS np,
+         |    CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|a|for|on|with|as|by|at|it)\\b')) AS DOUBLE) AS ns
+         |  FROM documents),
+         |m AS (SELECT source, CAST(nt AS BIGINT) AS nt,
+         |    round((CASE WHEN nc >= 100 AND nc <= 10000 THEN 1.0 WHEN nc >= 20 THEN 0.5 ELSE 0.0 END) * 0.3 +
+         |          (CASE WHEN np / greatest(nc, 1.0) <= 0.1 THEN 1.0 WHEN np / greatest(nc, 1.0) <= 0.3 THEN 0.5 ELSE 0.0 END) * 0.2 +
+         |          (CASE WHEN ns / greatest(nt, 1.0) >= 0.05 AND ns / greatest(nt, 1.0) <= 0.6 THEN 1.0 ELSE 0.3 END) * 0.3 +
+         |          (CASE WHEN nc / greatest(nt, 1.0) >= 3.0 AND nc / greatest(nt, 1.0) <= 12.0 THEN 1.0 ELSE 0.3 END) * 0.2, 6) AS q
+         |  FROM m0)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(nt) AS BIGINT) AS total_tokens,
+         |  round(quantile_cont(nt, 0.5), 4) AS p50_tokens,
+         |  round(quantile_cont(nt, 0.95), 4) AS p95_tokens,
+         |  CAST(count(*) FILTER (q >= 0.7) AS BIGINT) AS n_hi_quality
+         |FROM m GROUP BY source ORDER BY source""".stripMargin,
+    "substring_dedup" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 700000, text FROM documents WHERE doc_id < 50),
+         |tk AS (SELECT doc_id, $toks AS tk FROM corpus),
+         |win AS (SELECT doc_id, substr(md5(sh), 1, 16) AS h FROM (
+         |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(tk) - 8, 1)),
+         |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' ||
+         |         tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6] || ' ' || tk[i+7] || ' ' ||
+         |         tk[i+8] || ' ' || tk[i+9])) AS sh FROM tk)),
+         |dup AS (SELECT h FROM (SELECT h, count(*) AS c FROM win GROUP BY h) WHERE c >= 2)
+         |SELECT w.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+         |  CAST(count(d.h) AS BIGINT) AS n_dup_windows,
+         |  round(CAST(count(d.h) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS dup_frac
+         |FROM win w LEFT JOIN dup d ON w.h = d.h
+         |GROUP BY w.doc_id ORDER BY doc_id""".stripMargin,
     "rare_token_ratio" ->
       s"""WITH tok AS (SELECT doc_id, unnest($toks) AS token FROM documents),
          |common AS (SELECT token FROM (

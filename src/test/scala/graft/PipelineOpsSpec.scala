@@ -119,6 +119,35 @@ class PipelineOpsSpec extends SparkSpec {
     assert(orig.values.forall(_ == 1L), "a natural vector was dropped (threshold too low)")
   }
 
+  test("substring_dedup: injected copies fully duplicated, fraction bounds hold") {
+    val rows = QueriesPipeline.queries("substring_dedup")(spark, sf)
+      .select(col("doc_id"), col("n_windows"), col("n_dup_windows"), col("dup_frac"))
+      .as[(Long, Long, Long, Double)].collect()
+    val copies = rows.filter(_._1 >= 700000L)
+    assert(copies.nonEmpty && copies.forall(_._4 == 1.0), "a copied doc is not fully duplicated")
+    val originals = rows.filter(r => r._1 < 50L)
+    assert(originals.forall(_._4 == 1.0), "an original of an injected copy is not fully duplicated")
+    rows.foreach { case (_, nw, nd, f) =>
+      assert(nw > 0 && nd >= 0 && nd <= nw && f >= 0.0 && f <= 1.0)
+    }
+  }
+
+  test("corpus_stats: groups cover all sources, totals reconcile with token_count") {
+    val docs = graft.queries.Tables.t(spark, sf, "documents")
+    val stats = QueriesPipeline.queries("corpus_stats")(spark, sf)
+    val nSources = docs.select(col("source")).distinct().count()
+    assert(stats.count() == nSources)
+    val totalFromStats = stats.agg(sum(col("total_tokens"))).as[Long].head()
+    val totalDirect = docs.select(
+      sum(graft.functions.TextFns.tokenCount(col("text")))).as[Long].head()
+    assert(totalFromStats == totalDirect)
+    // percentiles ordered, counts within group size
+    stats.select(col("n_docs"), col("p50_tokens"), col("p95_tokens"), col("n_hi_quality"))
+      .as[(Long, Double, Double, Long)].collect().foreach { case (n, p50, p95, hi) =>
+        assert(p50 <= p95 && hi >= 0 && hi <= n)
+      }
+  }
+
   test("rare_token_ratio: all-common and all-rare bounds hold") {
     val rows = QueriesPipeline.queries("rare_token_ratio")(spark, sf)
       .select(col("n_tokens"), col("n_rare"), col("rare_ratio"))
