@@ -33,41 +33,63 @@ object TextFns {
   def bpeTokenCount(c: Column): Column =
     regexp_count(c, lit(BpeIshPattern)).cast(LongType)
 
-  /** Marker-word sets for the n-gram/stopword language-ID heuristic. */
+  /** One fused scan for every per-row text counter (native codegen'd
+    * expression, graft.plans.TextStats): struct<n_chars, n_tokens, n_punct,
+    * n_stop, m_en, m_de, m_fr, m_es>. Quality scoring and language ID are
+    * arithmetic over these fields; in projections the repeated struct refs
+    * collapse to ONE evaluation via whole-stage-codegen subexpression
+    * elimination, and in filters use [[qualityLangGate]] (FilterExec has no
+    * subexpression elimination — the composed-regex gate was measured at
+    * ~20 full-document regex scans per row). */
+  def textStats(c: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.TextStats(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(c)))
+
+  private def wordsPattern(words: Seq[String]): String =
+    words.mkString("\\b(", "|", ")\\b")
+
+  /** Marker-word regexes for the language-ID heuristic — generated from
+    * [[graft.plans.TextStats]]'s word lists so the regex form and the native
+    * scan can't drift apart (the spec checks them differentially). */
   val LangMarkers: Seq[(String, String)] = Seq(
-    "en" -> "\\b(the|and|of|to|in|is|a)\\b",
-    "de" -> "\\b(der|die|das|und|nicht|ein)\\b",
-    "fr" -> "\\b(le|la|les|et|est|une)\\b",
-    "es" -> "\\b(el|los|las|es|y|una)\\b")
+    "en" -> wordsPattern(graft.plans.TextStats.EnWords),
+    "de" -> wordsPattern(graft.plans.TextStats.DeWords),
+    "fr" -> wordsPattern(graft.plans.TextStats.FrWords),
+    "es" -> wordsPattern(graft.plans.TextStats.EsWords))
 
   def markerCount(c: Column, pattern: String): Column =
     regexp_count(lower(c), lit(pattern)).cast(LongType)
 
-  /** Heuristic language ID: argmax of marker-word hit counts, first listed
-    * language wins ties; "und" (undetermined) when nothing matches. */
-  def langId(c: Column): Column = {
-    val counts = LangMarkers.map { case (lang, p) => lang -> markerCount(c, p) }
+  /** Heuristic language ID from a [[textStats]] struct: argmax of marker
+    * counts, first listed language wins ties; "und" when nothing matches. */
+  def langIdFrom(m: Column): Column = {
+    val counts = Seq("en" -> m.getField("m_en"), "de" -> m.getField("m_de"),
+      "fr" -> m.getField("m_fr"), "es" -> m.getField("m_es"))
     val best = counts.map(_._2).reduce((a, b) => greatest(a, b))
     counts.foldRight(lit("und")) { case ((lang, cnt), els) =>
       when(cnt === best && best > 0, lit(lang)).otherwise(els)
     }
   }
 
+  def langId(c: Column): Column = langIdFrom(textStats(c))
+
   /** English stopword ratio — a quality-score component. */
-  val StopPattern = "\\b(the|and|of|to|in|is|a|for|on|with|as|by|at|it)\\b"
+  val StopPattern: String = wordsPattern(graft.plans.TextStats.StopWords)
 
   /** Punctuation-character count. */
   def punctCount(c: Column): Column =
     regexp_count(c, lit("[^a-zA-Z0-9\\s]")).cast(LongType)
 
-  /** Document quality score in [0,1]: length band + low punctuation +
-    * healthy stopword ratio + mean word length band. Deterministic, portable
-    * arithmetic (everything through DoubleType). */
-  def qualityScore(c: Column): Column = {
-    val nChars = length(c).cast(DoubleType)
-    val nToks = tokenCount(c).cast(DoubleType)
-    val punctRatio = punctCount(c).cast(DoubleType) / greatest(nChars, lit(1.0))
-    val stopRatio = markerCount(c, StopPattern).cast(DoubleType) / greatest(nToks, lit(1.0))
+  /** Document quality score in [0,1] from a [[textStats]] struct: length
+    * band + low punctuation + healthy stopword ratio + mean word length
+    * band. Deterministic, portable arithmetic (everything through
+    * DoubleType). */
+  def qualityScoreFrom(m: Column): Column = {
+    val nChars = m.getField("n_chars").cast(DoubleType)
+    val nToks = m.getField("n_tokens").cast(DoubleType)
+    val punctRatio = m.getField("n_punct").cast(DoubleType) / greatest(nChars, lit(1.0))
+    val stopRatio = m.getField("n_stop").cast(DoubleType) / greatest(nToks, lit(1.0))
     val meanWordLen = nChars / greatest(nToks, lit(1.0))
     val lenScore = when(nChars >= 100 && nChars <= 10000, 1.0)
       .when(nChars >= 20, 0.5).otherwise(0.0)
@@ -76,6 +98,17 @@ object TextFns {
     val wordScore = when(meanWordLen >= 3.0 && meanWordLen <= 12.0, 1.0).otherwise(0.3)
     round((lenScore * 0.3 + punctScore * 0.2 + stopScore * 0.3 + wordScore * 0.2), 6)
   }
+
+  def qualityScore(c: Column): Column = qualityScoreFrom(textStats(c))
+
+  /** Filter-side quality+language gate, let-bound for FilterExec: the stats
+    * struct is computed ONCE per row while building the single-element
+    * array, and the lambda's field references are variable reads — without
+    * this, every struct-field reference in a filter predicate re-runs the
+    * underlying scan (no subexpression elimination in FilterExec). */
+  def qualityLangGate(c: Column, minScore: Column, lang: Column): Column =
+    element_at(transform(array(textStats(c)), m =>
+      qualityScoreFrom(m) >= minScore && langIdFrom(m) === lang), 1)
 
   /** Canonical text normalization for fingerprinting: lowercase, strip
     * non-alphanumerics, collapse whitespace. */

@@ -124,9 +124,10 @@ object QueriesPipeline {
     // a mean of doubles is accumulation-order-dependent and can't hash-match
     // an oracle). One aggregation, shuffled by source.
     "corpus_stats" -> ((s, dir) => {
+      val m = TextFns.textStats(col("text"))
       t(s, dir, "documents")
-        .select(col("source"), TextFns.tokenCount(col("text")).as("nt"),
-          TextFns.qualityScore(col("text")).as("q"))
+        .select(col("source"), m.getField("n_tokens").as("nt"),
+          TextFns.qualityScoreFrom(m).as("q"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("nt")).as("total_tokens"),

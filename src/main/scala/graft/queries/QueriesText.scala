@@ -37,13 +37,16 @@ object QueriesText {
         .orderBy(col("doc_id"))
     }),
 
-    // Quality scoring: length/punct/stopword/word-length components.
+    // Quality scoring: length/punct/stopword/word-length components — all
+    // from ONE TextStats scan (the repeated struct refs collapse via
+    // projection subexpression elimination).
     "quality_score" -> ((s, dir) => {
+      val m = TextFns.textStats(col("text"))
       t(s, dir, "documents")
         .select(col("doc_id"),
-          length(col("text")).cast(LongType).as("n_chars"),
-          TextFns.tokenCount(col("text")).as("n_tokens"),
-          TextFns.qualityScore(col("text")).as("score"))
+          m.getField("n_chars").as("n_chars"),
+          m.getField("n_tokens").as("n_tokens"),
+          TextFns.qualityScoreFrom(m).as("score"))
         .orderBy(col("doc_id"))
     }),
 
@@ -57,8 +60,7 @@ object QueriesText {
         docs.where(col("doc_id") % 10 === 0)
           .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
       val cleaned = corpus
-        .where(TextFns.qualityScore(col("text")) >= 0.7 &&
-          TextFns.langId(col("text")) === "en")
+        .where(TextFns.qualityLangGate(col("text"), lit(0.7), lit("en")))
         .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
       cleaned
         .select(col("doc_id"), TextFns.tokenCount(col("text")).as("toks"))
