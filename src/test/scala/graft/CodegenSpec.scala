@@ -102,6 +102,14 @@ class CodegenSpec extends SparkSpec {
     assert(math.abs(got - 0.6) < 1e-12)
   }
 
+  test("text_stats is SQL-registered via GraftExtensions") {
+    graft.plans.GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT text_stats('the quick brown fox is fast').n_tokens AS t," +
+      " text_stats('the quick brown fox is fast').n_stop AS s").head()
+    assert(r.getLong(0) == 6L && r.getLong(1) == 2L)
+  }
+
   test("flagship aggregate runs in a codegen'd pipeline") {
     val df = SparkEntry.queries("agg_group")(spark, "/root/testdata/sf0.001")
     df.collect() // AQE finalizes the plan only on execution
