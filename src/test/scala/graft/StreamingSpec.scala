@@ -34,6 +34,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("native TextStats gate runs inside a streaming filter") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[String]
+    // the quality gate (native TextStats + let-bound HOF) must plan and run
+    // under the micro-batch engine exactly as in batch
+    val gated = ms.toDF().select(col("value").as("text"))
+      .where(graft.functions.TextFns.qualityLangGate(col("text"), lit(0.0), lit("en")))
+    val q = Streams.toMemorySink(gated, "gate_test", "append")
+    try {
+      ms.addData(
+        "the cat and the dog went to the park and sat in the sun as it is warm",
+        "der hund und die katze sind nicht ein problem und das ist gut so ja",
+        "!!!")
+      q.processAllAvailable()
+      val got = spark.table("gate_test").as[String].collect()
+      assert(got.length == 1 && got.head.startsWith("the cat"),
+        s"gate kept: ${got.mkString("; ")}")
+    } finally q.stop()
+  }
+
   test("streaming dedup within watermark") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
