@@ -4,29 +4,38 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
-import org.apache.spark.storage.StorageLevel
 
 /** Global-order primitives that scale: exclusive prefix sums and global row
   * numbers over a total order WITHOUT a single-partition window.
   *
   * The naive `sum(...).over(Window.orderBy(k))` collapses the whole dataset
   * onto one task (Spark warns "No Partition Defined for Window operation") —
-  * a non-starter at 100 TB. The distributed shape used here is the classic
-  * two-phase scan:
+  * a non-starter at 100 TB. The shape used here is the classic two-phase
+  * scan, expressed so the full dataset crosses the network ONCE:
   *
-  *   1. range-repartition on the order keys (partition i holds strictly
-  *      lower keys than partition i+1 — the same contract Spark's own sort
-  *      relies on),
-  *   2. one tiny per-partition aggregate (numParts rows) is collected and
-  *      cumulated on the driver into per-partition base offsets,
-  *   3. each row's global value = its partition base (broadcast-joined) +
-  *      a partition-LOCAL running-sum window.
+  *   1. a deterministic RANGE-BUCKET id is computed from the lead order key
+  *      itself (sampled boundary literals, monotone in the key) — not from
+  *      `spark_partition_id()`: a bucket derived from the key lets the
+  *      Window's own hash exchange on the bucket BE the data shuffle,
+  *      whereas a pid-based bucket sits on top of `repartitionByRange` and
+  *      forces a SECOND full-data exchange (measured in the round-2 plan
+  *      audit), and is only deterministic relative to a physical partitioner;
+  *   2. per-bucket totals (a map-side-combined aggregate, numBuckets rows)
+  *      self-join into exclusive per-bucket base offsets — tiny (≤ n² rows),
+  *      no driver collect, no persist, fully lazy;
+  *   3. each row's global value = its bucket base (broadcast-joined) + a
+  *      bucket-LOCAL running-sum window.
   *
-  * Cost: one range shuffle + one O(numParts) collect + per-partition sorts.
-  * No stage touches more than one partition's rows, so the plan survives any
-  * scale-up by raising numParts. This powers sequence packing (token-offset
-  * assignment) and deterministic global shuffles (training-order row ids) —
-  * both need a total order over the full corpus.
+  * Cost: one data-sized hash shuffle (the window's), one extra column-pruned
+  * scan for the totals subtree, and two eager column-pruned probe jobs at
+  * BUILD time (count + seeded sample) that fix the bucket boundaries as
+  * literals. No stage holds more than ~one bucket's rows (hash collisions of
+  * bucket ids can co-locate two buckets in a task — bounded 2×, not O(N)),
+  * so the plan survives any scale-up by raising numBuckets.
+  *
+  * Requirements: `orderCols` ascending and totally ordered (include a unique
+  * id last); `value` non-null; the LEAD order column should be
+  * high-cardinality (all rows equal on it degrade to one bucket).
   *
   * The reference has no analog (its tables are in-memory lists with implicit
   * positions, data-table.lisp:94-98); this is the distributed re-expression
@@ -34,38 +43,68 @@ import org.apache.spark.storage.StorageLevel
   */
 object GlobalOrder {
 
+  private val SampleSeed = 8675309L
+  private val SamplesPerBucket = 128
+
+  /** Sampled ascending boundary literals for the lead order key: bucket(k) =
+    * number of boundaries ≤ k — monotone, null→bucket 0 (nulls sort first).
+    * Two eager column-pruned jobs (count, then seeded sample); boundaries
+    * become plan literals so both downstream subtrees agree deterministically.
+    */
+  private def bucketExpr(df: DataFrame, c0: Column, n: Int): Column = {
+    val cnt = df.select(c0.as("_g_k")).count()
+    val boundaries: Seq[Any] =
+      if (cnt == 0 || n <= 1) Seq.empty
+      else {
+        val fraction = math.min(1.0, (n.toDouble * SamplesPerBucket) / cnt)
+        val s = df.select(c0.as("_g_k")).where(col("_g_k").isNotNull)
+          .sample(withReplacement = false, fraction, SampleSeed)
+          .orderBy(col("_g_k")).collect().map(_.get(0))
+        if (s.isEmpty) Seq.empty
+        else (1 until n).map(i => s(((i.toLong * s.length) / n).toInt.min(s.length - 1)))
+          .distinct
+      }
+    boundaries.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(c0 >= lit(b), 1).otherwise(0)
+    }
+  }
+
   /** Adds `out` = the sum of `value` over all rows strictly BEFORE this row
     * in the total order given by `orderCols` (exclusive prefix sum; first
-    * row gets 0). `value` must be non-null; ties in `orderCols` across
-    * partition boundaries are fine (range partitioning keeps equal keys in
-    * one partition), but for a deterministic result `orderCols` should be a
-    * total order (include a unique id as the last key).
+    * row gets 0). When the lead key's distribution is known a priori (e.g.
+    * an md5 hex key is uniform), pass explicit ascending `boundaries` to
+    * skip the two boundary-probe jobs entirely — the whole operator is then
+    * lazy.
     */
   def withExclusivePrefixSum(df: DataFrame, orderCols: Seq[Column], value: Column,
-                             out: String, numParts: Int = 0): DataFrame = {
+                             out: String, numParts: Int = 0,
+                             boundaries: Option[Seq[Any]] = None): DataFrame = {
     val spark = df.sparkSession
-    import spark.implicits._
     val n = if (numParts > 0) numParts
             else spark.conf.get("spark.sql.shuffle.partitions").toInt
-    // persist AFTER the range shuffle: the partial-sum job and the final job
-    // must see the SAME partitioning, and the shuffle must run once
-    val ranged = df.withColumn("_g_v", value.cast(LongType))
-      .repartitionByRange(n, orderCols: _*)
-      .withColumn("_g_pid", spark_partition_id())
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val partials: Map[Int, Long] = ranged.groupBy(col("_g_pid"))
-      .agg(sum(col("_g_v")).as("t")).collect()
-      .map(r => r.getInt(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1))).toMap
-    // bases(p) = sum of all partitions before p (empty partitions emit no
-    // partial row → contribute 0)
-    val bases = (0 until n).scanLeft(0L)((acc, p) => acc + partials.getOrElse(p, 0L))
-    val baseDf = broadcast(
-      (0 until n).map(p => (p, bases(p))).toDF("_g_pid", "_g_base"))
-    val w = Window.partitionBy(col("_g_pid")).orderBy(orderCols: _*)
+    val bucket = boundaries match {
+      case Some(bs) => bs.foldLeft(lit(0)) { (acc, b) =>
+        acc + when(orderCols.head >= lit(b), 1).otherwise(0)
+      }
+      case None => bucketExpr(df, orderCols.head, n)
+    }
+    val keyed = df.withColumn("_g_v", value.cast(LongType))
+      .withColumn("_g_bucket", bucket)
+    // per-bucket totals → exclusive bases via a cumsum window over the
+    // ≤n-row totals relation. partitionBy(lit(0)) makes the single
+    // partition EXPLICIT: this window sees bucket-count rows, never data —
+    // the "no global window" rule is about data-sized inputs
+    val totals = keyed.groupBy(col("_g_bucket")).agg(sum(col("_g_v")).as("_g_t"))
+    val wb = Window.partitionBy(lit(0)).orderBy(col("_g_bucket"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    ranged.join(baseDf, "_g_pid")
+    val bases = totals
+      .withColumn("_g_base", coalesce(sum(col("_g_t")).over(wb), lit(0L)))
+      .drop("_g_t")
+    val w = Window.partitionBy(col("_g_bucket")).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    keyed.join(broadcast(bases), "_g_bucket")
       .withColumn(out, coalesce(sum(col("_g_v")).over(w), lit(0L)) + col("_g_base"))
-      .drop("_g_pid", "_g_v", "_g_base")
+      .drop("_g_bucket", "_g_v", "_g_base")
   }
 
   /** Adds `out` = this row's 1-based position in the total order given by
@@ -73,8 +112,14 @@ object GlobalOrder {
     * `orderCols` must be a total order (no ties) for determinism.
     */
   def withGlobalRowNumber(df: DataFrame, orderCols: Seq[Column],
-                          out: String, numParts: Int = 0): DataFrame =
-    withExclusivePrefixSum(df, orderCols, lit(1L), "_g_rank0", numParts)
+                          out: String, numParts: Int = 0,
+                          boundaries: Option[Seq[Any]] = None): DataFrame =
+    withExclusivePrefixSum(df, orderCols, lit(1L), "_g_rank0", numParts, boundaries)
       .withColumn(out, col("_g_rank0") + lit(1L))
       .drop("_g_rank0")
+
+  /** Evenly spaced 4-hex-digit prefixes — static boundaries for md5-hex lead
+    * keys (uniform by construction): n buckets, no probe jobs. */
+  def hexBoundaries(n: Int): Seq[Any] =
+    (1 until n).map(i => f"${(i.toLong * 65536L) / n}%04x")
 }

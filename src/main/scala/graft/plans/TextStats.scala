@@ -24,8 +24,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * subexpression elimination (that's a ProjectExec/HashAggregate feature),
   * so the fused pipeline_e2e gate was measured evaluating ~20 full-document
   * regex scans per row. This expression does two character scans (original +
-  * lowercased), zero allocations per row beyond the 8-field result, and
-  * stays inside whole-stage codegen.
+  * lowercased — two transient String decodes per row, plus a short substring
+  * per candidate word run; no match arrays, no per-match boxing) and stays
+  * inside whole-stage codegen.
   *
   * Exact-parity contract with the composed built-ins (spec-verified
   * differentially, and the unchanged DuckDB oracles hold):

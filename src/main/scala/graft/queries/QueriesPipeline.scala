@@ -74,8 +74,11 @@ object QueriesPipeline {
       val keyed = t(s, dir, "documents")
         .select(col("doc_id"),
           md5(concat(lit("shuf:"), col("doc_id").cast(StringType))).as("skey"))
+      // md5 keys are uniform ⇒ static hex boundaries: no probe jobs, the
+      // whole shuffle stays lazy
       GlobalOrder.withGlobalRowNumber(
-          keyed, Seq(col("skey"), col("doc_id")), "pos", numParts = 8)
+          keyed, Seq(col("skey"), col("doc_id")), "pos", numParts = 8,
+          boundaries = Some(GlobalOrder.hexBoundaries(8)))
         .select(col("pos"), col("doc_id"), col("skey"))
         .orderBy(col("pos"))
     }),
@@ -197,7 +200,9 @@ object QueriesPipeline {
         |SELECT doc_id, n_tokens, CAST(tok_offset AS BIGINT) AS tok_offset,
         |  CAST(CASE WHEN n_tokens > 0 THEN tok_offset // 512 END AS BIGINT) AS first_seq,
         |  CAST(CASE WHEN n_tokens > 0 THEN (tok_offset + n_tokens - 1) // 512 END AS BIGINT) AS last_seq,
-        |  CAST(COALESCE((tok_offset + n_tokens - 1) // 512 - tok_offset // 512 + 1, 0) AS BIGINT) AS n_seqs
+        |  CAST(CASE WHEN n_tokens > 0
+        |    THEN (tok_offset + n_tokens - 1) // 512 - tok_offset // 512 + 1
+        |    ELSE 0 END AS BIGINT) AS n_seqs
         |FROM o ORDER BY doc_id""".stripMargin,
     "mix_weighted" ->
       """SELECT doc_id, source FROM documents

@@ -41,6 +41,17 @@ class PipelineOpsSpec extends SparkSpec {
     assert(tgot == Seq(1L, 3L, 5L))
   }
 
+  test("static hex boundaries give the same row numbers as sampled boundaries") {
+    val df = (1L to 400L).map(i => Tuple1(i)).toDF("id")
+      .withColumn("k", md5(concat(lit("x:"), col("id").cast("string"))))
+    val sampled = GlobalOrder.withGlobalRowNumber(df, Seq(col("k"), col("id")), "pos", 6)
+      .select(col("id"), col("pos"))
+    val static = GlobalOrder.withGlobalRowNumber(df, Seq(col("k"), col("id")), "pos", 6,
+        boundaries = Some(GlobalOrder.hexBoundaries(6)))
+      .select(col("id"), col("pos"))
+    assert(static.exceptAll(sampled).isEmpty && sampled.exceptAll(static).isEmpty)
+  }
+
   test("pack_sequences: offsets are contiguous and seq spans are consistent") {
     val rows = QueriesPipeline.queries("pack_sequences")(spark, sf)
       .orderBy(col("doc_id")).collect()
@@ -58,14 +69,38 @@ class PipelineOpsSpec extends SparkSpec {
 
   test("no single-partition window in the GlobalOrder-backed plans") {
     for (q <- Seq("pack_sequences", "global_shuffle")) {
-      // sparkPlan, not executedPlan: AQE wraps the tree and collect() would
-      // not descend into the adaptive subtree before execution
-      val windows = QueriesPipeline.queries(q)(spark, sf)
-        .queryExecution.sparkPlan.collect {
-          case w: org.apache.spark.sql.execution.window.WindowExec => w
+      // unwrap AQE: exchanges only exist after EnsureRequirements, and
+      // executedPlan.collect() does not descend into the adaptive subtree
+      val exec = QueriesPipeline.queries(q)(spark, sf).queryExecution.executedPlan
+      val plan = exec.collectFirst {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      }.getOrElse(exec)
+      val windows = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      // a window with no partition spec is only acceptable when its input is
+      // aggregate-bounded (every path to a leaf passes an aggregate — i.e.
+      // bucket-count rows, not data): GlobalOrder's bases cumsum is one
+      def aggBounded(p: org.apache.spark.sql.execution.SparkPlan): Boolean = p match {
+        case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => true
+        case leaf if leaf.children.isEmpty => false
+        case n => n.children.forall(aggBounded)
+      }
+      assert(windows.nonEmpty &&
+        windows.forall(w => w.partitionSpec.nonEmpty || aggBounded(w.child)),
+        s"$q has a data-sized global (single-partition) window")
+      // exactly ONE data-sized shuffle feeds each window: every other
+      // exchange in its subtree must sit above a partial aggregate (tiny,
+      // bucket-count-sized rows) — the round-2 audit caught a second
+      // full-data exchange when the bucket came from spark_partition_id
+      windows.filter(_.partitionSpec.nonEmpty).foreach { w =>
+        val dataShuffles = w.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+              if !e.child.isInstanceOf[org.apache.spark.sql.execution.aggregate.HashAggregateExec] => e
         }
-      assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
-        s"$q has a global (single-partition) window")
+        assert(dataShuffles.size == 1,
+          s"$q window subtree has ${dataShuffles.size} data-sized shuffles (want 1)")
+      }
     }
   }
 
