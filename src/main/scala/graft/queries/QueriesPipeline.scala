@@ -166,6 +166,24 @@ object QueriesPipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // Tokenizer-training prep (first BPE merge round): corpus-wide counts of
+    // adjacent character pairs inside words, weighted by word frequency.
+    // The heavy explode runs over the DISTINCT word vocabulary (Zipf: far
+    // smaller than the token stream), then pair counts weight by the word's
+    // corpus count — the standard trick that makes BPE rounds
+    // vocabulary-sized instead of corpus-sized. Top-50 pairs.
+    "bpe_pairs" -> ((s, dir) => {
+      val words = t(s, dir, "documents")
+        .select(explode(TextFns.tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+      words.where(length(col("w")) >= 2)
+        .select(col("wc"), explode(
+          transform(sequence(lit(1), length(col("w")) - 1),
+            i => col("w").substr(i, lit(2)))).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("wc")).as("n"))
+        .orderBy(col("n").desc, col("pair")).limit(50)
+    }),
+
     // Rare-token ratio (OOV-rate quality signal): fraction of a doc's tokens
     // whose corpus-wide frequency is < 5. The broadcast side is the COMMON
     // vocabulary (freq ≥ 5) — the Zipf head, tiny at any corpus size —
@@ -262,6 +280,13 @@ object QueriesPipeline {
          |  round(CAST(count(d.h) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS dup_frac
          |FROM win w LEFT JOIN dup d ON w.h = d.h
          |GROUP BY w.doc_id ORDER BY doc_id""".stripMargin,
+    "bpe_pairs" ->
+      s"""WITH words AS (SELECT w, count(*) AS wc FROM (
+         |  SELECT unnest($toks) AS w FROM documents) GROUP BY w),
+         |pairs AS (SELECT substr(w, CAST(i AS INT), 2) AS pair, wc FROM (
+         |  SELECT w, wc, unnest(range(1, length(w))) AS i FROM words WHERE length(w) >= 2))
+         |SELECT pair, CAST(sum(wc) AS BIGINT) AS n FROM pairs
+         |GROUP BY pair ORDER BY n DESC, pair LIMIT 50""".stripMargin,
     "rare_token_ratio" ->
       s"""WITH tok AS (SELECT doc_id, unnest($toks) AS token FROM documents),
          |common AS (SELECT token FROM (

@@ -183,6 +183,19 @@ class PipelineOpsSpec extends SparkSpec {
       }
   }
 
+  test("bpe_pairs: top pairs are 2-char, counts weighted and descending") {
+    val rows = QueriesPipeline.queries("bpe_pairs")(spark, sf)
+      .select(col("pair"), col("n")).as[(String, Long)].collect()
+    assert(rows.length == 50)
+    assert(rows.forall(_._1.length == 2))
+    assert(rows.map(_._2).toSeq == rows.map(_._2).sorted.reverse.toSeq)
+    // counts must be corpus-weighted (far exceed the distinct-word count)
+    val nWords = graft.queries.Tables.t(spark, sf, "documents")
+      .select(explode(graft.functions.TextFns.tokens(col("text"))).as("w"))
+      .select(countDistinct(col("w"))).as[Long].head()
+    assert(rows.head._2 > nWords / 2, s"top pair ${rows.head} not frequency-weighted")
+  }
+
   test("rare_token_ratio: all-common and all-rare bounds hold") {
     val rows = QueriesPipeline.queries("rare_token_ratio")(spark, sf)
       .select(col("n_tokens"), col("n_rare"), col("rare_ratio"))
