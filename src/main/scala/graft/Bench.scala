@@ -18,6 +18,7 @@ object Bench {
       w.join(w.toDF("k", "v2"), "k").groupBy($"v").count().count()
       w.write.mode("overwrite").parquet("target/tmp_bench_warmup")
       spark.read.parquet("target/tmp_bench_warmup").count()
+      spark.sql("SELECT count(*) FROM (SELECT 1 AS x) t WHERE x > 0").count()
     }
     // dev-loop filter: SPARK_GRAFT_BENCH_ONLY=q1,q2 times just those
     // queries (unset for the driver's full run). Unknown names FAIL —
@@ -32,7 +33,10 @@ object Bench {
         SparkEntry.queries.view.filterKeys(names).toMap
       case None => SparkEntry.queries
     }
-    val results = selected.map { case (name, fn) =>
+    // deterministic name order: HashMap iteration order is arbitrary, so the
+    // first-measured query (which absorbs any residual one-time cost) would
+    // differ run to run and read as a regression in per-query comparisons
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // a crashed query must read as BROKEN (-1), never as a fast time
       val ok = try { fn(spark, sfDir).count(); true } catch {
@@ -49,7 +53,7 @@ object Bench {
       .mkString("{", ",", "}")
     // total over SUCCESSFUL queries only: the -1 crash sentinels are visible
     // per-query and must not deflate the headline number
-    val total = results.values.filter(_ >= 0).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
