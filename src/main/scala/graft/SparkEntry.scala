@@ -18,6 +18,7 @@ object SparkEntry {
     (QueriesDedup.queries, QueriesDedup.oracle),
     (QueriesPipeline.queries, QueriesPipeline.oracle),
     (QueriesSim.queries, QueriesSim.oracle),
+    (QueriesScale.queries, QueriesScale.oracle),
     (QueriesStream.queries, QueriesStream.oracle),
     (QueriesDdl.queries, QueriesDdl.oracle))
 

@@ -1,0 +1,116 @@
+package graft.queries
+
+import graft.functions.TextFns
+import graft.operators.{HeavyHitters, ZOrder}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Tables._
+
+/** Scale-pattern operators: the aggregation/layout techniques that keep
+  * full-corpus statistics tractable at 100 TB — bounded-memory heavy-hitter
+  * summaries, mergeable cardinality sketches, robust (median/MAD) outlier
+  * gating, and z-order multi-dimensional clustering. The reference has no
+  * aggregation at all (SURVEY.md §2.8); these extend the LLM-pipeline
+  * surface with the patterns a data-card / quality-filter stage needs.
+  */
+object QueriesScale {
+
+  val queries: Map[String, Q] = Map(
+    // Exact corpus-wide top-20 tokens via two-phase Misra-Gries: phase 1
+    // emits ≤capacity candidates per partition (bounded memory no matter the
+    // vocabulary size), phase 2 re-counts ONLY candidate occurrences (the
+    // shuffle never carries the long tail), and an explicit bound check
+    // proves exactness (falls back to full aggregation when unprovable).
+    "heavy_hitters" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(TextFns.tokens(col("text"))).as("token"))
+      HeavyHitters.exactTopK(toks, k = 20, capacity = 4096)
+        .orderBy(col("n").desc, col("token"))
+    }),
+
+    // Robust outlier gate: flag events whose |value − group-median| exceeds
+    // 3σ under the MAD estimate (σ ≈ 1.4826·MAD) — the quality-filter shape
+    // that survives skew/heavy tails where mean/stddev gates break. Two
+    // grouped exact percentiles; both joins broadcast the 5-row aggregate
+    // back, so the event stream is never shuffled. Values are recast to
+    // integer cents so every median/MAD is exact binary arithmetic — the
+    // flag is bit-reproducible across engines.
+    "outlier_mad" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("event_id"), col("event_type"),
+        col("value"), round(col("value") * 100).cast(LongType).as("cents"))
+      val med = e.groupBy(col("event_type"))
+        .agg(expr("percentile(cents, 0.5)").as("med"))
+      val dev = e.join(broadcast(med), Seq("event_type"))
+        .withColumn("adev", abs(col("cents").cast(DoubleType) - col("med")))
+      val mad = dev.groupBy(col("event_type"))
+        .agg(expr("percentile(adev, 0.5)").as("mad"))
+      dev.join(broadcast(mad), Seq("event_type"))
+        .where(col("adev") > col("mad") * lit(4.4478))
+        .select(col("event_id"), col("event_type"), col("value"), col("adev"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Z-order clustering stats: bucket lineitem by the Morton interleave of
+    // (l_partkey, l_suppkey) — each z-bucket covers a narrow range of BOTH
+    // keys (the min/max columns prove it), which is exactly why a z-ordered
+    // layout prunes row groups on either predicate. ZOrderSpec measures the
+    // actual per-file span shrink after ZOrder.writeClustered.
+    "zorder_cluster" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .withColumn("zval", ZOrder.zvalue(col("l_partkey"), col("l_suppkey"), 11))
+        .withColumn("zbucket", expr("zval DIV 16384"))
+        .groupBy(col("zbucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("l_partkey")).as("min_pk"), max(col("l_partkey")).as("max_pk"),
+          min(col("l_suppkey")).as("min_sk"), max(col("l_suppkey")).as("max_sk"))
+        .orderBy(col("zbucket"))
+    }),
+
+    // Mergeable per-source vocabulary data card: HLL sketches aggregate
+    // per source, then hll_union_agg folds the 20 sketches into the corpus
+    // total WITHOUT re-touching raw tokens — the property that lets 1000
+    // shards each sketch locally and a final reducer merge kilobytes.
+    // Estimates are hash-deterministic but engine-specific ⇒ rows-only
+    // (HllCardSpec pins the ε-accuracy and merge-exactness properties).
+    "hll_card" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("source"), explode(TextFns.tokens(col("text"))).as("token"))
+      val per = toks.groupBy(col("source"))
+        .agg(hll_sketch_agg(col("token")).as("sk"), count(lit(1)).as("n_tokens"))
+      val perSource = per.select(col("source"),
+        hll_sketch_estimate(col("sk")).as("est_vocab"), col("n_tokens"))
+      val union = per.agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_vocab"),
+          sum(col("n_tokens")).as("n_tokens"))
+        .select(lit("ALL").as("source"), col("est_vocab"), col("n_tokens"))
+      perSource.unionByName(union).orderBy(col("source"))
+    }))
+
+  private val toks = """list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"""
+
+  val oracle: Map[String, String] = Map(
+    "heavy_hitters" ->
+      s"""WITH tok AS (SELECT unnest($toks) AS token FROM documents)
+         |SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok
+         |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+    "outlier_mad" ->
+      """WITH e AS (SELECT event_id, event_type, value,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |med AS (SELECT event_type, quantile_cont(cents, 0.5) AS med
+        |  FROM e GROUP BY event_type),
+        |d AS (SELECT e.*, abs(CAST(e.cents AS DOUBLE) - m.med) AS adev
+        |  FROM e JOIN med m USING (event_type)),
+        |mad AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        |  FROM d GROUP BY event_type)
+        |SELECT d.event_id AS event_id, d.event_type AS event_type,
+        |  d.value AS value, d.adev AS adev
+        |FROM d JOIN mad USING (event_type)
+        |WHERE d.adev > mad.mad * 4.4478 ORDER BY event_id""".stripMargin,
+    "zorder_cluster" ->
+      s"""WITH z AS (SELECT l_partkey, l_suppkey,
+         |    ${ZOrder.sqlExpr("l_partkey", "l_suppkey", 11)} AS zval
+         |  FROM lineitem)
+         |SELECT zval // 16384 AS zbucket, CAST(count(*) AS BIGINT) AS n,
+         |  min(l_partkey) AS min_pk, max(l_partkey) AS max_pk,
+         |  min(l_suppkey) AS min_sk, max(l_suppkey) AS max_sk
+         |FROM z GROUP BY zbucket ORDER BY zbucket""".stripMargin)
+}

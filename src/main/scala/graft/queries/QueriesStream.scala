@@ -55,6 +55,28 @@ object QueriesStream {
         .orderBy(col("window_start"), col("c_mktsegment"))
     }),
 
+    // Stream-stream interval join: views matched to same-user purchases
+    // within the following hour. Watermarks on BOTH sides + the time-range
+    // condition bound the join state (a view is dropped from state once the
+    // purchase watermark passes view_ts + 1h) — without that bound a
+    // stream-stream join accumulates forever. Batch form for the oracle;
+    // the streaming execution path is pinned by StreamingSpec.
+    "stream_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val views = e.where(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("view_ts"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+          col("ts").as("purchase_ts"), col("value"))
+      Streams.streamStreamJoin(views, purchases, "view_ts", "purchase_ts", "1 hour",
+          col("user_id") === col("p_user") &&
+            col("purchase_ts") >= col("view_ts") &&
+            col("purchase_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"))
+        .select(col("view_id"), col("purchase_id"), col("user_id"),
+          round(col("value"), 2).as("value"))
+        .orderBy(col("view_id"), col("purchase_id"))
+    }),
+
     // Streaming dedup surface in its batch form.
     "stream_dedup" -> ((s, dir) => {
       val e = t(s, dir, "events")
@@ -93,6 +115,15 @@ object QueriesStream {
         |  CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_value
         |FROM events JOIN customer ON user_id = c_custkey
         |WHERE ts IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "stream_join" ->
+      """WITH e AS (SELECT event_id, date_trunc('microseconds', ts) AS ts,
+        |    user_id, event_type, value FROM events)
+        |SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+        |  v.user_id AS user_id, round(p.value, 2) AS value
+        |FROM e v JOIN e p ON v.user_id = p.user_id
+        |  AND v.event_type = 'view' AND p.event_type = 'purchase'
+        |  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+        |ORDER BY view_id, purchase_id""".stripMargin,
     "stream_dedup" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_value
         |FROM (SELECT DISTINCT ON (event_id) * FROM

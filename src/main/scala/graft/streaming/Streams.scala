@@ -63,6 +63,20 @@ object Streams {
                    joinType: String = "inner"): DataFrame =
     stream.join(broadcast(dim), joinExpr, joinType)
 
+  /** Stream-stream join: both sides get event-time watermarks so Spark can
+    * bound the join state — a row is held only until the other side's
+    * watermark passes the time-range condition's reach, then evicted. The
+    * `cond` must therefore include a time-range constraint between the two
+    * event-time columns (Spark rejects unbounded stream-stream joins).
+    * Batch DataFrames take the same code path minus watermarks, so the
+    * DuckDB oracle checks the join semantics directly. */
+  def streamStreamJoin(left: DataFrame, right: DataFrame,
+                       leftTsCol: String, rightTsCol: String,
+                       threshold: String, cond: Column,
+                       joinType: String = "inner"): DataFrame =
+    withWatermark(left, leftTsCol, threshold)
+      .join(withWatermark(right, rightTsCol, threshold), cond, joinType)
+
   /** File-source stream over a directory of parquet (the 100 TB ingest
     * shape: new files appear, Spark tails them incrementally). */
   def parquetStream(spark: SparkSession, dir: String, schema: StructType,

@@ -1,0 +1,111 @@
+package graft
+
+import graft.operators.{HeavyHitters, ZOrder}
+import org.apache.spark.sql.functions._
+
+/** Scale-pattern operators: Misra-Gries exact top-k, z-order clustering,
+  * HLL mergeable sketches (QueriesScale / operators.{HeavyHitters, ZOrder}). */
+class ScaleOpsSpec extends SparkSpec {
+
+  // ---- Misra-Gries -----------------------------------------------------
+
+  test("mgSummarize: retained counts are lower bounds within n/capacity") {
+    val items = Seq.fill(500)("a") ++ Seq.fill(300)("b") ++
+      (1 to 400).map(i => s"tail$i")
+    val mg = HeavyHitters.mgSummarize(scala.util.Random.shuffle(items).iterator, 64)
+    val n = items.size
+    assert(mg.size <= 64)
+    // any item with true count > n/capacity must be retained
+    assert(mg.contains("a") && mg.contains("b"))
+    // counts are lower bounds, undercounting by at most n/capacity
+    assert(mg("a") <= 500 && mg("a") >= 500 - n / 64)
+    assert(mg("b") <= 300 && mg("b") >= 300 - n / 64)
+  }
+
+  test("mgSummarizeLong: same retention/lower-bound contract on hashed items") {
+    val items = Seq.fill(500)(1L) ++ Seq.fill(300)(2L) ++ (100L to 499L)
+    val mg = HeavyHitters.mgSummarizeLong(scala.util.Random.shuffle(items).iterator, 64)
+    val n = items.size
+    assert(mg.size <= 64 && mg.contains(1L) && mg.contains(2L))
+    assert(mg(1L) <= 500 && mg(1L) >= 500 - n / 64)
+    assert(mg(2L) <= 300 && mg(2L) >= 300 - n / 64)
+  }
+
+  test("exactTopK matches full aggregation (provable path and fallback path)") {
+    import spark.implicits._
+    // zipf-ish: token t_i appears ~1000/i times
+    val rows = (1 to 50).flatMap(i => Seq.fill(1000 / i)(s"t$i"))
+    val df = spark.sparkContext.parallelize(rows, 8).toDF("token")
+    val expected = df.groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc).limit(10).collect().toSeq
+    // ample capacity → provably-exact candidate path
+    val fast = HeavyHitters.exactTopK(df, 10, capacity = 256).collect().toSeq
+    assert(fast == expected, s"candidate path diverged: $fast")
+    // capacity too small for the bound → must fall back, still exact
+    val fb = HeavyHitters.exactTopK(df, 10, capacity = 2).collect().toSeq
+    assert(fb == expected, s"fallback path diverged: $fb")
+  }
+
+  // ---- Z-order ---------------------------------------------------------
+
+  test("zvalue interleaves bits (known patterns) and matches its SQL twin") {
+    import spark.implicits._
+    val df = Seq((0b101L, 0b011L), (0L, 0L), (7L, 0L), (0L, 7L), (1999L, 99L))
+      .toDF("a", "b")
+    val got = df.select(ZOrder.zvalue(col("a"), col("b"), 11).as("z"))
+      .as[Long].collect().toSeq
+    // a=101, b=011 → z bits (b2 a2 b1 a1 b0 a0) = 0 1 1 0 1 1 = 27
+    // a=111, b=000 → 010101 = 21 ; a=000, b=111 → 101010 = 42
+    def ref(a: Long, b: Long): Long =
+      (0 until 11).map(i => (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))).sum
+    assert(got == Seq(27L, 0L, 21L, 42L, ref(1999L, 99L)))
+    // the SQL-text twin (used verbatim by the DuckDB oracle) agrees
+    val viaSql = df.selectExpr(ZOrder.sqlExpr("a", "b", 11) + " AS z")
+      .as[Long].collect().toSeq
+    assert(viaSql == got)
+  }
+
+  test("writeClustered gives tighter per-file key ranges on BOTH dimensions") {
+    import spark.implicits._
+    val n = 20000
+    // two independent uniform keys — natural (insertion) order has no locality
+    val df = spark.range(n).select(
+      (pmod(hash(col("id") * 7L), lit(1024))).cast("long").as("a"),
+      (pmod(hash(col("id") * 13L + 3L), lit(1024))).cast("long").as("b"))
+    val base = "target/tmp_zorder_spec"
+    df.repartition(8).write.mode("overwrite").parquet(s"$base/natural")
+    ZOrder.writeClustered(df, "a", "b", bits = 10, numFiles = 8, path = s"$base/zorder")
+    def meanSpan(path: String, c: String): Double =
+      spark.read.parquet(path)
+        .groupBy(input_file_name()).agg((max(col(c)) - min(col(c))).as("span"))
+        .agg(avg(col("span"))).head().getDouble(0)
+    val (na, nb) = (meanSpan(s"$base/natural", "a"), meanSpan(s"$base/natural", "b"))
+    val (za, zb) = (meanSpan(s"$base/zorder", "a"), meanSpan(s"$base/zorder", "b"))
+    // 8 files ≈ 3 fixed leading z-bits ≈ files cover ~(1/2, 1/4) of the two
+    // key ranges; natural order covers ~the full range in every file
+    assert(za < 0.75 * na, s"z-order a-span $za !< 0.75 * natural $na")
+    assert(zb < 0.75 * nb, s"z-order b-span $zb !< 0.75 * natural $nb")
+  }
+
+  // ---- HLL sketches ----------------------------------------------------
+
+  test("hll sketches: per-group ε-accuracy and lossless union merge") {
+    import spark.implicits._
+    val df = spark.range(60000).select(
+      (col("id") % 3).cast("string").as("g"),
+      concat(lit("tok"), (col("id") % 17000).cast("string")).as("token"))
+    val per = df.groupBy("g").agg(
+      hll_sketch_agg(col("token")).as("sk"),
+      countDistinct(col("token")).as("exact"))
+    val rows = per.select(hll_sketch_estimate(col("sk")).as("est"), col("exact")).collect()
+    rows.foreach { r =>
+      val (est, exact) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+      assert(math.abs(est - exact) / exact < 0.05, s"estimate $est vs exact $exact")
+    }
+    // merging per-group sketches == sketching the union directly (kilobytes
+    // merged instead of re-scanning raw tokens)
+    val merged = per.agg(hll_sketch_estimate(hll_union_agg(col("sk")))).head().getLong(0)
+    val direct = df.agg(hll_sketch_estimate(hll_sketch_agg(col("token")))).head().getLong(0)
+    assert(merged == direct, s"union-of-sketches $merged != sketch-of-union $direct")
+  }
+}

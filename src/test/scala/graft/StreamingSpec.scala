@@ -71,6 +71,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join joins within the hour, watermark-bounded") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val views = MemoryStream[(Timestamp, Long, Long)]
+    val purchases = MemoryStream[(Timestamp, Long, Long)]
+    val joined = Streams.streamStreamJoin(
+      views.toDF().toDF("view_ts", "v_user", "view_id"),
+      purchases.toDF().toDF("purchase_ts", "p_user", "purchase_id"),
+      "view_ts", "purchase_ts", "10 minutes",
+      col("v_user") === col("p_user") &&
+        col("purchase_ts") >= col("view_ts") &&
+        col("purchase_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"))
+    val q = Streams.toMemorySink(joined.select(col("view_id"), col("purchase_id")),
+      "ssj_test", "append")
+    try {
+      views.addData((ts("00:00"), 1L, 10L), (ts("00:05"), 2L, 11L))
+      purchases.addData((ts("00:30"), 1L, 20L)) // in range for view 10
+      q.processAllAvailable()
+      purchases.addData((ts("02:00"), 2L, 21L)) // past view 11's hour — no match
+      purchases.addData((ts("00:40"), 2L, 22L)) // in range for view 11
+      q.processAllAvailable()
+      val got = spark.table("ssj_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((10L, 20L), (11L, 22L)), s"got $got")
+    } finally q.stop()
+  }
+
   test("stream-static enrichment join stays broadcast under readStream") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
