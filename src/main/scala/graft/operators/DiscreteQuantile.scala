@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Exact per-group quantiles over DISCRETE value domains with bounded
+  * memory at any scale.
+  *
+  * Spark's exact `percentile` aggregate is an ObjectHashAggregate that
+  * buffers every group value in memory — at 100 TB a 5-group aggregation
+  * would hold billions of values per group. When the value domain is
+  * discrete (integer cents, token counts, quantized scores), the exact
+  * quantile is computable from a COUNT HISTOGRAM instead: one map-side
+  * combined `groupBy(key, value).count()` bounds the intermediate at
+  * |keys|×|domain| rows no matter the input row count, a running sum over
+  * the (tiny) histogram locates the order statistics, and R-7 linear
+  * interpolation between the two covering values reproduces
+  * `percentile`/`quantile_cont` bit-for-bit.
+  *
+  * The reference has no aggregation at all (SURVEY.md §2.8); its only
+  * statistics are the per-column min/max/max-length used for DDL sizing
+  * (clsql-data-table.lisp:59-80). This is the scale-correct exact-quantile
+  * extension used by outlier_mad and corpus_stats.
+  */
+object DiscreteQuantile {
+
+  /** Pure R-7 quantile of a value→count histogram (the formula Spark's
+    * `percentile` and DuckDB's `quantile_cont` both use: position p·(n−1),
+    * linear interpolation lo + (hi−lo)·frac between the covering values). */
+  def quantileOfHistogram(hist: Seq[(Double, Long)], p: Double): Double = {
+    require(hist.nonEmpty, "empty histogram")
+    require(p >= 0.0 && p <= 1.0, s"p out of [0,1]: $p")
+    val sorted = hist.sortBy(_._1)
+    val n = sorted.iterator.map(_._2).sum
+    val pos = p * (n - 1).toDouble
+    val lowR = math.floor(pos).toLong
+    val highR = math.ceil(pos).toLong
+    var cum = 0L
+    var lo = Double.NaN
+    var hi = Double.NaN
+    sorted.foreach { case (v, c) =>
+      val start = cum; cum += c
+      if (start <= lowR && lowR < cum) lo = v
+      if (start <= highR && highR < cum) hi = v
+    }
+    lo + (hi - lo) * (pos - math.floor(pos))
+  }
+
+  /** Per-key quantiles via a driver-collected histogram — the right shape
+    * when |keys|×|domain| is config-sized while the row count is huge: one
+    * map-side-combined aggregation job, pure driver math, and the caller
+    * folds the result back as literals (no quantile subtree left in the
+    * final plan to be lazily recomputed). Use [[quantiles]] instead when the
+    * key space itself is large (per-user quantiles over millions of users).
+    */
+  def quantilesViaDriver(df: DataFrame, key: String, value: Column,
+                         ps: Seq[Double]): Map[String, Seq[Double]] = {
+    val hist = df.select(col(key).cast("string").as("_k"), value.cast(DoubleType).as("_v"))
+      .where(col("_v").isNotNull)
+      .groupBy(col("_k"), col("_v")).agg(count(lit(1)).as("_cnt"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    hist.groupBy(_._1).map { case (k, rows) =>
+      val h = rows.map(r => (r._2, r._3)).toSeq
+      k -> ps.map(quantileOfHistogram(h, _))
+    }
+  }
+
+  /** Append per-key R-7 quantile columns `outNames` (as DoubleType) for
+    * probabilities `ps` of the discrete-valued `value` expression.
+    * Returns one row per key with columns keys ++ outNames.
+    */
+  def quantiles(df: DataFrame, keys: Seq[String], value: Column,
+                ps: Seq[Double], outNames: Seq[String]): DataFrame = {
+    require(ps.nonEmpty && ps.length == outNames.length, "one output name per p")
+    require(ps.forall(p => p >= 0.0 && p <= 1.0), s"p out of [0,1]: $ps")
+    val kcols = keys.map(col)
+    // histogram: one row per (key, distinct value) — the map-side combine
+    // makes the shuffle domain-bounded, not row-bounded
+    val hist = df.groupBy(kcols :+ value.as("_v"): _*)
+      .agg(count(lit(1)).as("_cnt"))
+      .where(col("_v").isNotNull) // percentile/quantile_cont ignore NULLs
+    val wRun = Window.partitionBy(kcols: _*).orderBy(col("_v"))
+    val wAll = Window.partitionBy(kcols: _*)
+    // _cum is the 1-past-the-end 0-based rank of each value run; value v
+    // covers ranks [_cum - _cnt, _cum)
+    val ranked = hist
+      .withColumn("_cum", sum(col("_cnt")).over(wRun))
+      .withColumn("_n", sum(col("_cnt")).over(wAll))
+    val aggs = ps.indices.flatMap { i =>
+      val pos = lit(ps(i)) * (col("_n") - 1).cast(DoubleType)
+      val lowR = floor(pos)
+      val highR = ceil(pos)
+      def covering(r: Column) =
+        (col("_cum") - col("_cnt")).cast(DoubleType) <= r && col("_cum").cast(DoubleType) > r
+      Seq(max(when(covering(lowR), col("_v"))).as(s"_lo$i"),
+        max(when(covering(highR), col("_v"))).as(s"_hi$i"))
+    } :+ max(col("_n")).as("_n")
+    val located = ranked.groupBy(kcols: _*).agg(aggs.head, aggs.tail: _*)
+    val withOut = ps.indices.foldLeft(located) { (d, i) =>
+      val pos = lit(ps(i)) * (col("_n") - 1).cast(DoubleType)
+      val frac = pos - floor(pos)
+      d.withColumn(outNames(i),
+        col(s"_lo$i").cast(DoubleType) +
+          (col(s"_hi$i").cast(DoubleType) - col(s"_lo$i").cast(DoubleType)) * frac)
+    }
+    withOut.select(kcols ++ outNames.map(col): _*)
+  }
+}

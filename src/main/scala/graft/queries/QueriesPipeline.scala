@@ -125,18 +125,35 @@ object QueriesPipeline {
     // release ships — doc counts, token mass, exact token percentiles, and a
     // high-quality-doc count (an INTEGER threshold count, not a float mean:
     // a mean of doubles is accumulation-order-dependent and can't hash-match
-    // an oracle). One aggregation, shuffled by source.
+    // an oracle). The percentiles are exact but memory-bounded: token counts
+    // are a discrete domain, so DiscreteQuantile's count-histogram replaces
+    // Spark's value-buffering `percentile` (an ObjectHashAggregate that
+    // would hold a whole source's values at 100 TB). The two aggregates
+    // join broadcast (20 rows).
     "corpus_stats" -> ((s, dir) => {
       val m = TextFns.textStats(col("text"))
-      t(s, dir, "documents")
+      val d = t(s, dir, "documents")
         .select(col("source"), m.getField("n_tokens").as("nt"),
           TextFns.qualityScoreFrom(m).as("q"))
-        .groupBy(col("source"))
+      val base = d.groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("nt")).as("total_tokens"),
-          round(expr("percentile(nt, 0.5)"), 4).as("p50_tokens"),
-          round(expr("percentile(nt, 0.95)"), 4).as("p95_tokens"),
           count(when(col("q") >= 0.7, 1)).as("n_hi_quality"))
+      // the quantile branch re-scans documents with a NARROW projection
+      // (token count only) into a driver-collected domain-bounded histogram;
+      // the 20 quantile pairs come back as a literal map — no window stages,
+      // no quantile subtree in the final plan
+      val qm = graft.operators.DiscreteQuantile.quantilesViaDriver(
+        t(s, dir, "documents").select(col("source"),
+          TextFns.tokenCount(col("text")).as("nt")),
+        "source", col("nt"), Seq(0.5, 0.95))
+      val p50 = typedLit(qm.map { case (k, v) => k -> v.head })
+      val p95 = typedLit(qm.map { case (k, v) => k -> v(1) })
+      base
+        .select(col("source"), col("n_docs"), col("total_tokens"),
+          round(element_at(p50, col("source")), 4).as("p50_tokens"),
+          round(element_at(p95, col("source")), 4).as("p95_tokens"),
+          col("n_hi_quality"))
         .orderBy(col("source"))
     }),
 

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.TextFns
-import graft.operators.{HeavyHitters, ZOrder}
+import graft.operators.{DiscreteQuantile, HeavyHitters, ZOrder}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import Tables._
@@ -30,22 +30,40 @@ object QueriesScale {
 
     // Robust outlier gate: flag events whose |value − group-median| exceeds
     // 3σ under the MAD estimate (σ ≈ 1.4826·MAD) — the quality-filter shape
-    // that survives skew/heavy tails where mean/stddev gates break. Two
-    // grouped exact percentiles; both joins broadcast the 5-row aggregate
-    // back, so the event stream is never shuffled. Values are recast to
-    // integer cents so every median/MAD is exact binary arithmetic — the
-    // flag is bit-reproducible across engines.
+    // that survives skew/heavy tails where mean/stddev gates break. Both
+    // medians are EXACT but memory-bounded: values recast to integer cents
+    // make the domain discrete, so DiscreteQuantile's count-histogram
+    // computes them without buffering group values (Spark's `percentile`
+    // would hold every value of a group in one ObjectHashAggregate buffer —
+    // a 100 TB non-starter). Both joins broadcast the 5-row aggregate back,
+    // so the event stream is never shuffled, and all arithmetic is exact
+    // binary — the flag is bit-reproducible across engines.
     "outlier_mad" -> ((s, dir) => {
       val e = t(s, dir, "events").select(col("event_id"), col("event_type"),
         col("value"), round(col("value") * 100).cast(LongType).as("cents"))
-      val med = e.groupBy(col("event_type"))
-        .agg(expr("percentile(cents, 0.5)").as("med"))
-      val dev = e.join(broadcast(med), Seq("event_type"))
-        .withColumn("adev", abs(col("cents").cast(DoubleType) - col("med")))
-      val mad = dev.groupBy(col("event_type"))
-        .agg(expr("percentile(adev, 0.5)").as("mad"))
-      dev.join(broadcast(mad), Seq("event_type"))
-        .where(col("adev") > col("mad") * lit(4.4478))
+      // ONE domain-bounded histogram job (map-side combined to ≤ |types|×
+      // |cents domain| rows), then pure driver math: the cents histogram
+      // yields the median, folding |cents−med| over the same histogram
+      // yields the MAD — no second scan, no quantile subtree left in the
+      // final plan. Thresholds return as a literal map (the cluster shape:
+      // a scalar-config broadcast), so the output is a single filtered scan.
+      val hist = e.groupBy(col("event_type"), col("cents"))
+        .agg(count(lit(1)).as("cnt"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val madMap = hist.groupBy(_._1).map { case (tpe, rows) =>
+        val centsHist = rows.map(r => (r._2.toDouble, r._3)).toSeq
+        val med = DiscreteQuantile.quantileOfHistogram(centsHist, 0.5)
+        val adevHist = rows.groupBy(r => math.abs(r._2.toDouble - med))
+          .map { case (v, rs) => (v, rs.map(_._3).sum) }.toSeq
+        val mad = DiscreteQuantile.quantileOfHistogram(adevHist, 0.5)
+        tpe -> (med, mad)
+      }
+      val medCol = element_at(typedLit(madMap.map { case (k, v) => k -> v._1 }),
+        col("event_type"))
+      val thrCol = element_at(typedLit(madMap.map { case (k, v) => k -> v._2 }),
+        col("event_type")) * lit(4.4478)
+      e.withColumn("adev", abs(col("cents").cast(DoubleType) - medCol))
+        .where(col("adev") > thrCol)
         .select(col("event_id"), col("event_type"), col("value"), col("adev"))
         .orderBy(col("event_id"))
     }),

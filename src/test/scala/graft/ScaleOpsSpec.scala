@@ -46,6 +46,42 @@ class ScaleOpsSpec extends SparkSpec {
     assert(fb == expected, s"fallback path diverged: $fb")
   }
 
+  // ---- DiscreteQuantile ------------------------------------------------
+
+  test("DiscreteQuantile matches Spark's exact percentile (R-7) per group") {
+    import spark.implicits._
+    import graft.operators.DiscreteQuantile
+    val rng = new scala.util.Random(7)
+    // groups of odd/even/1-element sizes, duplicate-heavy discrete values
+    val rows = (0 until 997).map(i => (s"g${i % 5}", rng.nextInt(40).toLong)) :+
+      (("g9", 42L))
+    val df = rows.toDF("k", "v")
+    val got = DiscreteQuantile.quantiles(df, Seq("k"), col("v"),
+        Seq(0.0, 0.25, 0.5, 0.95, 1.0), Seq("q0", "q25", "q50", "q95", "q100"))
+      .orderBy(col("k")).collect().map(_.toSeq).toSeq
+    val want = df.groupBy(col("k")).agg(
+        expr("percentile(v, 0.0)").as("q0"), expr("percentile(v, 0.25)").as("q25"),
+        expr("percentile(v, 0.5)").as("q50"), expr("percentile(v, 0.95)").as("q95"),
+        expr("percentile(v, 1.0)").as("q100"))
+      .orderBy(col("k")).collect().map(_.toSeq).toSeq
+    assert(got == want)
+    // the driver-histogram path and the pure helper agree bit-for-bit too
+    val viaDriver = DiscreteQuantile.quantilesViaDriver(df, "k", col("v"),
+      Seq(0.0, 0.25, 0.5, 0.95, 1.0))
+    got.foreach { row =>
+      val k = row.head.asInstanceOf[String]
+      assert(viaDriver(k) == row.tail.map(_.asInstanceOf[Double]), s"key $k")
+    }
+    // nulls are ignored, like percentile
+    val withNulls = df.unionByName(Seq(("g0", null.asInstanceOf[Any])).map {
+      case (k, _) => (k, Option.empty[Long]) }.toDF("k", "v"))
+    val gn = DiscreteQuantile.quantiles(withNulls, Seq("k"), col("v"), Seq(0.5), Seq("m"))
+      .where(col("k") === "g0").head().getDouble(1)
+    val wn = withNulls.where(col("k") === "g0")
+      .agg(expr("percentile(v, 0.5)")).head().getDouble(0)
+    assert(gn == wn)
+  }
+
   // ---- Z-order ---------------------------------------------------------
 
   test("zvalue interleaves bits (known patterns) and matches its SQL twin") {
