@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.functions.SimFns
+import graft.operators.Pq
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -22,6 +23,23 @@ object QueriesSim {
 
   val queries: Map[String, Q] = Map(
     // Exact brute-force cosine top-10 for 5 query vectors.
+    // Product quantization ANN: 64-dim float vectors compress to 8 one-byte
+    // codes (operators/Pq); search touches ONLY the codes via ADC table
+    // lookups (the query's m×k distance table broadcasts; no float vector is
+    // read at query time). Codebooks are Lloyd-trained → rows-only; PqSpec
+    // pins recall vs the exact-L2 oracle and the ADC arithmetic itself.
+    "sim_pq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val books = Pq.train(e, "vec_id", "embedding", m = 8, k = 16)
+      val enc = Pq.encode(e, "vec_id", "embedding", books)
+      val q = e.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      Pq.search(enc, "vec_id", q, "qid", "embedding", books, 10)
+        .select(col("qid"), col("vec_id"), round(col("dist2"), 6).as("dist2"),
+          col("rank").cast(LongType).as("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     "sim_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val q = e.where(col("vec_id") < 5)
