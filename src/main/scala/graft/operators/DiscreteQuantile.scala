@@ -54,6 +54,9 @@ object DiscreteQuantile {
     * folds the result back as literals (no quantile subtree left in the
     * final plan to be lazily recomputed). Use [[quantiles]] instead when the
     * key space itself is large (per-user quantiles over millions of users).
+    * A key whose values are all NULL is ABSENT from the returned map
+    * (callers fold results into literal maps, where a null entry and a
+    * missing entry behave the same under element_at).
     */
   def quantilesViaDriver(df: DataFrame, key: String, value: Column,
                          ps: Seq[Double]): Map[String, Seq[Double]] = {
@@ -78,9 +81,9 @@ object DiscreteQuantile {
     val kcols = keys.map(col)
     // histogram: one row per (key, distinct value) — the map-side combine
     // makes the shuffle domain-bounded, not row-bounded
-    val hist = df.groupBy(kcols :+ value.as("_v"): _*)
+    val histAll = df.groupBy(kcols :+ value.as("_v"): _*)
       .agg(count(lit(1)).as("_cnt"))
-      .where(col("_v").isNotNull) // percentile/quantile_cont ignore NULLs
+    val hist = histAll.where(col("_v").isNotNull) // percentile ignores NULLs
     val wRun = Window.partitionBy(kcols: _*).orderBy(col("_v"))
     val wAll = Window.partitionBy(kcols: _*)
     // _cum is the 1-past-the-end 0-based rank of each value run; value v
@@ -105,6 +108,11 @@ object DiscreteQuantile {
         col(s"_lo$i").cast(DoubleType) +
           (col(s"_hi$i").cast(DoubleType) - col(s"_lo$i").cast(DoubleType)) * frac)
     }
-    withOut.select(kcols ++ outNames.map(col): _*)
+    // a key whose values are ALL null must still return (with null
+    // quantiles), exactly like percentile — the null filter above would
+    // otherwise drop it. The key list comes from the (tiny) histogram, not
+    // another scan of df.
+    val allKeys = histAll.select(kcols: _*).distinct()
+    allKeys.join(withOut.select(kcols ++ outNames.map(col): _*), keys, "left")
   }
 }

@@ -126,8 +126,11 @@ object HeavyHitters {
       val top = counted.collect()
 
       // Exactness gate: the k-th exact candidate count must clear the MG
-      // retention bound, else candidates may miss a true top-k item.
-      val exact = top.length < k || top.last.getLong(1) * capacity.toLong > total
+      // retention bound, else candidates may miss a true top-k item. Fewer
+      // than k candidates proves NOTHING (the vocabulary may still hold ≥ k
+      // distinct tokens that were all swept from the summaries) — that case
+      // must also fall back.
+      val exact = top.length == k && top.last.getLong(1) * capacity.toLong > total
       if (exact) spark.createDataFrame(spark.sparkContext.parallelize(top.toIndexedSeq, 1), counted.schema)
       else // provable-exactness fallback: full aggregation (bigger shuffle, still correct)
         tokens.select(col(col0).cast("string").as("token"))

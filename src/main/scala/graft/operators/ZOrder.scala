@@ -22,6 +22,12 @@ object ZOrder {
 
   /** Interleave the low `bits` bits of two non-negative integer columns:
     * bit i of `a` → bit 2i, bit i of `b` → bit 2i+1 of the z-value.
+    *
+    * CONTRACT: both inputs must fit in `bits` bits (< 2^bits). Higher bits
+    * are NOT interleaved — keys that differ only above `bits` would alias
+    * to the same z-position and the clustering would silently stop pruning
+    * on them. Size `bits` to the column domain (e.g. 15 covers TPC-H
+    * partkeys at the bench scale factors).
     */
   def zvalue(a: Column, b: Column, bits: Int): Column = {
     require(bits > 0 && bits <= 31, s"bits must be in [1,31]: $bits")

@@ -48,7 +48,7 @@ object QueriesDedup {
       |  UNION ALL SELECT doc_id + 100000, text FROM base
       |  UNION ALL SELECT doc_id + 200000, text || ' xtra xtra' FROM base)""".stripMargin
 
-  private val toksSql = """list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"""
+  private val toksSql = Tables.toksSql()
   /** Distinct token-trigram shingles in DuckDB. */
   private val shinglesSql =
     s"""SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(tk) - 1, 1)),

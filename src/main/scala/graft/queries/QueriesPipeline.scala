@@ -221,7 +221,7 @@ object QueriesPipeline {
         .orderBy(col("doc_id"))
     }))
 
-  private val toks = """list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"""
+  private val toks = Tables.toksSql()
 
   val oracle: Map[String, String] = Map(
     "pack_sequences" ->

@@ -225,10 +225,10 @@ object QueriesRelationalExt {
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "sql_functions" ->
-      """SELECT p_partkey, CAST(p_retailprice AS DOUBLE) AS parsed, p_brand AS brand,
-        |  CAST(NULL AS VARCHAR) AS nil_val,
-        |  CAST(len(list_filter(string_split_regex(lower(p_name), '\s+'), x -> x <> '')) AS BIGINT) AS name_tokens
-        |FROM part ORDER BY p_partkey LIMIT 500""".stripMargin,
+      s"""SELECT p_partkey, CAST(p_retailprice AS DOUBLE) AS parsed, p_brand AS brand,
+         |  CAST(NULL AS VARCHAR) AS nil_val,
+         |  CAST(len(${Tables.toksSql("p_name")}) AS BIGINT) AS name_tokens
+         |FROM part ORDER BY p_partkey LIMIT 500""".stripMargin,
     "pivot_counts" ->
       """SELECT user_id % 10 AS bucket,
         |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,

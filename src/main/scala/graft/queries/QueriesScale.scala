@@ -39,8 +39,13 @@ object QueriesScale {
     // so the event stream is never shuffled, and all arithmetic is exact
     // binary — the flag is bit-reproducible across engines.
     "outlier_mad" -> ((s, dir) => {
-      val e = t(s, dir, "events").select(col("event_id"), col("event_type"),
-        col("value"), round(col("value") * 100).cast(LongType).as("cents"))
+      // null value/type rows can't be scored — drop them like the oracle's
+      // quantile_cont (ignores NULLs) + join (drops null keys) would, and
+      // before the collect (a null cents field would throw in getLong)
+      val e = t(s, dir, "events")
+        .where(col("value").isNotNull && col("event_type").isNotNull)
+        .select(col("event_id"), col("event_type"),
+          col("value"), round(col("value") * 100).cast(LongType).as("cents"))
       // ONE domain-bounded histogram job (map-side combined to ≤ |types|×
       // |cents domain| rows), then pure driver math: the cents histogram
       // yields the median, folding |cents−med| over the same histogram
@@ -71,12 +76,15 @@ object QueriesScale {
     // Z-order clustering stats: bucket lineitem by the Morton interleave of
     // (l_partkey, l_suppkey) — each z-bucket covers a narrow range of BOTH
     // keys (the min/max columns prove it), which is exactly why a z-ordered
-    // layout prunes row groups on either predicate. ZOrderSpec measures the
-    // actual per-file span shrink after ZOrder.writeClustered.
+    // layout prunes row groups on either predicate. ScaleOpsSpec measures
+    // the actual per-file span shrink after ZOrder.writeClustered.
+    // bits=15 covers the key domain at every bench scale (zvalue truncates
+    // bits above it — sf0.1 partkeys reach 19999, so 11 would alias keys
+    // 2048 apart into one bucket).
     "zorder_cluster" -> ((s, dir) => {
       t(s, dir, "lineitem")
-        .withColumn("zval", ZOrder.zvalue(col("l_partkey"), col("l_suppkey"), 11))
-        .withColumn("zbucket", expr("zval DIV 16384"))
+        .withColumn("zval", ZOrder.zvalue(col("l_partkey"), col("l_suppkey"), 15))
+        .withColumn("zbucket", expr("zval DIV 16777216"))
         .groupBy(col("zbucket"))
         .agg(count(lit(1)).as("n"),
           min(col("l_partkey")).as("min_pk"), max(col("l_partkey")).as("max_pk"),
@@ -103,7 +111,7 @@ object QueriesScale {
       perSource.unionByName(union).orderBy(col("source"))
     }))
 
-  private val toks = """list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"""
+  private val toks = Tables.toksSql()
 
   val oracle: Map[String, String] = Map(
     "heavy_hitters" ->
@@ -125,9 +133,9 @@ object QueriesScale {
         |WHERE d.adev > mad.mad * 4.4478 ORDER BY event_id""".stripMargin,
     "zorder_cluster" ->
       s"""WITH z AS (SELECT l_partkey, l_suppkey,
-         |    ${ZOrder.sqlExpr("l_partkey", "l_suppkey", 11)} AS zval
+         |    ${ZOrder.sqlExpr("l_partkey", "l_suppkey", 15)} AS zval
          |  FROM lineitem)
-         |SELECT zval // 16384 AS zbucket, CAST(count(*) AS BIGINT) AS n,
+         |SELECT zval // 16777216 AS zbucket, CAST(count(*) AS BIGINT) AS n,
          |  min(l_partkey) AS min_pk, max(l_partkey) AS max_pk,
          |  min(l_suppkey) AS min_sk, max(l_suppkey) AS max_sk
          |FROM z GROUP BY zbucket ORDER BY zbucket""".stripMargin)

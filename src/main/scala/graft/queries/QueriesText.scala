@@ -202,7 +202,7 @@ object QueriesText {
     }))
 
   // DuckDB mirrors. Tokens: list_filter(string_split_regex(lower(text))).
-  private val toks = """list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"""
+  private val toks = Tables.toksSql()
 
   private def markers(pat: String) =
     s"len(regexp_extract_all(lower(text), '$pat'))"

@@ -30,4 +30,11 @@ object Tables {
     * the reference's `get-data-table` surface — can run against them. */
   def registerAll(s: SparkSession, dir: String): Unit =
     All.foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+
+  /** The DuckDB-side twin of [[graft.functions.TextFns.tokens]] (lowercase,
+    * split on runs of whitespace, drop empties) — THE single definition
+    * every oracle interpolates, so Spark-side tokenization and its SQL
+    * mirror cannot drift apart one file at a time. */
+  def toksSql(column: String = "text"): String =
+    s"""list_filter(string_split_regex(lower($column), '\\s+'), x -> x <> '')"""
 }

@@ -46,6 +46,18 @@ class ScaleOpsSpec extends SparkSpec {
     assert(fb == expected, s"fallback path diverged: $fb")
   }
 
+  test("exactTopK falls back when candidates < k (sweep-emptied summaries)") {
+    import spark.implicits._
+    // all-singleton vocabulary in ONE partition with a tiny capacity: MG
+    // sweeps empty the summary repeatedly, leaving < k candidates — which
+    // proves nothing about the true top-k; the gate must fall back
+    val df = spark.sparkContext.parallelize((1 to 50).map(i => f"u$i%03d"), 1).toDF("token")
+    val got = graft.operators.HeavyHitters.exactTopK(df, 20, capacity = 4).collect().toSeq
+    val want = df.groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc).limit(20).collect().toSeq
+    assert(got.length == 20 && got == want, s"got ${got.length} rows")
+  }
+
   // ---- DiscreteQuantile ------------------------------------------------
 
   test("DiscreteQuantile matches Spark's exact percentile (R-7) per group") {
@@ -80,6 +92,12 @@ class ScaleOpsSpec extends SparkSpec {
     val wn = withNulls.where(col("k") === "g0")
       .agg(expr("percentile(v, 0.5)")).head().getDouble(0)
     assert(gn == wn)
+    // a key whose values are ALL null still returns, with null quantiles —
+    // exactly like percentile
+    val allNull = df.unionByName(Seq(("gz", Option.empty[Long])).toDF("k", "v"))
+    val gz = DiscreteQuantile.quantiles(allNull, Seq("k"), col("v"), Seq(0.5), Seq("m"))
+      .where(col("k") === "gz").collect()
+    assert(gz.length == 1 && gz.head.isNullAt(1), s"all-null key: ${gz.toSeq}")
   }
 
   // ---- Z-order ---------------------------------------------------------

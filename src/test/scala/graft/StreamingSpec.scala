@@ -89,8 +89,12 @@ class StreamingSpec extends SparkSpec {
       views.addData((ts("00:00"), 1L, 10L), (ts("00:05"), 2L, 11L))
       purchases.addData((ts("00:30"), 1L, 20L)) // in range for view 10
       q.processAllAvailable()
-      purchases.addData((ts("02:00"), 2L, 21L)) // past view 11's hour — no match
-      purchases.addData((ts("00:40"), 2L, 22L)) // in range for view 11
+      // one addData call → one micro-batch: the 02:00 watermark advance must
+      // not evict view 11's state before the in-range 00:40 row in the same
+      // batch is joined (adding them separately would race the async engine)
+      purchases.addData(
+        (ts("02:00"), 2L, 21L), // past view 11's hour — no match
+        (ts("00:40"), 2L, 22L)) // in range for view 11
       q.processAllAvailable()
       val got = spark.table("ssj_test").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
