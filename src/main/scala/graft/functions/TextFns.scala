@@ -136,6 +136,17 @@ object TextFns {
           .otherwise(array().cast(ArrayType(StringType)))),
       1)
 
+  /** Generator (UDTF-surface) form of [[shingles]]: streams each n-gram as
+    * a generated row — no intermediate shingle array, downstream stays in
+    * codegen below the GenerateExec. Use where every window is consumed
+    * (e.g. substring_dedup's window counting); keep the array form where
+    * per-row `array_distinct` avoids a dedupe shuffle (minhash/contamination
+    * shingle SETS). Row-identical to `explode(shingles(toks, n))`. */
+  def shingleExplode(toks: Column, n: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.plans.ShingleGenerator(ColumnBridge.expression(toks), n))
+  }
+
   /** Min-hash-of-shingles fingerprint (winnowing-style): the minimum md5
     * prefix over token n-gram shingles — robust to local edits. */
   def minShingleFingerprint(c: Column, n: Int = 4): Column =

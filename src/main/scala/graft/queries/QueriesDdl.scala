@@ -44,6 +44,22 @@ object QueriesDdl {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Hive-style partitioned layout — the 100 TB directory shape: one
+    // directory per partition value, so a partition-key predicate prunes
+    // whole directories at PLANNING time (no file footers even opened).
+    // The read-back filters one source; PartitioningSpec asserts the
+    // pruned-scan plan shape, this query hash-checks the data path.
+    "sink_partitioned" -> ((s, dir) => {
+      val out = "target/tmp_sink_partitioned"
+      t(s, dir, "documents")
+        .write.mode("overwrite").partitionBy("source").parquet(out)
+      s.read.parquet(out)
+        .where(col("source") === "src3")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("lang"))
+    }),
+
     // CSV sink + source with the reference's auto-type pipeline end-to-end:
     // all-string CSV comes back typed via guess/coerce.
     "csv_roundtrip" -> ((s, dir) => {
@@ -146,6 +162,11 @@ object QueriesDdl {
         |  round(sum(l_extendedprice), 2) AS sum_price
         |FROM lineitem WHERE l_quantity >= 30.0
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "sink_partitioned" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents WHERE source = 'src3'
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "csv_roundtrip" ->
       """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
         |  round(sum(o_totalprice), 2) AS sum_price, CAST(sum(o_orderkey) AS BIGINT) AS sum_key

@@ -169,7 +169,7 @@ object QueriesPipeline {
         docs.where(col("doc_id") < 50)
           .select((col("doc_id") + 700000L).as("doc_id"), col("text")))
       val win = corpus.select(col("doc_id"),
-          explode(TextFns.shingles(TextFns.tokens(col("text")), 10)).as("sh"))
+          TextFns.shingleExplode(TextFns.tokens(col("text")), 10).as("sh"))
         .select(col("doc_id"), substring(md5(col("sh")), 1, 16).as("h"))
       val dup = win.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
         .where(col("cnt") >= 2).select(col("h"), lit(1).as("_dup"))

@@ -141,6 +141,29 @@ class ScaleOpsSpec extends SparkSpec {
     assert(zb < 0.75 * nb, s"z-order b-span $zb !< 0.75 * natural $nb")
   }
 
+  // ---- ShingleGenerator ------------------------------------------------
+
+  test("ShingleGenerator rows == explode(shingles) on real documents") {
+    import graft.functions.TextFns
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    for (n <- Seq(1, 3, 10)) {
+      val gen = norm(docs.select(col("doc_id"),
+        TextFns.shingleExplode(TextFns.tokens(col("text")), n).as("sh")))
+      val hof = norm(docs.select(col("doc_id"),
+        explode(TextFns.shingles(TextFns.tokens(col("text")), n)).as("sh")))
+      assert(gen == hof, s"n=$n: generator ${gen.length} rows vs HOF ${hof.length}")
+    }
+    // short docs generate nothing; null arrays generate nothing
+    import spark.implicits._
+    val edge = Seq((1L, "a b"), (2L, ""), (3L, null: String)).toDF("doc_id", "text")
+    val got = edge.select(col("doc_id"),
+      TextFns.shingleExplode(TextFns.tokens(col("text")), 3).as("sh")).collect()
+    assert(got.isEmpty, s"edge rows: ${got.toSeq}")
+  }
+
   // ---- HLL sketches ----------------------------------------------------
 
   test("hll sketches: per-group ε-accuracy and lossless union merge") {
