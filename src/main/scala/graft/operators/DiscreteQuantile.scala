@@ -26,9 +26,14 @@ import org.apache.spark.sql.types.DoubleType
   */
 object DiscreteQuantile {
 
-  /** Pure R-7 quantile of a value→count histogram (the formula Spark's
-    * `percentile` and DuckDB's `quantile_cont` both use: position p·(n−1),
-    * linear interpolation lo + (hi−lo)·frac between the covering values). */
+  /** Pure R-7 quantile of a value→count histogram, replicating Spark's
+    * `percentile` ARITHMETIC bit-for-bit (position p·(n−1), then
+    * `(higher−pos)·lo + (pos−lower)·hi` — NOT the algebraically-equal
+    * `lo + (hi−lo)·frac`, which differs in the last ulp for non-dyadic
+    * fractions). Oracle note: DuckDB's `quantile_cont` may use the other
+    * variant — queries emitting raw quantiles should round the output or
+    * stick to dyadic positions (p=0.5 on integer domains is exact under
+    * every variant). */
   def quantileOfHistogram(hist: Seq[(Double, Long)], p: Double): Double = {
     require(hist.nonEmpty, "empty histogram")
     require(p >= 0.0 && p <= 1.0, s"p out of [0,1]: $p")
@@ -45,7 +50,8 @@ object DiscreteQuantile {
       if (start <= lowR && lowR < cum) lo = v
       if (start <= highR && highR < cum) hi = v
     }
-    lo + (hi - lo) * (pos - math.floor(pos))
+    if (lowR == highR) lo
+    else (math.ceil(pos) - pos) * lo + (pos - math.floor(pos)) * hi
   }
 
   /** Per-key quantiles via a driver-collected histogram — the right shape
@@ -103,10 +109,12 @@ object DiscreteQuantile {
     val located = ranked.groupBy(kcols: _*).agg(aggs.head, aggs.tail: _*)
     val withOut = ps.indices.foldLeft(located) { (d, i) =>
       val pos = lit(ps(i)) * (col("_n") - 1).cast(DoubleType)
-      val frac = pos - floor(pos)
+      val loD = col(s"_lo$i").cast(DoubleType)
+      val hiD = col(s"_hi$i").cast(DoubleType)
+      // Spark percentile's exact arithmetic: (higher−pos)·lo + (pos−lower)·hi
       d.withColumn(outNames(i),
-        col(s"_lo$i").cast(DoubleType) +
-          (col(s"_hi$i").cast(DoubleType) - col(s"_lo$i").cast(DoubleType)) * frac)
+        when(floor(pos) === ceil(pos), loD)
+          .otherwise((ceil(pos) - pos) * loD + (pos - floor(pos)) * hiD))
     }
     // a key whose values are ALL null must still return (with null
     // quantiles), exactly like percentile — the null filter above would

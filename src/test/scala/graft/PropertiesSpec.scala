@@ -147,4 +147,44 @@ class PropertiesSpec extends SparkSpec {
       assert(DataTable.kebabCase(once) == once, s"input '$s'")
     }
   }
+
+  test("property: DiscreteQuantile ≡ percentile on random discrete groups") {
+    import graft.operators.DiscreteQuantile
+    // ragged group sizes (incl. size-1), duplicate-heavy values, negatives
+    val rows = seeded(Gen.zip(Gen.chooseNum(0, 6), Gen.chooseNum(-25L, 25L)), 800, 13L)
+      .map { case (g, v) => (s"g$g", v) } ++ Seq(("lone", 7L))
+    val df = rows.toDF("k", "v")
+    val ps = Seq(0.0, 0.1, 0.5, 0.9, 1.0)
+    val got = DiscreteQuantile.quantiles(df, Seq("k"), col("v"), ps,
+        ps.indices.map(i => s"q$i"))
+      .orderBy(col("k")).collect().map(_.toSeq).toSeq
+    val want = df.groupBy(col("k"))
+      .agg(expr("percentile(v, 0.0)").as("q0"), expr("percentile(v, 0.1)").as("q1"),
+        expr("percentile(v, 0.5)").as("q2"), expr("percentile(v, 0.9)").as("q3"),
+        expr("percentile(v, 1.0)").as("q4"))
+      .orderBy(col("k")).collect().map(_.toSeq).toSeq
+    assert(got == want)
+    // the pure helper agrees bit-for-bit on every group's histogram
+    rows.groupBy(_._1).foreach { case (k, grp) =>
+      val hist = grp.groupBy(_._2).map { case (v, g) => (v.toDouble, g.size.toLong) }.toSeq
+      val fromDf = got.find(_.head == k).get
+      ps.zipWithIndex.foreach { case (p, i) =>
+        assert(DiscreteQuantile.quantileOfHistogram(hist, p) == fromDf(i + 1), s"$k p=$p")
+      }
+    }
+  }
+
+  test("property: heavy-hitter top-k is exact for random capacities and skews") {
+    import graft.operators.HeavyHitters
+    // zipf-ish skew plus a uniform tail, shuffled; several (capacity, k)
+    val base = (1 to 30).flatMap(i => Seq.fill(600 / i)(f"w$i%02d")) ++
+      (1 to 300).map(i => s"tail$i")
+    val data = new scala.util.Random(17L).shuffle(base).toDF("token")
+    val want = data.groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc).limit(8).collect().toSeq
+    for (capacity <- Seq(2, 16, 256, 4096)) {
+      val got = HeavyHitters.exactTopK(data, 8, capacity).collect().toSeq
+      assert(got == want, s"capacity=$capacity diverged")
+    }
+  }
 }
