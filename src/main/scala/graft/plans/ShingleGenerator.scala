@@ -48,15 +48,21 @@ case class ShingleGenerator(child: Expression, n: Int)
       val toks = new Array[UTF8String](m)
       var i = 0
       while (i < m) { toks(i) = arr.getUTF8String(i); i += 1 }
-      val sep = UTF8String.fromString(" ")
+      // one reusable scratch window: concatWs copies bytes eagerly, so the
+      // emitted UTF8String never aliases it — zero per-shingle allocation
+      val window = new Array[UTF8String](n)
       (0 to m - n).iterator.map { start =>
+        System.arraycopy(toks, start, window, 0, n)
         // concatWs skips nulls — the concat_ws parity contract
-        val s = UTF8String.concatWs(sep, java.util.Arrays.copyOfRange(toks, start, start + n): _*)
-        InternalRow(s)
+        InternalRow(UTF8String.concatWs(ShingleGenerator.Sep, window: _*))
       }
     }
   }
 
   override protected def withNewChildInternal(newChild: Expression): ShingleGenerator =
     copy(child = newChild)
+}
+
+object ShingleGenerator {
+  private val Sep: UTF8String = UTF8String.fromString(" ")
 }

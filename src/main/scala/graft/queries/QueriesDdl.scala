@@ -52,6 +52,7 @@ object QueriesDdl {
     "sink_partitioned" -> ((s, dir) => {
       val out = "target/tmp_sink_partitioned"
       t(s, dir, "documents")
+        .repartition(8) // parallelize encode+write; source is a single file
         .write.mode("overwrite").partitionBy("source").parquet(out)
       s.read.parquet(out)
         .where(col("source") === "src3")
