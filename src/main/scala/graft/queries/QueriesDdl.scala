@@ -61,6 +61,20 @@ object QueriesDdl {
         .orderBy(col("lang"))
     }),
 
+    // ORC sink + source — the other columnar format Spark ships natively
+    // (same predicate-pushdown/column-pruning story as parquet; the oracle
+    // aggregates the parquet original, so the round-trip must be lossless).
+    "orc_roundtrip" -> ((s, dir) => {
+      val out = "target/tmp_sink_orc"
+      t(s, dir, "supplier").where(col("s_acctbal") > 0.0)
+        .repartition(8) // parallelize encode+write; source is a single file
+        .write.mode("overwrite").orc(out)
+      s.read.orc(out)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"), round(sum(col("s_acctbal")), 2).as("sum_bal"))
+        .orderBy(col("s_nationkey"))
+    }),
+
     // CSV sink + source with the reference's auto-type pipeline end-to-end:
     // all-string CSV comes back typed via guess/coerce.
     "csv_roundtrip" -> ((s, dir) => {
@@ -168,6 +182,11 @@ object QueriesDdl {
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents WHERE source = 'src3'
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "orc_roundtrip" ->
+      """SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(s_acctbal), 2) AS sum_bal
+        |FROM supplier WHERE s_acctbal > 0.0
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "csv_roundtrip" ->
       """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
         |  round(sum(o_totalprice), 2) AS sum_price, CAST(sum(o_orderkey) AS BIGINT) AS sum_key
