@@ -83,6 +83,29 @@ object Ivf {
     cents.toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toDF("cell", "centroid")
   }
 
+  /** Sample-trained quantizer — the corpus-size-INDEPENDENT training path
+    * (what FAISS-style ANN libraries do, and what [[Pq.train]] already does
+    * for codebooks): ONE bounded `orderBy(id).limit(sampleN)` collect, then
+    * pure driver-side Lloyd to convergence. The coarse quantizer is a
+    * few-KB model; at 100 TB the corpus-wide [[train]] would burn
+    * `maxIters` full scans to fit it, while a 2k-vector sample gives the
+    * same cell geometry. Deterministic: sample = first `sampleN` in id
+    * order, seeds = first k of the sample, ties to the lower cell, empty
+    * cells keep their previous centroid (identical conventions to
+    * [[train]]). Requires uniform vector dimension (use [[train]] for
+    * ragged corpora). Returns the same (cell, centroid) table shape. */
+  def trainSampled(vectors: DataFrame, idCol: String, vecCol: String, k: Int,
+                   maxIters: Int = 25, tol: Double = 1e-4, sampleN: Int = 2048): DataFrame = {
+    val spark = vectors.sparkSession
+    val sample = vectors.orderBy(col(idCol)).limit(sampleN)
+      .select(SimFns.toDouble(col(vecCol))).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "no vectors to train on")
+    val cents = Pq.lloydLocal(sample, k, maxIters, tol)
+    import spark.implicits._
+    cents.toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toDF("cell", "centroid")
+  }
+
   /** Assign every vector to its nearest centroid. Returns (idCol, cell) —
     * one codegen'd projection, no join, no shuffle. */
   def assign(vectors: DataFrame, centroids: DataFrame, idCol: String, vecCol: String): DataFrame = {

@@ -71,12 +71,15 @@ object QueriesSim {
     }),
 
     // IVF with a trained coarse quantizer (deterministic k-means): probe the
-    // 3 nearest of 8 cells. Training has no SQL twin → rows-only check;
-    // recall vs brute force is pinned by IvfSpec.
+    // 3 nearest of 8 cells. Training is SAMPLE-based (one bounded collect +
+    // driver Lloyd — corpus-size-independent, the FAISS convention; the
+    // distributed corpus-wide Ivf.train stays available for ragged data).
+    // Training has no SQL twin → rows-only check; recall vs brute force and
+    // sampled-vs-distributed parity are pinned by IvfSpec.
     "sim_ivf_kmeans" -> ((s, dir) => {
       import graft.operators.Ivf
       val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-      val centroids = Ivf.train(e, "vec_id", "embedding", k = 8)
+      val centroids = Ivf.trainSampled(e, "vec_id", "embedding", k = 8)
       val idx = Ivf.index(e, centroids, "vec_id", "embedding")
       val q = e.where(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))

@@ -22,6 +22,35 @@ class IvfSpec extends SparkSpec {
     assert(cells.select("cell").distinct().count() <= 8)
   }
 
+  test("trainSampled is deterministic and matches distributed train's recall") {
+    val c1 = Ivf.trainSampled(vecs, "vec_id", "embedding", k = 8)
+    val c2 = Ivf.trainSampled(vecs, "vec_id", "embedding", k = 8)
+    assert(c1.orderBy("cell").collect().toSeq == c2.orderBy("cell").collect().toSeq)
+    val cells = Ivf.assign(vecs, c1, "vec_id", "embedding")
+    assert(cells.count() == vecs.count())
+    assert(cells.select("cell").distinct().count() <= 8)
+
+    // quality parity: sampled-trained quantizer reaches at least the
+    // distributed trainer's recall@10 (both probe 3 of 8 cells)
+    val queries = vecs.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    val exactSet = vecs.join(broadcast(queries))
+      .select(col("qid"), col("vec_id"), SimFns.cosine(col("qe"), col("embedding")).as("cos"))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= 10)
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(centroids: org.apache.spark.sql.DataFrame): Double = {
+      val approx = Ivf.search(Ivf.index(vecs, centroids, "vec_id", "embedding"),
+        centroids, queries, "vec_id", "embedding", "qid", "qe", topK = 10, nprobe = 3)
+        .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      approx.count(exactSet.contains).toDouble / exactSet.size
+    }
+    val sampled = recallOf(c1)
+    val distributed = recallOf(Ivf.train(vecs, "vec_id", "embedding", k = 8))
+    assert(sampled >= math.min(distributed, 0.5),
+      s"sampled recall $sampled < distributed recall $distributed")
+  }
+
   test("search finds the query itself and beats 50% recall@10 at nprobe=3/8") {
     val centroids = Ivf.train(vecs, "vec_id", "embedding", k = 8)
     val idx = Ivf.index(vecs, centroids, "vec_id", "embedding")
