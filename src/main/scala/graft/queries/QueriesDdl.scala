@@ -109,6 +109,52 @@ object QueriesDdl {
         .orderBy(col("lang"), col("source"))
     }),
 
+    // Bucketed tables — the co-located-join layout: both sides written
+    // pre-hashed into the same bucket count on the join key, so the join
+    // needs NO exchange at read time (BucketingSpec asserts the plan). At
+    // 100 TB this converts every recurring fact⋈fact join on the bucket key
+    // from a full shuffle into a per-bucket local merge. saveAsTable is
+    // required (bucket metadata lives in the catalog, not the files).
+    "sink_bucketed" -> ((s, dir) => {
+      s.conf.set("spark.sql.sources.bucketing.enabled", "true")
+      // the in-memory catalog forgets tables across JVMs but warehouse
+      // directories survive — saveAsTable refuses to overwrite orphans
+      Seq("bkt_orders", "bkt_customer").foreach { tbl =>
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(s.conf.get("spark.sql.warehouse.dir")
+            .stripPrefix("file:"), tbl))
+      }
+      t(s, dir, "orders")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .saveAsTable("bkt_orders")
+      t(s, dir, "customer")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .saveAsTable("bkt_customer")
+      val o = s.table("bkt_orders"); val c = s.table("bkt_customer")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("rev"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // Multimodal frame sampling: one row per fixed-count frame slice of the
+    // binary payload (Multimodal.sampleFrames) — the explode shape that
+    // feeds per-frame featurization. Frames tile the blob with cumulative
+    // floor boundaries (no gaps); md5 of each slice is the cross-engine
+    // content check. Narrow explode: no shuffle until the final sort.
+    "multimodal_framesample" -> ((s, dir) => {
+      val media = t(s, dir, "documents").where(col("doc_id") < 200)
+        .select(col("doc_id"), Multimodal.mediaFromText(col("text"), "video/fake").as("media"))
+      Multimodal.sampleFrames(media, "media", n = 4)
+        .select(col("doc_id"), col("frame_idx").cast(LongType).as("frame_idx"),
+          length(col("frame_bytes")).cast(LongType).as("n_bytes"),
+          md5(col("frame_bytes")).as("frame_md5"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
     // Multimodal: binary payload struct + metadata/content features.
     "multimodal_features" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -144,6 +190,17 @@ object QueriesDdl {
     s"CASE WHEN $maxE > 2147483647 OR $minE < -2147483648 THEN 'bigint' ELSE 'int' END"
 
   val oracle: Map[String, String] = Map(
+    "sink_bucketed" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n, round(sum(o_totalprice), 2) AS rev
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "multimodal_framesample" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents WHERE doc_id < 200),
+        |f AS (SELECT doc_id, i, (i * len) // 4 AS o1, ((i + 1) * len) // 4 AS o2, text
+        |      FROM d CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) g)
+        |SELECT doc_id, CAST(i AS BIGINT) AS frame_idx, CAST(o2 - o1 AS BIGINT) AS n_bytes,
+        |  md5(substring(text, CAST(o1 + 1 AS INT), CAST(o2 - o1 AS INT))) AS frame_md5
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
     "ddl_generate" ->
       s"""WITH a AS (SELECT max(length(p_name)) AS name_len, max(length(p_brand)) AS brand_len,
          |    max(length(p_type)) AS type_len, max(p_partkey) AS pk_max, min(p_partkey) AS pk_min,

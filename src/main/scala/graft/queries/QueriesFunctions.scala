@@ -123,9 +123,58 @@ object QueriesFunctions {
           levenshtein(col("p_brand"), lit("Brand#13")).cast(LongType).as("lev"),
           split(col("p_type"), " ").getItem(0).as("first_word"))
         .orderBy(col("p_partkey")).limit(500)
+    }),
+
+    // Array function library over the token arrays — all native array
+    // expressions (sort/distinct/slice/contains/element_at), none of the
+    // interpreted higher-order kind (CLAUDE.md perf rule).
+    "array_funcs" -> ((s, dir) => {
+      val toks = graft.functions.TextFns.tokens(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), toks.as("t"))
+        .select(col("doc_id"),
+          size(col("t")).cast(LongType).as("n_tokens"),
+          size(array_distinct(col("t"))).cast(LongType).as("n_distinct"),
+          array_join(slice(sort_array(array_distinct(col("t"))), 1, 3), ",").as("first3"),
+          array_contains(col("t"), "spark").as("has_spark"),
+          element_at(col("t"), 1).as("first_tok"),
+          element_at(col("t"), -1).as("last_tok"))
+        .orderBy(col("doc_id")).limit(500)
+    }),
+
+    // Bivariate statistical aggregates: corr / covar / linear-regression
+    // slope+intercept per group — one partial-aggregable pass (all are
+    // algebraic: (n, Σx, Σy, Σxy, Σx², Σy²) moments merge associatively, so
+    // map-side combine works and no group ever buffers its values).
+    "stats_funcs" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("covar_qp"),
+          round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+          round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope"),
+          round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4).as("intercept"))
+        .orderBy(col("l_returnflag"))
     }))
 
   val oracle: Map[String, String] = Map(
+    "array_funcs" ->
+      s"""WITH d AS (SELECT doc_id, ${Tables.toksSql()} AS t FROM documents)
+         |SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+         |  array_to_string(list_slice(list_sort(list_distinct(t)), 1, 3), ',') AS first3,
+         |  list_contains(t, 'spark') AS has_spark,
+         |  t[1] AS first_tok, t[-1] AS last_tok
+         |FROM d ORDER BY doc_id LIMIT 500""".stripMargin,
+    "stats_funcs" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+        |  round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qp,
+        |  round(stddev_samp(l_quantity), 6) AS sd_qty,
+        |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "window_lag_lead" ->
       """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price,
         |  round(lag(o_totalprice, 1) OVER w, 2) AS prev_price,

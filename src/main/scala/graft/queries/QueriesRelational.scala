@@ -179,6 +179,62 @@ object QueriesRelational {
       t(s, dir, "events")
         .select(col("event_id"), get_json_object(col("props"), "$.k").cast(LongType).as("k"))
         .orderBy(col("event_id"))
+    }),
+
+    // Full-outer join over two aggregates with genuine one-side-only keys
+    // (customers having only 'F' or only 'O' orders). Both inputs are
+    // pre-aggregated before the join, so the shuffle carries one row per
+    // customer per side — never the raw orders.
+    "join_full" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val f = o.where(col("o_orderstatus") === "F")
+        .groupBy(col("o_custkey").as("custkey")).agg(count(lit(1)).as("n_f"))
+      val open = o.where(col("o_orderstatus") === "O")
+        .groupBy(col("o_custkey").as("custkey")).agg(count(lit(1)).as("n_o"))
+      f.join(open, Seq("custkey"), "full_outer")
+        .select(col("custkey"),
+          coalesce(col("n_f"), lit(0L)).as("n_f"),
+          coalesce(col("n_o"), lit(0L)).as("n_o"),
+          when(col("n_f").isNull, "o_only")
+            .when(col("n_o").isNull, "f_only").otherwise("both").as("side"))
+        .orderBy(col("custkey"))
+    }),
+
+    // Cross join as dense-grid fill: every (segment × priority) cell exists
+    // in the report even when no order hit it. The grid is a 5×5 cross of
+    // two tiny distinct sets (both broadcast); the fact aggregate left-joins
+    // onto it — the standard shape for gap-free reporting matrices.
+    "join_cross" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      val grid = c.select(col("c_mktsegment")).distinct()
+        .crossJoin(o.select(col("o_orderpriority")).distinct())
+      val actual = o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("rev"))
+      grid.join(actual, Seq("c_mktsegment", "o_orderpriority"), "left")
+        .select(col("c_mktsegment").as("segment"), col("o_orderpriority").as("priority"),
+          coalesce(col("n"), lit(0L)).as("n"), coalesce(col("rev"), lit(0.0)).as("rev"))
+        .orderBy(col("segment"), col("priority"))
+    }),
+
+    // TPC-H Q3-shaped composite: selective dim filter (broadcast), selective
+    // fact filters (both pushed to the parquet scan), join, partial-agg
+    // group, top-10 by revenue. The plan to want at 100 TB: customer is
+    // broadcast, lineitem/orders shuffle only their filtered survivors on
+    // the join key, and the final top-k is TakeOrderedAndProject (no global
+    // sort materialization).
+    "relational_q3" -> ((s, dir) => {
+      val cut = expr("TIMESTAMP '1998-01-01 00:00:00'")
+      val c = t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders").where(col("o_orderdate") < cut)
+      val l = t(s, dir, "lineitem").where(col("l_shipdate") > cut)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+        .select(col("l_orderkey"), col("revenue"), col("o_orderdate"), col("o_orderpriority"))
+        .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+        .limit(10)
     }))
 
   val oracle: Map[String, String] = Map(
@@ -266,5 +322,36 @@ object QueriesRelational {
         |FROM orders ORDER BY o_orderkey LIMIT 100""".stripMargin,
     "json_extract" ->
       """SELECT event_id, TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
-        |FROM events ORDER BY event_id""".stripMargin)
+        |FROM events ORDER BY event_id""".stripMargin,
+    "join_full" ->
+      """WITH f AS (SELECT o_custkey, count(*) AS n_f FROM orders WHERE o_orderstatus = 'F' GROUP BY 1),
+        |     o AS (SELECT o_custkey, count(*) AS n_o FROM orders WHERE o_orderstatus = 'O' GROUP BY 1)
+        |SELECT coalesce(f.o_custkey, o.o_custkey) AS custkey,
+        |  CAST(coalesce(n_f, 0) AS BIGINT) AS n_f, CAST(coalesce(n_o, 0) AS BIGINT) AS n_o,
+        |  CASE WHEN n_f IS NULL THEN 'o_only' WHEN n_o IS NULL THEN 'f_only' ELSE 'both' END AS side
+        |FROM f FULL JOIN o ON f.o_custkey = o.o_custkey ORDER BY custkey""".stripMargin,
+    "join_cross" ->
+      """WITH grid AS (
+        |  SELECT c_mktsegment, o_orderpriority
+        |  FROM (SELECT DISTINCT c_mktsegment FROM customer)
+        |  CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders)),
+        |actual AS (
+        |  SELECT c_mktsegment, o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS rev
+        |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2)
+        |SELECT grid.c_mktsegment AS segment, grid.o_orderpriority AS priority,
+        |  CAST(coalesce(n, 0) AS BIGINT) AS n, coalesce(rev, 0.0) AS rev
+        |FROM grid LEFT JOIN actual
+        |  ON grid.c_mktsegment = actual.c_mktsegment AND grid.o_orderpriority = actual.o_orderpriority
+        |ORDER BY segment, priority""".stripMargin,
+    "relational_q3" ->
+      """SELECT l_orderkey,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  o_orderdate, o_orderpriority
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin)
 }

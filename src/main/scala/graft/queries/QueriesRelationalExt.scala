@@ -144,6 +144,32 @@ object QueriesRelationalExt {
         .orderBy(col("c_custkey"))
     }),
 
+    // Time-series resample + forward fill: per-user daily purchase averages
+    // on a gap-free calendar, missing days carried forward (LOCF). The
+    // calendar is generated (sequence+explode over the global day bounds —
+    // a 2-row broadcast, never a shuffle), the observed dailies left-join
+    // onto it, and the fill is one last(ignoreNulls) running window — O(1)
+    // state per user, so the shape survives any user count. Days before a
+    // user's first observation stay NULL (nothing to carry).
+    "resample_ffill" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events")
+        .where(col("user_id") < 20 && col("event_type") === "purchase")
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day"), col("value"))
+      val daily = ev.groupBy(col("user_id"), col("day"))
+        .agg(round(avg(col("value")), 4).as("day_avg"))
+      val cal = ev.select(col("user_id")).distinct()
+        .crossJoin(ev.agg(min(col("day")).as("lo"), max(col("day")).as("hi")))
+        .select(col("user_id"),
+          explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 DAY"))).as("day"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cal.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          last(col("day_avg"), ignoreNulls = true).over(w).as("value_ffill"))
+        .orderBy(col("user_id"), col("day"))
+    }),
+
     // Pivot: event counts per user bucket × event type. Empty cells are
     // coalesced to 0 — Spark pivots them to NULL, the oracle's CASE sums to 0.
     "pivot_counts" -> ((s, dir) => {
@@ -177,6 +203,20 @@ object QueriesRelationalExt {
 
   val oracle: Map[String, String] = Map(
     "sql_bridge" -> BridgeSql,
+    "resample_ffill" ->
+      """WITH ev AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day, value FROM events
+        |  WHERE user_id < 20 AND event_type = 'purchase'),
+        |daily AS (SELECT user_id, day, round(avg(value), 4) AS day_avg FROM ev GROUP BY 1, 2),
+        |bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM ev),
+        |cal AS (
+        |  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+        |  FROM (SELECT DISTINCT user_id FROM ev) CROSS JOIN bounds)
+        |SELECT cal.user_id AS user_id, cal.day AS day,
+        |  last_value(day_avg IGNORE NULLS) OVER (PARTITION BY cal.user_id ORDER BY cal.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill
+        |FROM cal LEFT JOIN daily ON cal.user_id = daily.user_id AND cal.day = daily.day
+        |ORDER BY cal.user_id, cal.day""".stripMargin,
     "agg_grouping_sets" -> GroupingSetsSql,
     "sql_subqueries" -> SubqueriesSql,
     "unpivot_melt" ->

@@ -109,11 +109,74 @@ object QueriesScale {
           sum(col("n_tokens")).as("n_tokens"))
         .select(lit("ALL").as("source"), col("est_vocab"), col("n_tokens"))
       perSource.unionByName(union).orderBy(col("source"))
+    }),
+
+    // Deterministic stratified sampling: per-stratum keep rates applied by
+    // key-modulo (systematic sampling), not RNG — the reproducible variant
+    // a 100 TB pipeline wants (same sample on every rerun/engine; no seed
+    // coordination across 1000 executors; `df.stat.sampleBy` is the RNG
+    // sibling). Rates travel as one literal map (a scalar broadcast);
+    // selection is a pure rowwise predicate fused into the scan, and the
+    // report is a single conditional aggregate — no joins, no second pass.
+    "sample_stratified" -> ((s, dir) => {
+      val perMille = typedLit(Map(
+        "1-URGENT" -> 500L, "2-HIGH" -> 250L, "3-MEDIUM" -> 100L,
+        "4-NOT SPECIFIED" -> 50L, "5-LOW" -> 10L))
+      val keep = pmod(col("o_orderkey"), lit(1000L)) <
+        element_at(perMille, col("o_orderpriority"))
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_total"),
+          count(when(keep, lit(1))).as("n_sampled"),
+          round(sum(when(keep, col("o_totalprice"))), 2).as("sampled_rev"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // Runtime bloom-filter join (semi-join reduction): the selective filter
+    // on the supplier side is turned into a bloom filter that prunes
+    // lineitem rows BEFORE the join shuffle — at 100 TB this is the
+    // difference between shuffling the whole fact table and shuffling the
+    // ~4% of it that can match. Thresholds are lowered on an isolated
+    // session (newSession shares the context, not the SQLConf) because the
+    // sf-test inputs are below the 10 GiB production default;
+    // AqeSpec asserts the BloomFilterMightContain actually lands in the
+    // plan. Results are plan-invariant ⇒ exact oracle.
+    "join_bloom" -> ((s, dir) => {
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      // the 100 TB scenario: BOTH sides too big to broadcast (injection is
+      // skipped for broadcast joins — nothing to prune pre-shuffle there);
+      // at test scale that must be forced or the tiny dim just broadcasts
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val l = t(s2, dir, "lineitem")
+      val sup = t(s2, dir, "supplier").where(col("s_nationkey") === 3)
+      l.join(sup, l("l_suppkey") === sup("s_suppkey"))
+        .groupBy(col("s_suppkey"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy(col("s_suppkey"))
     }))
 
   private val toks = Tables.toksSql()
 
   val oracle: Map[String, String] = Map(
+    "sample_stratified" ->
+      """WITH rated AS (
+        |  SELECT o_orderpriority, o_totalprice,
+        |    (o_orderkey % 1000) < (CASE o_orderpriority
+        |      WHEN '1-URGENT' THEN 500 WHEN '2-HIGH' THEN 250 WHEN '3-MEDIUM' THEN 100
+        |      WHEN '4-NOT SPECIFIED' THEN 50 WHEN '5-LOW' THEN 10 END) AS keep
+        |  FROM orders)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_total,
+        |  CAST(count(CASE WHEN keep THEN 1 END) AS BIGINT) AS n_sampled,
+        |  round(sum(CASE WHEN keep THEN o_totalprice END), 2) AS sampled_rev
+        |FROM rated GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "join_bloom" ->
+      """SELECT s_suppkey, CAST(count(*) AS BIGINT) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE s_nationkey = 3
+        |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin,
     "heavy_hitters" ->
       s"""WITH tok AS (SELECT unnest($toks) AS token FROM documents)
          |SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok

