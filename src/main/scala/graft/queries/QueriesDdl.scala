@@ -109,6 +109,78 @@ object QueriesDdl {
         .orderBy(col("lang"), col("source"))
     }),
 
+    // binaryFile source — the multimodal ingestion path: whole files as
+    // (path, length, binary content) rows, e.g. image/audio corpora landing
+    // as blobs before featurization. Column pruning matters here: a
+    // metadata-only projection never reads file bodies. Oracle checks
+    // name+size exactly (DuckDB 1.0 has no md5(BLOB)); NewOpsSpec pins the
+    // content md5 against direct file reads.
+    "binary_source" -> ((s, dir) => {
+      s.read.format("binaryFile").load(s"$dir/*.parquet")
+        .select(element_at(split(col("path"), "/"), -1).as("file"), col("length"))
+        .orderBy(col("file"))
+    }),
+
+    // Text sink + source: one line per doc (id TAB text — testdata text is
+    // newline/tab-free), the line-oriented interchange for tokenizer
+    // pipelines. Content equality via per-bucket order-insensitive md5.
+    "text_roundtrip" -> ((s, dir) => {
+      val out = "target/tmp_sink_text"
+      t(s, dir, "documents")
+        .select(concat(col("doc_id").cast(StringType), lit("\t"), col("text")).as("value"))
+        .repartition(8)
+        .write.mode("overwrite").text(out)
+      val row = s.read.text(out)
+        .select(split(col("value"), "\t", 2).getItem(0).cast(LongType).as("doc_id"),
+          split(col("value"), "\t", 2).getItem(1).as("text"))
+      row.groupBy((col("doc_id") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n"), sum(length(col("text"))).as("total_chars"),
+          md5(concat_ws("", sort_array(collect_list(md5(
+            concat(col("doc_id").cast(StringType), lit(":"), col("text"))))))).as("content_md5"))
+        .orderBy(col("bucket"))
+    }),
+
+    // Small-file compaction — the file-count hygiene op a long-lived corpus
+    // needs (every fragmented write multiplies later scan/list cost): read
+    // the fragmented layout, size a target file count, rewrite. Target here
+    // is rows-based (ceil(n/50k)) for cross-engine determinism; production
+    // uses bytes (the same code path with a size estimate). The spec
+    // asserts the physical file counts on disk.
+    "sink_compact" -> ((s, dir) => {
+      val outSmall = "target/tmp_compact_small"; val outBig = "target/tmp_compact_big"
+      def nFiles(p: String) = new java.io.File(p).listFiles()
+        .count(f => f.getName.endsWith(".parquet")).toLong
+      t(s, dir, "lineitem").where(col("l_orderkey") % 4 === 0)
+        .repartition(64) // the fragmented layout under repair
+        .write.mode("overwrite").parquet(outSmall)
+      val back = s.read.parquet(outSmall)
+      val target = math.max(1L, math.ceil(back.count() / 50000.0).toLong)
+      back.repartition(target.toInt).write.mode("overwrite").parquet(outBig)
+      s.read.parquet(outBig)
+        .agg(count(lit(1)).as("n_rows"), round(sum(col("l_extendedprice")), 2).as("sum_price"))
+        .withColumn("files_before", lit(nFiles(outSmall)))
+        .withColumn("files_after", lit(nFiles(outBig)))
+    }),
+
+    // Schema evolution: two batches written with drifted schemas (columns
+    // added later), read back as ONE table via mergeSchema — missing
+    // columns are NULL for the old batch. The corpus-drift reality of any
+    // long-lived 100 TB dataset.
+    "schema_evolution" -> ((s, dir) => {
+      val out = "target/tmp_schema_evo"
+      val d = t(s, dir, "documents")
+      d.where(col("doc_id") < 250).select(col("doc_id"), col("source"))
+        .write.mode("overwrite").parquet(s"$out/b=1")
+      d.where(col("doc_id") >= 250)
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+        .write.mode("overwrite").parquet(s"$out/b=2")
+      s.read.option("mergeSchema", "true").parquet(s"$out/b=1", s"$out/b=2")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), count(col("lang")).as("n_with_lang"),
+          sum(col("n_chars")).as("chars"))
+        .orderBy(col("source"))
+    }),
+
     // Bucketed tables — the co-located-join layout: both sides written
     // pre-hashed into the same bucket count on the join key, so the join
     // needs NO exchange at read time (BucketingSpec asserts the plan). At
@@ -190,6 +262,30 @@ object QueriesDdl {
     s"CASE WHEN $maxE > 2147483647 OR $minE < -2147483648 THEN 'bigint' ELSE 'int' END"
 
   val oracle: Map[String, String] = Map(
+    // The one oracle that must name the data directory: DuckDB's read_blob
+    // needs a path, and the correctness gate is pinned to sf0.01
+    // (TESTDATA.md t2). The query itself runs on whatever dir it's given.
+    "binary_source" ->
+      """SELECT list_extract(string_split(filename, '/'), -1) AS file,
+        |  CAST(size AS BIGINT) AS length
+        |FROM read_blob('/root/testdata/sf0.01/*.parquet') ORDER BY file""".stripMargin,
+    "text_roundtrip" ->
+      """SELECT doc_id % 10 AS bucket, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        |  md5(string_agg(md5(CAST(doc_id AS VARCHAR) || ':' || text), ''
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':' || text))) AS content_md5
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sink_compact" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(sum(l_extendedprice), 2) AS sum_price,
+        |  CAST(64 AS BIGINT) AS files_before,
+        |  CAST(ceil(count(*) / 50000.0) AS BIGINT) AS files_after
+        |FROM lineitem WHERE l_orderkey % 4 = 0""".stripMargin,
+    "schema_evolution" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(CASE WHEN doc_id >= 250 THEN lang END) AS BIGINT) AS n_with_lang,
+        |  CAST(sum(CASE WHEN doc_id >= 250 THEN n_chars END) AS BIGINT) AS chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "sink_bucketed" ->
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n, round(sum(o_totalprice), 2) AS rev
         |FROM orders JOIN customer ON o_custkey = c_custkey

@@ -142,6 +142,40 @@ object QueriesFunctions {
         .orderBy(col("doc_id")).limit(500)
     }),
 
+    // argmax/argmin + ordered-statistic aggregates. max_by alone is
+    // nondeterministic under value ties, so the argmax travels as
+    // max(struct(value, key)) — lexicographic struct ordering makes the tie
+    // break explicit and engine-portable (DuckDB compares struct_pack the
+    // same way). median is the exact interpolated one (both engines R-7).
+    "agg_extra" -> ((s, dir) => {
+      val pk = struct(col("l_extendedprice").as("p"), col("l_orderkey").as("k"))
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(max(pk).getField("k").as("argmax_key"),
+          min(pk).getField("k").as("argmin_key"),
+          median(col("l_quantity")).as("med"),
+          count_if(col("l_discount") > 0.05).as("cif"),
+          bool_and(col("l_quantity") > 0).as("ba"),
+          bool_or(col("l_tax") > 0.07).as("bo"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Variant (semi-structured) round-trip: build JSON, parse to VariantType,
+    // extract typed paths — the schema-on-read surface for ragged event
+    // payloads (variant_get prunes to the requested path; no full
+    // re-stringification per field the get_json_object way).
+    "json_variant" -> ((s, dir) => {
+      val payload = to_json(struct(col("o_orderkey").as("id"),
+        col("o_orderstatus").as("st"),
+        struct(round(col("o_totalprice"), 2).as("price")).as("nest")))
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), parse_json(payload).as("v"))
+        .select(col("o_orderkey"),
+          variant_get(col("v"), "$.st", "string").as("st"),
+          variant_get(col("v"), "$.nest.price", "double").as("price"))
+        .orderBy(col("o_orderkey")).limit(1000)
+    }),
+
     // Bivariate statistical aggregates: corr / covar / linear-regression
     // slope+intercept per group — one partial-aggregable pass (all are
     // algebraic: (n, Σx, Σy, Σxy, Σx², Σy²) moments merge associatively, so
@@ -159,6 +193,17 @@ object QueriesFunctions {
     }))
 
   val oracle: Map[String, String] = Map(
+    "agg_extra" ->
+      """SELECT l_returnflag,
+        |  max(struct_pack(p := l_extendedprice, k := l_orderkey))['k'] AS argmax_key,
+        |  min(struct_pack(p := l_extendedprice, k := l_orderkey))['k'] AS argmin_key,
+        |  median(l_quantity) AS med,
+        |  CAST(count_if(l_discount > 0.05) AS BIGINT) AS cif,
+        |  bool_and(l_quantity > 0) AS ba, bool_or(l_tax > 0.07) AS bo
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "json_variant" ->
+      """SELECT o_orderkey, o_orderstatus AS st, round(o_totalprice, 2) AS price
+        |FROM orders ORDER BY o_orderkey LIMIT 1000""".stripMargin,
     "array_funcs" ->
       s"""WITH d AS (SELECT doc_id, ${Tables.toksSql()} AS t FROM documents)
          |SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,

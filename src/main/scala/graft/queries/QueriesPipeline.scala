@@ -47,6 +47,31 @@ object QueriesPipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // Quality-budget selection: each source gets a char budget (60% of its
+    // mass) spent on its highest-quality docs first — the per-domain
+    // quality/quantity trade a corpus-assembly stage makes. One window sort
+    // per source computes BOTH the quality-ordered running mass and the
+    // source total (same partition key ⇒ one exchange); the keep rule is a
+    // pure filter. Score ties break on doc_id, so selection is total-order
+    // deterministic.
+    "quality_budget" -> ((s, dir) => {
+      val m = TextFns.textStats(col("text"))
+      val scored = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          round(TextFns.qualityScoreFrom(m), 6).as("score"))
+      val wCum = Window.partitionBy(col("source"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wTot = Window.partitionBy(col("source"))
+      scored
+        .select(col("doc_id"), col("source"), col("score"),
+          sum(col("n_chars")).over(wCum).as("cum_chars"),
+          sum(col("n_chars")).over(wTot).as("total_chars"))
+        .where(col("cum_chars") <= col("total_chars") * lit(0.6))
+        .select(col("doc_id"), col("source"), col("score"), col("cum_chars"))
+        .orderBy(col("source"), col("doc_id"))
+    }),
+
     // Weighted dataset mixing: each source contributes at its configured
     // rate (1.0 / 0.5 / 0.25 / 0.1 cycling over src0..src19), decided by a
     // deterministic per-row hash against the rate threshold — reproducible
@@ -224,6 +249,17 @@ object QueriesPipeline {
   private val toks = Tables.toksSql()
 
   val oracle: Map[String, String] = Map(
+    "quality_budget" ->
+      s"""WITH m AS (${Tables.qualityMetricsSql(", source, n_chars")}),
+         |sc AS (SELECT doc_id, source, n_chars,
+         |    round(${Tables.qualityScoreSql}, 6) AS score FROM m),
+         |w AS (SELECT doc_id, source, score,
+         |    CAST(sum(n_chars) OVER (PARTITION BY source ORDER BY score DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_chars,
+         |    CAST(sum(n_chars) OVER (PARTITION BY source) AS BIGINT) AS total_chars
+         |  FROM sc)
+         |SELECT doc_id, source, score, cum_chars FROM w
+         |WHERE cum_chars <= total_chars * 0.6 ORDER BY source, doc_id""".stripMargin,
     "pack_sequences" ->
       """WITH tc AS (SELECT doc_id,
         |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens

@@ -144,6 +144,37 @@ object QueriesRelationalExt {
         .orderBy(col("c_custkey"))
     }),
 
+    // Typed Dataset surface: per-customer longest consecutive-month order
+    // streak via groupByKey + mapGroups — genuine per-group imperative logic
+    // (the Dataset[T] escape hatch for algorithms awkward as SQL). Groups
+    // are distinct (custkey, month) rows, so state per group is bounded by
+    // the month span, and the result IS SQL-expressible (gaps-and-islands),
+    // which is exactly what makes it oracle-checkable differentially.
+    "typed_streaks" -> ((s, dir) => {
+      import s.implicits._
+      val months = t(s, dir, "orders")
+        .select(col("o_custkey"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).cast(LongType).as("ym"))
+        .distinct()
+        .as[(Long, Long)]
+      months.groupByKey(_._1)
+        .mapGroups { (cust, it) =>
+          val yms = it.map(_._2).toArray.sorted
+          var best = 1; var cur = 1
+          var i = 1
+          while (i < yms.length) {
+            if (yms(i) == yms(i - 1) + 1) { cur += 1; if (cur > best) best = cur }
+            else cur = 1
+            i += 1
+          }
+          (cust, best.toLong)
+        }
+        .toDF("o_custkey", "max_streak")
+        .groupBy(col("max_streak"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("max_streak"))
+    }),
+
     // Time-series resample + forward fill: per-user daily purchase averages
     // on a gap-free calendar, missing days carried forward (LOCF). The
     // calendar is generated (sequence+explode over the global day bounds —
@@ -203,6 +234,15 @@ object QueriesRelationalExt {
 
   val oracle: Map[String, String] = Map(
     "sql_bridge" -> BridgeSql,
+    "typed_streaks" ->
+      """WITH m AS (SELECT DISTINCT o_custkey, year(o_orderdate)*12 + month(o_orderdate) AS ym FROM orders),
+        |i AS (SELECT o_custkey, ym,
+        |    ym - row_number() OVER (PARTITION BY o_custkey ORDER BY ym) AS grp FROM m),
+        |st AS (SELECT o_custkey, count(*) AS streak FROM i GROUP BY o_custkey, grp),
+        |mx AS (SELECT o_custkey, max(streak) AS max_streak FROM st GROUP BY o_custkey)
+        |SELECT CAST(max_streak AS BIGINT) AS max_streak,
+        |  CAST(count(*) AS BIGINT) AS n_customers
+        |FROM mx GROUP BY max_streak ORDER BY max_streak""".stripMargin,
     "resample_ffill" ->
       """WITH ev AS (
         |  SELECT user_id, date_trunc('day', ts) AS day, value FROM events

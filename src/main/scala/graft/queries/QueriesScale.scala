@@ -111,6 +111,34 @@ object QueriesScale {
       perSource.unionByName(union).orderBy(col("source"))
     }),
 
+    // Incremental aggregation — the maintained-data-card pattern: per-source
+    // partials (count/sum/max — all algebraic, so they merge associatively)
+    // persist as a tiny parquet state table; an append batch computes ONLY
+    // its own partials and the merge is a |sources|-row aggregate. The base
+    // corpus is never re-scanned once the state exists (the path is keyed by
+    // source dir, so Verify/Bench never share state; _v1 = version of the
+    // corpus definition below — bump on change or stale state serves the old
+    // definition). At 100 TB this is the difference between a full-corpus
+    // scan per ingest and a batch-sized one.
+    "agg_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      def partials(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("source")).agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"), max(col("doc_id")).as("max_id"))
+      val statePath = "target/aggstate_v1_" + java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
+      if (!new java.io.File(s"$statePath/_SUCCESS").exists())
+        partials(docs.where(col("doc_id") < 400)).write.mode("overwrite").parquet(statePath)
+      s.read.parquet(statePath)
+        .unionByName(partials(docs.where(col("doc_id") >= 400)))
+        .groupBy(col("source"))
+        .agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("sum_chars")).as("total_chars"),
+          max(col("max_id")).as("max_id"),
+          round(sum(col("sum_chars")).cast(DoubleType) / sum(col("n_docs")), 4).as("avg_chars"))
+        .orderBy(col("source"))
+    }),
+
     // Deterministic stratified sampling: per-stratum keep rates applied by
     // key-modulo (systematic sampling), not RNG — the reproducible variant
     // a 100 TB pipeline wants (same sample on every rerun/engine; no seed
@@ -161,6 +189,12 @@ object QueriesScale {
   private val toks = Tables.toksSql()
 
   val oracle: Map[String, String] = Map(
+    "agg_incremental" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  max(doc_id) AS max_id,
+        |  round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "sample_stratified" ->
       """WITH rated AS (
         |  SELECT o_orderpriority, o_totalprice,

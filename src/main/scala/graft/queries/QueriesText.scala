@@ -255,18 +255,9 @@ object QueriesText {
          |       ELSE 'und' END AS detected
          |FROM documents ORDER BY doc_id""".stripMargin,
     "quality_score" ->
-      s"""WITH m AS (SELECT doc_id,
-         |    CAST(length(text) AS DOUBLE) AS nc,
-         |    CAST(len($toks) AS DOUBLE) AS nt,
-         |    CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE) AS np,
-         |    CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|a|for|on|with|as|by|at|it)\\b')) AS DOUBLE) AS ns
-         |  FROM documents)
+      s"""WITH m AS (${Tables.qualityMetricsSql()})
          |SELECT doc_id, CAST(nc AS BIGINT) AS n_chars, CAST(nt AS BIGINT) AS n_tokens,
-         |  round(
-         |    (CASE WHEN nc >= 100 AND nc <= 10000 THEN 1.0 WHEN nc >= 20 THEN 0.5 ELSE 0.0 END) * 0.3 +
-         |    (CASE WHEN np / greatest(nc, 1.0) <= 0.1 THEN 1.0 WHEN np / greatest(nc, 1.0) <= 0.3 THEN 0.5 ELSE 0.0 END) * 0.2 +
-         |    (CASE WHEN ns / greatest(nt, 1.0) >= 0.05 AND ns / greatest(nt, 1.0) <= 0.6 THEN 1.0 ELSE 0.3 END) * 0.3 +
-         |    (CASE WHEN nc / greatest(nt, 1.0) >= 3.0 AND nc / greatest(nt, 1.0) <= 12.0 THEN 1.0 ELSE 0.3 END) * 0.2, 6) AS score
+         |  round(${Tables.qualityScoreSql}, 6) AS score
          |FROM m ORDER BY doc_id""".stripMargin,
     "pipeline_e2e" ->
       s"""WITH corpus AS (SELECT doc_id, text FROM documents

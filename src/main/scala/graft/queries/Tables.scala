@@ -37,4 +37,23 @@ object Tables {
     * mirror cannot drift apart one file at a time. */
   def toksSql(column: String = "text"): String =
     s"""list_filter(string_split_regex(lower($column), '\\s+'), x -> x <> '')"""
+
+  /** The DuckDB twin of [[graft.functions.TextFns]]' per-doc quality metrics
+    * — emit as a CTE `SELECT doc_id$extra, nc, nt, np, ns FROM documents`;
+    * single definition so the score inputs can't drift between oracles. */
+  def qualityMetricsSql(extra: String = ""): String =
+    s"""SELECT doc_id$extra,
+       |    CAST(length(text) AS DOUBLE) AS nc,
+       |    CAST(len(${toksSql()}) AS DOUBLE) AS nt,
+       |    CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE) AS np,
+       |    CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|a|for|on|with|as|by|at|it)\\b')) AS DOUBLE) AS ns
+       |  FROM documents""".stripMargin
+
+  /** The DuckDB twin of [[graft.functions.TextFns.qualityScoreFrom]] (the
+    * weighted CASE chain over the metric columns above), unrounded. */
+  val qualityScoreSql: String =
+    """(CASE WHEN nc >= 100 AND nc <= 10000 THEN 1.0 WHEN nc >= 20 THEN 0.5 ELSE 0.0 END) * 0.3 +
+      |    (CASE WHEN np / greatest(nc, 1.0) <= 0.1 THEN 1.0 WHEN np / greatest(nc, 1.0) <= 0.3 THEN 0.5 ELSE 0.0 END) * 0.2 +
+      |    (CASE WHEN ns / greatest(nt, 1.0) >= 0.05 AND ns / greatest(nt, 1.0) <= 0.6 THEN 1.0 ELSE 0.3 END) * 0.3 +
+      |    (CASE WHEN nc / greatest(nt, 1.0) >= 3.0 AND nc / greatest(nt, 1.0) <= 12.0 THEN 1.0 ELSE 0.3 END) * 0.2""".stripMargin
 }

@@ -124,6 +124,119 @@ class NewOpsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("agg_incremental: merged partials equal the full recompute; state is reused") {
+    val full = queries.Tables.t(spark, sf, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val merged = q("agg_incremental").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(merged == full, "incremental merge diverged from full recompute")
+    // the state table must exist after the first run and be tiny (per-source rows)
+    val statePath = new java.io.File("target").listFiles()
+      .filter(f => f.getName.startsWith("aggstate_v1_")).head
+    assert(spark.read.parquet(statePath.getPath).count() <= 20)
+    // second run hits the persisted state (no exception, same result)
+    assert(q("agg_incremental").collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap == full)
+  }
+
+  test("quality_budget: kept set is a quality-ordered prefix within the mass budget") {
+    val kept = q("quality_budget").collect()
+    val docs = queries.Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val totals = docs.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val nChars = docs.map(d => d._1 -> d._3).toMap
+    kept.groupBy(_.getString(1)).foreach { case (src, rows) =>
+      assert(rows.map(_.getLong(3)).max <= totals(src) * 0.6, s"$src budget exceeded")
+      // cumsum consistency along the quality order: each row's cum − prev
+      // must be exactly that doc's n_chars (proves kept set is the true
+      // running-order prefix, not an arbitrary subset summing under budget)
+      val ordered = rows.sortBy(r => (-r.getDouble(2), r.getLong(0)))
+      ordered.foldLeft(0L) { (prev, r) =>
+        val cum = r.getLong(3)
+        assert(cum - prev == nChars(r.getLong(0)), s"$src: cum gap at doc ${r.getLong(0)}")
+        cum
+      }
+    }
+  }
+
+  test("agg_extra: argmax key attains the group max price") {
+    val li = queries.Tables.t(spark, sf, "lineitem")
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_extendedprice")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val maxPrice = li.groupBy(_._1).view.mapValues(_.map(_._3).max).toMap
+    q("agg_extra").collect().foreach { r =>
+      val flag = r.getString(0); val amKey = r.getLong(1)
+      val price = li.filter(x => x._1 == flag && x._2 == amKey).map(_._3).max
+      assert(price == maxPrice(flag), s"$flag: argmax key $amKey doesn't attain max")
+    }
+  }
+
+  test("json_variant: typed path extraction round-trips the base columns") {
+    val rows = q("json_variant").collect()
+    val base = queries.Tables.t(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), round(col("o_totalprice"), 2))
+      .orderBy(col("o_orderkey")).limit(1000).collect()
+    assert(rows.length == base.length)
+    rows.zip(base).foreach { case (v, b) =>
+      assert(v.getLong(0) == b.getLong(0) && v.getString(1) == b.getString(1)
+        && v.getDouble(2) == b.getDouble(2))
+    }
+  }
+
+  test("binary_source: blob content md5 matches a direct file read") {
+    val viaSpark = spark.read.format("binaryFile").load(s"$sf/*.parquet")
+      .select(element_at(split(col("path"), "/"), -1).as("file"), md5(col("content")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(viaSpark.nonEmpty)
+    viaSpark.foreach { case (name, m) =>
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$sf/$name"))
+      val direct = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+        .map("%02x".format(_)).mkString
+      assert(m == direct, s"$name: content md5 diverged")
+    }
+  }
+
+  test("sink_compact: physical file count shrinks to the computed target") {
+    val row = q("sink_compact").collect().head
+    val (before, after) = (row.getLong(2), row.getLong(3))
+    def parquets(p: String) = new java.io.File(p).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(parquets("target/tmp_compact_small") == before.toInt)
+    assert(parquets("target/tmp_compact_big") == after.toInt)
+    assert(after < before, s"compaction didn't shrink: $before -> $after")
+    assert(after == math.max(1L, math.ceil(row.getLong(0) / 50000.0).toLong))
+  }
+
+  test("schema_evolution: merged read unifies drifted schemas with nulls for old rows") {
+    q("schema_evolution").collect() // writes both batches
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet("target/tmp_schema_evo/b=1", "target/tmp_schema_evo/b=2")
+    assert(merged.columns.toSet == Set("doc_id", "source", "lang", "n_chars"))
+    val oldRows = merged.where(col("doc_id") < 250)
+    assert(oldRows.where(col("lang").isNotNull).count() == 0, "old batch must have null lang")
+    assert(merged.count() == queries.Tables.t(spark, sf, "documents").count())
+  }
+
+  test("typed_streaks: mapGroups result equals the window-based computation") {
+    val viaWindow = {
+      import org.apache.spark.sql.expressions.Window
+      val m = queries.Tables.t(spark, sf, "orders")
+        .select(col("o_custkey"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).cast("long").as("ym"))
+        .distinct()
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("ym"))
+      m.withColumn("grp", col("ym") - row_number().over(w))
+        .groupBy(col("o_custkey"), col("grp")).agg(count(lit(1)).as("streak"))
+        .groupBy(col("o_custkey")).agg(max(col("streak")).as("max_streak"))
+        .groupBy(col("max_streak")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val viaTyped = q("typed_streaks").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaTyped == viaWindow, s"typed=$viaTyped window=$viaWindow")
+  }
+
   test("multimodal_framesample: 4 frames per doc tile the payload exactly") {
     val rows = q("multimodal_framesample").collect()
     val docs = queries.Tables.t(spark, sf, "documents").where(col("doc_id") < 200)
