@@ -217,6 +217,12 @@ object QueriesDdl {
     // feeds per-frame featurization. Frames tile the blob with cumulative
     // floor boundaries (no gaps); md5 of each slice is the cross-engine
     // content check. Narrow explode: no shuffle until the final sort.
+    // ORACLE CONTRACT: the Spark side slices BYTES (the real multimodal
+    // semantics), the DuckDB twin slices characters — they agree because
+    // documents.text is pure ASCII at every shipped scale (verified; like
+    // the newline/tab-free contract text_roundtrip relies on). A multi-byte
+    // char in regenerated testdata would shift byte boundaries vs the
+    // oracle's char boundaries.
     "multimodal_framesample" -> ((s, dir) => {
       val media = t(s, dir, "documents").where(col("doc_id") < 200)
         .select(col("doc_id"), Multimodal.mediaFromText(col("text"), "video/fake").as("media"))
@@ -262,13 +268,13 @@ object QueriesDdl {
     s"CASE WHEN $maxE > 2147483647 OR $minE < -2147483648 THEN 'bigint' ELSE 'int' END"
 
   val oracle: Map[String, String] = Map(
-    // The one oracle that must name the data directory: DuckDB's read_blob
-    // needs a path, and the correctness gate is pinned to sf0.01
-    // (TESTDATA.md t2). The query itself runs on whatever dir it's given.
+    // The one oracle that must name the data directory (DuckDB's read_blob
+    // needs a path): __SFDIR__ is substituted with the actual directory by
+    // Verify when it dumps oracle_sql.json, so the check is scale-correct.
     "binary_source" ->
       """SELECT list_extract(string_split(filename, '/'), -1) AS file,
         |  CAST(size AS BIGINT) AS length
-        |FROM read_blob('/root/testdata/sf0.01/*.parquet') ORDER BY file""".stripMargin,
+        |FROM read_blob('__SFDIR__/*.parquet') ORDER BY file""".stripMargin,
     "text_roundtrip" ->
       """SELECT doc_id % 10 AS bucket, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(length(text)) AS BIGINT) AS total_chars,

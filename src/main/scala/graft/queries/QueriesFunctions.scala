@@ -137,8 +137,11 @@ object QueriesFunctions {
           size(array_distinct(col("t"))).cast(LongType).as("n_distinct"),
           array_join(slice(sort_array(array_distinct(col("t"))), 1, 3), ",").as("first3"),
           array_contains(col("t"), "spark").as("has_spark"),
-          element_at(col("t"), 1).as("first_tok"),
-          element_at(col("t"), -1).as("last_tok"))
+          // try_ variants: ANSI element_at throws on an empty array, while
+          // the oracle's t[1]/t[-1] return NULL — a degenerate (empty-text)
+          // doc must yield a null cell, not kill the query
+          try_element_at(col("t"), lit(1)).as("first_tok"),
+          try_element_at(col("t"), lit(-1)).as("last_tok"))
         .orderBy(col("doc_id")).limit(500)
     }),
 
