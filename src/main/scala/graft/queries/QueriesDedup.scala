@@ -155,6 +155,24 @@ object QueriesDedup {
         .orderBy(col("doc_id"))
     }),
 
+    // Dedup APPLIED: clusters → one representative per cluster (the min
+    // doc_id, which IS the component label) → the filtered corpus. The
+    // end-to-end "make the training set" step that dedup_clusters' labels
+    // feed; output is a one-row summary + kept-id checksum so the oracle
+    // pins the exact surviving set, not just its size.
+    "dedup_apply" -> ((s, dir) => {
+      val c = corpus(s, dir)
+      val edges = Dedup.minhashNearDups(c, "doc_id", "text", threshold = 0.8)
+        .select(col("id_a"), col("id_b"))
+      val labels = graft.operators.ConnectedComponents.components(
+        edges, c.select(col("doc_id")))
+      val kept = labels.where(col("id") === col("component"))
+      kept.agg(count(lit(1)).as("n_kept"), sum(col("id")).as("kept_id_sum"))
+        .crossJoin(c.agg(count(lit(1)).as("n_before")))
+        .select(col("n_before"), col("n_kept"),
+          (col("n_before") - col("n_kept")).as("n_dropped"), col("kept_id_sum"))
+    }),
+
     // Incremental dedup: the append-batch production loop. The existing
     // corpus (doc_id ≥ 100) is signature-indexed ON DISK once; the incoming
     // batch (near-copies of some indexed docs + novel docs) joins the
@@ -266,6 +284,30 @@ object QueriesDedup {
     // Ground truth: exhaustive jaccard edges + recursive transitive closure.
     // (The driver-side compare is engine-agnostic; the Spark side must reach
     // the same clusters through LSH banding + star contraction.)
+    "dedup_apply" ->
+      s"""WITH RECURSIVE base AS (SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0),
+         |corpus AS (
+         |  SELECT doc_id, text FROM base
+         |  UNION ALL SELECT doc_id + 100000, text FROM base
+         |  UNION ALL SELECT doc_id + 200000, text || ' xtra xtra' FROM base),
+         |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(tk) - 1, 1)),
+         |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+         |  FROM (SELECT doc_id, $toksSql AS tk FROM corpus)),
+         |edges AS (
+         |  SELECT a.doc_id AS u, b.doc_id AS v FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_distinct(list_intersect(a.s, b.s))) AS DOUBLE) /
+         |        CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.8),
+         |bidir AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
+         |reach(src, dst) AS (
+         |  SELECT doc_id, doc_id FROM corpus
+         |  UNION
+         |  SELECT r.src, b.v FROM reach r JOIN bidir b ON r.dst = b.u),
+         |lab AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src),
+         |kept AS (SELECT doc_id FROM lab WHERE doc_id = cluster_id)
+         |SELECT CAST((SELECT count(*) FROM corpus) AS BIGINT) AS n_before,
+         |  CAST((SELECT count(*) FROM kept) AS BIGINT) AS n_kept,
+         |  CAST((SELECT count(*) FROM corpus) - (SELECT count(*) FROM kept) AS BIGINT) AS n_dropped,
+         |  CAST((SELECT sum(doc_id) FROM kept) AS BIGINT) AS kept_id_sum""".stripMargin,
     "dedup_clusters" ->
       s"""WITH RECURSIVE base AS (SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0),
          |corpus AS (

@@ -72,6 +72,25 @@ object QueriesPipeline {
         .orderBy(col("source"), col("doc_id"))
     }),
 
+    // Per-source score normalization: z-score (sample stddev) + percentile
+    // rank of the quality score within each source — the feature-scaling
+    // step before cross-source thresholds can be compared. One window
+    // partition per source computes moments AND ranks (same exchange);
+    // constant-score sources yield NULL z (guarded division), never NaN.
+    "score_normalize" -> ((s, dir) => {
+      val m = TextFns.textStats(col("text"))
+      val scored = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          round(TextFns.qualityScoreFrom(m), 6).as("score"))
+      val w = Window.partitionBy(col("source"))
+      val wOrd = Window.partitionBy(col("source")).orderBy(col("score"), col("doc_id"))
+      val sd = stddev_samp(col("score")).over(w)
+      scored.select(col("doc_id"), col("source"), col("score"),
+          when(sd > 0, round((col("score") - avg(col("score")).over(w)) / sd, 4)).as("z"),
+          round(percent_rank().over(wOrd), 6).as("pct"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Weighted dataset mixing: each source contributes at its configured
     // rate (1.0 / 0.5 / 0.25 / 0.1 cycling over src0..src19), decided by a
     // deterministic per-row hash against the rate threshold — reproducible
@@ -249,6 +268,15 @@ object QueriesPipeline {
   private val toks = Tables.toksSql()
 
   val oracle: Map[String, String] = Map(
+    "score_normalize" ->
+      s"""WITH m AS (${Tables.qualityMetricsSql(", source")}),
+         |sc AS (SELECT doc_id, source, round(${Tables.qualityScoreSql}, 6) AS score FROM m)
+         |SELECT doc_id, source, score,
+         |  CASE WHEN stddev_samp(score) OVER w > 0
+         |       THEN round((score - avg(score) OVER w) / stddev_samp(score) OVER w, 4) END AS z,
+         |  round(percent_rank() OVER (PARTITION BY source ORDER BY score, doc_id), 6) AS pct
+         |FROM sc WINDOW w AS (PARTITION BY source)
+         |ORDER BY doc_id""".stripMargin,
     "quality_budget" ->
       s"""WITH m AS (${Tables.qualityMetricsSql(", source, n_chars")}),
          |sc AS (SELECT doc_id, source, n_chars,

@@ -31,6 +31,27 @@ object QueriesStream {
         .orderBy(col("window_start"))
     }),
 
+    // Ordered-sequence funnel: users who signed up, then clicked AFTER the
+    // first signup, then purchased AFTER that first qualifying click. Each
+    // stage is an aggregate + equi-join on user_id — all three shuffles
+    // co-partition on the same key, and stage N's input is stage N−1's
+    // survivors (monotonically shrinking), the shape that scales to
+    // billion-user funnels. Timestamps are strict-after comparisons.
+    "event_funnel" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"), col("event_type"), col("ts"))
+      val s1 = ev.where(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val s2 = ev.where(col("event_type") === "click").join(s1, "user_id")
+        .where(col("ts") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val s3 = ev.where(col("event_type") === "purchase").join(s2, "user_id")
+        .where(col("ts") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      import s.implicits._
+      Seq((s1.count(), s2.count(), s3.count()))
+        .toDF("n_signup", "n_click_after", "n_purchase_after")
+    }),
+
     // Per-user session windows with a 10-minute gap.
     "stream_session" -> ((s, dir) => {
       Streams.sessionized(t(s, dir, "events"), "ts", "10 minutes",
@@ -88,6 +109,16 @@ object QueriesStream {
     }))
 
   val oracle: Map[String, String] = Map(
+    "event_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, date_trunc('microseconds', ts) AS ts FROM events),
+        |u1 AS (SELECT user_id, min(ts) AS t1 FROM e WHERE event_type = 'signup' GROUP BY 1),
+        |u2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM e JOIN u1 USING (user_id)
+        |       WHERE event_type = 'click' AND e.ts > t1 GROUP BY 1),
+        |u3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM e JOIN u2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND e.ts > t2 GROUP BY 1)
+        |SELECT CAST((SELECT count(*) FROM u1) AS BIGINT) AS n_signup,
+        |  CAST((SELECT count(*) FROM u2) AS BIGINT) AS n_click_after,
+        |  CAST((SELECT count(*) FROM u3) AS BIGINT) AS n_purchase_after""".stripMargin,
     "stream_tumbling" ->
       """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
         |  CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_value

@@ -237,6 +237,37 @@ class NewOpsSpec extends SparkSpec {
     assert(viaTyped == viaWindow, s"typed=$viaTyped window=$viaWindow")
   }
 
+  test("dedup_apply: kept = cluster representatives, counts partition the corpus") {
+    val row = q("dedup_apply").collect().head
+    val (before, kept, dropped) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    assert(kept + dropped == before)
+    assert(kept > 0 && dropped > 0, "constructed corpus must have real clusters")
+    // representatives are exactly the component labels of dedup_clusters
+    val labels = q("dedup_clusters").collect()
+    val reps = labels.map(_.getLong(1)).distinct.sorted
+    assert(kept == reps.length && row.getLong(3) == reps.sum)
+  }
+
+  test("event_funnel: stage counts are monotonically non-increasing") {
+    val row = q("event_funnel").collect().head
+    val (s1, s2, s3) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    assert(s1 >= s2 && s2 >= s3, s"funnel not monotonic: $s1 >= $s2 >= $s3")
+    assert(s1 > 0 && s3 > 0, "testdata should populate every stage")
+  }
+
+  test("score_normalize: z centers near 0 per source, pct spans [0,1]") {
+    val rows = q("score_normalize").collect()
+    rows.foreach(r => assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0))
+    rows.groupBy(_.getString(1)).foreach { case (src, g) =>
+      val zs = g.filterNot(_.isNullAt(3)).map(_.getDouble(3))
+      if (zs.nonEmpty) {
+        val mean = zs.sum / zs.length
+        assert(math.abs(mean) < 1e-2, s"$src: z mean $mean not centered")
+      }
+      assert(g.map(_.getDouble(4)).max == 1.0 || g.length == 1)
+    }
+  }
+
   test("multimodal_framesample: 4 frames per doc tile the payload exactly") {
     val rows = q("multimodal_framesample").collect()
     val docs = queries.Tables.t(spark, sf, "documents").where(col("doc_id") < 200)
