@@ -115,9 +115,37 @@ object QueriesFacade {
           col("l_extendedprice"),
           nullif(col("l_returnflag"), lit("R")).as("flag_or_null"))
       Fns.formatTable(DataTable(proj)).df
+    }),
+
+    // DataFrameNaFunctions surface — fill/drop/replace, the distributed
+    // analog of the reference's fill-in-missing-cells (data-table.lisp:
+    // 240-264, which pads ragged rows with a fill value). Nulls are
+    // injected deterministically (testdata has none), then: na.fill gives
+    // the sentinel count, na.drop the surviving rows, na.replace a value
+    // remap — one summary row checks all three against the oracle's
+    // CASE/COALESCE equivalents.
+    "na_funcs" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("event_id"), col("event_type"),
+        when(col("event_id") % 7 === 0, lit(null)).otherwise(col("value")).as("v"))
+      val filled = e.na.fill(Map("v" -> -1.0))
+      val dropped = e.na.drop(Seq("v"))
+      val replaced = e.na.replace("event_type", Map("click" -> "tap"))
+      import s.implicits._
+      Seq((e.count(), dropped.count(),
+          filled.where(col("v") === -1.0).count(),
+          replaced.where(col("event_type") === "tap").count(),
+          replaced.where(col("event_type") === "click").count()))
+        .toDF("n_total", "n_after_drop", "n_filled", "n_tap", "n_click_left")
     }))
 
   val oracle: Map[String, String] = Map(
+    "na_funcs" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_total,
+        |  CAST(count(CASE WHEN event_id % 7 <> 0 THEN 1 END) AS BIGINT) AS n_after_drop,
+        |  CAST(count(CASE WHEN event_id % 7 = 0 THEN 1 END) AS BIGINT) AS n_filled,
+        |  CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS n_tap,
+        |  CAST(0 AS BIGINT) AS n_click_left
+        |FROM events""".stripMargin,
     "meta_counts" ->
       "SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(11 AS BIGINT) AS n_cols FROM lineitem",
     "rename_columns" ->

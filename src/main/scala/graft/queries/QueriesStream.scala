@@ -31,6 +31,31 @@ object QueriesStream {
         .orderBy(col("window_start"))
     }),
 
+    // Interval coalescing: each event opens a 5-minute activity interval;
+    // overlapping/touching intervals per user merge into islands (running
+    // max(end) over preceding rows detects the break — the gaps-and-islands
+    // overlap variant). One window pass per user, O(1) state; per-user
+    // output = interval count, covered micros, largest merge.
+    "merge_intervals" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = t(s, dir, "events").where(col("user_id") < 40)
+        .select(col("user_id"), col("ts").as("start"),
+          (col("ts") + expr("INTERVAL 5 MINUTES")).as("end"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("start"), col("end"))
+      val prevMax = max(col("end")).over(w.rowsBetween(Window.unboundedPreceding, -1))
+      e.withColumn("brk", when(prevMax.isNull || col("start") > prevMax, 1L).otherwise(0L))
+        .withColumn("island",
+          sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("island"))
+        .agg(min(col("start")).as("ivl_start"), max(col("end")).as("ivl_end"),
+          count(lit(1)).as("n_events"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_intervals"),
+          sum(unix_micros(col("ivl_end")) - unix_micros(col("ivl_start"))).as("covered_us"),
+          max(col("n_events")).as("max_merged"))
+        .orderBy(col("user_id"))
+    }),
+
     // Ordered-sequence funnel: users who signed up, then clicked AFTER the
     // first signup, then purchased AFTER that first qualifying click. Each
     // stage is an aggregate + equi-join on user_id — all three shuffles
@@ -109,6 +134,25 @@ object QueriesStream {
     }))
 
   val oracle: Map[String, String] = Map(
+    "merge_intervals" ->
+      """WITH e AS (SELECT user_id, date_trunc('microseconds', ts) AS s,
+        |    date_trunc('microseconds', ts) + INTERVAL 5 MINUTE AS en
+        |  FROM events WHERE user_id < 40),
+        |b AS (SELECT user_id, s, en,
+        |    CASE WHEN max(en) OVER (PARTITION BY user_id ORDER BY s, en
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |      OR s > max(en) OVER (PARTITION BY user_id ORDER BY s, en
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    THEN 1 ELSE 0 END AS brk FROM e),
+        |i AS (SELECT user_id, s, en,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY s, en
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM b),
+        |iv AS (SELECT user_id, island, min(s) AS ivl_start, max(en) AS ivl_end,
+        |    count(*) AS n_events FROM i GROUP BY user_id, island)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+        |  CAST(sum(epoch_us(ivl_end) - epoch_us(ivl_start)) AS BIGINT) AS covered_us,
+        |  CAST(max(n_events) AS BIGINT) AS max_merged
+        |FROM iv GROUP BY user_id ORDER BY user_id""".stripMargin,
     "event_funnel" ->
       """WITH e AS (SELECT user_id, event_type, date_trunc('microseconds', ts) AS ts FROM events),
         |u1 AS (SELECT user_id, min(ts) AS t1 FROM e WHERE event_type = 'signup' GROUP BY 1),

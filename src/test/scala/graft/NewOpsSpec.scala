@@ -268,6 +268,31 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("na_funcs: fill/drop/replace counts are mutually consistent") {
+    val r = q("na_funcs").collect().head
+    val (total, afterDrop, filled, tap, clickLeft) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(afterDrop + filled == total, "drop + fill must partition the rows")
+    assert(filled > 0, "injected nulls must exist")
+    assert(tap > 0 && clickLeft == 0, "replace must rename every click")
+  }
+
+  test("merge_intervals: islands cover their events, covered time ≥ one interval") {
+    val rows = q("merge_intervals").collect()
+    assert(rows.nonEmpty)
+    val events = queries.Tables.t(spark, sf, "events").where(col("user_id") < 40)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (uid, nIvl, covered, maxMerged) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nIvl >= 1 && nIvl <= events(uid), s"user $uid: island count out of range")
+      // every island spans at least one 5-minute interval
+      assert(covered >= nIvl * 300000000L, s"user $uid: covered < islands × 5min")
+      assert(maxMerged >= 1 && maxMerged <= events(uid))
+    }
+  }
+
   test("multimodal_framesample: 4 frames per doc tile the payload exactly") {
     val rows = q("multimodal_framesample").collect()
     val docs = queries.Tables.t(spark, sf, "documents").where(col("doc_id") < 200)
