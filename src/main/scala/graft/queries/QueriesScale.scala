@@ -148,6 +148,45 @@ object QueriesScale {
         .orderBy(col("source"))
     }),
 
+    // Numeric histogram: fixed-width binning by pure floor arithmetic (no
+    // engine-specific width_bucket) — the data-profiling shape that feeds
+    // distribution drift checks. One partial-aggregable pass; bins with no
+    // rows are absent (sparse histogram), bounds chosen from the fixed
+    // domain so the binning is engine-exact.
+    "histogram_bins" -> ((s, dir) => {
+      // o_totalprice ∈ (0, 600k); 20 bins of 30k. floor(x/30k) clamps the
+      // (theoretical) top edge into the last bin.
+      t(s, dir, "orders")
+        .groupBy(least(floor(col("o_totalprice") / 30000.0), lit(19.0))
+          .cast(LongType).as("bin"))
+        .agg(count(lit(1)).as("n"), round(avg(col("o_totalprice")), 2).as("bin_avg"))
+        .orderBy(col("bin"))
+    }),
+
+    // Cross-source vocabulary overlap matrix — which domains share language
+    // (data-card / contamination-surface view). Distinct (source, token)
+    // first (the big reduce), then the pairwise intersection is an
+    // equi-join ON TOKEN of two already-distinct sides: work scales with
+    // shared-token pairs, never |tokens|² — the matrix shape that holds at
+    // a 20×100 TB source mix. Jaccard from |A∩B| and per-source sizes.
+    "source_overlap" -> ((s, dir) => {
+      val st = t(s, dir, "documents")
+        .select(col("source"), explode(TextFns.tokens(col("text"))).as("token"))
+        .distinct()
+      val sizes = st.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val inter = st.as("a").join(st.as("b"),
+          col("a.token") === col("b.token") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("n_common"))
+      inter
+        .join(sizes.select(col("source").as("src_a"), col("n").as("n_a")), "src_a")
+        .join(sizes.select(col("source").as("src_b"), col("n").as("n_b")), "src_b")
+        .select(col("src_a"), col("src_b"), col("n_common"),
+          round(col("n_common").cast(DoubleType) /
+            (col("n_a") + col("n_b") - col("n_common")), 6).as("jaccard"))
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+
     // Deterministic stratified sampling: per-stratum keep rates applied by
     // key-modulo (systematic sampling), not RNG — the reproducible variant
     // a 100 TB pipeline wants (same sample on every rerun/engine; no seed
@@ -198,6 +237,21 @@ object QueriesScale {
   private val toks = Tables.toksSql()
 
   val oracle: Map[String, String] = Map(
+    "histogram_bins" ->
+      """SELECT CAST(least(floor(o_totalprice / 30000.0), 19.0) AS BIGINT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n, round(avg(o_totalprice), 2) AS bin_avg
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "source_overlap" ->
+      s"""WITH st AS (SELECT DISTINCT source, unnest($toks) AS token FROM documents),
+         |sz AS (SELECT source, count(*) AS n FROM st GROUP BY 1),
+         |inter AS (
+         |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+         |  FROM st a JOIN st b ON a.token = b.token AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT src_a, src_b, CAST(n_common AS BIGINT) AS n_common,
+         |  round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
+         |FROM inter JOIN sz sa ON sa.source = src_a JOIN sz sb ON sb.source = src_b
+         |ORDER BY src_a, src_b""".stripMargin,
     "agg_incremental" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,

@@ -293,6 +293,29 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("histogram_bins: bins partition all orders within the fixed domain") {
+    val rows = q("histogram_bins").collect()
+    assert(rows.forall(r => r.getLong(0) >= 0 && r.getLong(0) <= 19))
+    val total = queries.Tables.t(spark, sf, "orders").count()
+    assert(rows.map(_.getLong(1)).sum == total, "bin counts must partition the table")
+  }
+
+  test("source_overlap: full pair matrix, jaccard bounded by set sizes") {
+    val rows = q("source_overlap").collect()
+    val sizes = queries.Tables.t(spark, sf, "documents")
+      .select(col("source"), explode(graft.functions.TextFns.tokens(col("text"))).as("t"))
+      .distinct().groupBy(col("source")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every unordered pair exactly once (synthetic sources share vocabulary)
+    assert(rows.length == sizes.size * (sizes.size - 1) / 2)
+    rows.foreach { r =>
+      val (a, b, common, j) = (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))
+      assert(a < b)
+      assert(common <= math.min(sizes(a), sizes(b)), s"($a,$b): |A∩B| > min size")
+      assert(j > 0.0 && j <= 1.0)
+    }
+  }
+
   test("multimodal_framesample: 4 frames per doc tile the payload exactly") {
     val rows = q("multimodal_framesample").collect()
     val docs = queries.Tables.t(spark, sf, "documents").where(col("doc_id") < 200)
