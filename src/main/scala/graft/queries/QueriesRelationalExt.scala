@@ -144,6 +144,53 @@ object QueriesRelationalExt {
         .orderBy(col("c_custkey"))
     }),
 
+    // SCD-1 upsert (MERGE INTO semantics without a table format): updates
+    // full-outer-join the base on the key; matched rows take the update,
+    // unmatched-left keep the base row, unmatched-right insert. One shuffle
+    // per side on the key — the hourly-dimension-refresh shape. The update
+    // set is derived deterministically from the base (acctbal bump for
+    // custkey%10=0, plus brand-new keys above the max).
+    "upsert_merge" -> ((s, dir) => {
+      val base = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      val updates = base.where(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          round(col("c_acctbal") + 1000.0, 2).as("c_acctbal"))
+        .unionByName(base.agg(max(col("c_custkey")).as("mx")).crossJoin(
+          s.range(1, 4).toDF("i"))
+          .select((col("mx") + col("i")).as("c_custkey"),
+            lit("NEW").as("c_mktsegment"), lit(0.0).as("c_acctbal")))
+      val merged = base.as("b").join(updates.as("u"),
+          col("b.c_custkey") === col("u.c_custkey"), "full_outer")
+        .select(
+          coalesce(col("u.c_custkey"), col("b.c_custkey")).as("c_custkey"),
+          coalesce(col("u.c_mktsegment"), col("b.c_mktsegment")).as("c_mktsegment"),
+          round(coalesce(col("u.c_acctbal"), col("b.c_acctbal")), 2).as("c_acctbal"))
+      merged.groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 2).as("total_bal"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // SCD-2 history: a customer's order-status timeline as validity ranges
+    // — change-points found with lag(), ranges closed with lead() (NULL =
+    // current). Two window functions over ONE (custkey, date) sort; the
+    // dimension-history build at any scale.
+    "scd2_history" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      val changes = t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"), col("o_orderstatus"))
+        .withColumn("prev_status", lag(col("o_orderstatus"), 1).over(w))
+        .where(col("prev_status").isNull || col("prev_status") =!= col("o_orderstatus"))
+      val w2 = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      changes
+        .withColumn("valid_to", lead(col("o_orderdate"), 1).over(w2))
+        .where(col("o_custkey") < 100)
+        .select(col("o_custkey"), col("o_orderstatus").as("status"),
+          col("o_orderdate").as("valid_from"), col("valid_to"))
+        .orderBy(col("o_custkey"), col("valid_from"), col("status"))
+    }),
+
     // Typed Dataset surface: per-customer longest consecutive-month order
     // streak via groupByKey + mapGroups — genuine per-group imperative logic
     // (the Dataset[T] escape hatch for algorithms awkward as SQL). Groups
@@ -234,6 +281,32 @@ object QueriesRelationalExt {
 
   val oracle: Map[String, String] = Map(
     "sql_bridge" -> BridgeSql,
+    "upsert_merge" ->
+      """WITH base AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
+        |upd AS (
+        |  SELECT c_custkey, c_mktsegment, round(c_acctbal + 1000.0, 2) AS c_acctbal
+        |  FROM base WHERE c_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT mx + i, 'NEW', 0.0
+        |  FROM (SELECT max(c_custkey) AS mx FROM base)
+        |  CROSS JOIN (SELECT unnest(generate_series(1, 3)) AS i) g),
+        |m AS (SELECT coalesce(u.c_custkey, b.c_custkey) AS c_custkey,
+        |    coalesce(u.c_mktsegment, b.c_mktsegment) AS c_mktsegment,
+        |    round(coalesce(u.c_acctbal, b.c_acctbal), 2) AS c_acctbal
+        |  FROM base b FULL JOIN upd u ON b.c_custkey = u.c_custkey)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(c_acctbal), 2) AS total_bal
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    "scd2_history" ->
+      """WITH c AS (SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus,
+        |    lag(o_orderstatus) OVER w AS prev_status FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+        |ch AS (SELECT * FROM c WHERE prev_status IS NULL OR prev_status <> o_orderstatus),
+        |r AS (SELECT o_custkey, o_orderstatus AS status, o_orderdate AS valid_from,
+        |    lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS valid_to
+        |  FROM ch)
+        |SELECT o_custkey, status, valid_from, valid_to FROM r WHERE o_custkey < 100
+        |ORDER BY o_custkey, valid_from, status""".stripMargin,
     "typed_streaks" ->
       """WITH m AS (SELECT DISTINCT o_custkey, year(o_orderdate)*12 + month(o_orderdate) AS ym FROM orders),
         |i AS (SELECT o_custkey, ym,

@@ -316,6 +316,29 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("upsert_merge: inserts add rows, updates don't, totals shift by the bump") {
+    val base = queries.Tables.t(spark, sf, "customer")
+    val merged = q("upsert_merge").collect()
+    assert(merged.map(_.getLong(1)).sum == base.count() + 3, "3 inserts expected")
+    assert(merged.exists(r => r.getString(0) == "NEW" && r.getLong(1) == 3))
+  }
+
+  test("scd2_history: ranges chain per customer, exactly one open range each") {
+    val rows = q("scd2_history").collect()
+    rows.groupBy(_.getLong(0)).foreach { case (cust, g) =>
+      assert(g.count(_.isNullAt(3)) == 1, s"cust $cust: exactly one current range")
+      // o_orderdate is TIMESTAMP_NTZ → LocalDateTime rows
+      val sorted = g.sortBy(_.getAs[java.time.LocalDateTime](2))(
+        Ordering.fromLessThan(_ isBefore _))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.get(3) == b.get(2), s"cust $cust: ranges must chain")
+          assert(a.getString(1) != b.getString(1), s"cust $cust: consecutive ranges same status")
+        case _ =>
+      }
+    }
+  }
+
   test("multimodal_framesample: 4 frames per doc tile the payload exactly") {
     val rows = q("multimodal_framesample").collect()
     val docs = queries.Tables.t(spark, sf, "documents").where(col("doc_id") < 200)
