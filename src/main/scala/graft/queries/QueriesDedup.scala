@@ -25,6 +25,18 @@ object QueriesDedup {
         concat(col("text"), lit(" xtra xtra")).as("text")))
   }
 
+  /** One construction for BOTH cluster queries (dedup_clusters /
+    * dedup_apply share the recursive-CTE oracle's corpus, so their
+    * edges/labels must never drift): minhash near-dup edges over the
+    * constructed corpus → connected-component labels (component = min
+    * doc_id). Returns (corpus, labels). */
+  private def clusterLabels(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val c = corpus(s, dir)
+    val edges = Dedup.minhashNearDups(c, "doc_id", "text", threshold = 0.8)
+      .select(col("id_a"), col("id_b"))
+    (c, graft.operators.ConnectedComponents.components(edges, c.select(col("doc_id"))))
+  }
+
   /** One construction for BOTH contamination variants (they share one
     * oracle string, so their corpora must never drift): eval = doc_id < 50,
     * train = the rest + planted eval copies at +500000. Returns the
@@ -143,11 +155,7 @@ object QueriesDedup {
     // in the cluster) and cluster size.
     "dedup_clusters" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val c = corpus(s, dir)
-      val edges = Dedup.minhashNearDups(c, "doc_id", "text", threshold = 0.8)
-        .select(col("id_a"), col("id_b"))
-      val labels = graft.operators.ConnectedComponents.components(
-        edges, c.select(col("doc_id")))
+      val (_, labels) = clusterLabels(s, dir)
       labels
         .select(col("id").as("doc_id"), col("component").as("cluster_id"))
         .withColumn("cluster_size",
@@ -161,11 +169,7 @@ object QueriesDedup {
     // feed; output is a one-row summary + kept-id checksum so the oracle
     // pins the exact surviving set, not just its size.
     "dedup_apply" -> ((s, dir) => {
-      val c = corpus(s, dir)
-      val edges = Dedup.minhashNearDups(c, "doc_id", "text", threshold = 0.8)
-        .select(col("id_a"), col("id_b"))
-      val labels = graft.operators.ConnectedComponents.components(
-        edges, c.select(col("doc_id")))
+      val (c, labels) = clusterLabels(s, dir)
       val kept = labels.where(col("id") === col("component"))
       kept.agg(count(lit(1)).as("n_kept"), sum(col("id")).as("kept_id_sum"))
         .crossJoin(c.agg(count(lit(1)).as("n_before")))

@@ -127,15 +127,21 @@ object QueriesFacade {
     "na_funcs" -> ((s, dir) => {
       val e = t(s, dir, "events").select(col("event_id"), col("event_type"),
         when(col("event_id") % 7 === 0, lit(null)).otherwise(col("value")).as("v"))
-      val filled = e.na.fill(Map("v" -> -1.0))
-      val dropped = e.na.drop(Seq("v"))
-      val replaced = e.na.replace("event_type", Map("click" -> "tap"))
+      // fill then replace compose on one frame; null-count AFTER the fill
+      // proves the fill (robustly — counting the -1.0 sentinel would
+      // conflate with naturally occurring values). Two jobs total: the
+      // dropped count (exercising na.drop) and one conditional aggregate.
+      val fr = e.na.fill(Map("v" -> -1.0)).na.replace("event_type", Map("click" -> "tap"))
+      val nAfterDrop = e.na.drop(Seq("v")).count()
+      val stats = fr.agg(
+        count(lit(1)).as("n_total"),
+        count(when(col("v").isNull, 1)).as("n_nulls_after_fill"),
+        count(when(col("event_type") === "tap", 1)).as("n_tap"),
+        count(when(col("event_type") === "click", 1)).as("n_click_left")).collect().head
       import s.implicits._
-      Seq((e.count(), dropped.count(),
-          filled.where(col("v") === -1.0).count(),
-          replaced.where(col("event_type") === "tap").count(),
-          replaced.where(col("event_type") === "click").count()))
-        .toDF("n_total", "n_after_drop", "n_filled", "n_tap", "n_click_left")
+      Seq((stats.getLong(0), nAfterDrop, stats.getLong(0) - nAfterDrop,
+          stats.getLong(1), stats.getLong(2), stats.getLong(3)))
+        .toDF("n_total", "n_after_drop", "n_filled", "n_nulls_after_fill", "n_tap", "n_click_left")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -143,6 +149,7 @@ object QueriesFacade {
       """SELECT CAST(count(*) AS BIGINT) AS n_total,
         |  CAST(count(CASE WHEN event_id % 7 <> 0 THEN 1 END) AS BIGINT) AS n_after_drop,
         |  CAST(count(CASE WHEN event_id % 7 = 0 THEN 1 END) AS BIGINT) AS n_filled,
+        |  CAST(0 AS BIGINT) AS n_nulls_after_fill,
         |  CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS n_tap,
         |  CAST(0 AS BIGINT) AS n_click_left
         |FROM events""".stripMargin,

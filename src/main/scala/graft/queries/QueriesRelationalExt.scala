@@ -176,15 +176,13 @@ object QueriesRelationalExt {
     // current). Two window functions over ONE (custkey, date) sort; the
     // dimension-history build at any scale.
     "scd2_history" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
       val changes = t(s, dir, "orders")
         .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"), col("o_orderstatus"))
         .withColumn("prev_status", lag(col("o_orderstatus"), 1).over(w))
         .where(col("prev_status").isNull || col("prev_status") =!= col("o_orderstatus"))
-      val w2 = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
       changes
-        .withColumn("valid_to", lead(col("o_orderdate"), 1).over(w2))
+        .withColumn("valid_to", lead(col("o_orderdate"), 1).over(w))
         .where(col("o_custkey") < 100)
         .select(col("o_custkey"), col("o_orderstatus").as("status"),
           col("o_orderdate").as("valid_from"), col("valid_to"))

@@ -170,6 +170,11 @@ object QueriesScale {
     // shared-token pairs, never |tokens|² — the matrix shape that holds at
     // a 20×100 TB source mix. Jaccard from |A∩B| and per-source sizes.
     "source_overlap" -> ((s, dir) => {
+      // st feeds both self-join sides and the sizes aggregate. NOT persisted
+      // — measured: the distinct's shuffle exchange is reused across the
+      // subtrees (ReusedExchange), so recompute is mostly free, while an
+      // explicit persist adds a materialization barrier that costs ~40%
+      // wall (2.6s → 3.7s at sf0.1; same direction at 10×)
       val st = t(s, dir, "documents")
         .select(col("source"), explode(TextFns.tokens(col("text"))).as("token"))
         .distinct()

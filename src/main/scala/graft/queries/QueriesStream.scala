@@ -63,18 +63,26 @@ object QueriesStream {
     // survivors (monotonically shrinking), the shape that scales to
     // billion-user funnels. Timestamps are strict-after comparisons.
     "event_funnel" -> ((s, dir) => {
-      val ev = t(s, dir, "events").select(col("user_id"), col("event_type"), col("ts"))
-      val s1 = ev.where(col("event_type") === "signup")
-        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
-      val s2 = ev.where(col("event_type") === "click").join(s1, "user_id")
-        .where(col("ts") > col("t1"))
-        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
-      val s3 = ev.where(col("event_type") === "purchase").join(s2, "user_id")
-        .where(col("ts") > col("t2"))
-        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
-      import s.implicits._
-      Seq((s1.count(), s2.count(), s3.count()))
-        .toDF("n_signup", "n_click_after", "n_purchase_after")
+      import org.apache.spark.sql.expressions.Window
+      // Single pass: the three stage timestamps are unordered window minima
+      // over the user partition — t2's predicate reads t1 (sequential
+      // Window nodes over ONE exchange), so the whole funnel is one job
+      // with no join, no cache, no stage replay. The first join-chain cut
+      // replayed upstream stages per count (≈6 event scans); persisting
+      // fixed the replay but paid a materialization barrier — this shape
+      // needs neither.
+      val w = Window.partitionBy(col("user_id"))
+      val staged = t(s, dir, "events").select(col("user_id"), col("event_type"), col("ts"))
+        .withColumn("t1",
+          min(when(col("event_type") === "signup", col("ts"))).over(w))
+        .withColumn("t2",
+          min(when(col("event_type") === "click" && col("ts") > col("t1"), col("ts"))).over(w))
+        .withColumn("t3",
+          min(when(col("event_type") === "purchase" && col("ts") > col("t2"), col("ts"))).over(w))
+      staged.groupBy(col("user_id"))
+        .agg(first(col("t1")).as("t1"), first(col("t2")).as("t2"), first(col("t3")).as("t3"))
+        .agg(count(col("t1")).as("n_signup"), count(col("t2")).as("n_click_after"),
+          count(col("t3")).as("n_purchase_after"))
     }),
 
     // Per-user session windows with a 10-minute gap.

@@ -270,10 +270,11 @@ class NewOpsSpec extends SparkSpec {
 
   test("na_funcs: fill/drop/replace counts are mutually consistent") {
     val r = q("na_funcs").collect().head
-    val (total, afterDrop, filled, tap, clickLeft) =
-      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    val (total, afterDrop, filled, nullsAfterFill, tap, clickLeft) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
     assert(afterDrop + filled == total, "drop + fill must partition the rows")
     assert(filled > 0, "injected nulls must exist")
+    assert(nullsAfterFill == 0, "fill must leave no nulls")
     assert(tap > 0 && clickLeft == 0, "replace must rename every click")
   }
 
@@ -327,15 +328,18 @@ class NewOpsSpec extends SparkSpec {
     val rows = q("scd2_history").collect()
     rows.groupBy(_.getLong(0)).foreach { case (cust, g) =>
       assert(g.count(_.isNullAt(3)) == 1, s"cust $cust: exactly one current range")
-      // o_orderdate is TIMESTAMP_NTZ → LocalDateTime rows
-      val sorted = g.sortBy(_.getAs[java.time.LocalDateTime](2))(
-        Ordering.fromLessThan(_ isBefore _))
-      sorted.sliding(2).foreach {
-        case Array(a, b) =>
-          assert(a.get(3) == b.get(2), s"cust $cust: ranges must chain")
-          assert(a.getString(1) != b.getString(1), s"cust $cust: consecutive ranges same status")
-        case _ =>
-      }
+      // chain invariant, tie-robust (two change-points can share a date, so
+      // re-sorting by valid_from can't reconstruct the true order): in a
+      // chained range set, the non-null valid_to values are exactly the
+      // valid_from values minus one instance of the earliest
+      // (o_orderdate is TIMESTAMP_NTZ → LocalDateTime rows)
+      val froms = g.map(_.getAs[java.time.LocalDateTime](2)).toSeq
+      val tos = g.filterNot(_.isNullAt(3)).map(_.getAs[java.time.LocalDateTime](3)).toSeq
+      val first = froms.min(Ordering.fromLessThan[java.time.LocalDateTime](_ isBefore _))
+      val expected = froms.diff(Seq(first))
+      assert(tos.sorted(Ordering.by[java.time.LocalDateTime, String](_.toString)) ==
+        expected.sorted(Ordering.by[java.time.LocalDateTime, String](_.toString)),
+        s"cust $cust: valid_to multiset must equal valid_from minus the earliest")
     }
   }
 
