@@ -72,6 +72,24 @@ object QueriesPipeline {
         .orderBy(col("source"), col("doc_id"))
     }),
 
+    // Temperature-based mixture design (multilingual-sampling math,
+    // τ = 0.5): per-source target share ∝ n^τ, capped keep-rate
+    // target/n ≤ 1. Everything runs over the |sources|-row AGGREGATE — the
+    // windows never see the corpus, so the mixture computation is
+    // config-sized at any scale (the applied sampling is mix_weighted /
+    // sample_stratified's key-modulo predicate). sqrt (τ=0.5) is
+    // IEEE-exact in both engines, unlike pow(x, 0.7).
+    "mix_temperature" -> ((s, dir) => {
+      val wAll = Window.partitionBy()
+      t(s, dir, "documents").groupBy(col("source")).agg(count(lit(1)).as("n"))
+        .select(col("source"), col("n"),
+          round((sqrt(col("n")) / sum(sqrt(col("n"))).over(wAll)).as("share"), 6).as("target_share"),
+          round(least(lit(1.0),
+            sum(col("n")).over(wAll) * (sqrt(col("n")) / sum(sqrt(col("n"))).over(wAll)) / col("n")), 6)
+            .as("keep_rate"))
+        .orderBy(col("source"))
+    }),
+
     // Per-source score normalization: z-score (sample stddev) + percentile
     // rank of the quality score within each source — the feature-scaling
     // step before cross-source thresholds can be compared. One window
@@ -268,6 +286,13 @@ object QueriesPipeline {
   private val toks = Tables.toksSql()
 
   val oracle: Map[String, String] = Map(
+    "mix_temperature" ->
+      """SELECT source, CAST(n AS BIGINT) AS n,
+        |  round(sqrt(n) / sum(sqrt(n)) OVER (), 6) AS target_share,
+        |  round(least(1.0,
+        |    sum(n) OVER () * (sqrt(n) / sum(sqrt(n)) OVER ()) / n), 6) AS keep_rate
+        |FROM (SELECT source, count(*) AS n FROM documents GROUP BY 1)
+        |ORDER BY source""".stripMargin,
     "score_normalize" ->
       s"""WITH m AS (${Tables.qualityMetricsSql(", source")}),
          |sc AS (SELECT doc_id, source, round(${Tables.qualityScoreSql}, 6) AS score FROM m)

@@ -343,6 +343,23 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("mix_temperature: shares sum to 1, temperature flattens the distribution") {
+    val rows = q("mix_temperature").collect()
+    val shares = rows.map(_.getDouble(2))
+    assert(math.abs(shares.sum - 1.0) < 1e-3, s"shares sum ${shares.sum}")
+    rows.foreach(r => assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0))
+    // τ=0.5 must compress ratios: share ratio between any two sources is
+    // the sqrt of their count ratio
+    val ns = rows.map(_.getLong(1).toDouble)
+    val (iMax, iMin) = (ns.indexOf(ns.max), ns.indexOf(ns.min))
+    if (ns(iMax) > ns(iMin)) {
+      val countRatio = ns(iMax) / ns(iMin)
+      val shareRatio = shares(iMax) / shares(iMin)
+      assert(shareRatio < countRatio, "temperature must flatten")
+      assert(math.abs(shareRatio - math.sqrt(countRatio)) < 0.01)
+    }
+  }
+
   test("multimodal_framesample: 4 frames per doc tile the payload exactly") {
     val rows = q("multimodal_framesample").collect()
     val docs = queries.Tables.t(spark, sf, "documents").where(col("doc_id") < 200)
