@@ -130,6 +130,35 @@ object QueriesText {
     // two aggregations over the exploded token table; idf joins back via a
     // broadcast of the (small) term-df side. At 100 TB the df table is the
     // only global state and it is tiny (vocabulary-sized).
+    // Bigram language-model quality score (the CCNet-style perplexity
+    // filter): train add-one-smoothed bigram probabilities on the big split,
+    // score each held-out doc by mean log-probability. The LM "model" is
+    // two count tables; scoring is two equi-joins on the bigram/unigram
+    // keys — the shape that holds when the LM table itself is huge (no
+    // broadcast assumed, no per-doc model state). Bigrams stream from the
+    // native ShingleGenerator (no intermediate arrays).
+    "lm_score" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val train = docs.where(col("doc_id") >= 50)
+      val c2 = train.select(TextFns.shingleExplode(TextFns.tokens(col("text")), 2).as("bg"))
+        .groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+      val c1 = train.select(explode(TextFns.tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+      val v = c1.agg(count(lit(1)).as("v"))
+      val evalBg = docs.where(col("doc_id") < 50)
+        .select(col("doc_id"), TextFns.shingleExplode(TextFns.tokens(col("text")), 2).as("bg"))
+        .withColumn("w1", substring_index(col("bg"), " ", 1))
+      evalBg.join(c2, Seq("bg"), "left")
+        .join(c1, col("w1") === c1("w"), "left")
+        .crossJoin(v)
+        .select(col("doc_id"),
+          log((coalesce(col("c2"), lit(0L)) + lit(1.0)) /
+            (coalesce(col("c1"), lit(0L)) + col("v"))).as("lp"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), round(avg(col("lp")), 4).as("avg_logp"))
+        .orderBy(col("doc_id"))
+    }),
+
     "tfidf_top" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val n = docs.count()
@@ -284,6 +313,21 @@ object QueriesText {
          |SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(toks) AS BIGINT) AS total_tokens,
          |  CAST(min(doc_id) AS BIGINT) AS first_doc
          |FROM clean""".stripMargin,
+    "lm_score" ->
+      s"""WITH tr AS (SELECT $toks AS tk FROM documents WHERE doc_id >= 50),
+         |tbg AS (SELECT unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bg FROM tr),
+         |c2 AS (SELECT bg, count(*) AS c2 FROM tbg GROUP BY 1),
+         |tw AS (SELECT unnest(tk) AS w FROM tr),
+         |c1 AS (SELECT w, count(*) AS c1 FROM tw GROUP BY 1),
+         |v AS (SELECT count(*) AS v FROM c1),
+         |ev AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bg
+         |       FROM (SELECT doc_id, $toks AS tk FROM documents WHERE doc_id < 50)),
+         |sc AS (SELECT doc_id, ln((coalesce(c2, 0) + 1.0) / (coalesce(c1, 0) + v)) AS lp
+         |  FROM ev LEFT JOIN c2 USING (bg)
+         |  LEFT JOIN c1 ON c1.w = string_split(ev.bg, ' ')[1]
+         |  CROSS JOIN v)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, round(avg(lp), 4) AS avg_logp
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "tfidf_top" ->
       s"""WITH tok AS (SELECT doc_id, unnest($toks) AS term FROM documents),
          |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok WHERE doc_id < 100 GROUP BY 1, 2),

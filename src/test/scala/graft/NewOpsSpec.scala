@@ -360,6 +360,26 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("lm_score: log-probs negative and bounded by the smoothing floor") {
+    val rows = q("lm_score").collect()
+    assert(rows.length == 50)
+    // worst case per bigram: unseen continuation after the MOST FREQUENT
+    // history word — ln(1/(maxC1 + V)); every avg must sit in (floor, 0)
+    val c1 = queries.Tables.t(spark, sf, "documents").where(col("doc_id") >= 50)
+      .select(explode(graft.functions.TextFns.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).count()
+    val v = c1.count()
+    val maxC1 = c1.agg(max(col("count"))).head().getLong(0)
+    val floor = math.log(1.0 / (maxC1 + v))
+    rows.foreach { r =>
+      val lp = r.getDouble(2)
+      assert(lp < 0.0 && lp >= floor, s"doc ${r.getLong(0)}: avg_logp $lp outside ($floor, 0)")
+      assert(r.getLong(1) >= 1, "every doc has at least one bigram")
+    }
+    // in-domain text must beat the unseen-everything floor by a wide margin
+    assert(rows.map(_.getDouble(2)).max > floor / 2)
+  }
+
   test("multimodal_framesample: 4 frames per doc tile the payload exactly") {
     val rows = q("multimodal_framesample").collect()
     val docs = queries.Tables.t(spark, sf, "documents").where(col("doc_id") < 200)
