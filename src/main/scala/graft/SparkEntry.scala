@@ -19,6 +19,7 @@ object SparkEntry {
     (QueriesPipeline.queries, QueriesPipeline.oracle),
     (QueriesSim.queries, QueriesSim.oracle),
     (QueriesScale.queries, QueriesScale.oracle),
+    (QueriesAnalytics.queries, QueriesAnalytics.oracle),
     (QueriesStream.queries, QueriesStream.oracle),
     (QueriesDdl.queries, QueriesDdl.oracle))
 

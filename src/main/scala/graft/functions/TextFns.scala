@@ -46,6 +46,15 @@ object TextFns {
       graft.plans.TextStats(
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(c)))
 
+  /** Unicode NFC canonicalization (native codegen'd expression,
+    * graft.plans.NfcNormalize) — run before tokenize/dedup so composed and
+    * decomposed encodings of the same text hash identically. ASCII rows
+    * take a byte-scan fast path and are returned untouched. */
+  def nfc(c: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.NfcNormalize(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(c)))
+
   private def wordsPattern(words: Seq[String]): String =
     words.mkString("\\b(", "|", ")\\b")
 

@@ -38,7 +38,8 @@ object GraftExtensions {
   private val all: Seq[FnDef] = Seq(
     fn("relaxed_double_native", classOf[RelaxedParseDouble], 1)(e => RelaxedParseDouble(e.head)),
     fn("cosine_sim", classOf[CosineSim], 2)(e => CosineSim(e(0), e(1))),
-    fn("text_stats", classOf[TextStats], 1)(e => TextStats(e.head)))
+    fn("text_stats", classOf[TextStats], 1)(e => TextStats(e.head)),
+    fn("nfc_normalize", classOf[NfcNormalize], 1)(e => NfcNormalize(e.head)))
 
   /** Imperative registration into an existing session's function registry. */
   def register(spark: SparkSession): Unit =

@@ -1,0 +1,126 @@
+package graft
+
+import graft.functions.TextFns
+import graft.queries.QueriesAnalytics
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Warehouse-analytics batch (QueriesAnalytics) + the native NfcNormalize
+  * expression. Differential/invariant tests on sf0.001. */
+class AnalyticsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def q(name: String) = QueriesAnalytics.queries(name)(spark, dir)
+
+  // ---- NfcNormalize ----------------------------------------------------
+
+  test("NfcNormalize: differential vs java.text.Normalizer, ASCII zero-copy") {
+    val cases = Seq(
+      "plain ascii", "", "é", "äbc", "é already composed",
+      "mix é and é", "Å angstrom sign", "ffi ﬃ ligature stays",
+      "ṩ s-dot", "ṩ dots reorder")
+    for (c <- cases) {
+      val in = UTF8String.fromString(c)
+      val out = graft.plans.NfcNormalize.nfc(in)
+      val expected = java.text.Normalizer.normalize(c, java.text.Normalizer.Form.NFC)
+      assert(out.toString == expected, s"mismatch for <$c>")
+    }
+    // ASCII fast path returns the SAME instance — no allocation
+    val ascii = UTF8String.fromString("pure ascii 123")
+    assert(graft.plans.NfcNormalize.nfc(ascii) eq ascii)
+    assert(graft.plans.NfcNormalize.nfc(null) == null)
+  }
+
+  test("NfcNormalize: codegen path through a DataFrame projection") {
+    import spark.implicits._
+    // explicit escapes: input decomposed e+U+0301 must compose to U+00E9
+    val df = Seq("e\u0301", "plain", null).toDF("s")
+      .select(TextFns.nfc(col("s")).as("n"))
+    val got = df.collect().map(r => Option(r.getString(0)))
+    assert(got.toSeq == Seq(Some("\u00e9"), Some("plain"), None))
+  }
+
+  // ---- queries over testdata ------------------------------------------
+
+  test("sql_recursive: depth-0 count equals customer count, chain-length law") {
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+    val keys = cust.select("c_custkey").collect().map(_.getLong(0))
+    val rows = q("sql_recursive").collect()
+    val byDepth = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byDepth(0L) == keys.length)
+    // every key k contributes exactly (#halvings until node 1) + 1 rows;
+    // total row mass must equal the sum of per-key chain lengths
+    val expectedTotal = keys.map { k =>
+      var n = k; var len = 1L
+      while (n > 1) { n = n / 2; len += 1 }
+      len
+    }.sum
+    assert(rows.map(_.getLong(1)).sum == expectedTotal)
+  }
+
+  test("cohort_retention: offset-0 actives sum to total distinct users") {
+    val rows = q("cohort_retention").collect()
+    assert(rows.forall(_.getLong(1) >= 0L))
+    val offset0 = rows.filter(_.getLong(1) == 0L).map(_.getLong(2)).sum
+    val totalUsers = graft.queries.Tables.t(spark, dir, "events")
+      .where(col("user_id").isNotNull && col("ts").isNotNull)
+      .select("user_id").distinct().count()
+    assert(offset0 == totalUsers)
+  }
+
+  test("dq_checks: five checks, pass iff zero violations, structural pass") {
+    val rows = q("dq_checks").collect()
+    assert(rows.length == 5)
+    assert(rows.forall(r => r.getBoolean(3) == (r.getLong(1) == 0L)))
+    val byName = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byName("orders_fk_customer") == 0L)
+    assert(byName("orders_pk_unique") == 0L)
+  }
+
+  test("skew_profile: histogram math matches a direct percentile") {
+    val r = q("skew_profile").collect().head
+    val counts = spark.read.parquet(s"$dir/lineitem.parquet")
+      .groupBy("l_orderkey").count().select("count")
+      .collect().map(_.getLong(0)).sorted
+    assert(r.getLong(0) == counts.length)          // n_keys
+    assert(r.getLong(1) == counts.sum)             // total_rows
+    assert(r.getLong(2) == counts.max)             // max_cnt
+    // R-7 interpolated median over the sorted counts
+    val h = (0.5 * (counts.length - 1)).toInt
+    val frac = 0.5 * (counts.length - 1) - h
+    val p50 = counts(h) + frac * (counts(math.min(h + 1, counts.length - 1)) - counts(h))
+    assert(math.abs(r.getDouble(3) - math.rint(p50 * 1e4) / 1e4) < 1e-9)
+  }
+
+  test("ts_anomaly: every flagged row is a full-window 3-sigma outlier") {
+    val rows = q("ts_anomaly").collect()
+    assert(rows.forall(r => math.abs(r.getDouble(2)) >= 3.0))
+  }
+
+  test("unicode_norm: composition shortens exactly the decomposed rows") {
+    val rows = q("unicode_norm").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (docId, lenDec, lenNfc, changed) =
+        (r.getLong(0), r.getInt(1), r.getInt(2), r.getBoolean(4))
+      if (docId % 3 == 2) { assert(!changed); assert(lenNfc == lenDec) }
+      else { assert(changed); assert(lenNfc == lenDec - 1) }
+    }
+  }
+
+  test("fuzzy_join: band prune is lossless vs the unbanded join") {
+    val p = spark.read.parquet(s"$dir/part.parquet")
+      .select(col("p_partkey"), col("p_brand"), col("p_name"))
+    val a = p.toDF("a_key", "brand", "a_name")
+    val b = p.toDF("b_key", "b_brand", "b_name")
+    val unbanded = a.join(b, col("brand") === col("b_brand") &&
+        col("a_key") < col("b_key") &&
+        levenshtein(col("a_name"), col("b_name")) <= 2)
+      .groupBy(col("brand")).agg(count(lit(1)).as("n_pairs"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = q("fuzzy_join").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == unbanded)
+    assert(got.values.sum > 0)
+  }
+}
