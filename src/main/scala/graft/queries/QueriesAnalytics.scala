@@ -199,6 +199,148 @@ object QueriesAnalytics {
         .agg(sum(col("n")).as("n_pairs"), min(col("dist")).as("min_dist"),
           round(sum(col("dist") * col("n")) / sum(col("n")), 4).as("avg_dist"))
         .orderBy(col("brand"))
+    }),
+
+    // Gaps-and-islands sessionization: a session breaks after a 30-minute
+    // silence. One (user_id) exchange carries both windows (lag detects the
+    // break, a running sum numbers the sessions) and the per-session
+    // aggregate. Gap arithmetic runs on integer microseconds — exact in
+    // both engines, no float seconds.
+    "session_stats" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .where(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      val ow = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      ev.withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(ow))
+        .withColumn("brk",
+          when(col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1L)
+            .otherwise(0L))
+        .withColumn("sid", sum(col("brk")).over(
+          ow.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"),
+          round((max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+            .cast(DoubleType) / 1e6, 3).as("duration_sec"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("user_id"), col("sid"))
+    }),
+
+    // Deterministic weighted systematic sampling: selection probability
+    // proportional to document mass (n_chars), reproducible across engines
+    // and reruns with NO RNG — rows are laid out in md5-key order, a
+    // distributed exclusive prefix sum (operators/GlobalOrder: the window's
+    // own hash exchange is the only data shuffle) assigns each row a mass
+    // interval, and a row is picked iff its interval covers a multiple of
+    // the stride. All selection math is positive integer division —
+    // bit-identical in Spark and DuckDB.
+    "sample_weighted" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars").as("w"),
+          md5(concat(lit("samp:"), col("doc_id").cast(StringType))).as("skey"))
+      val cum = graft.operators.GlobalOrder.withExclusivePrefixSum(
+        docs, Seq(col("skey"), col("doc_id")), col("w"), "cum0", numParts = 8)
+      val tot = docs.agg(sum(col("w")).as("w_all"))
+      cum.crossJoin(broadcast(tot))
+        .withColumn("stride", expr("greatest(w_all DIV 100, 1)"))
+        .withColumn("picked",
+          expr("(cum0 + w - 1 + stride) DIV stride > (cum0 - 1 + stride) DIV stride"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("picked"), 1)).as("n_picked"),
+          sum(col("w")).as("w_total"),
+          coalesce(sum(when(col("picked"), col("w"))), lit(0L)).as("w_picked"))
+        .orderBy(col("source"))
+    }),
+
+    // Time-interval RANGE frame: per-user trailing-1-hour activity at every
+    // event (RANGE BETWEEN INTERVAL — value-based, so sparse/bursty streams
+    // get the true time window, not a row-count approximation). One
+    // user_id exchange; frame state is the in-window rows only.
+    "window_time_range" -> ((s, dir) => {
+      t(s, dir, "events")
+        .where(col("user_id").isNotNull && col("ts").isNotNull)
+        .createOrReplaceTempView("ev_tr")
+      s.sql(
+        """SELECT event_id, n_hour, avg_hour FROM (
+          |  SELECT event_id,
+          |    CAST(count(*) OVER w AS BIGINT) AS n_hour,
+          |    round(avg(value) OVER w, 4) AS avg_hour
+          |  FROM ev_tr
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts
+          |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW))
+          |ORDER BY event_id""".stripMargin)
+    }),
+
+    // Nation-level trade-flow PageRank: the DISTRIBUTED work is collapsing
+    // the corpus to the graph (lineitem joins supplier/customer nations —
+    // broadcast dims, one co-partitioned orderkey shuffle, then a
+    // 25x25-bounded aggregate); the solve runs on that config-sized matrix
+    // at the driver (5 damped iterations, deterministic src-sorted
+    // accumulation), the same corpus-to-config split as mix_temperature.
+    // A doc-scale graph would instead iterate as DataFrame joins — that
+    // fixpoint pattern is dedup_clusters' connected components.
+    "graph_pagerank" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val supp = t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey").cast(LongType).as("src"))
+      val ord = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey").cast(LongType).as("dst"))
+      val edges = li.join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2).toDouble))
+      val nations = t(s, dir, "nation")
+        .select(col("n_nationkey").cast(LongType)).collect().map(_.getLong(0)).sorted
+      val nN = nations.length
+      val outW = edges.groupBy(_._1).map { case (k, es) => k -> es.map(_._3).sum }
+      // deterministic accumulation: contributions folded in (src, dst) order
+      val bySrc = edges.sortBy(e => (e._1, e._2))
+      var pr = nations.map(_ -> 1.0 / nN).toMap
+      for (_ <- 1 to 5) {
+        val in = scala.collection.mutable.Map(nations.map(_ -> 0.0): _*)
+        bySrc.foreach { case (src, dst, w) =>
+          in(dst) += pr(src) * (w / outW(src))
+        }
+        // dangling (no out-edge) mass redistributes uniformly — total rank
+        // mass stays 1 (folded in nation order for determinism)
+        val dangling = nations.filterNot(outW.contains).map(pr).sum
+        pr = nations.map(n =>
+          n -> (0.15 / nN + 0.85 * (in(n) + dangling / nN))).toMap
+      }
+      import s.implicits._
+      pr.toSeq.sortBy(_._1).toDF("nation", "pr_raw")
+        .select(col("nation"), round(col("pr_raw"), 6).as("pr"))
+        .orderBy(col("nation"))
+    }),
+
+    // PMI collocations: pointwise mutual information over adjacent token
+    // pairs — phrase/tokenizer-merge mining. Bigrams stream from the native
+    // ShingleGenerator (no intermediate arrays); unigram joins are
+    // equi-shuffles on the word key (Zipf-head broadcast is the documented
+    // scale variant, cf. rare_token_ratio). Selection orders by the ROUNDED
+    // score with a bigram tiebreak so the top-50 cut is engine-stable.
+    "pmi_collocations" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val big = docs.select(TextFns.shingleExplode(TextFns.tokens(col("text")), 2).as("bg"))
+        .groupBy(col("bg")).agg(count(lit(1)).as("n12"))
+        .where(col("n12") >= 5)
+      val uni = docs.select(explode(TextFns.tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val nTok = uni.agg(sum(col("c")).cast(DoubleType).as("n"))
+      big.withColumn("w1", substring_index(col("bg"), " ", 1))
+        .withColumn("w2", substring_index(col("bg"), " ", -1))
+        .join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+        .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+        .crossJoin(broadcast(nTok))
+        .select(col("bg"), col("n12"),
+          round(log(col("n12").cast(DoubleType) * col("n") /
+            (col("c1").cast(DoubleType) * col("c2").cast(DoubleType))), 4).as("pmi"))
+        .orderBy(col("pmi").desc, col("bg").asc)
+        .limit(50)
     }))
 
   val oracle: Map[String, String] = Map(
@@ -293,5 +435,113 @@ object QueriesAnalytics {
         |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
         |  AND abs(length(a.p_name) - length(b.p_name)) <= 2
         |  AND levenshtein(a.p_name, b.p_name) <= 2
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "session_stats" ->
+      """WITH ev AS (
+        |  SELECT user_id, date_trunc('microseconds', ts) AS ts, event_id, value
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |b AS (SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sb AS (SELECT user_id, ts, event_id, value,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM b)
+        |SELECT user_id, CAST(sid AS BIGINT) AS sid,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  min(ts) AS session_start,
+        |  round((max(epoch_us(ts)) - min(epoch_us(ts))) / 1e6, 3) AS duration_sec,
+        |  round(sum(value), 2) AS sum_value
+        |FROM sb GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin,
+    "sample_weighted" ->
+      """WITH d AS (SELECT doc_id, source, n_chars AS w,
+        |    md5('samp:' || CAST(doc_id AS VARCHAR)) AS skey FROM documents),
+        |c AS (SELECT *, COALESCE(sum(w) OVER (ORDER BY skey, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum0 FROM d),
+        |t AS (SELECT greatest(sum(w) // 100, 1) AS stride FROM d)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(CASE WHEN (cum0 + w - 1 + stride) // stride
+        |      > (cum0 - 1 + stride) // stride THEN 1 END) AS BIGINT) AS n_picked,
+        |  CAST(sum(w) AS BIGINT) AS w_total,
+        |  CAST(COALESCE(sum(CASE WHEN (cum0 + w - 1 + stride) // stride
+        |      > (cum0 - 1 + stride) // stride THEN w END), 0) AS BIGINT) AS w_picked
+        |FROM c CROSS JOIN t GROUP BY source ORDER BY source""".stripMargin,
+    "window_time_range" ->
+      """SELECT event_id, n_hour, avg_hour FROM (
+        |  SELECT event_id,
+        |    CAST(count(*) OVER w AS BIGINT) AS n_hour,
+        |    round(avg(value) OVER w, 4) AS avg_hour
+        |  FROM (SELECT event_id, user_id, value,
+        |          date_trunc('microseconds', ts) AS ts FROM events
+        |        WHERE user_id IS NOT NULL AND ts IS NOT NULL)
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW))
+        |ORDER BY event_id""".stripMargin,
+    "graph_pagerank" ->
+      """WITH e AS (
+        |  SELECT CAST(s.s_nationkey AS BIGINT) AS src,
+        |    CAST(c.c_nationkey AS BIGINT) AS dst, CAST(count(*) AS DOUBLE) AS w
+        |  FROM lineitem l
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1, 2),
+        |ow AS (SELECT src, sum(w) AS tot FROM e GROUP BY 1),
+        |p AS (SELECT e.src, e.dst, e.w / ow.tot AS p FROM e JOIN ow USING (src)),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nation),
+        |i0 AS (SELECT CAST(n_nationkey AS BIGINT) AS nation, 1.0 / nn.n AS pr
+        |  FROM nation CROSS JOIN nn),
+        |d1 AS (SELECT COALESCE(sum(pr), 0) AS dm FROM i0
+        |  WHERE nation NOT IN (SELECT src FROM ow)),
+        |i1 AS (SELECT b.nation,
+        |    0.15 / nn.n + 0.85 * (COALESCE(sum(a.pr * p.p), 0) + d1.dm / nn.n) AS pr
+        |  FROM i0 b CROSS JOIN nn CROSS JOIN d1
+        |  LEFT JOIN p ON p.dst = b.nation LEFT JOIN i0 a ON a.nation = p.src
+        |  GROUP BY b.nation, nn.n, d1.dm),
+        |d2 AS (SELECT COALESCE(sum(pr), 0) AS dm FROM i1
+        |  WHERE nation NOT IN (SELECT src FROM ow)),
+        |i2 AS (SELECT b.nation,
+        |    0.15 / nn.n + 0.85 * (COALESCE(sum(a.pr * p.p), 0) + d2.dm / nn.n) AS pr
+        |  FROM i1 b CROSS JOIN nn CROSS JOIN d2
+        |  LEFT JOIN p ON p.dst = b.nation LEFT JOIN i1 a ON a.nation = p.src
+        |  GROUP BY b.nation, nn.n, d2.dm),
+        |d3 AS (SELECT COALESCE(sum(pr), 0) AS dm FROM i2
+        |  WHERE nation NOT IN (SELECT src FROM ow)),
+        |i3 AS (SELECT b.nation,
+        |    0.15 / nn.n + 0.85 * (COALESCE(sum(a.pr * p.p), 0) + d3.dm / nn.n) AS pr
+        |  FROM i2 b CROSS JOIN nn CROSS JOIN d3
+        |  LEFT JOIN p ON p.dst = b.nation LEFT JOIN i2 a ON a.nation = p.src
+        |  GROUP BY b.nation, nn.n, d3.dm),
+        |d4 AS (SELECT COALESCE(sum(pr), 0) AS dm FROM i3
+        |  WHERE nation NOT IN (SELECT src FROM ow)),
+        |i4 AS (SELECT b.nation,
+        |    0.15 / nn.n + 0.85 * (COALESCE(sum(a.pr * p.p), 0) + d4.dm / nn.n) AS pr
+        |  FROM i3 b CROSS JOIN nn CROSS JOIN d4
+        |  LEFT JOIN p ON p.dst = b.nation LEFT JOIN i3 a ON a.nation = p.src
+        |  GROUP BY b.nation, nn.n, d4.dm),
+        |d5 AS (SELECT COALESCE(sum(pr), 0) AS dm FROM i4
+        |  WHERE nation NOT IN (SELECT src FROM ow)),
+        |i5 AS (SELECT b.nation,
+        |    0.15 / nn.n + 0.85 * (COALESCE(sum(a.pr * p.p), 0) + d5.dm / nn.n) AS pr
+        |  FROM i4 b CROSS JOIN nn CROSS JOIN d5
+        |  LEFT JOIN p ON p.dst = b.nation LEFT JOIN i4 a ON a.nation = p.src
+        |  GROUP BY b.nation, nn.n, d5.dm)
+        |SELECT nation, round(pr, 6) AS pr FROM i5 ORDER BY nation""".stripMargin,
+    "pmi_collocations" ->
+      s"""WITH tk AS (SELECT ${Tables.toksSql()} AS tk FROM documents),
+        |bgs AS (SELECT unnest(list_transform(range(1, len(tk)),
+        |    i -> tk[i] || ' ' || tk[i+1])) AS bg FROM tk),
+        |b12 AS (SELECT bg, CAST(count(*) AS BIGINT) AS n12 FROM bgs
+        |  GROUP BY 1 HAVING count(*) >= 5),
+        |uni AS (SELECT unnest(tk) AS w FROM tk),
+        |cw AS (SELECT w, count(*) AS c FROM uni GROUP BY 1),
+        |nt AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM cw)
+        |SELECT bg, n12,
+        |  round(ln(n12 * nt.n / (c1.c * c2.c)), 4) AS pmi
+        |FROM b12 CROSS JOIN nt
+        |JOIN cw c1 ON c1.w = string_split(b12.bg, ' ')[1]
+        |JOIN cw c2 ON c2.w = string_split(b12.bg, ' ')[2]
+        |ORDER BY pmi DESC, bg LIMIT 50""".stripMargin)
 }

@@ -108,6 +108,62 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("session_stats: event mass conserved, durations non-negative") {
+    val rows = q("session_stats").collect()
+    val totalEvents = graft.queries.Tables.t(spark, dir, "events")
+      .where(col("user_id").isNotNull && col("ts").isNotNull).count()
+    assert(rows.map(_.getLong(2)).sum == totalEvents)
+    assert(rows.forall(_.getDouble(4) >= 0.0))
+    // session ids are 1-based and contiguous-ish: min per user is 1
+    val minSid = rows.groupBy(_.getLong(0)).map(_._2.map(_.getLong(1)).min)
+    assert(minSid.forall(_ == 1L))
+  }
+
+  test("sample_weighted: systematic pick count hits the stride target") {
+    val rows = q("sample_weighted").collect()
+    val nPicked = rows.map(_.getLong(2)).sum
+    // stride = total/100 => the multiples of stride covered by [0, total)
+    // number ~100 (+-1 boundary effect)
+    assert(math.abs(nPicked - 100L) <= 2, s"picked $nPicked")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))   // n_picked <= n_docs
+      assert(r.getLong(4) <= r.getLong(3))   // w_picked <= w_total
+    }
+  }
+
+  test("window_time_range: brute-force trailing-hour check for one user") {
+    val ev = graft.queries.Tables.t(spark, dir, "events")
+      .where(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val uid = ev.head._2
+    val mine = ev.filter(_._2 == uid)
+    val expected = mine.map { case (id, _, us) =>
+      id -> mine.count(o => o._3 >= us - 3600L * 1000000L && o._3 <= us).toLong
+    }.toMap
+    val got = q("window_time_range").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    expected.foreach { case (id, n) => assert(got(id) == n, s"event $id") }
+  }
+
+  test("graph_pagerank: probability-like mass and floor rank") {
+    val rows = q("graph_pagerank").collect()
+    assert(rows.length == 25)
+    val n = rows.length
+    val sum = rows.map(_.getDouble(1)).sum
+    // damping floor for every node; dangling redistribution conserves mass
+    assert(rows.forall(_.getDouble(1) >= 0.15 / n - 1e-9))
+    assert(math.abs(sum - 1.0) < 1e-4)
+  }
+
+  test("pmi_collocations: support floor and descending rounded order") {
+    val rows = q("pmi_collocations").collect()
+    assert(rows.length == 50)
+    assert(rows.forall(_.getLong(1) >= 5L))
+    val pmis = rows.map(_.getDouble(2))
+    assert(pmis.sliding(2).forall(p => p(0) >= p(1)))
+  }
+
   test("fuzzy_join: band prune is lossless vs the unbanded join") {
     val p = spark.read.parquet(s"$dir/part.parquet")
       .select(col("p_partkey"), col("p_brand"), col("p_name"))
