@@ -11,6 +11,22 @@ import Tables._
 object QueriesFunctions {
 
   val queries: Map[String, Q] = Map(
+    // Boundary-value window functions over a FULL frame (unbounded both
+    // ways): first/second/last account holder per nation — constant per
+    // partition, collapsed to one row per nation. Total order inside the
+    // window (acctbal, custkey) keeps every boundary pick deterministic.
+    "window_nth" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "customer")
+        .select(col("c_nationkey"),
+          first(col("c_name")).over(w).as("poorest"),
+          nth_value(col("c_name"), 2).over(w).as("second_poorest"),
+          last(col("c_name")).over(w).as("richest"))
+        .distinct()
+        .orderBy(col("c_nationkey"))
+    }),
     // lag / lead / ntile / first_value over per-customer order history.
     "window_lag_lead" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
@@ -196,6 +212,15 @@ object QueriesFunctions {
     }))
 
   val oracle: Map[String, String] = Map(
+    "window_nth" ->
+      """SELECT DISTINCT c_nationkey,
+        |  first_value(c_name) OVER w AS poorest,
+        |  nth_value(c_name, 2) OVER w AS second_poorest,
+        |  last_value(c_name) OVER w AS richest
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY c_nationkey""".stripMargin,
     "agg_extra" ->
       """SELECT l_returnflag,
         |  max(struct_pack(p := l_extendedprice, k := l_orderkey))['k'] AS argmax_key,

@@ -28,6 +28,23 @@ object QueriesRelationalExt {
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    // Correlated LATERAL subquery (Spark 4 decorrelates the per-row
+    // ORDER BY..LIMIT into a window group-limit — no N+1 execution): top-2
+    // orders per customer, the report shape that reads naturally as "for
+    // each customer, its lateral top orders". Deterministic tiebreak on
+    // o_orderkey.
+    "sql_lateral" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT c.c_custkey, o.o_orderkey, round(o.o_totalprice, 2) AS price
+          |FROM customer c,
+          |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+          |         WHERE o_custkey = c.c_custkey
+          |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+          |WHERE c.c_custkey < 200
+          |ORDER BY c.c_custkey, price DESC, o.o_orderkey""".stripMargin)
+    }),
     // get-data-table: arbitrary SQL in, DataTable out (clsql-data-table.lisp:13-19).
     "sql_bridge" -> ((s, dir) => {
       Tables.registerAll(s, dir)
@@ -278,6 +295,14 @@ object QueriesRelationalExt {
       |ORDER BY c_custkey""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "sql_lateral" ->
+      """SELECT c.c_custkey, o.o_orderkey, round(o.o_totalprice, 2) AS price
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+        |         WHERE o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        |WHERE c.c_custkey < 200
+        |ORDER BY c.c_custkey, price DESC, o.o_orderkey""".stripMargin,
     "sql_bridge" -> BridgeSql,
     "upsert_merge" ->
       """WITH base AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),

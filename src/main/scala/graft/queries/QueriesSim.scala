@@ -22,6 +22,41 @@ object QueriesSim {
   private val rank10 = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
 
   val queries: Map[String, Q] = Map(
+    // Centroid classifier scoring (fastText-style quality-classifier shape):
+    // per-label centroids come from ONE distributed posexplode+avg pass
+    // (output is labels×dims — config-sized), broadcast back, and every
+    // vector scores one native-CosineSim pass against all 10 centroids
+    // (a 10x row fan-out of config-sized rows, not a data-data join).
+    // `predicted` picks the best centroid on the ROUNDED sim with a label
+    // tiebreak, so the argmax is engine-stable; margin = own-centroid sim
+    // minus best other — the confidence signal a filtering stage thresholds.
+    "embed_classify" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .where(col("embedding").isNotNull && col("label").isNotNull)
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+      val cent = e.select(col("label").as("clabel"), posexplode(col("v")))
+        .groupBy(col("clabel"), col("pos")).agg(avg(col("col")).as("c"))
+        .groupBy(col("clabel"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+          x => x.getField("c")).as("cv"))
+      val sc = e.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("label"), col("clabel"),
+          SimFns.cosine(col("v"), col("cv")).as("sim"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(round(col("sim"), 6).desc, col("clabel").asc)
+      val pred = sc.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("vec_id"), col("clabel").as("predicted"))
+      val agg = sc.groupBy(col("vec_id"), col("label"))
+        .agg(round(max(when(col("clabel") === col("label"), col("sim"))), 6).as("own_sim"),
+          round(max(when(col("clabel") === col("label"), col("sim"))) -
+            max(when(col("clabel") =!= col("label"), col("sim"))), 6).as("margin"))
+      agg.join(pred, Seq("vec_id"))
+        .select(col("vec_id"), col("label"), col("predicted"),
+          col("own_sim"), col("margin"))
+        .orderBy(col("vec_id"))
+    }),
     // Exact brute-force cosine top-10 for 5 query vectors.
     // Product quantization ANN: 64-dim float vectors compress to 8 one-byte
     // codes (operators/Pq); search touches ONLY the codes via ADC table
@@ -142,6 +177,24 @@ object QueriesSim {
     }))
 
   val oracle: Map[String, String] = Map(
+    "embed_classify" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |    FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL),
+        |d AS (SELECT label AS clabel, i, avg(v[i]) AS c
+        |  FROM e CROSS JOIN (SELECT unnest(range(1, 65)) AS i) GROUP BY 1, 2),
+        |cent AS (SELECT clabel, list(c ORDER BY i) AS cv FROM d GROUP BY 1),
+        |sc AS (SELECT e.vec_id, e.label, cent.clabel,
+        |    list_cosine_similarity(e.v, cent.cv) AS sim FROM e CROSS JOIN cent),
+        |pred AS (SELECT vec_id, clabel AS predicted FROM (
+        |    SELECT vec_id, clabel, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY round(sim, 6) DESC, clabel) AS rn FROM sc) WHERE rn = 1),
+        |agg AS (SELECT vec_id, label,
+        |    round(max(CASE WHEN clabel = label THEN sim END), 6) AS own_sim,
+        |    round(max(CASE WHEN clabel = label THEN sim END)
+        |      - max(CASE WHEN clabel <> label THEN sim END), 6) AS margin
+        |  FROM sc GROUP BY 1, 2)
+        |SELECT a.vec_id, a.label, p.predicted, a.own_sim, a.margin
+        |FROM agg a JOIN pred p USING (vec_id) ORDER BY a.vec_id""".stripMargin,
     "embed_quantize" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x
         |           FROM embeddings WHERE vec_id < 500),

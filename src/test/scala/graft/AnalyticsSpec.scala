@@ -164,6 +164,48 @@ class AnalyticsSpec extends SparkSpec {
     assert(pmis.sliding(2).forall(p => p(0) >= p(1)))
   }
 
+  test("embed_classify: own-centroid similarity dominates for most vectors") {
+    val rows = graft.queries.QueriesSim.queries("embed_classify")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // margin > 0 <=> predicted == label (up to rounded-argmax ties)
+    val agree = rows.count(r => (r.getDouble(4) > 0) == (r.getInt(2) == r.getInt(1)))
+    assert(agree >= rows.length - 1)
+    // the synthetic embeddings are weakly clustered (natural max cosine
+    // ~0.31, cf. embed_neardup) — require the home-classification rate to
+    // beat the 1/|labels| random baseline by 2x, not a majority
+    val nLabels = rows.map(_.getInt(1)).distinct.length
+    assert(rows.count(r => r.getInt(2) == r.getInt(1)) > 2 * rows.length / nLabels)
+  }
+
+  test("sql_lateral: lateral top-2 matches the window group-limit form") {
+    graft.queries.Tables.t(spark, dir, "customer").createOrReplaceTempView("customer")
+    graft.queries.Tables.t(spark, dir, "orders").createOrReplaceTempView("orders")
+    val lateral = graft.queries.QueriesRelationalExt.queries("sql_lateral")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val windowed = spark.sql(
+      """SELECT o_custkey, o_orderkey FROM (
+        |  SELECT o_custkey, o_orderkey, row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders)
+        |WHERE rn <= 2 AND o_custkey < 200
+        |  AND o_custkey IN (SELECT c_custkey FROM customer)""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lateral == windowed)
+  }
+
+  test("window_nth: boundary picks match a sorted-group brute force") {
+    val rows = graft.queries.QueriesFunctions.queries("window_nth")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(3)))
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_nationkey"), col("c_acctbal"), col("c_custkey"), col("c_name"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getLong(2), r.getString(3)))
+    val byNation = cust.groupBy(_._1)
+    rows.foreach { case (nk, poorest, richest) =>
+      val sorted = byNation(nk).sortBy(c => (c._2, c._3))
+      assert(poorest == sorted.head._4)
+      assert(richest == sorted.last._4)
+    }
+  }
+
   test("fuzzy_join: band prune is lossless vs the unbanded join") {
     val p = spark.read.parquet(s"$dir/part.parquet")
       .select(col("p_partkey"), col("p_brand"), col("p_name"))
