@@ -317,6 +317,30 @@ object QueriesAnalytics {
         .orderBy(col("nation"))
     }),
 
+    // Two-sample A/B z-test per event type (variant = deterministic user-id
+    // parity — the hash-bucketed assignment an experimentation system uses):
+    // Welch z on the value means. ONE conditional aggregate computes both
+    // arms — no self-join, no second scan; the per-type result is
+    // config-sized at any corpus scale.
+    "ab_ztest" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .where(col("value").isNotNull && col("event_type").isNotNull &&
+          col("user_id").isNotNull)
+        .withColumn("isA", col("user_id") % 2 === 0)
+      ev.groupBy(col("event_type"))
+        .agg(
+          count(when(col("isA"), 1)).as("n_a"),
+          count(when(!col("isA"), 1)).as("n_b"),
+          round(avg(when(col("isA"), col("value"))), 4).as("mean_a"),
+          round(avg(when(!col("isA"), col("value"))), 4).as("mean_b"),
+          round((avg(when(col("isA"), col("value"))) -
+              avg(when(!col("isA"), col("value")))) /
+            sqrt(var_samp(when(col("isA"), col("value"))) / count(when(col("isA"), 1)) +
+              var_samp(when(!col("isA"), col("value"))) / count(when(!col("isA"), 1))), 4)
+            .as("z"))
+        .orderBy(col("event_type"))
+    }),
+
     // PMI collocations: pointwise mutual information over adjacent token
     // pairs — phrase/tokenizer-merge mining. Bigrams stream from the native
     // ShingleGenerator (no intermediate arrays); unigram joins are
@@ -529,6 +553,19 @@ object QueriesAnalytics {
         |  LEFT JOIN p ON p.dst = b.nation LEFT JOIN i4 a ON a.nation = p.src
         |  GROUP BY b.nation, nn.n, d5.dm)
         |SELECT nation, round(pr, 6) AS pr FROM i5 ORDER BY nation""".stripMargin,
+    "ab_ztest" ->
+      """WITH ev AS (SELECT event_type, value, user_id % 2 = 0 AS isA
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |    AND user_id IS NOT NULL)
+        |SELECT event_type,
+        |  CAST(count(CASE WHEN isA THEN 1 END) AS BIGINT) AS n_a,
+        |  CAST(count(CASE WHEN NOT isA THEN 1 END) AS BIGINT) AS n_b,
+        |  round(avg(CASE WHEN isA THEN value END), 4) AS mean_a,
+        |  round(avg(CASE WHEN NOT isA THEN value END), 4) AS mean_b,
+        |  round((avg(CASE WHEN isA THEN value END) - avg(CASE WHEN NOT isA THEN value END))
+        |    / sqrt(var_samp(CASE WHEN isA THEN value END) / count(CASE WHEN isA THEN 1 END)
+        |      + var_samp(CASE WHEN NOT isA THEN value END) / count(CASE WHEN NOT isA THEN 1 END)), 4) AS z
+        |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin,
     "pmi_collocations" ->
       s"""WITH tk AS (SELECT ${Tables.toksSql()} AS tk FROM documents),
         |bgs AS (SELECT unnest(list_transform(range(1, len(tk)),

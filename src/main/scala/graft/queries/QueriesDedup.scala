@@ -177,6 +177,20 @@ object QueriesDedup {
           (col("n_before") - col("n_kept")).as("n_dropped"), col("kept_id_sum"))
     }),
 
+    // SOFT dedup: instead of dropping duplicates, the kept representative
+    // carries its cluster multiplicity as a training weight (downsample-by-
+    // weighting, the alternative to hard removal when duplicate mass is
+    // signal). Reuses the SAME cluster labels as dedup_clusters/dedup_apply
+    // (one shared construction — the three views can never drift); output
+    // is the exact weight histogram + representative-id checksum.
+    "dedup_soft" -> ((s, dir) => {
+      val (_, labels) = clusterLabels(s, dir)
+      labels.groupBy(col("component")).agg(count(lit(1)).as("weight"))
+        .groupBy(col("weight"))
+        .agg(count(lit(1)).as("n_clusters"), sum(col("component")).as("rep_id_sum"))
+        .orderBy(col("weight"))
+    }),
+
     // Incremental dedup: the append-batch production loop. The existing
     // corpus (doc_id ≥ 100) is signature-indexed ON DISK once; the incoming
     // batch (near-copies of some indexed docs + novel docs) joins the
@@ -312,6 +326,29 @@ object QueriesDedup {
          |  CAST((SELECT count(*) FROM kept) AS BIGINT) AS n_kept,
          |  CAST((SELECT count(*) FROM corpus) - (SELECT count(*) FROM kept) AS BIGINT) AS n_dropped,
          |  CAST((SELECT sum(doc_id) FROM kept) AS BIGINT) AS kept_id_sum""".stripMargin,
+    "dedup_soft" ->
+      s"""WITH RECURSIVE base AS (SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0),
+         |corpus AS (
+         |  SELECT doc_id, text FROM base
+         |  UNION ALL SELECT doc_id + 100000, text FROM base
+         |  UNION ALL SELECT doc_id + 200000, text || ' xtra xtra' FROM base),
+         |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(tk) - 1, 1)),
+         |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+         |  FROM (SELECT doc_id, $toksSql AS tk FROM corpus)),
+         |edges AS (
+         |  SELECT a.doc_id AS u, b.doc_id AS v FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_distinct(list_intersect(a.s, b.s))) AS DOUBLE) /
+         |        CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.8),
+         |bidir AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
+         |reach(src, dst) AS (
+         |  SELECT doc_id, doc_id FROM corpus
+         |  UNION
+         |  SELECT r.src, b.v FROM reach r JOIN bidir b ON r.dst = b.u),
+         |lab AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src),
+         |w AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS weight FROM lab GROUP BY 1)
+         |SELECT weight, CAST(count(*) AS BIGINT) AS n_clusters,
+         |  CAST(sum(cluster_id) AS BIGINT) AS rep_id_sum
+         |FROM w GROUP BY weight ORDER BY weight""".stripMargin,
     "dedup_clusters" ->
       s"""WITH RECURSIVE base AS (SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0),
          |corpus AS (

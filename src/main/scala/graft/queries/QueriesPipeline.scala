@@ -26,6 +26,22 @@ object QueriesPipeline {
     if (rate >= 1.0) "zzzz" else f"${math.floor(rate * 65536).toLong}%04x"
 
   val queries: Map[String, Q] = Map(
+    // Deterministic train/val/test split: a doc's split is a pure function
+    // of its id hash (uniform md5 prefix vs static hex thresholds ~80/10/10)
+    // — reproducible across engines/reruns/backfills, disjoint by
+    // construction (one hash, exhaustive non-overlapping ranges: leakage is
+    // structurally impossible, not checked after the fact). Per-source
+    // report = one map-side-combined aggregate.
+    "train_split" -> ((s, dir) => {
+      val h = substring(md5(concat(lit("split:"), col("doc_id").cast(StringType))), 1, 4)
+      t(s, dir, "documents")
+        .select(col("source"), col("n_chars"),
+          when(h < "cccd", "train").when(h < "e666", "val")
+            .otherwise("test").as("split"))
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("w_chars"))
+        .orderBy(col("source"), col("split"))
+    }),
     // GPT-style sequence packing: documents are concatenated in doc_id order
     // into one token stream cut into fixed 512-token training sequences; each
     // doc reports its global token offset and the sequence ids it spans.
@@ -286,6 +302,15 @@ object QueriesPipeline {
   private val toks = Tables.toksSql()
 
   val oracle: Map[String, String] = Map(
+    "train_split" ->
+      """WITH d AS (SELECT source, n_chars,
+        |    CASE WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4) < 'cccd' THEN 'train'
+        |         WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS w_chars
+        |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "mix_temperature" ->
       """SELECT source, CAST(n AS BIGINT) AS n,
         |  round(sqrt(n) / sum(sqrt(n)) OVER (), 6) AS target_share,

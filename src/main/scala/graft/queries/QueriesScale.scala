@@ -16,6 +16,36 @@ import Tables._
 object QueriesScale {
 
   val queries: Map[String, Q] = Map(
+    // Winsorization (robust preprocessing): clip values at the per-group
+    // p05/p95 before aggregation. Exact quantiles WITHOUT buffering values
+    // — same DiscreteQuantile cents-histogram trick as outlier_mad: one
+    // domain-bounded histogram job, driver quantile math, thresholds return
+    // as literal maps, and the output is a single conditional-aggregate
+    // scan. Cents domain keeps every comparison exact across engines.
+    "winsorize" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .where(col("value").isNotNull && col("event_type").isNotNull)
+        .select(col("event_type"), col("value"),
+          round(col("value") * 100).cast(LongType).as("cents"))
+      val hist = e.groupBy(col("event_type"), col("cents"))
+        .agg(count(lit(1)).as("cnt"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val bounds = hist.groupBy(_._1).map { case (tpe, rows) =>
+        val h = rows.map(r => (r._2.toDouble, r._3)).toSeq
+        tpe -> (DiscreteQuantile.quantileOfHistogram(h, 0.05),
+          DiscreteQuantile.quantileOfHistogram(h, 0.95))
+      }
+      val loCol = element_at(typedLit(bounds.map { case (k, v) => k -> v._1 }), col("event_type"))
+      val hiCol = element_at(typedLit(bounds.map { case (k, v) => k -> v._2 }), col("event_type"))
+      e.withColumn("cl", least(greatest(col("cents").cast(DoubleType), loCol), hiCol))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          count(when(col("cents").cast(DoubleType) < loCol, 1)).as("n_clip_lo"),
+          count(when(col("cents").cast(DoubleType) > hiCol, 1)).as("n_clip_hi"),
+          round(sum(col("cl")) / 100, 2).as("sum_wins"),
+          round(avg(col("cl")) / 100, 4).as("avg_wins"))
+        .orderBy(col("event_type"))
+    }),
     // Exact corpus-wide top-20 tokens via two-phase Misra-Gries: phase 1
     // emits ≤capacity candidates per partition (bounded memory no matter the
     // vocabulary size), phase 2 re-counts ONLY candidate occurrences (the
@@ -242,6 +272,22 @@ object QueriesScale {
   private val toks = Tables.toksSql()
 
   val oracle: Map[String, String] = Map(
+    "winsorize" ->
+      """WITH e AS (SELECT event_type, value,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |q AS (SELECT event_type, quantile_cont(cents, 0.05) AS lo,
+        |    quantile_cont(cents, 0.95) AS hi FROM e GROUP BY 1),
+        |c AS (SELECT e.event_type, e.cents,
+        |    least(greatest(CAST(e.cents AS DOUBLE), q.lo), q.hi) AS cl,
+        |    q.lo AS lo, q.hi AS hi
+        |  FROM e JOIN q USING (event_type))
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(CASE WHEN CAST(cents AS DOUBLE) < lo THEN 1 END) AS BIGINT) AS n_clip_lo,
+        |  CAST(count(CASE WHEN CAST(cents AS DOUBLE) > hi THEN 1 END) AS BIGINT) AS n_clip_hi,
+        |  round(sum(cl) / 100, 2) AS sum_wins,
+        |  round(avg(cl) / 100, 4) AS avg_wins
+        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
     "histogram_bins" ->
       """SELECT CAST(least(floor(o_totalprice / 30000.0), 19.0) AS BIGINT) AS bin,
         |  CAST(count(*) AS BIGINT) AS n, round(avg(o_totalprice), 2) AS bin_avg

@@ -43,16 +43,18 @@ object QueriesSim {
       val sc = e.crossJoin(broadcast(cent))
         .select(col("vec_id"), col("label"), col("clabel"),
           SimFns.cosine(col("v"), col("cv")).as("sim"))
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(round(col("sim"), 6).desc, col("clabel").asc)
-      val pred = sc.withColumn("rn", row_number().over(w))
-        .where(col("rn") === 1)
-        .select(col("vec_id"), col("clabel").as("predicted"))
-      val agg = sc.groupBy(col("vec_id"), col("label"))
-        .agg(round(max(when(col("clabel") === col("label"), col("sim"))), 6).as("own_sim"),
+      // prediction folds into the SAME aggregate as the similarity stats
+      // via a tie-deterministic max-struct (rounded sim desc, then smallest
+      // label) — one pass over the fan-out, no window, no self-join (the
+      // window+join form re-computed the scored fan-out twice, SMJ'd on
+      // vec_id; plan-audited)
+      sc.groupBy(col("vec_id"), col("label"))
+        .agg(
+          (-max(struct(round(col("sim"), 6).as("s"),
+            (-col("clabel")).as("nl"))).getField("nl")).as("predicted"),
+          round(max(when(col("clabel") === col("label"), col("sim"))), 6).as("own_sim"),
           round(max(when(col("clabel") === col("label"), col("sim"))) -
             max(when(col("clabel") =!= col("label"), col("sim"))), 6).as("margin"))
-      agg.join(pred, Seq("vec_id"))
         .select(col("vec_id"), col("label"), col("predicted"),
           col("own_sim"), col("margin"))
         .orderBy(col("vec_id"))

@@ -206,6 +206,65 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("dedup_soft: weights conserve corpus mass") {
+    val rows = graft.queries.QueriesDedup.queries("dedup_soft")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // sum(weight * n_clusters) = corpus size; the constructed corpus is
+    // base + 2 perturbed copies, so every doc is in some cluster
+    val mass = rows.map(r => r.getLong(0) * r.getLong(1)).sum
+    val nBase = spark.read.parquet(s"$dir/documents.parquet")
+      .where(col("doc_id") % 25 === 0).count()
+    assert(mass == 3 * nBase)
+    assert(rows.forall(_.getLong(0) >= 1L))
+  }
+
+  test("train_split: per-source split masses partition the source totals") {
+    val rows = graft.queries.QueriesPipeline.queries("train_split")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val bySource = rows.groupBy(_._1)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .groupBy(col("source")).agg(count(lit(1)).as("n"), sum(col("n_chars")).as("w"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    bySource.foreach { case (src_, rs) =>
+      assert(rs.map(_._3).sum == docs(src_)._1)
+      assert(rs.map(_._4).sum == docs(src_)._2)
+    }
+    // global fractions near 80/10/10 (md5-uniform)
+    val total = rows.map(_._3).sum.toDouble
+    val trainFrac = rows.filter(_._2 == "train").map(_._3).sum / total
+    assert(trainFrac > 0.7 && trainFrac < 0.9, s"train frac $trainFrac")
+  }
+
+  test("ab_ztest: z matches a driver-side Welch computation for one type") {
+    val r = graft.queries.QueriesAnalytics.queries("ab_ztest")(spark, dir)
+      .collect().head
+    val tpe = r.getString(0)
+    val vals = graft.queries.Tables.t(spark, dir, "events")
+      .where(col("value").isNotNull && col("event_type") === tpe && col("user_id").isNotNull)
+      .select(col("user_id"), col("value")).collect()
+      .map(x => (x.getLong(0) % 2 == 0, x.getDouble(1)))
+    def stats(xs: Array[Double]) = {
+      val n = xs.length; val m = xs.sum / n
+      val v = xs.map(x => (x - m) * (x - m)).sum / (n - 1)
+      (n, m, v)
+    }
+    val (na, ma, va) = stats(vals.filter(_._1).map(_._2))
+    val (nb, mb, vb) = stats(vals.filterNot(_._1).map(_._2))
+    val z = (ma - mb) / math.sqrt(va / na + vb / nb)
+    assert(r.getLong(1) == na && r.getLong(2) == nb)
+    assert(math.abs(r.getDouble(5) - z) < 1e-3)
+  }
+
+  test("winsorize: clip fractions near 5 percent, mean inside the clip band") {
+    val rows = graft.queries.QueriesScale.queries("winsorize")(spark, dir).collect()
+    rows.foreach { r =>
+      val n = r.getLong(1).toDouble
+      assert(r.getLong(2) <= 0.07 * n + 2, "lo clip too large")
+      assert(r.getLong(3) <= 0.07 * n + 2, "hi clip too large")
+      assert(r.getLong(2) + r.getLong(3) > 0, "no clipping at all")
+    }
+  }
+
   test("fuzzy_join: band prune is lossless vs the unbanded join") {
     val p = spark.read.parquet(s"$dir/part.parquet")
       .select(col("p_partkey"), col("p_brand"), col("p_name"))
