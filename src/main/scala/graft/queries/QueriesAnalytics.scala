@@ -317,6 +317,27 @@ object QueriesAnalytics {
         .orderBy(col("nation"))
     }),
 
+    // First-order Markov transition matrix over per-user event sequences:
+    // lead pairs (cur -> next) from ONE user_id window sort, then a
+    // types²-bounded aggregate; transition probabilities come from a window
+    // sum over the tiny matrix (no second scan of events). The
+    // sequence-mining shape behind session modeling and bot detection.
+    "markov_transitions" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .where(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("event_type").isNotNull)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val pairs = ev
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .where(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      pairs
+        .withColumn("p", round(col("n") /
+          sum(col("n")).over(Window.partitionBy(col("from_type"))), 6))
+        .orderBy(col("from_type"), col("to_type"))
+    }),
+
     // Two-sample A/B z-test per event type (variant = deterministic user-id
     // parity — the hash-bucketed assignment an experimentation system uses):
     // Welch z on the value means. ONE conditional aggregate computes both
@@ -553,6 +574,18 @@ object QueriesAnalytics {
         |  LEFT JOIN p ON p.dst = b.nation LEFT JOIN i4 a ON a.nation = p.src
         |  GROUP BY b.nation, nn.n, d5.dm)
         |SELECT nation, round(pr, 6) AS pr FROM i5 ORDER BY nation""".stripMargin,
+    "markov_transitions" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type,
+        |    date_trunc('microseconds', ts) AS ts FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL),
+        |pairs AS (SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM ev),
+        |m AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  round(n / sum(n) OVER (PARTITION BY from_type), 6) AS p
+        |FROM m ORDER BY from_type, to_type""".stripMargin,
     "ab_ztest" ->
       """WITH ev AS (SELECT event_type, value, user_id % 2 = 0 AS isA
         |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL

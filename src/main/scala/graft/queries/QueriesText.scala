@@ -13,6 +13,22 @@ import Tables._
 object QueriesText {
 
   val queries: Map[String, Q] = Map(
+    // Per-source token (Shannon) entropy — the diversity signal that
+    // separates natural text from boilerplate/template sources. Uses the
+    // identity H = ln(N) − Σc·ln(c)/N so ONE aggregate over the per-source
+    // term counts suffices (no per-term probability column, no second
+    // pass); the term-count table itself is the only shuffle.
+    "token_entropy" -> ((s, dir) => {
+      import graft.functions.TextFns
+      t(s, dir, "documents")
+        .select(col("source"), explode(TextFns.tokens(col("text"))).as("w"))
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+        .groupBy(col("source"))
+        .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("vocab"),
+          round(log(sum(col("c"))) -
+            sum(col("c") * log(col("c"))) / sum(col("c")), 4).as("entropy"))
+        .orderBy(col("source"))
+    }),
     // Tokenize + explode + count: top-20 corpus tokens.
     "text_tokens" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -241,6 +257,13 @@ object QueriesText {
   private val es = markers("\\b(el|los|las|es|y|una)\\b")
 
   val oracle: Map[String, String] = Map(
+    "token_entropy" ->
+      s"""WITH tok AS (SELECT source, unnest(${Tables.toksSql()}) AS w FROM documents),
+        |tc AS (SELECT source, w, count(*) AS c FROM tok GROUP BY 1, 2)
+        |SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS vocab,
+        |  round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 4) AS entropy
+        |FROM tc GROUP BY source ORDER BY source""".stripMargin,
     "repetition_score" ->
       s"""WITH s AS (SELECT doc_id, list_transform(range(1, greatest(len(tk) - 1, 1)),
          |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS tri

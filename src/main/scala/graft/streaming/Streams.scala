@@ -139,6 +139,47 @@ object Streams {
   final case class UserEvent(ts: java.sql.Timestamp, user_id: Long, value: Double)
   final case class UserRunning(user_id: Long, n_events: Long, sum_value: Double)
 
+  final case class KeyedValue(key: String, seq: Long, value: Double)
+  final case class AnomalyFlag(key: String, seq: Long, value: Double, z: Double)
+
+  /** Streaming twin of the batch ts_anomaly query: per-key rolling z-score
+    * against the `window` strictly-preceding observations, flagged when
+    * |z| > threshold with a FULL window only. State per key is the
+    * fixed-size ring of the last `window` values — O(window), bounded
+    * regardless of stream length: the 100 TB-stream shape.
+    *
+    * Rows are scored in `seq` order WITHIN each micro-batch (the engine
+    * hands the group iterator in arbitrary order); across batches the ring
+    * carries forward, so in-order delivery reproduces the batch query
+    * exactly — chunking the stream differently never changes the flags
+    * (spec-pinned). Late cross-batch rows score against state as of
+    * arrival, the standard arbitrary-state trade-off. */
+  def rollingZScore(spark: SparkSession, events: Dataset[KeyedValue],
+                    window: Int = 20, threshold: Double = 3.0): Dataset[AnomalyFlag] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    def update(key: String, rows: Iterator[KeyedValue],
+               state: GroupState[Vector[Double]]): Iterator[AnomalyFlag] = {
+      var ring = state.getOption.getOrElse(Vector.empty[Double])
+      val out = Vector.newBuilder[AnomalyFlag]
+      rows.toVector.sortBy(_.seq).foreach { r =>
+        if (ring.length == window) {
+          val mean = ring.sum / window
+          val sd = math.sqrt(ring.map(v => (v - mean) * (v - mean)).sum / (window - 1))
+          if (sd > 1e-9) {
+            val z = (r.value - mean) / sd
+            if (math.abs(z) > threshold) out += AnomalyFlag(key, r.seq, r.value, z)
+          }
+        }
+        ring = (ring :+ r.value).takeRight(window)
+      }
+      state.update(ring)
+      out.result().iterator
+    }
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(update)
+  }
+
   /** Arbitrary per-key state via flatMapGroupsWithState: a running
     * (count, sum) per user, emitted on every update. Pass a `timeout` to
     * expire idle keys (processing-time) in long-running production streams —

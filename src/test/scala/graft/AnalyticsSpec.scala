@@ -265,6 +265,28 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("markov_transitions: rows conserve transitions, probabilities sum to 1") {
+    val rows = graft.queries.QueriesAnalytics.queries("markov_transitions")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val ev = graft.queries.Tables.t(spark, dir, "events")
+      .where(col("user_id").isNotNull && col("ts").isNotNull && col("event_type").isNotNull)
+    val perUser = ev.groupBy(col("user_id")).count().collect().map(_.getLong(1))
+    assert(rows.map(_._3).sum == perUser.map(n => math.max(n - 1, 0)).sum)
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      assert(math.abs(rs.map(_._4).sum - 1.0) < 1e-4)
+    }
+  }
+
+  test("token_entropy: bounded by ln(vocab), exact mass") {
+    val rows = graft.queries.QueriesText.queries("token_entropy")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, n, v, h) =>
+      assert(n >= v && v >= 1)
+      assert(h >= -1e-9 && h <= math.log(v.toDouble) + 1e-9)
+    }
+  }
+
   test("fuzzy_join: band prune is lossless vs the unbanded join") {
     val p = spark.read.parquet(s"$dir/part.parquet")
       .select(col("p_partkey"), col("p_brand"), col("p_name"))

@@ -157,6 +157,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("rollingZScore: chunked delivery equals single-batch, flags match brute force") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // deterministic series: sin noise with two planted spikes after warmup
+    val vals = (0 until 60).map { i =>
+      if (i == 40 || i == 55) 50.0 else math.sin(i * 0.7)
+    }
+    val data = vals.zipWithIndex.map { case (v, i) => Streams.KeyedValue("k", i.toLong, v) }
+
+    def run(chunks: Seq[Seq[Streams.KeyedValue]], name: String): Seq[(Long, Double)] = {
+      val ms = MemoryStream[Streams.KeyedValue]
+      val q = Streams.rollingZScore(spark, ms.toDS()).toDF()
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        chunks.foreach { c => ms.addData(c: _*); q.processAllAvailable() }
+        spark.table(name).collect().map(r => (r.getLong(1), r.getDouble(3)))
+          .sortBy(_._1).toSeq
+      } finally q.stop()
+    }
+    val oneShot = run(Seq(data), "zs_one")
+    val chunked = run(data.grouped(17).toSeq, "zs_chunks")
+    assert(oneShot == chunked)            // chunking never changes the flags
+
+    // brute force: full 20-window strictly-preceding z
+    val expected = (20 until 60).flatMap { i =>
+      val w = vals.slice(i - 20, i)
+      val mean = w.sum / 20
+      val sd = math.sqrt(w.map(v => (v - mean) * (v - mean)).sum / 19)
+      val z = (vals(i) - mean) / sd
+      if (sd > 1e-9 && math.abs(z) > 3.0) Some((i.toLong, z)) else None
+    }
+    assert(oneShot.map(_._1) == expected.map(_._1))
+    oneShot.zip(expected).foreach { case ((_, zg), (_, ze)) =>
+      assert(math.abs(zg - ze) < 1e-9)
+    }
+    assert(oneShot.nonEmpty)              // the planted spikes were flagged
+  }
+
   test("transformWithState (RocksDB store) keeps running totals across batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
