@@ -317,6 +317,57 @@ object QueriesAnalytics {
         .orderBy(col("nation"))
     }),
 
+    // RFM segmentation: recency/frequency/monetary quartiles per customer
+    // from ONE orders aggregate, ntile windows over the customers-sized
+    // result (3 independent 4-way cuts => 64 possible segments), then a
+    // segment-level rollup. The classic warehouse cohorting op.
+    "rfm_segmentation" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      // corpus max date joins back as a broadcast scalar — no driver types,
+      // stays lazy
+      val mx = orders.agg(max(col("o_orderdate")).as("md"))
+      val rfm = orders
+        .groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate")).as("last_order"),
+          count(lit(1)).as("frequency"),
+          sum(col("o_totalprice")).as("monetary"))
+        .crossJoin(broadcast(mx))
+        .withColumn("recency", datediff(col("md"), col("last_order")).cast(LongType))
+      // quartile 1 = best on every axis (most recent / most frequent /
+      // highest spend); custkey tiebreaks make every cut deterministic
+      val r = ntile(4).over(Window.orderBy(col("recency").asc, col("o_custkey").asc))
+      val f = ntile(4).over(Window.orderBy(col("frequency").desc, col("o_custkey").asc))
+      val mq = ntile(4).over(Window.orderBy(col("monetary").desc, col("o_custkey").asc))
+      rfm.select(col("o_custkey"), col("monetary"),
+          r.as("r_q"), f.as("f_q"), mq.as("m_q"))
+        .groupBy(col("r_q"), col("f_q"), col("m_q"))
+        .agg(count(lit(1)).as("n_customers"), round(sum(col("monetary")), 2).as("total_spend"))
+        .orderBy(col("r_q"), col("f_q"), col("m_q"))
+    }),
+
+    // Market-basket association mining: within-order part pairs (the
+    // co-partitioned orderkey self-join — no shuffle beyond the pair
+    // aggregate since both sides arrive partitioned by the join key),
+    // support floor first, then lift = P(ab)/(P(a)P(b)) from broadcast
+    // part-frequency joins. Top-25 by rounded lift, pair-tiebroken.
+    "basket_pairs" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")).distinct()
+      val nOrders = t(s, dir, "orders").agg(count(lit(1))).collect().head.getLong(0)
+      val pairs = li.toDF("ok", "pa")
+        .join(li.toDF("ok2", "pb"), col("ok") === col("ok2") && col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("n_ab"))
+        .where(col("n_ab") >= 3)
+      val freq = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_p"))
+      pairs
+        .join(freq.select(col("l_partkey").as("pa"), col("n_p").as("n_a")), Seq("pa"))
+        .join(freq.select(col("l_partkey").as("pb"), col("n_p").as("n_b")), Seq("pb"))
+        .select(col("pa"), col("pb"), col("n_ab"),
+          round(col("n_ab").cast(DoubleType) * nOrders /
+            (col("n_a") * col("n_b")), 4).as("lift"))
+        .orderBy(col("lift").desc, col("pa"), col("pb"))
+        .limit(25)
+    }),
+
     // First-order Markov transition matrix over per-user event sequences:
     // lead pairs (cur -> next) from ONE user_id window sort, then a
     // types²-bounded aggregate; transition probabilities come from a window
@@ -574,6 +625,37 @@ object QueriesAnalytics {
         |  LEFT JOIN p ON p.dst = b.nation LEFT JOIN i4 a ON a.nation = p.src
         |  GROUP BY b.nation, nn.n, d5.dm)
         |SELECT nation, round(pr, 6) AS pr FROM i5 ORDER BY nation""".stripMargin,
+    "rfm_segmentation" ->
+      """WITH mx AS (SELECT max(o_orderdate) AS md FROM orders),
+        |rfm AS (SELECT o_custkey,
+        |    CAST(date_diff('day', max(o_orderdate), (SELECT md FROM mx)) AS BIGINT) AS recency,
+        |    count(*) AS frequency, sum(o_totalprice) AS monetary
+        |  FROM orders GROUP BY 1),
+        |q AS (SELECT o_custkey, monetary,
+        |    ntile(4) OVER (ORDER BY recency ASC, o_custkey ASC) AS r_q,
+        |    ntile(4) OVER (ORDER BY frequency DESC, o_custkey ASC) AS f_q,
+        |    ntile(4) OVER (ORDER BY monetary DESC, o_custkey ASC) AS m_q
+        |  FROM rfm)
+        |SELECT CAST(r_q AS INTEGER) AS r_q, CAST(f_q AS INTEGER) AS f_q,
+        |  CAST(m_q AS INTEGER) AS m_q,
+        |  CAST(count(*) AS BIGINT) AS n_customers,
+        |  round(sum(monetary), 2) AS total_spend
+        |FROM q GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "basket_pairs" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_orders FROM orders),
+        |pairs AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+        |    CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |freq AS (SELECT l_partkey, count(*) AS n_p FROM li GROUP BY 1)
+        |SELECT pa, pb, n_ab,
+        |  round(n_ab * n.n_orders / (fa.n_p * fb.n_p), 4) AS lift
+        |FROM pairs CROSS JOIN n
+        |JOIN freq fa ON fa.l_partkey = pairs.pa
+        |JOIN freq fb ON fb.l_partkey = pairs.pb
+        |ORDER BY lift DESC, pa, pb LIMIT 25""".stripMargin,
     "markov_transitions" ->
       """WITH ev AS (SELECT user_id, event_id, event_type,
         |    date_trunc('microseconds', ts) AS ts FROM events

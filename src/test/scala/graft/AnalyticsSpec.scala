@@ -287,6 +287,41 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("rfm_segmentation: customers conserved, quartiles near-balanced") {
+    val rows = graft.queries.QueriesAnalytics.queries("rfm_segmentation")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    val nCust = spark.read.parquet(s"$dir/orders.parquet")
+      .select("o_custkey").distinct().count()
+    assert(rows.map(_._4).sum == nCust)
+    // each axis partitions customers into 4 near-equal groups
+    for (axis <- 0 to 2) {
+      val byQ = rows.groupBy(axis match {
+        case 0 => (_: (Int, Int, Int, Long))._1
+        case 1 => (_: (Int, Int, Int, Long))._2
+        case _ => (_: (Int, Int, Int, Long))._3
+      }).map(_._2.map(_._4).sum)
+      assert(byQ.size == 4 && byQ.max - byQ.min <= 1, s"axis $axis: $byQ")
+    }
+  }
+
+  test("basket_pairs: lift matches a brute-force recomputation") {
+    val rows = graft.queries.QueriesAnalytics.queries("basket_pairs")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty && rows.length <= 25)
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nOrders = spark.read.parquet(s"$dir/orders.parquet").count()
+    val byOrder = li.groupBy(_._1).map { case (_, xs) => xs.map(_._2).toSet }
+    val freq = li.groupBy(_._2).map { case (k, xs) => k -> xs.length.toLong }
+    rows.foreach { case (pa, pb, nab, lift) =>
+      val expectedN = byOrder.count(s => s.contains(pa) && s.contains(pb)).toLong
+      assert(nab == expectedN, s"pair ($pa,$pb)")
+      val expectedLift = nab.toDouble * nOrders / (freq(pa) * freq(pb))
+      assert(math.abs(lift - expectedLift) < 1e-3)
+    }
+  }
+
   test("fuzzy_join: band prune is lossless vs the unbanded join") {
     val p = spark.read.parquet(s"$dir/part.parquet")
       .select(col("p_partkey"), col("p_brand"), col("p_name"))
