@@ -160,23 +160,19 @@ object QueriesAnalytics {
         .orderBy(col("doc_id"))
     }),
 
-    // Fuzzy join: near-duplicate part names by edit distance within brand
-    // blocks. Blocking (p_brand equi-key) bounds the pair space; the
-    // length-band predicate |len(a)-len(b)| <= 2 is implied by lev <= 2, so
-    // it prunes pairs BEFORE the banded-DP levenshtein runs without
-    // changing results; the 3-arg thresholded levenshtein early-exits rows
-    // that can't be within distance 2. At 100 TB the same shape holds:
-    // shuffle each side by block key, band within block.
+    // Fuzzy join via DISTINCT-VALUE blocking: edit distance runs once per
+    // distinct (brand, name) pair, then instance pair counts expand by
+    // multiplicity (c1*c2 cross, C(c,2) within a duplicated name — every
+    // unordered instance pair is counted exactly once, matching the
+    // instance-level a_key < b_key join the oracle runs). The length band
+    // |len(a)-len(b)| <= 2 is IMPLIED by lev <= 2 (edit distance >= length
+    // difference), so it prunes candidates without changing results
+    // (differential spec), and the 3-arg thresholded levenshtein runs the
+    // banded DP. At 100 TB the distinct-name space is orders of magnitude
+    // below the instance space, so the quadratic work shrinks
+    // quadratically; both sides shuffle by the block key, skewed blocks
+    // fall back to the salted-join pattern.
     "fuzzy_join" -> ((s, dir) => {
-      // DISTINCT-VALUE blocking: edit distance runs once per distinct
-      // (brand, name) pair, then instance pair counts expand by
-      // multiplicity (c1*c2 cross, C(c,2) within a duplicated name — every
-      // unordered instance pair is counted exactly once, matching the
-      // instance-level a_key < b_key join the oracle runs). At 100 TB the
-      // distinct-name space is orders of magnitude below the instance
-      // space, so the quadratic work shrinks quadratically; name lengths
-      // are precomputed per side so the band check reads a column instead
-      // of re-scanning the string per candidate pair.
       val d = t(s, dir, "part")
         .groupBy(col("p_brand").as("brand"), col("p_name").as("name"))
         .agg(count(lit(1)).as("c"))

@@ -19,7 +19,6 @@ object QueriesText {
     // term counts suffices (no per-term probability column, no second
     // pass); the term-count table itself is the only shuffle.
     "token_entropy" -> ((s, dir) => {
-      import graft.functions.TextFns
       t(s, dir, "documents")
         .select(col("source"), explode(TextFns.tokens(col("text"))).as("w"))
         .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
