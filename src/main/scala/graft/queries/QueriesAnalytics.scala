@@ -313,6 +313,38 @@ object QueriesAnalytics {
         .orderBy(col("nation"))
     }),
 
+    // Inverted index build (retrieval infrastructure): term -> bounded
+    // posting list. The rank<=5 filter plans Partial/Final WindowGroupLimit
+    // around the term exchange, so no term's full posting list is ever
+    // buffered or shuffled — the df count and the capped postings reuse the
+    // same term-keyed exchange. Zipf heads stay bounded at any corpus size.
+    "inverted_index" -> ((s, dir) => {
+      val post = t(s, dir, "documents")
+        .select(explode(TextFns.tokens(col("text"))).as("term"), col("doc_id"))
+        .distinct()
+      val w = Window.partitionBy(col("term")).orderBy(col("doc_id"))
+      val top = post.withColumn("rn", row_number().over(w)).where(col("rn") <= 5)
+      val dfq = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      top.groupBy(col("term")).agg(sort_array(collect_list(col("doc_id"))).as("postings"))
+        .join(dfq, Seq("term"))
+        .where(col("df") >= 10)
+        .select(col("term"), col("df"), col("postings"))
+        .orderBy(col("df").desc, col("term"))
+        .limit(100)
+    }),
+
+    // Seasonality profile: activity and value by (ISO weekday, hour) grid —
+    // the time-of-week fingerprint behind anomaly baselines and capacity
+    // planning. One map-side-combined aggregate to a 7x24-bounded result.
+    // Spark weekday() (0=Monday) mirrors DuckDB isodow-1 exactly.
+    "seasonality_profile" -> ((s, dir) => {
+      t(s, dir, "events")
+        .where(col("ts").isNotNull)
+        .groupBy(weekday(col("ts")).as("dow"), hour(col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n"), round(avg(col("value")), 4).as("avg_value"))
+        .orderBy(col("dow"), col("hr"))
+    }),
+
     // RFM segmentation: recency/frequency/monetary quartiles per customer
     // from ONE orders aggregate, ntile windows over the customers-sized
     // result (3 independent 4-way cuts => 64 possible segments), then a
@@ -621,6 +653,26 @@ object QueriesAnalytics {
         |  LEFT JOIN p ON p.dst = b.nation LEFT JOIN i4 a ON a.nation = p.src
         |  GROUP BY b.nation, nn.n, d5.dm)
         |SELECT nation, round(pr, 6) AS pr FROM i5 ORDER BY nation""".stripMargin,
+    "inverted_index" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(${Tables.toksSql()}) AS term FROM documents),
+        |dtok AS (SELECT DISTINCT doc_id, term FROM tok),
+        |topd AS (SELECT term, doc_id FROM (
+        |    SELECT term, doc_id,
+        |      row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+        |    FROM dtok) WHERE rn <= 5),
+        |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM dtok GROUP BY 1)
+        |SELECT t.term, d.df, list(t.doc_id ORDER BY t.doc_id) AS postings
+        |FROM topd t JOIN dfq d USING (term)
+        |WHERE d.df >= 10
+        |GROUP BY t.term, d.df
+        |ORDER BY d.df DESC, t.term LIMIT 100""".stripMargin,
+    "seasonality_profile" ->
+      """SELECT CAST(isodow(ts) - 1 AS INTEGER) AS dow,
+        |  CAST(hour(ts) AS INTEGER) AS hr,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(avg(value), 4) AS avg_value
+        |FROM events WHERE ts IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "rfm_segmentation" ->
       """WITH mx AS (SELECT max(o_orderdate) AS md FROM orders),
         |rfm AS (SELECT o_custkey,

@@ -322,6 +322,26 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("inverted_index: postings capped at 5, sorted, consistent with df") {
+    val rows = graft.queries.QueriesAnalytics.queries("inverted_index")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getSeq[Long](2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, df, postings) =>
+      assert(df >= 10)
+      assert(postings.length == math.min(df, 5L).toInt)
+      assert(postings == postings.sorted)
+    }
+  }
+
+  test("seasonality_profile: grid bounded, event mass conserved") {
+    val rows = graft.queries.QueriesAnalytics.queries("seasonality_profile")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    assert(rows.forall { case (d, h, _) => d >= 0 && d <= 6 && h >= 0 && h <= 23 })
+    val total = graft.queries.Tables.t(spark, dir, "events")
+      .where(col("ts").isNotNull).count()
+    assert(rows.map(_._3).sum == total)
+  }
+
   test("fuzzy_join: band prune is lossless vs the unbanded join") {
     val p = spark.read.parquet(s"$dir/part.parquet")
       .select(col("p_partkey"), col("p_brand"), col("p_name"))
