@@ -151,13 +151,19 @@ object QueriesRelationalExt {
       s.sql(SubqueriesSql)
     }),
 
-    // ntile / percent_rank / cume_dist distribution windows.
+    // ntile / percent_rank / cume_dist distribution windows. The rank
+    // ratios are small rationals (k/n) that can land EXACTLY on a 6-decimal
+    // half boundary (k/n = 0.0640625 did, at sf0.1) where Spark's
+    // BigDecimal HALF_UP and DuckDB's multiply-then-round disagree — so
+    // both sides use the literally identical floor(x*1e6 + 0.5)/1e6
+    // arithmetic, which is bit-deterministic across engines.
     "window_ntile" -> ((s, dir) => {
+      def r6(c: org.apache.spark.sql.Column) = floor(c * 1e6 + 0.5) / 1e6
       val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal"), col("c_custkey"))
       t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"),
           ntile(4).over(w).cast(LongType).as("quartile"),
-          round(percent_rank().over(w), 6).as("pct_rank"),
-          round(cume_dist().over(w), 6).as("cdist"))
+          r6(percent_rank().over(w)).as("pct_rank"),
+          r6(cume_dist().over(w)).as("cdist"))
         .orderBy(col("c_custkey"))
     }),
 
@@ -365,8 +371,8 @@ object QueriesRelationalExt {
         |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin,
     "window_ntile" ->
       """SELECT c_custkey, c_nationkey, CAST(ntile(4) OVER w AS BIGINT) AS quartile,
-        |  round(percent_rank() OVER w, 6) AS pct_rank,
-        |  round(cume_dist() OVER w, 6) AS cdist
+        |  floor(percent_rank() OVER w * 1e6 + 0.5) / 1e6 AS pct_rank,
+        |  floor(cume_dist() OVER w * 1e6 + 0.5) / 1e6 AS cdist
         |FROM customer
         |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
         |ORDER BY c_custkey""".stripMargin,

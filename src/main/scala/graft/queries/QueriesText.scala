@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.functions.TextFns
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import Tables._
@@ -11,6 +12,31 @@ import Tables._
   * final aggregation/sort where the query itself demands one.
   */
 object QueriesText {
+
+  /** Shared bigram-LM scoring pipeline (lm_score + ccnet_bucket): add-one
+    * smoothed bigram log-probs trained on doc_id >= 50, scored on the
+    * held-out doc_id < 50 split. One definition so the two views cannot
+    * drift. */
+  private def lmScores(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val docs = t(s, dir, "documents")
+    val train = docs.where(col("doc_id") >= 50)
+    val c2 = train.select(TextFns.shingleExplode(TextFns.tokens(col("text")), 2).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+    val c1 = train.select(explode(TextFns.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val v = c1.agg(count(lit(1)).as("v"))
+    val evalBg = docs.where(col("doc_id") < 50)
+      .select(col("doc_id"), TextFns.shingleExplode(TextFns.tokens(col("text")), 2).as("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    evalBg.join(c2, Seq("bg"), "left")
+      .join(c1, col("w1") === c1("w"), "left")
+      .crossJoin(v)
+      .select(col("doc_id"),
+        log((coalesce(col("c2"), lit(0L)) + lit(1.0)) /
+          (coalesce(col("c1"), lit(0L)) + col("v"))).as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), round(avg(col("lp")), 4).as("avg_logp"))
+  }
 
   val queries: Map[String, Q] = Map(
     // Per-source token (Shannon) entropy — the diversity signal that
@@ -152,26 +178,44 @@ object QueriesText {
     // keys — the shape that holds when the LM table itself is huge (no
     // broadcast assumed, no per-doc model state). Bigrams stream from the
     // native ShingleGenerator (no intermediate arrays).
-    "lm_score" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val train = docs.where(col("doc_id") >= 50)
-      val c2 = train.select(TextFns.shingleExplode(TextFns.tokens(col("text")), 2).as("bg"))
-        .groupBy(col("bg")).agg(count(lit(1)).as("c2"))
-      val c1 = train.select(explode(TextFns.tokens(col("text"))).as("w"))
-        .groupBy(col("w")).agg(count(lit(1)).as("c1"))
-      val v = c1.agg(count(lit(1)).as("v"))
-      val evalBg = docs.where(col("doc_id") < 50)
-        .select(col("doc_id"), TextFns.shingleExplode(TextFns.tokens(col("text")), 2).as("bg"))
-        .withColumn("w1", substring_index(col("bg"), " ", 1))
-      evalBg.join(c2, Seq("bg"), "left")
-        .join(c1, col("w1") === c1("w"), "left")
-        .crossJoin(v)
-        .select(col("doc_id"),
-          log((coalesce(col("c2"), lit(0L)) + lit(1.0)) /
-            (coalesce(col("c1"), lit(0L)) + col("v"))).as("lp"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_bigrams"), round(avg(col("lp")), 4).as("avg_logp"))
-        .orderBy(col("doc_id"))
+    "lm_score" -> ((s, dir) => lmScores(s, dir).orderBy(col("doc_id"))),
+
+    // CCNet head/middle/tail bucketing: the perplexity-style score (shared
+    // lmScores pipeline — the two queries can never drift) terciled by
+    // ntile(3) over the rounded score with a doc tiebreak (engine-stable
+    // cut). The bucket assignment is the CCNet recipe's quality routing.
+    "ccnet_bucket" -> ((s, dir) => {
+      lmScores(s, dir)
+        .withColumn("bucket",
+          ntile(3).over(Window.orderBy(col("avg_logp").desc, col("doc_id"))))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), round(avg(col("avg_logp")), 4).as("mean_logp"))
+        .orderBy(col("bucket"))
+    }),
+
+    // Gopher-style quality gate: the rule-by-rule drop report a filtering
+    // stage publishes before committing a corpus. All four rule inputs come
+    // from the ONE fused TextStats scan; the report is a single
+    // conditional aggregate (one row).
+    "doc_quality_gate" -> ((s, dir) => {
+      val m = TextFns.textStats(col("text"))
+      val d = t(s, dir, "documents").select(
+        m.getField("n_chars").cast(DoubleType).as("nc"),
+        m.getField("n_tokens").cast(DoubleType).as("nt"),
+        m.getField("n_punct").cast(DoubleType).as("np"),
+        m.getField("n_stop").cast(DoubleType).as("ns"))
+        .select(
+          (col("nt") < 5 || col("nt") > 10000).as("f_tokens"),
+          not((col("nc") / greatest(col("nt"), lit(1.0))).between(2.0, 12.0)).as("f_wordlen"),
+          (col("np") / greatest(col("nc"), lit(1.0)) > 0.3).as("f_punct"),
+          (col("ns") / greatest(col("nt"), lit(1.0)) < 0.02).as("f_stop"))
+      d.agg(count(lit(1)).as("n_total"),
+          count(when(col("f_tokens"), 1)).as("fail_tokens"),
+          count(when(col("f_wordlen"), 1)).as("fail_wordlen"),
+          count(when(col("f_punct"), 1)).as("fail_punct"),
+          count(when(col("f_stop"), 1)).as("fail_stop"),
+          count(when(!col("f_tokens") && !col("f_wordlen") &&
+            !col("f_punct") && !col("f_stop"), 1)).as("survivors"))
     }),
 
     "tfidf_top" -> ((s, dir) => {
@@ -255,6 +299,20 @@ object QueriesText {
   private val fr = markers("\\b(le|la|les|et|est|une)\\b")
   private val es = markers("\\b(el|los|las|es|y|una)\\b")
 
+  private val LmSqlCtes =
+    s"""WITH tr AS (SELECT $toks AS tk FROM documents WHERE doc_id >= 50),
+         |tbg AS (SELECT unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bg FROM tr),
+         |c2 AS (SELECT bg, count(*) AS c2 FROM tbg GROUP BY 1),
+         |tw AS (SELECT unnest(tk) AS w FROM tr),
+         |c1 AS (SELECT w, count(*) AS c1 FROM tw GROUP BY 1),
+         |v AS (SELECT count(*) AS v FROM c1),
+         |ev AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bg
+         |       FROM (SELECT doc_id, $toks AS tk FROM documents WHERE doc_id < 50)),
+         |sc AS (SELECT doc_id, ln((coalesce(c2, 0) + 1.0) / (coalesce(c1, 0) + v)) AS lp
+         |  FROM ev LEFT JOIN c2 USING (bg)
+         |  LEFT JOIN c1 ON c1.w = string_split(ev.bg, ' ')[1]
+         |  CROSS JOIN v)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "token_entropy" ->
       s"""WITH tok AS (SELECT source, unnest(${Tables.toksSql()}) AS w FROM documents),
@@ -336,20 +394,34 @@ object QueriesText {
          |  CAST(min(doc_id) AS BIGINT) AS first_doc
          |FROM clean""".stripMargin,
     "lm_score" ->
-      s"""WITH tr AS (SELECT $toks AS tk FROM documents WHERE doc_id >= 50),
-         |tbg AS (SELECT unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bg FROM tr),
-         |c2 AS (SELECT bg, count(*) AS c2 FROM tbg GROUP BY 1),
-         |tw AS (SELECT unnest(tk) AS w FROM tr),
-         |c1 AS (SELECT w, count(*) AS c1 FROM tw GROUP BY 1),
-         |v AS (SELECT count(*) AS v FROM c1),
-         |ev AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bg
-         |       FROM (SELECT doc_id, $toks AS tk FROM documents WHERE doc_id < 50)),
-         |sc AS (SELECT doc_id, ln((coalesce(c2, 0) + 1.0) / (coalesce(c1, 0) + v)) AS lp
-         |  FROM ev LEFT JOIN c2 USING (bg)
-         |  LEFT JOIN c1 ON c1.w = string_split(ev.bg, ' ')[1]
-         |  CROSS JOIN v)
+      s"""$LmSqlCtes
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, round(avg(lp), 4) AS avg_logp
          |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "ccnet_bucket" ->
+      s"""$LmSqlCtes,
+         |lm AS (SELECT doc_id, round(avg(lp), 4) AS avg_logp FROM sc GROUP BY doc_id),
+         |b AS (SELECT doc_id, avg_logp,
+         |    ntile(3) OVER (ORDER BY avg_logp DESC, doc_id) AS bucket FROM lm)
+         |SELECT CAST(bucket AS INTEGER) AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  round(avg(avg_logp), 4) AS mean_logp
+         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+    "doc_quality_gate" ->
+      s"""WITH m AS (${Tables.qualityMetricsSql()}),
+         |f AS (SELECT
+         |    (nt < 5 OR nt > 10000) AS f_tokens,
+         |    NOT (nc / greatest(nt, 1.0) BETWEEN 2.0 AND 12.0) AS f_wordlen,
+         |    (np / greatest(nc, 1.0) > 0.3) AS f_punct,
+         |    (ns / greatest(nt, 1.0) < 0.02) AS f_stop
+         |  FROM m)
+         |SELECT CAST(count(*) AS BIGINT) AS n_total,
+         |  CAST(count(CASE WHEN f_tokens THEN 1 END) AS BIGINT) AS fail_tokens,
+         |  CAST(count(CASE WHEN f_wordlen THEN 1 END) AS BIGINT) AS fail_wordlen,
+         |  CAST(count(CASE WHEN f_punct THEN 1 END) AS BIGINT) AS fail_punct,
+         |  CAST(count(CASE WHEN f_stop THEN 1 END) AS BIGINT) AS fail_stop,
+         |  CAST(count(CASE WHEN NOT f_tokens AND NOT f_wordlen
+         |    AND NOT f_punct AND NOT f_stop THEN 1 END) AS BIGINT) AS survivors
+         |FROM f""".stripMargin,
     "tfidf_top" ->
       s"""WITH tok AS (SELECT doc_id, unnest($toks) AS term FROM documents),
          |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok WHERE doc_id < 100 GROUP BY 1, 2),

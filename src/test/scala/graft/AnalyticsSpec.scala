@@ -342,6 +342,28 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.map(_._3).sum == total)
   }
 
+  test("ccnet_bucket: terciles partition the eval split, head beats tail") {
+    val rows = graft.queries.QueriesText.queries("ccnet_bucket")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).sorted.toSeq == Seq(1, 2, 3))
+    val evalDocs = spark.read.parquet(s"$dir/documents.parquet")
+      .where(col("doc_id") < 50).count()
+    assert(rows.map(_._2).sum == evalDocs)
+    val byB = rows.map(r => r._1 -> r._3).toMap
+    assert(byB(1) >= byB(2) && byB(2) >= byB(3)) // head has higher mean log-prob
+  }
+
+  test("doc_quality_gate: survivors consistent with per-rule fails") {
+    val r = graft.queries.QueriesText.queries("doc_quality_gate")(spark, dir)
+      .collect().head
+    val total = r.getLong(0)
+    val fails = (1 to 4).map(r.getLong)
+    val survivors = r.getLong(5)
+    assert(total == spark.read.parquet(s"$dir/documents.parquet").count())
+    // survivors at least total minus the union bound of failures
+    assert(survivors >= total - fails.sum && survivors <= total - fails.max)
+  }
+
   test("fuzzy_join: band prune is lossless vs the unbanded join") {
     val p = spark.read.parquet(s"$dir/part.parquet")
       .select(col("p_partkey"), col("p_brand"), col("p_name"))
