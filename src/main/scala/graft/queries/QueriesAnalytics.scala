@@ -112,9 +112,10 @@ object QueriesAnalytics {
       s.range(1).select(
         lit(nKeys).as("n_keys"), lit(total).as("total_rows"),
         lit(maxCnt).as("max_cnt"),
-        round(lit(p50), 4).as("p50_cnt"), round(lit(p99), 4).as("p99_cnt"),
-        round(lit(maxCnt / avg), 4).as("skew_ratio"),
-        round(lit(maxCnt.toDouble / total), 6).as("top1_share"))
+        lit(math.floor(p50 * 1e4 + 0.5) / 1e4).as("p50_cnt"),
+        lit(math.floor(p99 * 1e4 + 0.5) / 1e4).as("p99_cnt"),
+        lit(math.floor(maxCnt / avg * 1e4 + 0.5) / 1e4).as("skew_ratio"),
+        lit(math.floor(maxCnt.toDouble / total * 1e6 + 0.5) / 1e6).as("top1_share"))
     }),
 
     // Rolling-window anomaly flags: per event type, z-score each value
@@ -193,7 +194,7 @@ object QueriesAnalytics {
       cross.unionByName(selfPairs)
         .groupBy(col("brand"))
         .agg(sum(col("n")).as("n_pairs"), min(col("dist")).as("min_dist"),
-          round(sum(col("dist") * col("n")) / sum(col("n")), 4).as("avg_dist"))
+          (floor(sum(col("dist") * col("n")) / sum(col("n")) * 1e4 + 0.5) / 1e4).as("avg_dist"))
         .orderBy(col("brand"))
     }),
 
@@ -217,8 +218,8 @@ object QueriesAnalytics {
         .groupBy(col("user_id"), col("sid"))
         .agg(count(lit(1)).as("n_events"),
           min(col("ts")).as("session_start"),
-          round((max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
-            .cast(DoubleType) / 1e6, 3).as("duration_sec"),
+          (floor((max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+            .cast(DoubleType) / 1e6 * 1e3 + 0.5) / 1e3).as("duration_sec"),
           round(sum(col("value")), 2).as("sum_value"))
         .orderBy(col("user_id"), col("sid"))
     }),
@@ -390,8 +391,8 @@ object QueriesAnalytics {
         .join(freq.select(col("l_partkey").as("pa"), col("n_p").as("n_a")), Seq("pa"))
         .join(freq.select(col("l_partkey").as("pb"), col("n_p").as("n_b")), Seq("pb"))
         .select(col("pa"), col("pb"), col("n_ab"),
-          round(col("n_ab").cast(DoubleType) * nOrders /
-            (col("n_a") * col("n_b")), 4).as("lift"))
+          (floor(col("n_ab").cast(DoubleType) * nOrders /
+            (col("n_a") * col("n_b")) * 1e4 + 0.5) / 1e4).as("lift"))
         .orderBy(col("lift").desc, col("pa"), col("pb"))
         .limit(25)
     }),
@@ -412,8 +413,8 @@ object QueriesAnalytics {
         .groupBy(col("event_type").as("from_type"), col("to_type"))
         .agg(count(lit(1)).as("n"))
       pairs
-        .withColumn("p", round(col("n") /
-          sum(col("n")).over(Window.partitionBy(col("from_type"))), 6))
+        .withColumn("p", floor(col("n") /
+          sum(col("n")).over(Window.partitionBy(col("from_type"))) * 1e6 + 0.5) / 1e6)
         .orderBy(col("from_type"), col("to_type"))
     }),
 
@@ -518,10 +519,10 @@ object QueriesAnalytics {
         |SELECT CAST(count(*) AS BIGINT) AS n_keys,
         |  CAST(sum(cnt) AS BIGINT) AS total_rows,
         |  max(cnt) AS max_cnt,
-        |  round(quantile_cont(cnt, 0.5), 4) AS p50_cnt,
-        |  round(quantile_cont(cnt, 0.99), 4) AS p99_cnt,
-        |  round(max(cnt) / avg(cnt), 4) AS skew_ratio,
-        |  round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 6) AS top1_share
+        |  floor(quantile_cont(cnt, 0.5) * 1e4 + 0.5) / 1e4 AS p50_cnt,
+        |  floor(quantile_cont(cnt, 0.99) * 1e4 + 0.5) / 1e4 AS p99_cnt,
+        |  floor(max(cnt) / avg(cnt) * 1e4 + 0.5) / 1e4 AS skew_ratio,
+        |  floor(CAST(max(cnt) AS DOUBLE) / sum(cnt) * 1e6 + 0.5) / 1e6 AS top1_share
         |FROM counts""".stripMargin,
     "ts_anomaly" ->
       """WITH ev AS (
@@ -554,7 +555,7 @@ object QueriesAnalytics {
     "fuzzy_join" ->
       """SELECT a.p_brand AS brand, CAST(count(*) AS BIGINT) AS n_pairs,
         |  CAST(min(levenshtein(a.p_name, b.p_name)) AS INTEGER) AS min_dist,
-        |  round(avg(levenshtein(a.p_name, b.p_name)), 4) AS avg_dist
+        |  floor(avg(levenshtein(a.p_name, b.p_name)) * 1e4 + 0.5) / 1e4 AS avg_dist
         |FROM part a JOIN part b
         |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
         |  AND abs(length(a.p_name) - length(b.p_name)) <= 2
@@ -576,7 +577,7 @@ object QueriesAnalytics {
         |SELECT user_id, CAST(sid AS BIGINT) AS sid,
         |  CAST(count(*) AS BIGINT) AS n_events,
         |  min(ts) AS session_start,
-        |  round((max(epoch_us(ts)) - min(epoch_us(ts))) / 1e6, 3) AS duration_sec,
+        |  floor((max(epoch_us(ts)) - min(epoch_us(ts))) / 1e6 * 1e3 + 0.5) / 1e3 AS duration_sec,
         |  round(sum(value), 2) AS sum_value
         |FROM sb GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin,
     "sample_weighted" ->
@@ -699,7 +700,7 @@ object QueriesAnalytics {
         |  GROUP BY 1, 2 HAVING count(*) >= 3),
         |freq AS (SELECT l_partkey, count(*) AS n_p FROM li GROUP BY 1)
         |SELECT pa, pb, n_ab,
-        |  round(n_ab * n.n_orders / (fa.n_p * fb.n_p), 4) AS lift
+        |  floor(n_ab * n.n_orders / (fa.n_p * fb.n_p) * 1e4 + 0.5) / 1e4 AS lift
         |FROM pairs CROSS JOIN n
         |JOIN freq fa ON fa.l_partkey = pairs.pa
         |JOIN freq fb ON fb.l_partkey = pairs.pb
@@ -714,7 +715,7 @@ object QueriesAnalytics {
         |m AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
         |  FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2)
         |SELECT from_type, to_type, n,
-        |  round(n / sum(n) OVER (PARTITION BY from_type), 6) AS p
+        |  floor(n / sum(n) OVER (PARTITION BY from_type) * 1e6 + 0.5) / 1e6 AS p
         |FROM m ORDER BY from_type, to_type""".stripMargin,
     "ab_ztest" ->
       """WITH ev AS (SELECT event_type, value, user_id % 2 = 0 AS isA

@@ -42,8 +42,8 @@ object QueriesScale {
         .agg(count(lit(1)).as("n"),
           count(when(col("cents").cast(DoubleType) < loCol, 1)).as("n_clip_lo"),
           count(when(col("cents").cast(DoubleType) > hiCol, 1)).as("n_clip_hi"),
-          round(sum(col("cl")) / 100, 2).as("sum_wins"),
-          round(avg(col("cl")) / 100, 4).as("avg_wins"))
+          (floor(sum(col("cl")) / 100 * 1e2 + 0.5) / 1e2).as("sum_wins"),
+          (floor(avg(col("cl")) / 100 * 1e4 + 0.5) / 1e4).as("avg_wins"))
         .orderBy(col("event_type"))
     }),
     // Exact corpus-wide top-20 tokens via two-phase Misra-Gries: phase 1
@@ -285,8 +285,8 @@ object QueriesScale {
         |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |  CAST(count(CASE WHEN CAST(cents AS DOUBLE) < lo THEN 1 END) AS BIGINT) AS n_clip_lo,
         |  CAST(count(CASE WHEN CAST(cents AS DOUBLE) > hi THEN 1 END) AS BIGINT) AS n_clip_hi,
-        |  round(sum(cl) / 100, 2) AS sum_wins,
-        |  round(avg(cl) / 100, 4) AS avg_wins
+        |  floor(sum(cl) / 100 * 1e2 + 0.5) / 1e2 AS sum_wins,
+        |  floor(avg(cl) / 100 * 1e4 + 0.5) / 1e4 AS avg_wins
         |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
     "histogram_bins" ->
       """SELECT CAST(least(floor(o_totalprice / 30000.0), 19.0) AS BIGINT) AS bin,

@@ -89,7 +89,7 @@ class AnalyticsSpec extends SparkSpec {
     val h = (0.5 * (counts.length - 1)).toInt
     val frac = 0.5 * (counts.length - 1) - h
     val p50 = counts(h) + frac * (counts(math.min(h + 1, counts.length - 1)) - counts(h))
-    assert(math.abs(r.getDouble(3) - math.rint(p50 * 1e4) / 1e4) < 1e-9)
+    assert(math.abs(r.getDouble(3) - math.floor(p50 * 1e4 + 0.5) / 1e4) < 1e-9)
   }
 
   test("ts_anomaly: every flagged row is a full-window 3-sigma outlier") {
