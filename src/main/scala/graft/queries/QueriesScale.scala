@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.functions.TextFns
 import graft.operators.{DiscreteQuantile, HeavyHitters, ZOrder}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import Tables._
@@ -16,6 +17,46 @@ import Tables._
 object QueriesScale {
 
   val queries: Map[String, Q] = Map(
+    // Weighted median: the smallest price whose cumulative quantity mass
+    // reaches half the group total — selection, not interpolation, so the
+    // output is an exact data value (no rounding hazard at all). One window
+    // sort per group computes the running mass; the group totals broadcast
+    // back. NB with few groups (3 return flags) the window is few-task —
+    // the many-group case (per-user medians) is where this ordered-
+    // cumulative form scales; for low-cardinality groups the cents-
+    // histogram path (outlier_mad / DiscreteQuantile) is the scale form.
+    "weighted_median" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("flag"), col("l_extendedprice").as("price"),
+          col("l_quantity").as("qty"), col("l_orderkey"), col("l_linenumber"))
+      val w = Window.partitionBy(col("flag"))
+        .orderBy(col("price"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      li.withColumn("cum", sum(col("qty")).over(w))
+        .withColumn("tot", sum(col("qty")).over(Window.partitionBy(col("flag"))))
+        .where(col("cum") >= col("tot") / 2)
+        .groupBy(col("flag"))
+        .agg(min(col("price")).as("w_median"))
+        .orderBy(col("flag"))
+    }),
+
+    // Gini coefficient of document mass per source — the corpus-balance
+    // inequality report (is one source's mass concentrated in a few huge
+    // docs?). G = 2·Σ(i·w)/(n·Σw) − (n+1)/n over ascending-sorted weights;
+    // pure rational arithmetic, so the output uses the engine-identical
+    // floor form. One window sort per source.
+    "gini_sources" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("source"), col("n_chars").as("w"),
+        col("doc_id"))
+      val ww = Window.partitionBy(col("source")).orderBy(col("w"), col("doc_id"))
+      d.withColumn("i", row_number().over(ww))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          (floor((lit(2.0) * sum(col("i") * col("w")) /
+              (count(lit(1)) * sum(col("w"))) -
+            (count(lit(1)) + lit(1.0)) / count(lit(1))) * 1e6 + 0.5) / 1e6).as("gini"))
+        .orderBy(col("source"))
+    }),
     // Winsorization (robust preprocessing): clip values at the per-group
     // p05/p95 before aggregation. Exact quantiles WITHOUT buffering values
     // — same DiscreteQuantile cents-histogram trick as outlier_mad: one
@@ -272,6 +313,24 @@ object QueriesScale {
   private val toks = Tables.toksSql()
 
   val oracle: Map[String, String] = Map(
+    "weighted_median" ->
+      """WITH li AS (SELECT l_returnflag AS flag, l_extendedprice AS price,
+        |    l_quantity AS qty, l_orderkey, l_linenumber FROM lineitem),
+        |c AS (SELECT flag, price,
+        |    sum(qty) OVER (PARTITION BY flag ORDER BY price, l_orderkey, l_linenumber
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(qty) OVER (PARTITION BY flag) AS tot
+        |  FROM li)
+        |SELECT flag, min(price) AS w_median
+        |FROM c WHERE cum >= tot / 2 GROUP BY flag ORDER BY flag""".stripMargin,
+    "gini_sources" ->
+      """WITH d AS (SELECT source, n_chars AS w, doc_id,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS i
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  floor((2.0 * sum(i * w) / (count(*) * sum(w))
+        |    - (count(*) + 1.0) / count(*)) * 1e6 + 0.5) / 1e6 AS gini
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
     "winsorize" ->
       """WITH e AS (SELECT event_type, value,
         |    CAST(round(value * 100) AS BIGINT) AS cents FROM events

@@ -364,6 +364,43 @@ class AnalyticsSpec extends SparkSpec {
     assert(survivors >= total - fails.sum && survivors <= total - fails.max)
   }
 
+  test("weighted_median: brute-force agreement per flag") {
+    val rows = graft.queries.QueriesScale.queries("weighted_median")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_returnflag", "l_extendedprice", "l_quantity")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    li.groupBy(_._1).foreach { case (flag, xs) =>
+      val sorted = xs.sortBy(_._2)
+      val tot = sorted.map(_._3).sum
+      var cum = 0.0
+      val med = sorted.find { x => cum += x._3; cum >= tot / 2 }.get._2
+      assert(rows(flag) == med, s"flag $flag")
+    }
+  }
+
+  test("gini_sources: bounded in [0,1), zero for constant weights") {
+    val rows = graft.queries.QueriesScale.queries("gini_sources")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, n, g) =>
+      assert(g >= -1e-6 && g < 1.0)
+      assert(n >= 1)
+    }
+    // sanity: a hand-built constant-weight group has gini ~ 0
+    import spark.implicits._
+    val const = Seq.fill(50)(("s", 100L)).zipWithIndex
+      .map { case ((s_, w), i) => (s_, w, i.toLong) }.toDF("source", "w", "doc_id")
+    val ww = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("w"), col("doc_id"))
+    val g0 = const.withColumn("i", row_number().over(ww))
+      .groupBy(col("source"))
+      .agg(((lit(2.0) * sum(col("i") * col("w")) / (count(lit(1)) * sum(col("w")))) -
+        (count(lit(1)) + lit(1.0)) / count(lit(1))).as("gini"))
+      .collect().head.getDouble(1)
+    assert(math.abs(g0) < 1e-9)
+  }
+
   test("fuzzy_join: band prune is lossless vs the unbanded join") {
     val p = spark.read.parquet(s"$dir/part.parquet")
       .select(col("p_partkey"), col("p_brand"), col("p_name"))
