@@ -20,6 +20,7 @@ object SparkEntry {
     (QueriesSim.queries, QueriesSim.oracle),
     (QueriesScale.queries, QueriesScale.oracle),
     (QueriesAnalytics.queries, QueriesAnalytics.oracle),
+    (QueriesMlops.queries, QueriesMlops.oracle),
     (QueriesStream.queries, QueriesStream.oracle),
     (QueriesDdl.queries, QueriesDdl.oracle))
 

@@ -1,0 +1,278 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Tables._
+
+/** ML-ops / statistical-monitoring operators (SURVEY.md §2.8 extension
+  * surface): deterministic categorical mode, CUSUM changepoint scan,
+  * population-stability-index drift between time halves, a Benford
+  * first-digit data-quality audit, first/last-touch conversion attribution,
+  * and a bounded-lookback EWMA smoother. The reference has none of these
+  * (its surface is data-table.lisp:4-34); each is designed around
+  * domain-collapsing aggregates so the expensive shuffle carries the small
+  * derived table, never the raw corpus.
+  */
+object QueriesMlops {
+
+  val queries: Map[String, Q] = Map(
+    // Deterministic per-group mode: the (status, priority) count aggregate
+    // collapses the corpus to the tiny cross-domain FIRST (map-side
+    // combined, one shuffle), then the argmax window runs over that
+    // config-sized table. Ties break to the smallest value so the result
+    // is engine- and partitioning-independent — a bare `mode()` aggregate
+    // (DuckDB's included) is tie-nondeterministic.
+    "agg_mode" -> ((s, dir) => {
+      val c = t(s, dir, "orders")
+        .where(col("o_orderstatus").isNotNull && col("o_orderpriority").isNotNull)
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("o_orderstatus")
+      c.withColumn("mx", max(col("cnt")).over(w))
+        .where(col("cnt") === col("mx"))
+        .groupBy(col("o_orderstatus"))
+        .agg(min(col("o_orderpriority")).as("mode_priority"),
+          max(col("cnt")).as("mode_count"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // CUSUM changepoint scan per event-type series: z-score against the
+    // series' own mean/σ, then a cumulative ordered sum; an excursion past
+    // ±3·√n flags a sustained level shift (a random walk stays ~√n). The
+    // per-series cumulative is inherently sequential — O(1) window state —
+    // and production monitoring has many series (type × region × …), so
+    // the per-key partitions parallelize; the 5-key local shape is the
+    // degenerate case, not the design point.
+    "ts_cusum" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .where(col("event_type").isNotNull && col("ts").isNotNull && col("value").isNotNull)
+      val wt = Window.partitionBy("event_type")
+      val ord = Window.partitionBy("event_type")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("mu", avg(col("value")).over(wt))
+        .withColumn("sd", stddev_pop(col("value")).over(wt))
+        .withColumn("n", count(lit(1)).over(wt))
+        .withColumn("cusum", sum((col("value") - col("mu")) / col("sd")).over(ord))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(max(abs(col("cusum"))), 4).as("max_abs_cusum"),
+          count(when(abs(col("cusum")) > lit(3.0) * sqrt(col("n")), 1)).as("n_flagged"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Population-stability-index drift: split the stream at the midpoint of
+    // its time range, histogram `value` into 10 fixed-width bins per type
+    // in ONE conditional aggregate (both halves counted in the same pass —
+    // no second scan, no join of two filtered subqueries), then
+    // PSI = Σ (p−q)·ln(p/q) over the types×10-sized bin table with the
+    // standard 1e-6 zero-bin clamp. The time bounds are a 1-row broadcast.
+    "drift_psi" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .where(col("event_type").isNotNull && col("ts").isNotNull && col("value").isNotNull)
+        .withColumn("us", unix_micros(col("ts")))
+      val mid = broadcast(ev.agg(
+        ((min(col("us")) + max(col("us"))) / 2).cast("long").as("mid")))
+      val bins = ev.crossJoin(mid)
+        .withColumn("bin", least(floor(col("value") / 50), lit(9.0)).cast("int"))
+        .groupBy(col("event_type"), col("bin"))
+        .agg(count(when(col("us") <= col("mid"), 1)).as("na"),
+          count(when(col("us") > col("mid"), 1)).as("nb"))
+      val wt = Window.partitionBy("event_type")
+      bins
+        .withColumn("ta", sum(col("na")).over(wt))
+        .withColumn("tb", sum(col("nb")).over(wt))
+        .withColumn("p", greatest(col("na") / col("ta"), lit(1e-6)))
+        .withColumn("q", greatest(col("nb") / col("tb"), lit(1e-6)))
+        .groupBy(col("event_type"))
+        .agg(sum(col("na")).as("n_first"), sum(col("nb")).as("n_second"),
+          round(sum((col("p") - col("q")) * log(col("p") / col("q"))), 6).as("psi"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Benford first-digit audit of order totals — a fraud/data-quality
+    // screen. The first digit is taken from the INTEGER cents rendering
+    // (floor(x·100+0.5) → string → first char), never from log10(x): float
+    // log10 is 1-ulp engine-dependent exactly at the decade boundaries
+    // where the digit flips, while integer-to-string is exact everywhere.
+    // One map-side-combined aggregate to 9 rows; shares/χ² on the driver-
+    // sized result.
+    "benford_dq" -> ((s, dir) => {
+      val d = t(s, dir, "orders")
+        .where(col("o_totalprice") > 0)
+        .withColumn("cents", floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+        .withColumn("first_digit", substring(col("cents").cast("string"), 1, 1).cast("int"))
+        .groupBy(col("first_digit")).agg(count(lit(1)).as("n"))
+      val wAll = Window.partitionBy()
+      d.withColumn("total", sum(col("n")).over(wAll))
+        .withColumn("exp_share", log(10.0, lit(1.0) + lit(1.0) / col("first_digit")))
+        .select(col("first_digit"), col("n"),
+          (floor(col("n") / col("total") * 1e6 + 0.5) / 1e6).as("obs_share"),
+          round(col("exp_share"), 6).as("exp_share"),
+          round(pow(col("n") - col("exp_share") * col("total"), 2)
+            / (col("exp_share") * col("total")), 4).as("chi2_part"))
+        .orderBy(col("first_digit"))
+    }),
+
+    // First/last-touch conversion attribution: one window pass per user
+    // carries the first and most-recent non-purchase touch type onto each
+    // purchase (strictly-preceding frame, ignoreNulls last/first — no
+    // self-join, no per-conversion subquery), then both models aggregate to
+    // the touch-type domain. Conversion value sums in exact integer cents —
+    // a double sum rounded to 2 decimals lands on half-cent boundaries
+    // where the engines' tie behavior differs.
+    "attribution_touch" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .where(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("event_type").isNotNull && col("value").isNotNull)
+      val prior = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val touch = when(col("event_type") =!= "purchase", col("event_type"))
+      val conv = ev
+        .withColumn("first_touch", first(touch, ignoreNulls = true).over(prior))
+        .withColumn("last_touch", last(touch, ignoreNulls = true).over(prior))
+        .where(col("event_type") === "purchase" && col("last_touch").isNotNull)
+        .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
+      conv.select(lit("first").as("model"), col("first_touch").as("touch_type"), col("cents"))
+        .unionAll(conv.select(lit("last").as("model"), col("last_touch").as("touch_type"), col("cents")))
+        .groupBy(col("model"), col("touch_type"))
+        .agg(count(lit(1)).as("conversions"), sum(col("cents")).as("value_cents"))
+        .orderBy(col("model"), col("touch_type"))
+    }),
+
+    // Bounded-lookback EWMA (α=0.3, 14-day window) over per-type daily
+    // averages. The corpus collapses to the (series × days) daily table
+    // first — at 100 TB that aggregate IS the big shuffle and it's
+    // map-side combined; the banded self-join then fans each daily row out
+    // ≤14×, bounded work independent of raw row count. A truncated-kernel
+    // EWMA keeps the operator a stateless join+aggregate (the exact
+    // recursive form needs sequential per-series state; past 14 days the
+    // dropped tail weight is 0.7^14 ≈ 0.7%).
+    "ts_ewma" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .where(col("event_type").isNotNull && col("ts").isNotNull && col("value").isNotNull)
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(avg(col("value")).as("x"))
+      val a = daily.select(col("event_type"), col("d"), col("x"))
+      val b = daily.select(col("event_type").as("event_type_b"),
+        col("d").as("d_b"), col("x").as("x_b"))
+      a.join(b, col("event_type") === col("event_type_b") &&
+          datediff(col("d"), col("d_b")).between(0, 13))
+        .withColumn("w", pow(lit(0.7), datediff(col("d"), col("d_b"))))
+        .groupBy(col("event_type"), col("d"))
+        .agg(round(sum(col("w") * col("x_b")) / sum(col("w")), 4).as("ewma"))
+        .orderBy(col("event_type"), col("d"))
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "agg_mode" ->
+      """WITH c AS (
+        |  SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM orders
+        |  WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
+        |  GROUP BY 1, 2),
+        |m AS (SELECT o_orderstatus, max(cnt) AS mx FROM c GROUP BY 1)
+        |SELECT c.o_orderstatus, min(c.o_orderpriority) AS mode_priority,
+        |  max(c.cnt) AS mode_count
+        |FROM c JOIN m ON c.o_orderstatus = m.o_orderstatus AND c.cnt = m.mx
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ts_cusum" ->
+      """WITH ev AS (
+        |  SELECT event_type, ts, event_id, value
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+        |z AS (
+        |  SELECT event_type, ts, event_id, value,
+        |    avg(value) OVER (PARTITION BY event_type) AS mu,
+        |    stddev_pop(value) OVER (PARTITION BY event_type) AS sd,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM ev),
+        |cs AS (
+        |  SELECT event_type, n,
+        |    sum((value - mu) / sd) OVER (PARTITION BY event_type
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+        |  FROM z)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  round(max(abs(cusum)), 4) AS max_abs_cusum,
+        |  CAST(count(CASE WHEN abs(cusum) > 3.0 * sqrt(n) THEN 1 END) AS BIGINT)
+        |    AS n_flagged
+        |FROM cs GROUP BY 1 ORDER BY 1""".stripMargin,
+    "drift_psi" ->
+      """WITH ev AS (
+        |  SELECT event_type, epoch_us(ts) AS us, value
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+        |mid AS (SELECT CAST((min(us) + max(us)) / 2 AS BIGINT) AS mid FROM ev),
+        |bins AS (
+        |  SELECT event_type,
+        |    CAST(least(floor(value / 50), 9) AS INT) AS bin,
+        |    CAST(count(CASE WHEN us <= mid THEN 1 END) AS BIGINT) AS na,
+        |    CAST(count(CASE WHEN us > mid THEN 1 END) AS BIGINT) AS nb
+        |  FROM ev CROSS JOIN mid GROUP BY 1, 2),
+        |pq AS (
+        |  SELECT event_type, na, nb,
+        |    greatest(CAST(na AS DOUBLE) / sum(na) OVER (PARTITION BY event_type), 1e-6) AS p,
+        |    greatest(CAST(nb AS DOUBLE) / sum(nb) OVER (PARTITION BY event_type), 1e-6) AS q
+        |  FROM bins)
+        |SELECT event_type, CAST(sum(na) AS BIGINT) AS n_first,
+        |  CAST(sum(nb) AS BIGINT) AS n_second,
+        |  round(sum((p - q) * ln(p / q)), 6) AS psi
+        |FROM pq GROUP BY 1 ORDER BY 1""".stripMargin,
+    "benford_dq" ->
+      """WITH d AS (
+        |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |      AS VARCHAR), 1, 1) AS INT) AS first_digit,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM orders WHERE o_totalprice > 0 GROUP BY 1),
+        |w AS (
+        |  SELECT first_digit, n, sum(n) OVER () AS total,
+        |    log10(1.0 + 1.0 / first_digit) AS exp_share
+        |  FROM d)
+        |SELECT first_digit, n,
+        |  floor(CAST(n AS DOUBLE) / total * 1e6 + 0.5) / 1e6 AS obs_share,
+        |  round(exp_share, 6) AS exp_share,
+        |  round(pow(n - exp_share * total, 2) / (exp_share * total), 4) AS chi2_part
+        |FROM w ORDER BY first_digit""".stripMargin,
+    "attribution_touch" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_id, event_type, value
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL AND value IS NOT NULL),
+        |tc AS (
+        |  SELECT event_type, value,
+        |    first_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+        |        IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS first_touch,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+        |        IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch
+        |  FROM ev),
+        |conv AS (
+        |  SELECT first_touch, last_touch,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM tc WHERE event_type = 'purchase' AND last_touch IS NOT NULL)
+        |SELECT model, touch_type, CAST(count(*) AS BIGINT) AS conversions,
+        |  CAST(sum(cents) AS BIGINT) AS value_cents
+        |FROM (
+        |  SELECT 'first' AS model, first_touch AS touch_type, cents FROM conv
+        |  UNION ALL
+        |  SELECT 'last' AS model, last_touch AS touch_type, cents FROM conv)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "ts_ewma" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d, avg(value) AS x
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1, 2)
+        |SELECT a.event_type, a.d,
+        |  round(sum(pow(0.7, date_diff('day', b.d, a.d)) * b.x)
+        |    / sum(pow(0.7, date_diff('day', b.d, a.d))), 4) AS ewma
+        |FROM daily a JOIN daily b
+        |  ON a.event_type = b.event_type
+        |  AND date_diff('day', b.d, a.d) BETWEEN 0 AND 13
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+}

@@ -1,0 +1,89 @@
+package graft
+
+import graft.queries.QueriesMlops
+import org.apache.spark.sql.functions._
+
+/** ML-ops/monitoring batch (QueriesMlops): invariant and differential
+  * tests on sf0.001 — laws a correct implementation must satisfy
+  * regardless of the data draw. */
+class MlopsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def q(name: String) = QueriesMlops.queries(name)(spark, dir)
+
+  test("agg_mode: mode count is the true per-group max, tie breaks to min value") {
+    val counts = spark.read.parquet(s"$dir/orders.parquet")
+      .groupBy("o_orderstatus", "o_orderpriority").count()
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val byStatus = counts.groupBy(_._1)
+    for (r <- q("agg_mode").collect()) {
+      val (status, pri, cnt) = (r.getString(0), r.getString(1), r.getLong(2))
+      val grp = byStatus(status)
+      val mx = grp.map(_._3).max
+      assert(cnt == mx, s"$status: mode_count $cnt != max $mx")
+      val winners = grp.filter(_._3 == mx).map(_._2)
+      assert(pri == winners.min, s"$status: tie must break to min, got $pri")
+    }
+  }
+
+  test("ts_cusum: flags are a subset of events, max excursion positive") {
+    for (r <- q("ts_cusum").collect()) {
+      val (n, mx, flagged) = (r.getLong(1), r.getDouble(2), r.getLong(3))
+      assert(n > 0 && mx > 0.0)
+      assert(flagged >= 0 && flagged <= n)
+    }
+  }
+
+  test("drift_psi: PSI is non-negative and halves partition the stream") {
+    val total = graft.queries.Tables.t(spark, dir, "events")
+      .where(col("event_type").isNotNull && col("ts").isNotNull &&
+        col("value").isNotNull)
+      .count()
+    val rows = q("drift_psi").collect()
+    // each (p-q)ln(p/q) term is >= 0, so the sum must be
+    rows.foreach(r => assert(r.getDouble(3) >= 0.0, s"psi < 0 for ${r.getString(0)}"))
+    assert(rows.map(r => r.getLong(1) + r.getLong(2)).sum == total)
+  }
+
+  test("benford_dq: nine digits, observed shares sum to ~1, expected shares exact") {
+    val rows = q("benford_dq").collect()
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 9))
+    val obsSum = rows.map(_.getDouble(2)).sum
+    assert(math.abs(obsSum - 1.0) < 1e-4, s"obs shares sum $obsSum")
+    for (r <- rows) {
+      val d = r.getInt(0)
+      assert(math.abs(r.getDouble(3) - math.log10(1.0 + 1.0 / d)) < 1e-6)
+    }
+  }
+
+  test("attribution_touch: both models attribute the same conversion mass") {
+    val rows = q("attribution_touch").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val byModel = rows.groupBy(_._1)
+    assert(byModel.keySet == Set("first", "last"))
+    // every conversion with a prior touch appears in both models exactly once
+    assert(byModel("first").map(_._3).sum == byModel("last").map(_._3).sum)
+    assert(byModel("first").map(_._4).sum == byModel("last").map(_._4).sum)
+    // purchase never attributes to itself
+    assert(rows.forall(_._2 != "purchase"))
+  }
+
+  test("ts_ewma: smoother output bounded by the window's daily-average range") {
+    val daily = graft.queries.Tables.t(spark, dir, "events")
+      .where(col("value").isNotNull && col("ts").isNotNull &&
+        col("event_type").isNotNull)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(avg("value").as("x"))
+      .collect()
+      .map(r => ((r.getString(0), r.getDate(1).toLocalDate), r.getDouble(2)))
+      .toMap
+    for (r <- q("ts_ewma").collect()) {
+      val (ty, d, e) = (r.getString(0), r.getDate(1).toLocalDate, r.getDouble(2))
+      val window = (0 to 13).flatMap(j => daily.get((ty, d.minusDays(j))))
+      assert(window.nonEmpty)
+      assert(e >= window.min - 1e-3 && e <= window.max + 1e-3,
+        s"$ty $d: ewma $e outside [${window.min}, ${window.max}]")
+    }
+  }
+}
