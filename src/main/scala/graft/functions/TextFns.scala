@@ -55,6 +55,15 @@ object TextFns {
       graft.plans.NfcNormalize(
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(c)))
 
+  /** DEFLATE compression ratio (native codegen'd expression,
+    * graft.plans.DeflateRatio) — the "too compressible = repetitive
+    * boilerplate" quality signal; NULL on null/empty input. JVM-stable but
+    * not cross-engine portable, so its queries are rows-only. */
+  def deflateRatio(c: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.DeflateRatio(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(c)))
+
   private def wordsPattern(words: Seq[String]): String =
     words.mkString("\\b(", "|", ")\\b")
 

@@ -162,6 +162,113 @@ object QueriesMlops {
         .groupBy(col("event_type"), col("d"))
         .agg(round(sum(col("w") * col("x_b")) / sum(col("w")), 4).as("ewma"))
         .orderBy(col("event_type"), col("d"))
+    }),
+
+    // Period-over-period (week-over-week) growth per series: value mass
+    // sums in exact integer cents per (type, Monday week) — map-side
+    // combined, series×weeks-sized result — then one lag window over that
+    // tiny aggregate. The growth ratio is a cents-ratio rational, so it
+    // rounds with the engine-identical floor arithmetic.
+    "period_over_period" -> ((s, dir) => {
+      val wk = t(s, dir, "events")
+        .where(col("event_type").isNotNull && col("ts").isNotNull && col("value").isNotNull)
+        .groupBy(col("event_type"),
+          to_date(date_trunc("week", col("ts"))).as("week"))
+        .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
+      val w = Window.partitionBy("event_type").orderBy("week")
+      wk.withColumn("prev_cents", lag(col("cents"), 1).over(w))
+        .withColumn("pct_change",
+          floor((col("cents") - col("prev_cents")).cast("double")
+            / col("prev_cents") * 1e6 + 0.5) / 1e6)
+        .orderBy(col("event_type"), col("week"))
+    }),
+
+    // Pairwise correlation matrix across the per-type daily-average series:
+    // the corpus collapses to the (series × days) daily table FIRST, the
+    // date-equi self-join and corr() run over that — work is
+    // days × series², independent of the raw row count. Half-matrix only
+    // (type_a < type_b): corr is symmetric.
+    "corr_matrix" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .where(col("event_type").isNotNull && col("ts").isNotNull && col("value").isNotNull)
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(avg(col("value")).as("x"))
+      val a = daily.select(col("event_type").as("type_a"), col("d"), col("x").as("xa"))
+      val b = daily.select(col("event_type").as("type_b"), col("d").as("d_b"),
+        col("x").as("xb"))
+      a.join(b, col("d") === col("d_b") && col("type_a") < col("type_b"))
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(count(lit(1)).as("n_days"), round(corr(col("xa"), col("xb")), 4).as("r"))
+        .orderBy(col("type_a"), col("type_b"))
+    }),
+
+    // DAU/MAU stickiness: the corpus collapses to the distinct (user, day)
+    // activity table first — THE one big shuffle, map-side combined — then
+    // a 30-day banded join against the days-sized grid (broadcast) fans
+    // each activity row out ≤30×, and one aggregate per grid day counts
+    // the trailing-30d actives and the day's actives in the same pass.
+    "dau_mau" -> ((s, dir) => {
+      val ud = t(s, dir, "events")
+        .where(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+        .distinct()
+      val grid = broadcast(ud.select(col("d").as("g")).distinct())
+      ud.join(grid, datediff(col("g"), col("d")).between(0, 29))
+        .groupBy(col("g"))
+        .agg(count_distinct(when(col("d") === col("g"), col("user_id"))).as("dau"),
+          count_distinct(col("user_id")).as("mau"))
+        .withColumn("stickiness",
+          floor(col("dau").cast("double") / col("mau") * 1e4 + 0.5) / 1e4)
+        .orderBy(col("g"))
+    }),
+
+    // Time-to-convert funnel latency: first signup → first subsequent
+    // purchase per user (two user-sized aggregates + one equi-join — never
+    // a per-event window), exact integer-second durations, then the
+    // distribution summary reads exact quantiles off a driver-collected
+    // HOUR-bucketed count histogram (bounded domain — the
+    // DiscreteQuantile pattern; a percentile() aggregate would buffer
+    // every user's duration in one reducer at scale).
+    "time_to_convert" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .where(col("user_id").isNotNull && col("ts").isNotNull && col("event_type").isNotNull)
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      val su = ev.where(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("us")).as("s"))
+      val dur = ev.where(col("event_type") === "purchase")
+        .join(su, "user_id")
+        .where(col("us") >= col("s"))
+        .groupBy(col("user_id"), col("s")).agg(min(col("us")).as("p"))
+        .select(expr("(p - s) DIV 1000000").as("sec"))
+        .withColumn("hr", expr("sec DIV 3600"))
+      val hist = dur.groupBy(col("hr")).count().collect()
+        .map(r => (r.getLong(0).toDouble, r.getLong(1))).toSeq
+      val p50 = graft.operators.DiscreteQuantile.quantileOfHistogram(hist, 0.5)
+      val p90 = graft.operators.DiscreteQuantile.quantileOfHistogram(hist, 0.9)
+      dur.agg(count(lit(1)).as("n_converted"),
+        (floor(avg(col("sec")) * 1e2 + 0.5) / 1e2).as("avg_sec"),
+        max(col("sec")).as("max_sec"))
+        .select(col("n_converted"), col("avg_sec"),
+          lit(math.floor(p50 * 1e4 + 0.5) / 1e4).as("p50_hours"),
+          lit(math.floor(p90 * 1e4 + 0.5) / 1e4).as("p90_hours"),
+          col("max_sec"))
+    }),
+
+    // Compression-ratio quality screen (Gopher/C4 "too compressible =
+    // boilerplate"): ONE codegen'd deflate pass per document (native
+    // DeflateRatio expression — no UDF round-trip, no match arrays), then
+    // a sources-sized aggregate. Rows-only: DEFLATE byte counts are
+    // JVM-stable but not a cross-engine-portable definition; invariants
+    // are pinned in MlopsSpec instead.
+    "compression_ratio" -> ((s, dir) => {
+      import graft.functions.TextFns
+      t(s, dir, "documents")
+        .where(col("text").isNotNull && length(col("text")) > 0)
+        .withColumn("r", TextFns.deflateRatio(col("text")))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), round(avg(col("r")), 4).as("avg_ratio"),
+          count(when(col("r") < 0.4, 1)).as("n_repetitive"))
+        .orderBy(col("source"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -262,6 +369,62 @@ object QueriesMlops {
         |  UNION ALL
         |  SELECT 'last' AS model, last_touch AS touch_type, cents FROM conv)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "period_over_period" ->
+      """WITH wk AS (
+        |  SELECT event_type, CAST(date_trunc('week', ts) AS DATE) AS week,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1, 2)
+        |SELECT event_type, week, cents,
+        |  lag(cents, 1) OVER (PARTITION BY event_type ORDER BY week) AS prev_cents,
+        |  floor(CAST(cents - lag(cents, 1) OVER (PARTITION BY event_type ORDER BY week)
+        |      AS DOUBLE)
+        |    / lag(cents, 1) OVER (PARTITION BY event_type ORDER BY week) * 1e6 + 0.5)
+        |    / 1e6 AS pct_change
+        |FROM wk ORDER BY event_type, week""".stripMargin,
+    "corr_matrix" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d, avg(value) AS x
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1, 2)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  CAST(count(*) AS BIGINT) AS n_days, round(corr(a.x, b.x), 4) AS r
+        |FROM daily a JOIN daily b
+        |  ON a.d = b.d AND a.event_type < b.event_type
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "dau_mau" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |grid AS (SELECT DISTINCT d AS g FROM ud)
+        |SELECT g,
+        |  CAST(count(DISTINCT CASE WHEN d = g THEN user_id END) AS BIGINT) AS dau,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS mau,
+        |  floor(CAST(count(DISTINCT CASE WHEN d = g THEN user_id END) AS DOUBLE)
+        |    / count(DISTINCT user_id) * 1e4 + 0.5) / 1e4 AS stickiness
+        |FROM ud JOIN grid ON date_diff('day', d, g) BETWEEN 0 AND 29
+        |GROUP BY g ORDER BY g""".stripMargin,
+    "time_to_convert" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL),
+        |su AS (SELECT user_id, min(us) AS s FROM ev
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |d AS (
+        |  SELECT (min(e.us) - su.s) // 1000000 AS sec,
+        |    ((min(e.us) - su.s) // 1000000) // 3600 AS hr
+        |  FROM ev e JOIN su ON e.user_id = su.user_id
+        |  WHERE e.event_type = 'purchase' AND e.us >= su.s
+        |  GROUP BY e.user_id, su.s)
+        |SELECT CAST(count(*) AS BIGINT) AS n_converted,
+        |  floor(avg(sec) * 1e2 + 0.5) / 1e2 AS avg_sec,
+        |  floor(quantile_cont(CAST(hr AS DOUBLE), 0.5) * 1e4 + 0.5) / 1e4 AS p50_hours,
+        |  floor(quantile_cont(CAST(hr AS DOUBLE), 0.9) * 1e4 + 0.5) / 1e4 AS p90_hours,
+        |  max(sec) AS max_sec
+        |FROM d""".stripMargin,
     "ts_ewma" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS d, avg(value) AS x

@@ -69,6 +69,72 @@ class MlopsSpec extends SparkSpec {
     assert(rows.forall(_._2 != "purchase"))
   }
 
+  test("DeflateRatio: repetition compresses, randomness doesn't, edges are null") {
+    import spark.implicits._
+    import graft.functions.TextFns
+    val rep = "the same sentence again and again. " * 200
+    // seeded PRNG chars (java.util.Random's algorithm is specified, so this
+    // is deterministic) — incompressible-ish text
+    val rng = new java.util.Random(42)
+    val rnd = Array.fill(7000)((rng.nextInt(93) + 33).toChar).mkString
+    val rows = Seq(rep, rnd, "", null).toDF("s")
+      .select(TextFns.deflateRatio(col("s")).as("r")).collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(rows(0).get < 0.1, s"repetitive should crush: ${rows(0)}")
+    assert(rows(1).get > 0.5, s"high-entropy should not: ${rows(1)}")
+    assert(rows(2).isEmpty && rows(3).isEmpty)
+    // deterministic across evaluations
+    val again = Seq(rep).toDF("s")
+      .select(TextFns.deflateRatio(col("s")).as("r")).head().getDouble(0)
+    assert(again == rows(0).get)
+  }
+
+  test("compression_ratio: ratios in (0, ~1.01], repetitive count <= doc count") {
+    for (r <- q("compression_ratio").collect()) {
+      val (n, avg, nRep) = (r.getLong(1), r.getDouble(2), r.getLong(3))
+      assert(n > 0 && avg > 0.0 && avg < 1.05)
+      assert(nRep >= 0 && nRep <= n)
+    }
+  }
+
+  test("period_over_period: lag chain is consistent within each series") {
+    val rows = q("period_over_period").collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    for ((_, series) <- rows.groupBy(_._1)) {
+      val ordered = series.sortBy(_._2.toEpochDay)
+      assert(ordered.head._4.isEmpty, "first week must have null prev")
+      for (Array(a, b) <- ordered.sliding(2).map(_.toArray))
+        assert(b._4.contains(a._3), s"prev_cents must equal prior week's cents")
+    }
+  }
+
+  test("corr_matrix: half matrix, r in [-1, 1], all pairs present") {
+    val rows = q("corr_matrix").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.forall { case (a, b, _, _) => a < b })
+    assert(rows.forall { case (_, _, _, r) => r >= -1.0 && r <= 1.0 })
+    val types = rows.flatMap(p => Seq(p._1, p._2)).distinct.length
+    assert(rows.length == types * (types - 1) / 2)
+  }
+
+  test("dau_mau: dau <= mau, stickiness in (0, 1]") {
+    for (r <- q("dau_mau").collect()) {
+      val (dau, mau, st) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(dau >= 1 && dau <= mau)
+      assert(st > 0.0 && st <= 1.0)
+    }
+  }
+
+  test("time_to_convert: ordering p50 <= p90 <= max, avg within range") {
+    val r = q("time_to_convert").head()
+    val (n, avg, p50, p90, mx) =
+      (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getLong(4))
+    assert(n > 0)
+    assert(p50 <= p90 && p90 * 3600 <= mx + 3600)
+    assert(avg >= 0 && avg <= mx)
+  }
+
   test("ts_ewma: smoother output bounded by the window's daily-average range") {
     val daily = graft.queries.Tables.t(spark, dir, "events")
       .where(col("value").isNotNull && col("ts").isNotNull &&
