@@ -314,6 +314,68 @@ object QueriesAnalytics {
         .orderBy(col("nation"))
     }),
 
+    // Triangle census + global clustering coefficient on the nation trade
+    // graph. The corpus collapses to the config-sized undirected edge list
+    // distributedly (same broadcast-dim joins as graph_pagerank — the fact
+    // table is touched once); the cubic triangle join then runs on ≤ V²
+    // edges, never the corpus. Node order a<b<c counts each triangle once;
+    // C = 3·triangles / Σ d(d−1)/2 is a ratio of exact integers.
+    "graph_triangles" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val supp = t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey").cast(LongType).as("src"))
+      val ord = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey").cast(LongType).as("dst"))
+      val und = li.join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct()
+      val e1 = und.select(col("u").as("a"), col("v").as("b"))
+      val e2 = und.select(col("u").as("b2"), col("v").as("c2"))
+      val e3 = und.select(col("u").as("a3"), col("v").as("c3"))
+      val tri = e1.join(e2, col("b") === col("b2"))
+        .join(e3, col("a") === col("a3") && col("c2") === col("c3"))
+        .agg(count(lit(1)).as("n_triangles"))
+      val deg = und.select(col("u").as("node")).unionAll(und.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("d"))
+      val triads = deg.agg(sum(expr("(d * (d - 1)) DIV 2")).as("n_triads"),
+        count(lit(1)).as("n_nodes"))
+      val edges = und.agg(count(lit(1)).as("n_edges"))
+      triads.crossJoin(edges).crossJoin(tri)
+        .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
+          (floor(lit(3.0) * col("n_triangles") / col("n_triads") * 1e6 + 0.5) / 1e6)
+            .as("clustering"))
+    }),
+
+    // Seasonality-adjusted anomaly flags: subtract the per-(type, hour-of-
+    // day) baseline mean before z-scoring, so a diurnal pattern doesn't
+    // read as anomalies. Two map-side-combined aggregates (the types×24
+    // baseline broadcasts back) + one residual pass — no window sort at
+    // all, unlike ts_anomaly's rolling form.
+    "ts_seasonal_adjust" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .where(col("event_type").isNotNull && col("ts").isNotNull && col("value").isNotNull)
+        .withColumn("hod", hour(col("ts")))
+      val base = ev.groupBy(col("event_type").as("bt"), col("hod").as("bh"))
+        .agg(avg(col("value")).as("baseline"))
+      val resid = ev.join(broadcast(base),
+          col("event_type") === col("bt") && col("hod") === col("bh"))
+        .withColumn("r", col("value") - col("baseline"))
+      val sd = resid.groupBy(col("event_type").as("st"))
+        .agg(stddev_pop(col("r")).as("sd"))
+      resid.join(broadcast(sd), col("event_type") === col("st"))
+        .withColumn("z", col("r") / col("sd"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(max(abs(col("z"))), 4).as("max_abs_z"),
+          count(when(abs(col("z")) > 3.0, 1)).as("n_flagged"))
+        .orderBy(col("event_type"))
+    }),
+
     // Inverted index build (retrieval infrastructure): term -> bounded
     // posting list. The rank<=5 filter plans Partial/Final WindowGroupLimit
     // around the term exchange, so no term's full posting list is ever
@@ -604,6 +666,48 @@ object QueriesAnalytics {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts
         |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW))
         |ORDER BY event_id""".stripMargin,
+    "graph_triangles" ->
+      """WITH und AS (
+        |  SELECT DISTINCT least(CAST(s.s_nationkey AS BIGINT), CAST(c.c_nationkey AS BIGINT)) AS u,
+        |    greatest(CAST(s.s_nationkey AS BIGINT), CAST(c.c_nationkey AS BIGINT)) AS v
+        |  FROM lineitem l
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  WHERE s.s_nationkey <> c.c_nationkey),
+        |tri AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        |  FROM und e1 JOIN und e2 ON e1.v = e2.u
+        |    JOIN und e3 ON e1.u = e3.u AND e2.v = e3.v),
+        |deg AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+        |    SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+        |  GROUP BY node),
+        |triads AS (
+        |  SELECT CAST(sum((d * (d - 1)) // 2) AS BIGINT) AS n_triads,
+        |    CAST(count(*) AS BIGINT) AS n_nodes FROM deg),
+        |edges AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM und)
+        |SELECT n_nodes, n_edges, n_triangles,
+        |  floor(3.0 * n_triangles / n_triads * 1e6 + 0.5) / 1e6 AS clustering
+        |FROM triads, edges, tri""".stripMargin,
+    "ts_seasonal_adjust" ->
+      """WITH ev AS (
+        |  SELECT event_type, hour(ts) AS hod, value
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+        |base AS (
+        |  SELECT event_type AS bt, hod AS bh, avg(value) AS baseline
+        |  FROM ev GROUP BY 1, 2),
+        |resid AS (
+        |  SELECT ev.event_type, ev.value - base.baseline AS r
+        |  FROM ev JOIN base ON ev.event_type = base.bt AND ev.hod = base.bh),
+        |sd AS (
+        |  SELECT event_type AS st, stddev_pop(r) AS sd FROM resid GROUP BY 1)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  round(max(abs(r / sd)), 4) AS max_abs_z,
+        |  CAST(count(CASE WHEN abs(r / sd) > 3.0 THEN 1 END) AS BIGINT) AS n_flagged
+        |FROM resid JOIN sd ON resid.event_type = sd.st
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "graph_pagerank" ->
       """WITH e AS (
         |  SELECT CAST(s.s_nationkey AS BIGINT) AS src,

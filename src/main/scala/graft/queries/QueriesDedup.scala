@@ -1,8 +1,9 @@
 package graft.queries
 
 import graft.operators.Dedup
-import graft.functions.SimFns
+import graft.functions.{SimFns, TextFns}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Tables._
 
@@ -234,6 +235,46 @@ object QueriesDedup {
         .where(col("cos") >= 0.9)
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // EXACT set-similarity join via prefix filtering (the PPJoin family —
+    // the deterministic complement to MinHash's probabilistic candidates):
+    // all pairs with token-set Jaccard ≥ 0.6, no hashing, provably no
+    // misses. Each doc's distinct tokens sort by global document frequency
+    // (rarest first, token as tie-break); only the first
+    // n − ceil(τ·n) + 1 tokens join. Completeness: J(a,b) ≥ τ forces
+    // overlap ≥ ⌈τ·|a|⌉, and skipping a's prefix leaves only
+    // ⌈τ·|a|⌉ − 1 tokens — so every qualifying pair collides on a prefix
+    // token, and rare-token prefixes keep collision lists short (the Zipf
+    // head sits at the END of the sort, outside every prefix). Candidates
+    // then verify with ONE exact intersect/union per distinct pair. The
+    // oracle computes all pairs exhaustively — the scalable path must
+    // reproduce the brute-force answer exactly.
+    "ssjoin_prefix" -> ((s, dir) => {
+      val tau = 0.6
+      val toks = corpus(s, dir)
+        .select(col("doc_id"), array_distinct(TextFns.tokens(col("text"))).as("toks"))
+      val ex = toks.select(col("doc_id"), explode(col("toks")).as("tok"))
+      val tf = ex.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id").orderBy(col("df"), col("tok"))
+      val prefix = ex.join(tf, "tok")
+        .withColumn("rk", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+        .where(col("rk") <= col("n") - ceil(col("n") * tau) + 1)
+        .select(col("doc_id"), col("tok"))
+      val cand = prefix.as("a").join(prefix.as("b"),
+          col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
+      cand
+        .join(toks.select(col("doc_id").as("id_a"), col("toks").as("ta")), "id_a")
+        .join(toks.select(col("doc_id").as("id_b"), col("toks").as("tb")), "id_b")
+        .withColumn("jaccard",
+          floor(size(array_intersect(col("ta"), col("tb"))).cast("double")
+            / size(array_union(col("ta"), col("tb"))) * 1e6 + 0.5) / 1e6)
+        .where(col("jaccard") >= tau)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
     }))
 
   private val contaminationSql =
@@ -379,5 +420,16 @@ object QueriesDedup {
         |SELECT id_a, id_b, round(c, 6) AS cos FROM (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, list_cosine_similarity(a.v, b.v) AS c
         |  FROM allv a JOIN allv b ON a.vec_id < b.vec_id)
-        |WHERE c >= 0.9 ORDER BY id_a, id_b""".stripMargin)
+        |WHERE c >= 0.9 ORDER BY id_a, id_b""".stripMargin,
+    // Exhaustive ground truth: ALL pairs' exact token-set Jaccard — the
+    // prefix-filtered Spark path must reproduce this with zero misses.
+    "ssjoin_prefix" ->
+      s"""$corpusSql,
+         |toks AS (SELECT doc_id, list_distinct($toksSql) AS tk FROM corpus)
+         |SELECT id_a, id_b, jaccard FROM (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    floor(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE) /
+         |      len(list_distinct(list_concat(a.tk, b.tk))) * 1e6 + 0.5) / 1e6 AS jaccard
+         |  FROM toks a JOIN toks b ON a.doc_id < b.doc_id)
+         |WHERE jaccard >= 0.6 ORDER BY id_a, id_b""".stripMargin)
 }

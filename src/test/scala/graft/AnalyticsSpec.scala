@@ -416,4 +416,47 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == unbanded)
     assert(got.values.sum > 0)
   }
+
+  test("graph_triangles: exact vs in-driver brute force on the collected edge list") {
+    val r = q("graph_triangles").head()
+    val (nNodes, nEdges, nTri, clust) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    // reconstruct the undirected edge list the same way and brute-force it
+    val li = spark.read.parquet(s"$dir/lineitem.parquet").select("l_orderkey", "l_suppkey")
+    val supp = spark.read.parquet(s"$dir/supplier.parquet").select("s_suppkey", "s_nationkey")
+    val ord = spark.read.parquet(s"$dir/orders.parquet").select("o_orderkey", "o_custkey")
+    val cust = spark.read.parquet(s"$dir/customer.parquet").select("c_custkey", "c_nationkey")
+    val edges = li.join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("s_nationkey").cast("long").as("s"), col("c_nationkey").cast("long").as("c"))
+      .collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)), math.max(r.getLong(0), r.getLong(1))))
+      .filter(e => e._1 != e._2).toSet
+    assert(nEdges == edges.size)
+    val nodes = edges.flatMap(e => Seq(e._1, e._2))
+    assert(nNodes == nodes.size)
+    val sortedNodes = nodes.toSeq.sorted
+    val bruteTri = (for {
+      a <- sortedNodes; b <- sortedNodes if a < b && edges((a, b))
+      c <- sortedNodes if b < c && edges((b, c)) && edges((a, c))
+    } yield 1).size
+    assert(nTri == bruteTri, s"triangles $nTri != brute $bruteTri")
+    val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2)).groupBy(identity).map(_._2.size.toLong)
+    val triads = deg.map(d => d * (d - 1) / 2).sum
+    assert(clust == math.floor(3.0 * bruteTri / triads * 1e6 + 0.5) / 1e6)
+    assert(clust >= 0.0 && clust <= 1.0)
+  }
+
+  test("ts_seasonal_adjust: per-type residuals mean to ~0, flags bounded") {
+    val rows = q("ts_seasonal_adjust").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (n, mz, fl) = (r.getLong(1), r.getDouble(2), r.getLong(3))
+      assert(n > 0 && mz > 0.0)
+      assert(fl >= 0 && fl <= n)
+      // |z| can't be flagged more often than Chebyshev allows: P(|z|>3) <= 1/9
+      assert(fl <= n / 9 + 1, s"too many 3-sigma flags: $fl of $n")
+    }
+  }
 }

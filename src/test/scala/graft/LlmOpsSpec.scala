@@ -139,4 +139,26 @@ class LlmOpsSpec extends SparkSpec {
     val frames = Multimodal.sampleFrames(media, "media", 2).collect()
     assert(frames.length == 4) // 2 docs × 2 frames
   }
+
+  test("ssjoin_prefix: prefix filtering reproduces brute-force all-pairs exactly") {
+    val dir = "/root/testdata/sf0.001"
+    // same corpus construction as QueriesDedup.corpus
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+      .where(col("doc_id") % 25 === 0).select(col("doc_id"), col("text"))
+    val c = base
+      .unionByName(base.select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+      .unionByName(base.select((col("doc_id") + 200000L).as("doc_id"),
+        concat(col("text"), lit(" xtra xtra")).as("text")))
+    val toks = c.select(col("doc_id"), array_distinct(TextFns.tokens(col("text"))).as("tk"))
+    val brute = toks.as("a").join(toks.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        (floor(size(array_intersect(col("a.tk"), col("b.tk"))).cast("double")
+          / size(array_union(col("a.tk"), col("b.tk"))) * 1e6 + 0.5) / 1e6).as("j"))
+      .where(col("j") >= 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = graft.queries.QueriesDedup.queries("ssjoin_prefix")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == brute, s"prefix join missed/added pairs: ${(brute -- got).take(3)} / ${(got -- brute).take(3)}")
+    assert(got.nonEmpty) // planted exact copies guarantee J = 1.0 pairs
+  }
 }
