@@ -351,6 +351,22 @@ object QueriesAnalytics {
             .as("clustering"))
     }),
 
+    // Trending top-k: the day's 3 most-active users per day. The rank≤3
+    // filter plans Partial/Final WindowGroupLimit around the day exchange
+    // (same pushdown as inverted_index), so no day's full leaderboard is
+    // buffered; ties break on user_id for engine-independence.
+    "trending_topk" -> ((s, dir) => {
+      val d = t(s, dir, "events")
+        .where(col("user_id").isNotNull && col("ts").isNotNull)
+        .groupBy(to_date(col("ts")).as("d"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("d")).orderBy(col("n").desc, col("user_id"))
+      d.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 3)
+        .select(col("d"), col("rank").cast(LongType).as("rank"), col("user_id"), col("n"))
+        .orderBy(col("d"), col("rank"))
+    }),
+
     // Seasonality-adjusted anomaly flags: subtract the per-(type, hour-of-
     // day) baseline mean before z-scoring, so a diurnal pattern doesn't
     // read as anomalies. Two map-side-combined aggregates (the types×24
@@ -690,6 +706,16 @@ object QueriesAnalytics {
         |SELECT n_nodes, n_edges, n_triangles,
         |  floor(3.0 * n_triangles / n_triads * 1e6 + 0.5) / 1e6 AS clustering
         |FROM triads, edges, tri""".stripMargin,
+    "trending_topk" ->
+      """WITH d AS (
+        |  SELECT CAST(ts AS DATE) AS d, user_id, CAST(count(*) AS BIGINT) AS n
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2)
+        |SELECT d, CAST(rank AS BIGINT) AS rank, user_id, n FROM (
+        |  SELECT d, user_id, n,
+        |    row_number() OVER (PARTITION BY d ORDER BY n DESC, user_id) AS rank
+        |  FROM d)
+        |WHERE rank <= 3 ORDER BY d, rank""".stripMargin,
     "ts_seasonal_adjust" ->
       """WITH ev AS (
         |  SELECT event_type, hour(ts) AS hod, value

@@ -261,9 +261,13 @@ object QueriesDedup {
         .withColumn("rk", row_number().over(w))
         .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
         .where(col("rk") <= col("n") - ceil(col("n") * tau) + 1)
-        .select(col("doc_id"), col("tok"))
+        .select(col("doc_id"), col("tok"), col("n"))
+      // PPJoin length filter: J ≥ τ forces τ·|a| ≤ |b| ≤ |a|/τ (the overlap
+      // is ≤ min and ≥ τ·max), so length-mismatched collisions prune BEFORE
+      // the candidate distinct — no semantic change, provably lossless.
       val cand = prefix.as("a").join(prefix.as("b"),
-          col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+          col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id") &&
+            col("b.n") >= col("a.n") * tau && col("a.n") >= col("b.n") * tau)
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
         .distinct()
       cand

@@ -254,6 +254,40 @@ object QueriesMlops {
           col("max_sec"))
     }),
 
+    // Linear multi-touch attribution (the fractional complement to
+    // attribution_touch's first/last models): every non-purchase touch in
+    // the 7-day lookback shares the conversion's value. Credit stays in
+    // EXACT integer arithmetic — (cents · n_type) DIV n_total per
+    // (conversion, type) — because a double 1/k-credit sum rounds on
+    // engine-dependent half boundaries; the floor-credit convention drops
+    // at most n_total−1 remainder cents per conversion, deterministically.
+    // The touch join is user-equi + time-band: co-partitioned by user, the
+    // fan-out bounded by per-user 7-day activity.
+    "attribution_linear" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .where(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("event_type").isNotNull && col("value").isNotNull)
+        .withColumn("us", unix_micros(col("ts")))
+      val conv = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("conv_id"), col("us").as("cus"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      val touch = ev.where(col("event_type") =!= "purchase")
+        .select(col("user_id").as("tu"), col("event_type").as("touch_type"),
+          col("us").as("tus"))
+      val joined = conv.join(touch,
+        col("user_id") === col("tu") && col("tus") < col("cus") &&
+          col("tus") >= col("cus") - lit(7L * 86400L * 1000000L))
+      val perConv = joined.groupBy(col("conv_id")).agg(count(lit(1)).as("n_total"))
+      joined.groupBy(col("conv_id"), col("cents"), col("touch_type"))
+        .agg(count(lit(1)).as("n_type"))
+        .join(perConv, "conv_id")
+        .withColumn("credit", expr("(cents * n_type) DIV n_total"))
+        .groupBy(col("touch_type"))
+        .agg(count(lit(1)).as("n_conversions_touched"),
+          sum(col("credit")).as("credit_cents"))
+        .orderBy(col("touch_type"))
+    }),
+
     // Compression-ratio quality screen (Gopher/C4 "too compressible =
     // boilerplate"): ONE codegen'd deflate pass per document (native
     // DeflateRatio expression — no UDF round-trip, no match arrays), then
@@ -425,6 +459,30 @@ object QueriesMlops {
         |  floor(quantile_cont(CAST(hr AS DOUBLE), 0.9) * 1e4 + 0.5) / 1e4 AS p90_hours,
         |  max(sec) AS max_sec
         |FROM d""".stripMargin,
+    "attribution_linear" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL AND value IS NOT NULL),
+        |conv AS (SELECT user_id, event_id AS conv_id, us AS cus, cents
+        |  FROM ev WHERE event_type = 'purchase'),
+        |touch AS (SELECT user_id AS tu, event_type AS touch_type, us AS tus
+        |  FROM ev WHERE event_type <> 'purchase'),
+        |joined AS (
+        |  SELECT conv_id, cents, touch_type
+        |  FROM conv JOIN touch ON user_id = tu
+        |    AND tus < cus AND tus >= cus - CAST(604800000000 AS BIGINT)),
+        |per_conv AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_total
+        |  FROM joined GROUP BY 1),
+        |per_type AS (
+        |  SELECT conv_id, cents, touch_type, CAST(count(*) AS BIGINT) AS n_type
+        |  FROM joined GROUP BY 1, 2, 3)
+        |SELECT touch_type, CAST(count(*) AS BIGINT) AS n_conversions_touched,
+        |  CAST(sum((cents * n_type) // n_total) AS BIGINT) AS credit_cents
+        |FROM per_type JOIN per_conv USING (conv_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "ts_ewma" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS d, avg(value) AS x

@@ -176,6 +176,53 @@ object QueriesSim {
         .select(col("qid"), col("vec_id"), round(col("cos"), 6).as("cos"),
           col("rank").cast(LongType).as("rank"))
         .orderBy(col("qid"), col("rank"))
+    }),
+
+    // Sparse tf-idf cosine similarity join (the weighted complement to
+    // ssjoin_prefix's set semantics): document-at-a-time scoring through an
+    // inverted-postings equi-join — dot products accumulate ONLY over
+    // co-occurring terms (work = Σ df², never |docs|²), norms join back on
+    // the doc key. Terms are token BIGRAMS (streamed by the native
+    // ShingleGenerator, no intermediate array): the testdata's unigram
+    // vocabulary is a flat 31 words present in every document — zero idf
+    // discrimination — while the bigram space is vocabulary², where tf-idf
+    // actually separates near-dups from unrelated docs. Terms in >10% of
+    // docs prune BEFORE weighting (identically in the oracle): the Zipf
+    // head contributes ~0 idf weight but quadratic postings pairs, so
+    // dropping it bounds the join at any corpus size.
+    "sparse_cosine_join" -> ((s, dir) => {
+      import graft.functions.TextFns
+      // same constructed corpus as the dedup family (QueriesDedup.corpus):
+      // planted exact (+100000) and near (+200000) copies guarantee known
+      // high-cosine pairs at any scale factor
+      val base = t(s, dir, "documents").where(col("doc_id") % 25 === 0)
+        .select(col("doc_id"), col("text"))
+      val c = base
+        .unionByName(base.select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+        .unionByName(base.select((col("doc_id") + 200000L).as("doc_id"),
+          concat(col("text"), lit(" xtra xtra")).as("text")))
+      val terms = c
+        .select(col("doc_id"),
+          TextFns.shingleExplode(TextFns.tokens(col("text")), 2).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val n = broadcast(terms.select(col("doc_id")).distinct()
+        .agg(count(lit(1)).as("n_docs")))
+      val dfq = terms.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val w = terms.join(dfq, "tok").crossJoin(n)
+        .where(col("df") <= col("n_docs") * 0.1)
+        .withColumn("w", col("tf") * log(col("n_docs").cast("double") / col("df")))
+        .select(col("doc_id"), col("tok"), col("w"))
+      val norms = w.groupBy(col("doc_id")).agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+      w.as("a").join(w.as("b"),
+          col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .agg(sum(col("a.w") * col("b.w")).as("dot"))
+        .join(norms.select(col("doc_id").as("id_a"), col("nrm").as("na")), "id_a")
+        .join(norms.select(col("doc_id").as("id_b"), col("nrm").as("nb")), "id_b")
+        .withColumn("cos", col("dot") / (col("na") * col("nb")))
+        .where(col("cos") >= 0.3)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+        .orderBy(col("id_a"), col("id_b"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -225,5 +272,33 @@ object QueriesSim {
         |  FROM (SELECT q.vec_id AS qid, e.vec_id,
         |      list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS c
         |    FROM embeddings e JOIN (SELECT * FROM embeddings WHERE vec_id < 20) q ON e.label = q.label))
-        |WHERE rn <= 5 ORDER BY qid, rank""".stripMargin)
+        |WHERE rn <= 5 ORDER BY qid, rank""".stripMargin,
+    "sparse_cosine_join" ->
+      s"""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0),
+         |corpus AS (
+         |  SELECT doc_id, text FROM base
+         |  UNION ALL SELECT doc_id + 100000, text FROM base
+         |  UNION ALL SELECT doc_id + 200000, text || ' xtra xtra' FROM base),
+         |terms AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+         |    i -> tk[i] || ' ' || tk[i+1])) AS tok
+         |  FROM (SELECT doc_id, ${Tables.toksSql()} AS tk FROM corpus)),
+         |tfm AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+         |  FROM terms GROUP BY 1, 2),
+         |n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tfm),
+         |dfm AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tfm GROUP BY 1),
+         |w AS (
+         |  SELECT doc_id, tok, tf * ln(CAST(n_docs AS DOUBLE) / df) AS w
+         |  FROM tfm JOIN dfm USING (tok) CROSS JOIN n
+         |  WHERE df <= n_docs * 0.1),
+         |norms AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1),
+         |dots AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.w * b.w) AS dot
+         |  FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, round(c, 6) AS cos FROM (
+         |  SELECT id_a, id_b, dot / (na.nrm * nb.nrm) AS c
+         |  FROM dots JOIN norms na ON dots.id_a = na.doc_id
+         |    JOIN norms nb ON dots.id_b = nb.doc_id)
+         |WHERE c >= 0.3 ORDER BY id_a, id_b""".stripMargin)
 }

@@ -135,6 +135,43 @@ class MlopsSpec extends SparkSpec {
     assert(avg >= 0 && avg <= mx)
   }
 
+  test("attribution_linear: floor-credit conserves value up to remainder cents") {
+    val ev = graft.queries.Tables.t(spark, dir, "events")
+      .where(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_type").isNotNull && col("value").isNotNull)
+    // conversions with at least one prior-week touch, recomputed directly
+    val rows = q("attribution_linear").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty && rows.forall(_._1 != "purchase"))
+    assert(rows.forall(r => r._2 > 0 && r._3 >= 0))
+    val totalCredit = rows.map(_._3).sum
+    val totalPurchaseCents = ev.where(col("event_type") === "purchase")
+      .agg(sum(floor(col("value") * 100 + 0.5).cast("long"))).head().getLong(0)
+    // credited mass can never exceed the total conversion mass
+    assert(totalCredit <= totalPurchaseCents, s"$totalCredit > $totalPurchaseCents")
+  }
+
+  test("trending_topk: at most k rows per day, counts non-increasing in rank") {
+    val rows = graft.queries.QueriesAnalytics.queries("trending_topk")(spark, dir)
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(3)))
+    for ((_, day) <- rows.groupBy(_._1)) {
+      val byRank = day.sortBy(_._2)
+      assert(byRank.length <= 3)
+      assert(byRank.map(_._2).toSeq == (1L to byRank.length).toSeq)
+      assert(byRank.map(_._3).toSeq == byRank.map(_._3).sortBy(-_).toSeq)
+    }
+  }
+
+  test("sparse_cosine_join: planted exact copies score cosine 1.0, all in (0,1]") {
+    val rows = graft.queries.QueriesSim.queries("sparse_cosine_join")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.forall { case (a, b, c) => a < b && c > 0.0 && c <= 1.0 })
+    val exactPairs = rows.filter { case (a, b, _) => a < 100000L && b == a + 100000L }
+    assert(exactPairs.nonEmpty, "planted exact copies must surface")
+    assert(exactPairs.forall(_._3 == 1.0),
+      s"exact copy cosine != 1.0: ${exactPairs.filter(_._3 != 1.0).take(3).toSeq}")
+  }
+
   test("ts_ewma: smoother output bounded by the window's daily-average range") {
     val daily = graft.queries.Tables.t(spark, dir, "events")
       .where(col("value").isNotNull && col("ts").isNotNull &&
