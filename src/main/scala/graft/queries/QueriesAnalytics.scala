@@ -351,6 +351,33 @@ object QueriesAnalytics {
             .as("clustering"))
     }),
 
+    // 2D Pareto skyline (non-dominated frontier) per group: minimize
+    // (price, discount) over lineitem within each return flag. The classic
+    // nested NOT-EXISTS dominance test is O(n²); on a SORTED dimension the
+    // skyline is ONE window pass — a row survives iff its discount is
+    // strictly under every strictly-cheaper row's minimum (integer-cents
+    // RANGE frame expresses "strictly cheaper" exactly) and it ties the
+    // minimum within its own price point. One sort per group, O(1) window
+    // state, works at any row count.
+    "skyline_pareto" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .where(col("l_extendedprice").isNotNull && col("l_discount").isNotNull)
+        .select(col("l_returnflag"),
+          floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("pc"),
+          floor(col("l_discount") * 100 + 0.5).cast("long").as("dc"))
+      val prev = Window.partitionBy("l_returnflag").orderBy(col("pc"))
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val grp = Window.partitionBy("l_returnflag", "pc")
+      val sky = li
+        .withColumn("prev_min_d", min(col("dc")).over(prev))
+        .withColumn("grp_min_d", min(col("dc")).over(grp))
+        .where(col("dc") === col("grp_min_d") &&
+          (col("prev_min_d").isNull || col("dc") < col("prev_min_d")))
+      sky.groupBy(col("l_returnflag"), col("pc"), col("dc"))
+        .agg(count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"), col("pc"))
+    }),
+
     // Trending top-k: the day's 3 most-active users per day. The rank≤3
     // filter plans Partial/Final WindowGroupLimit around the day exchange
     // (same pushdown as inverted_index), so no day's full leaderboard is
@@ -706,6 +733,23 @@ object QueriesAnalytics {
         |SELECT n_nodes, n_edges, n_triangles,
         |  floor(3.0 * n_triangles / n_triads * 1e6 + 0.5) / 1e6 AS clustering
         |FROM triads, edges, tri""".stripMargin,
+    "skyline_pareto" ->
+      """WITH li AS (
+        |  SELECT l_returnflag,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS pc,
+        |    CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS dc
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_discount IS NOT NULL),
+        |w AS (
+        |  SELECT l_returnflag, pc, dc,
+        |    min(dc) OVER (PARTITION BY l_returnflag ORDER BY pc
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_min_d,
+        |    min(dc) OVER (PARTITION BY l_returnflag, pc) AS grp_min_d
+        |  FROM li)
+        |SELECT l_returnflag, pc, dc, CAST(count(*) AS BIGINT) AS n_rows
+        |FROM w
+        |WHERE dc = grp_min_d AND (prev_min_d IS NULL OR dc < prev_min_d)
+        |GROUP BY 1, 2, 3 ORDER BY l_returnflag, pc""".stripMargin,
     "trending_topk" ->
       """WITH d AS (
         |  SELECT CAST(ts AS DATE) AS d, user_id, CAST(count(*) AS BIGINT) AS n

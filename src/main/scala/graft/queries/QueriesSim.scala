@@ -208,10 +208,15 @@ object QueriesSim {
       val n = broadcast(terms.select(col("doc_id")).distinct()
         .agg(count(lit(1)).as("n_docs")))
       val dfq = terms.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      // persist: the weighted-postings table feeds THREE consumers (both
+      // sides of the pair join + the norms) — without it Spark re-runs the
+      // tokenize+tf+df chain per reference (no common-subplan reuse across
+      // DataFrame branches). Same pattern/rationale as Dedup.shingleSets.
       val w = terms.join(dfq, "tok").crossJoin(n)
         .where(col("df") <= col("n_docs") * 0.1)
         .withColumn("w", col("tf") * log(col("n_docs").cast("double") / col("df")))
         .select(col("doc_id"), col("tok"), col("w"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val norms = w.groupBy(col("doc_id")).agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
       w.as("a").join(w.as("b"),
           col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))

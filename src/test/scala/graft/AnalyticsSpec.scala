@@ -448,6 +448,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(clust >= 0.0 && clust <= 1.0)
   }
 
+  test("skyline_pareto: window form equals brute-force dominance test") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_returnflag", "l_extendedprice", "l_discount").collect()
+      .map(r => (r.getString(0),
+        math.floor(r.getDouble(1) * 100 + 0.5).toLong,
+        math.floor(r.getDouble(2) * 100 + 0.5).toLong))
+    val expected = li.groupBy(_._1).toSeq.flatMap { case (flag, rows) =>
+      val pts = rows.map(r => (r._2, r._3))
+      val sky = pts.filter { case (p, d) =>
+        !pts.exists { case (p2, d2) =>
+          p2 <= p && d2 <= d && (p2 < p || d2 < d) }
+      }.distinct
+      sky.map { case (p, d) =>
+        (flag, p, d, pts.count(x => x == (p, d)).toLong) }
+    }.toSet
+    val got = q("skyline_pareto").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected,
+      s"skyline mismatch: missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+  }
+
   test("ts_seasonal_adjust: per-type residuals mean to ~0, flags bounded") {
     val rows = q("ts_seasonal_adjust").collect()
     assert(rows.nonEmpty)
