@@ -71,8 +71,11 @@ object QueriesMlops {
       val ev = t(s, dir, "events")
         .where(col("event_type").isNotNull && col("ts").isNotNull && col("value").isNotNull)
         .withColumn("us", unix_micros(col("ts")))
-      val mid = broadcast(ev.agg(
-        ((min(col("us")) + max(col("us"))) / 2).cast("long").as("mid")))
+      // integer DIV, not /2-then-cast: Spark's double→long cast truncates
+      // while DuckDB's CAST(double AS BIGINT) rounds — an odd µs-sum plus
+      // an event exactly at the midpoint would split the halves differently
+      val mid = broadcast(ev.agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+        .select(expr("(mn + mx) DIV 2").as("mid")))
       val bins = ev.crossJoin(mid)
         .withColumn("bin", least(floor(col("value") / 50), lit(9.0)).cast("int"))
         .groupBy(col("event_type"), col("bin"))
@@ -344,7 +347,7 @@ object QueriesMlops {
         |  SELECT event_type, epoch_us(ts) AS us, value
         |  FROM events
         |  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
-        |mid AS (SELECT CAST((min(us) + max(us)) / 2 AS BIGINT) AS mid FROM ev),
+        |mid AS (SELECT (min(us) + max(us)) // 2 AS mid FROM ev),
         |bins AS (
         |  SELECT event_type,
         |    CAST(least(floor(value / 50), 9) AS INT) AS bin,
