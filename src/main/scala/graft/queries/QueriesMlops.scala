@@ -257,6 +257,58 @@ object QueriesMlops {
           col("max_sec"))
     }),
 
+    // Daily latency-style percentile tracking: exact p50/p95 of value per
+    // (series, day) in INTEGER cents with explicit selection semantics
+    // (smallest value whose running count reaches ⌈p·n⌉) — engine-identical
+    // by construction, no interpolation, no rounding surface. This is the
+    // many-group scale form (the cents aggregate bounds each group at the
+    // cents domain; the window runs per tiny group) — groups × days small
+    // sorts, never a driver collect, the weighted_median pattern applied
+    // to ops metrics. ⌈p·n⌉ is FP-safe cross-engine: binary 0.95 sits
+    // BELOW the real 0.95, so the product can never cross the next integer.
+    "daily_percentiles" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .where(col("event_type").isNotNull && col("ts").isNotNull && col("value").isNotNull)
+        .select(col("event_type"), to_date(col("ts")).as("d"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        .groupBy(col("event_type"), col("d"), col("cents"))
+        .agg(count(lit(1)).as("n"))
+      val grp = Window.partitionBy("event_type", "d")
+      val cum = grp.orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("cumn", sum(col("n")).over(cum))
+        .withColumn("tot", sum(col("n")).over(grp))
+        .groupBy(col("event_type"), col("d"))
+        .agg(max(col("tot")).as("n_events"),
+          min(when(col("cumn") >= ceil(col("tot") * 0.5), col("cents"))).as("p50_cents"),
+          min(when(col("cumn") >= ceil(col("tot") * 0.95), col("cents"))).as("p95_cents"))
+        .orderBy(col("event_type"), col("d"))
+    }),
+
+    // Day-7 rolling retention: share of a day's actives who are also
+    // active exactly 7 days later. The corpus collapses to the distinct
+    // (user, day) table FIRST; the retention join is user-equi on that
+    // collapsed table (each row matches ≤1 shifted row). Days within a
+    // week of the stream's end trivially retain 0 — kept, not special-
+    // cased, so the output is a pure function of the activity table.
+    "retention_d7" -> ((s, dir) => {
+      val ud = t(s, dir, "events")
+        .where(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+        .distinct()
+      val actives = ud.groupBy(col("d")).agg(count(lit(1)).as("actives"))
+      val ret = ud.as("a").join(ud.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            date_add(col("a.d"), 7) === col("b.d"))
+        .groupBy(col("a.d").as("d")).agg(count(lit(1)).as("retained"))
+      actives.join(ret, Seq("d"), "left")
+        .select(col("d"), col("actives"),
+          coalesce(col("retained"), lit(0L)).as("retained"),
+          (floor(coalesce(col("retained"), lit(0L)).cast("double")
+            / col("actives") * 1e4 + 0.5) / 1e4).as("rate_d7"))
+        .orderBy(col("d"))
+    }),
+
     // Linear multi-touch attribution (the fractional complement to
     // attribution_touch's first/last models): every non-purchase touch in
     // the 7-day lookback shares the conversion's value. Credit stays in
@@ -462,6 +514,40 @@ object QueriesMlops {
         |  floor(quantile_cont(CAST(hr AS DOUBLE), 0.9) * 1e4 + 0.5) / 1e4 AS p90_hours,
         |  max(sec) AS max_sec
         |FROM d""".stripMargin,
+    "daily_percentiles" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+        |h AS (
+        |  SELECT event_type, d, cents, CAST(count(*) AS BIGINT) AS n
+        |  FROM ev GROUP BY 1, 2, 3),
+        |c AS (
+        |  SELECT event_type, d, cents,
+        |    sum(n) OVER (PARTITION BY event_type, d ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumn,
+        |    sum(n) OVER (PARTITION BY event_type, d) AS tot
+        |  FROM h)
+        |SELECT event_type, d, CAST(max(tot) AS BIGINT) AS n_events,
+        |  min(CASE WHEN cumn >= ceil(tot * 0.5) THEN cents END) AS p50_cents,
+        |  min(CASE WHEN cumn >= ceil(tot * 0.95) THEN cents END) AS p95_cents
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "retention_d7" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |actives AS (SELECT d, CAST(count(*) AS BIGINT) AS actives FROM ud GROUP BY 1),
+        |ret AS (
+        |  SELECT a.d, CAST(count(*) AS BIGINT) AS retained
+        |  FROM ud a JOIN ud b ON a.user_id = b.user_id AND a.d + 7 = b.d
+        |  GROUP BY 1)
+        |SELECT actives.d, actives,
+        |  coalesce(retained, 0) AS retained,
+        |  floor(CAST(coalesce(retained, 0) AS DOUBLE) / actives * 1e4 + 0.5) / 1e4
+        |    AS rate_d7
+        |FROM actives LEFT JOIN ret ON actives.d = ret.d
+        |ORDER BY actives.d""".stripMargin,
     "attribution_linear" ->
       """WITH ev AS (
         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,

@@ -135,6 +135,38 @@ class MlopsSpec extends SparkSpec {
     assert(avg >= 0 && avg <= mx)
   }
 
+  test("daily_percentiles: selection semantics match sorted-array order statistics") {
+    val ev = graft.queries.Tables.t(spark, dir, "events")
+      .where(col("event_type").isNotNull && col("ts").isNotNull && col("value").isNotNull)
+      .select(col("event_type"), to_date(col("ts")).as("d"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .collect().map(r => ((r.getString(0), r.getDate(1).toLocalDate), r.getLong(2)))
+    val byGroup = ev.groupBy(_._1)
+    for (r <- q("daily_percentiles").collect()) {
+      val key = (r.getString(0), r.getDate(1).toLocalDate)
+      val (n, p50, p95) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      val sorted = byGroup(key).map(_._2).sorted
+      assert(n == sorted.length)
+      // smallest value whose running count reaches ceil(p*n) = the
+      // ceil(p*n)-th order statistic (1-indexed)
+      assert(p50 == sorted(math.ceil(0.5 * n).toInt - 1))
+      assert(p95 == sorted(math.ceil(0.95 * n).toInt - 1))
+      assert(p50 <= p95)
+    }
+  }
+
+  test("retention_d7: rate bounded, retained never exceeds either day's actives") {
+    val rows = q("retention_d7").collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val actives = rows.map(r => r._1 -> r._2).toMap
+    for ((d, a, ret, rate) <- rows) {
+      assert(a > 0 && ret >= 0 && ret <= a)
+      assert(rate >= 0.0 && rate <= 1.0)
+      actives.get(d.plusDays(7)).foreach(a7 => assert(ret <= a7))
+      if (!actives.contains(d.plusDays(7))) assert(ret == 0L)
+    }
+  }
+
   test("attribution_linear: floor-credit conserves value up to remainder cents") {
     val ev = graft.queries.Tables.t(spark, dir, "events")
       .where(col("user_id").isNotNull && col("ts").isNotNull &&
