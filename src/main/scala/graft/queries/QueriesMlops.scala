@@ -246,14 +246,17 @@ object QueriesMlops {
         .withColumn("hr", expr("sec DIV 3600"))
       val hist = dur.groupBy(col("hr")).count().collect()
         .map(r => (r.getLong(0).toDouble, r.getLong(1))).toSeq
-      val p50 = graft.operators.DiscreteQuantile.quantileOfHistogram(hist, 0.5)
-      val p90 = graft.operators.DiscreteQuantile.quantileOfHistogram(hist, 0.9)
+      // empty-funnel guard: no conversions → NULL quantiles, matching the
+      // oracle's aggregate-over-empty behavior instead of throwing
+      def quant(p: Double) =
+        if (hist.isEmpty) lit(null).cast("double")
+        else lit(math.floor(
+          graft.operators.DiscreteQuantile.quantileOfHistogram(hist, p) * 1e4 + 0.5) / 1e4)
       dur.agg(count(lit(1)).as("n_converted"),
         (floor(avg(col("sec")) * 1e2 + 0.5) / 1e2).as("avg_sec"),
         max(col("sec")).as("max_sec"))
         .select(col("n_converted"), col("avg_sec"),
-          lit(math.floor(p50 * 1e4 + 0.5) / 1e4).as("p50_hours"),
-          lit(math.floor(p90 * 1e4 + 0.5) / 1e4).as("p90_hours"),
+          quant(0.5).as("p50_hours"), quant(0.9).as("p90_hours"),
           col("max_sec"))
     }),
 
