@@ -63,6 +63,30 @@ object Multimodal {
       }
   }
 
+  /** STUB resize: downsample the payload to a byte budget by stride
+    * sampling — keep every k-th byte, k = ⌈len/budget⌉ — standing in for
+    * image down-scaling; metadata scales with the same factor so the
+    * struct stays self-consistent. Deterministic and content-derived like
+    * the other stubs; the payload is utf-8 of ASCII testdata text, so the
+    * byte stride is also a character stride and the DuckDB twin can slice
+    * characters (same ASCII contract as sampleFrames). */
+  def resize(media: org.apache.spark.sql.Column, budget: Int): org.apache.spark.sql.Column = {
+    val txt = decode(media.getField("bytes"), "UTF-8")
+    val len = length(txt)
+    // clamp to >=1: an empty payload has ceil(0/budget)=0, which must not
+    // reach the stride/metadata divisions (no-op for any non-empty payload)
+    val k = greatest(ceil(len / lit(budget.toDouble)), lit(1)).cast(IntegerType)
+    val strided = when(len > 0,
+      array_join(transform(sequence(lit(1), len, k), i => txt.substr(i, lit(1))), ""))
+      .otherwise(lit(""))
+    struct(
+      encode(strided, "UTF-8").as("bytes"),
+      media.getField("mime").as("mime"),
+      ceil(media.getField("width") / k).cast(IntegerType).as("width"),
+      ceil(media.getField("height") / k).cast(IntegerType).as("height"),
+      media.getField("duration_ms").as("duration_ms"))
+  }
+
   /** STUB frame sampler: slice the payload into `n` contiguous frames —
     * stands in for video frame extraction; produces one row per frame, the
     * real explode shape for downstream per-frame featurization. Boundaries

@@ -233,6 +233,21 @@ object QueriesDdl {
         .orderBy(col("doc_id"), col("frame_idx"))
     }),
 
+    // STUB resize: stride-sampled payload downscale to a 64-byte budget —
+    // the remaining multimodal verb (decode / featurize / frame-sample /
+    // RESIZE). Same ASCII byte≡char contract as multimodal_framesample.
+    "multimodal_resize" -> ((s, dir) => {
+      val media = t(s, dir, "documents").where(col("doc_id") < 200)
+        .select(col("doc_id"), Multimodal.mediaFromText(col("text"), "image/fake").as("media"))
+      media.select(col("doc_id"),
+          length(col("media.bytes")).cast(LongType).as("orig_len"),
+          Multimodal.resize(col("media"), budget = 64).as("r"))
+        .select(col("doc_id"), col("orig_len"),
+          length(col("r.bytes")).cast(LongType).as("new_len"),
+          md5(col("r.bytes")).as("resized_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Multimodal: binary payload struct + metadata/content features.
     "multimodal_features" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -296,6 +311,22 @@ object QueriesDdl {
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n, round(sum(o_totalprice), 2) AS rev
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "multimodal_resize" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, length(text) AS len,
+        |    CAST(ceil(length(text) / 64.0) AS INT) AS k
+        |  FROM documents WHERE doc_id < 200),
+        |r AS (
+        |  SELECT doc_id, len,
+        |    CASE WHEN len > 0 THEN array_to_string(
+        |      list_transform(range(1, len + 1, k),
+        |        i -> substr(text, CAST(i AS INT), 1)), '')
+        |    ELSE '' END AS resized
+        |  FROM d)
+        |SELECT doc_id, CAST(len AS BIGINT) AS orig_len,
+        |  CAST(length(resized) AS BIGINT) AS new_len,
+        |  md5(resized) AS resized_md5
+        |FROM r ORDER BY doc_id""".stripMargin,
     "multimodal_framesample" ->
       """WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents WHERE doc_id < 200),
         |f AS (SELECT doc_id, i, (i * len) // 4 AS o1, ((i + 1) * len) // 4 AS o2, text

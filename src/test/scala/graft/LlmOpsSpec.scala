@@ -140,6 +140,25 @@ class LlmOpsSpec extends SparkSpec {
     assert(frames.length == 4) // 2 docs × 2 frames
   }
 
+  test("multimodal resize: stride subsequence, budget bound, metadata scales") {
+    import graft.multimodal.Multimodal
+    val df = Seq((1L, "abcdefghij" * 20), (2L, "xy"), (3L, "")).toDF("doc_id", "text")
+      .select(col("doc_id"), Multimodal.mediaFromText(col("text"), "image/fake").as("media"))
+    val rows = df.select(col("doc_id"),
+        decode(col("media.bytes"), "UTF-8").as("orig"),
+        decode(Multimodal.resize(col("media"), 64).getField("bytes"), "UTF-8").as("res"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    for ((_, orig, res) <- rows) {
+      assert(res.length <= 64)
+      val k = math.ceil(orig.length / 64.0).toInt
+      if (orig.nonEmpty) {
+        assert(res.length == (orig.length + k - 1) / k)
+        // stride subsequence: res(i) == orig(i*k)
+        assert(res.zipWithIndex.forall { case (c, i) => c == orig(i * k) })
+      } else assert(res.isEmpty)
+    }
+  }
+
   test("ssjoin_prefix: prefix filtering reproduces brute-force all-pairs exactly") {
     val dir = "/root/testdata/sf0.001"
     // same corpus construction as QueriesDedup.corpus
