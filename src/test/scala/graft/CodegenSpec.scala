@@ -95,6 +95,24 @@ class CodegenSpec extends SparkSpec {
         (r.isNullAt(0) || r.getDouble(0) == r.getDouble(1)), s"edge mismatch: $r"))
   }
 
+  test("DeflateRatio: codegen'd, and codegen equals direct compute on varied inputs") {
+    import graft.functions.TextFns
+    import org.apache.spark.unsafe.types.UTF8String
+    val df = spark.range(1, 200)
+      .select(col("id"),
+        concat_ws(" ", lit("tok"), col("id").cast(StringType),
+          lit("abc " * 5), md5(col("id").cast(StringType))).as("s"))
+      .select(col("id"), col("s"), TextFns.deflateRatio(col("s")).as("r"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [") && plan.contains("deflate_ratio"),
+      s"deflate_ratio lost codegen:\n$plan")
+    // the codegen'd path must agree with a direct library call row-by-row
+    for (r <- df.collect()) {
+      val expect = graft.plans.DeflateRatio.compute(UTF8String.fromString(r.getString(1)))
+      assert(r.getDouble(2) == expect, s"row ${r.getLong(0)}")
+    }
+  }
+
   test("cosine_sim is SQL-registered via GraftExtensions") {
     graft.plans.GraftExtensions.register(spark)
     val got = spark.sql(
