@@ -252,8 +252,13 @@ object QueriesDedup {
     // reproduce the brute-force answer exactly.
     "ssjoin_prefix" -> ((s, dir) => {
       val tau = 0.6
+      // zero-token docs are excluded up front: J(∅,∅) is 0/0 — NaN, which
+      // DuckDB's comparison orders ABOVE the threshold while Spark's Java
+      // semantics reject, a latent cross-engine divergence (an empty set
+      // has J = 0 < τ with everything anyway)
       val toks = corpus(s, dir)
         .select(col("doc_id"), array_distinct(TextFns.tokens(col("text"))).as("toks"))
+        .where(size(col("toks")) > 0)
       val ex = toks.select(col("doc_id"), explode(col("toks")).as("tok"))
       val tf = ex.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       val w = Window.partitionBy("doc_id").orderBy(col("df"), col("tok"))
@@ -429,7 +434,9 @@ object QueriesDedup {
     // prefix-filtered Spark path must reproduce this with zero misses.
     "ssjoin_prefix" ->
       s"""$corpusSql,
-         |toks AS (SELECT doc_id, list_distinct($toksSql) AS tk FROM corpus)
+         |toks AS (SELECT doc_id, tk FROM (
+         |  SELECT doc_id, list_distinct($toksSql) AS tk FROM corpus)
+         |  WHERE len(tk) > 0)
          |SELECT id_a, id_b, jaccard FROM (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |    floor(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE) /
