@@ -288,6 +288,33 @@ object QueriesMlops {
         .orderBy(col("event_type"), col("d"))
     }),
 
+    // Time-constrained funnel conversion: signup → first purchase WITHIN
+    // 72h (event_funnel's ordered stages have no deadline — this is the
+    // conversion-window variant every growth dashboard wants). Cohorted by
+    // signup week; all math in integer µs, the rate is a floor-rounded
+    // integer ratio. Two user-sized aggregates + one equi-join, as in
+    // time_to_convert — never a per-event window.
+    "funnel_conversion" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .where(col("user_id").isNotNull && col("ts").isNotNull && col("event_type").isNotNull)
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      val su = ev.where(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("us")).as("s"))
+      val pu = ev.where(col("event_type") === "purchase")
+        .join(su, "user_id")
+        .where(col("us") >= col("s"))
+        .groupBy(col("user_id"), col("s")).agg(min(col("us")).as("p"))
+      val deadline = 72L * 3600L * 1000000L
+      su.join(pu.select(col("user_id"), col("p")), Seq("user_id"), "left")
+        .groupBy(to_date(date_trunc("week", timestamp_micros(col("s")))).as("cohort_week"))
+        .agg(count(lit(1)).as("n_signups"),
+          count(when(col("p").isNotNull && col("p") - col("s") <= deadline, 1))
+            .as("n_converted_72h"))
+        .withColumn("rate_72h",
+          floor(col("n_converted_72h").cast("double") / col("n_signups") * 1e4 + 0.5) / 1e4)
+        .orderBy(col("cohort_week"))
+    }),
+
     // Day-7 rolling retention: share of a day's actives who are also
     // active exactly 7 days later. The corpus collapses to the distinct
     // (user, day) table FIRST; the retention join is user-equi on that
@@ -536,6 +563,29 @@ object QueriesMlops {
         |  min(CASE WHEN cumn >= ceil(tot * 0.5) THEN cents END) AS p50_cents,
         |  min(CASE WHEN cumn >= ceil(tot * 0.95) THEN cents END) AS p95_cents
         |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "funnel_conversion" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL),
+        |su AS (SELECT user_id, min(us) AS s FROM ev
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |pu AS (
+        |  SELECT e.user_id, min(e.us) AS p
+        |  FROM ev e JOIN su ON e.user_id = su.user_id
+        |  WHERE e.event_type = 'purchase' AND e.us >= su.s
+        |  GROUP BY e.user_id, su.s),
+        |j AS (
+        |  SELECT su.s, pu.p FROM su LEFT JOIN pu ON su.user_id = pu.user_id)
+        |SELECT CAST(date_trunc('week', make_timestamp(s)) AS DATE) AS cohort_week,
+        |  CAST(count(*) AS BIGINT) AS n_signups,
+        |  CAST(count(CASE WHEN p IS NOT NULL
+        |      AND p - s <= 72 * 3600 * CAST(1000000 AS BIGINT) THEN 1 END) AS BIGINT)
+        |    AS n_converted_72h,
+        |  floor(CAST(count(CASE WHEN p IS NOT NULL
+        |      AND p - s <= 72 * 3600 * CAST(1000000 AS BIGINT) THEN 1 END) AS DOUBLE)
+        |    / count(*) * 1e4 + 0.5) / 1e4 AS rate_72h
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "retention_d7" ->
       """WITH ud AS (
         |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d

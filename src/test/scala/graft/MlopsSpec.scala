@@ -155,6 +155,24 @@ class MlopsSpec extends SparkSpec {
     }
   }
 
+  test("funnel_conversion: deadline subset of unconstrained conversions, cohorts partition signups") {
+    val rows = q("funnel_conversion").collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    for ((_, n, c, rate) <- rows) {
+      assert(c <= n && rate >= 0.0 && rate <= 1.0)
+      assert(rate == math.floor(c.toDouble / n * 1e4 + 0.5) / 1e4)
+    }
+    // cohorts partition the signup population
+    val ev = graft.queries.Tables.t(spark, dir, "events")
+      .where(col("user_id").isNotNull && col("ts").isNotNull && col("event_type") === "signup")
+      .select(col("user_id")).distinct().count()
+    assert(rows.map(_._2).sum == ev)
+    // 72h-bounded conversions can never exceed the unconstrained funnel
+    val ttc = q("time_to_convert").head().getLong(0)
+    assert(rows.map(_._3).sum <= ttc)
+  }
+
   test("retention_d7: rate bounded, retained never exceeds either day's actives") {
     val rows = q("retention_d7").collect()
       .map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2), r.getDouble(3)))
