@@ -339,6 +339,84 @@ object QueriesMlops {
         .orderBy(col("d"))
     }),
 
+    // Cohort lifetime-value curves: cumulative purchase cents per signup
+    // cohort by week offset — the growth dashboard's LTV triangle. All
+    // value mass in exact integer cents, cumulative via one ordered window
+    // over the cohorts×offsets aggregate (config-sized); cohort sizes ride
+    // the same signup aggregate.
+    "user_ltv" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .where(col("user_id").isNotNull && col("ts").isNotNull && col("event_type").isNotNull)
+      val su = ev.where(col("event_type") === "signup")
+        .groupBy(col("user_id"))
+        .agg(min(to_date(date_trunc("week", col("ts")))).as("cohort_week"))
+      val cohortSize = su.groupBy(col("cohort_week")).agg(count(lit(1)).as("n_users"))
+      val rev = ev.where(col("event_type") === "purchase" && col("value").isNotNull)
+        .join(su, "user_id")
+        .withColumn("w", to_date(date_trunc("week", col("ts"))))
+        .where(col("w") >= col("cohort_week"))
+        .groupBy(col("cohort_week"),
+          expr("CAST(datediff(w, cohort_week) DIV 7 AS BIGINT)").as("week_offset"))
+        .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
+      val cum = Window.partitionBy("cohort_week").orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      rev.withColumn("cum_cents", sum(col("cents")).over(cum))
+        .join(cohortSize, "cohort_week")
+        .select(col("cohort_week"), col("week_offset"), col("n_users"),
+          col("cents"), col("cum_cents"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    }),
+
+    // χ² independence test between event type and weekday (the
+    // contingency-table sibling of benford_dq): observed counts collapse
+    // to the 5×7 grid in one aggregate, expected = row·col/N and the χ²
+    // sum run over that grid. Spark weekday() (0=Monday) ≡ DuckDB
+    // isodow−1 (the seasonality_profile mapping).
+    "chi2_independence" -> ((s, dir) => {
+      val obs = t(s, dir, "events")
+        .where(col("event_type").isNotNull && col("ts").isNotNull)
+        .groupBy(col("event_type"), weekday(col("ts")).as("dow"))
+        .agg(count(lit(1)).as("o"))
+      val wr = Window.partitionBy("event_type")
+      val wc = Window.partitionBy("dow")
+      val wn = Window.partitionBy()
+      obs
+        .withColumn("r", sum(col("o")).over(wr))
+        .withColumn("c", sum(col("o")).over(wc))
+        .withColumn("n", sum(col("o")).over(wn))
+        .withColumn("e", col("r").cast("double") * col("c") / col("n"))
+        .agg(max(col("n")).as("n_events"),
+          (count_distinct(col("event_type")) - 1).as("df_rows"),
+          (count_distinct(col("dow")) - 1).as("df_cols"),
+          (floor(sum(pow(col("o") - col("e"), 2) / col("e")) * 1e4 + 0.5) / 1e4)
+            .as("chi2"))
+        .select(col("n_events"), (col("df_rows") * col("df_cols")).as("dof"), col("chi2"))
+    }),
+
+    // Audience overlap: pairwise Jaccard between event types' distinct
+    // user sets — the behavioral form of the set-similarity pattern. The
+    // corpus collapses to the distinct (type, user) table first; co-
+    // occurrence pairs come from a user-equi join (work = Σ per-user
+    // types², bounded by types²·users), sizes join back per type.
+    "audience_overlap" -> ((s, dir) => {
+      val ut = t(s, dir, "events")
+        .where(col("event_type").isNotNull && col("user_id").isNotNull)
+        .select(col("event_type"), col("user_id")).distinct()
+      val sizes = ut.groupBy(col("event_type")).agg(count(lit(1)).as("sz"))
+      val both = ut.as("a").join(ut.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+        .agg(count(lit(1)).as("n_both"))
+      both
+        .join(sizes.select(col("event_type").as("type_a"), col("sz").as("na")), "type_a")
+        .join(sizes.select(col("event_type").as("type_b"), col("sz").as("nb")), "type_b")
+        .select(col("type_a"), col("type_b"), col("n_both"),
+          (floor(col("n_both").cast("double")
+            / (col("na") + col("nb") - col("n_both")) * 1e6 + 0.5) / 1e6).as("jaccard"))
+        .orderBy(col("type_a"), col("type_b"))
+    }),
+
     // Linear multi-touch attribution (the fractional complement to
     // attribution_touch's first/last models): every non-purchase touch in
     // the 7-day lookback shares the conversion's value. Credit stays in
@@ -601,6 +679,65 @@ object QueriesMlops {
         |    AS rate_d7
         |FROM actives LEFT JOIN ret ON actives.d = ret.d
         |ORDER BY actives.d""".stripMargin,
+    "user_ltv" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, ts, value FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL),
+        |su AS (
+        |  SELECT user_id, min(CAST(date_trunc('week', ts) AS DATE)) AS cohort_week
+        |  FROM ev WHERE event_type = 'signup' GROUP BY 1),
+        |cs AS (SELECT cohort_week, CAST(count(*) AS BIGINT) AS n_users
+        |  FROM su GROUP BY 1),
+        |rev AS (
+        |  SELECT su.cohort_week,
+        |    CAST(date_diff('day', su.cohort_week,
+        |      CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS BIGINT) AS week_offset,
+        |    CAST(sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM ev e JOIN su ON e.user_id = su.user_id
+        |  WHERE e.event_type = 'purchase' AND e.value IS NOT NULL
+        |    AND CAST(date_trunc('week', e.ts) AS DATE) >= su.cohort_week
+        |  GROUP BY 1, 2)
+        |SELECT rev.cohort_week, week_offset, n_users, cents,
+        |  CAST(sum(cents) OVER (PARTITION BY rev.cohort_week ORDER BY week_offset
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
+        |FROM rev JOIN cs ON rev.cohort_week = cs.cohort_week
+        |ORDER BY rev.cohort_week, week_offset""".stripMargin,
+    "chi2_independence" ->
+      """WITH obs AS (
+        |  SELECT event_type, CAST(isodow(ts) - 1 AS INTEGER) AS dow,
+        |    CAST(count(*) AS BIGINT) AS o
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |w AS (
+        |  SELECT o,
+        |    CAST(sum(o) OVER (PARTITION BY event_type) AS DOUBLE)
+        |      * sum(o) OVER (PARTITION BY dow)
+        |      / sum(o) OVER () AS e,
+        |    sum(o) OVER () AS n, event_type, dow
+        |  FROM obs)
+        |SELECT CAST(max(n) AS BIGINT) AS n_events,
+        |  CAST((count(DISTINCT event_type) - 1) * (count(DISTINCT dow) - 1) AS BIGINT)
+        |    AS dof,
+        |  floor(sum(pow(o - e, 2) / e) * 1e4 + 0.5) / 1e4 AS chi2
+        |FROM w""".stripMargin,
+    "audience_overlap" ->
+      """WITH ut AS (
+        |  SELECT DISTINCT event_type, user_id FROM events
+        |  WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+        |sizes AS (SELECT event_type, CAST(count(*) AS BIGINT) AS sz FROM ut GROUP BY 1),
+        |ov AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    CAST(count(*) AS BIGINT) AS n_both
+        |  FROM ut a JOIN ut b
+        |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, n_both,
+        |  floor(CAST(n_both AS DOUBLE) / (na.sz + nb.sz - n_both) * 1e6 + 0.5) / 1e6
+        |    AS jaccard
+        |FROM ov
+        |JOIN sizes na ON ov.type_a = na.event_type
+        |JOIN sizes nb ON ov.type_b = nb.event_type
+        |ORDER BY type_a, type_b""".stripMargin,
     "attribution_linear" ->
       """WITH ev AS (
         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,

@@ -155,6 +155,40 @@ class MlopsSpec extends SparkSpec {
     }
   }
 
+  test("user_ltv: cumulative curve is the prefix sum of weekly cents, non-decreasing") {
+    val rows = q("user_ltv").collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    for ((_, series) <- rows.groupBy(_._1)) {
+      val ordered = series.sortBy(_._2)
+      assert(ordered.map(_._4).scanLeft(0L)(_ + _).tail.toSeq == ordered.map(_._5).toSeq)
+      assert(ordered.map(_._5).toSeq == ordered.map(_._5).sorted.toSeq)
+      assert(ordered.map(_._3).distinct.length == 1, "cohort size constant per cohort")
+    }
+  }
+
+  test("chi2_independence: dof matches grid, chi2 non-negative") {
+    val r = q("chi2_independence").head()
+    val (n, dof, chi2) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    assert(n > 0 && chi2 >= 0.0)
+    assert(dof == 4L * 6L, s"5 types x 7 weekdays -> dof 24, got $dof")
+  }
+
+  test("audience_overlap: jaccard from independently-recomputed user sets") {
+    val ev = graft.queries.Tables.t(spark, dir, "events")
+      .where(col("event_type").isNotNull && col("user_id").isNotNull)
+      .select("event_type", "user_id").distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val sets = ev.groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).toSet }
+    for (r <- q("audience_overlap").collect()) {
+      val (a, b, nBoth, j) = (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))
+      val inter = (sets(a) & sets(b)).size.toLong
+      val union = (sets(a) | sets(b)).size
+      assert(nBoth == inter)
+      assert(j == math.floor(inter.toDouble / union * 1e6 + 0.5) / 1e6)
+    }
+  }
+
   test("funnel_conversion: deadline subset of unconstrained conversions, cohorts partition signups") {
     val rows = q("funnel_conversion").collect()
       .map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2), r.getDouble(3)))
