@@ -178,6 +178,32 @@ object QueriesSim {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // Embedding drift monitor: per-label centroid shift between two
+    // batches (vec_id parity split). One distributed posexplode+avg pass
+    // per half collapses to labels×dims centroids (the embed_classify
+    // construction), then the drift is the cosine between each label's two
+    // centroids — a labels-sized result from one scan of the embeddings.
+    "embed_drift" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .where(col("embedding").isNotNull && col("label").isNotNull)
+        .select(col("label"), (col("vec_id") % 2).as("half"),
+          col("embedding").cast("array<double>").as("v"))
+      val cent = e.select(col("label"), col("half"), posexplode(col("v")))
+        .groupBy(col("label"), col("half"), col("pos"))
+        .agg(avg(col("col")).as("c"), count(lit(1)).as("n"))
+        .groupBy(col("label"), col("half"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+          x => x.getField("c")).as("cv"), max(col("n")).as("n"))
+      val a = cent.where(col("half") === 0)
+        .select(col("label"), col("cv").as("ca"), col("n").as("n_a"))
+      val b = cent.where(col("half") === 1)
+        .select(col("label").as("lb"), col("cv").as("cb"), col("n").as("n_b"))
+      a.join(b, col("label") === col("lb"))
+        .select(col("label"), col("n_a"), col("n_b"),
+          round(SimFns.cosine(col("ca"), col("cb")), 6).as("centroid_cos"))
+        .orderBy(col("label"))
+    }),
+
     // Sparse tf-idf cosine similarity join (the weighted complement to
     // ssjoin_prefix's set semantics): document-at-a-time scoring through an
     // inverted-postings equi-join — dot products accumulate ONLY over
@@ -278,6 +304,20 @@ object QueriesSim {
         |      list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS c
         |    FROM embeddings e JOIN (SELECT * FROM embeddings WHERE vec_id < 20) q ON e.label = q.label))
         |WHERE rn <= 5 ORDER BY qid, rank""".stripMargin,
+    "embed_drift" ->
+      """WITH e AS (
+        |  SELECT label, vec_id % 2 AS half, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL),
+        |d AS (
+        |  SELECT label, half, i, avg(v[i]) AS c, CAST(count(*) AS BIGINT) AS n
+        |  FROM e CROSS JOIN (SELECT unnest(range(1, 65)) AS i) GROUP BY 1, 2, 3),
+        |cent AS (
+        |  SELECT label, half, list(c ORDER BY i) AS cv, max(n) AS n
+        |  FROM d GROUP BY 1, 2)
+        |SELECT a.label, a.n AS n_a, b.n AS n_b,
+        |  round(list_cosine_similarity(a.cv, b.cv), 6) AS centroid_cos
+        |FROM cent a JOIN cent b ON a.label = b.label AND a.half = 0 AND b.half = 1
+        |ORDER BY a.label""".stripMargin,
     "sparse_cosine_join" ->
       s"""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0),
          |corpus AS (

@@ -287,6 +287,31 @@ object QueriesText {
           TextFns.fingerprint(col("text")).as("fp"),
           TextFns.minShingleFingerprint(col("text"), 4).as("min_shingle_fp"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Vocabulary drift monitor: Laplace-smoothed bigram-share log-ratio
+    // between two corpus halves, top-20 movers. Terms are bigrams (the
+    // unigram vocabulary is a flat 31 words — zero drift signal); counts
+    // collapse both halves in ONE conditional aggregate, the totals are a
+    // 1-row broadcast, and the top-20 cut orders by the ROUNDED score with
+    // a token tie-break so the cut is engine-deterministic.
+    "vocab_drift" -> ((s, dir) => {
+      val terms = t(s, dir, "documents")
+        .where(col("text").isNotNull)
+        .select((col("doc_id") % 2).as("half"),
+          TextFns.shingleExplode(TextFns.tokens(col("text")), 2).as("tok"))
+      val counts = terms.groupBy(col("tok"))
+        .agg(count(when(col("half") === 0, 1)).as("na"),
+          count(when(col("half") === 1, 1)).as("nb"))
+      val tot = broadcast(counts.agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"),
+        count(lit(1)).as("v")))
+      counts.crossJoin(tot)
+        .withColumn("score",
+          log(((col("na") + 1).cast("double") / (col("ta") + col("v")))
+            / ((col("nb") + 1).cast("double") / (col("tb") + col("v")))))
+        .orderBy(round(abs(col("score")), 6).desc, col("tok"))
+        .limit(20)
+        .select(col("tok"), col("na"), col("nb"), round(col("score"), 6).as("score"))
     }))
 
   // DuckDB mirrors. Tokens: list_filter(string_split_regex(lower(text))).
@@ -460,5 +485,22 @@ object QueriesText {
          |SELECT doc_id, fp,
          |  list_min(list_transform(range(1, greatest(len(t) - 2, 1)),
          |    i -> substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]), 1, 16))) AS min_shingle_fp
-         |FROM tk ORDER BY doc_id""".stripMargin)
+         |FROM tk ORDER BY doc_id""".stripMargin,
+    "vocab_drift" ->
+      s"""WITH terms AS (
+         |  SELECT doc_id % 2 AS half,
+         |    unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS tok
+         |  FROM (SELECT doc_id, $toks AS tk FROM documents WHERE text IS NOT NULL)),
+         |counts AS (
+         |  SELECT tok,
+         |    CAST(count(CASE WHEN half = 0 THEN 1 END) AS BIGINT) AS na,
+         |    CAST(count(CASE WHEN half = 1 THEN 1 END) AS BIGINT) AS nb
+         |  FROM terms GROUP BY 1),
+         |tot AS (SELECT sum(na) AS ta, sum(nb) AS tb, count(*) AS v FROM counts)
+         |SELECT tok, na, nb, round(score, 6) AS score FROM (
+         |  SELECT tok, na, nb,
+         |    ln((CAST(na + 1 AS DOUBLE) / (ta + v)) / (CAST(nb + 1 AS DOUBLE) / (tb + v)))
+         |      AS score
+         |  FROM counts CROSS JOIN tot)
+         |ORDER BY round(abs(score), 6) DESC, tok LIMIT 20""".stripMargin)
 }

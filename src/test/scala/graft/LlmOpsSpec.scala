@@ -159,6 +159,66 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("vocab_drift: top-20 movers match a driver-side recompute of all scores") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0) % 2, r.getString(1)))
+    def bigrams(t: String) = {
+      val tk = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      tk.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+    }
+    val cnt = collection.mutable.Map[(String, Long), Long]().withDefaultValue(0L)
+    for ((h, t) <- docs; b <- bigrams(t)) cnt((b, h)) += 1
+    val toks = cnt.keys.map(_._1).toSeq.distinct
+    val ta = cnt.collect { case ((_, 0L), n) => n }.sum
+    val tb = cnt.collect { case ((_, 1L), n) => n }.sum
+    val v = toks.size
+    val scored = toks.map { t =>
+      val (na, nb) = (cnt((t, 0L)), cnt((t, 1L)))
+      val s = math.log(((na + 1).toDouble / (ta + v)) / ((nb + 1).toDouble / (tb + v)))
+      (t, na, nb, s)
+    }
+    val top = scored.sortBy { case (t, _, _, s) =>
+      (-math.round(math.abs(s) * 1e6), t) }.take(20)
+      .map { case (t, na, nb, s) =>
+        (t, na, nb, BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+    val got = graft.queries.QueriesText.queries("vocab_drift")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq.map(x => (x._1, x._2, x._3)) == top.map(x => (x._1, x._2, x._3)).toSeq)
+    for ((g, e) <- got.zip(top)) assert(math.abs(g._4 - e._4) < 2e-6, s"${g._1}")
+  }
+
+  test("embed_drift: per-label centroid cosine in [-1,1], halves partition the labels") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.queries.QueriesSim.queries("embed_drift")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val total = spark.read.parquet(s"$dir/embeddings.parquet")
+      .where(col("embedding").isNotNull && col("label").isNotNull).count()
+    assert(rows.map(r => r._2 + r._3).sum == total)
+    rows.foreach { case (l, _, _, c) =>
+      assert(c >= -1.0 && c <= 1.0, s"label $l centroid_cos $c") }
+    // exact differential for one label: recompute both centroids in the driver
+    val l0 = rows.head._1
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .where(col("label") === l0 && col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0) % 2, r.getSeq[Double](1).toArray))
+    def centroid(h: Long) = {
+      val vs = vecs.filter(_._1 == h).map(_._2)
+      val dim = vs.head.length
+      Array.tabulate(dim)(i => vs.map(_(i)).sum / vs.length)
+    }
+    val (ca, cb) = (centroid(0), centroid(1))
+    val dot = ca.zip(cb).map { case (x, y) => x * y }.sum
+    val cos = dot / (math.sqrt(ca.map(x => x * x).sum) * math.sqrt(cb.map(x => x * x).sum))
+    val expect = BigDecimal(cos).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(rows.head._4 - expect) < 2e-6,
+      s"label $l0: got ${rows.head._4}, driver recompute $expect")
+  }
+
   test("ssjoin_prefix: prefix filtering reproduces brute-force all-pairs exactly") {
     val dir = "/root/testdata/sf0.001"
     // same corpus construction as QueriesDedup.corpus
