@@ -224,6 +224,37 @@ object QueriesAnalytics {
         .orderBy(col("user_id"), col("sid"))
     }),
 
+    // Top user journeys: the ordered first-5 event types of each 30-minute
+    // session (session_stats' gaps-and-islands ids), concatenated into a
+    // path and counted — funnel DISCOVERY, where event_funnel measures a
+    // known path. The rank≤5 head filter runs inside the same user window
+    // sort; paths aggregate to the (bounded) distinct-journey domain.
+    // Top-25 cut on (count desc, path) — fully deterministic.
+    "session_paths" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .where(col("user_id").isNotNull && col("ts").isNotNull && col("event_type").isNotNull)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      val ow = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val sess = ev.withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(ow))
+        .withColumn("brk",
+          when(col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1L)
+            .otherwise(0L))
+        .withColumn("sid", sum(col("brk")).over(
+          ow.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val sw = Window.partitionBy(col("user_id"), col("sid"))
+        .orderBy(col("ts"), col("event_id"))
+      sess.withColumn("rn", row_number().over(sw))
+        .where(col("rn") <= 5)
+        .groupBy(col("user_id"), col("sid"))
+        .agg(concat_ws(">",
+          transform(array_sort(collect_list(struct(col("rn"), col("event_type")))),
+            x => x.getField("event_type"))).as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path"))
+        .limit(25)
+    }),
+
     // Deterministic weighted systematic sampling: selection probability
     // proportional to document mass (n_chars), reproducible across engines
     // and reruns with NO RNG — rows are laid out in md5-key order, a
@@ -666,6 +697,30 @@ object QueriesAnalytics {
         |  AND abs(length(a.p_name) - length(b.p_name)) <= 2
         |  AND levenshtein(a.p_name, b.p_name) <= 2
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "session_paths" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_id, event_type
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL),
+        |b AS (SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sids AS (SELECT user_id, ts, event_id, event_type,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM b),
+        |rn AS (SELECT user_id, sid, event_type,
+        |    row_number() OVER (PARTITION BY user_id, sid ORDER BY ts, event_id) AS rn
+        |  FROM sids),
+        |paths AS (
+        |  SELECT user_id, sid,
+        |    string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM rn WHERE rn <= 5 GROUP BY 1, 2)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+        |FROM paths GROUP BY 1
+        |ORDER BY n_sessions DESC, path LIMIT 25""".stripMargin,
     "session_stats" ->
       """WITH ev AS (
         |  SELECT user_id, date_trunc('microseconds', ts) AS ts, event_id, value

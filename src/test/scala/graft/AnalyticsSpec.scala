@@ -448,6 +448,20 @@ class AnalyticsSpec extends SparkSpec {
     assert(clust >= 0.0 && clust <= 1.0)
   }
 
+  test("session_paths: session totals match session_stats, paths bounded at 5 steps") {
+    val paths = q("session_paths").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(paths.nonEmpty && paths.length <= 25)
+    assert(paths.forall(_._1.split(">").length <= 5))
+    // every counted session exists in session_stats' session inventory
+    val nSessions = q("session_stats").count()
+    assert(paths.map(_._2).sum <= nSessions)
+    // deterministic cut: counts non-increasing, ties broken by path asc
+    val pairs = paths.sliding(2).toSeq
+    assert(pairs.forall { case Array(a, b) =>
+      a._2 > b._2 || (a._2 == b._2 && a._1 < b._1) })
+  }
+
   test("skyline_pareto: window form equals brute-force dominance test") {
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
       .select("l_returnflag", "l_extendedprice", "l_discount").collect()
