@@ -409,6 +409,62 @@ object QueriesAnalytics {
         .orderBy(col("l_returnflag"), col("pc"))
     }),
 
+    // Order-to-ship cycle time: per order priority, the distribution of
+    // (l_shipdate − o_orderdate) in exact integer days — one broadcast-dim
+    // join shape (orders side carries only two columns), one aggregate.
+    // p50/p90 use the same explicit ⌈p·n⌉ selection semantics as
+    // daily_percentiles (engine-identical integers, no interpolation).
+    "ship_delay" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+      val ord = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+      val d = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .where(col("l_shipdate").isNotNull && col("o_orderdate").isNotNull)
+        .select(col("o_orderpriority"),
+          datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("days"))
+        .groupBy(col("o_orderpriority"), col("days")).agg(count(lit(1)).as("n"))
+      val grp = Window.partitionBy("o_orderpriority")
+      val cum = grp.orderBy(col("days"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      d.withColumn("cumn", sum(col("n")).over(cum))
+        .withColumn("tot", sum(col("n")).over(grp))
+        .groupBy(col("o_orderpriority"))
+        .agg(max(col("tot")).as("n_lineitems"),
+          min(when(col("cumn") >= ceil(col("tot") * 0.5), col("days"))).as("p50_days"),
+          min(when(col("cumn") >= ceil(col("tot") * 0.9), col("days"))).as("p90_days"),
+          max(col("days")).as("max_days"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // ABC inventory classification: parts ranked by revenue, class A = the
+    // head covering 80% of cumulative revenue, B = next 15%, C = tail. The
+    // class boundaries compare in EXACT BIGINT arithmetic
+    // (cum·20 ≤ total·16 / cum·20 ≤ total·19) — a cum/total double ratio
+    // against 0.8 would tie on representable rationals. Revenue collapses
+    // to the parts domain first; the rank/cumulative windows run over that
+    // aggregate; ties order by (revenue desc, partkey).
+    "abc_classification" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .where(col("l_extendedprice").isNotNull && col("l_discount").isNotNull)
+        .groupBy(col("l_partkey"))
+        .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + 0.5)
+          .cast("long")).as("cents"))
+      val ord = Window.orderBy(col("cents").desc, col("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.partitionBy()
+      rev.withColumn("cum", sum(col("cents")).over(ord))
+        .withColumn("total", sum(col("cents")).over(tot))
+        .withColumn("abc_class",
+          when(col("cum") * 20 <= col("total") * 16, "A")
+            .when(col("cum") * 20 <= col("total") * 19, "B")
+            .otherwise("C"))
+        .groupBy(col("abc_class"))
+        .agg(count(lit(1)).as("n_parts"), sum(col("cents")).as("cents"),
+          (floor(sum(col("cents")).cast("double") / max(col("total")) * 1e4 + 0.5) / 1e4)
+            .as("rev_share"))
+        .orderBy(col("abc_class"))
+    }),
+
     // Trending top-k: the day's 3 most-active users per day. The rank≤3
     // filter plans Partial/Final WindowGroupLimit around the day exchange
     // (same pushdown as inverted_index), so no day's full leaderboard is
@@ -805,6 +861,49 @@ object QueriesAnalytics {
         |FROM w
         |WHERE dc = grp_min_d AND (prev_min_d IS NULL OR dc < prev_min_d)
         |GROUP BY 1, 2, 3 ORDER BY l_returnflag, pc""".stripMargin,
+    "ship_delay" ->
+      """WITH d AS (
+        |  SELECT o_orderpriority,
+        |    CAST(date_diff('day', o_orderdate, l_shipdate) AS BIGINT) AS days
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_shipdate IS NOT NULL AND o_orderdate IS NOT NULL),
+        |h AS (SELECT o_orderpriority, days, CAST(count(*) AS BIGINT) AS n
+        |  FROM d GROUP BY 1, 2),
+        |c AS (
+        |  SELECT o_orderpriority, days,
+        |    sum(n) OVER (PARTITION BY o_orderpriority ORDER BY days
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumn,
+        |    sum(n) OVER (PARTITION BY o_orderpriority) AS tot
+        |  FROM h)
+        |SELECT o_orderpriority, CAST(max(tot) AS BIGINT) AS n_lineitems,
+        |  min(CASE WHEN cumn >= ceil(tot * 0.5) THEN days END) AS p50_days,
+        |  min(CASE WHEN cumn >= ceil(tot * 0.9) THEN days END) AS p90_days,
+        |  max(days) AS max_days
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "abc_classification" ->
+      """WITH rev AS (
+        |  SELECT l_partkey,
+        |    CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+        |      AS BIGINT)) AS BIGINT) AS cents
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_discount IS NOT NULL
+        |  GROUP BY 1),
+        |w AS (
+        |  SELECT cents,
+        |    sum(cents) OVER (ORDER BY cents DESC, l_partkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(cents) OVER () AS total
+        |  FROM rev)
+        |SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,
+        |  CAST(sum(cents) AS BIGINT) AS cents,
+        |  floor(CAST(sum(cents) AS DOUBLE) / max(total) * 1e4 + 0.5) / 1e4 AS rev_share
+        |FROM (
+        |  SELECT cents, total,
+        |    CASE WHEN cum * 20 <= total * 16 THEN 'A'
+        |         WHEN cum * 20 <= total * 19 THEN 'B'
+        |         ELSE 'C' END AS abc_class
+        |  FROM w)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "trending_topk" ->
       """WITH d AS (
         |  SELECT CAST(ts AS DATE) AS d, user_id, CAST(count(*) AS BIGINT) AS n

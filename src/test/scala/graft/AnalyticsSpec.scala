@@ -448,6 +448,33 @@ class AnalyticsSpec extends SparkSpec {
     assert(clust >= 0.0 && clust <= 1.0)
   }
 
+  test("ship_delay: percentile ordering, totals partition the joined lineitems") {
+    val rows = q("ship_delay").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    for ((_, n, p50, p90, mx) <- rows) {
+      assert(n > 0 && p50 <= p90 && p90 <= mx)
+    }
+    val joined = spark.read.parquet(s"$dir/lineitem.parquet")
+      .join(spark.read.parquet(s"$dir/orders.parquet"),
+        col("l_orderkey") === col("o_orderkey"))
+      .where(col("l_shipdate").isNotNull && col("o_orderdate").isNotNull).count()
+    assert(rows.map(_._2).sum == joined)
+  }
+
+  test("abc_classification: classes partition parts, A-head covers <= 80% + one part") {
+    val rows = q("abc_classification").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq.sorted == rows.map(_._1).toSeq)
+    val totalParts = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_partkey").distinct().count()
+    assert(rows.map(_._2).sum == totalParts)
+    val shares = rows.map(r => r._1 -> r._4).toMap
+    // A ends at the first part crossing 80% cumulative — share ∈ (0.8-ε, 0.8+one-part]
+    assert(shares("A") <= 0.9 && shares("A") >= 0.5, s"A share ${shares("A")}")
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 5e-4)
+  }
+
   test("session_paths: session totals match session_stats, paths bounded at 5 steps") {
     val paths = q("session_paths").collect()
       .map(r => (r.getString(0), r.getLong(1)))
