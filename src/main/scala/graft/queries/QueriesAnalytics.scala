@@ -378,7 +378,10 @@ object QueriesAnalytics {
       val edges = und.agg(count(lit(1)).as("n_edges"))
       triads.crossJoin(edges).crossJoin(tri)
         .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
-          (floor(lit(3.0) * col("n_triangles") / col("n_triads") * 1e6 + 0.5) / 1e6)
+          // NULL divisor under ANSI: a triangle-free, triad-free graph must
+          // yield NULL clustering as in DuckDB, not throw on 0/0
+          (floor(lit(3.0) * col("n_triangles")
+            / when(col("n_triads") =!= 0, col("n_triads")) * 1e6 + 0.5) / 1e6)
             .as("clustering"))
     }),
 
@@ -498,7 +501,9 @@ object QueriesAnalytics {
       val sd = resid.groupBy(col("event_type").as("st"))
         .agg(stddev_pop(col("r")).as("sd"))
       resid.join(broadcast(sd), col("event_type") === col("st"))
-        .withColumn("z", col("r") / col("sd"))
+        // NULL divisor under ANSI: double 0/0 throws in Spark 4's default
+        // mode while DuckDB returns NULL — a zero-variance type degrades
+        .withColumn("z", col("r") / when(col("sd") =!= 0, col("sd")))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_events"),
           round(max(abs(col("z"))), 4).as("max_abs_z"),

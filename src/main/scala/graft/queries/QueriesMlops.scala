@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Tables._
@@ -14,6 +15,24 @@ import Tables._
   * derived table, never the raw corpus.
   */
 object QueriesMlops {
+
+  /** ONE definition of the signup → first-subsequent-purchase funnel
+    * (su = per-user first signup µs, pu = per-user first purchase at or
+    * after it) — shared by time_to_convert and funnel_conversion so the
+    * funnel population can't drift between the latency and conversion
+    * views (the Tables.toksSql single-definition precedent). */
+  private def signupFunnel(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val ev = t(s, dir, "events")
+      .where(col("user_id").isNotNull && col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val su = ev.where(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("us")).as("s"))
+    val pu = ev.where(col("event_type") === "purchase")
+      .join(su, "user_id")
+      .where(col("us") >= col("s"))
+      .groupBy(col("user_id"), col("s")).agg(min(col("us")).as("p"))
+    (su, pu)
+  }
 
   val queries: Map[String, Q] = Map(
     // Deterministic per-group mode: the (status, priority) count aggregate
@@ -53,7 +72,11 @@ object QueriesMlops {
       ev.withColumn("mu", avg(col("value")).over(wt))
         .withColumn("sd", stddev_pop(col("value")).over(wt))
         .withColumn("n", count(lit(1)).over(wt))
-        .withColumn("cusum", sum((col("value") - col("mu")) / col("sd")).over(ord))
+        // NULL divisor, not 0: Spark 4 runs ANSI by default, where double
+        // 0/0 THROWS while DuckDB returns NULL — a constant-valued series
+        // must degrade to NULL cusum/0 flags identically in both engines
+        .withColumn("cusum",
+          sum((col("value") - col("mu")) / when(col("sd") =!= 0, col("sd"))).over(ord))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_events"),
           round(max(abs(col("cusum"))), 4).as("max_abs_cusum"),
@@ -85,8 +108,11 @@ object QueriesMlops {
       bins
         .withColumn("ta", sum(col("na")).over(wt))
         .withColumn("tb", sum(col("nb")).over(wt))
-        .withColumn("p", greatest(col("na") / col("ta"), lit(1e-6)))
-        .withColumn("q", greatest(col("nb") / col("tb"), lit(1e-6)))
+        // NULL divisor under ANSI (see ts_cusum): a type absent from one
+        // half gives 0/0 → NULL → greatest(NULL, 1e-6) = 1e-6, the clamp,
+        // in BOTH engines (both greatest() ignore NULLs)
+        .withColumn("p", greatest(col("na") / when(col("ta") =!= 0, col("ta")), lit(1e-6)))
+        .withColumn("q", greatest(col("nb") / when(col("tb") =!= 0, col("tb")), lit(1e-6)))
         .groupBy(col("event_type"))
         .agg(sum(col("na")).as("n_first"), sum(col("nb")).as("n_second"),
           round(sum((col("p") - col("q")) * log(col("p") / col("q"))), 6).as("psi"))
@@ -156,10 +182,9 @@ object QueriesMlops {
         .where(col("event_type").isNotNull && col("ts").isNotNull && col("value").isNotNull)
         .groupBy(col("event_type"), to_date(col("ts")).as("d"))
         .agg(avg(col("value")).as("x"))
-      val a = daily.select(col("event_type"), col("d"), col("x"))
       val b = daily.select(col("event_type").as("event_type_b"),
         col("d").as("d_b"), col("x").as("x_b"))
-      a.join(b, col("event_type") === col("event_type_b") &&
+      daily.join(b, col("event_type") === col("event_type_b") &&
           datediff(col("d"), col("d_b")).between(0, 13))
         .withColumn("w", pow(lit(0.7), datediff(col("d"), col("d_b"))))
         .groupBy(col("event_type"), col("d"))
@@ -180,9 +205,11 @@ object QueriesMlops {
         .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
       val w = Window.partitionBy("event_type").orderBy("week")
       wk.withColumn("prev_cents", lag(col("cents"), 1).over(w))
+        // NULL divisor under ANSI (see ts_cusum): a zero-cents prior week
+        // must yield NULL pct_change as in DuckDB, not throw
         .withColumn("pct_change",
           floor((col("cents") - col("prev_cents")).cast("double")
-            / col("prev_cents") * 1e6 + 0.5) / 1e6)
+            / when(col("prev_cents") =!= 0, col("prev_cents")) * 1e6 + 0.5) / 1e6)
         .orderBy(col("event_type"), col("week"))
     }),
 
@@ -201,7 +228,10 @@ object QueriesMlops {
         col("x").as("xb"))
       a.join(b, col("d") === col("d_b") && col("type_a") < col("type_b"))
         .groupBy(col("type_a"), col("type_b"))
-        .agg(count(lit(1)).as("n_days"), round(corr(col("xa"), col("xb")), 4).as("r"))
+        // nanvl: Spark's corr of a constant series is NaN where DuckDB's is
+        // NULL — map NaN to NULL so degenerate series agree cross-engine
+        .agg(count(lit(1)).as("n_days"),
+          round(nanvl(corr(col("xa"), col("xb")), lit(null).cast("double")), 4).as("r"))
         .orderBy(col("type_a"), col("type_b"))
     }),
 
@@ -233,15 +263,8 @@ object QueriesMlops {
     // DiscreteQuantile pattern; a percentile() aggregate would buffer
     // every user's duration in one reducer at scale).
     "time_to_convert" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-        .where(col("user_id").isNotNull && col("ts").isNotNull && col("event_type").isNotNull)
-        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
-      val su = ev.where(col("event_type") === "signup")
-        .groupBy(col("user_id")).agg(min(col("us")).as("s"))
-      val dur = ev.where(col("event_type") === "purchase")
-        .join(su, "user_id")
-        .where(col("us") >= col("s"))
-        .groupBy(col("user_id"), col("s")).agg(min(col("us")).as("p"))
+      val (_, pu) = signupFunnel(s, dir)
+      val dur = pu
         .select(expr("(p - s) DIV 1000000").as("sec"))
         .withColumn("hr", expr("sec DIV 3600"))
       val hist = dur.groupBy(col("hr")).count().collect()
@@ -295,15 +318,7 @@ object QueriesMlops {
     // integer ratio. Two user-sized aggregates + one equi-join, as in
     // time_to_convert — never a per-event window.
     "funnel_conversion" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-        .where(col("user_id").isNotNull && col("ts").isNotNull && col("event_type").isNotNull)
-        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
-      val su = ev.where(col("event_type") === "signup")
-        .groupBy(col("user_id")).agg(min(col("us")).as("s"))
-      val pu = ev.where(col("event_type") === "purchase")
-        .join(su, "user_id")
-        .where(col("us") >= col("s"))
-        .groupBy(col("user_id"), col("s")).agg(min(col("us")).as("p"))
+      val (su, pu) = signupFunnel(s, dir)
       val deadline = 72L * 3600L * 1000000L
       su.join(pu.select(col("user_id"), col("p")), Seq("user_id"), "left")
         .groupBy(to_date(date_trunc("week", timestamp_micros(col("s")))).as("cohort_week"))
