@@ -633,8 +633,13 @@ object QueriesAnalytics {
           round(avg(when(!col("isA"), col("value"))), 4).as("mean_b"),
           round((avg(when(col("isA"), col("value"))) -
               avg(when(!col("isA"), col("value")))) /
-            sqrt(var_samp(when(col("isA"), col("value"))) / count(when(col("isA"), 1)) +
-              var_samp(when(!col("isA"), col("value"))) / count(when(!col("isA"), 1))), 4)
+            // NULL divisor under ANSI: two constant-valued arms make the
+            // standard error exactly 0 — x/0 throws in Spark's default
+            // ANSI mode while DuckDB returns NULL
+            when(sqrt(var_samp(when(col("isA"), col("value"))) / count(when(col("isA"), 1)) +
+              var_samp(when(!col("isA"), col("value"))) / count(when(!col("isA"), 1))) > 0,
+              sqrt(var_samp(when(col("isA"), col("value"))) / count(when(col("isA"), 1)) +
+                var_samp(when(!col("isA"), col("value"))) / count(when(!col("isA"), 1)))), 4)
             .as("z"))
         .orderBy(col("event_type"))
     }),
