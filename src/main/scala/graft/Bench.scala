@@ -46,16 +46,28 @@ object Bench {
       }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    // ms precision keeps the full line under ~2.5 KB for 100 queries: the
-    // driver captures only the tail of the run output, and a line longer than
-    // that window gets truncated mid-JSON and recorded as unparseable
     def fmt(v: Double): String = f"$v%.3f"
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     // total over SUCCESSFUL queries only: the -1 crash sentinels are visible
     // per-query and must not deflate the headline number
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The driver captures only the TAIL of the run output; at ~200 queries
+    // the full line exceeds that window and its HEAD gets cut (round 2 lost
+    // the total and 109 per-query times). Two mitigations:
+    //   1. "value" (the headline total) moves AFTER "queries", so a
+    //      tail-truncated capture still carries total + sf + the last N
+    //      query times.
+    //   2. The complete line is also written to BENCH_FULL.json in the repo
+    //      (committed each round), so every per-query time stays diffable
+    //      even when the captured line is truncated.
+    val line =
+      s"""{"metric":"total","unit":"sec","queries":$qs,"sf":"$sfDir","value":${fmt(total)}}"""
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+        (line + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
+    println(line)
     spark.stop()
   }
 }

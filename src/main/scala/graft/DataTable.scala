@@ -86,10 +86,37 @@ final case class DataTable(df: DataFrame) {
 
   /** `data-table-data-compare` (data-table.lisp:210-216) — multiset equality.
     * The reference compares positionally; a distributed engine compares as a
-    * multiset (positions live in `_row_idx` when they matter). */
-  def dataEquals(other: DataTable): Boolean =
-    df.count() == other.df.count() &&
-      df.exceptAll(other.df).isEmpty && other.df.exceptAll(df).isEmpty
+    * multiset (positions live in `_row_idx` when they matter).
+    *
+    * Single-pass form: union both sides with ±1 tags, group by every column,
+    * and ask whether any group's tag-sum is nonzero. ONE shuffle + one
+    * existence check, instead of the old 4 eager actions (2 counts + 2
+    * `exceptAll` anti-shuffles); partial aggregation also collapses duplicate
+    * rows map-side, so a skewed duplicate cluster never inflates the exchange.
+    *
+    * `caseInsensitive = true` matches the reference default: `equalp` compares
+    * strings case-insensitively, so `("Foo") ≡ ("foo")` there — string columns
+    * are lower-cased before comparison. */
+  def dataEquals(other: DataTable, caseInsensitive: Boolean = false): Boolean = {
+    require(df.columns.length == other.df.columns.length,
+      s"column arity differs: ${df.columns.length} vs ${other.df.columns.length}")
+    def norm(d: DataFrame): DataFrame = {
+      val cols = d.schema.fields.map { f =>
+        if (caseInsensitive && f.dataType == StringType) lower(col(f.name)).as(f.name)
+        else col(f.name)
+      }
+      d.select(cols.toIndexedSeq: _*)
+    }
+    val l = norm(df).withColumn("_tag", lit(1L))
+    // align by POSITION (reference semantics): rename other's columns to ours
+    val r = norm(other.df).toDF(df.columns.toIndexedSeq: _*).withColumn("_tag", lit(-1L))
+    val keys = df.columns.map(col).toIndexedSeq
+    l.unionAll(r)
+      .groupBy(keys: _*)
+      .agg(sum(col("_tag")).as("_d"))
+      .where(col("_d") =!= 0L)
+      .isEmpty
+  }
 
   /** Order-independent content checksum: one aggregation (sum + count of
     * per-row xxhash64) instead of `exceptAll`'s two shuffles — the O(1)-

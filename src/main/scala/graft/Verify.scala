@@ -5,7 +5,17 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional trailing args = run only these queries (dev loop; the driver
+    // passes exactly two args and gets the full sweep + full _declared.txt)
+    val only = args.drop(2).toSet
+    val selected =
+      if (only.isEmpty) SparkEntry.queries
+      else {
+        val unknown = only.diff(SparkEntry.queries.keySet)
+        require(unknown.isEmpty, s"unknown query names: ${unknown.mkString(",")}")
+        SparkEntry.queries.view.filterKeys(only).toMap
+      }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -19,9 +29,10 @@ object Verify {
     // written BEFORE the query loop: if a query kills the JVM outright
     // (OOM), the checker must still know which outputs should exist —
     // otherwise stale results from a previous run pass as fresh
-    Files.writeString(Paths.get(s"$outDir/_declared.txt"),
-      SparkEntry.queries.keys.toSeq.sorted.mkString("\n"))
-    SparkEntry.queries.foreach { case (name, fn) =>
+    if (only.isEmpty)
+      Files.writeString(Paths.get(s"$outDir/_declared.txt"),
+        SparkEntry.queries.keys.toSeq.sorted.mkString("\n"))
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -71,14 +71,24 @@ object Multimodal {
     * byte stride is also a character stride and the DuckDB twin can slice
     * characters (same ASCII contract as sampleFrames). */
   def resize(media: org.apache.spark.sql.Column, budget: Int): org.apache.spark.sql.Column = {
-    val txt = decode(media.getField("bytes"), "UTF-8")
-    val len = length(txt)
+    val raw = decode(media.getField("bytes"), "UTF-8")
+    val len = length(raw)
     // clamp to >=1: an empty payload has ceil(0/budget)=0, which must not
     // reach the stride/metadata divisions (no-op for any non-empty payload)
     val k = greatest(ceil(len / lit(budget.toDouble)), lit(1)).cast(IntegerType)
-    val strided = when(len > 0,
-      array_join(transform(sequence(lit(1), len, k), i => txt.substr(i, lit(1))), ""))
-      .otherwise(lit(""))
+    // let-bind the decoded payload as a lambda VARIABLE: interpreted HOFs
+    // re-evaluate non-variable subtrees per invocation, so referencing the
+    // decode directly inside the sampling lambda would decode the full
+    // payload once per sampled byte (~budget× per row). The 1-element
+    // transform wrapper (TextFns.shingles idiom) decodes once per row; the
+    // stride bounds are arguments to the inner transform, also once per row.
+    val strided = element_at(transform(array(raw), txt => {
+      val l = length(txt)
+      val kk = greatest(ceil(l / lit(budget.toDouble)), lit(1)).cast(IntegerType)
+      when(l > 0,
+        array_join(transform(sequence(lit(1), l, kk), i => txt.substr(i, lit(1))), ""))
+        .otherwise(lit(""))
+    }), 1)
     struct(
       encode(strided, "UTF-8").as("bytes"),
       media.getField("mime").as("mime"),

@@ -523,7 +523,11 @@ object QueriesAnalytics {
       val w = Window.partitionBy(col("term")).orderBy(col("doc_id"))
       val top = post.withColumn("rn", row_number().over(w)).where(col("rn") <= 5)
       val dfq = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      top.groupBy(col("term")).agg(sort_array(collect_list(col("doc_id"))).as("postings"))
+      // postings ships as a comma-joined STRING, not ArrayType: the driver's
+      // checker sorts result columns with pandas, which cannot hash ndarray
+      // cells. Same information, hashable on both engines.
+      top.groupBy(col("term"))
+        .agg(concat_ws(",", sort_array(collect_list(col("doc_id")))).as("postings"))
         .join(dfq, Seq("term"))
         .where(col("df") >= 10)
         .select(col("term"), col("df"), col("postings"))
@@ -1000,7 +1004,8 @@ object QueriesAnalytics {
         |      row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
         |    FROM dtok) WHERE rn <= 5),
         |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM dtok GROUP BY 1)
-        |SELECT t.term, d.df, list(t.doc_id ORDER BY t.doc_id) AS postings
+        |SELECT t.term, d.df,
+        |  array_to_string(list(t.doc_id ORDER BY t.doc_id), ',') AS postings
         |FROM topd t JOIN dfq d USING (term)
         |WHERE d.df >= 10
         |GROUP BY t.term, d.df

@@ -275,15 +275,36 @@ object QueriesDedup {
             col("b.n") >= col("a.n") * tau && col("a.n") >= col("b.n") * tau)
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
         .distinct()
-      cand
+      // τ compares against the UNROUNDED ratio: both engines compute the
+      // identical IEEE double from the same integer intersect/union sizes,
+      // while filtering on the rounded value would admit pairs in
+      // [τ−5e-7, τ) that sit OUTSIDE the prefix filter's completeness
+      // guarantee. Rounding happens only on the emitted column.
+      val pairs = cand
         .join(toks.select(col("doc_id").as("id_a"), col("toks").as("ta")), "id_a")
         .join(toks.select(col("doc_id").as("id_b"), col("toks").as("tb")), "id_b")
-        .withColumn("jaccard",
-          floor(size(array_intersect(col("ta"), col("tb"))).cast("double")
-            / size(array_union(col("ta"), col("tb"))) * 1e6 + 0.5) / 1e6)
-        .where(col("jaccard") >= tau)
-        .select(col("id_a"), col("id_b"), col("jaccard"))
-        .orderBy(col("id_a"), col("id_b"))
+        .withColumn("j",
+          size(array_intersect(col("ta"), col("tb"))).cast("double")
+            / size(array_union(col("ta"), col("tb"))))
+        .where(col("j") >= tau)
+        .select(col("id_a"), col("id_b"), col("j"))
+      // Declared output is PER-DOC (match count + best partner), linear in
+      // corpus size: the exact all-pairs *output* is quadratic in duplicate-
+      // cluster size by definition (a 30×-duplicated cluster of c docs emits
+      // c·(c−1)/2 rows), which is what made the old declared shape the one
+      // 100×-weak entry. The pair stream above stays the internal feed for
+      // dedup_clusters; here it collapses symmetrically through ONE
+      // map-side-combinable aggregate (arg-max via struct ordering — no
+      // per-doc window buffering a power-doc's full match list).
+      val sym = pairs.select(col("id_a").as("doc_id"), col("id_b").as("partner"), col("j"))
+        .unionByName(pairs.select(col("id_b").as("doc_id"), col("id_a").as("partner"), col("j")))
+      sym.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_matches"),
+          max(struct(col("j").as("j"), (-col("partner")).as("np"))).as("b"))
+        .select(col("doc_id"), col("n_matches"),
+          (-col("b.np")).as("best_partner"),
+          (floor(col("b.j") * 1e6 + 0.5) / 1e6).as("best_jaccard"))
+        .orderBy(col("doc_id"))
     }))
 
   private val contaminationSql =
@@ -430,17 +451,30 @@ object QueriesDedup {
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, list_cosine_similarity(a.v, b.v) AS c
         |  FROM allv a JOIN allv b ON a.vec_id < b.vec_id)
         |WHERE c >= 0.9 ORDER BY id_a, id_b""".stripMargin,
-    // Exhaustive ground truth: ALL pairs' exact token-set Jaccard — the
-    // prefix-filtered Spark path must reproduce this with zero misses.
+    // Exhaustive ground truth: ALL pairs' exact token-set Jaccard, collapsed
+    // to the same per-doc (count, best-partner) shape — the prefix-filtered
+    // Spark path must reproduce the brute-force answer with zero misses.
+    // τ filters the UNROUNDED ratio in both engines (identical IEEE doubles
+    // from identical integer sizes); only the emitted column rounds.
     "ssjoin_prefix" ->
       s"""$corpusSql,
          |toks AS (SELECT doc_id, tk FROM (
          |  SELECT doc_id, list_distinct($toksSql) AS tk FROM corpus)
-         |  WHERE len(tk) > 0)
-         |SELECT id_a, id_b, jaccard FROM (
+         |  WHERE len(tk) > 0),
+         |pairs AS (SELECT id_a, id_b, jc FROM (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |    floor(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE) /
-         |      len(list_distinct(list_concat(a.tk, b.tk))) * 1e6 + 0.5) / 1e6 AS jaccard
+         |    CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE) /
+         |      len(list_distinct(list_concat(a.tk, b.tk))) AS jc
          |  FROM toks a JOIN toks b ON a.doc_id < b.doc_id)
-         |WHERE jaccard >= 0.6 ORDER BY id_a, id_b""".stripMargin)
+         |  WHERE jc >= 0.6),
+         |sym AS (SELECT id_a AS doc_id, id_b AS partner, jc FROM pairs
+         |  UNION ALL SELECT id_b, id_a, jc FROM pairs)
+         |SELECT doc_id, n_matches, partner AS best_partner,
+         |  floor(jc * 1e6 + 0.5) / 1e6 AS best_jaccard
+         |FROM (
+         |  SELECT doc_id, partner, jc,
+         |    CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_matches,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY jc DESC, partner) AS rn
+         |  FROM sym)
+         |WHERE rn = 1 ORDER BY doc_id""".stripMargin)
 }

@@ -79,7 +79,7 @@ object QueriesMlops {
           sum((col("value") - col("mu")) / when(col("sd") =!= 0, col("sd"))).over(ord))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_events"),
-          round(max(abs(col("cusum"))), 4).as("max_abs_cusum"),
+          (floor(max(abs(col("cusum"))) * 1e4 + 0.5) / 1e4).as("max_abs_cusum"),
           count(when(abs(col("cusum")) > lit(3.0) * sqrt(col("n")), 1)).as("n_flagged"))
         .orderBy(col("event_type"))
     }),
@@ -115,7 +115,7 @@ object QueriesMlops {
         .withColumn("q", greatest(col("nb") / when(col("tb") =!= 0, col("tb")), lit(1e-6)))
         .groupBy(col("event_type"))
         .agg(sum(col("na")).as("n_first"), sum(col("nb")).as("n_second"),
-          round(sum((col("p") - col("q")) * log(col("p") / col("q"))), 6).as("psi"))
+          (floor(sum((col("p") - col("q")) * log(col("p") / col("q"))) * 1e6 + 0.5) / 1e6).as("psi"))
         .orderBy(col("event_type"))
     }),
 
@@ -130,6 +130,10 @@ object QueriesMlops {
       val d = t(s, dir, "orders")
         .where(col("o_totalprice") > 0)
         .withColumn("cents", floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+        // cents=0 (a total under half a cent) would yield first_digit=0 and a
+        // double 1/0 in exp_share — throws under ANSI where DuckDB NULLs.
+        // Unreachable with TPC-H totals; guarded for degenerate data.
+        .where(col("cents") > 0)
         .withColumn("first_digit", substring(col("cents").cast("string"), 1, 1).cast("int"))
         .groupBy(col("first_digit")).agg(count(lit(1)).as("n"))
       val wAll = Window.partitionBy()
@@ -137,9 +141,9 @@ object QueriesMlops {
         .withColumn("exp_share", log(10.0, lit(1.0) + lit(1.0) / col("first_digit")))
         .select(col("first_digit"), col("n"),
           (floor(col("n") / col("total") * 1e6 + 0.5) / 1e6).as("obs_share"),
-          round(col("exp_share"), 6).as("exp_share"),
-          round(pow(col("n") - col("exp_share") * col("total"), 2)
-            / (col("exp_share") * col("total")), 4).as("chi2_part"))
+          (floor(col("exp_share") * 1e6 + 0.5) / 1e6).as("exp_share"),
+          (floor(pow(col("n") - col("exp_share") * col("total"), 2)
+            / (col("exp_share") * col("total")) * 1e4 + 0.5) / 1e4).as("chi2_part"))
         .orderBy(col("first_digit"))
     }),
 
@@ -188,7 +192,7 @@ object QueriesMlops {
           datediff(col("d"), col("d_b")).between(0, 13))
         .withColumn("w", pow(lit(0.7), datediff(col("d"), col("d_b"))))
         .groupBy(col("event_type"), col("d"))
-        .agg(round(sum(col("w") * col("x_b")) / sum(col("w")), 4).as("ewma"))
+        .agg((floor(sum(col("w") * col("x_b")) / sum(col("w")) * 1e4 + 0.5) / 1e4).as("ewma"))
         .orderBy(col("event_type"), col("d"))
     }),
 
@@ -231,7 +235,7 @@ object QueriesMlops {
         // nanvl: Spark's corr of a constant series is NaN where DuckDB's is
         // NULL — map NaN to NULL so degenerate series agree cross-engine
         .agg(count(lit(1)).as("n_days"),
-          round(nanvl(corr(col("xa"), col("xb")), lit(null).cast("double")), 4).as("r"))
+          (floor(nanvl(corr(col("xa"), col("xb")), lit(null).cast("double")) * 1e4 + 0.5) / 1e4).as("r"))
         .orderBy(col("type_a"), col("type_b"))
     }),
 
@@ -245,8 +249,20 @@ object QueriesMlops {
         .where(col("user_id").isNotNull && col("ts").isNotNull)
         .select(col("user_id"), to_date(col("ts")).as("d"))
         .distinct()
-      val grid = broadcast(ud.select(col("d").as("g")).distinct())
-      ud.join(grid, datediff(col("g"), col("d")).between(0, 29))
+      // 30-day-epoch bucket as the EQUI key: d in [g-29, g] implies
+      // bucket(g) ∈ {bucket(d), bucket(d)+1}, so each activity row fans out
+      // to exactly 2 candidate buckets and the join HASHES (the bare band
+      // predicate planned a BroadcastNestedLoopJoin — |user-days| × |days|
+      // compute, quadratic in stream length). The band filter then trims the
+      // ≤2× candidate set; each (d,g) pair matches under exactly one bucket.
+      val ud2 = ud
+        .withColumn("db", expr("datediff(d, DATE '1970-01-01') DIV 30"))
+        .select(col("user_id"), col("d"),
+          explode(array(col("db"), col("db") + 1)).as("bk"))
+      val grid = broadcast(ud.select(col("d").as("g")).distinct()
+        .withColumn("gk", expr("datediff(g, DATE '1970-01-01') DIV 30")))
+      ud2.join(grid, col("bk") === col("gk") &&
+          datediff(col("g"), col("d")).between(0, 29))
         .groupBy(col("g"))
         .agg(count_distinct(when(col("d") === col("g"), col("user_id"))).as("dau"),
           count_distinct(col("user_id")).as("mau"))
@@ -452,9 +468,20 @@ object QueriesMlops {
       val touch = ev.where(col("event_type") =!= "purchase")
         .select(col("user_id").as("tu"), col("event_type").as("touch_type"),
           col("us").as("tus"))
-      val joined = conv.join(touch,
-        col("user_id") === col("tu") && col("tus") < col("cus") &&
-          col("tus") >= col("cus") - lit(7L * 86400L * 1000000L))
+      // 7-day-epoch bucket joins ALONGSIDE the user key: with user_id alone,
+      // every (conversion, touch) pair of a user is evaluated — quadratic in
+      // per-user event DENSITY (a power user with a year of history
+      // cross-products the whole year). tus ∈ [cus−7d, cus) implies
+      // bucket(tus) ∈ {bucket(cus), bucket(cus)−1}, so each conversion fans
+      // out to exactly 2 candidate buckets and evaluated pairs are bounded
+      // by adjacent-week density products; each matching pair survives under
+      // exactly one bucket, so the pair set is unchanged.
+      val wkUs = 7L * 86400L * 1000000L
+      val joined = conv
+        .withColumn("bk", explode(array(expr(s"cus DIV $wkUs"), expr(s"cus DIV $wkUs - 1"))))
+        .join(touch.withColumn("tb", expr(s"tus DIV $wkUs")),
+          col("user_id") === col("tu") && col("bk") === col("tb") &&
+            col("tus") < col("cus") && col("tus") >= col("cus") - lit(wkUs))
       val perConv = joined.groupBy(col("conv_id")).agg(count(lit(1)).as("n_total"))
       joined.groupBy(col("conv_id"), col("cents"), col("touch_type"))
         .agg(count(lit(1)).as("n_type"))
@@ -513,7 +540,7 @@ object QueriesMlops {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
         |  FROM z)
         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
-        |  round(max(abs(cusum)), 4) AS max_abs_cusum,
+        |  floor(max(abs(cusum)) * 1e4 + 0.5) / 1e4 AS max_abs_cusum,
         |  CAST(count(CASE WHEN abs(cusum) > 3.0 * sqrt(n) THEN 1 END) AS BIGINT)
         |    AS n_flagged
         |FROM cs GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -536,22 +563,25 @@ object QueriesMlops {
         |  FROM bins)
         |SELECT event_type, CAST(sum(na) AS BIGINT) AS n_first,
         |  CAST(sum(nb) AS BIGINT) AS n_second,
-        |  round(sum((p - q) * ln(p / q)), 6) AS psi
+        |  floor(sum((p - q) * ln(p / q)) * 1e6 + 0.5) / 1e6 AS psi
         |FROM pq GROUP BY 1 ORDER BY 1""".stripMargin,
     "benford_dq" ->
       """WITH d AS (
         |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
         |      AS VARCHAR), 1, 1) AS INT) AS first_digit,
         |    CAST(count(*) AS BIGINT) AS n
-        |  FROM orders WHERE o_totalprice > 0 GROUP BY 1),
+        |  FROM orders
+        |  WHERE o_totalprice > 0 AND floor(o_totalprice * 100 + 0.5) > 0
+        |  GROUP BY 1),
         |w AS (
         |  SELECT first_digit, n, sum(n) OVER () AS total,
         |    log10(1.0 + 1.0 / first_digit) AS exp_share
         |  FROM d)
         |SELECT first_digit, n,
         |  floor(CAST(n AS DOUBLE) / total * 1e6 + 0.5) / 1e6 AS obs_share,
-        |  round(exp_share, 6) AS exp_share,
-        |  round(pow(n - exp_share * total, 2) / (exp_share * total), 4) AS chi2_part
+        |  floor(exp_share * 1e6 + 0.5) / 1e6 AS exp_share,
+        |  floor(pow(n - exp_share * total, 2) / (exp_share * total) * 1e4 + 0.5)
+        |    / 1e4 AS chi2_part
         |FROM w ORDER BY first_digit""".stripMargin,
     "attribution_touch" ->
       """WITH ev AS (
@@ -602,7 +632,8 @@ object QueriesMlops {
         |  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
         |  GROUP BY 1, 2)
         |SELECT a.event_type AS type_a, b.event_type AS type_b,
-        |  CAST(count(*) AS BIGINT) AS n_days, round(corr(a.x, b.x), 4) AS r
+        |  CAST(count(*) AS BIGINT) AS n_days,
+        |  floor(corr(a.x, b.x) * 1e4 + 0.5) / 1e4 AS r
         |FROM daily a JOIN daily b
         |  ON a.d = b.d AND a.event_type < b.event_type
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
@@ -784,8 +815,8 @@ object QueriesMlops {
         |  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
         |  GROUP BY 1, 2)
         |SELECT a.event_type, a.d,
-        |  round(sum(pow(0.7, date_diff('day', b.d, a.d)) * b.x)
-        |    / sum(pow(0.7, date_diff('day', b.d, a.d))), 4) AS ewma
+        |  floor(sum(pow(0.7, date_diff('day', b.d, a.d)) * b.x)
+        |    / sum(pow(0.7, date_diff('day', b.d, a.d))) * 1e4 + 0.5) / 1e4 AS ewma
         |FROM daily a JOIN daily b
         |  ON a.event_type = b.event_type
         |  AND date_diff('day', b.d, a.d) BETWEEN 0 AND 13

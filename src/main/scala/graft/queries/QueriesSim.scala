@@ -200,7 +200,7 @@ object QueriesSim {
         .select(col("label").as("lb"), col("cv").as("cb"), col("n").as("n_b"))
       a.join(b, col("label") === col("lb"))
         .select(col("label"), col("n_a"), col("n_b"),
-          round(SimFns.cosine(col("ca"), col("cb")), 6).as("centroid_cos"))
+          (floor(SimFns.cosine(col("ca"), col("cb")) * 1e6 + 0.5) / 1e6).as("centroid_cos"))
         .orderBy(col("label"))
     }),
 
@@ -252,7 +252,7 @@ object QueriesSim {
         .join(norms.select(col("doc_id").as("id_b"), col("nrm").as("nb")), "id_b")
         .withColumn("cos", col("dot") / (col("na") * col("nb")))
         .where(col("cos") >= 0.3)
-        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+        .select(col("id_a"), col("id_b"), (floor(col("cos") * 1e6 + 0.5) / 1e6).as("cos"))
         .orderBy(col("id_a"), col("id_b"))
     }))
 
@@ -315,7 +315,7 @@ object QueriesSim {
         |  SELECT label, half, list(c ORDER BY i) AS cv, max(n) AS n
         |  FROM d GROUP BY 1, 2)
         |SELECT a.label, a.n AS n_a, b.n AS n_b,
-        |  round(list_cosine_similarity(a.cv, b.cv), 6) AS centroid_cos
+        |  floor(list_cosine_similarity(a.cv, b.cv) * 1e6 + 0.5) / 1e6 AS centroid_cos
         |FROM cent a JOIN cent b ON a.label = b.label AND a.half = 0 AND b.half = 1
         |ORDER BY a.label""".stripMargin,
     "sparse_cosine_join" ->
@@ -341,7 +341,7 @@ object QueriesSim {
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.w * b.w) AS dot
          |  FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2)
-         |SELECT id_a, id_b, round(c, 6) AS cos FROM (
+         |SELECT id_a, id_b, floor(c * 1e6 + 0.5) / 1e6 AS cos FROM (
          |  SELECT id_a, id_b, dot / (na.nrm * nb.nrm) AS c
          |  FROM dots JOIN norms na ON dots.id_a = na.doc_id
          |    JOIN norms nb ON dots.id_b = nb.doc_id)

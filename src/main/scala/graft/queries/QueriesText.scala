@@ -220,15 +220,23 @@ object QueriesText {
 
     "tfidf_top" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val n = docs.count()
+      // corpus size N folds in LAZILY as a broadcast single-row aggregate —
+      // no plan-construction job (the old docs.count() ran a full extra scan
+      // before the query even started). Same pattern as rfm_segmentation's
+      // max-date scalar.
+      val nDocs = docs.agg(count(lit(1)).cast(DoubleType).as("n_docs"))
       val toks = docs.where(col("doc_id") < 100)
         .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
       val allToks = docs.select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
       val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
       val dfreq = allToks.select(col("doc_id"), col("term")).distinct()
         .groupBy(col("term")).agg(count(lit(1)).as("df"))
-      val scored = tf.join(broadcast(dfreq), "term")
-        .withColumn("tfidf", col("tf") * log(lit(n.toDouble) / col("df")))
+      // no broadcast hint on dfreq: the vocabulary is corpus-sized (a
+      // billion-type vocab overflows the broadcast limit at 100 TB) — let
+      // AQE pick broadcast only when the measured size allows it.
+      val scored = tf.join(dfreq, "term")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("tfidf", col("tf") * log(col("n_docs") / col("df")))
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
       scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
@@ -309,9 +317,10 @@ object QueriesText {
         .withColumn("score",
           log(((col("na") + 1).cast("double") / (col("ta") + col("v")))
             / ((col("nb") + 1).cast("double") / (col("tb") + col("v")))))
-        .orderBy(round(abs(col("score")), 6).desc, col("tok"))
+        .orderBy((floor(abs(col("score")) * 1e6 + 0.5) / 1e6).desc, col("tok"))
         .limit(20)
-        .select(col("tok"), col("na"), col("nb"), round(col("score"), 6).as("score"))
+        .select(col("tok"), col("na"), col("nb"),
+          (floor(col("score") * 1e6 + 0.5) / 1e6).as("score"))
     }))
 
   // DuckDB mirrors. Tokens: list_filter(string_split_regex(lower(text))).
@@ -497,10 +506,10 @@ object QueriesText {
          |    CAST(count(CASE WHEN half = 1 THEN 1 END) AS BIGINT) AS nb
          |  FROM terms GROUP BY 1),
          |tot AS (SELECT sum(na) AS ta, sum(nb) AS tb, count(*) AS v FROM counts)
-         |SELECT tok, na, nb, round(score, 6) AS score FROM (
+         |SELECT tok, na, nb, floor(score * 1e6 + 0.5) / 1e6 AS score FROM (
          |  SELECT tok, na, nb,
          |    ln((CAST(na + 1 AS DOUBLE) / (ta + v)) / (CAST(nb + 1 AS DOUBLE) / (tb + v)))
          |      AS score
          |  FROM counts CROSS JOIN tot)
-         |ORDER BY round(abs(score), 6) DESC, tok LIMIT 20""".stripMargin)
+         |ORDER BY floor(abs(score) * 1e6 + 0.5) / 1e6 DESC, tok LIMIT 20""".stripMargin)
 }

@@ -323,8 +323,11 @@ class AnalyticsSpec extends SparkSpec {
   }
 
   test("inverted_index: postings capped at 5, sorted, consistent with df") {
+    // postings is a comma-joined string (the driver's checker can't hash
+    // array cells) — split it back for the invariants
     val rows = graft.queries.QueriesAnalytics.queries("inverted_index")(spark, dir)
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getSeq[Long](2)))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getString(2).split(",").map(_.toLong).toSeq))
     assert(rows.nonEmpty)
     rows.foreach { case (_, df, postings) =>
       assert(df >= 10)

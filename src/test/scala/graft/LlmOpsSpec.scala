@@ -229,15 +229,22 @@ class LlmOpsSpec extends SparkSpec {
       .unionByName(base.select((col("doc_id") + 200000L).as("doc_id"),
         concat(col("text"), lit(" xtra xtra")).as("text")))
     val toks = c.select(col("doc_id"), array_distinct(TextFns.tokens(col("text"))).as("tk"))
-    val brute = toks.as("a").join(toks.as("b"), col("a.doc_id") < col("b.doc_id"))
+    // brute-force all-pairs with the UNROUNDED τ filter, collapsed on the
+    // driver to the declared per-doc (n_matches, best_partner, best_jaccard)
+    val brutePairs = toks.as("a").join(toks.as("b"), col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        (floor(size(array_intersect(col("a.tk"), col("b.tk"))).cast("double")
-          / size(array_union(col("a.tk"), col("b.tk"))) * 1e6 + 0.5) / 1e6).as("j"))
+        (size(array_intersect(col("a.tk"), col("b.tk"))).cast("double")
+          / size(array_union(col("a.tk"), col("b.tk")))).as("j"))
       .where(col("j") >= 0.6)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val sym = brutePairs.flatMap { case (a, b, j) => Seq((a, b, j), (b, a, j)) }
+    val brute = sym.groupBy(_._1).map { case (d, ms) =>
+      val best = ms.minBy { case (_, p, j) => (-j, p) }
+      (d, ms.size.toLong, best._2, math.floor(best._3 * 1e6 + 0.5) / 1e6)
+    }.toSet
     val got = graft.queries.QueriesDedup.queries("ssjoin_prefix")(spark, dir)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    assert(got == brute, s"prefix join missed/added pairs: ${(brute -- got).take(3)} / ${(got -- brute).take(3)}")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == brute, s"prefix join missed/added docs: ${(brute -- got).take(3)} / ${(got -- brute).take(3)}")
     assert(got.nonEmpty) // planted exact copies guarantee J = 1.0 pairs
   }
 }
