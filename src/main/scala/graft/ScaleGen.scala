@@ -82,14 +82,17 @@ object ScaleGen {
         perturbed.as("embedding"), col("label"))
     }.repartition(32).write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
 
-    // events.ts is TIMESTAMP(NANOS) → read as long (Tables.t handles the
-    // truncation at query time); shift by copy-index hours in raw nanos
+    // events.ts: TIMESTAMP(NANOS)-era testdata reads as a raw nanos long
+    // (shift in nanos); timestamp[us]-era testdata reads as a timestamp
+    // (shift as an interval). Tables.t normalizes either at query time.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet(s"$srcDir/events.parquet")
+    val tsIsLong = ev.schema("ts").dataType == org.apache.spark.sql.types.LongType
     copies(ev) { (df, i) =>
       df.select(
         (col("event_id") + lit(i.toLong * 100000000L)).as("event_id"),
-        (col("ts") + lit(i.toLong * 3600L * 1000000000L)).as("ts"),
+        (if (tsIsLong) col("ts") + lit(i.toLong * 3600L * 1000000000L)
+         else col("ts") + expr(s"INTERVAL $i HOURS")).as("ts"),
         // shift must EXCEED the distinct-user range (1500 at sf0.1): a
         // smaller shift overlaps users across copies and doubles per-user
         // event density instead of growing the user population

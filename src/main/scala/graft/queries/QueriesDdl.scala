@@ -263,13 +263,21 @@ object QueriesDdl {
         .orderBy(col("doc_id"))
     }),
 
-    // Multimodal decode path (stubbed codec, real mapPartitions plumbing):
-    // rows-only — the byte-histogram stub has no SQL twin.
+    // Multimodal decode path (stubbed codec, real mapPartitions plumbing).
+    // The byte-histogram stub IS deterministic, so the declared output
+    // recovers the integer bucket counts from the float ratios
+    // (round(f_i · n) is exact while n < 2²³/ratio-error ≈ 10⁷ bytes) and
+    // the oracle recomputes them from character codes — the testdata text
+    // is ASCII, so utf-8 bytes ≡ characters (same contract as
+    // multimodal_resize's character slicing).
     "multimodal_decode" -> ((s, dir) => {
       val media = t(s, dir, "documents")
         .select(col("doc_id"), Multimodal.mediaFromText(col("text"), "image/fake").as("media"))
+      val n1 = greatest(col("n_bytes"), lit(1L)).cast(DoubleType)
       Multimodal.decodeAndFeaturize(s, media).toDF()
-        .select(col("doc_id"), col("n_bytes"), round(element_at(col("feature"), 1), 6).as("f0"))
+        .select((col("doc_id") +: col("n_bytes") +:
+          (0 until 8).map(i =>
+            round(element_at(col("feature"), i + 1) * n1).cast(LongType).as(s"b$i"))): _*)
         .orderBy(col("doc_id"))
     }))
 
@@ -393,5 +401,15 @@ object QueriesDdl {
         |  md5(text) AS content_md5,
         |  'text/plain' AS mime,
         |  CAST(length(text) * 40 AS BIGINT) AS duration_ms
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "multimodal_decode" ->
+      ("""WITH bs AS (SELECT doc_id, length(text) AS n,
+        |    list_transform(range(1, length(text) + 1),
+        |      i -> ord(substr(text, CAST(i AS INTEGER), 1)) % 8) AS b
+        |  FROM documents)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
+        |""".stripMargin +
+        (0 until 8).map(k =>
+          s"  CAST(len(list_filter(b, x -> x = $k)) AS BIGINT) AS b$k").mkString(",\n") +
+        "\nFROM bs ORDER BY doc_id"))
 }

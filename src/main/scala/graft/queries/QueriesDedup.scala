@@ -101,10 +101,16 @@ object QueriesDedup {
 
     // SimHash near-dup: 64-bit signatures, 4×16-bit chunk blocking —
     // complete for hamming ≤ 3 (pigeonhole: <4 differing bits always leave
-    // one chunk identical). Hash-function-dependent → no SQL oracle;
-    // rows-only (exact copies guarantee hamming-0 pairs, so rows > 0).
+    // one chunk identical). The signature is xxhash64-derived (no DuckDB
+    // twin), so the DECLARED output is the hash-independent core guarantee:
+    // every planted exact-copy pair MUST surface with hamming 0 (identical
+    // text ⇒ identical shingle set ⇒ identical signature ⇒ same chunks),
+    // which the oracle enumerates exactly. Near-dup pairs (hash-dependent
+    // hamming) stay covered by DedupSpec's property checks.
     "simhash_dedup" -> ((s, dir) => {
       Dedup.simhashNearDups(corpus(s, dir), "doc_id", "text", maxHamming = 3)
+        .where(col("id_b") === col("id_a") + 100000L && col("id_a") < 100000L)
+        .select(col("id_a"), col("id_b"), col("hamming"))
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -338,6 +344,11 @@ object QueriesDedup {
          |        CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 6) AS jaccard
          |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 100000 OR b.doc_id = a.doc_id + 200000
          |ORDER BY id_a, id_b""".stripMargin,
+    "simhash_dedup" ->
+      """SELECT CAST(doc_id AS BIGINT) AS id_a,
+        |  CAST(doc_id + 100000 AS BIGINT) AS id_b, CAST(0 AS BIGINT) AS hamming
+        |FROM documents WHERE doc_id % 25 = 0 AND doc_id < 100000
+        |ORDER BY id_a, id_b""".stripMargin,
     "minhash_dedup" ->
       s"""$corpusSql,
          |sh AS ($shinglesSql)

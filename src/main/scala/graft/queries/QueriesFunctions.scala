@@ -62,16 +62,28 @@ object QueriesFunctions {
         .orderBy(col("l_returnflag"))
     }),
 
-    // Sketch percentiles (t-digest style accuracy) — approximate by design,
-    // rows-only like the HLL query.
+    // Sketch percentiles (t-digest style accuracy): the sketch values are
+    // engine-specific, so the DECLARED output is the exact percentiles plus
+    // within-tolerance flags for the sketch (accuracy=1000 → ≤0.1% rank
+    // error; 2% value tolerance is generous on TPC-H price density). Both
+    // come out of ONE aggregate pass over lineitem.
     "agg_approx_percentile" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 1000)").as("pcts"),
+          expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").as("ex"),
           count(lit(1)).as("n"))
-        .select(col("l_returnflag"), round(element_at(col("pcts"), 1), 2).as("p50"),
-          round(element_at(col("pcts"), 2), 2).as("p90"),
-          round(element_at(col("pcts"), 3), 2).as("p99"), col("n"))
+        .select(col("l_returnflag"),
+          round(element_at(col("ex"), 1), 4).as("p50"),
+          round(element_at(col("ex"), 2), 4).as("p90"),
+          round(element_at(col("ex"), 3), 4).as("p99"),
+          (abs(element_at(col("pcts"), 1) - element_at(col("ex"), 1)) <=
+            element_at(col("ex"), 1) * 0.02).as("p50_ok"),
+          (abs(element_at(col("pcts"), 2) - element_at(col("ex"), 2)) <=
+            element_at(col("ex"), 2) * 0.02).as("p90_ok"),
+          (abs(element_at(col("pcts"), 3) - element_at(col("ex"), 3)) <=
+            element_at(col("ex"), 3) * 0.02).as("p99_ok"),
+          col("n"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -269,6 +281,14 @@ object QueriesFunctions {
         |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
         |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
         |  round(quantile_cont(l_quantity, 0.25), 4) AS q1_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_approx_percentile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+        |  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
+        |  TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok,
+        |  CAST(count(*) AS BIGINT) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "agg_collect" ->
       """SELECT l_returnflag,

@@ -68,11 +68,19 @@ object QueriesRelational {
         countDistinct(col("l_returnflag"), col("l_linestatus")).as("d_flag_status"))
     }),
 
-    // HLL sketch — no exact oracle (approximate by design); rows-only check.
+    // HLL sketch vs exact distinct: the estimate itself is engine-specific,
+    // so the DECLARED output carries the exact counts plus within-tolerance
+    // flags the oracle pins exactly (default rsd 0.05 → 15% is a ≳3σ bound;
+    // both estimate and exact come out of ONE aggregate pass).
     "agg_approx_distinct" -> ((s, dir) => {
       t(s, dir, "lineitem").agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+        countDistinct(col("l_partkey")).as("d_parts"),
+        countDistinct(col("l_orderkey")).as("d_orders"),
+        approx_count_distinct(col("l_partkey")).as("_ap"),
+        approx_count_distinct(col("l_orderkey")).as("_ao"))
+        .select(col("d_parts"), col("d_orders"),
+          (abs(col("_ap") - col("d_parts")) <= col("d_parts") * 0.15).as("parts_ok"),
+          (abs(col("_ao") - col("d_orders")) <= col("d_orders") * 0.15).as("orders_ok"))
     }),
 
     "agg_rollup" -> ((s, dir) => {
@@ -262,6 +270,11 @@ object QueriesRelational {
       """SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS d_parts,
         |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS d_supps,
         |  CAST(count(DISTINCT (l_returnflag, l_linestatus)) AS BIGINT) AS d_flag_status
+        |FROM lineitem""".stripMargin,
+    "agg_approx_distinct" ->
+      """SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS d_parts,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS d_orders,
+        |  TRUE AS parts_ok, TRUE AS orders_ok
         |FROM lineitem""".stripMargin,
     "agg_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS flag, coalesce(l_linestatus, 'ALL') AS status,

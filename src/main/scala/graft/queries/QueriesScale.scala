@@ -167,18 +167,29 @@ object QueriesScale {
     // per source, then hll_union_agg folds the 20 sketches into the corpus
     // total WITHOUT re-touching raw tokens — the property that lets 1000
     // shards each sketch locally and a final reducer merge kilobytes.
-    // Estimates are hash-deterministic but engine-specific ⇒ rows-only
-    // (HllCardSpec pins the ε-accuracy and merge-exactness properties).
+    // Estimates are engine-specific, so the DECLARED output is the exact
+    // vocabulary plus a within-tolerance flag for the sketch (lgK=12 →
+    // rsd ≈1.6%; 10% is a ≳6σ bound, +16 absolute floor for tiny sources).
+    // The exact count rides the SAME per-source aggregate; only the "ALL"
+    // row needs a second pass (distinct-across-sources is not mergeable —
+    // that impossibility is exactly what the sketch union solves).
+    // HllCardSpec still pins the ε-accuracy and merge-exactness properties.
     "hll_card" -> ((s, dir) => {
       val toks = t(s, dir, "documents")
         .select(col("source"), explode(TextFns.tokens(col("text"))).as("token"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def okCol(est: org.apache.spark.sql.Column, exact: org.apache.spark.sql.Column) =
+        abs(est - exact) <= greatest(exact * 0.1, lit(16.0))
       val per = toks.groupBy(col("source"))
-        .agg(hll_sketch_agg(col("token")).as("sk"), count(lit(1)).as("n_tokens"))
-      val perSource = per.select(col("source"),
-        hll_sketch_estimate(col("sk")).as("est_vocab"), col("n_tokens"))
-      val union = per.agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_vocab"),
+        .agg(hll_sketch_agg(col("token")).as("sk"),
+          countDistinct(col("token")).as("exact_vocab"), count(lit(1)).as("n_tokens"))
+      val perSource = per.select(col("source"), col("exact_vocab"), col("n_tokens"),
+        okCol(hll_sketch_estimate(col("sk")), col("exact_vocab")).as("est_ok"))
+      val union = per.agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"),
           sum(col("n_tokens")).as("n_tokens"))
-        .select(lit("ALL").as("source"), col("est_vocab"), col("n_tokens"))
+        .crossJoin(broadcast(toks.agg(countDistinct(col("token")).as("exact_vocab"))))
+        .select(lit("ALL").as("source"), col("exact_vocab"), col("n_tokens"),
+          okCol(col("est"), col("exact_vocab")).as("est_ok"))
       perSource.unionByName(union).orderBy(col("source"))
     }),
 
@@ -384,6 +395,16 @@ object QueriesScale {
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |WHERE s_nationkey = 3
         |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin,
+    "hll_card" ->
+      s"""WITH tok AS (SELECT source, unnest($toks) AS token FROM documents)
+         |SELECT source, CAST(count(DISTINCT token) AS BIGINT) AS exact_vocab,
+         |  CAST(count(*) AS BIGINT) AS n_tokens, TRUE AS est_ok
+         |FROM tok GROUP BY source
+         |UNION ALL
+         |SELECT 'ALL' AS source, CAST(count(DISTINCT token) AS BIGINT) AS exact_vocab,
+         |  CAST(count(*) AS BIGINT) AS n_tokens, TRUE AS est_ok
+         |FROM tok
+         |ORDER BY source""".stripMargin,
     "heavy_hitters" ->
       s"""WITH tok AS (SELECT unnest($toks) AS token FROM documents)
          |SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok

@@ -140,7 +140,12 @@ object QueriesSim {
     }),
 
     // Random-hyperplane LSH bucketing: probe only the query's sign-bucket.
-    // Recall is probabilistic → no SQL oracle (rows-only check).
+    // The planes are deterministic driver-side literals (SimFns.fixedPlanes),
+    // so the bucket function IS SQL-expressible: the oracle inlines the same
+    // 6×64 doubles and recomputes the sign bits — the full bucketed top-k
+    // output is exact-checked, not rows-only. (Both engines fold the dot
+    // product sequentially over exact float→double products; a sign flip
+    // would need |dot| ≲ 1e-13, vanishing for unit-scale data.)
     "sim_lsh" -> ((s, dir) => {
       val planes = SimFns.fixedPlanes(nPlanes = 6, dim = 64)
       val e = t(s, dir, "embeddings")
@@ -159,8 +164,9 @@ object QueriesSim {
 
     // Multi-probe LSH: probe the query's bucket AND every Hamming-1 bucket
     // (one flipped hyperplane) — recall rises toward brute force while the
-    // scan stays bucket-pruned. Hash-dependent → rows-only; recall vs the
-    // exact top-k is pinned by PropertiesSpec.
+    // scan stays bucket-pruned. Same literal-planes oracle as sim_lsh (the
+    // probe set is a pure bit recombination); recall vs the exact top-k is
+    // additionally pinned by PropertiesSpec.
     "sim_lsh_multiprobe" -> ((s, dir) => {
       val planes = SimFns.fixedPlanes(nPlanes = 6, dim = 64)
       val e = t(s, dir, "embeddings")
@@ -256,7 +262,62 @@ object QueriesSim {
         .orderBy(col("id_a"), col("id_b"))
     }))
 
+  /** The LSH sign-bit columns as DuckDB SQL: the SAME fixedPlanes(6, 64)
+    * doubles the Spark query uses, inlined as literals (Double.toString is
+    * shortest-round-trip, so DuckDB parses back the identical bits), with
+    * list_dot_product mirroring the sequential left-fold of SimFns.dot. */
+  private def lshBitsSql: String =
+    SimFns.fixedPlanes(nPlanes = 6, dim = 64).zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), " +
+        s"[${p.mkString(", ")}]) >= 0 THEN 1 ELSE 0 END) AS b$i"
+    }.mkString(",\n    ")
+
+  private val lshBucketSql: String =
+    (0 until 6).map(i => s"CAST(b$i AS VARCHAR)").mkString(" || ")
+
+  /** The multi-probe key list: own bucket + each one-bit flip. */
+  private val lshProbesSql: String = {
+    val base = lshBucketSql
+    val flips = (0 until 6).map { i =>
+      (0 until 6).map(j =>
+        if (j == i) s"CAST(1 - b$j AS VARCHAR)" else s"CAST(b$j AS VARCHAR)")
+        .mkString(" || ")
+    }
+    s"[$base, ${flips.mkString(", ")}]"
+  }
+
   val oracle: Map[String, String] = Map(
+    "sim_lsh" ->
+      s"""WITH bits AS (SELECT vec_id, embedding,
+         |    $lshBitsSql
+         |  FROM embeddings),
+         |b AS (SELECT vec_id, embedding, $lshBucketSql AS bucket FROM bits),
+         |q AS (SELECT vec_id AS qid, embedding AS qe, bucket AS qb
+         |  FROM b WHERE vec_id < 5)
+         |SELECT qid, vec_id, round(c, 6) AS cos, CAST(rn AS BIGINT) AS rank FROM (
+         |  SELECT qid, vec_id, c,
+         |    row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS rn
+         |  FROM (SELECT q.qid, e.vec_id,
+         |      list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+         |        CAST(e.embedding AS DOUBLE[])) AS c
+         |    FROM b e JOIN q ON e.bucket = q.qb))
+         |WHERE rn <= 10 ORDER BY qid, rank""".stripMargin,
+    "sim_lsh_multiprobe" ->
+      s"""WITH bits AS (SELECT vec_id, embedding,
+         |    $lshBitsSql
+         |  FROM embeddings),
+         |b AS (SELECT vec_id, embedding, $lshBucketSql AS bucket,
+         |    $lshProbesSql AS probes FROM bits),
+         |q AS (SELECT vec_id AS qid, embedding AS qe, probes
+         |  FROM b WHERE vec_id < 5)
+         |SELECT qid, vec_id, round(c, 6) AS cos, CAST(rn AS BIGINT) AS rank FROM (
+         |  SELECT qid, vec_id, c,
+         |    row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS rn
+         |  FROM (SELECT q.qid, e.vec_id,
+         |      list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+         |        CAST(e.embedding AS DOUBLE[])) AS c
+         |    FROM b e JOIN q ON list_contains(q.probes, e.bucket)))
+         |WHERE rn <= 10 ORDER BY qid, rank""".stripMargin,
     "embed_classify" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
         |    FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL),

@@ -7,17 +7,22 @@ import org.apache.spark.sql.types._
 /** Parquet testdata loaders (TESTDATA.md). */
 object Tables {
 
-  /** events.ts is parquet TIMESTAMP(NANOS) which Spark doesn't natively read;
-    * read it as a raw nanos long and truncate to microseconds (integer DIV —
-    * a double division would lose precision on ~1.7e18 nanos values). DuckDB
-    * truncates ns→µs the same way, so the oracle agrees. */
+  /** events.ts normalizes to TIMESTAMP (session tz is UTC everywhere), which
+    * the query surface assumes (`unix_micros` rejects TIMESTAMP_NTZ):
+    *   - parquet TIMESTAMP(NANOS) (round ≤2 testdata) isn't natively
+    *     readable; read as a raw nanos long and truncate to microseconds
+    *     (integer DIV — double division loses precision at ~1.7e18; pmod
+    *     makes it a floor like DuckDB, not a toward-zero truncation);
+    *   - parquet timestamp[us] without tz (round 3+ testdata) reads as
+    *     TIMESTAMP_NTZ; the cast reinterprets the wall-clock in the UTC
+    *     session zone — exactly DuckDB's naive-timestamp semantics. */
   def t(s: SparkSession, dir: String, name: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = s.read.parquet(s"$dir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType == LongType)
-      // floor division via pmod (DIV truncates toward zero, which would
-      // round pre-1970 nanos the wrong way; DuckDB floors)
       df.withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) DIV 1000")))
+    else if (name == "events" && df.schema("ts").dataType == TimestampNTZType)
+      df.withColumn("ts", col("ts").cast(TimestampType))
     else df
   }
 
