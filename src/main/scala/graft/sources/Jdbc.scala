@@ -1,0 +1,90 @@
+package graft.sources
+
+import graft.Ddl
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** JDBC scan/sink passthrough — the database bridge the reference ships
+  * (clsql-data-table.lisp:13-19 `get-data-table`, 236-239
+  * `import-data-table`), re-expressed as Spark's own JDBC source wired to
+  * the [[graft.Ddl]] dialect generators.
+  *
+  * No JDBC driver jar exists in this sandbox, so the split is deliberate:
+  * everything that touches a real database (`scan`/`save`) is a one-line
+  * passthrough to `spark.read.jdbc`/`df.write.jdbc`, and everything pure —
+  * option assembly, dialect inference, ensure-table DDL — is a separate
+  * function the spec pins without a connection.
+  *
+  * Scale shape: a JDBC scan is single-stream unless partitioned — always
+  * pass `partitioned` bounds for data-sized tables (Spark then issues
+  * `numPartitions` range-predicate queries in parallel), and push filters
+  * early so they reach the remote engine as WHERE clauses (Spark's JDBC
+  * source pushes predicates and column pruning by default).
+  */
+object Jdbc {
+
+  final case class Conn(url: String,
+                        user: Option[String] = None,
+                        password: Option[String] = None,
+                        driver: Option[String] = None,
+                        extra: Map[String, String] = Map.empty) {
+
+    /** `postgres` / `mssql` / other — from the JDBC URL subprotocol; picks
+      * the Ddl dialect the reference chooses by connection type. */
+    def dialect: String = url.split(":").lift(1).getOrElse("").toLowerCase match {
+      case "postgresql"           => "postgres"
+      case "sqlserver" | "jtds"   => "mssql"
+      case other                  => other
+    }
+
+    def properties: java.util.Properties = {
+      val p = new java.util.Properties()
+      user.foreach(p.setProperty("user", _))
+      password.foreach(p.setProperty("password", _))
+      driver.foreach(p.setProperty("driver", _))
+      extra.foreach { case (k, v) => p.setProperty(k, v) }
+      p
+    }
+  }
+
+  /** Options for a parallel range-partitioned scan. Bounds only steer the
+    * split points (rows outside still arrive in the edge partitions). */
+  final case class Partitioned(column: String, lower: Long, upper: Long, num: Int)
+
+  /** The full option map `spark.read.format("jdbc")` receives — pure, so
+    * the spec can assert exactly what reaches Spark. */
+  def readOptions(conn: Conn, table: String,
+                  partitioned: Option[Partitioned] = None,
+                  fetchSize: Int = 10000): Map[String, String] =
+    Map("url" -> conn.url, "dbtable" -> table, "fetchsize" -> fetchSize.toString) ++
+      conn.user.map("user" -> _) ++ conn.password.map("password" -> _) ++
+      conn.driver.map("driver" -> _) ++ conn.extra ++
+      partitioned.toSeq.flatMap(p => Seq(
+        "partitionColumn" -> p.column,
+        "lowerBound" -> p.lower.toString,
+        "upperBound" -> p.upper.toString,
+        "numPartitions" -> p.num.toString))
+
+  /** `CREATE TABLE` DDL in the connection's dialect — the
+    * `ensure-table-for-data-table` step before a first save. */
+  def ensureTableSql(df: DataFrame, table: String, conn: Conn): String =
+    conn.dialect match {
+      case "mssql" => Ddl.mssqlDdl(df, table)
+      case _       => Ddl.postgresDdl(df, table)
+    }
+
+  /** Live scan — the only read that needs a driver on the classpath. */
+  def scan(s: SparkSession, conn: Conn, table: String,
+           partitioned: Option[Partitioned] = None): DataFrame =
+    s.read.format("jdbc").options(readOptions(conn, table, partitioned)).load()
+
+  /** Live sink. `numPartitions` caps concurrent connections (each Spark
+    * partition opens one); batch inserts of `batchSize` rows mirror the
+    * reference's row-importer batching. */
+  def save(df: DataFrame, conn: Conn, table: String,
+           mode: SaveMode = SaveMode.Append,
+           numPartitions: Int = 8, batchSize: Int = 10000): Unit = {
+    val props = conn.properties
+    props.setProperty("batchsize", batchSize.toString)
+    df.coalesce(numPartitions).write.mode(mode).jdbc(conn.url, table, props)
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import graft.sources.Jdbc
+import org.apache.spark.sql.functions._
+
+/** JDBC bridge units (clsql-data-table.lisp:13-19, 236-239): everything
+  * pure — dialect inference, option assembly, ensure-table DDL — pinned
+  * without a live database (no driver jar in the sandbox; `scan`/`save`
+  * are one-line passthroughs to Spark's own JDBC source). */
+class JdbcSpec extends SparkSpec {
+
+  private val pg = Jdbc.Conn("jdbc:postgresql://host:5432/db",
+    user = Some("u"), password = Some("p"))
+  private val ms = Jdbc.Conn("jdbc:sqlserver://host;databaseName=db")
+
+  test("dialect inferred from the URL subprotocol") {
+    assert(pg.dialect == "postgres")
+    assert(ms.dialect == "mssql")
+    assert(Jdbc.Conn("jdbc:jtds:sqlserver://h/db").dialect == "mssql")
+    assert(Jdbc.Conn("jdbc:mysql://h/db").dialect == "mysql")
+  }
+
+  test("read options: credentials, fetchsize, range partitioning") {
+    val o = Jdbc.readOptions(pg, "public.orders",
+      partitioned = Some(Jdbc.Partitioned("o_orderkey", 1L, 1000000L, 32)))
+    assert(o("url") == pg.url && o("dbtable") == "public.orders")
+    assert(o("user") == "u" && o("password") == "p")
+    assert(o("fetchsize") == "10000")
+    assert(o("partitionColumn") == "o_orderkey" && o("numPartitions") == "32")
+    assert(o("lowerBound") == "1" && o("upperBound") == "1000000")
+    // unpartitioned scan must not smuggle in partitioning keys
+    val plain = Jdbc.readOptions(ms, "dbo.T")
+    assert(!plain.contains("partitionColumn") && !plain.contains("user"))
+  }
+
+  test("ensure-table DDL routes to the connection's dialect") {
+    import spark.implicits._
+    val df = Seq(("x", 1L)).toDF("name", "count of things")
+    val pgSql = Jdbc.ensureTableSql(df, "t", pg)
+    assert(pgSql.startsWith("CREATE TABLE public.t"), pgSql)
+    assert(pgSql.contains("count_of_things"), pgSql)       // postgres snake_case
+    val msSql = Jdbc.ensureTableSql(df, "t", ms)
+    assert(msSql.startsWith("CREATE TABLE dbo.t"), msSql)
+    assert(msSql.contains("CountOfThings"), msSql)         // mssql StudlyCase
+    assert(msSql.contains("IDENTITY"), msSql)
+  }
+
+  test("connection properties carry driver + extras") {
+    val c = pg.copy(driver = Some("org.postgresql.Driver"),
+      extra = Map("ssl" -> "true"))
+    val p = c.properties
+    assert(p.getProperty("driver") == "org.postgresql.Driver")
+    assert(p.getProperty("ssl") == "true")
+    assert(p.getProperty("user") == "u")
+  }
+}
