@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -65,24 +66,50 @@ object QueriesFunctions {
     // Sketch percentiles (t-digest style accuracy): the sketch values are
     // engine-specific, so the DECLARED output is the exact percentiles plus
     // within-tolerance flags for the sketch (accuracy=1000 → ≤0.1% rank
-    // error; 2% value tolerance is generous on TPC-H price density). Both
-    // come out of ONE aggregate pass over lineitem.
+    // error; 2% value tolerance is generous on TPC-H price density).
+    //
+    // The EXACT side deliberately avoids Spark's `percentile` aggregate
+    // (it buffers every group value in one ObjectHashAggregate buffer — a
+    // 100 TB non-starter with only 3 groups): prices recast to integer
+    // cents make the domain discrete and BOUNDED, so a (flag, cents)
+    // count-histogram + a cumulative window OVER THE HISTOGRAM yields the
+    // R-7 interpolated quantile fully distributedly — the window sorts
+    // ~|price domain| rows, never the corpus. cents/100.0 is bit-identical
+    // to the source double for 2-decimal rationals, so the interpolation
+    // reproduces quantile_cont exactly.
     "agg_approx_percentile" -> ((s, dir) => {
-      t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 1000)").as("pcts"),
-          expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").as("ex"),
-          count(lit(1)).as("n"))
+      val li = t(s, dir, "lineitem").select(col("l_returnflag"),
+        col("l_extendedprice"),
+        round(col("l_extendedprice") * 100).cast(LongType).as("cents"))
+      val hist = li.groupBy(col("l_returnflag"), col("cents")).agg(count(lit(1)).as("cnt"))
+      val wCum = Window.partitionBy(col("l_returnflag")).orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ranked = hist
+        .withColumn("cum", sum(col("cnt")).over(wCum))
+        .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("l_returnflag"))))
+      def vAt(idx: Column, alias: String) =
+        min(when(col("cum") - 1 >= idx, col("cents"))).as(alias)
+      def h(p: Double): Column = (col("n") - 1).cast(DoubleType) * lit(p)
+      val exact = ranked.groupBy(col("l_returnflag"))
+        .agg(max(col("n")).as("n"),
+          vAt(floor(h(0.5)), "lo50"), vAt(ceil(h(0.5)), "hi50"),
+          vAt(floor(h(0.9)), "lo90"), vAt(ceil(h(0.9)), "hi90"),
+          vAt(floor(h(0.99)), "lo99"), vAt(ceil(h(0.99)), "hi99"))
+      def interp(lo: String, hi: String, p: Double): Column = {
+        val f = h(p) - floor(h(p))
+        col(lo) / 100.0 + f * (col(hi) / 100.0 - col(lo) / 100.0)
+      }
+      val sk = li.groupBy(col("l_returnflag").as("skflag"))
+        .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 1000)").as("pcts"))
+      def ok(i: Int, ex: Column) = (abs(element_at(col("pcts"), i) - ex) <= ex * 0.02)
+      exact.join(sk, col("l_returnflag") === col("skflag"))
         .select(col("l_returnflag"),
-          round(element_at(col("ex"), 1), 4).as("p50"),
-          round(element_at(col("ex"), 2), 4).as("p90"),
-          round(element_at(col("ex"), 3), 4).as("p99"),
-          (abs(element_at(col("pcts"), 1) - element_at(col("ex"), 1)) <=
-            element_at(col("ex"), 1) * 0.02).as("p50_ok"),
-          (abs(element_at(col("pcts"), 2) - element_at(col("ex"), 2)) <=
-            element_at(col("ex"), 2) * 0.02).as("p90_ok"),
-          (abs(element_at(col("pcts"), 3) - element_at(col("ex"), 3)) <=
-            element_at(col("ex"), 3) * 0.02).as("p99_ok"),
+          round(interp("lo50", "hi50", 0.5), 4).as("p50"),
+          round(interp("lo90", "hi90", 0.9), 4).as("p90"),
+          round(interp("lo99", "hi99", 0.99), 4).as("p99"),
+          ok(1, interp("lo50", "hi50", 0.5)).as("p50_ok"),
+          ok(2, interp("lo90", "hi90", 0.9)).as("p90_ok"),
+          ok(3, interp("lo99", "hi99", 0.99)).as("p99_ok"),
           col("n"))
         .orderBy(col("l_returnflag"))
     }),

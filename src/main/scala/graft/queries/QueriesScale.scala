@@ -175,9 +175,12 @@ object QueriesScale {
     // that impossibility is exactly what the sketch union solves).
     // HllCardSpec still pins the ε-accuracy and merge-exactness properties.
     "hll_card" -> ((s, dir) => {
+      // NOT persisted: toks feeds two consumers, but both collapse to tiny
+      // aggregates immediately — re-running the narrow tokenize scan twice
+      // is the scale-right trade vs caching an EXPLODED token stream
+      // (larger than the corpus) to memory/disk at 100 TB.
       val toks = t(s, dir, "documents")
         .select(col("source"), explode(TextFns.tokens(col("text"))).as("token"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       def okCol(est: org.apache.spark.sql.Column, exact: org.apache.spark.sql.Column) =
         abs(est - exact) <= greatest(exact * 0.1, lit(16.0))
       val per = toks.groupBy(col("source"))
