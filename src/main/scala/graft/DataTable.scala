@@ -174,6 +174,17 @@ final case class DataTable(df: DataFrame) {
   def systematicSample(keyCol: String, k: Int): DataTable =
     DataTable(df.where(pmod(col(keyCol), lit(k)) === 0))
 
+  /** Seeded Bernoulli sample — the STATISTICAL sibling of the reference's
+    * reservoir `sample-rows` (data-table.lisp:295-307) for users who want an
+    * unbiased sample rather than bounded-cost reproducibility: every row
+    * kept independently with probability `fraction`, no shuffle, no global
+    * coordination (each partition draws from its own seeded stream — the
+    * 1000-executor shape). Deterministic for a fixed seed AND partition
+    * layout; across layouts only the distribution is stable, which is why
+    * the verification pipeline uses [[systematicSample]] instead. */
+  def randomSample(fraction: Double, seed: Long = 42L): DataTable =
+    DataTable(df.sample(withReplacement = false, fraction, seed))
+
   /** Append literal rows (the reference's row-growth via `(setf
     * data-table-value)` + `ensure-rows`, data-table.lisp:156-163):
     * missing keys → null, extra keys dropped — fromMaps semantics, then

@@ -100,6 +100,22 @@ class DataTableSpec extends SparkSpec {
     assert(fixture.sampleRows(100).numberOfRows == 6L) // n > rows → all rows
   }
 
+  test("randomSample: seeded Bernoulli — subset, determinism, concentration") {
+    import spark.implicits._
+    val big = DataTable(spark.range(2000).select(col("id")))
+    val s1 = big.randomSample(0.2, seed = 7L)
+    val s2 = big.randomSample(0.2, seed = 7L)
+    // subset of the original, deterministic for a fixed seed + layout
+    assert(s1.df.exceptAll(big.df).isEmpty)
+    assert(s1.df.exceptAll(s2.df).isEmpty && s2.df.exceptAll(s1.df).isEmpty)
+    // binomial(2000, 0.2): mean 400, σ ≈ 17.9 — ±6σ bounds
+    val n = s1.numberOfRows
+    assert(n > 290 && n < 510, s"sample size $n far outside binomial range")
+    // a different seed draws a different subset (overwhelmingly likely)
+    val s3 = big.randomSample(0.2, seed = 8L)
+    assert(!(s3.df.exceptAll(s1.df).isEmpty && s1.df.exceptAll(s3.df).isEmpty))
+  }
+
   test("withColumnType casts — data-table.lisp:416-423") {
     val dt = fixture.withColumnType("id", LongType)
     assert(dt.columnType("ID") == LongType)
