@@ -81,35 +81,19 @@ object QueriesFunctions {
       val li = t(s, dir, "lineitem").select(col("l_returnflag"),
         col("l_extendedprice"),
         round(col("l_extendedprice") * 100).cast(LongType).as("cents"))
-      val hist = li.groupBy(col("l_returnflag"), col("cents")).agg(count(lit(1)).as("cnt"))
-      val wCum = Window.partitionBy(col("l_returnflag")).orderBy(col("cents"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val ranked = hist
-        .withColumn("cum", sum(col("cnt")).over(wCum))
-        .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("l_returnflag"))))
-      def vAt(idx: Column, alias: String) =
-        min(when(col("cum") - 1 >= idx, col("cents"))).as(alias)
-      def h(p: Double): Column = (col("n") - 1).cast(DoubleType) * lit(p)
-      val exact = ranked.groupBy(col("l_returnflag"))
-        .agg(max(col("n")).as("n"),
-          vAt(floor(h(0.5)), "lo50"), vAt(ceil(h(0.5)), "hi50"),
-          vAt(floor(h(0.9)), "lo90"), vAt(ceil(h(0.9)), "hi90"),
-          vAt(floor(h(0.99)), "lo99"), vAt(ceil(h(0.99)), "hi99"))
-      def interp(lo: String, hi: String, p: Double): Column = {
-        val f = h(p) - floor(h(p))
-        col(lo) / 100.0 + f * (col(hi) / 100.0 - col(lo) / 100.0)
-      }
+      val exact = graft.operators.HistogramQuantile.quantiles(
+        li, Seq("l_returnflag"), "cents", Seq(0.5, 0.9, 0.99), scale = 100.0)
       val sk = li.groupBy(col("l_returnflag").as("skflag"))
         .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 1000)").as("pcts"))
       def ok(i: Int, ex: Column) = (abs(element_at(col("pcts"), i) - ex) <= ex * 0.02)
       exact.join(sk, col("l_returnflag") === col("skflag"))
         .select(col("l_returnflag"),
-          round(interp("lo50", "hi50", 0.5), 4).as("p50"),
-          round(interp("lo90", "hi90", 0.9), 4).as("p90"),
-          round(interp("lo99", "hi99", 0.99), 4).as("p99"),
-          ok(1, interp("lo50", "hi50", 0.5)).as("p50_ok"),
-          ok(2, interp("lo90", "hi90", 0.9)).as("p90_ok"),
-          ok(3, interp("lo99", "hi99", 0.99)).as("p99_ok"),
+          round(col("q_0"), 4).as("p50"),
+          round(col("q_1"), 4).as("p90"),
+          round(col("q_2"), 4).as("p99"),
+          ok(1, col("q_0")).as("p50_ok"),
+          ok(2, col("q_1")).as("p90_ok"),
+          ok(3, col("q_2")).as("p99_ok"),
           col("n"))
         .orderBy(col("l_returnflag"))
     }),
