@@ -209,4 +209,75 @@ object Streams {
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Update(), mode)(update)
   }
+
+  final case class DocSig(doc_id: Long, bucket: String, mh: Array[Long])
+  final case class NearDupHit(id_new: Long, id_prior: Long, est_jaccard: Double)
+
+  /** Streaming MinHash-LSH near-dup detection — dedup AT INGEST, the
+    * streaming twin of [[graft.operators.Dedup.minhashNearDups]]: each
+    * arriving document matches against everything already seen, so a 100 TB
+    * corpus is deduplicated incrementally instead of re-paired per batch
+    * (the batch sibling of this shape is Dedup.incrementalNearDups over a
+    * persisted index).
+    *
+    * Shape: per-row minhash signature (composed HOFs — interpreted, which
+    * is fine at per-document stream rates; batch jobs use Dedup's
+    * explode→aggregate form), explode to `numBands` band buckets, then
+    * `flatMapGroupsWithState` KEYED BY BUCKET holds the signatures seen in
+    * that bucket and emits a hit when an arriving signature agrees with a
+    * stored one on ≥ `threshold` of the minhashes (the standard unbiased
+    * LSH Jaccard estimate — state stays a fixed 8·numHashes bytes per doc
+    * per band, never the shingle sets). State is partitioned by bucket:
+    * the 1000-executor shape, skew-free because duplicate-heavy buckets
+    * split across band indexes.
+    *
+    * Caveats, deliberate: a pair colliding in k bands emits k identical
+    * hits — dedup downstream (`dropDuplicates` on the ids; kept outside so
+    * the operator stays single-stateful and composable); state never
+    * expires here (finite test streams) — production ingest bounds it with
+    * an event-time TTL exactly like [[runningUserTotals]]'s timeout. */
+  def nearDupStream(spark: SparkSession, docs: DataFrame, idCol: String, textCol: String,
+                    threshold: Double = 0.8, numHashes: Int = 64, numBands: Int = 16,
+                    shingleN: Int = 3): Dataset[NearDupHit] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(numBands >= 1 && numHashes % numBands == 0,
+      s"numHashes ($numHashes) must be a positive multiple of numBands ($numBands)")
+    val rowsPerBand = numHashes / numBands
+    val sh = array_distinct(graft.functions.TextFns.shingles(
+      graft.functions.TextFns.tokens(col(textCol)), shingleN))
+    val mhCol = transform(sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(col("_sh"), s => xxhash64(i, s))))
+    val banded = docs
+      .select(col(idCol).cast("long").as("doc_id"), sh.as("_sh"))
+      .where(size(col("_sh")) > 0)
+      .withColumn("_mh", mhCol)
+      .select(col("doc_id"), col("_mh"),
+        posexplode(transform(sequence(lit(0), lit(numBands - 1)),
+          b => xxhash64(slice(col("_mh"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+      .select(col("doc_id"), concat_ws(":", col("pos"), col("col")).as("bucket"),
+        col("_mh").as("mh"))
+      .as[DocSig]
+    def update(bucket: String, rows: Iterator[DocSig],
+               state: GroupState[List[(Long, Array[Long])]]): Iterator[NearDupHit] = {
+      var seen = state.getOption.getOrElse(Nil)
+      val out = List.newBuilder[NearDupHit]
+      // ascending id order makes within-batch emission deterministic
+      rows.toVector.sortBy(_.doc_id).foreach { d =>
+        if (!seen.exists(_._1 == d.doc_id)) {
+          seen.foreach { case (pid, pmh) =>
+            var agree = 0; var i = 0
+            while (i < numHashes) { if (pmh(i) == d.mh(i)) agree += 1; i += 1 }
+            val est = agree.toDouble / numHashes
+            if (est >= threshold) out += NearDupHit(d.doc_id, pid, est)
+          }
+          seen = (d.doc_id, d.mh) :: seen
+        }
+      }
+      state.update(seen)
+      out.result().iterator
+    }
+    banded.groupByKey(_.bucket)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(update)
+  }
 }

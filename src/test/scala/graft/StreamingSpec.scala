@@ -288,4 +288,43 @@ class StreamingSpec extends SparkSpec {
       assert(spark.table("file_stream_test").count() == 2L)
     } finally q.stop()
   }
+
+  test("nearDupStream: cross-batch LSH dedup at ingest, estimate quality") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog while rain falls on the quiet green hills of the north country every single day"
+    val near = base.replace("every single day", "every single morning")
+    val other = "completely different content about spark distributed query execution engines and columnar storage formats for analytics workloads at scale"
+    val ms = MemoryStream[(Long, String)]
+    val hits = Streams.nearDupStream(spark, ms.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", threshold = 0.5)
+    val q = Streams.toMemorySink(hits.toDF(), "neardup_test", "append")
+    try {
+      ms.addData((1L, base), (2L, other))
+      q.processAllAvailable()
+      // batch 1: unrelated docs — no hits
+      assert(spark.table("neardup_test").isEmpty)
+      // batch 2: an exact copy of doc 1 and a near copy; state from batch 1
+      // must still match them (the incremental-ingest property)
+      ms.addData((3L, base), (4L, near))
+      q.processAllAvailable()
+      val got = spark.table("neardup_test").as[Streams.NearDupHit].collect()
+        .map(h => (h.id_new, h.id_prior) -> h.est_jaccard).toMap // band dups collapse
+      assert(got.contains((3L, 1L)), s"exact copy must match its prior: $got")
+      assert(got((3L, 1L)) == 1.0, "identical shingles agree on every minhash")
+      assert(got.keys.forall { case (n, p) => Set(1L, 3L, 4L).contains(n) && p < n },
+        s"no hit may involve the unrelated doc or invert arrival order: $got")
+      // the near copy matches base (3 changed tokens of ~24): estimate must
+      // sit well above threshold and below 1
+      val nearEst = got.collect { case ((4L, p), e) if p == 1L || p == 3L => e }
+      assert(nearEst.nonEmpty && nearEst.forall(e => e >= 0.5 && e < 1.0),
+        s"near-copy estimate off: $got")
+      // estimate vs true jaccard: within 0.25 (64 hashes, σ ≈ 0.06)
+      val sets = Seq(base, near).map(t =>
+        t.toLowerCase.split("\\s+").sliding(3).map(_.mkString(" ")).toSet)
+      val trueJ = sets(0).intersect(sets(1)).size.toDouble / sets(0).union(sets(1)).size
+      nearEst.foreach(e => assert(math.abs(e - trueJ) < 0.25,
+        s"estimate $e vs true $trueJ"))
+    } finally q.stop()
+  }
 }
