@@ -196,6 +196,25 @@ object QueriesScale {
       perSource.unionByName(union).orderBy(col("source"))
     }),
 
+    // Count–Min point-frequency sketch over the token stream: the sketch is
+    // a config-bounded (r, cell, cnt) table — mergeable by construction
+    // (union+re-aggregate), the shard-local/fold-kilobytes shape. The
+    // DECLARED output probes the exact top-20 tokens (deterministic
+    // membership via the Misra–Gries exact recount) and pins the sketch's
+    // DETERMINISTIC invariant: a cell aggregates every colliding token, so
+    // estimate ≥ exact count, always, at any scale. The probabilistic ε·N
+    // over-estimation bound is CountMinSpec's job.
+    "cms_counts" -> ((s, dir) => {
+      import graft.operators.CountMin
+      val toks = t(s, dir, "documents")
+        .select(explode(TextFns.tokens(col("text"))).as("token"))
+      val top = HeavyHitters.exactTopK(toks, k = 20, capacity = 4096)
+      CountMin.estimate(CountMin.sketch(toks, "token"), top.select(col("token")), "token")
+        .join(top, "token")
+        .select(col("token"), col("n"), (col("est") >= col("n")).as("cms_ge"))
+        .orderBy(col("n").desc, col("token"))
+    }),
+
     // Incremental aggregation — the maintained-data-card pattern: per-source
     // partials (count/sum/max — all algebraic, so they merge associatively)
     // persist as a tiny parquet state table; an append batch computes ONLY
@@ -411,6 +430,10 @@ object QueriesScale {
     "heavy_hitters" ->
       s"""WITH tok AS (SELECT unnest($toks) AS token FROM documents)
          |SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok
+         |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+    "cms_counts" ->
+      s"""WITH tok AS (SELECT unnest($toks) AS token FROM documents)
+         |SELECT token, CAST(count(*) AS BIGINT) AS n, TRUE AS cms_ge FROM tok
          |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
     "outlier_mad" ->
       """WITH e AS (SELECT event_id, event_type, value,
