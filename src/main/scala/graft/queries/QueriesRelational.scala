@@ -243,6 +243,66 @@ object QueriesRelational {
         .select(col("l_orderkey"), col("revenue"), col("o_orderdate"), col("o_orderpriority"))
         .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
         .limit(10)
+    }),
+
+    // TPC-H Q5 shape (local-supplier volume): a 6-table join where ONLY the
+    // two fact tables are data-sized — region/nation/supplier/customer all
+    // broadcast, so the single shuffle pair is lineitem⋈orders on orderkey,
+    // and the c_nationkey = s_nationkey "local" constraint rides the
+    // broadcast join as a residual. The optimizer-reorder showcase: filters
+    // (region, year) reach the scans, the join tree collapses dims first.
+    "relational_q5" -> ((s, dir) => {
+      val y0 = expr("TIMESTAMP '1996-01-01 00:00:00'")
+      val y1 = expr("TIMESTAMP '1997-01-01 00:00:00'")
+      val r = t(s, dir, "region").where(col("r_name") === "ASIA")
+      val n = t(s, dir, "nation").join(broadcast(r),
+        col("n_regionkey") === col("r_regionkey"))
+      val sup = t(s, dir, "supplier").join(broadcast(n),
+        col("s_nationkey") === col("n_nationkey"))
+      val o = t(s, dir, "orders").where(col("o_orderdate") >= y0 && col("o_orderdate") < y1)
+      val c = t(s, dir, "customer")
+      t(s, dir, "lineitem")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name"))
+        // exact integer arithmetic: cents x (100 - discount-cents) sums in
+        // BIGINT, ONE division at the end — a double revenue sum differs
+        // across engines in the last ulp and flips round(,2) exactly at the
+        // .xx5 boundaries (observed on q10 before this form)
+        .agg((floor(sum(expr(
+          "CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))"))
+          / 100.0 + 0.5) / 100.0).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // TPC-H Q10 shape (returned-item reporting): which customers returned
+    // the most revenue in a quarter. Fact⋈fact on orderkey after both
+    // filters push to the scans; customer/nation broadcast onto the
+    // customer-sized aggregate; TakeOrderedAndProject caps the result.
+    "relational_q10" -> ((s, dir) => {
+      val q0 = expr("TIMESTAMP '1996-01-01 00:00:00'")
+      val q1 = expr("TIMESTAMP '1996-04-01 00:00:00'")
+      val o = t(s, dir, "orders").where(col("o_orderdate") >= q0 && col("o_orderdate") < q1)
+      val l = t(s, dir, "lineitem").where(col("l_returnflag") === "R")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        // same exact-cents sum + floor-rounding as relational_q5 (a double
+        // revenue sum differs across engines in the last ulp, and round()
+        // itself diverges exactly at .xx5 — both observed here)
+        .agg((floor(sum(expr(
+          "CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))"))
+          / 100.0 + 0.5) / 100.0).as("revenue"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("n_name"),
+          round(col("c_acctbal"), 2).as("acctbal"), col("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
     }))
 
   val oracle: Map[String, String] = Map(
@@ -356,6 +416,33 @@ object QueriesRelational {
         |FROM grid LEFT JOIN actual
         |  ON grid.c_mktsegment = actual.c_mktsegment AND grid.o_orderpriority = actual.o_orderpriority
         |ORDER BY segment, priority""".stripMargin,
+    "relational_q5" ->
+      """SELECT n_name,
+        |  floor(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 100.0 + 0.5) / 100.0 AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "relational_q10" ->
+      """WITH rev AS (
+        |  SELECT o_custkey,
+        |    floor(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |        * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 100.0 + 0.5) / 100.0 AS revenue
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_returnflag = 'R'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY o_custkey)
+        |SELECT c_custkey, c_name, n_name, round(c_acctbal, 2) AS acctbal, revenue
+        |FROM rev JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
     "relational_q3" ->
       """SELECT l_orderkey,
         |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
