@@ -184,6 +184,20 @@ object QueriesSim {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // Distributed Gram matrix X^T X (operators/Gram): ONE mapPartitions
+    // pass accumulates per-partition upper triangles (2080 doubles — no 64×
+    // explosion, no shuffle of exploded values), a cells-sized groupBy
+    // folds them, and downstream PCA/whitening solves run on the
+    // config-sized result (GramSpec does the eigen step by power
+    // iteration). The compute scales; the algebra doesn't have to.
+    "embed_gram" -> ((s, dir) => {
+      import graft.operators.Gram
+      Gram.upperTriangle(s, t(s, dir, "embeddings"), "embedding", 64)
+        .select(col("i").cast(LongType).as("i"), col("j").cast(LongType).as("j"),
+          (floor(col("s") * 1e4 + 0.5) / 1e4).as("s"), col("n"))
+        .orderBy(col("i"), col("j"))
+    }),
+
     // Embedding drift monitor: per-label centroid shift between two
     // batches (vec_id parity split). One distributed posexplode+avg pass
     // per half collapses to labels×dims centroids (the embed_classify
@@ -336,6 +350,16 @@ object QueriesSim {
         |  FROM sc GROUP BY 1, 2)
         |SELECT a.vec_id, a.label, p.predicted, a.own_sim, a.margin
         |FROM agg a JOIN pred p USING (vec_id) ORDER BY a.vec_id""".stripMargin,
+    "embed_gram" ->
+      """WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS x FROM embeddings
+        |           WHERE embedding IS NOT NULL AND len(embedding) = 64),
+        |idx AS (SELECT unnest(range(0, 64)) AS i),
+        |cells AS (SELECT a.i AS i, b.i AS j FROM idx a JOIN idx b ON b.i >= a.i)
+        |SELECT c.i AS i, c.j AS j,
+        |  floor(sum(x[CAST(c.i AS INTEGER) + 1] * x[CAST(c.j AS INTEGER) + 1]) * 1e4 + 0.5) / 1e4 AS s,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM cells c CROSS JOIN v
+        |GROUP BY c.i, c.j ORDER BY i, j""".stripMargin,
     "embed_quantize" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x
         |           FROM embeddings WHERE vec_id < 500),
