@@ -508,6 +508,121 @@ object QueriesMlops {
         .agg(count(lit(1)).as("n_docs"), round(avg(col("r")), 4).as("avg_ratio"),
           count(when(col("r") < 0.4, 1)).as("n_repetitive"))
         .orderBy(col("source"))
+    }),
+
+    // Exact two-sample Kolmogorov–Smirnov drift test between time halves,
+    // per event-type series. The value domain collapses to integer cents
+    // FIRST — one map-side-combined (type, cents, per-half-counts)
+    // aggregate, so the shuffle carries the bounded cents histogram and
+    // never the corpus — then both empirical CDFs come from running sums
+    // in ONE shared window sort per type. D = max|ca/na − cb/nb| over
+    // doubles that are engine-identical because every term is a single
+    // IEEE division of exact BIGINTs (the all-integer cross-product form
+    // ca·nb − cb·na is exact too but overflows BIGINT at 1e12-row halves).
+    // The α=0.05 rejection flag compares against the 1.358·√((na+nb)/na·nb)
+    // critical value — sqrt is correctly rounded in both engines, so the
+    // boolean is deterministic as well. Complements drift_psi: PSI needs a
+    // binning choice, KS is binning-free on the ordered domain.
+    "ks_drift" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .where(col("event_type").isNotNull && col("ts").isNotNull && col("value").isNotNull)
+        .withColumn("us", unix_micros(col("ts")))
+      val mid = broadcast(ev.agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+        .select(expr("(mn + mx) DIV 2").as("mid")))
+      val hist = ev.crossJoin(mid)
+        .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
+        .groupBy(col("event_type"), col("cents"))
+        .agg(count(when(col("us") <= col("mid"), 1)).as("na"),
+          count(when(col("us") > col("mid"), 1)).as("nb"))
+      val wt = Window.partitionBy("event_type")
+      val wc = wt.orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hist
+        .withColumn("ta", sum(col("na")).over(wt))
+        .withColumn("tb", sum(col("nb")).over(wt))
+        .withColumn("ca", sum(col("na")).over(wc))
+        .withColumn("cb", sum(col("nb")).over(wc))
+        // a type entirely inside one half: 0-total divisor → NULL (not an
+        // ANSI error), max ignores it → NULL ks_d/flag in BOTH engines
+        .withColumn("dd", abs(col("ca") / when(col("ta") =!= 0, col("ta"))
+          - col("cb") / when(col("tb") =!= 0, col("tb"))))
+        .groupBy(col("event_type"))
+        .agg(max(col("ta")).as("n_first"), max(col("tb")).as("n_second"),
+          (floor(max(col("dd")) * 1e6 + 0.5) / 1e6).as("ks_d"),
+          (max(col("dd")) > lit(1.358) *
+            sqrt((max(col("ta")) + max(col("tb"))).cast("double")
+              / (max(col("ta")).cast("double") * max(col("tb"))))).as("reject_95"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Score-decile lift/calibration table — the model-evaluation view of a
+    // propensity score. Per-user engagement score is an EXACT integer-cents
+    // sum (a double sum is addend-order-dependent across engines and
+    // partitionings); the ≥$150-purchase label makes a discriminating
+    // target on this corpus. ntile(10) over the total order (score desc,
+    // user_id) is deterministic — the window_ntile/rfm_segmentation
+    // precedent; the users-sized global sort is the documented trade-off,
+    // with DiscreteQuantile histogram cuts as the 100-TB alternative.
+    // Rates and cumulative lift are single IEEE divisions of exact counts.
+    "lift_deciles" -> ((s, dir) => {
+      val u = t(s, dir, "events")
+        .where(col("user_id").isNotNull && col("value").isNotNull && col("event_type").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("score"),
+          max(when(col("event_type") === "purchase" && col("value") >= 150, 1L)
+            .otherwise(0L)).as("conv"))
+      val d = u.withColumn("decile",
+          ntile(10).over(Window.orderBy(col("score").desc, col("user_id"))))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_users"), sum(col("conv")).as("n_conv"))
+      val wc = Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wa = Window.partitionBy()
+      d.withColumn("cu", sum(col("n_users")).over(wc))
+        .withColumn("cc", sum(col("n_conv")).over(wc))
+        .withColumn("tu", sum(col("n_users")).over(wa))
+        .withColumn("tc", sum(col("n_conv")).over(wa))
+        .select(col("decile"), col("n_users"), col("n_conv"),
+          (floor(col("n_conv") / col("n_users") * 1e6 + 0.5) / 1e6).as("conv_rate"),
+          // zero-conversion corpus: NULL lift (not IEEE ∞ reaching floor)
+          (floor(when(col("tc") =!= 0,
+            (col("cc") / col("cu")) / (col("tc") / col("tu"))) * 1e6 + 0.5) / 1e6)
+            .as("cum_lift"))
+        .orderBy(col("decile"))
+    }),
+
+    // Per-user behavioral/bot profile over 30-minute sessions (the
+    // session_stats gaps-and-islands ids): session counts, largest burst,
+    // single-event-session share, and a rate-based bot flag — a session
+    // with ≥10 events at >100 events/min, compared by EXACT BIGINT
+    // cross-multiplication (n·60e6 > dur_µs·100) so a zero-duration
+    // single-µs burst flags correctly instead of dividing by zero. One
+    // user window sort + two shrinking aggregates; output is users-sized.
+    "bot_score" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .where(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+      val ow = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      val sess = ev
+        .withColumn("prev_us", lag(col("us"), 1).over(ow))
+        .withColumn("brk", when(col("prev_us").isNull ||
+            col("us") - col("prev_us") > 1800L * 1000000L, 1L).otherwise(0L))
+        .withColumn("sid", sum(col("brk")).over(
+          ow.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(count(lit(1)).as("n"), (max(col("us")) - min(col("us"))).as("dur_us"))
+      sess.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("n")).as("n_events"),
+          max(col("n")).as("max_burst"),
+          count(when(col("n") === 1, 1)).as("n_singletons"),
+          count(when(col("n") >= 10 &&
+            col("n") * 60000000L > col("dur_us") * 100L, 1)).as("n_bot_sessions"))
+        .withColumn("singleton_share",
+          floor(col("n_singletons") / col("n_sessions") * 1e6 + 0.5) / 1e6)
+        .select(col("user_id"), col("n_sessions"), col("n_events"),
+          col("max_burst"), col("singleton_share"), col("n_bot_sessions"))
+        .orderBy(col("user_id"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -820,5 +935,89 @@ object QueriesMlops {
         |FROM daily a JOIN daily b
         |  ON a.event_type = b.event_type
         |  AND date_diff('day', b.d, a.d) BETWEEN 0 AND 13
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "ks_drift" ->
+      """WITH ev AS (
+        |  SELECT event_type, epoch_us(ts) AS us,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+        |mid AS (SELECT (min(us) + max(us)) // 2 AS mid FROM ev),
+        |hist AS (
+        |  SELECT event_type, cents,
+        |    CAST(count(CASE WHEN us <= mid THEN 1 END) AS BIGINT) AS na,
+        |    CAST(count(CASE WHEN us > mid THEN 1 END) AS BIGINT) AS nb
+        |  FROM ev CROSS JOIN mid GROUP BY 1, 2),
+        |cdf AS (
+        |  SELECT event_type,
+        |    sum(na) OVER (PARTITION BY event_type) AS ta,
+        |    sum(nb) OVER (PARTITION BY event_type) AS tb,
+        |    sum(na) OVER (PARTITION BY event_type ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+        |    sum(nb) OVER (PARTITION BY event_type ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+        |  FROM hist),
+        |d AS (
+        |  SELECT event_type, ta, tb,
+        |    abs(ca / nullif(ta, 0) - cb / nullif(tb, 0)) AS dd
+        |  FROM cdf)
+        |SELECT event_type, CAST(max(ta) AS BIGINT) AS n_first,
+        |  CAST(max(tb) AS BIGINT) AS n_second,
+        |  floor(max(dd) * 1e6 + 0.5) / 1e6 AS ks_d,
+        |  max(dd) > 1.358 * sqrt(CAST(max(ta) + max(tb) AS DOUBLE)
+        |    / (CAST(max(ta) AS DOUBLE) * max(tb))) AS reject_95
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    "lift_deciles" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS score,
+        |    max(CASE WHEN event_type = 'purchase' AND value >= 150
+        |      THEN 1 ELSE 0 END) AS conv
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1),
+        |d AS (SELECT ntile(10) OVER (ORDER BY score DESC, user_id) AS decile, conv
+        |  FROM u),
+        |g AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_users,
+        |    CAST(sum(conv) AS BIGINT) AS n_conv
+        |  FROM d GROUP BY 1),
+        |c AS (
+        |  SELECT decile, n_users, n_conv,
+        |    sum(n_users) OVER (ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cu,
+        |    sum(n_conv) OVER (ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+        |    sum(n_users) OVER () AS tu, sum(n_conv) OVER () AS tc
+        |  FROM g)
+        |SELECT decile, n_users, n_conv,
+        |  floor(CAST(n_conv AS DOUBLE) / n_users * 1e6 + 0.5) / 1e6 AS conv_rate,
+        |  floor((CAST(cc AS DOUBLE) / cu)
+        |    / (CAST(nullif(tc, 0) AS DOUBLE) / tu) * 1e6 + 0.5) / 1e6 AS cum_lift
+        |FROM c ORDER BY decile""".stripMargin,
+    "bot_score" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |s AS (
+        |  SELECT user_id, us, event_id,
+        |    CASE WHEN lag(us) OVER w IS NULL
+        |      OR us - lag(us) OVER w > 1800 * 1000000 THEN 1 ELSE 0 END AS brk
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |t AS (
+        |  SELECT user_id, us, sum(brk) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM s),
+        |g AS (
+        |  SELECT user_id, sid, CAST(count(*) AS BIGINT) AS n,
+        |    max(us) - min(us) AS dur_us
+        |  FROM t GROUP BY 1, 2)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+        |  CAST(sum(n) AS BIGINT) AS n_events,
+        |  CAST(max(n) AS BIGINT) AS max_burst,
+        |  floor(CAST(count(CASE WHEN n = 1 THEN 1 END) AS DOUBLE)
+        |    / count(*) * 1e6 + 0.5) / 1e6 AS singleton_share,
+        |  CAST(count(CASE WHEN n >= 10 AND n * 60000000 > dur_us * 100 THEN 1 END)
+        |    AS BIGINT) AS n_bot_sessions
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -321,6 +321,30 @@ object QueriesText {
         .limit(20)
         .select(col("tok"), col("na"), col("nb"),
           (floor(col("score") * 1e6 + 0.5) / 1e6).as("score"))
+    }),
+
+    // Per-document n-gram novelty — the fraction of a doc's distinct
+    // trigram shingles whose corpus-FIRST occurrence (min doc_id) is this
+    // doc: near-1 means fresh content, near-0 means the doc restates what
+    // earlier docs already said. The signal RECITE-style dedup pipelines
+    // rank ingest order by. One shuffle keyed on the shingle (the min-doc
+    // window partitions are duplicate-cluster-sized), one doc-keyed
+    // aggregate; work ∝ corpus token mass like minhash_dedup, never
+    // all-pairs. Novelty is one IEEE division of exact counts.
+    "ngram_novelty" -> ((s, dir) => {
+      val sh = t(s, dir, "documents")
+        .where(col("text").isNotNull)
+        .select(col("doc_id"),
+          explode(array_distinct(TextFns.shingles(TextFns.tokens(col("text")), 3)))
+            .as("sh"))
+      val w = Window.partitionBy(col("sh"))
+      sh.withColumn("first_doc", min(col("doc_id")).over(w))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          count(when(col("doc_id") === col("first_doc"), 1)).as("n_novel"))
+        .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+          (floor(col("n_novel") / col("n_shingles") * 1e6 + 0.5) / 1e6).as("novelty"))
+        .orderBy(col("doc_id"))
     }))
 
   // DuckDB mirrors. Tokens: list_filter(string_split_regex(lower(text))).
@@ -511,5 +535,18 @@ object QueriesText {
          |    ln((CAST(na + 1 AS DOUBLE) / (ta + v)) / (CAST(nb + 1 AS DOUBLE) / (tb + v)))
          |      AS score
          |  FROM counts CROSS JOIN tot)
-         |ORDER BY floor(abs(score) * 1e6 + 0.5) / 1e6 DESC, tok LIMIT 20""".stripMargin)
+         |ORDER BY floor(abs(score) * 1e6 + 0.5) / 1e6 DESC, tok LIMIT 20""".stripMargin,
+    "ngram_novelty" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id,
+         |    unnest(list_distinct(list_transform(range(1, greatest(len(tk) - 1, 1)),
+         |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS sh
+         |  FROM (SELECT doc_id, $toks AS tk FROM documents WHERE text IS NOT NULL)),
+         |f AS (
+         |  SELECT doc_id, min(doc_id) OVER (PARTITION BY sh) AS first_doc FROM sh)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         |  CAST(count(CASE WHEN doc_id = first_doc THEN 1 END) AS BIGINT) AS n_novel,
+         |  floor(CAST(count(CASE WHEN doc_id = first_doc THEN 1 END) AS DOUBLE)
+         |    / count(*) * 1e6 + 0.5) / 1e6 AS novelty
+         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -247,4 +247,24 @@ class LlmOpsSpec extends SparkSpec {
     assert(got == brute, s"prefix join missed/added docs: ${(brute -- got).take(3)} / ${(got -- brute).take(3)}")
     assert(got.nonEmpty) // planted exact copies guarantee J = 1.0 pairs
   }
+
+  test("ngram_novelty: every shingle is novel exactly once, first doc fully novel") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.queries.QueriesText.queries("ngram_novelty")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    // Σ n_novel over docs = |distinct shingles corpus-wide|: each shingle's
+    // min-doc owner claims it exactly once
+    val distinctShingles = graft.queries.Tables.t(spark, dir, "documents")
+      .where(col("text").isNotNull)
+      .select(explode(TextFns.shingles(TextFns.tokens(col("text")), 3)).as("sh"))
+      .agg(countDistinct(col("sh"))).collect().head.getLong(0)
+    assert(rows.map(_._3).sum == distinctShingles)
+    // the smallest doc_id with any shingles can only own firsts
+    val first = rows.minBy(_._1)
+    assert(first._4 == 1.0, s"doc ${first._1} novelty ${first._4} != 1.0")
+    rows.foreach { case (d, ns, nv, sc) =>
+      assert(nv <= ns && sc >= 0.0 && sc <= 1.0, s"doc $d: $nv/$ns score $sc")
+    }
+  }
 }

@@ -273,4 +273,61 @@ class MlopsSpec extends SparkSpec {
         s"$ty $d: ewma $e outside [${window.min}, ${window.max}]")
     }
   }
+
+  test("ks_drift: D in [0,1], halves partition each series, brute-force agrees") {
+    val ev = graft.queries.Tables.t(spark, dir, "events")
+      .where(col("event_type").isNotNull && col("ts").isNotNull &&
+        col("value").isNotNull)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val mid = (ev.map(_._2).min + ev.map(_._2).max) / 2
+    val perType = ev.groupBy(_._1)
+    for (r <- q("ks_drift").collect()) {
+      val (ty, na, nb, d) = (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(d >= 0.0 && d <= 1.0, s"$ty: D=$d outside [0,1]")
+      val rows = perType(ty)
+      val (a, b) = rows.partition(_._2 <= mid)
+      assert(a.size == na && b.size == nb, s"$ty: halves don't partition")
+      // brute-force D over the pooled sorted cents domain
+      val dom = rows.map(_._3).distinct.sorted
+      val bf = dom.map { c =>
+        math.abs(a.count(_._3 <= c).toDouble / na - b.count(_._3 <= c).toDouble / nb)
+      }.max
+      assert(math.abs(d - bf) < 1e-5, s"$ty: D=$d brute=$bf")
+    }
+  }
+
+  test("lift_deciles: deciles partition users, cumulative lift ends at exactly 1") {
+    val rows = q("lift_deciles").collect().sortBy(_.getInt(0))
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 10))
+    val users = graft.queries.Tables.t(spark, dir, "events")
+      .where(col("user_id").isNotNull && col("value").isNotNull &&
+        col("event_type").isNotNull)
+      .select("user_id").distinct().count()
+    assert(rows.map(_.getLong(1)).sum == users)
+    for (r <- rows) {
+      assert(r.getLong(2) <= r.getLong(1))
+      val rate = r.getDouble(3)
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+    // the cumulative rate over ALL deciles is the overall rate -> lift 1
+    assert(rows.last.getDouble(4) == 1.0)
+  }
+
+  test("bot_score: sessions partition events, burst/singleton bounds hold") {
+    val total = graft.queries.Tables.t(spark, dir, "events")
+      .where(col("user_id").isNotNull && col("ts").isNotNull).count()
+    val rows = q("bot_score").collect()
+    assert(rows.map(_.getLong(2)).sum == total, "per-user session events must partition the stream")
+    for (r <- rows) {
+      val (ns, ne, burst, share, bots) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getLong(5))
+      assert(ns >= 1 && ne >= ns, s"user ${r.getLong(0)}: $ns sessions > $ne events")
+      assert(burst >= 1 && burst <= ne)
+      assert(share >= 0.0 && share <= 1.0)
+      assert(bots >= 0 && bots <= ns)
+    }
+  }
 }
