@@ -345,6 +345,74 @@ object QueriesText {
         .select(col("doc_id"), col("n_shingles"), col("n_novel"),
           (floor(col("n_novel") / col("n_shingles") * 1e6 + 0.5) / 1e6).as("novelty"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Per-source Zipf slope: least-squares fit of ln(freq) ~ ln(rank) over
+    // the deterministic top-100 tokens (count desc, token tie-break — the
+    // rank≤100 filter plans WindowGroupLimit, so Zipf heads never buffer).
+    // A healthy natural-language source sits near −1; a flat slope flags
+    // templated/synthetic text. The regression sums run over ≤100 rows per
+    // source; 1e-4 rounding absorbs double-sum association order (the
+    // token_entropy precedent).
+    "token_zipf" -> ((s, dir) => {
+      val tc = t(s, dir, "documents")
+        .where(col("text").isNotNull)
+        .select(col("source"), explode(TextFns.tokens(col("text"))).as("w"))
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+      val wr = Window.partitionBy("source").orderBy(col("c").desc, col("w"))
+      tc.withColumn("r", row_number().over(wr))
+        .where(col("r") <= 100)
+        .select(col("source"), log(col("r").cast("double")).as("x"),
+          log(col("c").cast("double")).as("y"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_ranks"),
+          (floor((count(lit(1)) * sum(col("x") * col("y"))
+              - sum(col("x")) * sum(col("y")))
+            / (count(lit(1)) * sum(col("x") * col("x"))
+              - sum(col("x")) * sum(col("x"))) * 1e4 + 0.5) / 1e4).as("zipf_slope"))
+        .orderBy(col("source"))
+    }),
+
+    // Document-frequency spectrum over trigram shingles — the Good–Turing
+    // view of corpus health: how much content is singleton (df=1) vs
+    // boilerplate (high df). The shingle aggregate collapses the corpus to
+    // the df domain; the spectrum caps at df=21 (">20" overflow bucket) so
+    // the declared output stays bounded at any corpus size. All-integer.
+    "df_spectrum" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .where(col("text").isNotNull)
+        .select(col("doc_id"),
+          explode(array_distinct(TextFns.shingles(TextFns.tokens(col("text")), 3)))
+            .as("sh"))
+        .groupBy(col("sh")).agg(count(lit(1)).as("df"))
+        .select(least(col("df"), lit(21L)).as("df_bucket"))
+        .groupBy(col("df_bucket")).agg(count(lit(1)).as("n_shingles"))
+        .orderBy(col("df_bucket"))
+    }),
+
+    // Hill estimator of the doc-length tail index per source (heavy-tail
+    // data card: α ≈ 1–2 means a few huge docs dominate token mass —
+    // they'll dominate packed-sequence buffers too). α = k / Σ ln(x_i /
+    // x_(k+1)) over the deterministic top-k lengths (length desc, doc_id);
+    // the rank filter is WindowGroupLimit-planned, the k-row log sums take
+    // the 1e-4 rounding idiom. A flat tail (all top-k equal) would zero
+    // the divisor — guarded to NULL in both engines, never IEEE ∞.
+    "length_tail" -> ((s, dir) => {
+      val r = t(s, dir, "documents")
+        .where(col("n_chars").isNotNull && col("n_chars") > 0)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("source").orderBy(col("n_chars").desc, col("doc_id"))))
+      val thr = r.where(col("rk") === 21)
+        .select(col("source"), col("n_chars").as("x_k1"))
+      r.where(col("rk") <= 20)
+        .join(thr, "source")
+        .select(col("source"),
+          log(col("n_chars").cast("double") / col("x_k1")).as("lr"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("k"),
+          (floor(count(lit(1)) / when(sum(col("lr")) =!= 0, sum(col("lr")))
+            * 1e4 + 0.5) / 1e4).as("hill_alpha"))
+        .orderBy(col("source"))
     }))
 
   // DuckDB mirrors. Tokens: list_filter(string_split_regex(lower(text))).
@@ -548,5 +616,41 @@ object QueriesText {
          |  CAST(count(CASE WHEN doc_id = first_doc THEN 1 END) AS BIGINT) AS n_novel,
          |  floor(CAST(count(CASE WHEN doc_id = first_doc THEN 1 END) AS DOUBLE)
          |    / count(*) * 1e6 + 0.5) / 1e6 AS novelty
-         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin)
+         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    "token_zipf" ->
+      s"""WITH tok AS (
+         |  SELECT source, unnest($toks) AS w
+         |  FROM documents WHERE text IS NOT NULL),
+         |tc AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+         |rk AS (SELECT source, w, c,
+         |    row_number() OVER (PARTITION BY source ORDER BY c DESC, w) AS r
+         |  FROM tc),
+         |top AS (SELECT source, ln(CAST(r AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y
+         |  FROM rk WHERE r <= 100)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_ranks,
+         |  floor((count(*) * sum(x*y) - sum(x) * sum(y))
+         |    / (count(*) * sum(x*x) - sum(x) * sum(x)) * 1e4 + 0.5) / 1e4
+         |    AS zipf_slope
+         |FROM top GROUP BY 1 ORDER BY 1""".stripMargin,
+    "df_spectrum" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id,
+         |    unnest(list_distinct(list_transform(range(1, greatest(len(tk) - 1, 1)),
+         |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
+         |  FROM (SELECT doc_id, $toks AS tk FROM documents WHERE text IS NOT NULL)),
+         |df AS (SELECT s, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY 1)
+         |SELECT least(df, 21) AS df_bucket, CAST(count(*) AS BIGINT) AS n_shingles
+         |FROM df GROUP BY 1 ORDER BY 1""".stripMargin,
+    "length_tail" ->
+      """WITH r AS (
+        |  SELECT source, n_chars, doc_id,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+        |thr AS (SELECT source, n_chars AS x_k1 FROM r WHERE rk = 21),
+        |top AS (
+        |  SELECT r.source, ln(CAST(r.n_chars AS DOUBLE) / t.x_k1) AS lr
+        |  FROM r JOIN thr t ON r.source = t.source WHERE r.rk <= 20)
+        |SELECT source, CAST(count(*) AS BIGINT) AS k,
+        |  floor(count(*) / nullif(sum(lr), 0) * 1e4 + 0.5) / 1e4 AS hill_alpha
+        |FROM top GROUP BY 1 ORDER BY 1""".stripMargin)
 }

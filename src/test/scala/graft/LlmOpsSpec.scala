@@ -267,4 +267,57 @@ class LlmOpsSpec extends SparkSpec {
       assert(nv <= ns && sc >= 0.0 && sc <= 1.0, s"doc $d: $nv/$ns score $sc")
     }
   }
+
+  test("token_zipf: slope non-positive, brute-force least squares agrees") {
+    val dir = "/root/testdata/sf0.001"
+    val counts = graft.queries.Tables.t(spark, dir, "documents")
+      .where(col("text").isNotNull)
+      .select(col("source"), explode(TextFns.tokens(col("text"))).as("w"))
+      .groupBy("source", "w").count()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val bySource = counts.groupBy(_._1)
+    for (r <- graft.queries.QueriesText.queries("token_zipf")(spark, dir).collect()) {
+      val (src, n, slope) = (r.getString(0), r.getLong(1), r.getDouble(2))
+      assert(slope <= 0.0, s"$src: freq can't grow with rank, slope $slope")
+      val top = bySource(src).sortBy(t => (-t._3, t._2)).take(100)
+      assert(top.size == n)
+      val xs = top.indices.map(i => math.log(i + 1.0))
+      val ys = top.map(t => math.log(t._3.toDouble))
+      val (sx, sy) = (xs.sum, ys.sum)
+      val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+      val sxx = xs.map(a => a * a).sum
+      val bf = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      assert(math.abs(slope - bf) < 1e-3, s"$src: slope $slope brute $bf")
+    }
+  }
+
+  test("df_spectrum: buckets partition the distinct-shingle vocabulary") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.queries.QueriesText.queries("df_spectrum")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.nonEmpty && rows.forall { case (b, n) => b >= 1 && b <= 21 && n > 0 })
+    val vocab = graft.queries.Tables.t(spark, dir, "documents")
+      .where(col("text").isNotNull)
+      .select(explode(array_distinct(
+        TextFns.shingles(TextFns.tokens(col("text")), 3))).as("sh"))
+      .agg(countDistinct(col("sh"))).collect().head.getLong(0)
+    assert(rows.map(_._2).sum == vocab)
+  }
+
+  test("length_tail: alpha positive, brute-force Hill agrees per source") {
+    val dir = "/root/testdata/sf0.001"
+    val lens = graft.queries.Tables.t(spark, dir, "documents")
+      .where(col("n_chars").isNotNull && col("n_chars") > 0)
+      .select(col("source"), col("n_chars"), col("doc_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val bySource = lens.groupBy(_._1)
+    for (r <- graft.queries.QueriesText.queries("length_tail")(spark, dir).collect()) {
+      val (src, k, alpha) = (r.getString(0), r.getLong(1), r.getDouble(2))
+      assert(k == 20 && alpha > 0.0, s"$src: k=$k alpha=$alpha")
+      val sorted = bySource(src).sortBy(t => (-t._2, t._3)).map(_._2)
+      val xk1 = sorted(20).toDouble
+      val bf = 20.0 / sorted.take(20).map(x => math.log(x / xk1)).sum
+      assert(math.abs(alpha - bf) < 1e-3, s"$src: alpha $alpha brute $bf")
+    }
+  }
 }
