@@ -280,4 +280,52 @@ object Streams {
     banded.groupByKey(_.bucket)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(update)
   }
+
+  final case class TsEvent(user_id: Long, us: Long)
+  final case class RateAlert(user_id: Long, session_start_us: Long,
+                             n_events: Long, dur_us: Long)
+
+  /** Streaming session-rate monitor — the ingest-time twin of the batch
+    * bot_score query: flags a user's 30-minute session the FIRST time it
+    * reaches `minEvents` events at a sustained rate above `maxPerMin`
+    * events/min, using the same EXACT BIGINT cross-multiplication
+    * (n·60e6 > dur_µs·maxPerMin) so a zero-duration burst flags instead of
+    * dividing by zero. One alert per offending session (an `alerted` latch
+    * in state), so downstream throttling isn't spammed per event.
+    *
+    * State per user is four numbers — (session_start, last_ts, n, alerted)
+    * — O(1) regardless of stream length and partitioned by user_id: the
+    * 1000-executor shape. Events sort by timestamp WITHIN each micro-batch
+    * (the engine hands group iterators unordered); in-order delivery
+    * reproduces the batch sessionization exactly, so differently-chunked
+    * streams emit identical alerts (spec-pinned). Out-of-order cross-batch
+    * arrivals session against state as of arrival — the standard
+    * arbitrary-state trade-off, same as [[rollingZScore]]. */
+  def sessionRateMonitor(spark: SparkSession, events: Dataset[TsEvent],
+                         gap: Long = 1800L * 1000000L, minEvents: Long = 10L,
+                         maxPerMin: Long = 100L): Dataset[RateAlert] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    // state: (session_start_us, last_us, n_events, alerted)
+    def update(user: Long, rows: Iterator[TsEvent],
+               state: GroupState[(Long, Long, Long, Boolean)]): Iterator[RateAlert] = {
+      var (start, last, n, alerted) =
+        state.getOption.getOrElse((Long.MinValue, Long.MinValue, 0L, false))
+      val out = List.newBuilder[RateAlert]
+      rows.toVector.sortBy(_.us).foreach { e =>
+        if (n == 0L || e.us - last > gap) { start = e.us; n = 1L; alerted = false }
+        else n += 1
+        last = e.us
+        val dur = last - start
+        if (!alerted && n >= minEvents && n * 60000000L > dur * maxPerMin) {
+          out += RateAlert(user, start, n, dur)
+          alerted = true
+        }
+      }
+      state.update((start, last, n, alerted))
+      out.result().iterator
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(update)
+  }
 }

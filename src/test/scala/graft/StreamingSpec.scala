@@ -327,4 +327,37 @@ class StreamingSpec extends SparkSpec {
         s"estimate $e vs true $trueJ"))
     } finally q.stop()
   }
+
+  test("sessionRateMonitor: one alert per burst session, chunking-invariant") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val s = 1000000L // 1 s in µs
+    // user 1: a 12-event burst at 10 Hz — alert fires once, at n = 10
+    val u1 = (0 until 12).map(i => Streams.TsEvent(1L, i * s / 10))
+    // user 2: 20 events at 1/min — never near 100 events/min
+    val u2 = (0 until 20).map(i => Streams.TsEvent(2L, i * 60 * s))
+    // user 3: two bursts split by > the 30-min gap — two separate alerts
+    val u3 = (0 until 15).map(i => Streams.TsEvent(3L, i * s / 10)) ++
+      (0 until 15).map(i => Streams.TsEvent(3L, 3600 * s + i * s / 10))
+    val data = (u1 ++ u2 ++ u3).sortBy(_.us)
+
+    def run(chunks: Seq[Seq[Streams.TsEvent]], name: String): Seq[(Long, Long, Long)] = {
+      val ms = MemoryStream[Streams.TsEvent]
+      val q = Streams.sessionRateMonitor(spark, ms.toDS()).toDF()
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        chunks.foreach { c => ms.addData(c: _*); q.processAllAvailable() }
+        spark.table(name).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .sortBy(t => (t._1, t._2)).toSeq
+      } finally q.stop()
+    }
+    val oneShot = run(Seq(data), "rate_one")
+    val chunked = run(data.grouped(13).toSeq, "rate_chunks")
+    assert(oneShot == chunked, "chunked delivery must emit identical alerts")
+    // exactly: user 1 once, user 3 twice (per session), user 2 never;
+    // each alert latches at n = minEvents = 10
+    assert(oneShot == Seq(
+      (1L, 0L, 10L), (3L, 0L, 10L), (3L, 3600 * s, 10L)))
+  }
 }
