@@ -274,6 +274,54 @@ object QueriesSim {
         .where(col("cos") >= 0.3)
         .select(col("id_a"), col("id_b"), (floor(col("cos") * 1e6 + 0.5) / 1e6).as("cos"))
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Per-label embedding dispersion — MEAN PAIRWISE COSINE without the
+    // pairwise join: for unit vectors, ‖Σuᵢ‖² = n + Σ_{i≠j} cos(uᵢ,uⱼ), so
+    // mean pairwise cosine = (‖S‖² − n) / (n·(n−1)) falls out of ONE
+    // posexplode aggregate to the labels×dims domain — O(n·d) work where
+    // the naive form is O(n²·d). Near-1 means the label's embeddings have
+    // collapsed (SemDeDup would gut it); near-0 means diverse. Zero-norm
+    // vectors are excluded before normalization (can't contribute a
+    // direction); a single-vector label divides by n(n−1)=0 → NULL in both
+    // engines, never an ANSI error.
+    "embed_dispersion" -> ((s, dir) => {
+      val u = t(s, dir, "embeddings")
+        .where(col("embedding").isNotNull && col("label").isNotNull)
+        .select(col("label"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("nv", sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+        .where(col("nv") > 0)
+        .select(col("label"), transform(col("v"), x => x / col("nv")).as("u"))
+      u.select(col("label"), posexplode(col("u")))
+        .groupBy(col("label"), col("pos"))
+        .agg(sum(col("col")).as("si"), count(lit(1)).as("n"))
+        .groupBy(col("label"))
+        .agg(sum(col("si") * col("si")).as("s2"), max(col("n")).as("n"))
+        .select(col("label"), col("n").as("n_vecs"),
+          (floor((col("s2") - col("n"))
+            / when(col("n") * (col("n") - 1) =!= 0, col("n") * (col("n") - 1))
+            * 1e6 + 0.5) / 1e6).as("mean_cos"))
+        .orderBy(col("label"))
+    }),
+
+    // MinHash-LSH design curve: P(candidate | jaccard j) = 1 − (1 − jʳ)ᵇ
+    // for the b=16, r=4 banding nearDupStream/minhash_dedup use, over the
+    // j = i/20 grid. The powers are EXPLICIT square-multiplication chains
+    // (j²→j⁴, then (1−j⁴)²→⁴→⁸→¹⁶) — deterministic IEEE multiplications in
+    // both engines, where pow() is libm-dependent in its last ulp. Pure
+    // config-sized compute (19 rows): the planner you consult before
+    // committing a 100-TB dedup pass to a banding choice.
+    "lsh_curve" -> ((s, dir) => {
+      val j = col("i").cast("double") / 20.0
+      val j2 = j * j
+      val miss = lit(1.0) - j2 * j2            // 1 − j⁴: per-band miss prob
+      val m2 = miss * miss
+      val m4 = m2 * m2
+      val m8 = m4 * m4
+      s.range(1, 20).select(col("id").as("i"))
+        .select((col("i").cast("double") / 20.0).as("jaccard"),
+          (floor((lit(1.0) - m8 * m8) * 1e6 + 0.5) / 1e6).as("p_candidate"))
+        .orderBy(col("jaccard"))
     }))
 
   /** The LSH sign-bit columns as DuckDB SQL: the SAME fixedPlanes(6, 64)
@@ -430,5 +478,34 @@ object QueriesSim {
          |  SELECT id_a, id_b, dot / (na.nrm * nb.nrm) AS c
          |  FROM dots JOIN norms na ON dots.id_a = na.doc_id
          |    JOIN norms nb ON dots.id_b = nb.doc_id)
-         |WHERE c >= 0.3 ORDER BY id_a, id_b""".stripMargin)
+         |WHERE c >= 0.3 ORDER BY id_a, id_b""".stripMargin,
+    "embed_dispersion" ->
+      """WITH e AS (
+        |  SELECT label, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL),
+        |nrm AS (
+        |  SELECT label, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nv
+        |  FROM e),
+        |u AS (
+        |  SELECT label, i, v[i] / nv AS ui
+        |  FROM nrm CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
+        |  WHERE nv > 0),
+        |s AS (
+        |  SELECT label, i, sum(ui) AS si, CAST(count(*) AS BIGINT) AS n
+        |  FROM u GROUP BY 1, 2),
+        |g AS (SELECT label, sum(si * si) AS s2, max(n) AS n FROM s GROUP BY 1)
+        |SELECT label, n AS n_vecs,
+        |  floor((s2 - n) / nullif(n * (n - 1), 0) * 1e6 + 0.5) / 1e6 AS mean_cos
+        |FROM g ORDER BY label""".stripMargin,
+    "lsh_curve" ->
+      """WITH g AS (SELECT unnest(range(1, 20)) AS i),
+        |c AS (SELECT CAST(i AS DOUBLE) / 20.0 AS j FROM g),
+        |s1 AS (SELECT j, j * j AS j2 FROM c),
+        |s2 AS (SELECT j, 1.0 - j2 * j2 AS miss FROM s1),
+        |s3 AS (SELECT j, miss * miss AS m2 FROM s2),
+        |s4 AS (SELECT j, m2 * m2 AS m4 FROM s3),
+        |s5 AS (SELECT j, m4 * m4 AS m8 FROM s4)
+        |SELECT j AS jaccard,
+        |  floor((1.0 - m8 * m8) * 1e6 + 0.5) / 1e6 AS p_candidate
+        |FROM s5 ORDER BY jaccard""".stripMargin)
 }

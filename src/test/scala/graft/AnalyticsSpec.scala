@@ -524,4 +524,44 @@ class AnalyticsSpec extends SparkSpec {
       assert(fl <= n / 9 + 1, s"too many 3-sigma flags: $fl of $n")
     }
   }
+
+  test("embed_dispersion: centroid-norm identity equals brute-force pairwise mean cosine") {
+    val dir = "/root/testdata/sf0.001"
+    val vecs = graft.queries.Tables.t(spark, dir, "embeddings")
+      .where(col("embedding").isNotNull && col("label").isNotNull)
+      .collect()
+      .map(r => (r.getInt(2), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .map { case (l, v) =>
+        val n = math.sqrt(v.map(x => x * x).sum); (l, v.map(_ / n), n)
+      }
+      .filter(_._3 > 0)
+    val byLabel = vecs.groupBy(_._1)
+    for (r <- graft.queries.QueriesSim.queries("embed_dispersion")(spark, dir).collect()) {
+      val (l, n, got) = (r.getInt(0), r.getLong(1), r.getDouble(2))
+      val us = byLabel(l).map(_._2)
+      assert(us.length == n)
+      val cosSum = (for {
+        i <- us.indices; j <- us.indices if i != j
+      } yield us(i).zip(us(j)).map { case (a, b) => a * b }.sum).sum
+      val brute = cosSum / (n * (n - 1.0))
+      assert(math.abs(got - brute) < 1e-4, s"label $l: $got vs brute $brute")
+      assert(got >= -1.0 - 1e-9 && got <= 1.0 + 1e-9)
+    }
+  }
+
+  test("lsh_curve: matches closed form, strictly increasing, correct endpoints") {
+    val rows = graft.queries.QueriesSim.queries("lsh_curve")(spark, "unused")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(rows.length == 19)
+    for ((j, p) <- rows) {
+      val expect = 1.0 - math.pow(1.0 - math.pow(j, 4), 16)
+      assert(math.abs(p - expect) < 1e-6, s"j=$j: $p vs $expect")
+    }
+    // non-decreasing overall (the 1e6 rounding saturates the top of the S
+    // at 1.0); strictly increasing through the threshold region j <= 0.8
+    assert(rows.sliding(2).forall { case Array((_, a), (_, b)) => a <= b })
+    assert(rows.filter(_._1 <= 0.8).sliding(2)
+      .forall { case Array((_, a), (_, b)) => a < b })
+    assert(rows.head._2 < 0.001 && rows.last._2 > 0.999) // steep S around the threshold
+  }
 }
