@@ -297,6 +297,38 @@ object QueriesPipeline {
           round(col("n_rare").cast(DoubleType) / col("n_tokens").cast(DoubleType), 6))
         .select(col("doc_id"), col("n_tokens"), col("n_rare"), col("rare_ratio"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Deterministic k-fold assignment (k=5) for cross-validation over the
+    // corpus — train_split's md5-threshold mechanics extended to equal-width
+    // hex bands, so folds are disjoint and exhaustive BY CONSTRUCTION,
+    // reproducible across engines/reruns/cluster sizes, and any fold can be
+    // reconstructed from doc_id alone (no stored assignment table). One
+    // map-side-combined aggregate to the sources×5 report.
+    "kfold_assign" -> ((s, dir) => {
+      val h = substring(md5(concat(lit("fold:"), col("doc_id").cast(StringType))), 1, 4)
+      val fold = when(h < "3333", 0).when(h < "6666", 1).when(h < "9999", 2)
+        .when(h < "cccc", 3).otherwise(4)
+      t(s, dir, "documents")
+        .select(col("source"), col("n_chars"), fold.as("fold"))
+        .groupBy(col("source"), col("fold"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("w_chars"))
+        .orderBy(col("source"), col("fold"))
+    }),
+
+    // Per-source duplicate-rate data card: how much of each source is
+    // byte-identical repetition (the signal that decides whether dedup_exact
+    // must run before mixing). countDistinct plans the standard two-phase
+    // distinct aggregate — work ∝ distinct texts per source, no pairing.
+    "dup_rate_report" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .where(col("text").isNotNull)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("text")).as("n_distinct"),
+          (floor((lit(1.0) - countDistinct(col("text"))
+            / count(lit(1)).cast("double")) * 1e6 + 0.5) / 1e6).as("dup_rate"))
+        .orderBy(col("source"))
     }))
 
   private val toks = Tables.toksSql()
@@ -427,5 +459,24 @@ object QueriesPipeline {
          |  round(CAST(count(*) FILTER (c.token IS NULL) AS DOUBLE) /
          |        CAST(count(*) AS DOUBLE), 6) AS rare_ratio
          |FROM tok t LEFT JOIN common c ON t.token = c.token
-         |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin)
+         |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
+    "kfold_assign" ->
+      """WITH d AS (
+        |  SELECT source, n_chars,
+        |    CASE WHEN substring(md5('fold:' || CAST(doc_id AS VARCHAR)), 1, 4) < '3333' THEN 0
+        |         WHEN substring(md5('fold:' || CAST(doc_id AS VARCHAR)), 1, 4) < '6666' THEN 1
+        |         WHEN substring(md5('fold:' || CAST(doc_id AS VARCHAR)), 1, 4) < '9999' THEN 2
+        |         WHEN substring(md5('fold:' || CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 3
+        |         ELSE 4 END AS fold
+        |  FROM documents)
+        |SELECT source, fold, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS w_chars
+        |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "dup_rate_report" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT text) AS BIGINT) AS n_distinct,
+        |  floor((1.0 - count(DISTINCT text) / CAST(count(*) AS DOUBLE)) * 1e6 + 0.5) / 1e6
+        |    AS dup_rate
+        |FROM documents WHERE text IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -413,6 +413,26 @@ object QueriesText {
           (floor(count(lit(1)) / when(sum(col("lr")) =!= 0, sum(col("lr")))
             * 1e4 + 0.5) / 1e4).as("hill_alpha"))
         .orderBy(col("source"))
+    }),
+
+    // Language-ID confusion matrix — the evaluation view of lang_id:
+    // declared label × detected language with the share of the declared
+    // label's documents in each cell (one fused-TextStats scan + ONE
+    // map-side-combined aggregate to the langs² domain, share via a
+    // langs-partitioned window over that config-sized table). The
+    // diagonal-vs-off-diagonal split is the lang-filter precision signal a
+    // pipeline checks before trusting the detector on unlabeled data.
+    "lang_confusion" -> ((s, dir) => {
+      val m = t(s, dir, "documents")
+        .where(col("lang").isNotNull && col("text").isNotNull)
+        .select(col("lang"), TextFns.langId(col("text")).as("detected"))
+        .groupBy(col("lang"), col("detected"))
+        .agg(count(lit(1)).as("n"))
+      val wl = Window.partitionBy("lang")
+      m.withColumn("share",
+          floor(col("n") / sum(col("n")).over(wl) * 1e6 + 0.5) / 1e6)
+        .select(col("lang"), col("detected"), col("n"), col("share"))
+        .orderBy(col("lang"), col("detected"))
     }))
 
   // DuckDB mirrors. Tokens: list_filter(string_split_regex(lower(text))).
@@ -617,6 +637,21 @@ object QueriesText {
          |  floor(CAST(count(CASE WHEN doc_id = first_doc THEN 1 END) AS DOUBLE)
          |    / count(*) * 1e6 + 0.5) / 1e6 AS novelty
          |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    "lang_confusion" ->
+      s"""WITH d AS (
+         |  SELECT lang,
+         |    CASE WHEN $en > 0 AND $en >= $de AND $en >= $fr AND $en >= $es THEN 'en'
+         |         WHEN $de > 0 AND $de >= $fr AND $de >= $es THEN 'de'
+         |         WHEN $fr > 0 AND $fr >= $es THEN 'fr'
+         |         WHEN $es > 0 THEN 'es'
+         |         ELSE 'und' END AS detected
+         |  FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL),
+         |m AS (SELECT lang, detected, CAST(count(*) AS BIGINT) AS n
+         |  FROM d GROUP BY 1, 2)
+         |SELECT lang, detected, n,
+         |  floor(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY lang) * 1e6 + 0.5) / 1e6
+         |    AS share
+         |FROM m ORDER BY lang, detected""".stripMargin,
     "token_zipf" ->
       s"""WITH tok AS (
          |  SELECT source, unnest($toks) AS w

@@ -320,4 +320,21 @@ class LlmOpsSpec extends SparkSpec {
       assert(math.abs(alpha - bf) < 1e-3, s"$src: alpha $alpha brute $bf")
     }
   }
+
+  test("lang_confusion: cells partition each declared label, shares sum to ~1") {
+    val dir = "/root/testdata/sf0.001"
+    val perLang = graft.queries.Tables.t(spark, dir, "documents")
+      .where(col("lang").isNotNull && col("text").isNotNull)
+      .groupBy("lang").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val rows = graft.queries.QueriesText.queries("lang_confusion")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val byLang = rows.groupBy(_._1)
+    assert(byLang.keySet == perLang.keySet)
+    for ((lang, cells) <- byLang) {
+      assert(cells.map(_._3).sum == perLang(lang), s"$lang cells must partition the label")
+      val shareSum = cells.map(_._4).sum
+      assert(math.abs(shareSum - 1.0) < 1e-3, s"$lang shares sum $shareSum")
+    }
+  }
 }

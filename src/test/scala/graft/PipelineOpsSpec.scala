@@ -206,4 +206,28 @@ class PipelineOpsSpec extends SparkSpec {
       assert(math.abs(ratio - math.round(nr.toDouble / nt * 1e6) / 1e6) < 1e-9)
     }
   }
+
+  test("kfold_assign: folds partition docs and char mass, every fold populated") {
+    val docs = graft.queries.Tables.t(spark, sf, "documents")
+    val (nDocs, wChars) = docs.agg(count(lit(1)), sum(col("n_chars")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).head
+    val rows = QueriesPipeline.queries("kfold_assign")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._3).sum == nDocs, "folds must partition the corpus")
+    assert(rows.map(_._4).sum == wChars, "folds must partition the char mass")
+    val perFold = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+    assert(perFold.keySet == Set(0, 1, 2, 3, 4))
+    assert(perFold.values.forall(_ > 0))
+  }
+
+  test("dup_rate_report: distinct bound, rate consistent with counts") {
+    val rows = QueriesPipeline.queries("dup_rate_report")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, n, d, rate) =>
+      assert(d >= 1 && d <= n, s"$src: $d distinct of $n")
+      val expect = math.floor((1.0 - d.toDouble / n) * 1e6 + 0.5) / 1e6
+      assert(math.abs(rate - expect) < 1e-9, s"$src: $rate vs $expect")
+    }
+  }
 }
