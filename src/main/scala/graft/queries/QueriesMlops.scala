@@ -623,6 +623,66 @@ object QueriesMlops {
         .select(col("user_id"), col("n_sessions"), col("n_events"),
           col("max_burst"), col("singleton_share"), col("n_bot_sessions"))
         .orderBy(col("user_id"))
+    }),
+
+    // Decile-by-decile Q–Q drift between time halves, per series — WHERE
+    // the distribution moved, where ks_drift says WHETHER. Exact selection
+    // semantics (smallest cents whose running count reaches ⌈d·n/10⌉ — the
+    // daily_percentiles idiom) on the collapsed (type, half, cents)
+    // histogram; the 9-row decile grid fans out histogram rows, never the
+    // corpus. Every output is an exact integer-cents value or difference.
+    "qq_drift" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .where(col("event_type").isNotNull && col("ts").isNotNull && col("value").isNotNull)
+        .withColumn("us", unix_micros(col("ts")))
+      val mid = broadcast(ev.agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+        .select(expr("(mn + mx) DIV 2").as("mid")))
+      val hist = ev.crossJoin(mid)
+        .withColumn("half", when(col("us") <= col("mid"), 0).otherwise(1))
+        .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
+        .groupBy(col("event_type"), col("half"), col("cents"))
+        .agg(count(lit(1)).as("n"))
+      val grp = Window.partitionBy("event_type", "half")
+      val cum = grp.orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val deciles = broadcast(s.range(1, 10).select(col("id").as("dec")))
+      hist.withColumn("cumn", sum(col("n")).over(cum))
+        .withColumn("tot", sum(col("n")).over(grp))
+        .crossJoin(deciles)
+        .where(col("cumn") >= ceil(col("dec") * col("tot") / 10.0))
+        .groupBy(col("event_type"), col("half"), col("dec"))
+        .agg(min(col("cents")).as("qv"))
+        .groupBy(col("event_type"), col("dec"))
+        .agg(min(when(col("half") === 0, col("qv"))).as("q_first"),
+          min(when(col("half") === 1, col("qv"))).as("q_second"))
+        .select(col("event_type"), col("dec").as("decile"),
+          col("q_first"), col("q_second"),
+          (col("q_second") - col("q_first")).as("shift_cents"))
+        .orderBy(col("event_type"), col("decile"))
+    }),
+
+    // Wilson-lower-bound rate ranking per event type (success = a ≥$100
+    // event): the smoothing every leaderboard needs so a 3-for-3 minnow
+    // can't outrank a 9000-for-10000 whale on raw rate. One conditional
+    // aggregate to the types domain; the bound is IEEE-deterministic
+    // arithmetic over exact counts (sqrt is correctly rounded in both
+    // engines). Emitted ordered by the ROUNDED bound with a type
+    // tie-break, so the ranking itself is engine-exact.
+    "ctr_wilson" -> ((s, dir) => {
+      val z = 1.96
+      val g = t(s, dir, "events")
+        .where(col("event_type").isNotNull && col("value").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), count(when(col("value") >= 100, 1)).as("pos"))
+      val p = col("pos") / col("n").cast("double")
+      val nn = col("n").cast("double")
+      val lb = (p + lit(z * z) / (nn * 2) -
+        lit(z) * sqrt(p * (lit(1.0) - p) / nn + lit(z * z) / (nn * nn * 4))) /
+        (lit(1.0) + lit(z * z) / nn)
+      g.select(col("event_type"), col("n"), col("pos"),
+          (floor(p * 1e6 + 0.5) / 1e6).as("rate"),
+          (floor(lb * 1e6 + 0.5) / 1e6).as("wilson_lb"))
+        .orderBy(col("wilson_lb").desc, col("event_type"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -1019,5 +1079,49 @@ object QueriesMlops {
         |    / count(*) * 1e6 + 0.5) / 1e6 AS singleton_share,
         |  CAST(count(CASE WHEN n >= 10 AND n * 60000000 > dur_us * 100 THEN 1 END)
         |    AS BIGINT) AS n_bot_sessions
-        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+    "qq_drift" ->
+      """WITH ev AS (
+        |  SELECT event_type, epoch_us(ts) AS us,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+        |mid AS (SELECT (min(us) + max(us)) // 2 AS mid FROM ev),
+        |hist AS (
+        |  SELECT event_type, CASE WHEN us <= mid THEN 0 ELSE 1 END AS half,
+        |    cents, CAST(count(*) AS BIGINT) AS n
+        |  FROM ev CROSS JOIN mid GROUP BY 1, 2, 3),
+        |cdf AS (
+        |  SELECT event_type, half, cents,
+        |    sum(n) OVER (PARTITION BY event_type, half ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumn,
+        |    sum(n) OVER (PARTITION BY event_type, half) AS tot
+        |  FROM hist),
+        |q AS (
+        |  SELECT event_type, half, dec, min(cents) AS qv
+        |  FROM cdf CROSS JOIN (SELECT unnest(range(1, 10)) AS dec) g
+        |  WHERE cumn >= ceil(dec * tot / 10.0)
+        |  GROUP BY 1, 2, 3)
+        |SELECT event_type, CAST(dec AS BIGINT) AS decile,
+        |  min(CASE WHEN half = 0 THEN qv END) AS q_first,
+        |  min(CASE WHEN half = 1 THEN qv END) AS q_second,
+        |  min(CASE WHEN half = 1 THEN qv END) - min(CASE WHEN half = 0 THEN qv END)
+        |    AS shift_cents
+        |FROM q GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "ctr_wilson" ->
+      """WITH g AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(CASE WHEN value >= 100 THEN 1 END) AS BIGINT) AS pos
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1),
+        |c AS (
+        |  SELECT event_type, n, pos,
+        |    pos / CAST(n AS DOUBLE) AS p, CAST(n AS DOUBLE) AS nn
+        |  FROM g)
+        |SELECT event_type, n, pos,
+        |  floor(p * 1e6 + 0.5) / 1e6 AS rate,
+        |  floor((p + (1.96 * 1.96) / (nn * 2)
+        |      - 1.96 * sqrt(p * (1.0 - p) / nn + (1.96 * 1.96) / (nn * nn * 4)))
+        |    / (1.0 + (1.96 * 1.96) / nn) * 1e6 + 0.5) / 1e6 AS wilson_lb
+        |FROM c ORDER BY wilson_lb DESC, event_type""".stripMargin)
 }

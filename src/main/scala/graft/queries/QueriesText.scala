@@ -433,6 +433,50 @@ object QueriesText {
           floor(col("n") / sum(col("n")).over(wl) * 1e6 + 0.5) / 1e6)
         .select(col("lang"), col("detected"), col("n"), col("share"))
         .orderBy(col("lang"), col("detected"))
+    }),
+
+    // Vocabulary-coverage curve for tokenizer sizing: the share of total
+    // token MASS the top-k vocabulary covers, k ∈ {10, 100, 1000}. The
+    // corpus collapses to (token, count) first; the global Zipf rank runs
+    // over the bounded vocabulary domain (the rfm single-sort trade-off —
+    // vocabulary, not corpus, sized), and the 3-row k-grid fans out vocab
+    // rows only. Exact integer mass; one rounded share per k.
+    "vocab_coverage" -> ((s, dir) => {
+      val tc = t(s, dir, "documents")
+        .where(col("text").isNotNull)
+        .select(explode(TextFns.tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val ord = Window.orderBy(col("c").desc, col("w"))
+      val ranked = tc
+        .withColumn("r", row_number().over(ord))
+        .withColumn("tot", sum(col("c")).over(Window.partitionBy()))
+      val grid = broadcast(s.range(1, 4)
+        .select(pow(lit(10.0), col("id")).cast("long").as("k")))
+      ranked.crossJoin(grid)
+        .where(col("r") <= col("k"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n_vocab"),
+          (floor(sum(col("c")).cast("double") / max(col("tot")) * 1e6 + 0.5) / 1e6)
+            .as("mass_share"))
+        .orderBy(col("k"))
+    }),
+
+    // Tokenizer fertility by language — chars per BPE-ish token: the
+    // compression the tokenizer achieves per language, the signal that
+    // decides per-language token budgets (a language at 2 chars/token
+    // costs 2× the context of one at 4). Exact BIGINT char/token sums in
+    // ONE map-side-combined aggregate to the langs domain.
+    "tokenizer_fertility" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .where(col("text").isNotNull && col("lang").isNotNull)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("n_chars"),
+          sum(TextFns.bpeTokenCount(col("text"))).as("n_bpe"))
+        .withColumn("chars_per_token",
+          floor(col("n_chars") / when(col("n_bpe") =!= 0, col("n_bpe"))
+            * 1e4 + 0.5) / 1e4)
+        .orderBy(col("lang"))
     }))
 
   // DuckDB mirrors. Tokens: list_filter(string_split_regex(lower(text))).
@@ -652,6 +696,32 @@ object QueriesText {
          |  floor(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY lang) * 1e6 + 0.5) / 1e6
          |    AS share
          |FROM m ORDER BY lang, detected""".stripMargin,
+    "vocab_coverage" ->
+      s"""WITH tc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+         |    SELECT unnest($toks) AS w FROM documents WHERE text IS NOT NULL)
+         |  GROUP BY 1),
+         |r AS (SELECT c, row_number() OVER (ORDER BY c DESC, w) AS r,
+         |    sum(c) OVER () AS tot
+         |  FROM tc),
+         |g AS (SELECT CAST(unnest([10, 100, 1000]) AS BIGINT) AS k)
+         |SELECT k, CAST(count(*) AS BIGINT) AS n_vocab,
+         |  floor(CAST(sum(c) AS DOUBLE) / max(tot) * 1e6 + 0.5) / 1e6 AS mass_share
+         |FROM r JOIN g ON r.r <= g.k
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "tokenizer_fertility" ->
+      // s-interpolated ON PURPOSE: the s-interpolator processes \\ escapes
+      // in triple quotes (a raw """ does not), and the regex must reach
+      // DuckDB as \s — the same reason every other regex oracle here is
+      // s-prefixed
+      s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+        |  CAST(sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]')))
+        |    AS BIGINT) AS n_bpe,
+        |  floor(CAST(sum(length(text)) AS DOUBLE)
+        |    / nullif(CAST(sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]'))) AS BIGINT), 0)
+        |    * 1e4 + 0.5) / 1e4 AS chars_per_token
+        |FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "token_zipf" ->
       s"""WITH tok AS (
          |  SELECT source, unnest($toks) AS w

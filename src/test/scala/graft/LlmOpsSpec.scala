@@ -337,4 +337,36 @@ class LlmOpsSpec extends SparkSpec {
       assert(math.abs(shareSum - 1.0) < 1e-3, s"$lang shares sum $shareSum")
     }
   }
+
+  test("vocab_coverage: coverage is monotone in k and saturates at 1") {
+    val rows = graft.queries.QueriesText.queries("vocab_coverage")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(10L, 100L, 1000L))
+    rows.foreach { case (k, nv, sh) =>
+      assert(nv <= k && sh > 0.0 && sh <= 1.0)
+    }
+    assert(rows.map(_._3).toSeq == rows.map(_._3).sorted.toSeq, "coverage must grow with k")
+    // the testdata vocabulary is far under 1000 tokens: full coverage
+    assert(rows.last._3 == 1.0)
+  }
+
+  test("tokenizer_fertility: brute-force chars/token agrees per language") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.queries.Tables.t(spark, dir, "documents")
+      .where(col("text").isNotNull && col("lang").isNotNull)
+      .select(col("lang"), length(col("text")).as("nc"),
+        TextFns.bpeTokenCount(col("text")).as("nb"))
+      .collect().map(r => (r.getString(0), r.getInt(1).toLong, r.getLong(2)))
+    val byLang = docs.groupBy(_._1)
+    for (r <- graft.queries.QueriesText.queries("tokenizer_fertility")(spark, dir).collect()) {
+      val (lang, nd, nc, nb, cpt) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      val grp = byLang(lang)
+      assert(grp.size == nd && grp.map(_._2).sum == nc && grp.map(_._3).sum == nb)
+      val bf = math.floor(nc.toDouble / nb * 1e4 + 0.5) / 1e4
+      assert(math.abs(cpt - bf) < 1e-9, s"$lang: $cpt vs $bf")
+      assert(cpt > 1.0, s"$lang: a token is at least one char plus separators")
+    }
+  }
 }

@@ -330,4 +330,31 @@ class MlopsSpec extends SparkSpec {
       assert(bots >= 0 && bots <= ns)
     }
   }
+
+  test("qq_drift: nine deciles per series, each half's curve is non-decreasing") {
+    val rows = q("qq_drift").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val byType = rows.groupBy(_._1)
+    for ((ty, ds) <- byType) {
+      val sorted = ds.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to 9L), s"$ty: missing deciles")
+      // a CDF inverse is monotone: decile values can never decrease
+      assert(sorted.map(_._3).toSeq == sorted.map(_._3).sorted.toSeq, s"$ty: q_first not monotone")
+      assert(sorted.map(_._4).toSeq == sorted.map(_._4).sorted.toSeq, s"$ty: q_second not monotone")
+      sorted.foreach { case (_, _, a, b, sh) => assert(sh == b - a) }
+    }
+  }
+
+  test("ctr_wilson: lower bound below the rate, brute-force formula agrees") {
+    for (r <- q("ctr_wilson").collect()) {
+      val (ty, n, pos, rate, lb) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))
+      assert(pos >= 0 && pos <= n)
+      assert(lb >= 0.0 && lb <= rate + 1e-9, s"$ty: lb $lb above rate $rate")
+      val p = pos.toDouble / n; val z = 1.96; val nn = n.toDouble
+      val bf = (p + z * z / (nn * 2) -
+        z * math.sqrt(p * (1 - p) / nn + z * z / (nn * nn * 4))) / (1 + z * z / nn)
+      assert(math.abs(lb - bf) < 1e-5, s"$ty: $lb vs brute $bf")
+    }
+  }
 }
