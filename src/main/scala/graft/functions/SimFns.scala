@@ -36,6 +36,15 @@ object SimFns {
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(a),
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(b)))
 
+  /** Native codegen'd L2 unit-normalization (graft.plans.L2Normalize):
+    * array<float|double> → unit array<double>, NULL on zero-norm /
+    * NULL-element / non-finite inputs. One fused loop per vector in place
+    * of the interpreted transform-over-aggregate composition. */
+  def l2normalize(v: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.L2Normalize(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(v)))
+
   /** The composed-built-in form cosine replaced (kept as the spec's
     * differential oracle): let-binding idiom (CLAUDE.md) so the cast arrays
     * bind once per row; `try_divide`/`nanvl` give the same NULL contract. */

@@ -288,10 +288,10 @@ object QueriesSim {
     "embed_dispersion" -> ((s, dir) => {
       val u = t(s, dir, "embeddings")
         .where(col("embedding").isNotNull && col("label").isNotNull)
-        .select(col("label"), col("embedding").cast("array<double>").as("v"))
-        .withColumn("nv", sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
-        .where(col("nv") > 0)
-        .select(col("label"), transform(col("v"), x => x / col("nv")).as("u"))
+        // native fused normalize (plans/L2Normalize): NULL = zero-norm,
+        // exactly the composed form's nv > 0 filter
+        .select(col("label"), SimFns.l2normalize(col("embedding")).as("u"))
+        .where(col("u").isNotNull)
       u.select(col("label"), posexplode(col("u")))
         .groupBy(col("label"), col("pos"))
         .agg(sum(col("col")).as("si"), count(lit(1)).as("n"))

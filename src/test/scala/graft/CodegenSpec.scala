@@ -134,4 +134,32 @@ class CodegenSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("*("), s"agg_group lost codegen:\n$plan")
   }
+
+  test("L2Normalize: codegen'd, bit-identical to the composed form, NULL contract") {
+    import graft.functions.SimFns
+    val df = spark.range(0, 200)
+      .select(col("id"), array(
+        (col("id") % 7).cast(DoubleType), (col("id") % 5).cast(DoubleType),
+        (col("id") % 3).cast(DoubleType)).as("v"))
+    val got = df.select(col("id"), SimFns.l2normalize(col("v")).as("u"))
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [") && plan.contains("l2_normalize"),
+      s"l2_normalize lost codegen:\n$plan")
+    // composed reference: let-bound norm, same fold order
+    val norm = sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x))
+    val ref = df.select(col("id"),
+      when(norm > 0, transform(col("v"), x => x / norm)).as("u"))
+    val g = got.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(1)) null else r.getSeq[Double](1))).toMap
+    val e = ref.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(1)) null else r.getSeq[Double](1))).toMap
+    assert(g.size == 200 && g == e, "native normalize must be bit-identical to composed")
+    // id=105: 105%7=0, %5=0, %3=0 — the zero vector must be NULL
+    assert(g(105L) == null)
+    // float input promotes exactly
+    import spark.implicits._
+    val f = Seq(Array(3.0f, 4.0f)).toDF("v")
+      .select(SimFns.l2normalize(col("v"))).head().getSeq[Double](0)
+    assert(f == Seq(0.6, 0.8))
+  }
 }
