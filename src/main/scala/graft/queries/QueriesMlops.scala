@@ -683,6 +683,33 @@ object QueriesMlops {
           (floor(p * 1e6 + 0.5) / 1e6).as("rate"),
           (floor(lb * 1e6 + 0.5) / 1e6).as("wilson_lb"))
         .orderBy(col("wilson_lb").desc, col("event_type"))
+    }),
+
+    // Temporal-split leakage audit: split the stream at the midpoint (the
+    // drift_psi/ks_drift boundary) and count, per type, the users whose
+    // activity STRADDLES the cut — the population that makes a naive
+    // time-based train/test split leak user-level signal. The corpus
+    // collapses to (type, user, min_us, max_us) in one map-side-combined
+    // aggregate; straddle tests are exact integer comparisons.
+    "split_leakage" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .where(col("event_type").isNotNull && col("user_id").isNotNull && col("ts").isNotNull)
+        .withColumn("us", unix_micros(col("ts")))
+      val mid = broadcast(ev.agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+        .select(expr("(mn + mx) DIV 2").as("mid")))
+      ev.crossJoin(mid)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(min(col("us")).as("mnu"), max(col("us")).as("mxu"),
+          max(col("mid")).as("mid"))
+        .groupBy(col("event_type"))
+        .agg(count(when(col("mnu") <= col("mid"), 1)).as("users_train"),
+          count(when(col("mxu") > col("mid"), 1)).as("users_test"),
+          count(when(col("mnu") <= col("mid") && col("mxu") > col("mid"), 1))
+            .as("users_leaking"))
+        .withColumn("leak_rate",
+          floor(col("users_leaking")
+            / when(col("users_test") =!= 0, col("users_test")) * 1e6 + 0.5) / 1e6)
+        .orderBy(col("event_type"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -1123,5 +1150,23 @@ object QueriesMlops {
         |  floor((p + (1.96 * 1.96) / (nn * 2)
         |      - 1.96 * sqrt(p * (1.0 - p) / nn + (1.96 * 1.96) / (nn * nn * 4)))
         |    / (1.0 + (1.96 * 1.96) / nn) * 1e6 + 0.5) / 1e6 AS wilson_lb
-        |FROM c ORDER BY wilson_lb DESC, event_type""".stripMargin)
+        |FROM c ORDER BY wilson_lb DESC, event_type""".stripMargin,
+    "split_leakage" ->
+      """WITH ev AS (
+        |  SELECT event_type, user_id, epoch_us(ts) AS us
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND user_id IS NOT NULL AND ts IS NOT NULL),
+        |mid AS (SELECT (min(us) + max(us)) // 2 AS mid FROM ev),
+        |u AS (
+        |  SELECT event_type, user_id, min(us) AS mnu, max(us) AS mxu, max(mid) AS mid
+        |  FROM ev CROSS JOIN mid GROUP BY 1, 2)
+        |SELECT event_type,
+        |  CAST(count(CASE WHEN mnu <= mid THEN 1 END) AS BIGINT) AS users_train,
+        |  CAST(count(CASE WHEN mxu > mid THEN 1 END) AS BIGINT) AS users_test,
+        |  CAST(count(CASE WHEN mnu <= mid AND mxu > mid THEN 1 END) AS BIGINT)
+        |    AS users_leaking,
+        |  floor(CAST(count(CASE WHEN mnu <= mid AND mxu > mid THEN 1 END) AS DOUBLE)
+        |    / nullif(count(CASE WHEN mxu > mid THEN 1 END), 0) * 1e6 + 0.5) / 1e6
+        |    AS leak_rate
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -316,6 +316,27 @@ object QueriesPipeline {
         .orderBy(col("source"), col("fold"))
     }),
 
+    // Packing-fragmentation report over pack_sequences' concat-and-chunk
+    // layout: the histogram of docs-per-512-token-sequence — how many
+    // training sequences splice k documents together (attention-mask /
+    // cross-doc-contamination cost of packing). Same GlobalOrder prefix
+    // sum; the explode fans each doc to its spanned sequences (fan-out =
+    // token mass / 512, linear), and the declared output is the bounded
+    // docs-per-sequence histogram.
+    "pack_fragmentation" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), TextFns.tokenCount(col("text")).as("n_tokens"))
+      GlobalOrder.withExclusivePrefixSum(
+          docs, Seq(col("doc_id")), col("n_tokens"), "tok_offset", numParts = 8)
+        .where(col("n_tokens") > 0)
+        .withColumn("first_seq", expr("tok_offset DIV 512"))
+        .withColumn("last_seq", expr("(tok_offset + n_tokens - 1) DIV 512"))
+        .select(explode(sequence(col("first_seq"), col("last_seq"))).as("seq_id"))
+        .groupBy(col("seq_id")).agg(count(lit(1)).as("n_docs"))
+        .groupBy(col("n_docs")).agg(count(lit(1)).as("n_seqs"))
+        .orderBy(col("n_docs"))
+    }),
+
     // Per-source duplicate-rate data card: how much of each source is
     // byte-identical repetition (the signal that decides whether dedup_exact
     // must run before mixing). countDistinct plans the standard two-phase
@@ -472,6 +493,21 @@ object QueriesPipeline {
         |SELECT source, fold, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS w_chars
         |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "pack_fragmentation" ->
+      """WITH tc AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |o AS (SELECT doc_id, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
+        |  FROM tc),
+        |b AS (SELECT CAST(tok_offset // 512 AS BIGINT) AS fs,
+        |    CAST((tok_offset + n_tokens - 1) // 512 AS BIGINT) AS ls
+        |  FROM o WHERE n_tokens > 0),
+        |e AS (SELECT unnest(range(fs, ls + 1)) AS seq_id FROM b),
+        |g AS (SELECT seq_id, CAST(count(*) AS BIGINT) AS n_docs FROM e GROUP BY 1)
+        |SELECT n_docs, CAST(count(*) AS BIGINT) AS n_seqs
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
     "dup_rate_report" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(count(DISTINCT text) AS BIGINT) AS n_distinct,

@@ -322,6 +322,25 @@ object QueriesSim {
         .select((col("i").cast("double") / 20.0).as("jaccard"),
           (floor((lit(1.0) - m8 * m8) * 1e6 + 0.5) / 1e6).as("p_candidate"))
         .orderBy(col("jaccard"))
+    }),
+
+    // Class-balance data card over the embedding labels: per-label counts,
+    // corpus share, and ratio to the majority class — the imbalance report
+    // that decides oversampling/reweighting before classifier training.
+    // One map-side-combined aggregate to the labels domain; shares from a
+    // window over that config-sized table.
+    "label_balance" -> ((s, dir) => {
+      val g = t(s, dir, "embeddings")
+        .where(col("label").isNotNull)
+        .groupBy(col("label")).agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy()
+      g.withColumn("tot", sum(col("n")).over(w))
+        .withColumn("mx", max(col("n")).over(w))
+        .select(col("label"), col("n"),
+          (floor(col("n") / col("tot") * 1e6 + 0.5) / 1e6).as("share"),
+          (floor(col("n") / col("mx").cast("double") * 1e6 + 0.5) / 1e6)
+            .as("ratio_to_max"))
+        .orderBy(col("label"))
     }))
 
   /** The LSH sign-bit columns as DuckDB SQL: the SAME fixedPlanes(6, 64)
@@ -507,5 +526,14 @@ object QueriesSim {
         |s5 AS (SELECT j, m4 * m4 AS m8 FROM s4)
         |SELECT j AS jaccard,
         |  floor((1.0 - m8 * m8) * 1e6 + 0.5) / 1e6 AS p_candidate
-        |FROM s5 ORDER BY jaccard""".stripMargin)
+        |FROM s5 ORDER BY jaccard""".stripMargin,
+    "label_balance" ->
+      """WITH g AS (
+        |  SELECT label, CAST(count(*) AS BIGINT) AS n
+        |  FROM embeddings WHERE label IS NOT NULL GROUP BY 1),
+        |w AS (SELECT label, n, sum(n) OVER () AS tot, max(n) OVER () AS mx FROM g)
+        |SELECT label, n,
+        |  floor(CAST(n AS DOUBLE) / tot * 1e6 + 0.5) / 1e6 AS share,
+        |  floor(CAST(n AS DOUBLE) / mx * 1e6 + 0.5) / 1e6 AS ratio_to_max
+        |FROM w ORDER BY label""".stripMargin)
 }

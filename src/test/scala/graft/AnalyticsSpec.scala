@@ -564,4 +564,19 @@ class AnalyticsSpec extends SparkSpec {
       .forall { case Array((_, a), (_, b)) => a < b })
     assert(rows.head._2 < 0.001 && rows.last._2 > 0.999) // steep S around the threshold
   }
+
+  test("label_balance: shares partition the corpus, majority ratio is exactly 1") {
+    val dir = "/root/testdata/sf0.001"
+    val total = graft.queries.Tables.t(spark, dir, "embeddings")
+      .where(col("label").isNotNull).count()
+    val rows = graft.queries.QueriesSim.queries("label_balance")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.map(_._2).sum == total)
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-3)
+    val top = rows.maxBy(_._2)
+    assert(top._4 == 1.0, s"majority label ratio ${top._4}")
+    rows.foreach { case (l, n, sh, rt) =>
+      assert(n > 0 && sh > 0 && rt > 0 && rt <= 1.0, s"label $l")
+    }
+  }
 }

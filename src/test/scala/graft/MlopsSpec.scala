@@ -357,4 +357,18 @@ class MlopsSpec extends SparkSpec {
       assert(math.abs(lb - bf) < 1e-5, s"$ty: $lb vs brute $bf")
     }
   }
+
+  test("split_leakage: train + test - leaking = distinct users per type") {
+    val perType = graft.queries.Tables.t(spark, dir, "events")
+      .where(col("event_type").isNotNull && col("user_id").isNotNull &&
+        col("ts").isNotNull)
+      .groupBy("event_type").agg(countDistinct(col("user_id")).as("u"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    for (r <- q("split_leakage").collect()) {
+      val (ty, tr, te, lk) = (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      // every user is in at least one side; straddlers counted once each side
+      assert(tr + te - lk == perType(ty), s"$ty: $tr+$te-$lk != ${perType(ty)}")
+      assert(lk <= math.min(tr, te), s"$ty: leaking $lk exceeds a side")
+    }
+  }
 }

@@ -220,6 +220,19 @@ class PipelineOpsSpec extends SparkSpec {
     assert(perFold.values.forall(_ > 0))
   }
 
+  test("pack_fragmentation: incidences and sequence totals match pack_sequences") {
+    val packed = QueriesPipeline.queries("pack_sequences")(spark, sf)
+      .collect().map(r => (r.getLong(1), r.getLong(5))) // (n_tokens, n_seqs)
+    val hist = QueriesPipeline.queries("pack_fragmentation")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // Σ n_docs·n_seqs over the histogram = Σ per-doc spanned sequences
+    assert(hist.map { case (d, s) => d * s }.sum == packed.map(_._2).sum)
+    // Σ n_seqs over the histogram = total distinct sequences = ⌈tokens/512⌉
+    val totalTokens = packed.map(_._1).sum
+    assert(hist.map(_._2).sum == (totalTokens + 511) / 512)
+    assert(hist.forall { case (d, s) => d >= 1 && s >= 1 })
+  }
+
   test("dup_rate_report: distinct bound, rate consistent with counts") {
     val rows = QueriesPipeline.queries("dup_rate_report")(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
