@@ -303,6 +303,77 @@ object QueriesRelational {
           round(col("c_acctbal"), 2).as("acctbal"), col("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
+    }),
+
+    // TPC-H Q18 shape (large-volume customers): the HAVING subquery collapses
+    // lineitem to the orderkey domain FIRST (partial aggregate map-side-
+    // combines before the one shuffle), so the join moves only the ~10%
+    // qualifying orders; customer broadcasts onto the order-sized survivor
+    // set and TakeOrderedAndProject caps the output — no global sort
+    // materialization. sum(l_quantity) is a sum of small integers (exact in
+    // double), so the >180 boundary cannot flip across engines; total_price
+    // uses the engine-identical floor(x·100+0.5)/100 rendering and the sort
+    // key is that exact-deterministic value.
+    "relational_q18" -> ((s, dir) => {
+      val big = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("sum_qty"))
+        .where(col("sum_qty") > 180.0)
+      big.join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"), col("o_orderdate"),
+          (floor(col("o_totalprice") * 100 + 0.5) / 100.0).as("total_price"),
+          col("sum_qty"))
+        .orderBy(col("total_price").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q16 shape (supplier diversity by part attributes): lineitem is
+    // the part↔supplier bridge (no partsupp in this schema). The NOT-IN
+    // blacklist is a broadcast LEFT ANTI join (the key is NULL-free, so anti
+    // ≡ NOT IN); the part filter broadcasts onto the fact; and the
+    // (brand, type, size, suppkey) space collapses with DISTINCT before the
+    // count — the count-distinct shuffle carries the collapsed bridge
+    // (≤ |parts|×|suppliers| rows), never raw lineitem.
+    "relational_q16" -> ((s, dir) => {
+      val p = t(s, dir, "part").where(col("p_brand") =!= "Brand#13" &&
+        !col("p_type").startsWith("MEDIUM") &&
+        col("p_size").isin(1, 9, 17, 25, 33, 41, 49))
+      val bad = t(s, dir, "supplier").where(col("s_acctbal") < 0).select(col("s_suppkey"))
+      t(s, dir, "lineitem").select(col("l_partkey"), col("l_suppkey"))
+        .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand"), col("p_type"), col("p_size"), col("l_suppkey"))
+        .distinct()
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(count(lit(1)).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+    }),
+
+    // TPC-H Q21 shape (the only-late-supplier audit — canonically a double-
+    // correlated EXISTS / NOT EXISTS over three lineitem self-scans)
+    // rewritten collapse-first: both correlated subqueries are per-order
+    // facts, so ONE orderkey-domain aggregate computes |suppliers| and
+    // |late suppliers| per order and the three self-joins never happen.
+    // max(CASE WHEN late) recovers the unique late supplier exactly when
+    // late_supps = 1 (the filter guarantees uniqueness), and the supplier
+    // dim broadcasts onto the order-sized survivor set. "Late" adapts to the
+    // available columns: shipped >365 days after the order date.
+    "relational_q21" -> ((s, dir) => {
+      val o = t(s, dir, "orders").where(col("o_orderstatus") === "F")
+      val lo = t(s, dir, "lineitem")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          expr("l_shipdate > o_orderdate + INTERVAL 365 DAY").as("late"))
+      lo.groupBy(col("l_orderkey"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supps"),
+          countDistinct(when(col("late"), col("l_suppkey"))).as("late_supps"),
+          max(when(col("late"), col("l_suppkey"))).as("late_supp"))
+        .where(col("n_supps") >= 2 && col("late_supps") === 1)
+        .join(broadcast(t(s, dir, "supplier")), col("late_supp") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -453,5 +524,42 @@ object QueriesRelational {
         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
         |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
-        |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin)
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin,
+    "relational_q18" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, sum(l_quantity) AS sum_qty FROM lineitem
+        |  GROUP BY 1 HAVING sum(l_quantity) > 180.0)
+        |SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+        |  floor(o_totalprice * 100 + 0.5) / 100.0 AS total_price, sum_qty
+        |FROM big JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_price DESC, o_orderkey LIMIT 10""".stripMargin,
+    "relational_q16" ->
+      """SELECT p_brand, p_type, p_size,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#13' AND p_type NOT LIKE 'MEDIUM%'
+        |  AND p_size IN (1, 9, 17, 25, 33, 41, 49)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    // Independent formulation on purpose: the oracle keeps the canonical
+    // double-correlated EXISTS / NOT-EXISTS shape, so it cross-checks the
+    // collapse-first aggregate rewrite rather than restating it.
+    "relational_q21" ->
+      """SELECT s_name, CAST(count(DISTINCT l1.l_orderkey) AS BIGINT) AS numwait
+        |FROM lineitem l1
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |JOIN supplier ON s_suppkey = l1.l_suppkey
+        |WHERE o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 365 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 365 DAY)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin)
 }
