@@ -194,6 +194,37 @@ object QueriesRelationalExt {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // Change-data-capture diff: classify every key of two table snapshots as
+    // insert / delete / update / unchanged — the snapshot-reconciliation
+    // operator that feeds incremental downstream refreshes (upsert_merge's
+    // inverse: it RECOVERS the changeset). ONE full-outer join on the key,
+    // then a partial-agg classification to a 4-row report carrying exact
+    // BIGINT checksums (key sums + cents totals), so the whole diff crosses
+    // the wire once and the output is O(1). Snapshots derive
+    // deterministically from orders: keys %7=3 deleted, %5=1 inserted,
+    // %3=0 repriced +5.00.
+    "cdc_diff" -> ((s, dir) => {
+      val base = t(s, dir, "orders").select(col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val old = base.where(col("o_orderkey") % 5 =!= 1)
+        .select(col("o_orderkey").as("k_old"), col("cents").as("c_old"))
+      val neu = base.where(col("o_orderkey") % 7 =!= 3)
+        .select(col("o_orderkey").as("k_new"),
+          (col("cents") + when(col("o_orderkey") % 3 === 0, 500L).otherwise(0L)).as("c_new"))
+      old.join(neu, col("k_old") === col("k_new"), "full_outer")
+        .select(
+          when(col("k_old").isNull, "insert")
+            .when(col("k_new").isNull, "delete")
+            .when(col("c_old") =!= col("c_new"), "update")
+            .otherwise("unchanged").as("change"),
+          coalesce(col("k_old"), col("k_new")).as("k"),
+          coalesce(col("c_new"), lit(0L)).as("c_new"))
+        .groupBy(col("change"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("key_sum"),
+          sum(col("c_new")).as("new_cents"))
+        .orderBy(col("change"))
+    }),
+
     // SCD-2 history: a customer's order-status timeline as validity ranges
     // — change-points found with lag(), ranges closed with lead() (NULL =
     // current). Two window functions over ONE (custkey, date) sort; the
@@ -301,6 +332,26 @@ object QueriesRelationalExt {
       |ORDER BY c_custkey""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "cdc_diff" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |old AS (SELECT o_orderkey AS k_old, cents AS c_old FROM base
+        |        WHERE o_orderkey % 5 <> 1),
+        |neu AS (SELECT o_orderkey AS k_new,
+        |    cents + CASE WHEN o_orderkey % 3 = 0 THEN 500 ELSE 0 END AS c_new
+        |  FROM base WHERE o_orderkey % 7 <> 3)
+        |SELECT change, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(coalesce(k_old, k_new)) AS BIGINT) AS key_sum,
+        |  CAST(sum(coalesce(c_new, 0)) AS BIGINT) AS new_cents
+        |FROM (
+        |  SELECT k_old, k_new, c_new,
+        |    CASE WHEN k_old IS NULL THEN 'insert'
+        |         WHEN k_new IS NULL THEN 'delete'
+        |         WHEN c_old <> c_new THEN 'update'
+        |         ELSE 'unchanged' END AS change
+        |  FROM old FULL JOIN neu ON k_old = k_new)
+        |GROUP BY change ORDER BY change""".stripMargin,
     "sql_lateral" ->
       """SELECT c.c_custkey, o.o_orderkey, round(o.o_totalprice, 2) AS price
         |FROM customer c,

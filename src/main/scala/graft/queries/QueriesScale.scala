@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.TextFns
-import graft.operators.{DiscreteQuantile, HeavyHitters, ZOrder}
+import graft.operators.{DiscreteQuantile, GlobalOrder, HeavyHitters, ZOrder}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -341,11 +341,80 @@ object QueriesScale {
         .groupBy(col("s_suppkey"))
         .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
         .orderBy(col("s_suppkey"))
+    }),
+
+    // Sort-layout run-length report: value-RUN counts per column under two
+    // write-time layouts — the quantitative "sort before write" decision
+    // input (parquet RLE/dictionary page size ∝ runs; zone-map pruning
+    // needs long runs; zorder_cluster's 1-D sibling). No single-partition
+    // window anywhere: each layout's total order is encoded as a fixed-
+    // width lexicographic sort key, GlobalOrder assigns distributed row
+    // numbers (ONE data shuffle), and adjacent-row value breaks come from
+    // an rn = rn+1 self-equi-join — both columns' runs counted in the same
+    // single aggregate, runs = Σ breaks. avg run length derives from the
+    // two exact BIGINTs in one division (engine-identical IEEE).
+    "rle_layout" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship"))
+      def runs(key: org.apache.spark.sql.Column, layout: String) = {
+        val rn = GlobalOrder.withGlobalRowNumber(
+          li.withColumn("_k", key), Seq(col("_k")), "rn")
+        val prev = rn.select((col("rn") + 1).as("rn"),
+          col("l_returnflag").as("p_flag"), col("ship").as("p_ship"))
+        rn.join(prev, Seq("rn"), "left")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(col("p_flag").isNull || col("l_returnflag") =!= col("p_flag"), 1L)
+              .otherwise(0L)).as("runs_flag"),
+            sum(when(col("p_ship").isNull || col("ship") =!= col("p_ship"), 1L)
+              .otherwise(0L)).as("runs_ship"))
+          .select(lit(layout).as("layout"), col("n_rows"),
+            col("runs_flag"), col("runs_ship"))
+      }
+      // single-char flag + '|' + fixed-width date + '|' + zero-padded key:
+      // lexicographic on the string ≡ the logical tuple order
+      val byKey = runs(
+        format_string("%012d-%02d", col("l_orderkey"), col("l_linenumber")), "by_key")
+      val byFlag = runs(
+        concat(col("l_returnflag"), lit("|"), col("ship"),
+          format_string("|%012d-%02d", col("l_orderkey"), col("l_linenumber"))), "by_flag")
+      byKey.unionByName(byFlag)
+        .select(col("layout"), col("n_rows"), col("runs_flag"), col("runs_ship"),
+          (floor(col("n_rows") * 1e4 / col("runs_flag") + 0.5) / 1e4).as("avg_run_flag"),
+          (floor(col("n_rows") * 1e4 / col("runs_ship") + 0.5) / 1e4).as("avg_run_ship"))
+        .orderBy(col("layout"))
     }))
 
   private val toks = Tables.toksSql()
 
   val oracle: Map[String, String] = Map(
+    "rle_layout" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber, l_returnflag,
+        |    strftime(l_shipdate, '%Y-%m-%d') AS ship FROM lineitem),
+        |by_key AS (
+        |  SELECT 'by_key' AS layout, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(CASE WHEN p_flag IS NULL OR l_returnflag <> p_flag
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS runs_flag,
+        |    CAST(sum(CASE WHEN p_ship IS NULL OR ship <> p_ship
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS runs_ship
+        |  FROM (SELECT l_returnflag, ship,
+        |      lag(l_returnflag) OVER w AS p_flag, lag(ship) OVER w AS p_ship
+        |    FROM li WINDOW w AS (ORDER BY l_orderkey, l_linenumber))),
+        |by_flag AS (
+        |  SELECT 'by_flag' AS layout, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(CASE WHEN p_flag IS NULL OR l_returnflag <> p_flag
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS runs_flag,
+        |    CAST(sum(CASE WHEN p_ship IS NULL OR ship <> p_ship
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS runs_ship
+        |  FROM (SELECT l_returnflag, ship,
+        |      lag(l_returnflag) OVER w AS p_flag, lag(ship) OVER w AS p_ship
+        |    FROM li WINDOW w AS (ORDER BY l_returnflag, ship, l_orderkey, l_linenumber)))
+        |SELECT layout, n_rows, runs_flag, runs_ship,
+        |  floor(n_rows * 1e4 / runs_flag + 0.5) / 1e4 AS avg_run_flag,
+        |  floor(n_rows * 1e4 / runs_ship + 0.5) / 1e4 AS avg_run_ship
+        |FROM (SELECT * FROM by_key UNION ALL SELECT * FROM by_flag)
+        |ORDER BY layout""".stripMargin,
     "weighted_median" ->
       """WITH li AS (SELECT l_returnflag AS flag, l_extendedprice AS price,
         |    l_quantity AS qty, l_orderkey, l_linenumber FROM lineitem),
