@@ -710,9 +710,125 @@ object QueriesMlops {
           floor(col("users_leaking")
             / when(col("users_test") =!= 0, col("users_test")) * 1e6 + 0.5) / 1e6)
         .orderBy(col("event_type"))
+    }),
+
+    // CUPED variance reduction (Deng et al., WSDM'13): adjust the post-
+    // period metric with the pre-period covariate, Y' = Y − θ(X − μx),
+    // θ = cov/var — the experimentation-platform variance cut. ALL moments
+    // accumulate as EXACT BIGINT cents sums (n, Σx, Σy, Σxy, Σx², Σy²) in
+    // ONE user-sized aggregate then a 2-row arm aggregate; θ, variances and
+    // ρ² derive from those integers in a single shared formula text, so
+    // both engines walk the identical IEEE expression tree (the per-user
+    // cents products stay < 2⁶³ at any plausible per-user mass; the cross-
+    // moment products go through DOUBLE where n·Σxy could overflow BIGINT
+    // at 100×). var_adj = var_y·(1−ρ²) is algebraic — no second data pass.
+    "ab_cuped" -> ((s, dir) => {
+      val mid = expr("TIMESTAMP '2024-01-16 00:00:00'")
+      val per = t(s, dir, "events")
+        .where(col("user_id").isNotNull && col("ts").isNotNull && col("value").isNotNull)
+        .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("ts") < mid, col("cents")).otherwise(0L)).as("x"),
+          sum(when(col("ts") >= mid, col("cents")).otherwise(0L)).as("y"))
+      per.withColumn("arm",
+          when(col("user_id") % 2 === 0, "control").otherwise("treatment"))
+        .groupBy(col("arm"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("arm"), col("n").as("n_users"),
+          expr("floor(sy / (100.0 * n) * 1e4 + 0.5) / 1e4").as("mean_post"),
+          expr("floor((CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy) / (CAST(n AS DOUBLE) * (n - 1)) * 1e4 + 0.5) / 1e4").as("var_post"),
+          expr("floor((CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy) / (CAST(n AS DOUBLE) * (n - 1)) * (1.0 - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))) * 1e4 + 0.5) / 1e4").as("var_adj"),
+          expr("floor((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) * 1e6 + 0.5) / 1e6").as("rho2"))
+        .orderBy(col("arm"))
+    }),
+
+    // Seasonal-naive forecast backtest: predict each test-week hour-of-week
+    // bucket as the train-period average for that bucket, score with wMAPE
+    // per series — the capacity-planning baseline every fancier forecast
+    // must beat. Scale shape: the corpus collapses to (type, hour-of-week)
+    // cents sums for train and test independently (two partial-agg passes
+    // over disjoint scan ranges), a types×168-bounded full-outer join
+    // aligns them, and wMAPE stays in EXACT BIGINT arithmetic throughout —
+    // |3·actual − predicted3| avoids the ÷3 (train has 3 weeks), with ONE
+    // final division per type. No windows, no data-sized joins.
+    "forecast_snaive" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .where(col("event_type").isNotNull && col("ts").isNotNull && col("value").isNotNull)
+        .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+        .withColumn("how", expr("weekday(ts) * 24 + hour(ts)"))
+      val tr = ev.where(col("ts") >= expr("TIMESTAMP '2024-01-01 00:00:00'") &&
+          col("ts") < expr("TIMESTAMP '2024-01-22 00:00:00'"))
+        .groupBy(col("event_type").as("t_type"), col("how").as("t_how"))
+        .agg(sum(col("cents")).as("pred3"))
+      val te = ev.where(col("ts") >= expr("TIMESTAMP '2024-01-22 00:00:00'") &&
+          col("ts") < expr("TIMESTAMP '2024-01-29 00:00:00'"))
+        .groupBy(col("event_type").as("e_type"), col("how").as("e_how"))
+        .agg(sum(col("cents")).as("act"))
+      tr.join(te, col("t_type") === col("e_type") && col("t_how") === col("e_how"),
+          "full_outer")
+        .select(coalesce(col("t_type"), col("e_type")).as("event_type"),
+          coalesce(col("pred3"), lit(0L)).as("pred3"),
+          coalesce(col("act"), lit(0L)).as("act"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_buckets"), sum(col("act")).as("actual_cents"),
+          sum(abs(lit(3L) * col("act") - col("pred3"))).as("abs_err3"))
+        .select(col("event_type"), col("n_buckets"), col("actual_cents"),
+          expr("floor(abs_err3 / (3.0 * actual_cents) * 1e6 + 0.5) / 1e6").as("wmape"))
+        .orderBy(col("event_type"))
     }))
 
   val oracle: Map[String, String] = Map(
+    "ab_cuped" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1),
+        |m AS (
+        |  SELECT CASE WHEN user_id % 2 = 0 THEN 'control' ELSE 'treatment' END AS arm,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM per GROUP BY 1)
+        |SELECT arm, n AS n_users,
+        |  floor(sy / (100.0 * n) * 1e4 + 0.5) / 1e4 AS mean_post,
+        |  floor((CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy) / (CAST(n AS DOUBLE) * (n - 1)) * 1e4 + 0.5) / 1e4 AS var_post,
+        |  floor((CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy) / (CAST(n AS DOUBLE) * (n - 1)) * (1.0 - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))) * 1e4 + 0.5) / 1e4 AS var_adj,
+        |  floor((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) * 1e6 + 0.5) / 1e6 AS rho2
+        |FROM m ORDER BY arm""".stripMargin,
+    "forecast_snaive" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+        |    (isodow(ts) - 1) * 24 + hour(ts) AS how, ts
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+        |tr AS (
+        |  SELECT event_type, how, CAST(sum(cents) AS BIGINT) AS pred3 FROM ev
+        |  WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+        |    AND ts < TIMESTAMP '2024-01-22 00:00:00' GROUP BY 1, 2),
+        |te AS (
+        |  SELECT event_type, how, CAST(sum(cents) AS BIGINT) AS act FROM ev
+        |  WHERE ts >= TIMESTAMP '2024-01-22 00:00:00'
+        |    AND ts < TIMESTAMP '2024-01-29 00:00:00' GROUP BY 1, 2),
+        |j AS (
+        |  SELECT coalesce(tr.event_type, te.event_type) AS event_type,
+        |    coalesce(pred3, 0) AS pred3, coalesce(act, 0) AS act
+        |  FROM tr FULL JOIN te ON tr.event_type = te.event_type AND tr.how = te.how),
+        |agg AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_buckets,
+        |    CAST(sum(act) AS BIGINT) AS actual_cents,
+        |    CAST(sum(abs(3 * act - pred3)) AS BIGINT) AS abs_err3
+        |  FROM j GROUP BY 1)
+        |SELECT event_type, n_buckets, actual_cents,
+        |  floor(abs_err3 / (3.0 * actual_cents) * 1e6 + 0.5) / 1e6 AS wmape
+        |FROM agg ORDER BY event_type""".stripMargin,
     "agg_mode" ->
       """WITH c AS (
         |  SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS cnt

@@ -59,6 +59,35 @@ object QueriesSim {
           col("own_sim"), col("margin"))
         .orderBy(col("vec_id"))
     }),
+
+    // Within-label embedding outlier report: cosine of every vector to its
+    // OWN label centroid, flagged below a fixed threshold — the mislabeled/
+    // contaminated-cluster screen that runs before centroid classifiers or
+    // SemDeDup trust the labels. Same scale shape as embed_classify minus
+    // the fan-out: one posexplode aggregate to labels×64 centroids, an
+    // EQUI broadcast join back (each vector meets exactly its own
+    // centroid), native codegen'd CosineSim scoring, and a labels-sized
+    // final aggregate. min is order-independent; mean follows the
+    // embed_drift precedent (floor-1e6 on an avg of ~n/label doubles).
+    "embed_outliers" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .where(col("embedding").isNotNull && col("label").isNotNull)
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+      val cent = e.select(col("label").as("clabel"), posexplode(col("v")))
+        .groupBy(col("clabel"), col("pos")).agg(avg(col("col")).as("c"))
+        .groupBy(col("clabel"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+          x => x.getField("c")).as("cv"))
+      e.join(broadcast(cent), col("label") === col("clabel"))
+        .select(col("label"), SimFns.cosine(col("v"), col("cv")).as("sim"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("sim") < -0.05, 1L).otherwise(0L)).as("n_out"),
+          (floor(min(col("sim")) * 1e6 + 0.5) / 1e6).as("min_cos"),
+          (floor(avg(col("sim")) * 1e6 + 0.5) / 1e6).as("mean_cos"))
+        .orderBy(col("label"))
+    }),
     // Exact brute-force cosine top-10 for 5 query vectors.
     // Product quantization ANN: 64-dim float vectors compress to 8 one-byte
     // codes (operators/Pq); search touches ONLY the codes via ADC table
@@ -368,6 +397,22 @@ object QueriesSim {
   }
 
   val oracle: Map[String, String] = Map(
+    "embed_outliers" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL),
+        |d AS (
+        |  SELECT label, i, avg(v[i]) AS c
+        |  FROM e CROSS JOIN (SELECT unnest(range(1, 65)) AS i) GROUP BY 1, 2),
+        |cent AS (SELECT label, list(c ORDER BY i) AS cv FROM d GROUP BY 1),
+        |sc AS (
+        |  SELECT e.label, list_cosine_similarity(e.v, cent.cv) AS sim
+        |  FROM e JOIN cent USING (label))
+        |SELECT label, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN sim < -0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_out,
+        |  floor(min(sim) * 1e6 + 0.5) / 1e6 AS min_cos,
+        |  floor(avg(sim) * 1e6 + 0.5) / 1e6 AS mean_cos
+        |FROM sc GROUP BY label ORDER BY label""".stripMargin,
     "sim_lsh" ->
       s"""WITH bits AS (SELECT vec_id, embedding,
          |    $lshBitsSql

@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Session-6 operator batch: TPC-H composite shapes (Q16/Q18/Q21), the CDC
+  * snapshot diff, the sort-layout run-length report, CUPED, the seasonal-
+  * naive forecast backtest, and within-label embedding outliers. Each test
+  * drives the declared query on sf0.001 and checks laws the DuckDB hash
+  * compare can't express (brute-force equivalence, partition identities,
+  * monotonicity).
+  */
+class WarehouseOpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("relational_q18: every row exceeds the quantity floor, sorted desc, capped") {
+    val rows = q("relational_q18").collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    rows.foreach(r => assert(r.getDouble(5) > 180.0))
+    val prices = rows.map(_.getDouble(4))
+    assert(prices.zip(prices.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("relational_q16: brute-force recount for the largest group, blacklist respected") {
+    val rows = q("relational_q16").collect()
+    assert(rows.nonEmpty)
+    val (brand, ptyp, psize, cnt) =
+      (rows.head.getString(0), rows.head.getString(1), rows.head.getInt(2), rows.head.getLong(3))
+    val bad = spark.read.parquet(s"$sf/supplier.parquet")
+      .where(col("s_acctbal") < 0).select("s_suppkey")
+      .collect().map(_.getLong(0)).toSet
+    val brute = spark.read.parquet(s"$sf/lineitem.parquet")
+      .join(spark.read.parquet(s"$sf/part.parquet"),
+        col("l_partkey") === col("p_partkey"))
+      .where(col("p_brand") === brand && col("p_type") === ptyp && col("p_size") === psize)
+      .select("l_suppkey").collect().map(_.getLong(0)).toSet.diff(bad)
+    assert(cnt == brute.size, s"top group $brand/$ptyp/$psize: $cnt != ${brute.size}")
+  }
+
+  test("relational_q21: aggregate rewrite equals the brute-force EXISTS formulation") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .join(spark.read.parquet(s"$sf/orders.parquet").where(col("o_orderstatus") === "F"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        expr("l_shipdate > o_orderdate + INTERVAL 365 DAY").as("late"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    // brute force: per order, the set of suppliers and the set of late suppliers
+    val byOrder = li.groupBy(_._1)
+    val expect = byOrder.valuesIterator.flatMap { lines =>
+      val supps = lines.map(_._2).toSet
+      val late = lines.filter(_._3).map(_._2).toSet
+      if (supps.size >= 2 && late.size == 1) Some(late.head) else None
+    }.toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val names = spark.read.parquet(s"$sf/supplier.parquet")
+      .select("s_suppkey", "s_name").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val expectByName = expect.toSeq.groupBy(kv => names(kv._1))
+      .view.mapValues(_.map(_._2).sum).toMap
+    val got = q("relational_q21").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == expectByName, s"got ${got.size} names vs ${expectByName.size}")
+  }
+
+  test("cdc_diff: classes partition old ∪ new and match set-ops recomputation") {
+    val base = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val old = base.filter(_._1 % 5 != 1).toMap
+    val neu = base.filter(_._1 % 7 != 3)
+      .map { case (k, c) => (k, c + (if (k % 3 == 0) 500L else 0L)) }.toMap
+    val expect = Map(
+      "insert" -> neu.keySet.diff(old.keySet).size,
+      "delete" -> old.keySet.diff(neu.keySet).size,
+      "update" -> old.keySet.intersect(neu.keySet).count(k => old(k) != neu(k)),
+      "unchanged" -> old.keySet.intersect(neu.keySet).count(k => old(k) == neu(k)))
+    val got = q("cdc_diff").collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == expect.map { case (k, v) => (k, v.toLong) })
+    assert(got.values.sum == old.keySet.union(neu.keySet).size)
+  }
+
+  test("rle_layout: sorted-by-flag layout runs collapse to the distinct-value counts") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val dFlag = li.select("l_returnflag").distinct().count()
+    val dPair = li.select(col("l_returnflag"),
+      date_format(col("l_shipdate"), "yyyy-MM-dd")).distinct().count()
+    val rows = q("rle_layout").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val (nK, runsFlagK, runsShipK) = rows("by_key")
+    val (nF, runsFlagF, runsShipF) = rows("by_flag")
+    assert(nK == nF && nK == li.count())
+    // a layout sorted BY the column reaches the theoretical minimum: one
+    // run per distinct value (per distinct prefix-pair for the 2nd column)
+    assert(runsFlagF == dFlag, s"$runsFlagF != $dFlag")
+    assert(runsShipF == dPair, s"$runsShipF != $dPair")
+    // any layout: runs are bounded below by distinct count, above by rows
+    assert(runsFlagK >= dFlag && runsFlagK <= nK)
+    assert(runsShipK >= dPair && runsShipK <= nK)
+    // the ingest-order layout cannot beat the sorted layout
+    assert(runsFlagK >= runsFlagF && runsShipK >= runsShipF)
+  }
+
+  test("ab_cuped: moments match a driver-side recompute; adjustment never hurts") {
+    val mid = java.sql.Timestamp.valueOf("2024-01-16 00:00:00")
+    val per = graft.queries.Tables.t(spark, sf, "events")
+      .where(col("user_id").isNotNull && col("ts").isNotNull && col("value").isNotNull)
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      .groupBy("user_id")
+      .agg(sum(when(col("ts") < lit(mid), col("cents")).otherwise(0L)).as("x"),
+        sum(when(col("ts") >= lit(mid), col("cents")).otherwise(0L)).as("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    for (r <- q("ab_cuped").collect()) {
+      val arm = r.getString(0)
+      val grp = per.filter(p => (p._1 % 2 == 0) == (arm == "control"))
+      val n = grp.length.toDouble
+      val (sx, sy) = (grp.map(_._2).sum.toDouble, grp.map(_._3).sum.toDouble)
+      val sxy = grp.map(p => p._2.toDouble * p._3).sum
+      val sxx = grp.map(p => p._2.toDouble * p._2).sum
+      val syy = grp.map(p => p._3.toDouble * p._3).sum
+      val varY = (n * syy - sy * sy) / (n * (n - 1))
+      val cov = n * sxy - sx * sy
+      val rho2 = cov * cov / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+      assert(r.getLong(1) == grp.length)
+      assert(math.abs(r.getDouble(3) - varY) / varY < 1e-6,
+        s"$arm var_post ${r.getDouble(3)} vs $varY")
+      assert(math.abs(r.getDouble(5) - rho2) < 1e-4, s"$arm rho2 ${r.getDouble(5)} vs $rho2")
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
+      assert(r.getDouble(4) <= r.getDouble(3) + 1e-9, "var_adj must not exceed var_post")
+    }
+  }
+
+  test("forecast_snaive: actual mass matches the test window; wmape non-negative") {
+    val te = graft.queries.Tables.t(spark, sf, "events")
+      .where(col("event_type").isNotNull && col("ts").isNotNull && col("value").isNotNull)
+      .where(col("ts") >= expr("TIMESTAMP '2024-01-22 00:00:00'") &&
+        col("ts") < expr("TIMESTAMP '2024-01-29 00:00:00'"))
+      .groupBy("event_type")
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    for (r <- q("forecast_snaive").collect()) {
+      val ty = r.getString(0)
+      assert(r.getLong(2) == te(ty), s"$ty actual ${r.getLong(2)} != ${te(ty)}")
+      assert(r.getDouble(3) >= 0.0)
+      assert(r.getLong(1) >= 1 && r.getLong(1) <= 168)
+    }
+  }
+
+  test("embed_outliers: label counts partition the corpus; min ≤ mean") {
+    val total = spark.read.parquet(s"$sf/embeddings.parquet")
+      .where(col("embedding").isNotNull && col("label").isNotNull).count()
+    val rows = q("embed_outliers").collect()
+    assert(rows.map(_.getLong(1)).sum == total)
+    for (r <- rows) {
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= r.getLong(1))
+      assert(r.getDouble(3) <= r.getDouble(4) + 1e-6, "min_cos must not exceed mean_cos")
+    }
+  }
+}
