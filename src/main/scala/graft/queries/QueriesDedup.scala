@@ -42,12 +42,17 @@ object QueriesDedup {
     * oracle string, so their corpora must never drift): eval = doc_id < 50,
     * train = the rest + planted eval copies at +500000. Returns the
     * exploded (eval_id|train_id, sh) 8-gram shingle streams. */
-  private def contaminationShingles(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private def contaminationCorpus(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val docs = t(s, dir, "documents")
     val evalSet = docs.where(col("doc_id") < 50)
     val train = docs.where(col("doc_id") >= 50)
       .unionByName(evalSet.select((col("doc_id") + 500000L).as("doc_id"),
         col("text"), col("lang"), col("source"), col("n_chars"))) // planted leakage
+    (evalSet, train)
+  }
+
+  private def contaminationShingles(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val (evalSet, train) = contaminationCorpus(s, dir)
     (Dedup.shingleSets(evalSet, "doc_id", "text", 8)
         .select(col("doc_id").as("eval_id"), explode(col("shingles")).as("sh")),
       Dedup.shingleSets(train, "doc_id", "text", 8)
@@ -124,6 +129,27 @@ object QueriesDedup {
         .groupBy(col("train_id"), col("eval_id"))
         .agg(count(lit(1)).as("n_shared_8grams"))
         .orderBy(col("train_id"), col("eval_id"))
+    }),
+
+    // Decontamination APPLIED: drop every training doc that shares ≥5
+    // 8-gram shingles with any eval doc — the contamination report's
+    // enforcement twin (as dedup_apply is to dedup_clusters). The screened
+    // id set comes from the same shingle equi-join (work ∝ overlap, never
+    // |train|×|eval|), a LEFT ANTI join removes the hits, and the declared
+    // output is the kept-corpus card per source (counts + exact id/char
+    // checksums) — sources-sized, scale-independent.
+    "decontaminate_apply" -> ((s, dir) => {
+      val (evalSh, trainSh) = contaminationShingles(s, dir)
+      val drops = trainSh.join(evalSh, "sh")
+        .groupBy(col("train_id"), col("eval_id")).agg(count(lit(1)).as("n"))
+        .where(col("n") >= 5)
+        .select(col("train_id")).distinct()
+      val (_, train) = contaminationCorpus(s, dir)
+      train.join(drops, train("doc_id") === drops("train_id"), "left_anti")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"),
+          sum(col("n_chars")).as("chars_kept"))
+        .orderBy(col("source"))
     }),
 
     // Contamination with a BLOOM PREFILTER: the eval side's 8-gram set is
@@ -362,6 +388,31 @@ object QueriesDedup {
     // the bloom prefilter is exactness-preserving (FPs removed by the
     // equi-join) — SAME ground truth as the unfiltered formulation
     "contamination_bloom" -> contaminationSql,
+    "decontaminate_apply" ->
+      s"""WITH ev AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
+         |tr AS (SELECT doc_id, text, source, n_chars FROM documents WHERE doc_id >= 50
+         |       UNION ALL SELECT doc_id + 500000, text, source, n_chars FROM documents
+         |       WHERE doc_id < 50),
+         |evsh AS (SELECT doc_id AS eval_id, unnest(s) AS sh FROM (
+         |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(tk) - 6, 1)),
+         |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' ||
+         |         tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6] || ' ' || tk[i+7])) AS s
+         |  FROM (SELECT doc_id, $toksSql AS tk FROM ev))),
+         |trsh AS (SELECT doc_id AS train_id, unnest(s) AS sh FROM (
+         |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(tk) - 6, 1)),
+         |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' ||
+         |         tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6] || ' ' || tk[i+7])) AS s
+         |  FROM (SELECT doc_id, $toksSql AS tk FROM tr))),
+         |drops AS (
+         |  SELECT DISTINCT train_id FROM (
+         |    SELECT train_id, eval_id, count(*) AS n
+         |    FROM trsh JOIN evsh USING (sh) GROUP BY 1, 2)
+         |  WHERE n >= 5)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+         |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         |  CAST(sum(n_chars) AS BIGINT) AS chars_kept
+         |FROM tr WHERE doc_id NOT IN (SELECT train_id FROM drops)
+         |GROUP BY source ORDER BY source""".stripMargin,
     "dedup_incremental" ->
       s"""WITH ex AS (SELECT doc_id, text FROM documents WHERE doc_id >= 100),
          |inc AS (

@@ -777,9 +777,49 @@ object QueriesMlops {
         .select(col("event_type"), col("n_buckets"), col("actual_cents"),
           expr("floor(abs_err3 / (3.0 * actual_cents) * 1e6 + 0.5) / 1e6").as("wmape"))
         .orderBy(col("event_type"))
+    }),
+
+    // Per-series freshness/staleness card: when did each series last report
+    // and has its trailing-7-day rate fallen below its lifetime rate — the
+    // ops card that pages BEFORE a silent upstream failure starves a
+    // training pipeline. ONE conditional aggregate to the types domain; the
+    // corpus max timestamp rides a single-row broadcast (split_leakage's
+    // scalar pattern); staleness in exact integer hours (µs DIV) and the
+    // rate comparison by exact BIGINT cross-multiplication (30·n₇ < 7·n —
+    // no rate division, no float boundary).
+    "freshness_report" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .where(col("event_type").isNotNull && col("ts").isNotNull)
+        .withColumn("us", unix_micros(col("ts")))
+      val mx = broadcast(ev.agg(max(col("us")).as("cmax")))
+      ev.crossJoin(mx)
+        .groupBy(col("event_type"))
+        .agg(max(col("us")).as("last_us"), count(lit(1)).as("n_total"),
+          sum(when(col("us") > col("cmax") - 604800000000L, 1L).otherwise(0L))
+            .as("n_last7"),
+          max(col("cmax")).as("cmax"))
+        .select(col("event_type"),
+          expr("(cmax - last_us) DIV 3600000000").as("hours_stale"),
+          col("n_total"), col("n_last7"),
+          (col("n_last7") * 30L < col("n_total") * 7L).as("starving"))
+        .orderBy(col("event_type"))
     }))
 
   val oracle: Map[String, String] = Map(
+    "freshness_report" ->
+      """WITH ev AS (
+        |  SELECT event_type, epoch_us(ts) AS us FROM events
+        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+        |mx AS (SELECT max(us) AS cmax FROM ev),
+        |agg AS (
+        |  SELECT event_type, CAST(max(us) AS BIGINT) AS last_us,
+        |    CAST(count(*) AS BIGINT) AS n_total,
+        |    CAST(sum(CASE WHEN us > cmax - 604800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_last7,
+        |    CAST(max(cmax) AS BIGINT) AS cmax
+        |  FROM ev CROSS JOIN mx GROUP BY event_type)
+        |SELECT event_type, (cmax - last_us) // 3600000000 AS hours_stale,
+        |  n_total, n_last7, (n_last7 * 30 < n_total * 7) AS starving
+        |FROM agg ORDER BY event_type""".stripMargin,
     "ab_cuped" ->
       """WITH per AS (
         |  SELECT user_id,

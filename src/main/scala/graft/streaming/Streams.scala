@@ -328,4 +328,47 @@ object Streams {
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(update)
   }
+
+  final case class HHAlert(user_id: Long, count_lb: Long)
+
+  /** Streaming heavy hitters — the ingest-time twin of the batch
+    * `heavy_hitters` query (operators/HeavyHitters' two-phase Misra–Gries),
+    * for "which keys are hot RIGHT NOW" without waiting for a batch sweep.
+    *
+    * Keys shard across `shards` state groups (user_id % shards), each group
+    * holding a Misra–Gries summary bounded at `capacity` entries — fixed
+    * total state of shards×capacity counters regardless of how many
+    * distinct users flow past, the property that lets the monitor run
+    * forever. MG's two guarantees carry over per shard:
+    *   - retained counts are LOWER bounds on true counts, so an alert at
+    *     `count_lb >= threshold` can never be a false positive;
+    *   - undercount is at most n_shard/(capacity+1), so any user whose
+    *     true count exceeds threshold by that margin IS alerted by the
+    *     batch that delivers the excess (both pinned in StreamingSpec,
+    *     under arbitrary re-chunking of the stream).
+    * One alert per user (latch set in state; bounded by the number of true
+    * heavies, not the key domain).
+    */
+  def heavyHittersStream(spark: SparkSession, events: Dataset[TsEvent],
+                         shards: Int = 32, capacity: Int = 64,
+                         threshold: Long = 50L): Dataset[HHAlert] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    def update(shard: Long, rows: Iterator[TsEvent],
+               state: GroupState[(Map[Long, Long], Set[Long])]): Iterator[HHAlert] = {
+      var (counts, alerted) = state.getOption.getOrElse(
+        (Map.empty[Long, Long], Set.empty[Long]))
+      rows.foreach { e =>
+        counts = counts.updated(e.user_id, counts.getOrElse(e.user_id, 0L) + 1L)
+        if (counts.size > capacity) // MG step: decrement all, drop zeros
+          counts = counts.flatMap { case (k, v) =>
+            if (v > 1L) Some((k, v - 1L)) else None }
+      }
+      val fresh = counts.filter { case (k, v) => v >= threshold && !alerted(k) }
+      state.update((counts, alerted ++ fresh.keys))
+      fresh.iterator.map { case (k, v) => HHAlert(k, v) }
+    }
+    events.groupByKey(_.user_id % shards)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(update)
+  }
 }

@@ -360,4 +360,40 @@ class StreamingSpec extends SparkSpec {
     assert(oneShot == Seq(
       (1L, 0L, 10L), (3L, 0L, 10L), (3L, 3600 * s, 10L)))
   }
+
+  test("heavyHittersStream: MG guarantees hold under arbitrary chunking") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // 3 true heavies (80/65/50 events), 200 singleton users as MG noise
+    val heavies = Seq(7L -> 80, 13L -> 65, 21L -> 50)
+    val data = scala.util.Random.shuffle(
+      heavies.flatMap { case (u, n) => Seq.fill(n)(u) } ++ (100L until 300L))
+      .zipWithIndex.map { case (u, i) => Streams.TsEvent(u, i.toLong) }
+    val trueCounts = data.groupBy(_.user_id).view.mapValues(_.size.toLong).toMap
+
+    def run(chunks: Seq[Seq[Streams.TsEvent]], name: String): Map[Long, Long] = {
+      val ms = MemoryStream[Streams.TsEvent]
+      val q = Streams.heavyHittersStream(spark, ms.toDS(),
+          shards = 4, capacity = 32, threshold = 40L).toDF()
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        chunks.foreach { c => ms.addData(c: _*); q.processAllAvailable() }
+        spark.table(name).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      } finally q.stop()
+    }
+    for ((chunkSize, name) <- Seq(10000 -> "hh_one", 37 -> "hh_chunks")) {
+      val alerts = run(data.grouped(chunkSize).toSeq, name)
+      // lower-bound property: no false positives, and count_lb <= true count
+      alerts.foreach { case (u, lb) =>
+        assert(trueCounts(u) >= 40L, s"$name: false alert for $u")
+        assert(lb <= trueCounts(u), s"$name: $u lb $lb > true ${trueCounts(u)}")
+      }
+      // margin property: a heavy exceeding threshold + n_shard/(capacity+1)
+      // must be alerted (each shard sees ≤ all 595 events; 595/33 ≈ 19)
+      val margin = data.size / 33 + 1
+      trueCounts.filter(_._2 >= 40L + margin).keys.foreach { u =>
+        assert(alerts.contains(u), s"$name: missed heavy $u (${trueCounts(u)})")
+      }
+    }
+  }
 }

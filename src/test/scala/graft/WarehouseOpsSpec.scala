@@ -146,6 +146,39 @@ class WarehouseOpsSpec extends SparkSpec {
     }
   }
 
+  test("decontaminate_apply: matches a driver-side brute-force drop set") {
+    val docs = graft.queries.Tables.t(spark, sf, "documents")
+      .select("doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def sh(t: String): Set[String] =
+      t.toLowerCase.split("\\s+").filter(_.nonEmpty).sliding(8)
+        .filter(_.length == 8).map(_.mkString(" ")).toSet
+    val evalDocs = docs.filter(_._1 < 50)
+    val train = docs.filter(_._1 >= 50) ++
+      evalDocs.map(d => (d._1 + 500000L, d._2, d._3)) // planted leaks
+    val evalSh = evalDocs.map(d => sh(d._2))
+    val droppedIds = train.filter { d =>
+      val s = sh(d._2); evalSh.exists(e => s.intersect(e).size >= 5)
+    }.map(_._1).toSet
+    assert(droppedIds.nonEmpty, "planted leaks must produce drops")
+    val expect = train.filterNot(d => droppedIds(d._1)).groupBy(_._3)
+      .map { case (src, ds) => (src, (ds.length.toLong, ds.map(_._1).sum)) }
+    val got = q("decontaminate_apply").collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expect, s"kept-set mismatch: ${got.size} vs ${expect.size} sources")
+  }
+
+  test("freshness_report: trailing counts bounded, staleness non-negative, starving consistent") {
+    val rows = q("freshness_report").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (stale, n, n7, starving) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))
+      assert(stale >= 0 && n7 >= 0 && n7 <= n)
+      assert(starving == (n7 * 30 < n * 7), s"${r.getString(0)}: flag mismatch")
+    }
+  }
+
   test("embed_outliers: label counts partition the corpus; min ≤ mean") {
     val total = spark.read.parquet(s"$sf/embeddings.parquet")
       .where(col("embedding").isNotNull && col("label").isNotNull).count()
