@@ -69,6 +69,13 @@ object GlobalOrder {
     }
   }
 
+  /** Public surface of the sampled range bucket (see [[bucketExpr]]): a
+    * deterministic, monotone-in-`key` integer bucket id computed from
+    * sampled boundary literals — the primitive both the prefix-sum and the
+    * run-counting operators hash-exchange on. Costs two eager column-pruned
+    * probe jobs (count + seeded sample) at build time. */
+  def rangeBucket(df: DataFrame, key: Column, n: Int): Column = bucketExpr(df, key, n)
+
   /** Adds `out` = the sum of `value` over all rows strictly BEFORE this row
     * in the total order given by `orderCols` (exclusive prefix sum; first
     * row gets 0). When the lead key's distribution is known a priori (e.g.

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.TextFns
-import graft.operators.{DiscreteQuantile, GlobalOrder, HeavyHitters, ZOrder}
+import graft.operators.{DiscreteQuantile, HeavyHitters, Runs, ZOrder}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -346,35 +346,30 @@ object QueriesScale {
     // Sort-layout run-length report: value-RUN counts per column under two
     // write-time layouts — the quantitative "sort before write" decision
     // input (parquet RLE/dictionary page size ∝ runs; zone-map pruning
-    // needs long runs; zorder_cluster's 1-D sibling). No single-partition
-    // window anywhere: each layout's total order is encoded as a fixed-
-    // width lexicographic sort key, GlobalOrder assigns distributed row
-    // numbers (ONE data shuffle), and adjacent-row value breaks come from
-    // an rn = rn+1 self-equi-join — both columns' runs counted in the same
-    // single aggregate, runs = Σ breaks. avg run length derives from the
-    // two exact BIGINTs in one division (engine-identical IEEE).
+    // needs long runs; zorder_cluster's 1-D sibling). Each layout's total
+    // order is encoded as a fixed-width lexicographic sort key and
+    // `operators/Runs` counts both columns' runs with ONE data shuffle per
+    // layout (bucket-local lag + buckets-sized boundary correction — the
+    // first rn-self-join form paid a second data shuffle; plan-audited).
+    // avg run length derives from two exact BIGINTs in one division
+    // (engine-identical IEEE).
     "rle_layout" -> ((s, dir) => {
       val li = t(s, dir, "lineitem").select(
         col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
         date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship"))
-      def runs(key: org.apache.spark.sql.Column, layout: String) = {
-        val rn = GlobalOrder.withGlobalRowNumber(
-          li.withColumn("_k", key), Seq(col("_k")), "rn")
-        val prev = rn.select((col("rn") + 1).as("rn"),
-          col("l_returnflag").as("p_flag"), col("ship").as("p_ship"))
-        rn.join(prev, Seq("rn"), "left")
-          .agg(count(lit(1)).as("n_rows"),
-            sum(when(col("p_flag").isNull || col("l_returnflag") =!= col("p_flag"), 1L)
-              .otherwise(0L)).as("runs_flag"),
-            sum(when(col("p_ship").isNull || col("ship") =!= col("p_ship"), 1L)
-              .otherwise(0L)).as("runs_ship"))
+      def runs(key: org.apache.spark.sql.Column, layout: String) =
+        Runs.counts(li, key, Seq("l_returnflag", "ship"))
           .select(lit(layout).as("layout"), col("n_rows"),
-            col("runs_flag"), col("runs_ship"))
-      }
+            col("runs_l_returnflag").as("runs_flag"), col("runs_ship"))
       // single-char flag + '|' + fixed-width date + '|' + zero-padded key:
-      // lexicographic on the string ≡ the logical tuple order
+      // lexicographic on the string ≡ the logical tuple order. The synthetic
+      // (l_orderkey, l_linenumber) is NOT unique, so both run columns join
+      // the sort key as tie-breakers — residual ties are then IDENTICAL in
+      // flag and ship, making run counts order-independent (caught live: a
+      // bare key mismatched the oracle by ±2 runs on tie-order luck).
       val byKey = runs(
-        format_string("%012d-%02d", col("l_orderkey"), col("l_linenumber")), "by_key")
+        concat(format_string("%012d-%02d", col("l_orderkey"), col("l_linenumber")),
+          lit("|"), col("l_returnflag"), lit("|"), col("ship")), "by_key")
       val byFlag = runs(
         concat(col("l_returnflag"), lit("|"), col("ship"),
           format_string("|%012d-%02d", col("l_orderkey"), col("l_linenumber"))), "by_flag")
@@ -400,7 +395,7 @@ object QueriesScale {
         |             THEN 1 ELSE 0 END) AS BIGINT) AS runs_ship
         |  FROM (SELECT l_returnflag, ship,
         |      lag(l_returnflag) OVER w AS p_flag, lag(ship) OVER w AS p_ship
-        |    FROM li WINDOW w AS (ORDER BY l_orderkey, l_linenumber))),
+        |    FROM li WINDOW w AS (ORDER BY l_orderkey, l_linenumber, l_returnflag, ship))),
         |by_flag AS (
         |  SELECT 'by_flag' AS layout, CAST(count(*) AS BIGINT) AS n_rows,
         |    CAST(sum(CASE WHEN p_flag IS NULL OR l_returnflag <> p_flag

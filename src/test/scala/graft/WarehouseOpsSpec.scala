@@ -101,6 +101,22 @@ class WarehouseOpsSpec extends SparkSpec {
     assert(runsFlagK >= runsFlagF && runsShipK >= runsShipF)
   }
 
+  test("Runs.counts: matches a driver-side fold under the same total order") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
+      .withColumn("k", concat(
+        format_string("%012d-%02d", col("l_orderkey"), col("l_linenumber")),
+        lit("|"), col("l_returnflag")))
+    val got = graft.operators.Runs.counts(li, col("k"), Seq("l_returnflag"),
+      numBuckets = 7).collect().head
+    val rows = li.select("k", "l_returnflag").collect()
+      .map(r => (r.getString(0), r.getString(1))).sortBy(_._1)
+    val runs = rows.foldLeft((0L, null: String)) { case ((n, prev), (_, v)) =>
+      if (v != prev) (n + 1, v) else (n, v) }._1
+    assert(got.getLong(0) == rows.length, "n_rows mismatch")
+    assert(got.getLong(1) == runs, s"runs ${got.getLong(1)} != brute $runs")
+  }
+
   test("ab_cuped: moments match a driver-side recompute; adjustment never hurts") {
     val mid = java.sql.Timestamp.valueOf("2024-01-16 00:00:00")
     val per = graft.queries.Tables.t(spark, sf, "events")
