@@ -94,6 +94,34 @@ object QueriesDedup {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Asymmetric CONTAINMENT screen: C(A→B) = |sh(A)∩sh(B)| / min(|sh(A)|,
+    // |sh(B)|) catches near-SUBSET duplication — a document embedded in a
+    // longer one (quote walls, boilerplate wrappers) — that symmetric
+    // Jaccard misses by construction (a 40-token doc inside a 400-token doc
+    // has J ≈ 0.1 but containment 1.0). Same scale shape as the other
+    // shingle joins: postings equi-join (work ∝ Σ df², never |docs|²), doc
+    // sizes ride the postings rows so nothing joins back, and the ≥0.9
+    // threshold compares by EXACT BIGINT cross-multiplication
+    // (10·shared ≥ 9·min-size). The jaccard_blind flag marks pairs the
+    // symmetric 0.8 screen would NOT have caught — the operator's yield.
+    "containment_dedup" -> ((s, dir) => {
+      val sh = Dedup.shingleSets(corpus(s, dir), "doc_id", "text", 3)
+        .select(col("doc_id"), col("shingles"),
+          size(col("shingles")).cast("long").as("sz"))
+      val posts = sh.select(col("doc_id"), col("sz"), explode(col("shingles")).as("t"))
+      posts.as("a").join(posts.as("b"),
+          col("a.t") === col("b.t") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
+        .agg(count(lit(1)).as("shared"))
+        .where(col("shared") * 10 >= least(col("sz_a"), col("sz_b")) * 9)
+        .select(col("id_a"), col("id_b"), col("shared"), col("sz_a"), col("sz_b"),
+          expr("floor(shared / least(sz_a, sz_b) * 1e6 + 0.5) / 1e6").as("containment"),
+          (col("shared") * 10 < (col("sz_a") + col("sz_b") - col("shared")) * 8)
+            .as("jaccard_blind"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // MinHash+LSH near-dup detection: 64 hashes, 16 bands × 4 rows;
     // candidates from band-bucket equi-join only, exact-verified at j ≥ 0.8.
     // The oracle computes ALL pairs ≥ 0.8 exhaustively — the constructed
@@ -384,6 +412,19 @@ object QueriesDedup {
          |    CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS j
          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
          |WHERE j >= 0.8 ORDER BY id_a, id_b""".stripMargin,
+    "containment_dedup" ->
+      s"""$corpusSql,
+         |sh AS ($shinglesSql)
+         |SELECT id_a, id_b, shared, sz_a, sz_b,
+         |  floor(shared / least(sz_a, sz_b) * 1e6 + 0.5) / 1e6 AS containment,
+         |  (shared * 10 < (sz_a + sz_b - shared) * 8) AS jaccard_blind
+         |FROM (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS shared,
+         |    CAST(len(a.s) AS BIGINT) AS sz_a, CAST(len(b.s) AS BIGINT) AS sz_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |WHERE shared * 10 >= least(sz_a, sz_b) * 9
+         |ORDER BY id_a, id_b""".stripMargin,
     "contamination" -> contaminationSql,
     // the bloom prefilter is exactness-preserving (FPs removed by the
     // equi-join) — SAME ground truth as the unfiltered formulation

@@ -243,6 +243,39 @@ object QueriesRelationalExt {
         .orderBy(col("o_custkey"), col("valid_from"), col("status"))
     }),
 
+    // Point-in-time dimension lookup against the SCD-2 history: how many
+    // customers sat in each order-status state at quarterly snapshot
+    // instants — the AS-OF dimension read every temporal warehouse join
+    // needs (scd2_history builds the ranges; this READS them correctly).
+    // Ranges come from the same one-window change-point construction (for
+    // ALL customers); the snapshot grid is config-sized, so the range probe
+    // is a broadcast nested loop against 4 literal instants — fan-out ×4 of
+    // the CHANGE-POINT table, never the orders table. Per customer the
+    // ranges partition time (same-date double-changes yield empty [d, d)
+    // ranges, excluded identically in both engines by the orderkey-tiebroken
+    // sort), so plain count(*) is the per-state customer count.
+    "scd2_lookup" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val ranges = t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+          col("o_orderstatus"))
+        .withColumn("prev_status", lag(col("o_orderstatus"), 1).over(w))
+        .where(col("prev_status").isNull || col("prev_status") =!= col("o_orderstatus"))
+        .withColumn("valid_to", lead(col("o_orderdate"), 1).over(w))
+        .select(col("o_custkey"), col("o_orderstatus").as("status"),
+          col("o_orderdate").as("valid_from"), col("valid_to"))
+      val grid = s.range(0, 4).toDF("i")
+        .select(expr("TIMESTAMP '1996-01-01 00:00:00' + make_interval(0, CAST(i * 6 AS INT))")
+          .as("snap"))
+      ranges.join(broadcast(grid),
+          col("valid_from") <= col("snap") &&
+            (col("valid_to").isNull || col("snap") < col("valid_to")))
+        .groupBy(col("snap"), col("status"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("snap"), col("status"))
+    }),
+
     // Typed Dataset surface: per-customer longest consecutive-month order
     // streak via groupByKey + mapGroups — genuine per-group imperative logic
     // (the Dataset[T] escape hatch for algorithms awkward as SQL). Groups
@@ -332,6 +365,26 @@ object QueriesRelationalExt {
       |ORDER BY c_custkey""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "scd2_lookup" ->
+      """WITH cp AS (
+        |  SELECT * FROM (
+        |    SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus,
+        |      lag(o_orderstatus) OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate, o_orderkey) AS prev
+        |    FROM orders)
+        |  WHERE prev IS NULL OR prev <> o_orderstatus),
+        |rg AS (
+        |  SELECT o_custkey, o_orderstatus AS status, o_orderdate AS valid_from,
+        |    lead(o_orderdate) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS valid_to
+        |  FROM cp),
+        |grid AS (SELECT unnest([TIMESTAMP '1996-01-01 00:00:00',
+        |  TIMESTAMP '1996-07-01 00:00:00', TIMESTAMP '1997-01-01 00:00:00',
+        |  TIMESTAMP '1997-07-01 00:00:00']) AS snap)
+        |SELECT snap, status, CAST(count(*) AS BIGINT) AS n_customers
+        |FROM rg JOIN grid ON valid_from <= snap
+        |  AND (valid_to IS NULL OR snap < valid_to)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "cdc_diff" ->
       """WITH base AS (
         |  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents

@@ -195,6 +195,62 @@ class WarehouseOpsSpec extends SparkSpec {
     }
   }
 
+  test("scd2_lookup: snapshot states match a driver-side as-of reconstruction") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_custkey"), col("o_orderdate").cast("timestamp").as("o_orderdate"),
+        col("o_orderkey"), col("o_orderstatus")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+    val snaps = Seq("1996-01-01", "1996-07-01", "1997-01-01", "1997-07-01")
+      .map(d => java.sql.Timestamp.valueOf(d + " 00:00:00"))
+    // brute force: a customer's state at snap = status of the LAST order
+    // at-or-before snap (ties broken by orderkey — the construction's sort)
+    val byCust = orders.groupBy(_._1).toSeq
+    val expect = (for {
+      snap <- snaps
+      (_, os) <- byCust
+      before = os.filter(o => !o._2.after(snap))
+      if before.nonEmpty
+    } yield (snap, before.maxBy(o => (o._2.getTime, o._3))._4))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = q("scd2_lookup").collect()
+      .map(r => ((r.getTimestamp(0), r.getString(1)), r.getLong(2))).toMap
+    assert(got == expect, s"${got.size} cells vs ${expect.size}")
+  }
+
+  test("containment_dedup: the planted superset pairs surface and symmetric jaccard misses none of the exact copies") {
+    val rows = q("containment_dedup").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (shared, szA, szB) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(shared <= math.min(szA, szB), "shared cannot exceed either set")
+      assert(shared * 10 >= math.min(szA, szB) * 9, "threshold must hold")
+      // exact copies (+100000 ids): containment 1.0 and jaccard 1.0 → not blind
+      if (r.getLong(1) == r.getLong(0) + 100000L)
+        assert(r.getDouble(5) == 1.0 && !r.getBoolean(6))
+    }
+    // the '+xtra' variants extend the base doc: base ⊂ variant, so every
+    // (base, base+200000) pair must appear with containment ≈ 1
+    val ids = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bases = rows.map(_.getLong(0)).filter(_ < 100000L).distinct
+    bases.foreach { b => assert(ids.contains((b, b + 200000L)), s"missing superset pair for $b") }
+  }
+
+  test("Observed: side metrics equal a recomputed aggregate, one action") {
+    import graft.functions.Observed
+    val df = spark.read.parquet(s"$sf/orders.parquet")
+    val (out, obs) = Observed.withMetrics(df, "audit",
+      count(lit(1)).as("rows"),
+      sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+    val n = out.count()
+    assert(obs.get("rows") == n)
+    val cents = df.agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")))
+      .collect().head.getLong(0)
+    assert(obs.get("cents") == cents)
+    val (out2, obs2) = Observed.withNullAudit(df, "nulls", Seq("o_orderstatus"))
+    out2.write.mode("overwrite").parquet("target/tmp_observed")
+    assert(obs2.get("rows") == n && obs2.get("nulls_o_orderstatus") == 0L)
+  }
+
   test("embed_outliers: label counts partition the corpus; min ≤ mean") {
     val total = spark.read.parquet(s"$sf/embeddings.parquet")
       .where(col("embedding").isNotNull && col("label").isNotNull).count()
