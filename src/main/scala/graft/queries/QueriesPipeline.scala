@@ -42,6 +42,31 @@ object QueriesPipeline {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("w_chars"))
         .orderBy(col("source"), col("split"))
     }),
+
+    // Epoch-aware repetition plan: FRACTIONAL epochs per source — the data-
+    // repetition lever of LLM training mixtures (2.5 epochs = every doc
+    // twice + a deterministic hash-sampled half). Integer part k replicates
+    // every doc; the fractional tail reuses train_split's md5-prefix
+    // threshold (reproducible across engines and reruns, no RNG
+    // coordination). The corpus is NEVER materialized ×k — the declared
+    // output is the sources-sized plan card (docs, epochs, emitted doc and
+    // char mass) from ONE conditional aggregate; a pipeline applies the
+    // same k/threshold columns lazily at read time.
+    "mix_epochs" -> ((s, dir) => {
+      val h = substring(md5(concat(lit("epoch:"), col("doc_id").cast(StringType))), 1, 4)
+      t(s, dir, "documents")
+        .withColumn("m", expr("CAST(substring(source, 4) AS INT) % 4"))
+        .withColumn("k", expr("CASE m WHEN 2 THEN 2 WHEN 3 THEN 3 ELSE 1 END"))
+        .withColumn("extra", h < expr(
+          "CASE m WHEN 1 THEN 'c000' WHEN 2 THEN '8000' WHEN 3 THEN '4000' ELSE '0000' END"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          max(expr("1.0D + m * 0.75D")).as("epochs"),
+          sum(col("k") + when(col("extra"), 1L).otherwise(0L)).as("n_emitted"),
+          sum(col("n_chars") * (col("k") + when(col("extra"), 1L).otherwise(0L)))
+            .as("chars_emitted"))
+        .orderBy(col("source"))
+    }),
     // GPT-style sequence packing: documents are concatenated in doc_id order
     // into one token stream cut into fixed 512-token training sequences; each
     // doc reports its global token offset and the sequence ids it spans.
@@ -364,6 +389,24 @@ object QueriesPipeline {
         |SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS w_chars
         |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "mix_epochs" ->
+      """WITH d AS (
+        |  SELECT source, n_chars,
+        |    CAST(substring(source, 4) AS INT) % 4 AS m,
+        |    substring(md5('epoch:' || CAST(doc_id AS VARCHAR)), 1, 4) AS h
+        |  FROM documents),
+        |e AS (
+        |  SELECT source, n_chars,
+        |    CASE m WHEN 2 THEN 2 WHEN 3 THEN 3 ELSE 1 END
+        |      + CASE WHEN h < (CASE m WHEN 1 THEN 'c000' WHEN 2 THEN '8000'
+        |                       WHEN 3 THEN '4000' ELSE '0000' END)
+        |        THEN 1 ELSE 0 END AS reps,
+        |    1.0 + m * 0.75 AS epochs
+        |  FROM d)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs, max(epochs) AS epochs,
+        |  CAST(sum(reps) AS BIGINT) AS n_emitted,
+        |  CAST(sum(n_chars * reps) AS BIGINT) AS chars_emitted
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
     "mix_temperature" ->
       """SELECT source, CAST(n AS BIGINT) AS n,
         |  round(sqrt(n) / sum(sqrt(n)) OVER (), 6) AS target_share,

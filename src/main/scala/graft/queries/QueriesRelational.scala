@@ -350,6 +350,71 @@ object QueriesRelational {
         .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
     }),
 
+    // TPC-H Q7 shape (bilateral trade volume): revenue flowing between two
+    // chosen nations per shipping year, in both directions. The join tree is
+    // the Q5 skeleton — ONLY lineitem⋈orders is data-sized; customer,
+    // supplier and both nation copies broadcast, and the bilateral filter
+    // ((A,B) or (B,A)) rides the broadcast joins as a residual so
+    // non-participating rows die before the aggregate. Exact-cents revenue.
+    "relational_q7" -> ((s, dir) => {
+      val n1 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+      val n2 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation"))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nkey"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nkey"))
+        .where((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_8") ||
+          (col("supp_nation") === "NATION_8" && col("cust_nation") === "NATION_3"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast(LongType).as("l_year"))
+        .agg((floor(sum(expr(
+          "CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))"))
+          / 100.0 + 0.5) / 100.0).as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+
+    // TPC-H Q8 shape (national market share): the share of one supplier
+    // nation in a region's spend on one part type, per order year. Two
+    // exact-cents BIGINT sums per year (national and total) come out of ONE
+    // conditional aggregate — no second pass, no join of two aggregates —
+    // and the share divides the two exact integers through a shared formula
+    // text. Dims all broadcast; both fact filters push to the scans.
+    "relational_q8" -> ((s, dir) => {
+      val r = t(s, dir, "region").where(col("r_name") === "EUROPE")
+      val nc = t(s, dir, "nation").join(broadcast(r),
+        col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("c_nkey"))
+      val ns = t(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+      val p = t(s, dir, "part").where(col("p_type") === "PROMO")
+      val o = t(s, dir, "orders")
+        .where(col("o_orderdate") >= expr("TIMESTAMP '1995-01-01 00:00:00'") &&
+          col("o_orderdate") < expr("TIMESTAMP '1997-01-01 00:00:00'"))
+      t(s, dir, "lineitem")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nc), col("c_nationkey") === col("c_nkey"))
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(ns), col("s_nationkey") === col("s_nkey"))
+        .groupBy(year(col("o_orderdate")).cast(LongType).as("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_3", expr(
+            "CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))"))
+            .otherwise(0L)).as("nat"),
+          sum(expr(
+            "CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))"))
+            .as("tot"))
+        .select(col("o_year"),
+          expr("floor(CAST(nat AS DOUBLE) / tot * 1e6 + 0.5) / 1e6").as("mkt_share"),
+          expr("floor(tot / 100.0D + 0.5D) / 100.0D").as("total_rev"))
+        .orderBy(col("o_year"))
+    }),
+
     // TPC-H Q21 shape (the only-late-supplier audit — canonically a double-
     // correlated EXISTS / NOT EXISTS over three lineitem self-scans)
     // rewritten collapse-first: both correlated subqueries are per-order
@@ -543,6 +608,45 @@ object QueriesRelational {
         |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
         |GROUP BY 1, 2, 3
         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "relational_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  floor(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 100.0 + 0.5) / 100.0 AS revenue
+        |FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+        |   OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3')
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "relational_q8" ->
+      """WITH agg AS (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |    CAST(sum(CASE WHEN ns.n_name = 'NATION_3'
+        |      THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+        |        * (100 - CAST(round(l_discount * 100) AS BIGINT))
+        |      ELSE 0 END) AS BIGINT) AS nat,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS tot
+        |  FROM lineitem
+        |    JOIN part ON l_partkey = p_partkey
+        |    JOIN orders ON l_orderkey = o_orderkey
+        |    JOIN customer ON o_custkey = c_custkey
+        |    JOIN nation nc ON c_nationkey = nc.n_nationkey
+        |    JOIN region ON nc.n_regionkey = r_regionkey
+        |    JOIN supplier ON l_suppkey = s_suppkey
+        |    JOIN nation ns ON s_nationkey = ns.n_nationkey
+        |  WHERE p_type = 'PROMO' AND r_name = 'EUROPE'
+        |    AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  GROUP BY 1)
+        |SELECT o_year,
+        |  floor(CAST(nat AS DOUBLE) / tot * 1e6 + 0.5) / 1e6 AS mkt_share,
+        |  floor(tot / 100.0 + 0.5) / 100.0 AS total_rev
+        |FROM agg ORDER BY o_year""".stripMargin,
     // Independent formulation on purpose: the oracle keeps the canonical
     // double-correlated EXISTS / NOT-EXISTS shape, so it cross-checks the
     // collapse-first aggregate rewrite rather than restating it.

@@ -62,6 +62,42 @@ class WarehouseOpsSpec extends SparkSpec {
     assert(got == expectByName, s"got ${got.size} names vs ${expectByName.size}")
   }
 
+  test("relational_q7/q8: bilateral symmetry and share bounds") {
+    val q7 = q("relational_q7").collect()
+    assert(q7.nonEmpty)
+    val dirs = q7.map(r => (r.getString(0), r.getString(1))).distinct
+    assert(dirs.forall { case (a, b) =>
+      Set(a, b) == Set("NATION_3", "NATION_8") && a != b })
+    q7.foreach(r => assert(r.getDouble(3) > 0.0))
+    val q8 = q("relational_q8").collect()
+    assert(q8.map(_.getLong(0)).toSet == Set(1995L, 1996L))
+    q8.foreach { r =>
+      assert(r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0)
+      assert(r.getDouble(2) > 0.0)
+    }
+  }
+
+  test("mix_epochs: emitted mass matches a driver-side hash replay") {
+    val docs = graft.queries.Tables.t(spark, sf, "documents")
+      .select("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex4(id: Long): String = {
+      val d = md.digest(s"epoch:$id".getBytes("UTF-8"))
+      f"${(d(0) & 0xff)}%02x${(d(1) & 0xff)}%02x"
+    }
+    val expect = docs.groupBy(_._2).map { case (src, ds) =>
+      val m = src.drop(3).toInt % 4
+      val k = m match { case 2 => 2L; case 3 => 3L; case _ => 1L }
+      val thr = m match { case 1 => "c000"; case 2 => "8000"; case 3 => "4000"; case _ => "0000" }
+      val reps = ds.map(d => k + (if (hex4(d._1) < thr) 1L else 0L))
+      (src, (ds.length.toLong, reps.sum, ds.zip(reps).map(p => p._1._3 * p._2).sum))
+    }
+    val got = q("mix_epochs").collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expect, "plan card must equal the hash replay")
+  }
+
   test("cdc_diff: classes partition old ∪ new and match set-ops recomputation") {
     val base = spark.read.parquet(s"$sf/orders.parquet")
       .select(col("o_orderkey"),
