@@ -140,6 +140,35 @@ object QueriesDdl {
         .orderBy(col("bucket"))
     }),
 
+    // Malformed-record ingestion audit: corrupt JSONL happens (truncated
+    // uploads, encoder bugs) and the reader must COUNT and QUARANTINE, not
+    // die. Docs serialize to JSONL with every doc_id % 7 = 0 line truncated
+    // (deterministic corruption); the PERMISSIVE read carries
+    // _corrupt_record (the quarantine column), a DROPMALFORMED read keeps
+    // the valid subset, and the declared card pins all counts PLUS the
+    // parsed-id checksum — proving WHICH rows were quarantined, not just
+    // how many. Both reads are schema-pinned (no inference scan).
+    "json_malformed" -> ((s, dir) => {
+      val out = "target/tmp_json_malformed"
+      t(s, dir, "documents")
+        .select(col("doc_id"), to_json(struct(col("doc_id"), col("text"))).as("l"))
+        .select(when(col("doc_id") % 7 === 0,
+          expr("substring(l, 1, length(l) - 2)")).otherwise(col("l")).as("value"))
+        .repartition(4).write.mode("overwrite").text(out)
+      val schema = "doc_id LONG, text STRING, _corrupt_record STRING"
+      val perm = s.read.schema(schema).option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record").json(out)
+      val nDrop = s.read.schema("doc_id LONG, text STRING")
+        .option("mode", "DROPMALFORMED").json(out).count()
+      perm.agg(
+        count(lit(1)).as("n_read"),
+        sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L)).as("n_corrupt"),
+        sum(when(col("_corrupt_record").isNull, col("doc_id")).otherwise(0L))
+          .as("valid_id_sum"))
+        .withColumn("n_drop", lit(nDrop))
+        .select(col("n_read"), col("n_corrupt"), col("n_drop"), col("valid_id_sum"))
+    }),
+
     // Small-file compaction — the file-count hygiene op a long-lived corpus
     // needs (every fragmented write multiplies later scan/list cost): read
     // the fragmented layout, size a target file count, rewrite. Target here
@@ -291,6 +320,15 @@ object QueriesDdl {
     s"CASE WHEN $maxE > 2147483647 OR $minE < -2147483648 THEN 'bigint' ELSE 'int' END"
 
   val oracle: Map[String, String] = Map(
+    // the corruption rule is a pure function of doc_id, so the card derives
+    // straight from the documents table — an independent prediction of what
+    // the JSON reader must have quarantined
+    "json_malformed" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_read,
+        |  CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+        |  CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_drop,
+        |  CAST(sum(CASE WHEN doc_id % 7 <> 0 THEN doc_id ELSE 0 END) AS BIGINT) AS valid_id_sum
+        |FROM documents""".stripMargin,
     // The one oracle that must name the data directory (DuckDB's read_blob
     // needs a path): __SFDIR__ is substituted with the actual directory by
     // Verify when it dumps oracle_sql.json, so the check is scale-correct.

@@ -43,6 +43,29 @@ object QueriesPipeline {
         .orderBy(col("source"), col("split"))
     }),
 
+    // Deterministic human-inspection sample: 2 docs per (source, quality
+    // bucket) picked by md5 order — the review queue every quality-gate
+    // change needs, with the SAME docs on every rerun (no RNG seed
+    // coordination across a fleet). The rank filter plans Partial/Final
+    // WindowGroupLimit, so only ~2 rows per group survive each exchange —
+    // inspection sampling stays corpus-scale-safe. Buckets compare the
+    // UNROUNDED score (both engines derive the identical double from the
+    // same formula text); only the emitted column is rounded.
+    "review_sample" -> ((s, dir) => {
+      val m = TextFns.textStats(col("text"))
+      val scored = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), TextFns.qualityScoreFrom(m).as("score"))
+        .withColumn("bucket", when(col("score") >= 0.8, "high")
+          .when(col("score") >= 0.5, "mid").otherwise("low"))
+        .withColumn("h", md5(concat(lit("review:"), col("doc_id").cast(StringType))))
+      val w = Window.partitionBy(col("source"), col("bucket")).orderBy(col("h"))
+      scored.withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 2)
+        .select(col("source"), col("bucket"), col("rk").cast(LongType).as("rk"),
+          col("doc_id"), (floor(col("score") * 1e6 + 0.5) / 1e6).as("score"))
+        .orderBy(col("source"), col("bucket"), col("rk"))
+    }),
+
     // Epoch-aware repetition plan: FRACTIONAL epochs per source — the data-
     // repetition lever of LLM training mixtures (2.5 epochs = every doc
     // twice + a deterministic hash-sampled half). Integer part k replicates
@@ -389,6 +412,19 @@ object QueriesPipeline {
         |SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS w_chars
         |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "review_sample" ->
+      s"""WITH m AS (${Tables.qualityMetricsSql(", source")}),
+         |sc AS (SELECT doc_id, source, ${Tables.qualityScoreSql} AS score FROM m),
+         |b AS (SELECT doc_id, source, score,
+         |    CASE WHEN score >= 0.8 THEN 'high' WHEN score >= 0.5 THEN 'mid'
+         |         ELSE 'low' END AS bucket,
+         |    md5('review:' || CAST(doc_id AS VARCHAR)) AS h
+         |  FROM sc)
+         |SELECT source, bucket, CAST(rk AS BIGINT) AS rk, doc_id,
+         |  floor(score * 1e6 + 0.5) / 1e6 AS score
+         |FROM (SELECT *, row_number() OVER (PARTITION BY source, bucket ORDER BY h) AS rk
+         |      FROM b)
+         |WHERE rk <= 2 ORDER BY source, bucket, rk""".stripMargin,
     "mix_epochs" ->
       """WITH d AS (
         |  SELECT source, n_chars,

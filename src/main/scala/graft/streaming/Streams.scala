@@ -371,4 +371,47 @@ object Streams {
     events.groupByKey(_.user_id % shards)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(update)
   }
+
+  final case class CentsEvent(key: String, cents: Long)
+  final case class QuantileUpdate(key: String, n: Long, p50_cents: Long, p95_cents: Long)
+
+  /** Streaming EXACT quantiles over a discrete value domain — the ingest-
+    * time twin of the DiscreteQuantile/daily_percentiles batch path. State
+    * per key is the cents→count histogram: bounded by the VALUE DOMAIN, not
+    * the stream length (the property that lets a latency/price monitor run
+    * forever), merged per micro-batch with one map fold. Each batch emits
+    * the updated exact p50/p95 under the explicit selection rule "smallest
+    * value whose running count reaches ⌈p·n⌉" — so after any prefix of the
+    * stream the emitted quantiles EQUAL a batch recompute over everything
+    * delivered so far, under arbitrary re-chunking (spec-pinned). No
+    * sketch, no ε: for discrete domains (cents, ms latencies, token
+    * counts) the exact histogram is already small.
+    */
+  def quantileStream(spark: SparkSession, events: Dataset[CentsEvent]): Dataset[QuantileUpdate] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    def select(hist: Map[Long, Long], p: Double): Long = {
+      val n = hist.valuesIterator.sum
+      val need = math.ceil(p * n).toLong.max(1L)
+      var cum = 0L
+      for ((v, c) <- hist.toSeq.sorted) { cum += c; if (cum >= need) return v }
+      hist.keys.max
+    }
+    def update(key: String, rows: Iterator[CentsEvent],
+               state: GroupState[Map[Long, Long]]): Iterator[QuantileUpdate] = {
+      var hist = state.getOption.getOrElse(Map.empty[Long, Long])
+      var touched = false
+      rows.foreach { e =>
+        hist = hist.updated(e.cents, hist.getOrElse(e.cents, 0L) + 1L); touched = true
+      }
+      if (!touched) Iterator.empty
+      else {
+        state.update(hist)
+        Iterator.single(QuantileUpdate(key, hist.valuesIterator.sum,
+          select(hist, 0.5), select(hist, 0.95)))
+      }
+    }
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(update)
+  }
 }

@@ -361,6 +361,43 @@ class StreamingSpec extends SparkSpec {
       (1L, 0L, 10L), (3L, 0L, 10L), (3L, 3600 * s, 10L)))
   }
 
+  test("quantileStream: per-batch emissions equal a batch recompute of the prefix") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val rnd = new scala.util.Random(7)
+    val data = (0 until 400).map(i =>
+      Streams.CentsEvent(if (i % 3 == 0) "a" else "b", rnd.nextInt(50) * 25L))
+    def expected(prefix: Seq[Streams.CentsEvent], key: String): (Long, Long, Long) = {
+      val vs = prefix.filter(_.key == key).map(_.cents).sorted
+      def sel(p: Double) = vs(math.max(math.ceil(p * vs.size).toInt, 1) - 1)
+      (vs.size.toLong, sel(0.5), sel(0.95))
+    }
+    for ((chunkSize, name) <- Seq(1000 -> "qs_one", 61 -> "qs_chunks")) {
+      val ms = MemoryStream[Streams.CentsEvent]
+      val q = Streams.quantileStream(spark, ms.toDS()).toDF()
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        data.grouped(chunkSize).foreach { c => ms.addData(c: _*); q.processAllAvailable() }
+        val rows = spark.table(name).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        // final emission per key (largest n) must equal the full-data quantile
+        for (k <- Seq("a", "b")) {
+          val last = rows.filter(_._1 == k).maxBy(_._2)
+          assert((last._2, last._3, last._4) == expected(data, k), s"$name/$k final")
+        }
+        // EVERY emission must equal the batch recompute of its own prefix:
+        // per key, emissions are cumulative — match n to a data prefix
+        for ((k, n, p50, p95) <- rows) {
+          val keyed = data.filter(_.key == k)
+          val prefix = data.take(data.indices.find(i =>
+            data.take(i + 1).count(_.key == k) == n).get + 1)
+          assert((n, p50, p95) == expected(prefix, k), s"$name/$k at n=$n")
+          assert(keyed.nonEmpty)
+        }
+      } finally q.stop()
+    }
+  }
+
   test("heavyHittersStream: MG guarantees hold under arbitrary chunking") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
