@@ -282,6 +282,46 @@ object QueriesRelationalExt {
     // are distinct (custkey, month) rows, so state per group is bounded by
     // the month span, and the result IS SQL-expressible (gaps-and-islands),
     // which is exactly what makes it oracle-checkable differentially.
+    // The typed COGROUP surface (KeyValueGroupedDataset.cogroup): both sides
+    // shuffle ONCE on the key and each customer's rows meet in a single
+    // imperative closure — the API for per-entity logic that needs both
+    // relations at once without a join materializing their product. Inside
+    // the closure everything stays exact: above-own-mean compares
+    // cents·n > Σcents (BIGINT cross-multiplication, no mean division) and
+    // gaps are integer-µs day quotients (order dates are midnights, so the
+    // quotient ≡ DuckDB's calendar datediff). The declared output collapses
+    // to the 5-segment domain; the SQL twin needs two windows and two
+    // joins — the cogroup form is ONE exchange per side.
+    "typed_cogroup" -> ((s, dir) => {
+      import s.implicits._
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment")).as[(Long, String)]
+      val ords = t(s, dir, "orders")
+        .select(col("o_custkey"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)"),
+          unix_micros(col("o_orderdate").cast("timestamp")))
+        .as[(Long, Long, Long)]
+      cust.groupByKey(_._1).cogroup(ords.groupByKey(_._1)) { (_, cs, os) =>
+        val c = cs.toSeq.headOption
+        val o = os.toArray
+        if (c.isEmpty || o.isEmpty) Iterator.empty
+        else {
+          val n = o.length.toLong
+          val total = o.map(_._2).sum
+          val nAbove = o.count(x => x._2 * n > total).toLong
+          val ds = o.map(_._3).sorted
+          val maxGap = if (ds.length < 2) 0L
+            else ds.sliding(2).map(p => (p(1) - p(0)) / 86400000000L).max
+          Iterator.single((c.get._2, n, nAbove, maxGap))
+        }
+      }.toDF("c_mktsegment", "n", "n_above", "max_gap")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"), sum(col("n")).as("n_orders"),
+          sum(col("n_above")).as("n_above_own_mean"),
+          max(col("max_gap")).as("max_gap_days"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     "typed_streaks" -> ((s, dir) => {
       import s.implicits._
       val months = t(s, dir, "orders")
@@ -365,6 +405,34 @@ object QueriesRelationalExt {
       |ORDER BY c_custkey""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // two windows + two joins where the cogroup form is one exchange per
+    // side — an independent formulation of the same per-customer facts
+    "typed_cogroup" ->
+      """WITH o AS (
+        |  SELECT o_custkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    o_orderdate
+        |  FROM orders),
+        |tot AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS total FROM o GROUP BY 1),
+        |above AS (
+        |  SELECT o.o_custkey,
+        |    CAST(sum(CASE WHEN cents * n > total THEN 1 ELSE 0 END) AS BIGINT) AS n_above
+        |  FROM o JOIN tot USING (o_custkey) GROUP BY 1),
+        |gaps AS (
+        |  SELECT o_custkey, CAST(max(datediff('day', prev, o_orderdate)) AS BIGINT) AS g
+        |  FROM (SELECT o_custkey, o_orderdate,
+        |          lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS prev
+        |        FROM o)
+        |  WHERE prev IS NOT NULL GROUP BY 1)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(sum(n) AS BIGINT) AS n_orders,
+        |  CAST(sum(n_above) AS BIGINT) AS n_above_own_mean,
+        |  CAST(max(coalesce(g, 0)) AS BIGINT) AS max_gap_days
+        |FROM customer
+        |  JOIN tot ON c_custkey = tot.o_custkey
+        |  JOIN above ON c_custkey = above.o_custkey
+        |  LEFT JOIN gaps ON c_custkey = gaps.o_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "scd2_lookup" ->
       """WITH cp AS (
         |  SELECT * FROM (
