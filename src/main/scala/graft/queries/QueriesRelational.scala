@@ -350,6 +350,74 @@ object QueriesRelational {
         .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
     }),
 
+    // TPC-H Q4 shape (order-priority checking): orders in a quarter with at
+    // least one late line, counted by priority. The EXISTS is a LEFT SEMI
+    // join — equi on orderkey plus the lateness residual — so lineitem
+    // never fans out order rows (first match wins) and the quarter filter
+    // pushes to the orders scan. 5-row output from a partial aggregate.
+    "relational_q4" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .where(col("o_orderdate") >= expr("TIMESTAMP '1996-01-01 00:00:00'") &&
+          col("o_orderdate") < expr("TIMESTAMP '1996-04-01 00:00:00'"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+      o.join(l, col("l_orderkey") === col("o_orderkey") &&
+          expr("l_shipdate > o_orderdate + INTERVAL 60 DAY"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // TPC-H Q14 shape (promotion effect): monthly share of revenue from
+    // PROMO parts across one year. Part broadcasts onto the fact; promo and
+    // total exact-cents sums come from ONE conditional aggregate per month
+    // and the share divides the two integers once — q8's skeleton at
+    // month grain.
+    "relational_q14" -> ((s, dir) => {
+      val p = t(s, dir, "part").select(col("p_partkey"), col("p_type"))
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= expr("TIMESTAMP '1996-01-01 00:00:00'") &&
+          col("l_shipdate") < expr("TIMESTAMP '1997-01-01 00:00:00'"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(month(col("l_shipdate")).cast(LongType).as("l_month"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", expr(
+            "CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))"))
+            .otherwise(0L)).as("promo"),
+          sum(expr(
+            "CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))"))
+            .as("tot"))
+        .select(col("l_month"),
+          expr("floor(CAST(promo AS DOUBLE) / tot * 1e6 + 0.5) / 1e6").as("promo_share"),
+          expr("floor(tot / 100.0D + 0.5D) / 100.0D").as("total_rev"))
+        .orderBy(col("l_month"))
+    }),
+
+    // TPC-H Q19 shape (bracketed OR-of-ANDs): three (brand, size-band,
+    // quantity-band) brackets OR'd together. The part-side conjuncts push
+    // into the broadcast build; the quantity bounds (l_quantity between the
+    // union of bands, 1..31) push to the lineitem SCAN as a sargable
+    // range even though the full predicate is a residual — the classic
+    // "derive a coarse pushable bound from an OR" shape. One-row exact-
+    // cents answer.
+    "relational_q19" -> ((s, dir) => {
+      val p = t(s, dir, "part").select(col("p_partkey"), col("p_brand"), col("p_size"))
+      t(s, dir, "lineitem")
+        .where(col("l_quantity") >= 1.0 && col("l_quantity") <= 31.0)
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .where(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 25) &&
+            col("l_quantity").between(1, 20)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 35) &&
+            col("l_quantity").between(10, 25)) ||
+          (col("p_brand") === "Brand#34" && col("p_size").between(1, 50) &&
+            col("l_quantity").between(20, 31)))
+        .agg(
+          (floor(coalesce(sum(expr(
+            "CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))")),
+            lit(0L)) / 100.0 + 0.5) / 100.0).as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+
     // TPC-H Q7 shape (bilateral trade volume): revenue flowing between two
     // chosen nations per shipping year, in both directions. The join tree is
     // the Q5 skeleton — ONLY lineitem⋈orders is data-sized; customer,
@@ -608,6 +676,43 @@ object QueriesRelational {
         |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
         |GROUP BY 1, 2, 3
         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "relational_q4" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "relational_q14" ->
+      """WITH agg AS (
+        |  SELECT CAST(month(l_shipdate) AS BIGINT) AS l_month,
+        |    CAST(sum(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+        |        * (100 - CAST(round(l_discount * 100) AS BIGINT))
+        |      ELSE 0 END) AS BIGINT) AS promo,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS tot
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  GROUP BY 1)
+        |SELECT l_month,
+        |  floor(CAST(promo AS DOUBLE) / tot * 1e6 + 0.5) / 1e6 AS promo_share,
+        |  floor(tot / 100.0 + 0.5) / 100.0 AS total_rev
+        |FROM agg ORDER BY l_month""".stripMargin,
+    "relational_q19" ->
+      """SELECT floor(coalesce(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |    * (100 - CAST(round(l_discount * 100) AS BIGINT))), 0) / 100.0 + 0.5) / 100.0 AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 25
+        |       AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 35
+        |       AND l_quantity BETWEEN 10 AND 25)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 50
+        |       AND l_quantity BETWEEN 20 AND 31)""".stripMargin,
     "relational_q7" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |  CAST(year(l_shipdate) AS BIGINT) AS l_year,

@@ -60,6 +60,38 @@ object QueriesSim {
         .orderBy(col("vec_id"))
     }),
 
+    // Triplet-mining card: per label, how separable it is from its hardest
+    // negative CENTROID — the margin statistics (violations, min, mean)
+    // contrastive/metric training mines for before spending a training run.
+    // Shares embed_classify's fan-out (labels-sized centroid broadcast +
+    // native CosineSim) but collapses straight to the labels domain in the
+    // same aggregate pass. Violations compare the UNROUNDED margin (both
+    // engines derive the identical doubles); min is order-independent;
+    // mean follows the floor-1e6 precedent.
+    "triplet_margin" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .where(col("embedding").isNotNull && col("label").isNotNull)
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+      val cent = e.select(col("label").as("clabel"), posexplode(col("v")))
+        .groupBy(col("clabel"), col("pos")).agg(avg(col("col")).as("c"))
+        .groupBy(col("clabel"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+          x => x.getField("c")).as("cv"))
+      e.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("label"), col("clabel"),
+          SimFns.cosine(col("v"), col("cv")).as("sim"))
+        .groupBy(col("vec_id"), col("label"))
+        .agg((max(when(col("clabel") === col("label"), col("sim"))) -
+          max(when(col("clabel") =!= col("label"), col("sim")))).as("margin"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("margin") < 0, 1L).otherwise(0L)).as("n_violations"),
+          (floor(min(col("margin")) * 1e6 + 0.5) / 1e6).as("min_margin"),
+          (floor(avg(col("margin")) * 1e6 + 0.5) / 1e6).as("mean_margin"))
+        .orderBy(col("label"))
+    }),
+
     // Within-label embedding outlier report: cosine of every vector to its
     // OWN label centroid, flagged below a fixed threshold — the mislabeled/
     // contaminated-cluster screen that runs before centroid classifiers or
@@ -397,6 +429,23 @@ object QueriesSim {
   }
 
   val oracle: Map[String, String] = Map(
+    "triplet_margin" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |    FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL),
+        |d AS (SELECT label AS clabel, i, avg(v[i]) AS c
+        |  FROM e CROSS JOIN (SELECT unnest(range(1, 65)) AS i) GROUP BY 1, 2),
+        |cent AS (SELECT clabel, list(c ORDER BY i) AS cv FROM d GROUP BY 1),
+        |sc AS (SELECT e.vec_id, e.label, cent.clabel,
+        |    list_cosine_similarity(e.v, cent.cv) AS sim FROM e CROSS JOIN cent),
+        |m AS (SELECT vec_id, label,
+        |    max(CASE WHEN clabel = label THEN sim END)
+        |      - max(CASE WHEN clabel <> label THEN sim END) AS margin
+        |  FROM sc GROUP BY 1, 2)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN margin < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+        |  floor(min(margin) * 1e6 + 0.5) / 1e6 AS min_margin,
+        |  floor(avg(margin) * 1e6 + 0.5) / 1e6 AS mean_margin
+        |FROM m GROUP BY label ORDER BY label""".stripMargin,
     "embed_outliers" ->
       """WITH e AS (
         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v

@@ -77,6 +77,31 @@ class WarehouseOpsSpec extends SparkSpec {
     }
   }
 
+  test("relational_q4/q14/q19: semi-join bounds, share bounds, bracket recount") {
+    val inQuarter = spark.read.parquet(s"$sf/orders.parquet")
+      .where(col("o_orderdate") >= expr("TIMESTAMP '1996-01-01 00:00:00'") &&
+        col("o_orderdate") < expr("TIMESTAMP '1996-04-01 00:00:00'")).count()
+    val q4 = q("relational_q4").collect()
+    assert(q4.nonEmpty && q4.map(_.getLong(1)).sum <= inQuarter)
+    q4.foreach(r => assert(r.getLong(1) > 0))
+    val q14 = q("relational_q14").collect()
+    assert(q14.map(_.getLong(0)).toSet == (1L to 12L).toSet)
+    q14.foreach(r => assert(r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0))
+    val q19 = q("relational_q19").collect().head
+    assert(q19.getDouble(0) > 0.0 && q19.getLong(1) > 0)
+  }
+
+  test("triplet_margin: labels partition the corpus, min ≤ mean, violations bounded") {
+    val total = spark.read.parquet(s"$sf/embeddings.parquet")
+      .where(col("embedding").isNotNull && col("label").isNotNull).count()
+    val rows = q("triplet_margin").collect()
+    assert(rows.map(_.getLong(1)).sum == total)
+    for (r <- rows) {
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= r.getLong(1))
+      assert(r.getDouble(3) <= r.getDouble(4) + 1e-6)
+    }
+  }
+
   test("mix_epochs: emitted mass matches a driver-side hash replay") {
     val docs = graft.queries.Tables.t(spark, sf, "documents")
       .select("doc_id", "source", "n_chars").collect()
