@@ -94,6 +94,28 @@ object QueriesDedup {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Cross-source duplication matrix: which sources carry byte-identical
+    // copies of each other's documents — the "mirror site" diagnostic that
+    // decides source-level dedup ORDER (dedup the mirrored source against
+    // its origin first). Texts collapse to DISTINCT (md5, source) pairs
+    // before any join (work ∝ distinct texts), the pair join shuffles
+    // 16-byte hashes, never text bodies, and the output is bounded by
+    // sources². A deterministic 'mirror' source (every 7th doc re-sourced —
+    // 7 is coprime with the 20-source id cycle, so every source is hit)
+    // plants the structure the synthetic corpus lacks.
+    "cross_source_dups" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val full = docs.select(col("text"), col("source"))
+        .unionByName(docs.where(col("doc_id") % 7 === 0)
+          .select(col("text"), lit("mirror").as("source")))
+      val d = full.select(md5(col("text")).as("h"), col("source")).distinct()
+      d.as("a").join(d.as("b"),
+          col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("n_shared_texts"))
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+
     // Asymmetric CONTAINMENT screen: C(A→B) = |sh(A)∩sh(B)| / min(|sh(A)|,
     // |sh(B)|) catches near-SUBSET duplication — a document embedded in a
     // longer one (quote walls, boilerplate wrappers) — that symmetric
@@ -412,6 +434,15 @@ object QueriesDedup {
          |    CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS j
          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
          |WHERE j >= 0.8 ORDER BY id_a, id_b""".stripMargin,
+    "cross_source_dups" ->
+      """WITH full_c AS (
+        |  SELECT text, source FROM documents
+        |  UNION ALL SELECT text, 'mirror' FROM documents WHERE doc_id % 7 = 0),
+        |d AS (SELECT DISTINCT md5(text) AS h, source FROM full_c)
+        |SELECT a.source AS src_a, b.source AS src_b,
+        |  CAST(count(*) AS BIGINT) AS n_shared_texts
+        |FROM d a JOIN d b ON a.h = b.h AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "containment_dedup" ->
       s"""$corpusSql,
          |sh AS ($shinglesSql)
