@@ -343,6 +343,36 @@ object QueriesScale {
         .orderBy(col("s_suppkey"))
     }),
 
+    // Skew-mitigation advisor: which join keys are hot enough to need
+    // salting, and by how much — the quantitative bridge from skew_profile
+    // (diagnosis) to join_salted (treatment). Per-key loads collapse
+    // map-side; the MEDIAN load comes from a count-of-counts selection over
+    // the tiny loads domain (explicit bounded window — never the data); hot
+    // keys compare n > 4·median in exact BIGINTs and the salt factor is
+    // ⌈n/median⌉ integer arithmetic, i.e. "split this key into shards that
+    // look like typical keys". A planted hot user (user 7's events ×20)
+    // provides the skew the uniform synthetic stream lacks.
+    "salt_advisor" -> ((s, dir) => {
+      val ev = t(s, dir, "events").where(col("user_id").isNotNull)
+        .select(col("user_id"))
+      val planted = ev.unionByName(
+        ev.where(col("user_id") === 7)
+          .crossJoin(s.range(1, 20).select(col("id")))
+          .select(col("user_id")))
+      val counts = planted.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      val med = counts.groupBy(col("n")).agg(count(lit(1)).as("k"))
+        .withColumn("cum", sum(col("k")).over(
+          Window.partitionBy(lit(0)).orderBy(col("n"))))
+        .crossJoin(broadcast(counts.agg(count(lit(1)).as("tot"))))
+        .where(col("cum") * 2 >= col("tot"))
+        .agg(min(col("n")).as("med"))
+      counts.crossJoin(broadcast(med))
+        .where(col("n") > col("med") * 4)
+        .select(col("user_id"), col("n"), col("med"),
+          expr("(n + med - 1) DIV med").as("salt_factor"))
+        .orderBy(col("user_id"))
+    }),
+
     // Sort-layout run-length report: value-RUN counts per column under two
     // write-time layouts — the quantitative "sort before write" decision
     // input (parquet RLE/dictionary page size ∝ runs; zone-map pruning
@@ -383,6 +413,23 @@ object QueriesScale {
   private val toks = Tables.toksSql()
 
   val oracle: Map[String, String] = Map(
+    "salt_advisor" ->
+      """WITH planted AS (
+        |  SELECT user_id FROM events WHERE user_id IS NOT NULL
+        |  UNION ALL
+        |  SELECT user_id FROM events CROSS JOIN (SELECT unnest(range(1, 20)))
+        |  WHERE user_id = 7),
+        |counts AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+        |  FROM planted GROUP BY 1),
+        |med AS (
+        |  SELECT CAST(min(n) AS BIGINT) AS med FROM (
+        |    SELECT n, sum(k) OVER (ORDER BY n) AS cum, sum(k) OVER () AS tot
+        |    FROM (SELECT n, count(*) AS k FROM counts GROUP BY 1))
+        |  WHERE cum * 2 >= tot)
+        |SELECT user_id, n, med, (n + med - 1) // med AS salt_factor
+        |FROM counts CROSS JOIN med
+        |WHERE n > med * 4
+        |ORDER BY user_id""".stripMargin,
     "rle_layout" ->
       """WITH li AS (
         |  SELECT l_orderkey, l_linenumber, l_returnflag,

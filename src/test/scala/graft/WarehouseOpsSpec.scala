@@ -312,6 +312,16 @@ class WarehouseOpsSpec extends SparkSpec {
     assert(obs2.get("rows") == n && obs2.get("nulls_o_orderstatus") == 0L)
   }
 
+  test("salt_advisor: exactly the planted hot key, salt sized to the median") {
+    val rows = SparkEntry.queries("salt_advisor")(spark, sf).collect()
+    assert(rows.length == 1 && rows.head.getLong(0) == 7L)
+    val (n, med, salt) = (rows.head.getLong(1), rows.head.getLong(2), rows.head.getLong(3))
+    assert(n > med * 4)
+    assert(salt == (n + med - 1) / med && salt >= 5)
+    // the recommendation is self-consistent: per-shard load ≈ typical key
+    assert(n / salt <= med)
+  }
+
   test("embed_outliers: label counts partition the corpus; min ≤ mean") {
     val total = spark.read.parquet(s"$sf/embeddings.parquet")
       .where(col("embedding").isNotNull && col("label").isNotNull).count()
