@@ -51,8 +51,8 @@ object Runs {
       count(lit(1)).as("_nr"),
       values.flatMap(v => Seq(
         sum(col(s"_brk_$v")).as(s"_runs_$v"),
-        expr(s"min_by($v, _r_k)").as(s"_first_$v"),
-        expr(s"max_by($v, _r_k)").as(s"_last_$v"))): _*)
+        expr(s"min_by(`$v`, _r_k)").as(s"_first_$v"),
+        expr(s"max_by(`$v`, _r_k)").as(s"_last_$v"))): _*)
     // buckets-sized relation; the single partition is EXPLICIT and bounded
     val wb = Window.partitionBy(lit(0)).orderBy(col("_r_b"))
     val corrected = values.foldLeft(perBucket) { (d, v) =>

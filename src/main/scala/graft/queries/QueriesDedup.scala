@@ -454,7 +454,7 @@ object QueriesDedup {
          |    CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS shared,
          |    CAST(len(a.s) AS BIGINT) AS sz_a, CAST(len(b.s) AS BIGINT) AS sz_b
          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-         |WHERE shared * 10 >= least(sz_a, sz_b) * 9
+         |WHERE shared > 0 AND shared * 10 >= least(sz_a, sz_b) * 9
          |ORDER BY id_a, id_b""".stripMargin,
     "contamination" -> contaminationSql,
     // the bloom prefilter is exactness-preserving (FPs removed by the

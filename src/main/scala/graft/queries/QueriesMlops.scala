@@ -714,14 +714,15 @@ object QueriesMlops {
 
     // CUPED variance reduction (Deng et al., WSDM'13): adjust the post-
     // period metric with the pre-period covariate, Y' = Y − θ(X − μx),
-    // θ = cov/var — the experimentation-platform variance cut. ALL moments
-    // accumulate as EXACT BIGINT cents sums (n, Σx, Σy, Σxy, Σx², Σy²) in
-    // ONE user-sized aggregate then a 2-row arm aggregate; θ, variances and
-    // ρ² derive from those integers in a single shared formula text, so
-    // both engines walk the identical IEEE expression tree (the per-user
-    // cents products stay < 2⁶³ at any plausible per-user mass; the cross-
-    // moment products go through DOUBLE where n·Σxy could overflow BIGINT
-    // at 100×). var_adj = var_y·(1−ρ²) is algebraic — no second data pass.
+    // θ = cov/var — the experimentation-platform variance cut. First moments
+    // (n, Σx, Σy) accumulate as EXACT BIGINT cents; the second moments
+    // (Σxy, Σx², Σy²) accumulate in DOUBLE — exact below 2⁵³ (true at every
+    // test SF, so the oracle compare is still bit-exact) and gracefully
+    // rounding, not wrapping, at the 100-TB user counts where a BIGINT sum
+    // of products would overflow 2⁶³. One user-sized aggregate then a 2-row
+    // arm aggregate; θ/variances/ρ² derive through a single shared formula
+    // text, so both engines walk the identical IEEE expression tree.
+    // var_adj = var_y·(1−ρ²) is algebraic — no second data pass.
     "ab_cuped" -> ((s, dir) => {
       val mid = expr("TIMESTAMP '2024-01-16 00:00:00'")
       val per = t(s, dir, "events")
@@ -733,9 +734,14 @@ object QueriesMlops {
       per.withColumn("arm",
           when(col("user_id") % 2 === 0, "control").otherwise("treatment"))
         .groupBy(col("arm"))
+        // the second-moment sums accumulate in DOUBLE: a BIGINT Σ(x·y)
+        // overflows 2⁶³ around 10⁵× this user count (review-caught), while
+        // the double sum stays exact below 2⁵³ (true at every test SF) and
+        // degrades gracefully — not wraps — beyond it
         .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-          sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
-          sum(col("y") * col("y")).as("syy"))
+          sum(col("x").cast("double") * col("y")).as("sxy"),
+          sum(col("x").cast("double") * col("x")).as("sxx"),
+          sum(col("y").cast("double") * col("y")).as("syy"))
         .select(col("arm"), col("n").as("n_users"),
           expr("floor(sy / (100.0 * n) * 1e4 + 0.5) / 1e4").as("mean_post"),
           expr("floor((CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy) / (CAST(n AS DOUBLE) * (n - 1)) * 1e4 + 0.5) / 1e4").as("var_post"),
@@ -834,8 +840,8 @@ object QueriesMlops {
         |  SELECT CASE WHEN user_id % 2 = 0 THEN 'control' ELSE 'treatment' END AS arm,
         |    CAST(count(*) AS BIGINT) AS n,
         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-        |    CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx,
-        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |    sum(CAST(x AS DOUBLE) * y) AS sxy, sum(CAST(x AS DOUBLE) * x) AS sxx,
+        |    sum(CAST(y AS DOUBLE) * y) AS syy
         |  FROM per GROUP BY 1)
         |SELECT arm, n AS n_users,
         |  floor(sy / (100.0 * n) * 1e4 + 0.5) / 1e4 AS mean_post,

@@ -19,6 +19,26 @@ import Tables._
   */
 object QueriesSim {
 
+  /** Shared construction for embed_classify / triplet_margin /
+    * embed_outliers: labeled vectors as array<double> plus per-label mean
+    * centroids (a labels×64 posexplode aggregate, centroid re-assembled in
+    * pos order) — ONE definition so the three views and their shared oracle
+    * formula text cannot drift apart (review-caught triplication). */
+  private def labeledWithCentroids(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val e = t(s, dir, "embeddings")
+      .where(col("embedding").isNotNull && col("label").isNotNull)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+    val cent = e.select(col("label").as("clabel"), posexplode(col("v")))
+      .groupBy(col("clabel"), col("pos")).agg(avg(col("col")).as("c"))
+      .groupBy(col("clabel"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c")).as("cv"))
+    (e, cent)
+  }
+
+
   private val rank10 = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
 
   val queries: Map[String, Q] = Map(
@@ -31,15 +51,7 @@ object QueriesSim {
     // tiebreak, so the argmax is engine-stable; margin = own-centroid sim
     // minus best other — the confidence signal a filtering stage thresholds.
     "embed_classify" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-        .where(col("embedding").isNotNull && col("label").isNotNull)
-        .select(col("vec_id"), col("label"),
-          col("embedding").cast("array<double>").as("v"))
-      val cent = e.select(col("label").as("clabel"), posexplode(col("v")))
-        .groupBy(col("clabel"), col("pos")).agg(avg(col("col")).as("c"))
-        .groupBy(col("clabel"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
-          x => x.getField("c")).as("cv"))
+      val (e, cent) = labeledWithCentroids(s, dir)
       val sc = e.crossJoin(broadcast(cent))
         .select(col("vec_id"), col("label"), col("clabel"),
           SimFns.cosine(col("v"), col("cv")).as("sim"))
@@ -69,15 +81,7 @@ object QueriesSim {
     // engines derive the identical doubles); min is order-independent;
     // mean follows the floor-1e6 precedent.
     "triplet_margin" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-        .where(col("embedding").isNotNull && col("label").isNotNull)
-        .select(col("vec_id"), col("label"),
-          col("embedding").cast("array<double>").as("v"))
-      val cent = e.select(col("label").as("clabel"), posexplode(col("v")))
-        .groupBy(col("clabel"), col("pos")).agg(avg(col("col")).as("c"))
-        .groupBy(col("clabel"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
-          x => x.getField("c")).as("cv"))
+      val (e, cent) = labeledWithCentroids(s, dir)
       e.crossJoin(broadcast(cent))
         .select(col("vec_id"), col("label"), col("clabel"),
           SimFns.cosine(col("v"), col("cv")).as("sim"))
@@ -102,15 +106,7 @@ object QueriesSim {
     // final aggregate. min is order-independent; mean follows the
     // embed_drift precedent (floor-1e6 on an avg of ~n/label doubles).
     "embed_outliers" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-        .where(col("embedding").isNotNull && col("label").isNotNull)
-        .select(col("vec_id"), col("label"),
-          col("embedding").cast("array<double>").as("v"))
-      val cent = e.select(col("label").as("clabel"), posexplode(col("v")))
-        .groupBy(col("clabel"), col("pos")).agg(avg(col("col")).as("c"))
-        .groupBy(col("clabel"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
-          x => x.getField("c")).as("cv"))
+      val (e, cent) = labeledWithCentroids(s, dir)
       e.join(broadcast(cent), col("label") === col("clabel"))
         .select(col("label"), SimFns.cosine(col("v"), col("cv")).as("sim"))
         .groupBy(col("label"))

@@ -426,7 +426,9 @@ class StreamingSpec extends SparkSpec {
         assert(lb <= trueCounts(u), s"$name: $u lb $lb > true ${trueCounts(u)}")
       }
       // margin property: a heavy exceeding threshold + n_shard/(capacity+1)
-      // must be alerted (each shard sees ≤ all 595 events; 595/33 ≈ 19)
+      // must be alerted (395 events total: 195 heavy + 200 singletons; the
+      // conservative all-in-one-shard bound is 395/33 = 12, so the property
+      // covers heavies with true count ≥ 52 — users 7 and 13 here)
       val margin = data.size / 33 + 1
       trueCounts.filter(_._2 >= 40L + margin).keys.foreach { u =>
         assert(alerts.contains(u), s"$name: missed heavy $u (${trueCounts(u)})")
