@@ -309,6 +309,65 @@ object QueriesAnalytics {
     // accumulation), the same corpus-to-config split as mix_temperature.
     // A doc-scale graph would instead iterate as DataFrame joins — that
     // fixpoint pattern is dedup_clusters' connected components.
+    // Label-propagation communities on the nation trade graph — the THIRD
+    // graph algorithm family (components = connectivity, pagerank =
+    // centrality, LPA = mesoscale structure). Same scale shape as
+    // graph_pagerank: the corpus collapses DISTRIBUTEDLY to the ≤nations²
+    // weighted edge list (broadcast dims, one orderkey shuffle), then 5
+    // synchronous LPA rounds run on the config-sized graph in the driver.
+    // Everything is exact-integer: edges sparsify by the strict
+    // above-average rule w·|E| > Σw (no float threshold), and each round's
+    // relabel is argmax by (Σ neighbor weight DESC, label ASC) — the
+    // deterministic tie the oracle's row_number mirrors. The uniform
+    // synthetic trade has NO mesoscale structure (every sparsify level
+    // yields one blob or all singletons — measured), so a deterministic
+    // ×5 intra-region affinity boost plants it; the algorithm must then
+    // RECOVER the regions from edge weights alone (community purity vs
+    // n_regionkey verified at all three SFs, exact 5×5 regions at sf0.1).
+    "graph_communities" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val supp = t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey").cast(LongType).as("src"))
+      val ord = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey").cast(LongType).as("dst"))
+      val regions = t(s, dir, "nation")
+        .select(col("n_nationkey").cast(LongType), col("n_regionkey").cast(LongType))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val directed = li.join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .where(col("src") =!= col("dst"))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getLong(2) * (if (regions(r.getLong(0)) == regions(r.getLong(1))) 5L else 1L)))
+      val und = (directed.map(e => ((e._1, e._2), e._3)) ++
+          directed.map(e => ((e._2, e._1), e._3)))
+        .groupBy(_._1).map { case (k, es) => (k._1, k._2, es.map(_._2).sum) }.toSeq
+      val (ne, tw) = (und.size.toLong, und.map(_._3).sum)
+      val sp = und.filter(e => e._3 * ne > tw)
+      val nbrs = sp.groupBy(_._1)
+      val nations = t(s, dir, "nation")
+        .select(col("n_nationkey").cast(LongType)).collect().map(_.getLong(0)).sorted
+      var label = nations.map(n => n -> n).toMap
+      for (_ <- 1 to 5) {
+        label = nations.map { n =>
+          nbrs.get(n) match {
+            case None => n -> label(n)
+            case Some(es) =>
+              val byLabel = es.groupBy(e => label(e._2))
+                .map { case (l, xs) => (l, xs.map(_._3).sum) }
+              n -> byLabel.toSeq.maxBy { case (l, sw) => (sw, -l) }._1
+          }
+        }.toMap
+      }
+      val sizes = label.values.toSeq.groupBy(identity).map { case (l, xs) => l -> xs.size.toLong }
+      import s.implicits._
+      nations.map(n => (n, label(n), sizes(label(n))))
+        .toSeq.toDF("nation", "community", "community_size")
+        .orderBy(col("nation"))
+    }),
+
     "graph_pagerank" -> ((s, dir) => {
       val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
       val supp = t(s, dir, "supplier")
@@ -674,7 +733,55 @@ object QueriesAnalytics {
         .limit(50)
     }))
 
+  /** Unrolled-CTE oracle for the 5 synchronous LPA rounds (the
+    * graph_pagerank precedent): each round re-labels every node by its
+    * weighted-majority neighbor label with the row_number tie mirror of the
+    * Spark side's (Σw DESC, label ASC) argmax. */
+  private val lpaBaseSql =
+    """WITH raw0 AS (
+      |  SELECT CAST(s_nationkey AS BIGINT) AS src, CAST(c_nationkey AS BIGINT) AS dst,
+      |    CAST(count(*) AS BIGINT) AS w
+      |  FROM lineitem
+      |    JOIN supplier ON l_suppkey = s_suppkey
+      |    JOIN orders ON l_orderkey = o_orderkey
+      |    JOIN customer ON o_custkey = c_custkey
+      |  WHERE s_nationkey <> c_nationkey
+      |  GROUP BY 1, 2),
+      |ed0 AS (
+      |  SELECT src, dst,
+      |    w * CASE WHEN ra.n_regionkey = rb.n_regionkey THEN 5 ELSE 1 END AS w
+      |  FROM raw0
+      |    JOIN nation ra ON src = ra.n_nationkey
+      |    JOIN nation rb ON dst = rb.n_nationkey),
+      |und AS (SELECT a, b, CAST(sum(w) AS BIGINT) AS w FROM (
+      |    SELECT src AS a, dst AS b, w FROM ed0
+      |    UNION ALL SELECT dst AS a, src AS b, w FROM ed0) GROUP BY 1, 2),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS ne, CAST(sum(w) AS BIGINT) AS tw FROM und),
+      |sp AS (SELECT a, b, w FROM und CROSS JOIN tot WHERE w * ne > tw),
+      |nodes AS (SELECT CAST(n_nationkey AS BIGINT) AS node FROM nation),
+      |r0 AS (SELECT node, node AS label FROM nodes)""".stripMargin
+
+  private def lpaRoundSql(k: Int): String =
+    s""",
+       |r$k AS (
+       |  SELECT p.node, coalesce(b.best, p.label) AS label
+       |  FROM r${k - 1} p LEFT JOIN (
+       |    SELECT a AS node2, label AS best FROM (
+       |      SELECT sp.a, p2.label, sum(sp.w) AS sw,
+       |        row_number() OVER (PARTITION BY sp.a
+       |          ORDER BY sum(sp.w) DESC, p2.label) AS rn
+       |      FROM sp JOIN r${k - 1} p2 ON sp.b = p2.node
+       |      GROUP BY sp.a, p2.label)
+       |    WHERE rn = 1) b ON p.node = b.node2)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "graph_communities" ->
+      (lpaBaseSql + (1 to 5).map(lpaRoundSql).mkString +
+        """,
+          |sizes AS (SELECT label, CAST(count(*) AS BIGINT) AS community_size
+          |          FROM r5 GROUP BY 1)
+          |SELECT r5.node AS nation, r5.label AS community, sizes.community_size
+          |FROM r5 JOIN sizes USING (label) ORDER BY nation""".stripMargin),
     "sql_recursive" ->
       """WITH RECURSIVE anc(child, node, depth) AS (
         |  SELECT c_custkey, c_custkey, CAST(0 AS BIGINT) FROM customer

@@ -579,4 +579,22 @@ class AnalyticsSpec extends SparkSpec {
       assert(n > 0 && sh > 0 && rt > 0 && rt <= 1.0, s"label $l")
     }
   }
+
+  test("graph_communities: recovered communities are region-pure and partition the nations") {
+    val reg = spark.read.parquet(s"$dir/nation.parquet")
+      .select(col("n_nationkey").cast("long"), col("n_regionkey").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val rows = graft.queries.QueriesAnalytics.queries("graph_communities")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).sorted.toSeq == reg.keys.toSeq.sorted, "every nation labeled once")
+    // the algorithm must recover the planted regional affinity: no community
+    // spans two regions
+    rows.groupBy(_._2).foreach { case (comm, ns) =>
+      val regions = ns.map(n => reg(n._1)).toSet
+      assert(regions.size == 1, s"community $comm mixes regions $regions")
+    }
+    // sizes are consistent with membership counts
+    val sizes = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    rows.foreach { case (_, c, sz) => assert(sz == sizes(c)) }
+  }
 }
