@@ -309,6 +309,30 @@ object QueriesAnalytics {
     // accumulation), the same corpus-to-config split as mix_temperature.
     // A doc-scale graph would instead iterate as DataFrame joins — that
     // fixpoint pattern is dedup_clusters' connected components.
+    // Supplier operational scorecard: volume, exact-cents revenue, return
+    // rate and late-shipment rate per supplier — the vendor-management
+    // card. ONE fact⋈fact join on orderkey (the only data-sized movement,
+    // shared with q21's lateness rule), a supplier-domain conditional
+    // aggregate, then the supplier dim broadcasts onto the aggregate. The
+    // rates divide exact BIGINT counts once, floor-rounded.
+    "supplier_scorecard" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_lines"),
+          (floor(sum(expr(
+            "CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))"))
+            / 100.0 + 0.5) / 100.0).as("revenue"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("n_returned"),
+          sum(when(expr("l_shipdate > o_orderdate + INTERVAL 365 DAY"), 1L)
+            .otherwise(0L)).as("n_late"))
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_lines"), col("revenue"),
+          expr("floor(n_returned / CAST(n_lines AS DOUBLE) * 1e4 + 0.5) / 1e4").as("return_rate"),
+          expr("floor(n_late / CAST(n_lines AS DOUBLE) * 1e4 + 0.5) / 1e4").as("late_rate"))
+        .orderBy(col("s_suppkey"))
+    }),
+
     // Label-propagation communities on the nation trade graph — the THIRD
     // graph algorithm family (components = connectivity, pagerank =
     // centrality, LPA = mesoscale structure). Same scale shape as
@@ -775,6 +799,21 @@ object QueriesAnalytics {
        |    WHERE rn = 1) b ON p.node = b.node2)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "supplier_scorecard" ->
+      """WITH agg AS (
+        |  SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_lines,
+        |    floor(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |        * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 100.0 + 0.5) / 100.0 AS revenue,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
+        |    CAST(sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 365 DAY
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, n_lines, revenue,
+        |  floor(n_returned / CAST(n_lines AS DOUBLE) * 1e4 + 0.5) / 1e4 AS return_rate,
+        |  floor(n_late / CAST(n_lines AS DOUBLE) * 1e4 + 0.5) / 1e4 AS late_rate
+        |FROM agg JOIN supplier ON l_suppkey = s_suppkey
+        |ORDER BY s_suppkey""".stripMargin,
     "graph_communities" ->
       (lpaBaseSql + (1 to 5).map(lpaRoundSql).mkString +
         """,
