@@ -760,9 +760,12 @@ object QueriesAnalytics {
   /** Unrolled-CTE oracle for the 5 synchronous LPA rounds (the
     * graph_pagerank precedent): each round re-labels every node by its
     * weighted-majority neighbor label with the row_number tie mirror of the
-    * Spark side's (Σw DESC, label ASC) argmax. */
+    * Spark side's (Σw DESC, label ASC) argmax. The corpus-sized subtrees
+    * are MATERIALIZED — DuckDB otherwise inlines the 4-table join into
+    * every one of the ~11 sp/r references and OOMs at sf0.1 (caught by the
+    * 3-SF sweep). */
   private val lpaBaseSql =
-    """WITH raw0 AS (
+    """WITH raw0 AS MATERIALIZED (
       |  SELECT CAST(s_nationkey AS BIGINT) AS src, CAST(c_nationkey AS BIGINT) AS dst,
       |    CAST(count(*) AS BIGINT) AS w
       |  FROM lineitem
@@ -771,17 +774,17 @@ object QueriesAnalytics {
       |    JOIN customer ON o_custkey = c_custkey
       |  WHERE s_nationkey <> c_nationkey
       |  GROUP BY 1, 2),
-      |ed0 AS (
+      |ed0 AS MATERIALIZED (
       |  SELECT src, dst,
       |    w * CASE WHEN ra.n_regionkey = rb.n_regionkey THEN 5 ELSE 1 END AS w
       |  FROM raw0
       |    JOIN nation ra ON src = ra.n_nationkey
       |    JOIN nation rb ON dst = rb.n_nationkey),
-      |und AS (SELECT a, b, CAST(sum(w) AS BIGINT) AS w FROM (
+      |und AS MATERIALIZED (SELECT a, b, CAST(sum(w) AS BIGINT) AS w FROM (
       |    SELECT src AS a, dst AS b, w FROM ed0
       |    UNION ALL SELECT dst AS a, src AS b, w FROM ed0) GROUP BY 1, 2),
       |tot AS (SELECT CAST(count(*) AS BIGINT) AS ne, CAST(sum(w) AS BIGINT) AS tw FROM und),
-      |sp AS (SELECT a, b, w FROM und CROSS JOIN tot WHERE w * ne > tw),
+      |sp AS MATERIALIZED (SELECT a, b, w FROM und CROSS JOIN tot WHERE w * ne > tw),
       |nodes AS (SELECT CAST(n_nationkey AS BIGINT) AS node FROM nation),
       |r0 AS (SELECT node, node AS label FROM nodes)""".stripMargin
 
