@@ -246,6 +246,23 @@ object QueriesDedup {
         .orderBy(col("doc_id"))
     }),
 
+    // Duplicate-cluster size distribution: how much of the corpus sits in
+    // clusters of each size — the "how bad is duplication" card that
+    // decides whether near-dedup is worth running (dup_rate_report's
+    // near-dup sibling, and the input to dedup cost estimates: pair volume
+    // inside a cluster is c·(c−1)/2). Shares clusterLabels with
+    // dedup_clusters/apply (one construction, views can't drift); the
+    // histogram collapses clusters → sizes → size counts, every stage
+    // bounded by the cluster count.
+    "dup_cluster_stats" -> ((s, dir) => {
+      val (_, labels) = clusterLabels(s, dir)
+      labels.groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+        .select(col("cluster_size"), col("n_clusters"),
+          (col("cluster_size") * col("n_clusters")).as("n_docs"))
+        .orderBy(col("cluster_size"))
+    }),
+
     // Dedup APPLIED: clusters → one representative per cluster (the min
     // doc_id, which IS the component label) → the filtered corpus. The
     // end-to-end "make the training set" step that dedup_clusters' labels
@@ -576,6 +593,30 @@ object QueriesDedup {
          |SELECT doc_id, cluster_id,
          |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
          |FROM lab ORDER BY doc_id""".stripMargin,
+    "dup_cluster_stats" ->
+      s"""WITH RECURSIVE base AS (SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0),
+         |corpus AS (
+         |  SELECT doc_id, text FROM base
+         |  UNION ALL SELECT doc_id + 100000, text FROM base
+         |  UNION ALL SELECT doc_id + 200000, text || ' xtra xtra' FROM base),
+         |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(tk) - 1, 1)),
+         |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+         |  FROM (SELECT doc_id, $toksSql AS tk FROM corpus)),
+         |edges AS (
+         |  SELECT a.doc_id AS u, b.doc_id AS v FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_distinct(list_intersect(a.s, b.s))) AS DOUBLE) /
+         |        CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.8),
+         |bidir AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
+         |reach(src, dst) AS (
+         |  SELECT doc_id, doc_id FROM corpus
+         |  UNION
+         |  SELECT r.src, b.v FROM reach r JOIN bidir b ON r.dst = b.u),
+         |lab AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src),
+         |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+         |       FROM lab GROUP BY 1)
+         |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+         |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+         |FROM sz GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
     "embed_neardup" ->
       """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |    FROM embeddings WHERE vec_id % 25 = 0),

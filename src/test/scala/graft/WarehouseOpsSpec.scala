@@ -312,6 +312,16 @@ class WarehouseOpsSpec extends SparkSpec {
     assert(obs2.get("rows") == n && obs2.get("nulls_o_orderstatus") == 0L)
   }
 
+  test("dup_cluster_stats: histogram mass equals the corpus; 3-copy construction visible") {
+    val base = graft.queries.Tables.t(spark, sf, "documents")
+      .where(col("doc_id") % 25 === 0).count()
+    val rows = SparkEntry.queries("dup_cluster_stats")(spark, sf).collect()
+    assert(rows.map(_.getLong(2)).sum == base * 3, "n_docs must partition the corpus")
+    rows.foreach(r => assert(r.getLong(2) == r.getLong(0) * r.getLong(1)))
+    // every planted cluster is {base, exact copy, near copy} — size 3
+    assert(rows.map(_.getLong(0)).max >= 3)
+  }
+
   test("salt_advisor: exactly the planted hot key, salt sized to the median") {
     val rows = SparkEntry.queries("salt_advisor")(spark, sf).collect()
     assert(rows.length == 1 && rows.head.getLong(0) == 7L)
