@@ -127,6 +127,42 @@ object SimFns {
       1)
   }
 
+  /** Banded sign-LSH keys for near-dup candidate generation (the cosine
+    * analogue of MinHash banding): `nBands × rowsPerBand` hyperplanes hash
+    * the vector once; the result is an array of `nBands` compact keys, one
+    * per band of `rowsPerBand` sign bits. Two vectors are CANDIDATES iff
+    * they agree on every bit of at least one band — explode the array and
+    * equi-join on (band, key); candidates then verify with exact cosine.
+    *
+    * This is the 100 TB shape: the join is a shuffle equi-join on band
+    * keys (never all-pairs), exact copies collide in EVERY band
+    * (identical vectors ⇒ identical dot signs), and recall on
+    * near-but-not-identical pairs is 1−(1−pʳ)ᵇ with p = 1−θ/π — tuned by
+    * (nBands, rowsPerBand) exactly like MinHash's (b, r).
+    *
+    * All plane dot products are computed in ONE projection over a
+    * let-bound struct (interpreted HOF lambda bodies re-evaluate
+    * non-variable subtrees per element — CLAUDE.md); the band keys are
+    * pure bit recombinations of that struct. */
+  def bandedLshKeys(v: Column, nBands: Int, rowsPerBand: Int, dim: Int,
+      seed: Long = 42L): Column = {
+    val planes = fixedPlanes(nBands * rowsPerBand, dim, seed)
+    val vd = toDouble(v)
+    val bitsStruct = struct(planes.zipWithIndex.map { case (p, i) =>
+      val plane = array(p.map(lit): _*)
+      when(dot(vd, plane) >= 0.0, lit(1)).otherwise(lit(0)).as(s"b$i")
+    }: _*)
+    element_at(
+      transform(array(bitsStruct), st => {
+        val keys = (0 until nBands).map { b =>
+          concat_ws("", (0 until rowsPerBand).map(r =>
+            st.getField(s"b${b * rowsPerBand + r}")): _*)
+        }
+        array(keys: _*)
+      }),
+      1)
+  }
+
   /** Deterministic pseudo-random unit-ish planes (LCG on the driver — tiny,
     * reproducible, no Math.random). */
   def fixedPlanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {

@@ -54,6 +54,28 @@ object DiscreteQuantile {
     else (math.ceil(pos) - pos) * lo + (pos - math.floor(pos)) * hi
   }
 
+  /** Default driver-collect bound: ~2M histogram rows (≈50 MB of
+    * (key, double, long) tuples) — far above any config-sized domain, far
+    * below what would distress a driver heap. */
+  val DefaultMaxDriverHistRows: Long = 2L * 1024 * 1024
+
+  /** Cardinality guard for the driver-collect histogram path: TRUE iff the
+    * (key, value) histogram is PROVABLY config-sized. One cheap
+    * `approx_count_distinct` probe job (HLL++ — kilobytes of state per
+    * partition, no matter the row count); the 1.25 slack keeps the guard
+    * conservative against the sketch's default 5% rsd. Callers fall back to
+    * the fully distributed [[quantiles]] when this returns false — the
+    * 100 TB rule: a driver collect is only legal when its size is bounded
+    * by CONFIG (domain cardinality), never by DATA (row count), and a
+    * wide/continuous value domain flips the histogram from the former to
+    * the latter. */
+  def histogramFitsDriver(df: DataFrame, key: String, value: Column,
+                          maxRows: Long = DefaultMaxDriverHistRows): Boolean = {
+    val est = df.select(approx_count_distinct(struct(col(key), value)).as("n"))
+      .head().getLong(0)
+    est.toDouble * 1.25 <= maxRows.toDouble
+  }
+
   /** Per-key quantiles via a driver-collected histogram — the right shape
     * when |keys|×|domain| is config-sized while the row count is huge: one
     * map-side-combined aggregation job, pure driver math, and the caller

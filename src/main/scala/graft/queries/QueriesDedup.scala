@@ -323,14 +323,33 @@ object QueriesDedup {
 
     // Embedding cosine near-dup: exact copies at +100000 must be found at
     // cosine ≥ 0.9 (natural max pairwise cosine in the data is ~0.31).
+    // DECLARED path is LSH-banded (the 100 TB shape): 4 bands × 4
+    // hyperplanes hash each vector ONCE; candidates are pairs agreeing on
+    // all 4 bits of ≥1 band (shuffle equi-join on the exploded band keys
+    // — NO all-pairs/cartesian anywhere in the plan), then ONE exact
+    // cosine per distinct candidate pair verifies against the threshold.
+    // Exact copies have identical sign bits in every band, so recall on
+    // the oracle's answer set is exact; the brute-force all-pairs form
+    // survives only as the differential spec at sf0.001
+    // (LlmOpsSpec "embed_neardup LSH path ≡ brute force").
     "embed_neardup" -> ((s, dir) => {
       val base = t(s, dir, "embeddings").where(col("vec_id") % 25 === 0)
         .select(col("vec_id"), col("embedding"))
       val all = base.unionByName(
         base.select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
-      all.as("a").join(all.as("b"), col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-          SimFns.cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+      val keyed = all.select(col("vec_id"),
+        posexplode(SimFns.bandedLshKeys(col("embedding"),
+          nBands = 4, rowsPerBand = 4, dim = 64)).as(Seq("band", "key")))
+      val cand = keyed.as("a").join(keyed.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+        .distinct()
+      cand
+        .join(all.select(col("vec_id").as("id_a"), col("embedding").as("va")), "id_a")
+        .join(all.select(col("vec_id").as("id_b"), col("embedding").as("vb")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          SimFns.cosine(col("va"), col("vb")).as("cos"))
         .where(col("cos") >= 0.9)
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
         .orderBy(col("id_a"), col("id_b"))

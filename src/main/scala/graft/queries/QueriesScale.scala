@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.functions.TextFns
 import graft.operators.{DiscreteQuantile, HeavyHitters, Runs, ZOrder}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -63,30 +64,9 @@ object QueriesScale {
     // domain-bounded histogram job, driver quantile math, thresholds return
     // as literal maps, and the output is a single conditional-aggregate
     // scan. Cents domain keeps every comparison exact across engines.
-    "winsorize" -> ((s, dir) => {
-      val e = t(s, dir, "events")
-        .where(col("value").isNotNull && col("event_type").isNotNull)
-        .select(col("event_type"), col("value"),
-          round(col("value") * 100).cast(LongType).as("cents"))
-      val hist = e.groupBy(col("event_type"), col("cents"))
-        .agg(count(lit(1)).as("cnt"))
-        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-      val bounds = hist.groupBy(_._1).map { case (tpe, rows) =>
-        val h = rows.map(r => (r._2.toDouble, r._3)).toSeq
-        tpe -> (DiscreteQuantile.quantileOfHistogram(h, 0.05),
-          DiscreteQuantile.quantileOfHistogram(h, 0.95))
-      }
-      val loCol = element_at(typedLit(bounds.map { case (k, v) => k -> v._1 }), col("event_type"))
-      val hiCol = element_at(typedLit(bounds.map { case (k, v) => k -> v._2 }), col("event_type"))
-      e.withColumn("cl", least(greatest(col("cents").cast(DoubleType), loCol), hiCol))
-        .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"),
-          count(when(col("cents").cast(DoubleType) < loCol, 1)).as("n_clip_lo"),
-          count(when(col("cents").cast(DoubleType) > hiCol, 1)).as("n_clip_hi"),
-          (floor(sum(col("cl")) / 100 * 1e2 + 0.5) / 1e2).as("sum_wins"),
-          (floor(avg(col("cl")) / 100 * 1e4 + 0.5) / 1e4).as("avg_wins"))
-        .orderBy(col("event_type"))
-    }),
+    // The driver collect is CARDINALITY-GUARDED (see winsorized): a wide/
+    // continuous domain falls back to the distributed quantile form.
+    "winsorize" -> ((s, dir) => winsorized(s, dir)),
     // Exact corpus-wide top-20 tokens via two-phase Misra-Gries: phase 1
     // emits ≤capacity candidates per partition (bounded memory no matter the
     // vocabulary size), phase 2 re-counts ONLY candidate occurrences (the
@@ -109,40 +89,7 @@ object QueriesScale {
     // a 100 TB non-starter). Both joins broadcast the 5-row aggregate back,
     // so the event stream is never shuffled, and all arithmetic is exact
     // binary — the flag is bit-reproducible across engines.
-    "outlier_mad" -> ((s, dir) => {
-      // null value/type rows can't be scored — drop them like the oracle's
-      // quantile_cont (ignores NULLs) + join (drops null keys) would, and
-      // before the collect (a null cents field would throw in getLong)
-      val e = t(s, dir, "events")
-        .where(col("value").isNotNull && col("event_type").isNotNull)
-        .select(col("event_id"), col("event_type"),
-          col("value"), round(col("value") * 100).cast(LongType).as("cents"))
-      // ONE domain-bounded histogram job (map-side combined to ≤ |types|×
-      // |cents domain| rows), then pure driver math: the cents histogram
-      // yields the median, folding |cents−med| over the same histogram
-      // yields the MAD — no second scan, no quantile subtree left in the
-      // final plan. Thresholds return as a literal map (the cluster shape:
-      // a scalar-config broadcast), so the output is a single filtered scan.
-      val hist = e.groupBy(col("event_type"), col("cents"))
-        .agg(count(lit(1)).as("cnt"))
-        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-      val madMap = hist.groupBy(_._1).map { case (tpe, rows) =>
-        val centsHist = rows.map(r => (r._2.toDouble, r._3)).toSeq
-        val med = DiscreteQuantile.quantileOfHistogram(centsHist, 0.5)
-        val adevHist = rows.groupBy(r => math.abs(r._2.toDouble - med))
-          .map { case (v, rs) => (v, rs.map(_._3).sum) }.toSeq
-        val mad = DiscreteQuantile.quantileOfHistogram(adevHist, 0.5)
-        tpe -> (med, mad)
-      }
-      val medCol = element_at(typedLit(madMap.map { case (k, v) => k -> v._1 }),
-        col("event_type"))
-      val thrCol = element_at(typedLit(madMap.map { case (k, v) => k -> v._2 }),
-        col("event_type")) * lit(4.4478)
-      e.withColumn("adev", abs(col("cents").cast(DoubleType) - medCol))
-        .where(col("adev") > thrCol)
-        .select(col("event_id"), col("event_type"), col("value"), col("adev"))
-        .orderBy(col("event_id"))
-    }),
+    "outlier_mad" -> ((s, dir) => outlierMad(s, dir)),
 
     // Z-order clustering stats: bucket lineitem by the Morton interleave of
     // (l_partkey, l_suppkey) — each z-bucket covers a narrow range of BOTH
@@ -567,4 +514,105 @@ object QueriesScale {
          |  min(l_partkey) AS min_pk, max(l_partkey) AS max_pk,
          |  min(l_suppkey) AS min_sk, max(l_suppkey) AS max_sk
          |FROM z GROUP BY zbucket ORDER BY zbucket""".stripMargin)
+
+  /** Winsorize with a CARDINALITY-GUARDED quantile path. The driver
+    * histogram collect is only legal when the (type, cents) domain is
+    * provably config-sized — `DiscreteQuantile.histogramFitsDriver` probes
+    * it with one approx_count_distinct job; a wide/continuous domain falls
+    * back to the fully distributed `DiscreteQuantile.quantiles` (Spark-
+    * identical R-7 arithmetic, so both branches produce bit-identical
+    * output; ScaleOpsSpec forces the fallback and asserts equality).
+    * `maxHistRows` is exposed ONLY so the spec can force the fallback. */
+  private[graft] def winsorized(s: SparkSession, dir: String,
+      maxHistRows: Long = DiscreteQuantile.DefaultMaxDriverHistRows): DataFrame = {
+    val e = t(s, dir, "events")
+      .where(col("value").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"), col("value"),
+        round(col("value") * 100).cast(LongType).as("cents"))
+    val bounded =
+      if (DiscreteQuantile.histogramFitsDriver(e, "event_type", col("cents"), maxHistRows)) {
+        val hist = e.groupBy(col("event_type"), col("cents"))
+          .agg(count(lit(1)).as("cnt"))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        val bounds = hist.groupBy(_._1).map { case (tpe, rows) =>
+          val h = rows.map(r => (r._2.toDouble, r._3)).toSeq
+          tpe -> (DiscreteQuantile.quantileOfHistogram(h, 0.05),
+            DiscreteQuantile.quantileOfHistogram(h, 0.95))
+        }
+        e.withColumn("_lo",
+            element_at(typedLit(bounds.map { case (k, v) => k -> v._1 }), col("event_type")))
+          .withColumn("_hi",
+            element_at(typedLit(bounds.map { case (k, v) => k -> v._2 }), col("event_type")))
+      } else {
+        // distributed fallback: histogram-sized shuffles only, thresholds
+        // broadcast-joined back (|types| rows) — the event stream itself is
+        // never shuffled in either branch
+        val b = DiscreteQuantile.quantiles(e, Seq("event_type"),
+          col("cents").cast(DoubleType), Seq(0.05, 0.95), Seq("_lo", "_hi"))
+        e.join(broadcast(b), Seq("event_type"))
+      }
+    bounded
+      .withColumn("cl", least(greatest(col("cents").cast(DoubleType), col("_lo")), col("_hi")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("cents").cast(DoubleType) < col("_lo"), 1)).as("n_clip_lo"),
+        count(when(col("cents").cast(DoubleType) > col("_hi"), 1)).as("n_clip_hi"),
+        (floor(sum(col("cl")) / 100 * 1e2 + 0.5) / 1e2).as("sum_wins"),
+        (floor(avg(col("cl")) / 100 * 1e4 + 0.5) / 1e4).as("avg_wins"))
+      .orderBy(col("event_type"))
+  }
+
+  /** MAD outlier gate with the same cardinality guard as [[winsorized]].
+    * Driver branch: ONE histogram job, median + MAD from the same collected
+    * histogram, thresholds fold back as literal maps. Distributed branch:
+    * median via DiscreteQuantile.quantiles, |cents−med| recomputed as a
+    * column, second distributed quantile for the MAD — two histogram-sized
+    * shuffles, zero driver state. Identical R-7 arithmetic in both. */
+  private[graft] def outlierMad(s: SparkSession, dir: String,
+      maxHistRows: Long = DiscreteQuantile.DefaultMaxDriverHistRows): DataFrame = {
+    // null value/type rows can't be scored — drop them like the oracle's
+    // quantile_cont (ignores NULLs) + join (drops null keys) would, and
+    // before the collect (a null cents field would throw in getLong)
+    val e = t(s, dir, "events")
+      .where(col("value").isNotNull && col("event_type").isNotNull)
+      .select(col("event_id"), col("event_type"),
+        col("value"), round(col("value") * 100).cast(LongType).as("cents"))
+    val scored =
+      if (DiscreteQuantile.histogramFitsDriver(e, "event_type", col("cents"), maxHistRows)) {
+        // ONE domain-bounded histogram job (map-side combined to ≤ |types|×
+        // |cents domain| rows), then pure driver math: the cents histogram
+        // yields the median, folding |cents−med| over the same histogram
+        // yields the MAD — no second scan, no quantile subtree left in the
+        // final plan. Thresholds return as a literal map (the cluster
+        // shape: a scalar-config broadcast) → a single filtered scan.
+        val hist = e.groupBy(col("event_type"), col("cents"))
+          .agg(count(lit(1)).as("cnt"))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        val madMap = hist.groupBy(_._1).map { case (tpe, rows) =>
+          val centsHist = rows.map(r => (r._2.toDouble, r._3)).toSeq
+          val med = DiscreteQuantile.quantileOfHistogram(centsHist, 0.5)
+          val adevHist = rows.groupBy(r => math.abs(r._2.toDouble - med))
+            .map { case (v, rs) => (v, rs.map(_._3).sum) }.toSeq
+          val mad = DiscreteQuantile.quantileOfHistogram(adevHist, 0.5)
+          tpe -> (med, mad)
+        }
+        e.withColumn("_med",
+            element_at(typedLit(madMap.map { case (k, v) => k -> v._1 }), col("event_type")))
+          .withColumn("_thr",
+            element_at(typedLit(madMap.map { case (k, v) => k -> v._2 }),
+              col("event_type")) * lit(4.4478))
+      } else {
+        val med = DiscreteQuantile.quantiles(e, Seq("event_type"),
+          col("cents").cast(DoubleType), Seq(0.5), Seq("_med"))
+        val withMed = e.join(broadcast(med), Seq("event_type"))
+        val mad = DiscreteQuantile.quantiles(withMed, Seq("event_type"),
+          abs(col("cents").cast(DoubleType) - col("_med")), Seq(0.5), Seq("_mad"))
+        withMed.join(broadcast(mad), Seq("event_type"))
+          .withColumn("_thr", col("_mad") * lit(4.4478))
+      }
+    scored.withColumn("adev", abs(col("cents").cast(DoubleType) - col("_med")))
+      .where(col("adev") > col("_thr"))
+      .select(col("event_id"), col("event_type"), col("value"), col("adev"))
+      .orderBy(col("event_id"))
+  }
 }

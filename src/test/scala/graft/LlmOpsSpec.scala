@@ -248,6 +248,31 @@ class LlmOpsSpec extends SparkSpec {
     assert(got.nonEmpty) // planted exact copies guarantee J = 1.0 pairs
   }
 
+  test("embed_neardup: LSH-banded path ≡ brute-force all-pairs, no cartesian in plan") {
+    val dir = "/root/testdata/sf0.001"
+    // brute-force differential oracle (the pre-round-4 declared form, kept
+    // ONLY here: masked-by-sampling O(n²) must never be the declared entry)
+    val base = spark.read.parquet(s"$dir/embeddings.parquet")
+      .where(col("vec_id") % 25 === 0).select(col("vec_id"), col("embedding"))
+    val all = base.unionByName(
+      base.select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+    val brute = all.as("a").join(all.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        SimFns.cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+      .where(col("cos") >= 0.9)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val declared = graft.queries.QueriesDedup.queries("embed_neardup")(spark, dir)
+    val got = declared.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == brute,
+      s"LSH path diverged: missing ${(brute -- got).take(3)}, extra ${(got -- brute).take(3)}")
+    assert(got.nonEmpty) // planted exact copies guarantee cos = 1.0 pairs
+    // the declared plan must be bucketed: no all-pairs join node anywhere
+    val plan = declared.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"declared embed_neardup plan contains an all-pairs join:\n$plan")
+  }
+
   test("ngram_novelty: every shingle is novel exactly once, first doc fully novel") {
     val dir = "/root/testdata/sf0.001"
     val rows = graft.queries.QueriesText.queries("ngram_novelty")(spark, dir)

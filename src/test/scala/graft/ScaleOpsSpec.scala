@@ -100,6 +100,34 @@ class ScaleOpsSpec extends SparkSpec {
     assert(gz.length == 1 && gz.head.isNullAt(1), s"all-null key: ${gz.toSeq}")
   }
 
+  test("histogramFitsDriver rejects a wide/continuous domain, passes a config-sized one") {
+    import spark.implicits._
+    import graft.operators.DiscreteQuantile
+    // wide domain: every row a distinct value — the 100 TB hazard shape
+    val wide = spark.range(200000).select(lit("k").as("k"), col("id").as("v"))
+    assert(!DiscreteQuantile.histogramFitsDriver(wide, "k", col("v"), maxRows = 10000))
+    // config-sized domain: 40 distinct values no matter the row count
+    val narrow = spark.range(200000).select(lit("k").as("k"), (col("id") % 40).as("v"))
+    assert(DiscreteQuantile.histogramFitsDriver(narrow, "k", col("v"), maxRows = 10000))
+  }
+
+  test("winsorize/outlier_mad distributed fallback ≡ driver-histogram path") {
+    val dir = "/root/testdata/sf0.001"
+    // maxHistRows = 0 makes the guard fail unconditionally → distributed
+    // branch; both branches must produce bit-identical output (same R-7
+    // arithmetic over the same cents histogram)
+    val winDriver = graft.queries.QueriesScale.winsorized(spark, dir).collect().toSeq
+    val winDist = graft.queries.QueriesScale.winsorized(spark, dir, maxHistRows = 0)
+      .collect().toSeq
+    assert(winDriver == winDist, s"winsorize branches diverge:\n$winDriver\n$winDist")
+    assert(winDriver.nonEmpty)
+    val madDriver = graft.queries.QueriesScale.outlierMad(spark, dir).collect().toSeq
+    val madDist = graft.queries.QueriesScale.outlierMad(spark, dir, maxHistRows = 0)
+      .collect().toSeq
+    assert(madDriver == madDist, s"outlier_mad branches diverge: ${madDriver.size} vs ${madDist.size}")
+    assert(madDriver.nonEmpty)
+  }
+
   // ---- Z-order ---------------------------------------------------------
 
   test("zvalue interleaves bits (known patterns) and matches its SQL twin") {
