@@ -8,7 +8,10 @@ import graft.queries._
   * DuckDB-oracle SQL twin in [[oracleSql]] where SQL-expressible. */
 object SparkEntry {
 
-  private val modules: Seq[(Map[String, Tables.Q], Map[String, String])] = Seq(
+  // a def, not a val: the trained-ANN oracles (QueriesSim.oracle) depend on
+  // Tables.OracleContext, which Verify sets AFTER this object initializes —
+  // a val would freeze the context-less (rows-only) oracle map
+  private def modules: Seq[(Map[String, Tables.Q], Map[String, String])] = Seq(
     (QueriesRelational.queries, QueriesRelational.oracle),
     (QueriesRelationalExt.queries, QueriesRelationalExt.oracle),
     (QueriesFunctions.queries, QueriesFunctions.oracle),

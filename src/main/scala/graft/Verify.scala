@@ -25,6 +25,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // trained-ANN oracles (sim_ivf_kmeans/sim_pq) fit their deterministic
+    // model on THIS run's data and inline it as SQL literals — they need
+    // the session + data dir at oracleSql-dump time
+    graft.queries.Tables.OracleContext.ctx = Some((spark, sfDir))
     new java.io.File(outDir).mkdirs()
     // written BEFORE the query loop: if a query kills the JVM outright
     // (OOM), the checker must still know which outputs should exist —

@@ -507,6 +507,82 @@ object QueriesRelational {
         .groupBy(col("s_name"))
         .agg(count(lit(1)).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name"))
+    }),
+
+    // TPC-H Q13 shape (customer order-count distribution): the canonical
+    // OUTER-join-then-double-aggregate planner pattern — customers with
+    // ZERO matching orders must survive as c_count = 0, so the priority
+    // filter rides the orders side of the LEFT join (a WHERE would turn it
+    // inner and silently drop them). Plan: one shuffle join on custkey, a
+    // custkey-domain count (partial-aggregable), then a count-domain
+    // histogram — every stage key-bounded, no driver state.
+    "relational_q13" -> ((s, dir) => {
+      val o = t(s, dir, "orders").where(col("o_orderpriority") =!= "1-URGENT")
+        .select(col("o_custkey"), col("o_orderkey"))
+      t(s, dir, "customer").select(col("c_custkey"))
+        .join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // TPC-H Q17 shape (small-quantity-order revenue): the correlated
+    // scalar-avg subquery (l_quantity < 0.2·avg(quantity of the SAME
+    // part)) DECORRELATED the way Catalyst would have to anyway — the
+    // per-part average is one grouped aggregate over only the brand-
+    // filtered lineitems, broadcast back onto the same filtered stream.
+    // Exactness: quantities are integral doubles, so the per-part sums are
+    // order-independent-exact and avg/0.2·avg are bit-identical across
+    // engines; revenue sums in exact cents.
+    "relational_q17" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+        .where(col("p_brand") === "Brand#23" && col("p_size") <= 10)
+        .select(col("p_partkey"))
+      val filtered = t(s, dir, "lineitem")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      val avgq = filtered.groupBy(col("l_partkey").as("a_partkey"))
+        .agg(avg(col("l_quantity")).as("avg_qty"))
+      filtered.join(broadcast(avgq), col("l_partkey") === col("a_partkey"))
+        .where(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg(
+          expr("floor(CAST(coalesce(sum(CAST(round(l_extendedprice * 100) AS BIGINT)), 0L) AS DOUBLE)" +
+            " / 7.0D / 100.0D * 1e4 + 0.5D) / 1e4").as("avg_yearly"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // TPC-H Q20 shape (excess-stock suppliers — canonically a THREE-deep
+    // nested IN/scalar-subquery chain over partsupp): with no partsupp
+    // table, the (part, supplier) relationship is derived from 1995
+    // shipments, and "availqty > half the shipped quantity" becomes
+    // "supplier shipped > 20% of the part's total". The nesting collapses
+    // to aggregates + ONE left-semi join: promo parts broadcast into the
+    // windowed lineitem scan, per-(part,supp) and per-part sums are two
+    // key-bounded aggregates, and the supplier table is LEFT-SEMI joined
+    // against the qualifying suppkeys (never row-multiplied), with the
+    // nation filter riding a broadcast. Integral-double quantity sums keep
+    // the 20% comparison engine-exact.
+    "relational_q20" -> ((s, dir) => {
+      val p = t(s, dir, "part").where(col("p_type") === "PROMO")
+        .select(col("p_partkey"))
+      val li95 = t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= expr("TIMESTAMP '1995-01-01 00:00:00'") &&
+          col("l_shipdate") < expr("TIMESTAMP '1996-01-01 00:00:00'"))
+      val ps = li95.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity")).as("sq"))
+      val tot = ps.groupBy(col("l_partkey").as("t_partkey")).agg(sum(col("sq")).as("tq"))
+      val qualified = ps.join(tot, col("l_partkey") === col("t_partkey"))
+        .where(col("sq") > col("tq") * lit(0.2))
+        .select(col("l_suppkey"))
+      t(s, dir, "supplier")
+        .join(qualified, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .join(broadcast(t(s, dir, "nation").where(col("n_name") === "NATION_3")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_name"), round(col("s_acctbal"), 2).as("acctbal"))
+        .orderBy(col("s_name"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -770,5 +846,42 @@ object QueriesRelational {
         |                  WHERE l3.l_orderkey = l1.l_orderkey
         |                    AND l3.l_suppkey <> l1.l_suppkey
         |                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 365 DAY)
-        |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin,
+    "relational_q13" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey FROM orders
+        |  WHERE o_orderpriority <> '1-URGENT'),
+        |pc AS (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer LEFT JOIN o ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM pc GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    // canonical correlated form on purpose: DuckDB decorrelates the scalar
+    // subquery itself, cross-checking the explicit aggregate+join rewrite
+    "relational_q17" ->
+      """WITH f AS MATERIALIZED (SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#23' AND p_size <= 10)
+        |SELECT floor(CAST(coalesce(sum(CAST(round(l_extendedprice * 100) AS BIGINT)), 0) AS DOUBLE)
+        |    / 7.0 / 100.0 * 1e4 + 0.5) / 1e4 AS avg_yearly,
+        |  CAST(count(*) AS BIGINT) AS n_lines
+        |FROM f f1
+        |WHERE l_quantity < (SELECT 0.2 * avg(f2.l_quantity) FROM f f2
+        |                    WHERE f2.l_partkey = f1.l_partkey)""".stripMargin,
+    // canonical nested-IN form on purpose: the Spark side runs the
+    // collapsed aggregate + left-semi plan, the oracle the subquery chain
+    "relational_q20" ->
+      """WITH li AS (SELECT l_partkey, l_suppkey, l_quantity FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-01-01'),
+        |ps AS (SELECT l_partkey, l_suppkey, sum(l_quantity) AS sq
+        |  FROM li WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+        |  GROUP BY l_partkey, l_suppkey),
+        |tot AS (SELECT l_partkey, sum(sq) AS tq FROM ps GROUP BY l_partkey)
+        |SELECT s_name, round(s_acctbal, 2) AS acctbal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_3'
+        |  AND s_suppkey IN (SELECT l_suppkey FROM ps JOIN tot USING (l_partkey)
+        |                    WHERE sq > tq * 0.2)
+        |ORDER BY s_name""".stripMargin)
 }

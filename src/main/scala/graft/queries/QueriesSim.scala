@@ -424,7 +424,125 @@ object QueriesSim {
     s"[$base, ${flips.mkString(", ")}]"
   }
 
-  val oracle: Map[String, String] = Map(
+  // ---- Trained-ANN oracle generation --------------------------------------
+  // sim_ivf_kmeans / sim_pq were rows-only before round 4: their models are
+  // Lloyd-trained, so no static SQL twin exists. But the trainers are PURE
+  // DETERMINISTIC functions of the first-N vectors in id order
+  // (Ivf.trainSampled / Pq.train) — so at oracle-dump time (Verify sets
+  // Tables.OracleContext) we fit the same model driver-side and inline the
+  // centroids/codebooks as literals, the way sim_lsh inlines fixedPlanes.
+  // All distance arithmetic is emitted as EXPLICIT left-associative
+  // (v[i]−c)² chains — the same sequential double adds as the JVM loops
+  // (NearestCells.nearest / Pq.adcTable), never list_sum (fold order
+  // unspecified).
+
+  /** Σᵢ (vexpr[i] − cent[i])² as a left-associative SQL chain (ascending i,
+    * matching NearestCells' loop order bit-for-bit). `off` = 0-based start
+    * within vexpr (PQ subspace slicing). */
+  private def l2ChainSql(vexpr: String, cent: Array[Double], off: Int = 0): String =
+    cent.zipWithIndex.map { case (cv, i) =>
+      s"(($vexpr[${off + i + 1}] - ($cv)) * ($vexpr[${off + i + 1}] - ($cv)))"
+    }.mkString(" + ")
+
+  /** Argmin with ties → lower index over precomputed distance columns: the
+    * first satisfied WHEN wins, and cell c's bound is the least of the LATER
+    * cells only (earlier cells already failed strictly), which reproduces
+    * NearestCells' strict-< selection exactly. */
+  private def argminCaseSql(dcols: Seq[String]): String = {
+    val whens = dcols.indices.dropRight(1).map { c =>
+      val later = dcols.drop(c + 1)
+      val bound = if (later.size == 1) later.head else s"least(${later.mkString(", ")})"
+      s"WHEN ${dcols(c)} <= $bound THEN $c"
+    }
+    s"CASE ${whens.mkString(" ")} ELSE ${dcols.size - 1} END"
+  }
+
+  private def ivfKmeansOracle(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    import graft.operators.Ivf
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val cents = Ivf.collectCentroids(Ivf.trainSampled(e, "vec_id", "embedding", k = 8))
+    val k = cents.length
+    val dDefs = cents.zipWithIndex.map { case (c, i) =>
+      s"${l2ChainSql("v", c)} AS d$i" }.mkString(",\n    ")
+    val dcols = (0 until k).map(i => s"d$i")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |d AS (SELECT vec_id, v,
+       |    $dDefs
+       |  FROM e),
+       |a AS (SELECT vec_id, v, ${argminCaseSql(dcols)} AS cell FROM d),
+       |qd AS (SELECT vec_id AS qid, v AS qv, ${dcols.mkString(", ")}
+       |  FROM d WHERE vec_id < 5),
+       |qc AS (SELECT qid, qv, u.cell,
+       |    CASE u.cell ${(0 until k).map(i => s"WHEN $i THEN d$i").mkString(" ")} END AS dist
+       |  FROM qd CROSS JOIN (SELECT unnest(range(0, $k)) AS cell) u),
+       |probes AS (SELECT qid, qv, cell FROM (
+       |  SELECT qid, qv, cell,
+       |    row_number() OVER (PARTITION BY qid ORDER BY dist, cell) AS rn FROM qc)
+       |  WHERE rn <= 3)
+       |SELECT qid, vec_id, round(c, 6) AS cos, CAST(rn AS BIGINT) AS rank FROM (
+       |  SELECT qid, vec_id, c,
+       |    row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS rn
+       |  FROM (SELECT p.qid, a.vec_id, list_cosine_similarity(p.qv, a.v) AS c
+       |    FROM a JOIN probes p ON a.cell = p.cell))
+       |WHERE rn <= 10 ORDER BY qid, rank""".stripMargin
+  }
+
+  private def pqOracle(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val e = t(s, dir, "embeddings")
+    val books = Pq.train(e, "vec_id", "embedding", m = 8, k = 16)
+    val m = books.length
+    val sub = books.map(_.head.length).sum / m
+    // per-subspace code assignment: 16 literal-centroid distances + argmin
+    val dDefs = books.zipWithIndex.flatMap { case (book, j) =>
+      book.zipWithIndex.map { case (cent, c) =>
+        s"${l2ChainSql("v", cent, off = j * sub)} AS d${j}_$c" }
+    }.mkString(",\n    ")
+    val codeDefs = (0 until m).map { j =>
+      s"${argminCaseSql(books(j).indices.map(c => s"d${j}_$c"))} AS c$j"
+    }.mkString(",\n    ")
+    // query-side ADC tables as literal 16-element arrays, dist2 summed in
+    // ascending-j order (matching Pq.search's posexplode-order partial agg)
+    val qs = e.where(col("vec_id") < 5)
+      .select(col("vec_id"), SimFns.toDouble(col("embedding")))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val distCases = qs.map { case (qid, qv) =>
+      val byJC = Pq.adcTable(qv, books).map { case (j, c, d) => (j, c) -> d }.toMap
+      val chain = (0 until m).map { j =>
+        val arr = books(j).indices.map(c => byJC((j, c))).mkString("[", ", ", "]")
+        s"($arr)[c$j + 1]"
+      }.mkString(" + ")
+      s"WHEN $qid THEN $chain"
+    }.mkString("\n      ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |d AS (SELECT vec_id,
+       |    $dDefs
+       |  FROM e),
+       |enc AS (SELECT vec_id,
+       |    $codeDefs
+       |  FROM d),
+       |ad AS (SELECT q.qid, enc.vec_id,
+       |    CASE q.qid
+       |      $distCases
+       |    END AS dd
+       |  FROM enc CROSS JOIN (SELECT unnest([${qs.map(_._1).mkString(", ")}]) AS qid) q)
+       |SELECT CAST(qid AS BIGINT) AS qid, vec_id, round(dd, 6) AS dist2,
+       |  CAST(rn AS BIGINT) AS rank FROM (
+       |  SELECT qid, vec_id, dd,
+       |    row_number() OVER (PARTITION BY qid ORDER BY dd, vec_id) AS rn FROM ad)
+       |WHERE rn <= 10 ORDER BY qid, rank""".stripMargin
+  }
+
+  /** Static oracles + the trained-ANN pair when an OracleContext is set
+    * (Verify dump time); without a context the pair is omitted → rows-only,
+    * the pre-round-4 behaviour. */
+  def oracle: Map[String, String] = staticOracle ++
+    Tables.OracleContext.ctx.map { case (s, dir) =>
+      Map("sim_ivf_kmeans" -> ivfKmeansOracle(s, dir),
+        "sim_pq" -> pqOracle(s, dir))
+    }.getOrElse(Map.empty)
+
+  private val staticOracle: Map[String, String] = Map(
     "triplet_margin" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
         |    FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL),

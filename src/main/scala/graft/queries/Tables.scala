@@ -28,6 +28,19 @@ object Tables {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Oracle-generation context, set by graft.Verify before dumping
+    * `SparkEntry.oracleSql`. Most oracles are static SQL strings; the
+    * trained-ANN oracles (sim_ivf_kmeans, sim_pq) must first fit their
+    * model — a pure, deterministic function of the FIRST-N vectors of the
+    * run's data — and inline the resulting centroids/codebooks as SQL
+    * literals (the sim_lsh fixedPlanes pattern, extended to data-dependent
+    * models). When unset (tests, Bench), those entries are simply omitted
+    * and the driver records a rows-only check, exactly the pre-round-4
+    * behaviour. */
+  object OracleContext {
+    @volatile var ctx: Option[(SparkSession, String)] = None
+  }
+
   val All: Seq[String] = Seq("region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
