@@ -39,28 +39,101 @@ object Multimodal {
     df.select(col("*"), col(s"$mediaCol.mime"), col(s"$mediaCol.width"),
       col(s"$mediaCol.height"), col(s"$mediaCol.duration_ms")).drop(mediaCol)
 
-  final case class MediaRow(doc_id: Long, bytes: Array[Byte], mime: String)
-  final case class MediaFeatures(doc_id: Long, n_bytes: Long, feature: Array[Float])
+  final case class BmpMedia(doc_id: Long, bytes: Array[Byte])
+  final case class BmpStats(doc_id: Long, width: Long, height: Long, n_bytes: Long,
+                            sum_r: Long, sum_g: Long, sum_b: Long, checksum: Long)
 
-  /** STUB decoder: real pipelines decode image/audio here (the libraries are
-    * not in this container). The Spark-side plumbing is real — typed Dataset
-    * in, per-partition batch iteration, fixed-width feature vector out — and
-    * the stub is deterministic: a 8-dim byte-histogram sketch standing in for
-    * a model embedding. */
-  def decodeAndFeaturize(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
-    import spark.implicits._
-    media.select(col("doc_id"), col("media.bytes").as("bytes"), col("media.mime").as("mime"))
-      .as[MediaRow]
-      .mapPartitions { rows =>
-        // batch loop: one decoder instance per partition, like a real codec
-        rows.map { r =>
-          val hist = new Array[Float](8)
-          var i = 0
-          while (i < r.bytes.length) { hist((r.bytes(i) & 0xff) % 8) += 1f; i += 1 }
-          val n = math.max(r.bytes.length, 1).toFloat
-          MediaFeatures(r.doc_id, r.bytes.length.toLong, hist.map(_ / n))
-        }
+  /** Pixel formula for the deterministic test images: channel c ∈ {0=R,1=G,
+    * 2=B} of pixel (x, y) in doc `id`'s image. Pure integer arithmetic so
+    * the DuckDB oracle can regenerate the ground-truth statistics without
+    * parsing BMP. */
+  private[graft] def channel(id: Long, x: Int, y: Int, c: Int): Int =
+    ((id + x * 7L + y * 13L + c * 29L) % 256L).toInt
+
+  private[graft] def bmpDims(id: Long): (Int, Int) =
+    ((8 + id % 9).toInt, (8 + id % 7).toInt)
+
+  /** Encode one REAL 24-bit uncompressed BMP (BITMAPINFOHEADER): 14-byte
+    * file header, 40-byte info header, pixel rows stored BOTTOM-UP in BGR
+    * order with each row padded to a 4-byte boundary — the actual Windows
+    * bitmap wire format, byte for byte. */
+  private[graft] def encodeBmp(id: Long, w: Int, h: Int): Array[Byte] = {
+    val stride = (w * 3 + 3) / 4 * 4
+    val dataSize = stride * h
+    val size = 54 + dataSize
+    val buf = java.nio.ByteBuffer.allocate(size).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(size)
+      .putShort(0).putShort(0).putInt(54)                       // file header
+    buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24) // info header
+      .putInt(0).putInt(dataSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var r = 0
+    while (r < h) {
+      val y = h - 1 - r // bottom-up: first stored row is the image's LAST
+      var x = 0
+      while (x < w) {
+        buf.put(channel(id, x, y, 2).toByte) // B
+        buf.put(channel(id, x, y, 1).toByte) // G
+        buf.put(channel(id, x, y, 0).toByte) // R
+        x += 1
       }
+      var p = w * 3
+      while (p < stride) { buf.put(0.toByte); p += 1 } // row padding
+      r += 1
+    }
+    buf.array()
+  }
+
+  /** Render one deterministic BMP per input doc_id — the ingest-side stand-in
+    * for reading real image files (binaryFile source), kept pure-JVM and
+    * reproducible so the decode below has an exact oracle. */
+  def renderBmp(spark: SparkSession, ids: DataFrame): Dataset[BmpMedia] = {
+    import spark.implicits._
+    ids.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val (w, h) = bmpDims(id)
+      BmpMedia(id, encodeBmp(id, w, h))
+    })
+  }
+
+  /** REAL pure-JVM BMP decoder (replaces the round-3 byte-histogram stub):
+    * parses the magic, pixel-data offset, dimensions and bit depth from the
+    * headers, walks the bottom-up padded rows, and reduces each image to
+    * exact integer pixel statistics — per-channel sums plus an (x, y)-
+    * weighted checksum that pins the ROW ORIENTATION and padding handling
+    * (a decoder that reads rows top-down or mis-strides produces the right
+    * sums but the wrong checksum). Spark shape: typed Dataset in, one
+    * mapPartitions batch loop, narrow (no join, no shuffle) — the decode
+    * slot a real image codec drops into at 100 TB. */
+  def decodeBmp(spark: SparkSession, media: Dataset[BmpMedia]): Dataset[BmpStats] = {
+    import spark.implicits._
+    media.mapPartitions(_.map { m =>
+      val bytes = m.bytes
+      require(bytes.length >= 54 && bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte,
+        s"doc ${m.doc_id}: not a BMP payload")
+      val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val off = buf.getInt(10)
+      val w = buf.getInt(18)
+      val h = buf.getInt(22)
+      val bpp = buf.getShort(28)
+      require(bpp == 24, s"doc ${m.doc_id}: unsupported bit depth $bpp")
+      val stride = (w * 3 + 3) / 4 * 4
+      var sr = 0L; var sg = 0L; var sb = 0L; var ck = 0L
+      var r = 0
+      while (r < h) {
+        val y = h - 1 - r
+        val base = off + r * stride
+        var x = 0
+        while (x < w) {
+          val blue = bytes(base + x * 3) & 0xff
+          val green = bytes(base + x * 3 + 1) & 0xff
+          val red = bytes(base + x * 3 + 2) & 0xff
+          sr += red; sg += green; sb += blue
+          ck += (x + 1L) * (y + 1L) * (red + 2L * green + 3L * blue)
+          x += 1
+        }
+        r += 1
+      }
+      BmpStats(m.doc_id, w.toLong, h.toLong, bytes.length.toLong, sr, sg, sb, ck)
+    })
   }
 
   /** STUB resize: downsample the payload to a byte budget by stride

@@ -27,4 +27,31 @@ object SkewJoin {
     bigS.join(smallS, bigS(bigKey) === smallS(smallKey) && bigS("_salt") === smallS("_salt"))
       .drop("_salt")
   }
+
+  /** VARIABLE-factor salted join — the measured end of the skew pipeline
+    * (skew_profile → salt_advisor → here): `factors` is the advisor's
+    * (key, salt_factor) output, so each hot key fans its dim row out
+    * exactly ⌈n/median⌉ ways while every other key keeps factor 1 — NO
+    * replication at all on the cold tail, where the fixed-bucket
+    * [[saltedEquiJoin]] multiplies the whole dim side by saltBuckets.
+    * The factor table is advisor-sized (hot keys only) and broadcasts to
+    * both sides; result is provably identical to the unsalted equi-join
+    * (ScaleOpsSpec asserts it row-for-row, and the join_salted_auto oracle
+    * is the UNSALTED join). */
+  def adaptiveSaltedEquiJoin(big: DataFrame, small: DataFrame, bigKey: String,
+                             smallKey: String, factors: DataFrame, factorKey: String,
+                             saltSource: Column): DataFrame = {
+    val f = factors.select(col(factorKey).as("_fk"),
+      col("salt_factor").cast(IntegerType).as("_sf"))
+    val bigS = big.join(broadcast(f), big(bigKey) === col("_fk"), "left")
+      .withColumn("_salt",
+        pmod(xxhash64(saltSource), coalesce(col("_sf"), lit(1)).cast(LongType))
+          .cast(IntegerType))
+      .drop("_fk", "_sf")
+    val smallS = small.join(broadcast(f), small(smallKey) === col("_fk"), "left")
+      .withColumn("_salt", explode(sequence(lit(0), coalesce(col("_sf"), lit(1)) - 1)))
+      .drop("_fk", "_sf")
+    bigS.join(smallS, bigS(bigKey) === smallS(smallKey) && bigS("_salt") === smallS("_salt"))
+      .drop("_salt")
+  }
 }

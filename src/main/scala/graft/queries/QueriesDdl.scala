@@ -292,21 +292,20 @@ object QueriesDdl {
         .orderBy(col("doc_id"))
     }),
 
-    // Multimodal decode path (stubbed codec, real mapPartitions plumbing).
-    // The byte-histogram stub IS deterministic, so the declared output
-    // recovers the integer bucket counts from the float ratios
-    // (round(f_i · n) is exact while n < 2²³/ratio-error ≈ 10⁷ bytes) and
-    // the oracle recomputes them from character codes — the testdata text
-    // is ASCII, so utf-8 bytes ≡ characters (same contract as
-    // multimodal_resize's character slicing).
+    // Multimodal decode path — a REAL pure-JVM codec since round 4 (the
+    // round-3 byte-histogram stub is gone): one deterministic 24-bit BMP is
+    // rendered per document (actual Windows bitmap wire format — headers,
+    // bottom-up BGR rows, 4-byte row padding), then DECODED back by parsing
+    // those headers and walking the padded rows to exact integer pixel
+    // statistics. The pixel values are a pure integer function of
+    // (doc_id, x, y), so the oracle regenerates the ground truth from the
+    // formula WITHOUT parsing BMP — the check proves decode∘encode =
+    // identity including orientation ((x,y)-weighted checksum) and the
+    // header size arithmetic (n_bytes recomputed from the stride formula).
     "multimodal_decode" -> ((s, dir) => {
-      val media = t(s, dir, "documents")
-        .select(col("doc_id"), Multimodal.mediaFromText(col("text"), "image/fake").as("media"))
-      val n1 = greatest(col("n_bytes"), lit(1L)).cast(DoubleType)
-      Multimodal.decodeAndFeaturize(s, media).toDF()
-        .select((col("doc_id") +: col("n_bytes") +:
-          (0 until 8).map(i =>
-            round(element_at(col("feature"), i + 1) * n1).cast(LongType).as(s"b$i"))): _*)
+      val ids = t(s, dir, "documents").where(col("doc_id") < 500)
+        .select(col("doc_id"))
+      Multimodal.decodeBmp(s, Multimodal.renderBmp(s, ids)).toDF()
         .orderBy(col("doc_id"))
     }))
 
@@ -440,14 +439,23 @@ object QueriesDdl {
         |  'text/plain' AS mime,
         |  CAST(length(text) * 40 AS BIGINT) AS duration_ms
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // ground truth regenerated from the pixel FORMULA (Multimodal.channel /
+    // bmpDims / the 54 + stride·h size arithmetic) — never from the BMP
+    // bytes, so the oracle independently cross-checks the whole
+    // encode→decode round trip
     "multimodal_decode" ->
-      ("""WITH bs AS (SELECT doc_id, length(text) AS n,
-        |    list_transform(range(1, length(text) + 1),
-        |      i -> ord(substr(text, CAST(i AS INTEGER), 1)) % 8) AS b
-        |  FROM documents)
-        |SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
-        |""".stripMargin +
-        (0 until 8).map(k =>
-          s"  CAST(len(list_filter(b, x -> x = $k)) AS BIGINT) AS b$k").mkString(",\n") +
-        "\nFROM bs ORDER BY doc_id"))
+      """WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+        |  FROM documents WHERE doc_id < 500),
+        |px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS p FROM d),
+        |ch AS (SELECT doc_id, w, h, p % w AS x, p // w AS y,
+        |    (doc_id + (p % w) * 7 + (p // w) * 13) % 256 AS r,
+        |    (doc_id + (p % w) * 7 + (p // w) * 13 + 29) % 256 AS g,
+        |    (doc_id + (p % w) * 7 + (p // w) * 13 + 58) % 256 AS b
+        |  FROM px)
+        |SELECT doc_id, CAST(max(w) AS BIGINT) AS width, CAST(max(h) AS BIGINT) AS height,
+        |  CAST(54 + ((max(w) * 3 + 3) // 4 * 4) * max(h) AS BIGINT) AS n_bytes,
+        |  CAST(sum(r) AS BIGINT) AS sum_r, CAST(sum(g) AS BIGINT) AS sum_g,
+        |  CAST(sum(b) AS BIGINT) AS sum_b,
+        |  CAST(sum((x + 1) * (y + 1) * (r + 2 * g + 3 * b)) AS BIGINT) AS checksum
+        |FROM ch GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 }

@@ -781,7 +781,13 @@ object QueriesMlops {
         .agg(count(lit(1)).as("n_buckets"), sum(col("act")).as("actual_cents"),
           sum(abs(lit(3L) * col("act") - col("pred3"))).as("abs_err3"))
         .select(col("event_type"), col("n_buckets"), col("actual_cents"),
-          expr("floor(abs_err3 / (3.0 * actual_cents) * 1e6 + 0.5) / 1e6").as("wmape"))
+          // zero-mass guard (split_leakage precedent): a series with no
+          // test-window mass has no defined wMAPE — emit NULL, never ∞
+          // (Spark's floor(DOUBLE)→LONG clamps Infinity while DuckDB keeps
+          // it, so an unguarded division would split the engines the first
+          // time a type misses the test week)
+          expr("CASE WHEN actual_cents <> 0 THEN floor(abs_err3 / (3.0 * actual_cents) * 1e6 + 0.5) / 1e6 END")
+            .as("wmape"))
         .orderBy(col("event_type"))
     }),
 
@@ -873,7 +879,8 @@ object QueriesMlops {
         |    CAST(sum(abs(3 * act - pred3)) AS BIGINT) AS abs_err3
         |  FROM j GROUP BY 1)
         |SELECT event_type, n_buckets, actual_cents,
-        |  floor(abs_err3 / (3.0 * actual_cents) * 1e6 + 0.5) / 1e6 AS wmape
+        |  CASE WHEN actual_cents <> 0
+        |    THEN floor(abs_err3 / (3.0 * actual_cents) * 1e6 + 0.5) / 1e6 END AS wmape
         |FROM agg ORDER BY event_type""".stripMargin,
     "agg_mode" ->
       """WITH c AS (

@@ -320,6 +320,40 @@ object QueriesScale {
         .orderBy(col("user_id"))
     }),
 
+    // The skew pipeline wired END-TO-END: measure per-key load on the
+    // planted-hot-key stream, derive ⌈n/median⌉ salt factors for keys over
+    // 4×median (the salt_advisor logic verbatim), then run the join
+    // VARIABLE-SALTED — hot keys fan out by their own factor, the cold
+    // tail replicates nothing (SkewJoin.adaptiveSaltedEquiJoin). The
+    // oracle is the plain UNSALTED join: salting must be invisible in the
+    // result, visible only in reducer load (ScaleOpsSpec also asserts
+    // row-for-row equality with the unsalted plan inside Spark).
+    "join_salted_auto" -> ((s, dir) => {
+      import graft.operators.SkewJoin
+      val ev = t(s, dir, "events").where(col("user_id").isNotNull)
+        .select(col("user_id"), col("event_id"))
+      val planted = ev.unionByName(
+        ev.where(col("user_id") === 7)
+          .crossJoin(s.range(1, 20).select(col("id")))
+          .select(col("user_id"), col("event_id")))
+      val counts = planted.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      val med = counts.groupBy(col("n")).agg(count(lit(1)).as("k"))
+        .withColumn("cum", sum(col("k")).over(
+          Window.partitionBy(lit(0)).orderBy(col("n"))))
+        .crossJoin(broadcast(counts.agg(count(lit(1)).as("tot"))))
+        .where(col("cum") * 2 >= col("tot"))
+        .agg(min(col("n")).as("med"))
+      val factors = counts.crossJoin(broadcast(med))
+        .where(col("n") > col("med") * 4)
+        .select(col("user_id").as("fk"), expr("(n + med - 1) DIV med").as("salt_factor"))
+      val dim = t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+      SkewJoin.adaptiveSaltedEquiJoin(planted, dim, "user_id", "c_custkey",
+          factors, "fk", saltSource = col("event_id"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), sum(col("user_id")).as("uid_sum"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // Sort-layout run-length report: value-RUN counts per column under two
     // write-time layouts — the quantitative "sort before write" decision
     // input (parquet RLE/dictionary page size ∝ runs; zone-map pruning
@@ -377,6 +411,17 @@ object QueriesScale {
         |FROM counts CROSS JOIN med
         |WHERE n > med * 4
         |ORDER BY user_id""".stripMargin,
+    // the UNSALTED join — the salted plan must be result-identical
+    "join_salted_auto" ->
+      """WITH planted AS (
+        |  SELECT user_id, event_id FROM events WHERE user_id IS NOT NULL
+        |  UNION ALL
+        |  SELECT user_id, event_id FROM events CROSS JOIN (SELECT unnest(range(1, 20)))
+        |  WHERE user_id = 7)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(user_id) AS BIGINT) AS uid_sum
+        |FROM planted JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "rle_layout" ->
       """WITH li AS (
         |  SELECT l_orderkey, l_linenumber, l_returnflag,

