@@ -583,6 +583,165 @@ object QueriesRelational {
           col("s_nationkey") === col("n_nationkey"))
         .select(col("s_name"), round(col("s_acctbal"), 2).as("acctbal"))
         .orderBy(col("s_name"))
+    }),
+
+    // TPC-H Q2 shape (min-cost supplier — canonically a correlated MIN
+    // subquery over partsupp): the (part, supplier) unit cost is derived
+    // from lineitem as min(extendedprice/quantity) in exact cents-per-unit
+    // scaled integers, the correlated MIN decorrelates to a per-part
+    // aggregate broadcast back (the Q17 pattern with MIN), and suppliers
+    // achieving their part's minimum join broadcast dims for the report.
+    // Every aggregate is key-bounded; only the lineitem scan is data-sized.
+    "relational_q2" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+        .where(col("p_size") === 15 && col("p_type") === "PROMO")
+        .select(col("p_partkey"), col("p_name"))
+      // exact unit cost in milli-cents: round(price*100)*1000 DIV quantity
+      // (quantities are integral doubles) — pure BIGINT, engine-identical
+      val cost = t(s, dir, "lineitem")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(expr(
+          "CAST(round(l_extendedprice * 100) AS BIGINT) * 1000 DIV CAST(l_quantity AS BIGINT)"))
+          .as("unit_mc"))
+      val minCost = cost.groupBy(col("l_partkey").as("m_partkey"))
+        .agg(min(col("unit_mc")).as("min_mc"))
+      cost.join(broadcast(minCost),
+          col("l_partkey") === col("m_partkey") && col("unit_mc") === col("min_mc"))
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_name"), col("n_name"), col("l_partkey").as("p_partkey"),
+          col("unit_mc"))
+        .orderBy(col("s_name"), col("p_partkey"))
+    }),
+
+    // TPC-H Q11 shape (important stock — group share vs a GLOBAL scalar):
+    // per-part 1995 shipped value in exact cents, kept only when the part's
+    // value exceeds fraction·(total value). The global total is ONE extra
+    // reduction over the SAME per-part aggregate (no second corpus scan)
+    // riding a 1-row broadcast; the comparison cross-multiplies exact
+    // BIGINTs (value·10000 > total) — no rate division, no float boundary.
+    "relational_q11" -> ((s, dir) => {
+      val li95 = t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= expr("TIMESTAMP '1995-01-01 00:00:00'") &&
+          col("l_shipdate") < expr("TIMESTAMP '1996-01-01 00:00:00'"))
+      val perPart = li95.groupBy(col("l_partkey"))
+        .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("value_cents"))
+      val tot = broadcast(perPart.agg(sum(col("value_cents")).as("total_cents")))
+      perPart.crossJoin(tot)
+        .where(col("value_cents") * 10000L > col("total_cents"))
+        .select(col("l_partkey").as("p_partkey"), col("value_cents"))
+        .orderBy(col("value_cents").desc, col("p_partkey"))
+    }),
+
+    // TPC-H Q15 shape (top supplier — the revenue view + scalar-max join):
+    // quarterly per-supplier revenue aggregates once in exact cents, its
+    // max rides a 1-row broadcast back onto the SAME aggregate, and ties
+    // all surface (the Q15 contract — no arbitrary limit-1). Supplier dim
+    // broadcasts onto the (rare) winners only.
+    "relational_q15" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= expr("TIMESTAMP '1996-01-01 00:00:00'") &&
+          col("l_shipdate") < expr("TIMESTAMP '1996-04-01 00:00:00'"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(expr(
+          "CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))"))
+          .as("rev_c4"))
+      val mx = broadcast(rev.agg(max(col("rev_c4")).as("max_c4")))
+      rev.crossJoin(mx).where(col("rev_c4") === col("max_c4"))
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          expr("floor(rev_c4 / 100.0D + 0.5D) / 100.0D").as("total_rev"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // TPC-H Q6 shape (forecast revenue change): the pure filtered aggregate
+    // — every predicate sargable and pushed to the parquet scan, one
+    // map-side-combined sum, a 1-row answer. Revenue in exact cents×cents
+    // BIGINTs (price_cents · disc_cents bounded far below 2⁶³).
+    "relational_q6" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= expr("TIMESTAMP '1996-01-01 00:00:00'") &&
+          col("l_shipdate") < expr("TIMESTAMP '1997-01-01 00:00:00'") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24.0)
+        .agg(
+          (floor(coalesce(sum(expr(
+            "CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round(l_discount * 100) AS BIGINT)")),
+            lit(0L)) / 10000.0 * 1e2 + 0.5) / 1e2).as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // TPC-H Q9 shape (product-type profit by nation and year — canonically
+    // part⋈partsupp⋈lineitem⋈orders⋈supplier⋈nation with mixed-sign
+    // profit): with no partsupp, unit cost is the part's retail price at a
+    // fixed margin, keeping the SHAPE — a LIKE-filtered part dim broadcast
+    // into the fact⋈fact join, supplier+nation broadcasts, and a
+    // (nation, year)-bounded aggregate over profit that can be NEGATIVE
+    // (exact signed cents — the sign mix is what Q9 stresses).
+    "relational_q9" -> ((s, dir) => {
+      val p = t(s, dir, "part").where(col("p_name").like("%a%"))
+        .select(col("p_partkey"),
+          expr("CAST(round(p_retailprice * 100) AS BIGINT)").as("rp_cents"))
+      t(s, dir, "lineitem")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast(LongType).as("o_year"))
+        .agg((floor(sum(expr(
+          "CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))" +
+            " - rp_cents * 80 * CAST(l_quantity AS BIGINT)"))
+          / 10000.0 * 1e2 + 0.5) / 1e2).as("profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
+    // TPC-H Q12 shape (shipping-priority audit): orders⋈lineitem with a
+    // lateness window, conditional counts of urgent vs non-urgent order
+    // priorities per return flag (standing in for l_shipmode). The
+    // lateness predicate rides the join as a residual; ONE conditional
+    // aggregate produces both counts — Q12's signature pattern.
+    "relational_q12" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .where(col("l_shipdate") > expr("o_orderdate + INTERVAL 60 DAY") &&
+          col("l_shipdate") >= expr("TIMESTAMP '1996-01-01 00:00:00'") &&
+          col("l_shipdate") < expr("TIMESTAMP '1997-01-01 00:00:00'"))
+        .groupBy(col("l_returnflag").as("flag"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+            .as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L).otherwise(1L))
+            .as("low_line_count"))
+        .orderBy(col("flag"))
+    }),
+
+    // TPC-H Q22 shape (global-relation anti-join): LAPSED customers — an
+    // above-average positive balance and NO orders since mid-2000 (every
+    // synthetic customer has SOME order, so the canonical no-orders-ever
+    // predicate would be vacuously empty) — grouped by nation (standing in
+    // for the phone country code). Two planner patterns the other shapes
+    // miss together: a LEFT ANTI join against a filtered fact table and a
+    // global-scalar (avg) filter riding a 1-row broadcast. The avg divides
+    // two exact BIGINTs once (engine-identical IEEE); customers stream
+    // through one anti shuffle join.
+    "relational_q22" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal_cents"))
+      val avgBal = broadcast(c.where(col("bal_cents") > 0L)
+        .agg((sum(col("bal_cents")).cast(DoubleType) / count(lit(1))).as("avg_cents")))
+      val recent = t(s, dir, "orders")
+        .where(col("o_orderdate") >= expr("TIMESTAMP '2000-07-01 00:00:00'"))
+        .select(col("o_custkey"))
+      c.crossJoin(avgBal)
+        .where(col("bal_cents").cast(DoubleType) > col("avg_cents"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey").as("cntry"))
+        .agg(count(lit(1)).as("numcust"),
+          (floor(sum(col("bal_cents")) / 100.0 * 1e2 + 0.5) / 1e2).as("totacctbal"))
+        .orderBy(col("cntry"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -883,5 +1042,93 @@ object QueriesRelational {
         |WHERE n_name = 'NATION_3'
         |  AND s_suppkey IN (SELECT l_suppkey FROM ps JOIN tot USING (l_partkey)
         |                    WHERE sq > tq * 0.2)
-        |ORDER BY s_name""".stripMargin)
+        |ORDER BY s_name""".stripMargin,
+    // canonical CORRELATED-MIN form on purpose (the decorrelated aggregate
+    // is the Spark side): DuckDB decorrelates it itself
+    "relational_q2" ->
+      """WITH cost AS MATERIALIZED (
+        |  SELECT l_partkey, l_suppkey,
+        |    min(CAST(round(l_extendedprice * 100) AS BIGINT) * 1000
+        |        // CAST(l_quantity AS BIGINT)) AS unit_mc
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_size = 15 AND p_type = 'PROMO'
+        |  GROUP BY l_partkey, l_suppkey)
+        |SELECT s_name, n_name, c1.l_partkey AS p_partkey, unit_mc
+        |FROM cost c1
+        |JOIN supplier ON c1.l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE unit_mc = (SELECT min(c2.unit_mc) FROM cost c2
+        |                 WHERE c2.l_partkey = c1.l_partkey)
+        |ORDER BY s_name, p_partkey""".stripMargin,
+    "relational_q11" ->
+      """WITH pp AS MATERIALIZED (
+        |  SELECT l_partkey, sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS v
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-01-01'
+        |  GROUP BY l_partkey)
+        |SELECT l_partkey AS p_partkey, CAST(v AS BIGINT) AS value_cents
+        |FROM pp WHERE v * 10000 > (SELECT sum(v) FROM pp)
+        |ORDER BY value_cents DESC, p_partkey""".stripMargin,
+    "relational_q15" ->
+      """WITH rev AS MATERIALIZED (
+        |  SELECT l_suppkey,
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |        * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev_c4
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, floor(rev_c4 / 100.0 + 0.5) / 100.0 AS total_rev
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rev_c4 = (SELECT max(rev_c4) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "relational_q6" ->
+      """SELECT floor(coalesce(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |    * CAST(round(l_discount * 100) AS BIGINT)), 0) / 10000.0 * 1e2 + 0.5) / 1e2 AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24.0""".stripMargin,
+    "relational_q9" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  floor(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100) AS BIGINT))
+        |      - CAST(round(p_retailprice * 100) AS BIGINT) * 80
+        |        * CAST(l_quantity AS BIGINT)) / 10000.0 * 1e2 + 0.5) / 1e2 AS profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%a%'
+        |GROUP BY n_name, year(o_orderdate)
+        |ORDER BY nation, o_year DESC""".stripMargin,
+    "relational_q12" ->
+      """SELECT l_returnflag AS flag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |           THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY flag ORDER BY flag""".stripMargin,
+    // canonical NOT-EXISTS form on purpose (the Spark side is a left-anti)
+    "relational_q22" ->
+      """WITH c AS (SELECT c_custkey, c_nationkey,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents FROM customer),
+        |a AS (SELECT CAST(sum(bal_cents) AS DOUBLE) / count(*) AS avg_cents
+        |  FROM c WHERE bal_cents > 0)
+        |SELECT c_nationkey AS cntry, CAST(count(*) AS BIGINT) AS numcust,
+        |  floor(sum(bal_cents) / 100.0 * 1e2 + 0.5) / 1e2 AS totacctbal
+        |FROM c CROSS JOIN a
+        |WHERE CAST(bal_cents AS DOUBLE) > avg_cents
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '2000-07-01')
+        |GROUP BY c_nationkey ORDER BY cntry""".stripMargin)
 }
