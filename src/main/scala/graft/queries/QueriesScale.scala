@@ -562,23 +562,35 @@ object QueriesScale {
 
   /** Winsorize with a CARDINALITY-GUARDED quantile path. The driver
     * histogram collect is only legal when the (type, cents) domain is
-    * provably config-sized — `DiscreteQuantile.histogramFitsDriver` probes
-    * it with one approx_count_distinct job; a wide/continuous domain falls
-    * back to the fully distributed `DiscreteQuantile.quantiles` (Spark-
-    * identical R-7 arithmetic, so both branches produce bit-identical
-    * output; ScaleOpsSpec forces the fallback and asserts equality).
-    * `maxHistRows` is exposed ONLY so the spec can force the fallback. */
+    * provably config-sized — the histogram job itself probes it via
+    * `limit(maxHistRows + 1)` (bounded driver transfer at ANY domain
+    * size, no extra scan); a wide/continuous domain falls back to the
+    * fully distributed `DiscreteQuantile.quantiles` (Spark-identical R-7
+    * arithmetic, so both branches produce bit-identical output;
+    * ScaleOpsSpec forces the fallback and asserts equality).
+    * `DiscreteQuantile.histogramFitsDriver` is the standalone
+    * approx_count_distinct form of the same guard for callers that must
+    * decide BEFORE aggregating. `maxHistRows` is exposed ONLY so the spec
+    * can force the fallback. */
   private[graft] def winsorized(s: SparkSession, dir: String,
       maxHistRows: Long = DiscreteQuantile.DefaultMaxDriverHistRows): DataFrame = {
     val e = t(s, dir, "events")
       .where(col("value").isNotNull && col("event_type").isNotNull)
       .select(col("event_type"), col("value"),
         round(col("value") * 100).cast(LongType).as("cents"))
+    // ONE bounded job probes AND collects: limit(max+1) caps the driver
+    // transfer no matter the domain; getting max+1 rows back means the
+    // histogram is NOT config-sized → discard and go distributed. In the
+    // good case this is the same single aggregation job as the unguarded
+    // round-3 form (a separate approx_count_distinct probe cost a second
+    // corpus scan — bench-caught at 1.9×).
+    val histRows = e.groupBy(col("event_type"), col("cents"))
+      .agg(count(lit(1)).as("cnt"))
+      .limit(math.min(maxHistRows, Int.MaxValue - 1L).toInt + 1)
+      .collect()
     val bounded =
-      if (DiscreteQuantile.histogramFitsDriver(e, "event_type", col("cents"), maxHistRows)) {
-        val hist = e.groupBy(col("event_type"), col("cents"))
-          .agg(count(lit(1)).as("cnt"))
-          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      if (histRows.length <= maxHistRows) {
+        val hist = histRows.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
         val bounds = hist.groupBy(_._1).map { case (tpe, rows) =>
           val h = rows.map(r => (r._2.toDouble, r._3)).toSeq
           tpe -> (DiscreteQuantile.quantileOfHistogram(h, 0.05),
@@ -622,17 +634,20 @@ object QueriesScale {
       .where(col("value").isNotNull && col("event_type").isNotNull)
       .select(col("event_id"), col("event_type"),
         col("value"), round(col("value") * 100).cast(LongType).as("cents"))
+    // same bounded limit(max+1) probe-and-collect as [[winsorized]]
+    val histRows = e.groupBy(col("event_type"), col("cents"))
+      .agg(count(lit(1)).as("cnt"))
+      .limit(math.min(maxHistRows, Int.MaxValue - 1L).toInt + 1)
+      .collect()
     val scored =
-      if (DiscreteQuantile.histogramFitsDriver(e, "event_type", col("cents"), maxHistRows)) {
+      if (histRows.length <= maxHistRows) {
         // ONE domain-bounded histogram job (map-side combined to ≤ |types|×
         // |cents domain| rows), then pure driver math: the cents histogram
         // yields the median, folding |cents−med| over the same histogram
         // yields the MAD — no second scan, no quantile subtree left in the
         // final plan. Thresholds return as a literal map (the cluster
         // shape: a scalar-config broadcast) → a single filtered scan.
-        val hist = e.groupBy(col("event_type"), col("cents"))
-          .agg(count(lit(1)).as("cnt"))
-          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        val hist = histRows.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
         val madMap = hist.groupBy(_._1).map { case (tpe, rows) =>
           val centsHist = rows.map(r => (r._2.toDouble, r._3)).toSeq
           val med = DiscreteQuantile.quantileOfHistogram(centsHist, 0.5)

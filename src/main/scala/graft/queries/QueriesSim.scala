@@ -183,6 +183,41 @@ object QueriesSim {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // IVF APPEND-BATCH ingestion (dedup_incremental's ANN sibling — the
+    // production loop at 100 TB): the corpus is assigned + written
+    // partitioned-by-cell ONCE (keyed by data fingerprint like the dedup
+    // caches); each incoming batch is assigned by the SAME frozen
+    // quantizer (a narrow codegen'd map over the batch only — the corpus
+    // is never re-read, never re-indexed) and lands in its own snapshot
+    // directory; probes read the UNION of snapshots with per-side
+    // partition pruning. Search results must equal a full recompute over
+    // corpus ∪ batch — the oracle regenerates that ground truth with the
+    // inlined trained centroids.
+    "sim_ivf_append" -> ((s, dir) => {
+      import graft.operators.Ivf
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val cents = Ivf.trainSampled(e, "vec_id", "embedding", k = 8)
+      val src = new java.io.File(s"$dir/embeddings.parquet")
+      val base = "target/ivf_idx_v1_" +
+        java.lang.Long.toHexString(scala.util.hashing.MurmurHash3.stringHash(
+          s"$dir|${src.length()}|${src.lastModified()}").toLong & 0xffffffffL)
+      if (!new java.io.File(s"$base/corpus/_SUCCESS").exists())
+        Ivf.writeIndex(Ivf.index(e, cents, "vec_id", "embedding"), s"$base/corpus")
+      val batch = e.where(col("vec_id") % 50 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      // overwrite (not append) keeps reruns idempotent: each batch is its
+      // own snapshot dir, the union below is the live index
+      Ivf.writeIndex(Ivf.index(batch, cents, "vec_id", "embedding"), s"$base/batch_1")
+      val idx = Ivf.readIndex(s, s"$base/corpus")
+        .unionByName(Ivf.readIndex(s, s"$base/batch_1"))
+      val q = e.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      Ivf.search(idx, cents, q, "vec_id", "embedding", "qid", "qe", topK = 10, nprobe = 3)
+        .select(col("qid"), col("vec_id"), round(col("cos"), 6).as("cos"),
+          col("rank").cast(LongType).as("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // Int8 symmetric quantization: per-vector scale, max reconstruction
     // error, and cosine(original, dequantized) — the embedding-compression
     // step before ANN indexing. Deterministic arithmetic → exact SQL twin.
@@ -457,7 +492,23 @@ object QueriesSim {
     s"CASE ${whens.mkString(" ")} ELSE ${dcols.size - 1} END"
   }
 
-  private def ivfKmeansOracle(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+  private def ivfKmeansOracle(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    ivfSearchOracle(s, dir,
+      "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings")
+
+  /** The append-batch variant searches corpus ∪ batch (the batch is planted
+    * copies at +100000), with the SAME corpus-trained quantizer — ground
+    * truth is a full recompute over the union, which the snapshot-union
+    * index must reproduce exactly. */
+  private def ivfAppendOracle(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    ivfSearchOracle(s, dir,
+      """SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000, CAST(embedding AS DOUBLE[])
+        |  FROM embeddings WHERE vec_id % 50 = 0""".stripMargin)
+
+  private def ivfSearchOracle(s: org.apache.spark.sql.SparkSession, dir: String,
+                              corpusSql: String): String = {
     import graft.operators.Ivf
     val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
     val cents = Ivf.collectCentroids(Ivf.trainSampled(e, "vec_id", "embedding", k = 8))
@@ -465,7 +516,7 @@ object QueriesSim {
     val dDefs = cents.zipWithIndex.map { case (c, i) =>
       s"${l2ChainSql("v", c)} AS d$i" }.mkString(",\n    ")
     val dcols = (0 until k).map(i => s"d$i")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""WITH e AS ($corpusSql),
        |d AS (SELECT vec_id, v,
        |    $dDefs
        |  FROM e),
@@ -538,8 +589,13 @@ object QueriesSim {
     * the pre-round-4 behaviour. */
   def oracle: Map[String, String] = staticOracle ++
     Tables.OracleContext.ctx.map { case (s, dir) =>
-      Map("sim_ivf_kmeans" -> ivfKmeansOracle(s, dir),
-        "sim_pq" -> pqOracle(s, dir))
+      // a trained-oracle failure must not take the other 250 oracles with
+      // it (the dump writes ONE json): degrade those entries to rows-only
+      scala.util.Try(
+        Map("sim_ivf_kmeans" -> ivfKmeansOracle(s, dir),
+          "sim_ivf_append" -> ivfAppendOracle(s, dir),
+          "sim_pq" -> pqOracle(s, dir))
+      ).getOrElse(Map.empty)
     }.getOrElse(Map.empty)
 
   private val staticOracle: Map[String, String] = Map(

@@ -244,6 +244,48 @@ object QueriesText {
         .orderBy(col("doc_id"))
     }),
 
+    // BM25 retrieval (Robertson/Okapi, k1=1.2 b=0.75, Lucene's
+    // ln(1 + (N−df+0.5)/(df+0.5)) idf): top-10 docs for fixed 2-term
+    // bigram queries — the search-side complement to tfidf_top's
+    // characterize-side scoring. Terms are token BIGRAMS (the unigram
+    // vocabulary is flat — zero idf discrimination; sparse_cosine_join
+    // precedent). Scale shape: the query table is literal and broadcast
+    // (with its df's) into the postings — only matching postings survive;
+    // doc lengths join back on the doc key (postings-sized); N/avgdl ride
+    // a 1-row broadcast. EXACTLY 2 terms per query keeps the score sum
+    // order-free (IEEE addition of two values is commutative), so the
+    // double formula is engine-identical from exact BIGINT tf/df/dl.
+    "bm25_search" -> ((s, dir) => {
+      import s.implicits._
+      val terms = t(s, dir, "documents")
+        .select(col("doc_id"), TextFns.shingleExplode(TextFns.tokens(col("text")), 2).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dlen = terms.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      val stats = broadcast(dlen.agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("total_len")))
+      val dft = terms.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val q = Seq((0L, "hash join"), (0L, "table scan"),
+        (1L, "merge sort"), (1L, "batch stream"),
+        (2L, "slow query"), (2L, "fast scan")).toDF("qid", "term")
+      val qdf = broadcast(q.join(dft, "term"))
+      val scored = terms.join(qdf, "term")
+        .join(dlen, "doc_id")
+        .crossJoin(stats)
+        .withColumn("part",
+          log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+            (col("tf") * 2.2) / (col("tf") +
+              lit(1.2) * (lit(1.0) - 0.75 + lit(0.75) * col("dl")
+                / (col("total_len").cast(DoubleType) / col("n_docs")))))
+        .groupBy(col("qid"), col("doc_id")).agg(sum(col("part")).as("score"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))
+      scored.withColumn("rank", row_number().over(w)).where(col("rank") <= 10)
+        .select(col("qid"), col("doc_id"),
+          (floor(col("score") * 1e6 + 0.5) / 1e6).as("score"),
+          col("rank").cast(LongType).as("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // Fixed-size token chunking with overlap (64-token windows, stride 48) —
     // the context-window prep step of a training pipeline. One narrow pass:
     // tokens are let-bound per row, chunk starts come from `sequence`, and
@@ -622,6 +664,34 @@ object QueriesText {
          |SELECT doc_id, term, round(tfidf, 6) AS tfidf FROM (
          |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
          |  FROM scored) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "bm25_search" ->
+      s"""WITH toks AS (SELECT doc_id, $toks AS tk FROM documents),
+         |terms AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+         |    i -> tk[i] || ' ' || tk[i+1])) AS term FROM toks),
+         |tfm AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |  FROM terms GROUP BY doc_id, term),
+         |dlen AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tfm GROUP BY doc_id),
+         |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(dl) AS BIGINT) AS total_len FROM dlen),
+         |dfm AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tfm GROUP BY term),
+         |q(qid, term) AS (VALUES (0, 'hash join'), (0, 'table scan'),
+         |  (1, 'merge sort'), (1, 'batch stream'),
+         |  (2, 'slow query'), (2, 'fast scan')),
+         |scored AS (
+         |  SELECT q.qid, tfm.doc_id,
+         |    sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+         |      * (tf * 2.2) / (tf
+         |        + 1.2 * (1.0 - 0.75 + 0.75 * dl
+         |          / (CAST(total_len AS DOUBLE) / n_docs)))) AS score
+         |  FROM q JOIN tfm USING (term) JOIN dfm USING (term)
+         |    JOIN dlen USING (doc_id) CROSS JOIN stats
+         |  GROUP BY q.qid, tfm.doc_id)
+         |SELECT CAST(qid AS BIGINT) AS qid, doc_id,
+         |  floor(score * 1e6 + 0.5) / 1e6 AS score, CAST(rn AS BIGINT) AS rank
+         |FROM (SELECT qid, doc_id, score,
+         |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rn
+         |  FROM scored)
+         |WHERE rn <= 10 ORDER BY qid, rank""".stripMargin,
     "doc_chunks" ->
       s"""WITH tk AS (SELECT doc_id, $toks AS tk FROM documents WHERE doc_id < 200),
          |ch AS (SELECT doc_id, unnest(range(1, greatest(len(tk), 1) + 1, 48)) AS st, tk FROM tk)
