@@ -89,6 +89,50 @@ object QueriesAnalytics {
         .orderBy(col("check_name"))
     }),
 
+    // k-anonymity privacy card (Sweeney): equivalence classes over the
+    // quasi-identifier tuple (segment, nation, coarse balance band — the
+    // generalization step is the band), reported as a class-size histogram
+    // with the at-risk flag at k = 5. Re-identification risk lives in the
+    // SMALL classes, so the card is what a release gate reads before
+    // publishing user-derived training data. Two key-bounded aggregates
+    // (QI domain, then class-size domain) — map-side combined, no driver
+    // state; pii_redact's structural sibling.
+    "k_anonymity" -> ((s, dir) => {
+      val qi = t(s, dir, "customer")
+        .select(col("c_mktsegment"), col("c_nationkey"),
+          floor(col("c_acctbal") / 1000.0).cast(LongType).as("bal_band"))
+      qi.groupBy(col("c_mktsegment"), col("c_nationkey"), col("bal_band"))
+        .agg(count(lit(1)).as("class_size"))
+        .groupBy(col("class_size"))
+        .agg(count(lit(1)).as("n_classes"))
+        .select(col("class_size"), col("n_classes"),
+          (col("class_size") * col("n_classes")).as("n_rows"),
+          (col("class_size") < 5L).as("at_risk"))
+        .orderBy(col("class_size"))
+    }),
+
+    // l-diversity companion card (Machanavajjhala): k-anonymity alone
+    // fails when an equivalence class is homogeneous in the SENSITIVE
+    // attribute (everyone in the class shares the value → disclosure
+    // without re-identification). Classes are the (segment, nation) QI;
+    // the sensitive attribute is the customer's order priority mix:
+    // per-class distinct sensitive values (l), reported as an l-histogram
+    // with the at-risk flag at l < 3. The customer⋈orders join is the only
+    // data-sized stage; both aggregates are key-bounded.
+    "l_diversity" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"),
+        col("c_nationkey"))
+      val o = t(s, dir, "orders").select(col("o_custkey"), col("o_orderpriority"))
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_mktsegment"), col("c_nationkey"))
+        .agg(countDistinct(col("o_orderpriority")).as("l"),
+          countDistinct(col("c_custkey")).as("class_custs"))
+        .groupBy(col("l"))
+        .agg(count(lit(1)).as("n_classes"), sum(col("class_custs")).as("n_custs"))
+        .select(col("l"), col("n_classes"), col("n_custs"), (col("l") < 3L).as("at_risk"))
+        .orderBy(col("l"))
+    }),
+
     // Key-skew diagnostic for shuffle planning: rows-per-key distribution of
     // lineitem.l_orderkey. One map-side-combined shuffle builds per-key
     // counts, then — because the rows-per-key DOMAIN is tiny even when the
@@ -867,6 +911,26 @@ object QueriesAnalytics {
         |    CAST(count(CASE WHEN value > 450 THEN 1 END) AS BIGINT),
         |    CAST(count(*) AS BIGINT) FROM events
         |) ORDER BY check_name""".stripMargin,
+    "k_anonymity" ->
+      """WITH qi AS (SELECT c_mktsegment, c_nationkey,
+        |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band FROM customer),
+        |cls AS (SELECT c_mktsegment, c_nationkey, bal_band,
+        |    CAST(count(*) AS BIGINT) AS class_size
+        |  FROM qi GROUP BY c_mktsegment, c_nationkey, bal_band)
+        |SELECT class_size, CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(class_size * count(*) AS BIGINT) AS n_rows,
+        |  class_size < 5 AS at_risk
+        |FROM cls GROUP BY class_size ORDER BY class_size""".stripMargin,
+    "l_diversity" ->
+      """WITH cls AS (
+        |  SELECT c_mktsegment, c_nationkey,
+        |    CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS l,
+        |    CAST(count(DISTINCT c_custkey) AS BIGINT) AS class_custs
+        |  FROM customer JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_mktsegment, c_nationkey)
+        |SELECT l, CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(sum(class_custs) AS BIGINT) AS n_custs, l < 3 AS at_risk
+        |FROM cls GROUP BY l ORDER BY l""".stripMargin,
     "skew_profile" ->
       """WITH counts AS (
         |  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS cnt

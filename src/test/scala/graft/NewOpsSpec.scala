@@ -45,6 +45,30 @@ class NewOpsSpec extends SparkSpec {
     assert(revs.zip(revs.tail).forall { case (a, b) => a >= b }, "revenue not descending")
   }
 
+  test("round-4 TPC-H shapes: pushdown and join kinds land in the plans") {
+    // q6: every predicate sargable — the scan must carry pushed filters on
+    // shipdate/discount/quantity and read ONLY the referenced columns
+    val q6 = q("relational_q6")
+    val q6scan = q6.queryExecution.executedPlan.toString
+    assert(q6scan.contains("PushedFilters") &&
+      q6scan.contains("l_discount") && q6scan.contains("l_quantity"),
+      s"q6 scan lost its pushed filters:\n${q6scan.take(2000)}")
+    assert(!q6scan.contains("l_orderkey"), "q6 reads columns it never uses")
+    // q20: the supplier side must enter as a LEFT SEMI (never row-multiplied)
+    val q20plan = q("relational_q20").queryExecution.executedPlan.toString
+    assert(q20plan.contains("LeftSemi"), s"q20 lost its semi join:\n${q20plan.take(2000)}")
+    // q22: the no-recent-orders predicate must be a LEFT ANTI join
+    val q22plan = q("relational_q22").queryExecution.executedPlan.toString
+    assert(q22plan.contains("LeftAnti"), s"q22 lost its anti join:\n${q22plan.take(2000)}")
+    // q13: the outer join must SURVIVE in the plan (a filter placed on the
+    // join output instead of the orders side would let the planner degrade
+    // it to inner and silently drop zero-order customers; at sf0.001 every
+    // customer happens to have orders, so the PLAN is the only witness)
+    val q13plan = q("relational_q13").queryExecution.executedPlan.toString
+    assert(q13plan.contains("LeftOuter"),
+      s"q13 lost its outer join:\n${q13plan.take(2000)}")
+  }
+
   test("resample_ffill: gap-free calendar, LOCF fills interior gaps only") {
     val rows = q("resample_ffill").collect()
     val byUser = rows.groupBy(_.getLong(0))
