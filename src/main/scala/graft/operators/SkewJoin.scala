@@ -41,8 +41,11 @@ object SkewJoin {
   def adaptiveSaltedEquiJoin(big: DataFrame, small: DataFrame, bigKey: String,
                              smallKey: String, factors: DataFrame, factorKey: String,
                              saltSource: Column): DataFrame = {
+    // clamp: a zero/negative factor from a buggy advisor must degrade to
+    // "unsalted" (factor 1), never to sequence(0, -1) = [0, -1] dim
+    // duplication on the small side + pmod-by-zero on the big side
     val f = factors.select(col(factorKey).as("_fk"),
-      col("salt_factor").cast(IntegerType).as("_sf"))
+      greatest(col("salt_factor").cast(IntegerType), lit(1)).as("_sf"))
     val bigS = big.join(broadcast(f), big(bigKey) === col("_fk"), "left")
       .withColumn("_salt",
         pmod(xxhash64(saltSource), coalesce(col("_sf"), lit(1)).cast(LongType))

@@ -1033,7 +1033,7 @@ object QueriesRelational {
       """WITH li AS (SELECT l_partkey, l_suppkey, l_quantity FROM lineitem
         |  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
         |    AND l_shipdate < TIMESTAMP '1996-01-01'),
-        |ps AS (SELECT l_partkey, l_suppkey, sum(l_quantity) AS sq
+        |ps AS MATERIALIZED (SELECT l_partkey, l_suppkey, sum(l_quantity) AS sq
         |  FROM li WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
         |  GROUP BY l_partkey, l_suppkey),
         |tot AS (SELECT l_partkey, sum(sq) AS tq FROM ps GROUP BY l_partkey)

@@ -123,7 +123,7 @@ object QueriesSim {
     // read at query time). Codebooks are Lloyd-trained → rows-only; PqSpec
     // pins recall vs the exact-L2 oracle and the ADC arithmetic itself.
     "sim_pq" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
+      val e = t(s, dir, "embeddings").where(col("embedding").isNotNull)
       val books = Pq.train(e, "vec_id", "embedding", m = 8, k = 16)
       val enc = Pq.encode(e, "vec_id", "embedding", books)
       val q = e.where(col("vec_id") < 5)
@@ -172,7 +172,8 @@ object QueriesSim {
     // sampled-vs-distributed parity are pinned by IvfSpec.
     "sim_ivf_kmeans" -> ((s, dir) => {
       import graft.operators.Ivf
-      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val e = t(s, dir, "embeddings").where(col("embedding").isNotNull)
+        .select(col("vec_id"), col("embedding"))
       val centroids = Ivf.trainSampled(e, "vec_id", "embedding", k = 8)
       val idx = Ivf.index(e, centroids, "vec_id", "embedding")
       val q = e.where(col("vec_id") < 5)
@@ -195,7 +196,8 @@ object QueriesSim {
     // inlined trained centroids.
     "sim_ivf_append" -> ((s, dir) => {
       import graft.operators.Ivf
-      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val e = t(s, dir, "embeddings").where(col("embedding").isNotNull)
+        .select(col("vec_id"), col("embedding"))
       val cents = Ivf.trainSampled(e, "vec_id", "embedding", k = 8)
       val src = new java.io.File(s"$dir/embeddings.parquet")
       val base = "target/ivf_idx_v1_" +
@@ -492,9 +494,14 @@ object QueriesSim {
     s"CASE ${whens.mkString(" ")} ELSE ${dcols.size - 1} END"
   }
 
+  // every generated-ANN corpus filters NULL embeddings: the Spark side
+  // DROPS a NULL row naturally (NULL cell/codes never join), while
+  // argminCaseSql's ELSE branch would assign it the LAST cell and emit a
+  // phantom NULL-cosine candidate (review-caught, latent — current data
+  // has no NULLs)
   private def ivfKmeansOracle(s: org.apache.spark.sql.SparkSession, dir: String): String =
     ivfSearchOracle(s, dir,
-      "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings")
+      "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL")
 
   /** The append-batch variant searches corpus ∪ batch (the batch is planted
     * copies at +100000), with the SAME corpus-trained quantizer — ground
@@ -503,9 +510,10 @@ object QueriesSim {
   private def ivfAppendOracle(s: org.apache.spark.sql.SparkSession, dir: String): String =
     ivfSearchOracle(s, dir,
       """SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  WHERE embedding IS NOT NULL
         |  UNION ALL
         |  SELECT vec_id + 100000, CAST(embedding AS DOUBLE[])
-        |  FROM embeddings WHERE vec_id % 50 = 0""".stripMargin)
+        |  FROM embeddings WHERE vec_id % 50 = 0 AND embedding IS NOT NULL""".stripMargin)
 
   private def ivfSearchOracle(s: org.apache.spark.sql.SparkSession, dir: String,
                               corpusSql: String): String = {
@@ -539,7 +547,7 @@ object QueriesSim {
   }
 
   private def pqOracle(s: org.apache.spark.sql.SparkSession, dir: String): String = {
-    val e = t(s, dir, "embeddings")
+    val e = t(s, dir, "embeddings").where(col("embedding").isNotNull)
     val books = Pq.train(e, "vec_id", "embedding", m = 8, k = 16)
     val m = books.length
     val sub = books.map(_.head.length).sum / m
@@ -565,7 +573,8 @@ object QueriesSim {
       }.mkString(" + ")
       s"WHEN $qid THEN $chain"
     }.mkString("\n      ")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |  WHERE embedding IS NOT NULL),
        |d AS (SELECT vec_id,
        |    $dDefs
        |  FROM e),

@@ -664,11 +664,17 @@ object QueriesText {
          |SELECT doc_id, term, round(tfidf, 6) AS tfidf FROM (
          |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
          |  FROM scored) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // tfm is corpus-sized and referenced three times → AS MATERIALIZED
+    // (CLAUDE.md oracle rule); tf * CAST(2.2 AS DOUBLE) forces the double
+    // multiply Spark performs — a bare 2.2 literal is DECIMAL in DuckDB
+    // and BIGINT×DECIMAL stays exact (3·2.2 = 6.6 vs double
+    // 6.6000000000000005), a last-ulp engine split (review-caught; the
+    // decimal DIVISIONS are safe — DuckDB promotes those to DOUBLE)
     "bm25_search" ->
       s"""WITH toks AS (SELECT doc_id, $toks AS tk FROM documents),
          |terms AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
          |    i -> tk[i] || ' ' || tk[i+1])) AS term FROM toks),
-         |tfm AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |tfm AS MATERIALIZED (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
          |  FROM terms GROUP BY doc_id, term),
          |dlen AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tfm GROUP BY doc_id),
          |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
@@ -680,7 +686,7 @@ object QueriesText {
          |scored AS (
          |  SELECT q.qid, tfm.doc_id,
          |    sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-         |      * (tf * 2.2) / (tf
+         |      * (tf * CAST(2.2 AS DOUBLE)) / (tf
          |        + 1.2 * (1.0 - 0.75 + 0.75 * dl
          |          / (CAST(total_len AS DOUBLE) / n_docs)))) AS score
          |  FROM q JOIN tfm USING (term) JOIN dfm USING (term)
