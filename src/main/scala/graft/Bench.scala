@@ -7,6 +7,9 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // UTC like Verify/ScaleGen: Tables.t's NTZ→TIMESTAMP normalization
+      // assumes the UTC session, and benched plans must match verified ones
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir", "target/warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -111,6 +111,34 @@ object QueriesAnalytics {
         .orderBy(col("class_size"))
     }),
 
+    // Right-to-be-forgotten purge report (the GDPR/CCPA deletion loop the
+    // privacy cards gate): a deletion list of user ids anti-joins every
+    // user-keyed table; the report pins, per table, how many rows were
+    // purged and an exact id-checksum of the SURVIVORS — the auditable
+    // proof that deletion propagated everywhere (a checksum of what
+    // remains catches both under- and over-deletion, which bare counts
+    // cannot). The deletion list broadcasts; each table streams through
+    // one anti join + one aggregate, never shuffled on data keys.
+    "forget_users" -> ((s, dir) => {
+      val del = broadcast(t(s, dir, "events")
+        .where(col("user_id").isNotNull && col("user_id") % 17 === 3)
+        .select(col("user_id").as("del_id")).distinct())
+      def report(table: String, df: org.apache.spark.sql.DataFrame,
+                 key: String, id: String) = {
+        val kept = df.join(del, col(key) === col("del_id"), "left_anti")
+        kept.agg(count(lit(1)).as("n_after"), sum(col(id)).as("kept_id_sum"))
+          .crossJoin(broadcast(df.agg(count(lit(1)).as("n_before"))))
+          .select(lit(table).as("table_name"), col("n_before"),
+            (col("n_before") - col("n_after")).as("n_purged"),
+            col("n_after"), col("kept_id_sum"))
+      }
+      report("events", t(s, dir, "events").where(col("user_id").isNotNull),
+          "user_id", "event_id")
+        .unionByName(report("customer", t(s, dir, "customer"), "c_custkey", "c_custkey"))
+        .unionByName(report("orders", t(s, dir, "orders"), "o_custkey", "o_orderkey"))
+        .orderBy(col("table_name"))
+    }),
+
     // l-diversity companion card (Machanavajjhala): k-anonymity alone
     // fails when an equivalence class is homogeneous in the SENSITIVE
     // attribute (everyone in the class shares the value → disclosure
@@ -921,6 +949,31 @@ object QueriesAnalytics {
         |  CAST(class_size * count(*) AS BIGINT) AS n_rows,
         |  class_size < 5 AS at_risk
         |FROM cls GROUP BY class_size ORDER BY class_size""".stripMargin,
+    "forget_users" ->
+      """WITH del AS (SELECT DISTINCT user_id AS del_id FROM events
+        |  WHERE user_id IS NOT NULL AND user_id % 17 = 3)
+        |SELECT table_name, n_before, n_before - n_after AS n_purged,
+        |  n_after, kept_id_sum
+        |FROM (
+        |  SELECT 'events' AS table_name,
+        |    CAST((SELECT count(*) FROM events WHERE user_id IS NOT NULL) AS BIGINT) AS n_before,
+        |    CAST(count(*) AS BIGINT) AS n_after,
+        |    CAST(sum(event_id) AS BIGINT) AS kept_id_sum
+        |  FROM events e WHERE user_id IS NOT NULL
+        |    AND NOT EXISTS (SELECT 1 FROM del WHERE del_id = e.user_id)
+        |  UNION ALL
+        |  SELECT 'customer',
+        |    CAST((SELECT count(*) FROM customer) AS BIGINT),
+        |    CAST(count(*) AS BIGINT), CAST(sum(c_custkey) AS BIGINT)
+        |  FROM customer c
+        |  WHERE NOT EXISTS (SELECT 1 FROM del WHERE del_id = c.c_custkey)
+        |  UNION ALL
+        |  SELECT 'orders',
+        |    CAST((SELECT count(*) FROM orders) AS BIGINT),
+        |    CAST(count(*) AS BIGINT), CAST(sum(o_orderkey) AS BIGINT)
+        |  FROM orders o
+        |  WHERE NOT EXISTS (SELECT 1 FROM del WHERE del_id = o.o_custkey)
+        |) ORDER BY table_name""".stripMargin,
     "l_diversity" ->
       """WITH cls AS (
         |  SELECT c_mktsegment, c_nationkey,
