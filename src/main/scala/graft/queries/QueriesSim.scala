@@ -220,6 +220,28 @@ object QueriesSim {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // PCA projection onto the top-2 principal directions — the
+    // visualization/whitening/linear-probe prep step. The model fits
+    // driver-side on the first-2048 sample (operators/Pca — deterministic
+    // fixed-iteration power method; the distributed Gram's partial-sum
+    // order would break literal reproducibility), then the projection is a
+    // NARROW map over the corpus: center against the broadcast-literal
+    // mean, two sequential-fold dot products per row, no join, no shuffle.
+    // Oracle refits the identical model and inlines μ/w1/w2 as literals.
+    "embed_pca_project" -> ((s, dir) => {
+      import graft.operators.Pca
+      val e = t(s, dir, "embeddings").where(col("embedding").isNotNull)
+        .select(col("vec_id"), col("embedding"))
+      val (mu, comps) = Pca.fitSampled(e, "vec_id", "embedding")
+      val muArr = array(mu.map(lit).toSeq: _*)
+      val centered = zip_with(SimFns.toDouble(col("embedding")), muArr, (a, b) => a - b)
+      def proj(w: Array[Double]) = SimFns.dot(centered, array(w.map(lit).toSeq: _*))
+      e.select(col("vec_id"),
+          (floor(proj(comps(0)) * 1e6 + 0.5) / 1e6).as("p1"),
+          (floor(proj(comps(1)) * 1e6 + 0.5) / 1e6).as("p2"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Int8 symmetric quantization: per-vector scale, max reconstruction
     // error, and cosine(original, dequantized) — the embedding-compression
     // step before ANN indexing. Deterministic arithmetic → exact SQL twin.
@@ -593,6 +615,26 @@ object QueriesSim {
        |WHERE rn <= 10 ORDER BY qid, rank""".stripMargin
   }
 
+  private def pcaOracle(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    import graft.operators.Pca
+    val e = t(s, dir, "embeddings").where(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"))
+    val (mu, comps) = Pca.fitSampled(e, "vec_id", "embedding")
+    val muLit = mu.mkString("[", ", ", "]")
+    def wLit(w: Array[Double]) = w.mkString("[", ", ", "]")
+    // list_dot_product folds sequentially like SimFns.dot (sim_lsh
+    // precedent); centering subtracts literal-list elements in index order
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |  WHERE embedding IS NOT NULL),
+       |c AS (SELECT vec_id,
+       |    list_transform(range(1, ${mu.length + 1}), i -> v[i] - ($muLit)[i]) AS cv
+       |  FROM e)
+       |SELECT vec_id,
+       |  floor(list_dot_product(cv, ${wLit(comps(0))}) * 1e6 + 0.5) / 1e6 AS p1,
+       |  floor(list_dot_product(cv, ${wLit(comps(1))}) * 1e6 + 0.5) / 1e6 AS p2
+       |FROM c ORDER BY vec_id""".stripMargin
+  }
+
   /** Static oracles + the trained-ANN pair when an OracleContext is set
     * (Verify dump time); without a context the pair is omitted → rows-only,
     * the pre-round-4 behaviour. */
@@ -603,7 +645,8 @@ object QueriesSim {
       scala.util.Try(
         Map("sim_ivf_kmeans" -> ivfKmeansOracle(s, dir),
           "sim_ivf_append" -> ivfAppendOracle(s, dir),
-          "sim_pq" -> pqOracle(s, dir))
+          "sim_pq" -> pqOracle(s, dir),
+          "embed_pca_project" -> pcaOracle(s, dir))
       ).getOrElse(Map.empty)
     }.getOrElse(Map.empty)
 

@@ -58,4 +58,31 @@ class GramSpec extends SparkSpec {
     val trace = (0 until dim).map(i => g(i)(i)).sum
     assert(lambda >= trace / dim && lambda <= trace + 1e-9)
   }
+
+  test("Pca.fitSampled: orthonormal components, descending variance, deterministic") {
+    import graft.operators.Pca
+    val e = graft.queries.Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+      .where(col("embedding").isNotNull).select(col("vec_id"), col("embedding"))
+    val (mu, comps) = Pca.fitSampled(e, "vec_id", "embedding")
+    val (mu2, comps2) = Pca.fitSampled(e, "vec_id", "embedding")
+    // deterministic: refit is bit-identical (the oracle generator relies on it)
+    assert(mu.sameElements(mu2) &&
+      comps.zip(comps2).forall { case (a, b) => a.sameElements(b) })
+    val Seq(w1, w2) = comps
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    assert(math.abs(dot(w1, w1) - 1.0) < 1e-9 && math.abs(dot(w2, w2) - 1.0) < 1e-9,
+      "components not unit-norm")
+    assert(math.abs(dot(w1, w2)) < 1e-6, s"components not orthogonal: ${dot(w1, w2)}")
+    // projections through the declared query: var(p1) >= var(p2) (top
+    // component captures the most variance), and both nonzero
+    val rows = graft.queries.QueriesSim.queries("embed_pca_project")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    def variance(xs: Array[Double]) = {
+      val m = xs.sum / xs.length
+      xs.map(x => (x - m) * (x - m)).sum / xs.length
+    }
+    val (v1, v2) = (variance(rows.map(_._1)), variance(rows.map(_._2)))
+    assert(v1 >= v2 && v2 > 0, s"variance ordering violated: $v1 < $v2")
+  }
 }
