@@ -343,6 +343,42 @@ object QueriesDedup {
         .orderBy(col("id_new"), col("id_idx"))
     }),
 
+    // Dedup threshold-sweep card: EXACT near-dup pair/doc counts at each
+    // candidate threshold {0.5..0.9} over the constructed corpus — the
+    // measured complement to lsh_curve's analytic banding curve (what dup
+    // mass would each τ actually remove from THIS corpus?). Candidates
+    // come from a shingle-postings equi-join (any pair with j > 0 shares a
+    // shingle, so candidates are provably complete for every τ > 0; work
+    // = Σ df² over trigram shingles, never |docs|²); ONE exact
+    // intersect/union per candidate pair; the 5-threshold fan-out happens
+    // on the (tiny) pair stream. Exact BIGINT counts both engines.
+    "dedup_sweep" -> ((s, dir) => {
+      val sh = Dedup.shingleSets(corpus(s, dir), "doc_id", "text", 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ex = sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
+      val cand = ex.as("a").join(ex.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
+      val pairs = cand
+        .join(sh.select(col("doc_id").as("id_a"), col("shingles").as("sa")), "id_a")
+        .join(sh.select(col("doc_id").as("id_b"), col("shingles").as("sb")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          (size(array_intersect(col("sa"), col("sb"))).cast("double")
+            / size(array_union(col("sa"), col("sb")))).as("j"))
+      val swept = pairs
+        .select(col("id_a"), col("id_b"), col("j"),
+          explode(array(Seq(0.5, 0.6, 0.7, 0.8, 0.9).map(lit): _*)).as("threshold"))
+        .where(col("j") >= col("threshold"))
+      val np = swept.groupBy(col("threshold")).agg(count(lit(1)).as("n_pairs"))
+      val nd = swept
+        .select(col("threshold"), explode(array(col("id_a"), col("id_b"))).as("doc"))
+        .groupBy(col("threshold")).agg(countDistinct(col("doc")).as("n_docs"))
+      np.join(nd, "threshold")
+        .select(col("threshold"), col("n_pairs"), col("n_docs"))
+        .orderBy(col("threshold"))
+    }),
+
     // Embedding cosine near-dup: exact copies at +100000 must be found at
     // cosine ≥ 0.9 (natural max pairwise cosine in the data is ~0.31).
     // DECLARED path is LSH-banded (the 100 TB shape): 4 bands × 4
@@ -658,6 +694,27 @@ object QueriesDedup {
          |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
          |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs
          |FROM sz GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
+    // exhaustive brute force over the /25 corpus (~600 docs at sf0.1):
+    // every pair's exact shingle jaccard, bucketed per threshold — the
+    // candidate-complete postings path must land on identical counts
+    "dedup_sweep" ->
+      s"""$corpusSql,
+         |sh AS MATERIALIZED ($shinglesSql),
+         |pairs AS MATERIALIZED (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(len(list_distinct(list_intersect(a.s, b.s))) AS DOUBLE) /
+         |      CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS j
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+         |t AS (SELECT CAST(unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS DOUBLE) AS threshold),
+         |sel AS (SELECT threshold, id_a, id_b FROM pairs CROSS JOIN t
+         |  WHERE j >= threshold),
+         |np AS (SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs
+         |  FROM sel GROUP BY threshold),
+         |nd AS (SELECT threshold, CAST(count(DISTINCT doc) AS BIGINT) AS n_docs FROM (
+         |  SELECT threshold, id_a AS doc FROM sel
+         |  UNION ALL SELECT threshold, id_b FROM sel) GROUP BY threshold)
+         |SELECT threshold, n_pairs, n_docs FROM np JOIN nd USING (threshold)
+         |ORDER BY threshold""".stripMargin,
     "embed_neardup" ->
       """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |    FROM embeddings WHERE vec_id % 25 = 0),

@@ -300,6 +300,45 @@ object QueriesSim {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // ANN recall card — MEASURED recall@10 of the approximate paths
+    // against brute-force ground truth, in one query (the quality monitor
+    // you run before trusting an index at 100 TB; lsh_curve is the
+    // analytic design curve, this is the empirical check on real data).
+    // Ground truth: exact cosine top-10 per query (the sim_topk shape,
+    // 20-query broadcast). Methods: the sim_lsh sign-bucket probe and the
+    // sim_ivf own-label cell. Hits count by LEFT SEMI against the truth
+    // pairs; recall divides exact BIGINTs once. Everything rides the same
+    // broadcast fan-outs as the underlying queries — no new shuffle shape.
+    "ann_recall" -> ((s, dir) => {
+      val planes = SimFns.fixedPlanes(nPlanes = 6, dim = 64)
+      val e = t(s, dir, "embeddings").where(col("embedding").isNotNull)
+        .select(col("vec_id"), col("embedding"), col("label"))
+        .withColumn("bucket", SimFns.rpLshKey(col("embedding"), planes))
+      val q = e.where(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          col("label").as("qlabel"), col("bucket").as("qbucket"))
+      def top10(cand: org.apache.spark.sql.DataFrame) = cand
+        .select(col("qid"), col("vec_id"),
+          SimFns.cosine(col("qe"), col("embedding")).as("cos"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))))
+        .where(col("rank") <= 10)
+        .select(col("qid"), col("vec_id"))
+      val truth = top10(e.join(broadcast(q)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val possible = broadcast(truth.agg(count(lit(1)).as("possible")))
+      def card(method: String, cand: org.apache.spark.sql.DataFrame) =
+        top10(cand).join(truth, Seq("qid", "vec_id"), "left_semi")
+          .agg(count(lit(1)).as("hits"))
+          .crossJoin(possible)
+          .select(lit(method).as("method"), col("hits"), col("possible"),
+            (floor(col("hits") / col("possible").cast(DoubleType) * 1e4 + 0.5) / 1e4)
+              .as("recall"))
+      card("ivf_label", e.join(broadcast(q), col("label") === col("qlabel")))
+        .unionByName(card("lsh_bucket", e.join(broadcast(q), col("bucket") === col("qbucket"))))
+        .orderBy(col("method"))
+    }),
+
     // Distributed Gram matrix X^T X (operators/Gram): ONE mapPartitions
     // pass accumulates per-partition upper triangles (2080 doubles — no 64×
     // explosion, no shuffle of exploded values), a cells-sized groupBy
@@ -651,6 +690,41 @@ object QueriesSim {
     }.getOrElse(Map.empty)
 
   private val staticOracle: Map[String, String] = Map(
+    "ann_recall" ->
+      s"""WITH bits AS MATERIALIZED (SELECT vec_id, embedding, label,
+         |    $lshBitsSql
+         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |b AS MATERIALIZED (SELECT vec_id, embedding, label,
+         |    $lshBucketSql AS bucket FROM bits),
+         |q AS (SELECT vec_id AS qid, embedding AS qe, label AS qlabel,
+         |    bucket AS qbucket FROM b WHERE vec_id < 20),
+         |truth AS MATERIALIZED (SELECT qid, vec_id FROM (
+         |  SELECT q.qid, e.vec_id, row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+         |        CAST(e.embedding AS DOUBLE[])) DESC, e.vec_id) AS rn
+         |  FROM b e CROSS JOIN q) WHERE rn <= 10),
+         |poss AS (SELECT CAST(count(*) AS BIGINT) AS possible FROM truth),
+         |ivf AS (SELECT qid, vec_id FROM (
+         |  SELECT q.qid, e.vec_id, row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+         |        CAST(e.embedding AS DOUBLE[])) DESC, e.vec_id) AS rn
+         |  FROM b e JOIN q ON e.label = q.qlabel) WHERE rn <= 10),
+         |lsh AS (SELECT qid, vec_id FROM (
+         |  SELECT q.qid, e.vec_id, row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+         |        CAST(e.embedding AS DOUBLE[])) DESC, e.vec_id) AS rn
+         |  FROM b e JOIN q ON e.bucket = q.qbucket) WHERE rn <= 10)
+         |SELECT method, hits, possible,
+         |  floor(hits / CAST(possible AS DOUBLE) * 1e4 + 0.5) / 1e4 AS recall
+         |FROM (
+         |  SELECT 'ivf_label' AS method, CAST(count(*) AS BIGINT) AS hits
+         |  FROM ivf WHERE EXISTS (SELECT 1 FROM truth t
+         |                         WHERE t.qid = ivf.qid AND t.vec_id = ivf.vec_id)
+         |  UNION ALL
+         |  SELECT 'lsh_bucket', CAST(count(*) AS BIGINT)
+         |  FROM lsh WHERE EXISTS (SELECT 1 FROM truth t
+         |                         WHERE t.qid = lsh.qid AND t.vec_id = lsh.vec_id)
+         |) CROSS JOIN poss ORDER BY method""".stripMargin,
     "triplet_margin" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
         |    FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL),
