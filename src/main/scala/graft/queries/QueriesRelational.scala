@@ -498,9 +498,18 @@ object QueriesRelational {
         .join(o, col("l_orderkey") === col("o_orderkey"))
         .select(col("l_orderkey"), col("l_suppkey"),
           expr("l_shipdate > o_orderdate + INTERVAL 365 DAY").as("late"))
-      lo.groupBy(col("l_orderkey"))
-        .agg(countDistinct(col("l_suppkey")).as("n_supps"),
-          countDistinct(when(col("late"), col("l_suppkey"))).as("late_supps"),
+      // pre-collapse to the (order, supplier) domain FIRST: the three
+      // count-distincts over the raw lineitems planned as a 3× Expand of
+      // the joined fact stream (Spark's multi-distinct rewrite); after the
+      // collapse the same facts are plain counts/sums over distinct rows.
+      // At sf0.1 the join dominates either way (4.0 s → 4.0 s), but the 3×
+      // row multiply the Expand puts on the shuffled stream is exactly
+      // what must not ride along at 100 TB.
+      lo.groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(col("late")).as("late"))
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_supps"),
+          sum(when(col("late"), 1L).otherwise(0L)).as("late_supps"),
           max(when(col("late"), col("l_suppkey"))).as("late_supp"))
         .where(col("n_supps") >= 2 && col("late_supps") === 1)
         .join(broadcast(t(s, dir, "supplier")), col("late_supp") === col("s_suppkey"))
