@@ -111,6 +111,54 @@ object AsOfJoin {
     PlanBridge.ofRows(spark, plan)
   }
 
+  /** FORWARD as-of (pandas merge_asof direction='forward': the EARLIEST
+    * right row with rightTs ≥ leftTs, or > when strict): the same native
+    * operator on the REVERSED time axis — both timestamps negate (to
+    * micros for timestamp axes), so backward's "latest ≤" becomes
+    * forward's "earliest ≥" with identical tie/NULL semantics and zero new
+    * exec code to maintain. */
+  def asOfForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+                  leftTs: String, rightTs: String, carry: Seq[String],
+                  strict: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.types.{NumericType, TimestampType}
+    def negExpr(df: DataFrame, c: String): Column = df.schema(c).dataType match {
+      case TimestampType => -unix_micros(col(c))
+      case _: NumericType => -col(c)
+      case other => throw new IllegalArgumentException(
+        s"forward as-of needs a timestamp or numeric axis, got ${other.sql}")
+    }
+    val l = left.withColumn("_fwd_ts", negExpr(left, leftTs))
+    val r = right.withColumn("_fwd_ts_r", negExpr(right, rightTs))
+    asOf(l, r, keys, "_fwd_ts", "_fwd_ts_r", carry, strict).drop("_fwd_ts")
+  }
+
+  /** Backward as-of with a TOLERANCE (pandas merge_asof tolerance): the
+    * carries null out when the matched right row lies farther back than
+    * `tolerance` (micros for timestamp axes, plain difference for numeric
+    * ones). One post-projection over the operator output — matching
+    * itself is unchanged, so the plan is the native exec plus a narrow
+    * map. The right timestamp is carried internally to compute the gap
+    * and dropped unless the caller asked for it. */
+  def asOfWithin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                 leftTs: String, rightTs: String, carry: Seq[String],
+                 tolerance: Long, strict: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.types.TimestampType
+    val withTs = asOf(left, right, keys, leftTs, rightTs, (carry :+ rightTs).distinct, strict)
+    val gap =
+      if (left.schema(leftTs).dataType == TimestampType)
+        unix_micros(col(leftTs)) - unix_micros(col(s"asof_$rightTs"))
+      else col(leftTs) - col(s"asof_$rightTs")
+    // the flag materializes BEFORE the carries are nulled: a when() built
+    // on asof_<rightTs> would re-resolve against the already-nulled column
+    // when rightTs is itself in the carry list
+    val flagged = withTs.withColumn("_tol_ok",
+      col(s"asof_$rightTs").isNotNull && gap <= tolerance)
+    val filtered = carry.foldLeft(flagged) { (d, c) =>
+      d.withColumn(s"asof_$c", when(col("_tol_ok"), col(s"asof_$c")))
+    }.drop("_tol_ok")
+    if (carry.contains(rightTs)) filtered else filtered.drop(s"asof_$rightTs")
+  }
+
   /** The union → single-window-pass formulation (differential oracle for
     * the native operator; also the shape to reach for where a custom
     * strategy cannot be installed). */

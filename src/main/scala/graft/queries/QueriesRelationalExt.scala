@@ -66,6 +66,41 @@ object QueriesRelationalExt {
         .orderBy(col("event_id"))
     }),
 
+    // FORWARD as-of: the next click AT-OR-AFTER each purchase (non-strict)
+    // — the same native exec on the reversed time axis (AsOfJoin
+    // .asOfForward). The pandas merge_asof direction='forward' sibling of
+    // join_asof.
+    "join_asof_forward" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"))
+      graft.operators.AsOfJoin.asOfForward(purchases, clicks, Seq("user_id"),
+          leftTs = "ts", rightTs = "click_ts", carry = Seq("click_ts"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("asof_click_ts").as("next_click_ts"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Tolerance-bounded as-of: the previous click STRICTLY before each
+    // purchase, nulled when it lies more than an hour back (pandas
+    // merge_asof tolerance) — stale context must not masquerade as
+    // attribution. Native exec + one narrow post-projection.
+    "join_asof_tolerance" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"))
+      graft.operators.AsOfJoin.asOfWithin(purchases, clicks, Seq("user_id"),
+          leftTs = "ts", rightTs = "click_ts", carry = Seq("click_ts"),
+          tolerance = 3600000000L, strict = true)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("asof_click_ts").as("prev_click_1h"))
+        .orderBy(col("event_id"))
+    }),
+
     // Range join, bucketized: for each error event, the same user's events
     // in the following 6 hours. Anchors explode into the hour buckets their
     // window covers; the join is an equi-join on (user, hour-bucket) with
@@ -550,6 +585,31 @@ object QueriesRelationalExt {
         |ORDER BY c_custkey""".stripMargin,
     "join_asof" ->
       """SELECT event_id, user_id, ts, prev_click_ts FROM (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id
+        |            ORDER BY ts, CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_click_ts
+        |  FROM (SELECT event_id, user_id, event_type, date_trunc('microseconds', ts) AS ts FROM events))
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    // non-strict forward: same-ts clicks are visible, so purchases sort
+    // BEFORE clicks at equal ts and the frame starts at CURRENT ROW
+    "join_asof_forward" ->
+      """SELECT event_id, user_id, ts, next_click_ts FROM (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    first_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id
+        |            ORDER BY ts, CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END
+        |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_click_ts
+        |  FROM (SELECT event_id, user_id, event_type, date_trunc('microseconds', ts) AS ts FROM events))
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    // the join_asof window + the tolerance CASE: micros-exact equivalence
+    // with the Spark side's gap <= 3600000000 filter
+    "join_asof_tolerance" ->
+      """SELECT event_id, user_id, ts,
+        |  CASE WHEN prev_click_ts IS NOT NULL
+        |    AND prev_click_ts >= ts - INTERVAL 1 HOUR THEN prev_click_ts END AS prev_click_1h
+        |FROM (
         |  SELECT event_id, user_id, ts, event_type,
         |    last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
         |      OVER (PARTITION BY user_id

@@ -38,6 +38,44 @@ class AsOfJoinSpec extends SparkSpec {
       ("t3", Some(200.0)), ("t4", None)))
   }
 
+  test("forward direction: earliest right at-or-after; strict excludes equal-ts") {
+    val out = AsOfJoin.asOfForward(trades, quotes, Seq("k"), "tts", "qts", Seq("px"))
+      .orderBy(col("tts")).collect()
+      .map(r => (r.getAs[String]("tid"), Option(r.get(r.fieldIndex("asof_px")))))
+    assert(out.toSeq == Seq(
+      ("t0", Some(100.0)),  // earliest quote after ts 5 is qts 10
+      ("t1", Some(101.0)),  // non-strict: equal-ts quote matches
+      ("t2", Some(102.0)),  // next quote after 25 is 30
+      ("t3", None),         // no quote at/after 40 for key 2
+      ("t4", None)))
+    val strictOut = AsOfJoin.asOfForward(trades, quotes, Seq("k"), "tts", "qts",
+        Seq("px"), strict = true)
+      .orderBy(col("tts")).collect()
+      .map(r => (r.getAs[String]("tid"), Option(r.get(r.fieldIndex("asof_px")))))
+    assert(strictOut.toSeq == Seq(
+      ("t0", Some(100.0)), ("t1", Some(102.0)), // strict skips the qts=20 tie
+      ("t2", Some(102.0)), ("t3", None), ("t4", None)))
+  }
+
+  test("tolerance: matches farther back than the bound null out, near ones survive") {
+    // numeric axis: trade at 25 matched quote at 20 (gap 5); trade at 20
+    // matched quote at 10 under strict (gap 10)
+    val out = AsOfJoin.asOfWithin(trades, quotes, Seq("k"), "tts", "qts",
+        Seq("px"), tolerance = 5L, strict = true)
+      .orderBy(col("tts")).collect()
+      .map(r => (r.getAs[String]("tid"), Option(r.get(r.fieldIndex("asof_px")))))
+    assert(out.toSeq == Seq(
+      ("t0", None),
+      ("t1", None),         // gap 10 > 5 → nulled
+      ("t2", Some(101.0)),  // gap 5 ≤ 5 → kept
+      ("t3", None),         // gap 25 > 5 → nulled
+      ("t4", None)))
+    // the internal asof_qts helper column must not leak when not asked for
+    val cols = AsOfJoin.asOfWithin(trades, quotes, Seq("k"), "tts", "qts",
+      Seq("px"), tolerance = 5L).columns.toSet
+    assert(!cols.contains("asof_qts"), s"helper column leaked: $cols")
+  }
+
   test("row-atomic carry: a null field in the latest right row is NOT patched from older rows") {
     val q = Seq((1L, 10L, Option(100.0), "q0"), (1L, 20L, Option.empty[Double], "q1"))
       .toDF("k", "qts", "px", "qid")
