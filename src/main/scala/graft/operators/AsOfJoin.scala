@@ -142,12 +142,15 @@ object AsOfJoin {
   def asOfWithin(left: DataFrame, right: DataFrame, keys: Seq[String],
                  leftTs: String, rightTs: String, carry: Seq[String],
                  tolerance: Long, strict: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.types.TimestampType
+    import org.apache.spark.sql.types.{NumericType, TimestampType}
     val withTs = asOf(left, right, keys, leftTs, rightTs, (carry :+ rightTs).distinct, strict)
-    val gap =
-      if (left.schema(leftTs).dataType == TimestampType)
+    val gap = left.schema(leftTs).dataType match {
+      case TimestampType =>
         unix_micros(col(leftTs)) - unix_micros(col(s"asof_$rightTs"))
-      else col(leftTs) - col(s"asof_$rightTs")
+      case _: NumericType => col(leftTs) - col(s"asof_$rightTs")
+      case other => throw new IllegalArgumentException(
+        s"tolerance as-of needs a timestamp or numeric axis, got ${other.sql}")
+    }
     // the flag materializes BEFORE the carries are nulled: a when() built
     // on asof_<rightTs> would re-resolve against the already-nulled column
     // when rightTs is itself in the carry list

@@ -495,6 +495,10 @@ object QueriesRelational {
     "relational_q21" -> ((s, dir) => {
       val o = t(s, dir, "orders").where(col("o_orderstatus") === "F")
       val lo = t(s, dir, "lineitem")
+        // NULL suppkeys must not count toward n_supps: countDistinct
+        // excluded them implicitly, the pre-collapsed form must filter
+        // (and the oracle's l2.l_suppkey <> l1.l_suppkey drops them too)
+        .where(col("l_suppkey").isNotNull)
         .join(o, col("l_orderkey") === col("o_orderkey"))
         .select(col("l_orderkey"), col("l_suppkey"),
           expr("l_shipdate > o_orderdate + INTERVAL 365 DAY").as("late"))

@@ -679,14 +679,23 @@ object QueriesSim {
     * the pre-round-4 behaviour. */
   def oracle: Map[String, String] = staticOracle ++
     Tables.OracleContext.ctx.map { case (s, dir) =>
-      // a trained-oracle failure must not take the other 250 oracles with
-      // it (the dump writes ONE json): degrade those entries to rows-only
-      scala.util.Try(
-        Map("sim_ivf_kmeans" -> ivfKmeansOracle(s, dir),
-          "sim_ivf_append" -> ivfAppendOracle(s, dir),
-          "sim_pq" -> pqOracle(s, dir),
-          "embed_pca_project" -> pcaOracle(s, dir))
-      ).getOrElse(Map.empty)
+      // a trained-oracle failure must not take the other oracles with it
+      // (the dump writes ONE json) — but each entry degrades to rows-only
+      // INDEPENDENTLY and LOUDLY (one shared Try would let a failure in
+      // any generator silently drop all four exact checks; review-caught)
+      def tryGen(name: String, gen: => String): Option[(String, String)] =
+        scala.util.Try(gen) match {
+          case scala.util.Success(sql) => Some(name -> sql)
+          case scala.util.Failure(e) =>
+            System.err.println(
+              s"[oracle] trained-oracle generation FAILED for $name " +
+                s"(degrading to rows-only): ${e.getMessage}")
+            None
+        }
+      (tryGen("sim_ivf_kmeans", ivfKmeansOracle(s, dir)) ++
+        tryGen("sim_ivf_append", ivfAppendOracle(s, dir)) ++
+        tryGen("sim_pq", pqOracle(s, dir)) ++
+        tryGen("embed_pca_project", pcaOracle(s, dir))).toMap
     }.getOrElse(Map.empty)
 
   private val staticOracle: Map[String, String] = Map(
