@@ -56,8 +56,13 @@ object Multimodal {
   /** Encode one REAL 24-bit uncompressed BMP (BITMAPINFOHEADER): 14-byte
     * file header, 40-byte info header, pixel rows stored BOTTOM-UP in BGR
     * order with each row padded to a 4-byte boundary — the actual Windows
-    * bitmap wire format, byte for byte. */
-  private[graft] def encodeBmp(id: Long, w: Int, h: Int): Array[Byte] = {
+    * bitmap wire format, byte for byte. `bright` adds a clamped brightness
+    * shift (min(c + bright, 255)) — the deterministic near-duplicate
+    * perturbation for perceptual-hash dedup (phash_neardup): a global
+    * brightness shift leaves an average-hash bit unchanged except where the
+    * 255 clamp compresses bright pixels, so the variant lands a small
+    * nonzero hamming from its base. */
+  private[graft] def encodeBmp(id: Long, w: Int, h: Int, bright: Int = 0): Array[Byte] = {
     val stride = (w * 3 + 3) / 4 * 4
     val dataSize = stride * h
     val size = 54 + dataSize
@@ -71,9 +76,9 @@ object Multimodal {
       val y = h - 1 - r // bottom-up: first stored row is the image's LAST
       var x = 0
       while (x < w) {
-        buf.put(channel(id, x, y, 2).toByte) // B
-        buf.put(channel(id, x, y, 1).toByte) // G
-        buf.put(channel(id, x, y, 0).toByte) // R
+        buf.put(math.min(channel(id, x, y, 2) + bright, 255).toByte) // B
+        buf.put(math.min(channel(id, x, y, 1) + bright, 255).toByte) // G
+        buf.put(math.min(channel(id, x, y, 0) + bright, 255).toByte) // R
         x += 1
       }
       var p = w * 3
@@ -92,6 +97,66 @@ object Multimodal {
       val (w, h) = bmpDims(id)
       BmpMedia(id, encodeBmp(id, w, h))
     })
+  }
+
+  /** Render brightness-variant BMPs: input rows are (img_id, base, bright) —
+    * the image carries `img_id` but its pixels come from `base`'s formula
+    * shifted by `bright`. This is how phash_neardup plants image near-dups
+    * (bright > 0) and exact dups (bright = 0, new id) of a base image. */
+  def renderBmpVariants(spark: SparkSession, imgs: DataFrame): Dataset[BmpMedia] = {
+    import spark.implicits._
+    imgs.select(col("img_id").cast(LongType), col("base").cast(LongType),
+        col("bright").cast(IntegerType)).as[(Long, Long, Int)]
+      .mapPartitions(_.map { case (imgId, base, bright) =>
+        val (w, h) = bmpDims(base)
+        BmpMedia(imgId, encodeBmp(base, w, h, bright))
+      })
+  }
+
+  final case class BmpHash(img_id: Long, phash: Long)
+
+  /** 64-bit average hash (aHash) of a decoded BMP: an 8×8 grid of gray
+    * samples (x = i·w/8, y = j·h/8; gray = R+G+B), bit k = j·8+i set iff
+    * 64·gray_k ≥ Σgray (integer-exact mean threshold — no doubles, so the
+    * DuckDB oracle reproduces it bit for bit from the pixel formula). The
+    * perceptual property: any global brightness shift without clamping
+    * leaves every bit unchanged (both sides of the comparison shift
+    * equally), so near-identical images land hamming ≈ 0. One narrow
+    * mapPartitions — decode and hash never shuffle; only the 16-byte
+    * (id, hash) rows do. */
+  def aHashBmp(spark: SparkSession, media: Dataset[BmpMedia]): DataFrame = {
+    import spark.implicits._
+    media.mapPartitions(_.map(m => BmpHash(m.doc_id, aHash64(m.bytes)))).toDF()
+  }
+
+  private[graft] def aHash64(bytes: Array[Byte]): Long = {
+    require(bytes.length >= 54 && bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte,
+      "not a BMP payload")
+    val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val off = buf.getInt(10)
+    val w = buf.getInt(18)
+    val h = buf.getInt(22)
+    require(buf.getShort(28) == 24, "unsupported bit depth")
+    val stride = (w * 3 + 3) / 4 * 4
+    val gray = new Array[Long](64)
+    var sum = 0L
+    var k = 0
+    while (k < 64) {
+      val x = (k % 8) * w / 8
+      val y = (k / 8) * h / 8
+      val base = off + (h - 1 - y) * stride + x * 3 // bottom-up row lookup
+      val g = (bytes(base) & 0xff) + (bytes(base + 1) & 0xff) + (bytes(base + 2) & 0xff)
+      gray(k) = g.toLong
+      sum += g
+      k += 1
+    }
+    var hash = 0L
+    k = 0
+    while (k < 64) {
+      if (gray(k) * 64L >= sum) hash |= (1L << k)
+      k += 1
+    }
+    hash
   }
 
   /** REAL pure-JVM BMP decoder (replaces the round-3 byte-histogram stub):

@@ -162,6 +162,37 @@ object AsOfJoin {
     if (carry.contains(rightTs)) filtered else filtered.drop(s"asof_$rightTs")
   }
 
+  /** NEAREST as-of (pandas merge_asof direction='nearest'): the right row
+    * minimizing |rightTs − leftTs|, ties to the backward (≤) side. Two
+    * chained native passes — backward non-strict, then forward STRICT over
+    * its output (each as-of emits exactly one row per left row, so the
+    * second pass composes without a re-join; the equal-ts case already
+    * belongs to backward and strict-forward never contests it) — and a
+    * narrow per-carry projection picks the closer side. */
+  def asOfNearest(left: DataFrame, right: DataFrame, keys: Seq[String],
+                  leftTs: String, rightTs: String, carry: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.{NumericType, TimestampType}
+    val carryAll = (carry :+ rightTs).distinct
+    val bwd = carryAll.foldLeft(
+      asOf(left, right, keys, leftTs, rightTs, carryAll)) { (d, c) =>
+      d.withColumnRenamed(s"asof_$c", s"_b_$c") }
+    val both = carryAll.foldLeft(
+      asOfForward(bwd, right, keys, leftTs, rightTs, carryAll, strict = true)) { (d, c) =>
+      d.withColumnRenamed(s"asof_$c", s"_f_$c") }
+    def micros(c: Column): Column = left.schema(leftTs).dataType match {
+      case TimestampType => unix_micros(c)
+      case _: NumericType => c
+      case other => throw new IllegalArgumentException(
+        s"nearest as-of needs a timestamp or numeric axis, got ${other.sql}")
+    }
+    val bGap = micros(col(leftTs)) - micros(col(s"_b_$rightTs"))
+    val fGap = micros(col(s"_f_$rightTs")) - micros(col(leftTs))
+    val useBwd = col(s"_b_$rightTs").isNotNull &&
+      (col(s"_f_$rightTs").isNull || bGap <= fGap)
+    both.select(left.columns.map(col) ++
+      carry.map(c => when(useBwd, col(s"_b_$c")).otherwise(col(s"_f_$c")).as(s"asof_$c")): _*)
+  }
+
   /** The union → single-window-pass formulation (differential oracle for
     * the native operator; also the shape to reach for where a custom
     * strategy cannot be installed). */

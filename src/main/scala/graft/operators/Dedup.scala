@@ -29,6 +29,23 @@ object Dedup {
     size(array_intersect(a, b)).cast(DoubleType) /
       size(array_distinct(concat(a, b))).cast(DoubleType)
 
+  /** Codegen'd Bloom membership probe: Spark's own `BloomFilterMightContain`
+    * expression over a literal serialized filter and an xxhash64'd value —
+    * replaces the round-4 Scala `udf` prefilter, which broke whole-stage
+    * codegen at the probe site. The filter MUST have been built over
+    * `xxhash64(value)` longs (putLong at build ↔ mightContainLong at probe);
+    * a NULL value hashes to the xxhash64 seed and at worst admits a false
+    * positive, which the downstream exact join drops. */
+  def mightContainHashed(bloom: org.apache.spark.util.sketch.BloomFilter,
+                         value: Column): Column = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(bos.toByteArray, BinaryType),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(xxhash64(value))))
+  }
+
   /** `numHashes` min-hashes per document, computed as explode → codegen'd
     * hash aggregate with `numHashes` min() columns. Spark's higher-order
     * functions are interpreted (no codegen), so a fold over the shingle
@@ -109,11 +126,10 @@ object Dedup {
     * subsequent batch (and every subsequent bench run). Callers must key
     * `path` by the corpus identity (e.g. its source directory). */
   def ensureMinhashIndex(docs: DataFrame, idCol: String, textCol: String, path: String,
-                         numHashes: Int = 64, numBands: Int = 16, shingleN: Int = 3): Unit = {
-    val done = Seq("bands", "shingles").forall(d =>
-      new java.io.File(s"$path/$d/_SUCCESS").exists())
-    if (!done) writeMinhashIndex(docs, idCol, textCol, path, numHashes, numBands, shingleN)
-  }
+                         numHashes: Int = 64, numBands: Int = 16, shingleN: Int = 3): Unit =
+    DiskCache.ensure(path, Seq("bands/_SUCCESS", "shingles/_SUCCESS")) { tmp =>
+      writeMinhashIndex(docs, idCol, textCol, tmp, numHashes, numBands, shingleN)
+    }
 
   /** Near-dups of an `incoming` batch AGAINST a stored [[writeMinhashIndex]]
     * only — no corpus recompute and no incoming×incoming pairs. Work scales
@@ -144,29 +160,59 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
-  /** 64-bit SimHash signatures per document: per bit, sum ±1 contributions
-    * of each feature's xxhash64 bit. Same explode → codegen'd aggregate
-    * shape as [[minhashSignatures]]; output column `sig` is a 64-element
-    * 0/1 int array. */
-  def simhashSignatures(sh: DataFrame, idCol: String): DataFrame = {
+  /** 64-bit SimHash signatures per document as a 0/1 int array (the
+    * reference/debug form — [[simhashSignaturesPacked]] is the production
+    * path): per bit, sum ±1 contributions of each feature's xxhash64 bit.
+    * Same explode → codegen'd aggregate shape as [[minhashSignatures]]. */
+  def simhashSignatures(sh: DataFrame, idCol: String): DataFrame =
+    simhashBitSums(sh, idCol)
+      .select(col(idCol), array((0 until 64).map(i =>
+        when(col(s"_b_$i") > 0L, lit(1)).otherwise(lit(0))): _*).as("sig"))
+
+  /** 64-bit SimHash signature PACKED into one BIGINT (bit i set ⇔ the
+    * array form's sig[i] = 1). One long per doc instead of a 64-int array:
+    * 8× fewer shuffle bytes per signature, and hamming becomes the
+    * codegen'd `bit_count(a ^ b)` instead of an interpreted higher-order
+    * fold over pair arrays. */
+  def simhashSignaturesPacked(sh: DataFrame, idCol: String): DataFrame =
+    simhashBitSums(sh, idCol)
+      .select(col(idCol), (0 until 64).map(i =>
+          when(col(s"_b_$i") > 0L, lit(1L << i)).otherwise(lit(0L)))
+        .reduce(_ bitwiseOR _).as("sig"))
+
+  private def simhashBitSums(sh: DataFrame, idCol: String): DataFrame = {
     val exploded = sh.select(col(idCol), explode(col("shingles")).as("_sh"))
       .select(col(idCol), xxhash64(col("_sh")).as("_h"))
     val aggs = (0 until 64).map(i =>
       sum(when(shiftright(col("_h"), i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"_b_$i"))
     exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
-      .select(col(idCol), array((0 until 64).map(i =>
-        when(col(s"_b_$i") > 0L, lit(1)).otherwise(lit(0))): _*).as("sig"))
   }
 
-  /** Hamming distance between two equal-length bit arrays. */
+  /** Hamming distance between two equal-length 0/1 bit arrays (pairs with
+    * [[simhashSignatures]]; the packed path uses `bit_count(a ^ b)`). */
   def hamming(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => when(x === y, 0L).otherwise(1L)), lit(0L), (acc, v) => acc + v)
 
   /** SimHash near-dup pairs: block on `numChunks` signature chunks (pairs
     * within hamming < numChunks always share a chunk), verify exact hamming
-    * ≤ maxHamming. Output: (id_a, id_b, hamming). */
+    * ≤ maxHamming. Signatures are packed BIGINTs end-to-end
+    * ([[packedHammingNearDups]]). Output: (id_a, id_b, hamming). */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3, numChunks: Int = 4, shingleN: Int = 3): DataFrame = {
+    val sh = shingleSets(docs, idCol, textCol, shingleN)
+    packedHammingNearDups(simhashSignaturesPacked(sh, idCol), idCol, "sig",
+      maxHamming, numChunks)
+  }
+
+  /** Banded hamming self-join over ANY packed 64-bit signature column
+    * (SimHash text signatures, perceptual image hashes, …): block on
+    * `numChunks` bit slices (pigeonhole — pairs within hamming < numChunks
+    * always share a slice), verify with the codegen'd `bit_count(x ^ y)`.
+    * Chunk keys are shift/mask slices of the single BIGINT — no arrays
+    * shuffle, no interpreted fold per candidate pair (round-4 verdict
+    * item 2). Output: (id_a, id_b, hamming ≤ maxHamming), complete. */
+  def packedHammingNearDups(sigs0: DataFrame, idCol: String, sigCol: String,
+                            maxHamming: Int, numChunks: Int = 4): DataFrame = {
     require(maxHamming < numChunks,
       s"chunk blocking is only complete for hamming < numChunks ($numChunks); got maxHamming=$maxHamming")
     require(numChunks >= 1 && numChunks <= 64 && 64 % numChunks == 0,
@@ -174,19 +220,19 @@ object Dedup {
     // 4 chunks × 16 bits: complete for hamming < 4 and keeps bucket
     // collisions (and thus candidate pairs) ~256× rarer than 8-bit chunks.
     val chunkLen = 64 / numChunks
-    val sh = shingleSets(docs, idCol, textCol, shingleN)
-    val sigs = simhashSignatures(sh, idCol)
+    val mask = if (chunkLen == 64) -1L else (1L << chunkLen) - 1L
+    val sigs = sigs0.select(col(idCol), col(sigCol).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val chunkKeys = array((0 until numChunks).map(k =>
+      shiftright(col("sig"), k * chunkLen).bitwiseAND(lit(mask))): _*)
     val chunks = sigs
-      .select(col(idCol), col("sig"),
-        posexplode(transform(sequence(lit(0), lit(numChunks - 1)),
-          k => concat_ws("", slice(col("sig"), k * chunkLen + 1, lit(chunkLen))))))
+      .select(col(idCol), col("sig"), posexplode(chunkKeys))
       .toDF(idCol, "sig", "chunk", "ch")
     chunks.as("x").join(chunks.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.ch") === col("y.ch") &&
           col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
-        hamming(col("x.sig"), col("y.sig")).as("hamming"))
+        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).cast("long").as("hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
   }

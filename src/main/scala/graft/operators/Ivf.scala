@@ -48,9 +48,23 @@ object Ivf {
     * iterations lazily would nest every previous iteration's plan into the
     * next. A cell that captures no vectors keeps its previous centroid
     * (deterministic, no respawn heuristics); seeding is the first k vectors
-    * in id order (deterministic, no randomness). */
+    * in id order (deterministic, no randomness).
+    *
+    * NOT the scale path: this burns up to `maxIters` full corpus scans (plus
+    * a per-iteration driver collect) to fit a few-KB model — [[trainSampled]]
+    * fits the same cell geometry from a bounded sample and is what every
+    * declared query uses. `train` exists for RAGGED corpora (non-uniform
+    * vector dimension), which the sampled fit can't handle, and is guarded
+    * by `maxRows` so it cannot be pointed at a 100 TB corpus by accident:
+    * the probe is one early-terminating `limit(maxRows+1).count()` job. */
   def train(vectors: DataFrame, idCol: String, vecCol: String, k: Int,
-            maxIters: Int = 6, tol: Double = 1e-2): DataFrame = {
+            maxIters: Int = 6, tol: Double = 1e-2,
+            maxRows: Long = 1L << 22): DataFrame = {
+    val probed = vectors.limit((maxRows + 1).min(Int.MaxValue).toInt).count()
+    require(probed <= maxRows,
+      s"Ivf.train is the exhaustive (full-corpus-scan) Lloyd path, capped at $maxRows rows " +
+        s"(corpus has more). Use Ivf.trainSampled — the corpus-size-independent trainer — " +
+        s"or raise maxRows explicitly if an exhaustive fit on a ragged corpus is intended.")
     val spark = vectors.sparkSession
     var cents: Array[Array[Double]] = vectors.orderBy(col(idCol)).limit(k)
       .select(SimFns.toDouble(col(vecCol)).as("v")).collect()

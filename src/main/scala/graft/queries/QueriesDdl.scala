@@ -307,6 +307,33 @@ object QueriesDdl {
         .select(col("doc_id"))
       Multimodal.decodeBmp(s, Multimodal.renderBmp(s, ids)).toDF()
         .orderBy(col("doc_id"))
+    }),
+
+    // Perceptual-hash image dedup — the cross-modal near-dup the text
+    // shingle path can't see: every image reduces to a 64-bit average hash
+    // (8×8 gray grid vs integer mean, Multimodal.aHash64) through the REAL
+    // render→decode path, then near-dup pairs come from the SAME banded
+    // hamming self-join as packed SimHash (Dedup.packedHammingNearDups —
+    // complete for hamming ≤ 3 by pigeonhole, candidates ~256× rarer than
+    // brute force). Planted: an exact copy (+200000, hamming 0 — a global
+    // brightness shift without clamping flips NO aHash bit) and a
+    // brightness+8 variant (+100000) whose 255-clamp compression lands a
+    // small hamming. The whole pipeline is integer arithmetic on the pixel
+    // formula, so the oracle recomputes hashes bit-for-bit and brute-forces
+    // all pairs (multimodal_decode precedent).
+    "phash_neardup" -> ((s, dir) => {
+      val ids = t(s, dir, "documents").where(col("doc_id") % 50 === 0)
+        .select(col("doc_id"))
+      val imgs = ids.select(col("doc_id").as("img_id"), col("doc_id").as("base"),
+          lit(0).as("bright"))
+        .unionByName(ids.select((col("doc_id") + 100000L).as("img_id"),
+          col("doc_id").as("base"), lit(8).as("bright")))
+        .unionByName(ids.select((col("doc_id") + 200000L).as("img_id"),
+          col("doc_id").as("base"), lit(0).as("bright")))
+      val hashed = Multimodal.aHashBmp(s, Multimodal.renderBmpVariants(s, imgs))
+      graft.operators.Dedup.packedHammingNearDups(hashed, "img_id", "phash",
+          maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))
     }))
 
   /** DuckDB `next-highest-power-of-two` of a max-length aggregate. */
@@ -457,5 +484,37 @@ object QueriesDdl {
         |  CAST(sum(r) AS BIGINT) AS sum_r, CAST(sum(g) AS BIGINT) AS sum_g,
         |  CAST(sum(b) AS BIGINT) AS sum_b,
         |  CAST(sum((x + 1) * (y + 1) * (r + 2 * g + 3 * b)) AS BIGINT) AS checksum
-        |FROM ch GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+        |FROM ch GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // aHash recomputed bit-for-bit from the pixel formula (gray = R+G+B of
+    // the clamped channels at the 8×8 grid samples; bit k set iff
+    // 64·gray_k ≥ Σgray), then brute-force all-pairs per-bit hamming — the
+    // banded Spark join is provably complete for hamming ≤ 3, so the two
+    // answers must coincide exactly. `bits` is corpus-sized and read twice:
+    // MATERIALIZED per the CTE-inlining rule.
+    "phash_neardup" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 50 = 0),
+        |imgs AS (
+        |  SELECT doc_id AS img_id, doc_id AS base, 0 AS bright FROM ids
+        |  UNION ALL SELECT doc_id + 100000, doc_id, 8 FROM ids
+        |  UNION ALL SELECT doc_id + 200000, doc_id, 0 FROM ids),
+        |g AS (SELECT img_id, base, bright, 8 + base % 9 AS w, 8 + base % 7 AS h,
+        |    unnest(range(0, 64)) AS k FROM imgs),
+        |pos AS (SELECT img_id, base, bright, k,
+        |    (k % 8) * w // 8 AS x, (k // 8) * h // 8 AS y FROM g),
+        |gr AS (SELECT img_id, k,
+        |      least((base + x * 7 + y * 13) % 256 + bright, 255)
+        |    + least((base + x * 7 + y * 13 + 29) % 256 + bright, 255)
+        |    + least((base + x * 7 + y * 13 + 58) % 256 + bright, 255) AS gray
+        |  FROM pos),
+        |bits AS MATERIALIZED (
+        |  SELECT img_id, k,
+        |    CASE WHEN gray * 64 >= sum(gray) OVER (PARTITION BY img_id)
+        |         THEN 1 ELSE 0 END AS bit
+        |  FROM gr)
+        |SELECT id_a, id_b, hamming FROM (
+        |  SELECT a.img_id AS id_a, b.img_id AS id_b,
+        |    CAST(sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+        |  FROM bits a JOIN bits b ON a.k = b.k AND a.img_id < b.img_id
+        |  GROUP BY 1, 2)
+        |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin)
 }

@@ -48,11 +48,11 @@ object QueriesDedup {
     val fingerprint = s"$dir|${src.length()}|${src.lastModified()}"
     val path = "target/cluster_labels_v1_" +
       java.lang.Long.toHexString(scala.util.hashing.MurmurHash3.stringHash(fingerprint).toLong & 0xffffffffL)
-    if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+    graft.operators.DiskCache.ensure(path) { tmp =>
       val edges = Dedup.minhashNearDups(c, "doc_id", "text", threshold = 0.8)
         .select(col("id_a"), col("id_b"))
       graft.operators.ConnectedComponents.components(edges, c.select(col("doc_id")))
-        .write.mode("overwrite").parquet(path)
+        .write.mode("overwrite").parquet(tmp)
     }
     (c, s.read.parquet(path))
   }
@@ -229,21 +229,23 @@ object QueriesDedup {
     // (same oracle) while the shuffled volume collapses from
     // |train-shingles| to |matching-candidates|.
     //
-    // MEASURED trade (SCALING.md): at 10×sf0.1 on local[32] this is ~4×
-    // SLOWER than the plain join (~5.5s vs ~1.4s) — the non-codegen UDF
-    // hash per train shingle costs more than the in-memory shuffle it
-    // saves. The prefilter wins when the shuffle crosses a network at
-    // corpus scale; both shapes ship so the pipeline can pick per
-    // deployment.
+    // Round 5: the prefilter is Spark's own codegen'd
+    // BloomFilterMightContain expression (Dedup.mightContainHashed) over an
+    // xxhash64-long-keyed filter — the round-4 Scala `udf` broke
+    // whole-stage codegen at the probe site. The prefilter is approximate
+    // only in admitting false positives; exactness is restored by the
+    // equi-join, so the result is IDENTICAL to `contamination` (same
+    // oracle) while the shuffled volume collapses from |train-shingles| to
+    // |matching-candidates| — the win when the shuffle crosses a network
+    // at corpus scale.
     "contamination_bloom" -> ((s, dir) => {
       val (evalSh0, trainSh0) = contaminationShingles(s, dir)
       val evalSh = evalSh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val bloom = evalSh.stat.bloomFilter("sh", expectedNumItems = 200000L, fpp = 0.01)
-      // the UDF is a PREFILTER only (exactness restored by the equi-join);
-      // trading one non-codegen predicate for a corpus-sized shuffle is the
-      // right side of the bargain at scale
-      val mightContain = udf((v: String) => v != null && bloom.mightContainString(v))
-      val trainSh = trainSh0.where(mightContain(col("sh")))
+      // build over the SAME xxhash64 longs the probe hashes (putLong ↔
+      // mightContainLong)
+      val bloom = evalSh.select(xxhash64(col("sh")).as("h"))
+        .stat.bloomFilter("h", expectedNumItems = 200000L, fpp = 0.01)
+      val trainSh = trainSh0.where(Dedup.mightContainHashed(bloom, col("sh")))
       trainSh.join(evalSh, "sh")
         .groupBy(col("train_id"), col("eval_id"))
         .agg(count(lit(1)).as("n_shared_8grams"))
@@ -704,7 +706,8 @@ object QueriesDedup {
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |    CAST(len(list_distinct(list_intersect(a.s, b.s))) AS DOUBLE) /
          |      CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS j
-         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(a.s) > 0 AND len(b.s) > 0),
          |t AS (SELECT CAST(unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS DOUBLE) AS threshold),
          |sel AS (SELECT threshold, id_a, id_b FROM pairs CROSS JOIN t
          |  WHERE j >= threshold),

@@ -261,11 +261,17 @@ object QueriesMlops {
           explode(array(col("db"), col("db") + 1)).as("bk"))
       val grid = broadcast(ud.select(col("d").as("g")).distinct()
         .withColumn("gk", expr("datediff(g, DATE '1970-01-01') DIV 30")))
+      // q21-style multi-distinct collapse (round-5 audit): the join stream
+      // is distinct in (user_id, d, g), so grouping to (g, user_id) first
+      // leaves NO distinct aggregate — dau = Σ active-today flags, mau =
+      // group count — where the direct count_distinct pair planned an
+      // Expand that doubled the 30×-fanned join output through the shuffle
       ud2.join(grid, col("bk") === col("gk") &&
           datediff(col("g"), col("d")).between(0, 29))
+        .groupBy(col("g"), col("user_id"))
+        .agg(max(when(col("d") === col("g"), 1L).otherwise(0L)).as("act"))
         .groupBy(col("g"))
-        .agg(count_distinct(when(col("d") === col("g"), col("user_id"))).as("dau"),
-          count_distinct(col("user_id")).as("mau"))
+        .agg(sum(col("act")).as("dau"), count(lit(1)).as("mau"))
         .withColumn("stickiness",
           floor(col("dau").cast("double") / col("mau") * 1e4 + 0.5) / 1e4)
         .orderBy(col("g"))

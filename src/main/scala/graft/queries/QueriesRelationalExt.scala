@@ -101,6 +101,25 @@ object QueriesRelationalExt {
         .orderBy(col("event_id"))
     }),
 
+    // NEAREST as-of: the click closest in time to each purchase, in either
+    // direction, ties to the earlier click (pandas merge_asof
+    // direction='nearest') — completes the as-of direction family. Two
+    // chained native passes (backward non-strict then forward strict; each
+    // emits one row per left row, so they compose without a re-join) and a
+    // narrow projection picks the closer side.
+    "join_asof_nearest" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"))
+      graft.operators.AsOfJoin.asOfNearest(purchases, clicks, Seq("user_id"),
+          leftTs = "ts", rightTs = "click_ts", carry = Seq("click_ts"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("asof_click_ts").as("near_click_ts"))
+        .orderBy(col("event_id"))
+    }),
+
     // Range join, bucketized: for each error event, the same user's events
     // in the following 6 hours. Anchors explode into the hour buckets their
     // window covers; the join is an equi-join on (user, hour-bucket) with
@@ -615,6 +634,26 @@ object QueriesRelationalExt {
         |      OVER (PARTITION BY user_id
         |            ORDER BY ts, CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_click_ts
+        |  FROM (SELECT event_id, user_id, event_type, date_trunc('microseconds', ts) AS ts FROM events))
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    // nearest = closer of (last click ≤ ts, first click > ts), tie to the
+    // backward side — clicks sort BEFORE purchases at equal ts so the
+    // backward window is non-strict and the forward frame (1 FOLLOWING)
+    // only ever sees strictly-later clicks
+    "join_asof_nearest" ->
+      """SELECT event_id, user_id, ts,
+        |  CASE WHEN prev_ts IS NOT NULL AND (next_ts IS NULL OR ts - prev_ts <= next_ts - ts)
+        |       THEN prev_ts ELSE next_ts END AS near_click_ts
+        |FROM (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id
+        |            ORDER BY ts, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_ts,
+        |    first_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id
+        |            ORDER BY ts, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+        |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_ts
         |  FROM (SELECT event_id, user_id, event_type, date_trunc('microseconds', ts) AS ts FROM events))
         |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
     "join_range" ->

@@ -187,8 +187,9 @@ object QueriesScale {
       }
       val statePath = "target/aggstate_v1_" + java.lang.Long.toHexString(
         scala.util.hashing.MurmurHash3.stringHash(dir + "|" + srcMeta).toLong & 0xffffffffL)
-      if (!new java.io.File(s"$statePath/_SUCCESS").exists())
-        partials(docs.where(col("doc_id") < 400)).write.mode("overwrite").parquet(statePath)
+      graft.operators.DiskCache.ensure(statePath) { tmp =>
+        partials(docs.where(col("doc_id") < 400)).write.mode("overwrite").parquet(tmp)
+      }
       s.read.parquet(statePath)
         .unionByName(partials(docs.where(col("doc_id") >= 400)))
         .groupBy(col("source"))

@@ -203,8 +203,9 @@ object QueriesSim {
       val base = "target/ivf_idx_v1_" +
         java.lang.Long.toHexString(scala.util.hashing.MurmurHash3.stringHash(
           s"$dir|${src.length()}|${src.lastModified()}").toLong & 0xffffffffL)
-      if (!new java.io.File(s"$base/corpus/_SUCCESS").exists())
-        Ivf.writeIndex(Ivf.index(e, cents, "vec_id", "embedding"), s"$base/corpus")
+      graft.operators.DiskCache.ensure(s"$base/corpus") { tmp =>
+        Ivf.writeIndex(Ivf.index(e, cents, "vec_id", "embedding"), tmp)
+      }
       val batch = e.where(col("vec_id") % 50 === 0)
         .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
       // overwrite (not append) keeps reruns idempotent: each batch is its
@@ -324,15 +325,20 @@ object QueriesSim {
           Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))))
         .where(col("rank") <= 10)
         .select(col("qid"), col("vec_id"))
-      val truth = top10(e.join(broadcast(q)))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val possible = broadcast(truth.agg(count(lit(1)).as("possible")))
+      // ground truth is panel-bounded (20 queries × top-10 = ≤200 rows):
+      // collect once into a local relation instead of persisting — a cached
+      // RDD here would sit in executor storage for the rest of the session
+      // (the Verify sweep runs 268 queries in one SparkSession)
+      val truthPlan = top10(e.join(broadcast(q)))
+      val truthRows = truthPlan.collect()
+      val truth = broadcast(s.createDataFrame(
+        s.sparkContext.parallelize(truthRows.toSeq, 1), truthPlan.schema))
+      val possible = lit(truthRows.length.toLong)
       def card(method: String, cand: org.apache.spark.sql.DataFrame) =
         top10(cand).join(truth, Seq("qid", "vec_id"), "left_semi")
           .agg(count(lit(1)).as("hits"))
-          .crossJoin(possible)
-          .select(lit(method).as("method"), col("hits"), col("possible"),
-            (floor(col("hits") / col("possible").cast(DoubleType) * 1e4 + 0.5) / 1e4)
+          .select(lit(method).as("method"), col("hits"), possible.as("possible"),
+            (floor(col("hits") / possible.cast(DoubleType) * 1e4 + 0.5) / 1e4)
               .as("recall"))
       card("ivf_label", e.join(broadcast(q), col("label") === col("qlabel")))
         .unionByName(card("lsh_bucket", e.join(broadcast(q), col("bucket") === col("qbucket"))))
@@ -579,7 +585,10 @@ object QueriesSim {
   private def ivfSearchOracle(s: org.apache.spark.sql.SparkSession, dir: String,
                               corpusSql: String): String = {
     import graft.operators.Ivf
-    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    // NULL filter matches the declared sim_ivf_kmeans/sim_ivf_append queries:
+    // the trainer must see the same first-N id-ordered sample as the Spark side
+    val e = t(s, dir, "embeddings").where(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"))
     val cents = Ivf.collectCentroids(Ivf.trainSampled(e, "vec_id", "embedding", k = 8))
     val k = cents.length
     val dDefs = cents.zipWithIndex.map { case (c, i) =>

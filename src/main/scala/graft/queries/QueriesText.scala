@@ -249,27 +249,55 @@ object QueriesText {
     // bigram queries — the search-side complement to tfidf_top's
     // characterize-side scoring. Terms are token BIGRAMS (the unigram
     // vocabulary is flat — zero idf discrimination; sparse_cosine_join
-    // precedent). Scale shape: the query table is literal and broadcast
-    // (with its df's) into the postings — only matching postings survive;
-    // doc lengths join back on the doc key (postings-sized); N/avgdl ride
-    // a 1-row broadcast. EXACTLY 2 terms per query keeps the score sum
+    // precedent). Scale shape (round 5): the postings/doc-length/df/stats
+    // tables ARE the index — built ONCE per corpus fingerprint and
+    // persisted (DiskCache atomic publish, the ensureMinhashIndex
+    // pattern), term-range-sorted so the literal query-term isin filter
+    // reaches the parquet scan as a row-group-pruning pushed predicate.
+    // A probe then reads only matching postings row groups; the
+    // tokenize+shingle+groupBy corpus pass never re-runs. The query table
+    // is literal and broadcast (with its df's) into the postings; doc
+    // lengths join back on the doc key (postings-sized); N/avgdl ride a
+    // 1-row broadcast. EXACTLY 2 terms per query keeps the score sum
     // order-free (IEEE addition of two values is commutative), so the
     // double formula is engine-identical from exact BIGINT tf/df/dl.
     "bm25_search" -> ((s, dir) => {
       import s.implicits._
-      val terms = t(s, dir, "documents")
-        .select(col("doc_id"), TextFns.shingleExplode(TextFns.tokens(col("text")), 2).as("term"))
-        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val dlen = terms.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-      val stats = broadcast(dlen.agg(count(lit(1)).as("n_docs"),
-        sum(col("dl")).as("total_len")))
-      val dft = terms.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val src = new java.io.File(s"$dir/documents.parquet")
+      val base = "target/bm25_idx_v1_" +
+        java.lang.Long.toHexString(scala.util.hashing.MurmurHash3.stringHash(
+          s"$dir|${src.length()}|${src.lastModified()}").toLong & 0xffffffffL)
+      graft.operators.DiskCache.ensure(base, Seq("postings/_SUCCESS",
+        "doclens/_SUCCESS", "dfs/_SUCCESS", "stats/_SUCCESS")) { tmp =>
+        val terms = t(s, dir, "documents")
+          .select(col("doc_id"), TextFns.shingleExplode(TextFns.tokens(col("text")), 2).as("term"))
+          .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        terms.repartitionByRange(col("term")).sortWithinPartitions(col("term"))
+          .write.parquet(s"$tmp/postings")
+        val dlen = terms.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        dlen.write.parquet(s"$tmp/doclens")
+        dlen.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
+          .write.parquet(s"$tmp/stats")
+        terms.groupBy(col("term")).agg(count(lit(1)).as("df"))
+          .repartitionByRange(col("term")).sortWithinPartitions(col("term"))
+          .write.parquet(s"$tmp/dfs")
+        dlen.unpersist()
+        terms.unpersist(): Unit
+      }
       val q = Seq((0L, "hash join"), (0L, "table scan"),
         (1L, "merge sort"), (1L, "batch stream"),
         (2L, "slow query"), (2L, "fast scan")).toDF("qid", "term")
+      val qTerms = Seq("hash join", "table scan", "merge sort",
+        "batch stream", "slow query", "fast scan")
+      val postings = s.read.parquet(s"$base/postings")
+        .where(col("term").isin(qTerms: _*))
+      val dft = s.read.parquet(s"$base/dfs").where(col("term").isin(qTerms: _*))
+      val dlen = s.read.parquet(s"$base/doclens")
+      val stats = broadcast(s.read.parquet(s"$base/stats"))
       val qdf = broadcast(q.join(dft, "term"))
-      val scored = terms.join(qdf, "term")
+      val scored = postings.join(qdf, "term")
         .join(dlen, "doc_id")
         .crossJoin(stats)
         .withColumn("part",

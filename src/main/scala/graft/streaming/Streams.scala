@@ -414,4 +414,63 @@ object Streams {
     events.groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(update)
   }
+
+  final case class VecIn(vec_id: Long, vec: Array[Double])
+  final case class CellIngest(cell: Int, n_vectors: Long, sum_qdist: Long)
+
+  /** Streaming IVF ingest — the continuous sibling of the batch
+    * `sim_ivf_append` snapshot path: incoming vectors assign to a FROZEN
+    * quantizer's nearest cell (pure function of the broadcast few-KB
+    * centroid matrix — same argmin/tie conventions as
+    * [[graft.plans.NearestCells]], evaluated in the closure so the stateful
+    * shuffle key exists before the exchange), then per-cell state tracks
+    * ingest volume and quantization error: (n_vectors, Σ⌊1e6·‖v−c‖⌋).
+    *
+    * The residual sum is QUANTIZED to micro-units and summed as BIGINT so
+    * accumulation is exactly associative-commutative — differently-chunked
+    * streams land bit-identical state (spec-pinned), where double addition
+    * would drift with batch boundaries. Rising mean residual in a cell is
+    * the quantizer-staleness signal that schedules re-training; state is
+    * O(1) per cell and partitioned by cell — the 1000-executor shape. */
+  def annIngestStream(spark: SparkSession, vecs: Dataset[VecIn],
+                      cents: Array[Array[Double]]): Dataset[CellIngest] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(cents.nonEmpty, "frozen quantizer has no centroids")
+    def nearest(v: Array[Double]): Int = {
+      var best = 0; var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < cents.length) {
+        val cent = cents(c); var s = 0.0; var i = 0
+        val n = math.min(cent.length, v.length)
+        while (i < n) { val d = v(i) - cent(i); s += d * d; i += 1 }
+        // ragged tails count as distance-from-zero (NearestCells' padding)
+        while (i < cent.length) { s += cent(i) * cent(i); i += 1 }
+        while (i < v.length && i >= cent.length) { s += v(i) * v(i); i += 1 }
+        if (s < bestD) { bestD = s; best = c } // strict <: ties to the lower cell
+        c += 1
+      }
+      best
+    }
+    def qdist(v: Array[Double], cell: Int): Long = {
+      val cent = cents(cell); var s = 0.0; var i = 0
+      val n = math.min(cent.length, v.length)
+      while (i < n) { val d = v(i) - cent(i); s += d * d; i += 1 }
+      math.floor(math.sqrt(s) * 1e6).toLong
+    }
+    def update(cell: Int, rows: Iterator[(Int, VecIn)],
+               state: GroupState[(Long, Long)]): Iterator[CellIngest] = {
+      var (n, sq) = state.getOption.getOrElse((0L, 0L))
+      var touched = false
+      rows.foreach { case (_, r) => n += 1; sq += qdist(r.vec, cell); touched = true }
+      if (!touched) Iterator.empty
+      else {
+        state.update((n, sq))
+        Iterator.single(CellIngest(cell, n, sq))
+      }
+    }
+    vecs.map(v => (nearest(v.vec), v))
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(update)
+  }
 }

@@ -57,6 +57,19 @@ class AsOfJoinSpec extends SparkSpec {
       ("t2", Some(102.0)), ("t3", None), ("t4", None)))
   }
 
+  test("nearest direction: closer of the two sides wins, ties to backward — r5") {
+    // quotes for k=1 at ts 10/20/30. trades: 5 → only forward (10);
+    // 20 → exact (20, gap 0 beats forward 30); 25 → TIE (20 back, 30 fwd,
+    // both gap 5 — backward wins); k=2 trade at 40 → backward only (15);
+    // k=3 → no quotes, null
+    val out = AsOfJoin.asOfNearest(trades, quotes, Seq("k"), "tts", "qts", Seq("qts"))
+      .orderBy(col("k"), col("tts")).collect()
+      .map(r => (r.getAs[String]("tid"), Option(r.get(r.fieldIndex("asof_qts")))))
+    assert(out.toSeq == Seq(
+      ("t0", Some(10L)), ("t1", Some(20L)), ("t2", Some(20L)),
+      ("t3", Some(15L)), ("t4", None)))
+  }
+
   test("tolerance: matches farther back than the bound null out, near ones survive") {
     // numeric axis: trade at 25 matched quote at 20 (gap 5); trade at 20
     // matched quote at 10 under strict (gap 10)

@@ -22,6 +22,17 @@ class IvfSpec extends SparkSpec {
     assert(cells.select("cell").distinct().count() <= 8)
   }
 
+  test("train refuses corpora over its maxRows ceiling (scale guard — r5 verdict)") {
+    val e = intercept[IllegalArgumentException] {
+      Ivf.train(vecs, "vec_id", "embedding", k = 4, maxRows = 10L)
+    }
+    assert(e.getMessage.contains("trainSampled"),
+      "guard message must point callers at the corpus-size-independent trainer")
+    // at-or-under the ceiling still trains
+    assert(Ivf.train(vecs.limit(10), "vec_id", "embedding", k = 4, maxRows = 10L)
+      .count() == 4L)
+  }
+
   test("trainSampled is deterministic and matches distributed train's recall") {
     val c1 = Ivf.trainSampled(vecs, "vec_id", "embedding", k = 8)
     val c2 = Ivf.trainSampled(vecs, "vec_id", "embedding", k = 8)

@@ -99,6 +99,23 @@ class LlmOpsSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L, 0L)))
   }
 
+  test("simhash: packed BIGINT signature encodes exactly the array form's bits — r5 differential") {
+    val docs = (1 to 12).map(i =>
+      (i.toLong, ((i * 7) to (i * 7 + 50)).map(j => s"w${j % 37}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val sh = Dedup.shingleSets(docs, "doc_id", "text", 3)
+    val arr = Dedup.simhashSignatures(sh, "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val packed = Dedup.simhashSignaturesPacked(sh, "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(arr.keySet == packed.keySet)
+    arr.foreach { case (id, bits) =>
+      val expected = bits.zipWithIndex.foldLeft(0L) { case (acc, (b, i)) =>
+        if (b == 1) acc | (1L << i) else acc }
+      assert(packed(id) == expected, s"doc $id: packed long must equal bit-folded array sig")
+    }
+  }
+
   test("cosine: identity ~1, orthogonal 0") {
     val df = Seq(
       (Seq(1f, 0f, 2f), Seq(1f, 0f, 2f)),

@@ -328,6 +328,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("annIngestStream: chunking-invariant per-cell state, assignment matches batch IVF — r5") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.operators.Ivf
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .where(col("embedding").isNotNull).select(col("vec_id"), col("embedding"))
+    val cents = Ivf.collectCentroids(Ivf.trainSampled(e, "vec_id", "embedding", k = 4))
+    val rows = e.orderBy("vec_id").limit(64).collect()
+    val vecs = rows.map(r => Streams.VecIn(r.getLong(0),
+      r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq
+
+    def run(chunks: Seq[Seq[Streams.VecIn]], name: String): Map[Int, (Long, Long)] = {
+      val ms = MemoryStream[Streams.VecIn]
+      val q = Streams.annIngestStream(spark, ms.toDS(), cents).toDF()
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        chunks.foreach { c => ms.addData(c: _*); q.processAllAvailable() }
+        // final state per cell = the emission with the highest running count
+        spark.table(name).collect()
+          .map(r => (r.getInt(0), (r.getLong(1), r.getLong(2))))
+          .groupBy(_._1).view.mapValues(_.map(_._2).maxBy(_._1)).toMap
+      } finally q.stop()
+    }
+    val oneShot = run(Seq(vecs), "ann_one")
+    val chunked = run(vecs.grouped(13).toSeq, "ann_chunks")
+    assert(oneShot == chunked, "chunking changed the per-cell ingest state")
+    assert(oneShot.values.map(_._1).sum == 64L)
+
+    // cross-check against the BATCH path: the stream's cell choice must
+    // equal the native NearestCells assignment, and the quantized residual
+    // sums must match a driver recompute over those assignments
+    val batchCells = Ivf.assign(e.orderBy("vec_id").limit(64), cents.zipWithIndex.map {
+        case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "centroid"),
+      "vec_id", "embedding").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val expected = vecs.groupBy(v => batchCells(v.vec_id)).view.mapValues { vs =>
+      val n = vs.length.toLong
+      val sq = vs.map { v =>
+        val c = cents(batchCells(v.vec_id))
+        math.floor(math.sqrt(v.vec.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum) * 1e6).toLong
+      }.sum
+      (n, sq)
+    }.toMap
+    assert(oneShot == expected, "stream state diverged from the batch IVF assignment")
+  }
+
   test("sessionRateMonitor: one alert per burst session, chunking-invariant") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
