@@ -17,6 +17,48 @@ import Tables._
 object QueriesAnalytics {
 
   val queries: Map[String, Q] = Map(
+    // Fellegi–Sunter record linkage (entity resolution): probabilistic
+    // match scoring over BLOCKED candidate pairs — the master-data dedup
+    // operator (fuzzy_join is one similarity predicate; this is the full
+    // agreement-vector → log-odds-weight → three-zone decision pipeline).
+    // Dirty input = customers ∪ planted variants (key+500000: first name
+    // char corrupted, acctbal +0.37, same nation/segment). Blocking key =
+    // (nation, ⌊acctbal/100⌋) keeps candidate volume Σ block² ≪ n² and
+    // partitions the comparison space across executors. Agreement weights
+    // are FIXED scaled log-odds integers (name-within-1-edit +30/−10,
+    // acctbal-within-1.00 +15/−5, segment +10/−8) so scores are exact
+    // BIGINTs; the acctbal proximity compares the SAME parquet doubles in
+    // both engines, so the decision boundary is engine-identical. Declared
+    // output: every match/possible pair with its score (non-matches are
+    // the discarded bulk, by design).
+    "er_linkage" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val variants = cust.select(
+        (col("c_custkey") + 500000L).as("c_custkey"),
+        concat(lit("K"), expr("substring(c_name, 2)")).as("c_name"),
+        col("c_nationkey"),
+        (col("c_acctbal") + 0.37).as("c_acctbal"),
+        col("c_mktsegment"))
+      val dirty = cust.unionByName(variants)
+        .withColumn("blk", expr("CAST(floor(c_acctbal / 100.0) AS BIGINT)"))
+      val a = dirty.as("a"); val b = dirty.as("b")
+      val scored = a.join(b,
+          col("a.c_nationkey") === col("b.c_nationkey") &&
+            col("a.blk") === col("b.blk") &&
+            col("a.c_custkey") < col("b.c_custkey"))
+        .select(col("a.c_custkey").as("id_a"), col("b.c_custkey").as("id_b"),
+          (when(levenshtein(col("a.c_name"), col("b.c_name")) <= 1, 30L).otherwise(-10L) +
+            when(abs(col("a.c_acctbal") - col("b.c_acctbal")) < 1.0, 15L).otherwise(-5L) +
+            when(col("a.c_mktsegment") === col("b.c_mktsegment"), 10L).otherwise(-8L))
+            .as("score"))
+      scored
+        .withColumn("decision",
+          when(col("score") >= 45L, "match")
+            .when(col("score") >= 15L, "possible"))
+        .where(col("decision").isNotNull)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Recursive CTE (Spark 4's WITH RECURSIVE): walk every customer key up
     // its binary-ancestor chain (node -> node div 2) to the root and profile
     // nodes per depth. The iteration count is bounded by log2(max key) —
@@ -874,6 +916,25 @@ object QueriesAnalytics {
        |    WHERE rn = 1) b ON p.node = b.node2)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "er_linkage" ->
+      """WITH dirty AS (
+        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey + 500000, 'K' || substring(c_name, 2), c_nationkey,
+        |    c_acctbal + 0.37, c_mktsegment FROM customer),
+        |blocked AS (SELECT *, CAST(floor(c_acctbal / 100.0) AS BIGINT) AS blk FROM dirty),
+        |scored AS (
+        |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |    CAST(CASE WHEN levenshtein(a.c_name, b.c_name) <= 1 THEN 30 ELSE -10 END
+        |      + CASE WHEN abs(a.c_acctbal - b.c_acctbal) < 1.0 THEN 15 ELSE -5 END
+        |      + CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 10 ELSE -8 END AS BIGINT)
+        |      AS score
+        |  FROM blocked a JOIN blocked b
+        |    ON a.c_nationkey = b.c_nationkey AND a.blk = b.blk
+        |    AND a.c_custkey < b.c_custkey)
+        |SELECT id_a, id_b, score,
+        |  CASE WHEN score >= 45 THEN 'match' ELSE 'possible' END AS decision
+        |FROM scored WHERE score >= 15 ORDER BY id_a, id_b""".stripMargin,
     "supplier_scorecard" ->
       """WITH agg AS (
         |  SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_lines,

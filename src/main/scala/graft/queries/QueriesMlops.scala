@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
 import Tables._
 
 /** ML-ops / statistical-monitoring operators (SURVEY.md §2.8 extension
@@ -35,6 +36,116 @@ object QueriesMlops {
   }
 
   val queries: Map[String, Q] = Map(
+    // Deterministic Poisson BOOTSTRAP confidence intervals on a data-card
+    // metric (per-source mean chars): 32 resamples where doc weight in
+    // resample b is Poisson(1)-distributed via the md5(b, doc_id) prefix
+    // against fixed hex CDF thresholds — the train_split idiom, so both
+    // engines draw IDENTICAL resamples with no RNG seed coordination
+    // across a fleet. Each resample mean is one exact-BIGINT ratio; the CI
+    // is the 2nd/31st order statistic of the 32 means (≈95%), selected by
+    // a window over the 32-row-per-source table. The 32× fan-out carries
+    // only (source, n_chars, doc_id) — at 100 TB you'd bootstrap the
+    // already-aggregated per-shard partials instead, same arithmetic.
+    "bootstrap_ci" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("source"), col("n_chars"), col("doc_id"))
+      val fan = docs
+        .select(col("source"), col("n_chars"), col("doc_id"),
+          explode(sequence(lit(0), lit(31))).as("b"))
+        .withColumn("h", substring(md5(concat(lit("boot:"), col("b").cast(StringType),
+          lit(":"), col("doc_id").cast(StringType))), 1, 8))
+        .withColumn("w",
+          when(col("h") < "5e2d58d8", 0L).when(col("h") < "bc5ab1b1", 1L)
+            .when(col("h") < "eb715e1d", 2L).when(col("h") < "fb239797", 3L)
+            .otherwise(4L))
+      val means = fan.groupBy(col("source"), col("b"))
+        .agg((sum(col("w") * col("n_chars")) / sum(col("w"))).as("m"))
+      val wr = Window.partitionBy(col("source")).orderBy(col("m"), col("b"))
+      val point = docs.groupBy(col("source"))
+        .agg((sum(col("n_chars")).cast(DoubleType) / count(lit(1))).as("pm"))
+      means.withColumn("rn", row_number().over(wr))
+        .groupBy(col("source"))
+        .agg(min(when(col("rn") === 2, col("m"))).as("lo"),
+          min(when(col("rn") === 31, col("m"))).as("hi"))
+        .join(point, "source")
+        .select(col("source"),
+          (floor(col("pm") * 1e4 + 0.5) / 1e4).as("point_mean"),
+          (floor(col("lo") * 1e4 + 0.5) / 1e4).as("ci_lo"),
+          (floor(col("hi") * 1e4 + 0.5) / 1e4).as("ci_hi"))
+        .orderBy(col("source"))
+    }),
+
+    // Kaplan–Meier user-retention survival curve: lifetime = days between
+    // a user's first and last event; a user is CHURNED (death observed) if
+    // their last event predates corpus end by > 7 days, else censored —
+    // the right-censoring that naive "average lifetime" stats get wrong.
+    // Distributed shape: one per-user aggregate (corpus-sized), then every
+    // remaining stage lives on the calendar-bounded per-day table; at-risk
+    // counts come from total − cumulative-ended (window over ≤span rows),
+    // and S(t) = Π(1 − d/n) folds as exp(Σ ln) over the ORDERED frame with
+    // a 1e-6 floor-round (bm25/lm_score log-arithmetic precedent; the
+    // greatest(·, 1e-300) guard keeps a total-extinction day finite and
+    // engine-identical instead of Spark-null vs DuckDB −inf).
+    "survival_km" -> ((s, dir) => {
+      // PURCHASE activity with a 3-day inactivity cutoff: the all-events
+      // stream has near-daily activity for every user (nobody ever churns
+      // — an empty curve), while purchase gaps are wide enough that real
+      // right-censored lifetimes emerge at every SF (4/40/388 churned at
+      // sf0.001/0.01/0.1)
+      val ev = t(s, dir, "events")
+        .where(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("event_type") === "purchase")
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+      val users = ev.groupBy(col("user_id"))
+        .agg(min(col("d")).as("birth"), max(col("d")).as("last"))
+      val end = broadcast(ev.agg(max(col("d")).as("endd")))
+      val lives = users.crossJoin(end)
+        .select(datediff(col("last"), col("birth")).cast(LongType).as("life"),
+          (col("last") <= date_sub(col("endd"), 3)).as("dead"))
+      val byDay = lives.groupBy(col("life"))
+        .agg(count(lit(1)).as("n_end"),
+          sum(when(col("dead"), 1L).otherwise(0L)).as("dth"))
+      val tot = broadcast(lives.agg(count(lit(1)).as("total")))
+      val wb = Window.orderBy(col("life")).rowsBetween(Window.unboundedPreceding, -1)
+      val wp = Window.orderBy(col("life")).rowsBetween(Window.unboundedPreceding, 0)
+      byDay.crossJoin(tot)
+        .withColumn("n_at_risk", col("total") - coalesce(sum(col("n_end")).over(wb), lit(0L)))
+        .where(col("dth") > 0)
+        .withColumn("surv", exp(sum(log(greatest(
+          lit(1.0) - col("dth").cast(DoubleType) / col("n_at_risk"), lit(1e-300)))).over(wp)))
+        .select(col("life").as("t_days"), col("n_at_risk"), col("dth").as("n_churned"),
+          (floor(col("surv") * 1e6 + 0.5) / 1e6).as("survival"))
+        .orderBy(col("t_days"))
+    }),
+
+    // Walk-forward (expanding-window) time-series cross-validation splits:
+    // 4 folds over the event calendar, fold k training on the first k/6 of
+    // the span and testing on the next span/6 days — the leakage-free CV
+    // scheme for anything time-ordered (kfold_assign shuffles i.i.d.;
+    // shuffling time series leaks the future into training). Boundaries
+    // are integer day arithmetic from a 1-row broadcast (lo, span); the
+    // declared card pins per-(fold, part) counts, id checksums and exact
+    // date ranges.
+    "walkforward_split" -> ((s, dir) => {
+      val ev = t(s, dir, "events").where(col("ts").isNotNull)
+        .select(col("event_id"), to_date(col("ts")).as("d"))
+      val span = broadcast(ev.agg(min(col("d")).as("lo"), max(col("d")).as("hi")))
+      ev.crossJoin(span)
+        .select(col("event_id"), col("lo"),
+          (datediff(col("hi"), col("lo")) + 1).cast(LongType).as("ndays"),
+          datediff(col("d"), col("lo")).cast(LongType).as("off"), col("d"),
+          explode(array((1 to 4).map(k => lit(k.toLong)): _*)).as("fold"))
+        .withColumn("cut", expr("(ndays * fold) div 6"))
+        .withColumn("tw", expr("ndays div 6"))
+        .withColumn("part",
+          when(col("off") < col("cut"), "train")
+            .when(col("off") < col("cut") + col("tw"), "test"))
+        .where(col("part").isNotNull)
+        .groupBy(col("fold"), col("part"))
+        .agg(count(lit(1)).as("n_events"), sum(col("event_id")).as("id_sum"),
+          min(col("d")).as("from_day"), max(col("d")).as("to_day"))
+        .orderBy(col("fold"), col("part"))
+    }),
+
     // Deterministic per-group mode: the (status, priority) count aggregate
     // collapses the corpus to the tiny cross-domain FIRST (map-side
     // combined, one shuffle), then the argmax window runs over that
@@ -824,6 +935,70 @@ object QueriesMlops {
     }))
 
   val oracle: Map[String, String] = Map(
+    "bootstrap_ci" ->
+      """WITH fan AS (
+        |  SELECT source, n_chars, doc_id, unnest(range(0, 32)) AS b FROM documents),
+        |wt AS (SELECT source, n_chars, b,
+        |    CASE WHEN h < '5e2d58d8' THEN 0 WHEN h < 'bc5ab1b1' THEN 1
+        |         WHEN h < 'eb715e1d' THEN 2 WHEN h < 'fb239797' THEN 3
+        |         ELSE 4 END AS w
+        |  FROM (SELECT *, substring(md5('boot:' || CAST(b AS VARCHAR) || ':'
+        |          || CAST(doc_id AS VARCHAR)), 1, 8) AS h FROM fan)),
+        |means AS (SELECT source, b, sum(w * n_chars) / sum(w) AS m
+        |  FROM wt GROUP BY 1, 2),
+        |ranked AS (SELECT source, m,
+        |    row_number() OVER (PARTITION BY source ORDER BY m, b) AS rn FROM means),
+        |ci AS (SELECT source,
+        |    min(CASE WHEN rn = 2 THEN m END) AS lo,
+        |    min(CASE WHEN rn = 31 THEN m END) AS hi
+        |  FROM ranked GROUP BY source),
+        |pt AS (SELECT source, CAST(sum(n_chars) AS DOUBLE) / count(*) AS pm
+        |  FROM documents GROUP BY source)
+        |SELECT source, floor(pm * 1e4 + 0.5) / 1e4 AS point_mean,
+        |  floor(lo * 1e4 + 0.5) / 1e4 AS ci_lo,
+        |  floor(hi * 1e4 + 0.5) / 1e4 AS ci_hi
+        |FROM ci JOIN pt USING (source) ORDER BY source""".stripMargin,
+    "survival_km" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type = 'purchase'),
+        |users AS (SELECT user_id, min(d) AS birth, max(d) AS last FROM ev GROUP BY 1),
+        |e AS (SELECT max(d) AS endd FROM ev),
+        |lives AS (SELECT date_diff('day', birth, last) AS life,
+        |    (last <= endd - 3) AS dead
+        |  FROM users CROSS JOIN e),
+        |byday AS (SELECT life, CAST(count(*) AS BIGINT) AS n_end,
+        |    CAST(sum(CASE WHEN dead THEN 1 ELSE 0 END) AS BIGINT) AS dth
+        |  FROM lives GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM lives),
+        |risk AS (SELECT life, dth,
+        |    total - CAST(coalesce(sum(n_end) OVER (ORDER BY life
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_at_risk
+        |  FROM byday CROSS JOIN tot)
+        |SELECT life AS t_days, n_at_risk, dth AS n_churned,
+        |  floor(exp(sum(ln(greatest(1.0 - CAST(dth AS DOUBLE) / n_at_risk, 1e-300)))
+        |    OVER (ORDER BY life ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |    * 1e6 + 0.5) / 1e6 AS survival
+        |FROM risk WHERE dth > 0 ORDER BY t_days""".stripMargin,
+    // the fold fan-out is a CROSS JOIN to a derived folds table (an
+    // inline unnest column used in later arithmetic trips a DuckDB binder
+    // internal error)
+    "walkforward_split" ->
+      """WITH ev AS (SELECT event_id, CAST(ts AS DATE) AS d FROM events
+        |  WHERE ts IS NOT NULL),
+        |sp AS (SELECT min(d) AS lo, max(d) AS hi,
+        |    date_diff('day', min(d), max(d)) + 1 AS ndays FROM ev),
+        |folds AS (SELECT CAST(unnest([1, 2, 3, 4]) AS BIGINT) AS fold),
+        |parts AS (SELECT fold, event_id, d,
+        |    CASE WHEN date_diff('day', lo, d) < (ndays * fold) // 6 THEN 'train'
+        |         WHEN date_diff('day', lo, d) < (ndays * fold) // 6 + ndays // 6
+        |           THEN 'test' END AS part
+        |  FROM ev CROSS JOIN sp CROSS JOIN folds)
+        |SELECT fold, part, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(event_id) AS BIGINT) AS id_sum,
+        |  min(d) AS from_day, max(d) AS to_day
+        |FROM parts WHERE part IS NOT NULL
+        |GROUP BY fold, part ORDER BY fold, part""".stripMargin,
     "freshness_report" ->
       """WITH ev AS (
         |  SELECT event_type, epoch_us(ts) AS us FROM events

@@ -26,6 +26,39 @@ object QueriesPipeline {
     if (rate >= 1.0) "zzzz" else f"${math.floor(rate * 65536).toLong}%04x"
 
   val queries: Map[String, Q] = Map(
+    // Length-bucketed BATCH-PADDING planner: for candidate bucket counts
+    // B ∈ {1,2,4,8}, partition docs into B equal-width token-length bands
+    // and charge each doc the pad-to-band-max cost — the padded-token
+    // waste a dynamic-batching loader would pay at that granularity
+    // (pack_fragmentation prices PACKING into fixed sequences; this prices
+    // PADDING within length buckets, the other standard batching scheme).
+    // Shape: one narrow token-count scan, a 4-value explode of the 8-byte
+    // len stream, one (B, bucket) aggregate, one B-sized rollup — exact
+    // BIGINT waste accounting at any corpus size; band WIDTH comes from a
+    // 1-row broadcast max so the bucketing is value-domain (no rank sort).
+    "batch_buckets" -> ((s, dir) => {
+      val lens = t(s, dir, "documents")
+        .select(graft.functions.TextFns.tokenCount(col("text")).as("len"))
+      val mx = broadcast(lens.agg(max(col("len")).as("mx")))
+      lens.crossJoin(mx)
+        .select(col("len"),
+          explode(array(lit(1L), lit(2L), lit(4L), lit(8L))).as("n_buckets"),
+          col("mx"))
+        .withColumn("bucket", expr("len div ((mx div n_buckets) + 1)"))
+        .groupBy(col("n_buckets"), col("bucket"))
+        .agg(max(col("len")).as("bmax"), sum(col("len")).as("mass"),
+          count(lit(1)).as("n"))
+        .groupBy(col("n_buckets"))
+        .agg(count(lit(1)).as("used_buckets"),
+          sum(col("mass")).as("total_tokens"),
+          sum(col("n") * col("bmax")).as("padded_tokens"))
+        .select(col("n_buckets"), col("used_buckets"), col("total_tokens"),
+          col("padded_tokens"),
+          (col("padded_tokens") - col("total_tokens")).as("waste_tokens"),
+          (floor((col("padded_tokens") - col("total_tokens"))
+            / col("padded_tokens").cast(DoubleType) * 1e6 + 0.5) / 1e6).as("waste_pct"))
+        .orderBy(col("n_buckets"))
+    }),
     // Deterministic train/val/test split: a doc's split is a pure function
     // of its id hash (uniform md5 prefix vs static hex thresholds ~80/10/10)
     // — reproducible across engines/reruns/backfills, disjoint by
@@ -403,6 +436,22 @@ object QueriesPipeline {
   private val toks = Tables.toksSql()
 
   val oracle: Map[String, String] = Map(
+    "batch_buckets" ->
+      s"""WITH lens AS (SELECT CAST(len(${Tables.toksSql()}) AS BIGINT) AS len FROM documents),
+        |mx AS (SELECT max(len) AS mx FROM lens),
+        |fan AS (SELECT len, CAST(unnest([1, 2, 4, 8]) AS BIGINT) AS n_buckets, mx
+        |  FROM lens CROSS JOIN mx),
+        |bk AS (SELECT n_buckets, len // ((mx // n_buckets) + 1) AS bucket,
+        |    max(len) AS bmax, CAST(sum(len) AS BIGINT) AS mass,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM fan GROUP BY 1, 2)
+        |SELECT n_buckets, CAST(count(*) AS BIGINT) AS used_buckets,
+        |  CAST(sum(mass) AS BIGINT) AS total_tokens,
+        |  CAST(sum(n * bmax) AS BIGINT) AS padded_tokens,
+        |  CAST(sum(n * bmax) - sum(mass) AS BIGINT) AS waste_tokens,
+        |  floor((sum(n * bmax) - sum(mass)) / CAST(sum(n * bmax) AS DOUBLE) * 1e6 + 0.5) / 1e6
+        |    AS waste_pct
+        |FROM bk GROUP BY n_buckets ORDER BY n_buckets""".stripMargin,
     "train_split" ->
       """WITH d AS (SELECT source, n_chars,
         |    CASE WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4) < 'cccd' THEN 'train'

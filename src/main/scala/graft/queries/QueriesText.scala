@@ -547,6 +547,36 @@ object QueriesText {
           floor(col("n_chars") / when(col("n_bpe") =!= 0, col("n_bpe"))
             * 1e4 + 0.5) / 1e4)
         .orderBy(col("lang"))
+    }),
+
+    // Heaps-law vocabulary GROWTH curve: cumulative distinct vocabulary vs
+    // cumulative token mass at 10 ingestion-order checkpoints — the
+    // tokenizer/vocab sizing input (vocab_coverage answers "how much mass
+    // do the top-k cover NOW"; this answers "how fast does the vocabulary
+    // still grow", i.e. whether more data will keep minting types).
+    // Checkpoints are id-VALUE deciles ((id−lo)·10 div span — fully
+    // distributed, no global rank window); each token's FIRST decile comes
+    // from one min-aggregate keyed by the token, so the heavy stages are
+    // two ordinary shuffles ∝ token mass / vocabulary, and only the
+    // 10-row decile table ever sees a window. All counts exact BIGINTs.
+    "vocab_growth" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bounds = broadcast(docs.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi")))
+      val tok = docs.crossJoin(bounds)
+        .select(expr("least(((doc_id - lo) * 10) div (hi - lo + 1), 9)").as("decile"),
+          explode(TextFns.tokens(col("text"))).as("w"))
+      val perB = tok.groupBy(col("decile")).agg(count(lit(1)).as("n_toks"))
+      val firstB = tok.groupBy(col("w")).agg(min(col("decile")).as("decile"))
+        .groupBy(col("decile")).agg(count(lit(1)).as("new_vocab"))
+      val w10 = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      perB.join(firstB, Seq("decile"), "left")
+        .select(col("decile"), coalesce(col("new_vocab"), lit(0L)).as("new_vocab"),
+          col("n_toks"))
+        .withColumn("cum_vocab", sum(col("new_vocab")).over(w10))
+        .withColumn("cum_tokens", sum(col("n_toks")).over(w10))
+        .select(col("decile"), col("new_vocab"), col("cum_vocab"), col("cum_tokens"))
+        .orderBy(col("decile"))
     }))
 
   // DuckDB mirrors. Tokens: list_filter(string_split_regex(lower(text))).
@@ -574,6 +604,23 @@ object QueriesText {
          |  CROSS JOIN v)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "vocab_growth" ->
+      s"""WITH b AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
+        |tok AS MATERIALIZED (
+        |  SELECT least(((doc_id - lo) * 10) // (hi - lo + 1), 9) AS decile,
+        |    unnest($toks) AS w
+        |  FROM documents CROSS JOIN b),
+        |perb AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_toks
+        |  FROM tok GROUP BY 1),
+        |firstb AS (SELECT decile, CAST(count(*) AS BIGINT) AS new_vocab FROM (
+        |  SELECT w, min(decile) AS decile FROM tok GROUP BY w) GROUP BY 1)
+        |SELECT decile, coalesce(new_vocab, 0) AS new_vocab,
+        |  CAST(sum(coalesce(new_vocab, 0)) OVER (ORDER BY decile
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_vocab,
+        |  CAST(sum(n_toks) OVER (ORDER BY decile
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        |FROM perb LEFT JOIN firstb USING (decile)
+        |ORDER BY decile""".stripMargin,
     "token_entropy" ->
       s"""WITH tok AS (SELECT source, unnest(${Tables.toksSql()}) AS w FROM documents),
         |tc AS (SELECT source, w, count(*) AS c FROM tok GROUP BY 1, 2)
