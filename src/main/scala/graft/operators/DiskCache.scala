@@ -14,6 +14,56 @@ package graft.operators
   */
 object DiskCache {
 
+  /** Cache root for every on-disk index / state snapshot. Configurable
+    * (system property `graft.cache.root`, else env `GRAFT_CACHE_ROOT`)
+    * because a real cluster needs these on shared storage every driver can
+    * reach — the local default is the build's `target/`. */
+  def root: String =
+    sys.props.get("graft.cache.root")
+      .orElse(sys.env.get("GRAFT_CACHE_ROOT"))
+      .getOrElse("target")
+
+  /** The ONE cache-key scheme for every index (minhash / IVF / bm25 /
+    * sparse-cosine / incremental agg state): `root/prefix_<fingerprint>`.
+    * `prefix` carries the operator's corpus-definition version (`_v1` —
+    * bump on definition change); the fingerprint carries the data identity. */
+  def keyedPath(prefix: String, dataPaths: String*): String =
+    s"$root/${prefix}_${fingerprint(dataPaths: _*)}"
+
+  /** Content-identity fingerprint of dataset paths (plain files OR
+    * directory-shaped parquet datasets). Recursively folds every file's
+    * (relative path, length, mtime, tail-64-byte hash) in sorted order —
+    * unlike `File.length()` on a DIRECTORY (a filesystem-dependent entry
+    * count), this changes when any part file is added, removed, resized or
+    * rewritten. The tail bytes cover parquet's footer metadata, closing the
+    * same-size-rewrite-within-mtime-granularity hole a pure (length, mtime)
+    * key has. Cost: one directory walk + 64 bytes per file — O(files),
+    * never O(data). */
+  def fingerprint(dataPaths: String*): String = {
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    def walk(f: java.io.File, rel: String): Unit =
+      if (f.isDirectory)
+        Option(f.listFiles()).foreach(_.sortBy(_.getName)
+          .foreach(c => walk(c, rel + "/" + c.getName)))
+      else entries += s"$rel|${f.length}|${f.lastModified}|${tailHash(f)}"
+    dataPaths.foreach(p => walk(new java.io.File(p), p))
+    java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.orderedHash(entries).toLong & 0xffffffffL)
+  }
+
+  private def tailHash(f: java.io.File): Int =
+    if (!f.isFile || f.length == 0) 0
+    else {
+      val raf = new java.io.RandomAccessFile(f, "r")
+      try {
+        val n = math.min(64L, raf.length).toInt
+        raf.seek(raf.length - n)
+        val buf = new Array[Byte](n)
+        raf.readFully(buf)
+        java.util.Arrays.hashCode(buf)
+      } finally raf.close()
+    }
+
   /** True iff `path` holds a completed artifact: every relative `marker`
     * (e.g. "_SUCCESS", "bands/_SUCCESS") exists under it. */
   def complete(path: String, markers: Seq[String]): Boolean =
@@ -28,19 +78,35 @@ object DiskCache {
     if (complete(path, markers)) return
     val dest = new java.io.File(path)
     Option(dest.getParentFile).foreach(_.mkdirs())
-    val tmp = new java.io.File(path + ".tmp-" +
-      ProcessHandle.current().pid() + "-" + System.nanoTime())
-    build(tmp.getPath)
+    val unique = ProcessHandle.current().pid() + "-" + System.nanoTime()
+    val tmp = new java.io.File(path + ".tmp-" + unique)
+    var published = false
     try {
-      // a dest left behind by a CRASHED pre-rename writer (exists but
-      // incomplete) blocks the rename — clear it first; a complete dest is
-      // a concurrent winner and is kept
-      if (dest.exists() && !complete(path, markers)) deleteRecursively(dest)
-      java.nio.file.Files.move(tmp.toPath, dest.toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    } catch {
-      case _: java.nio.file.FileSystemException if complete(path, markers) =>
-        deleteRecursively(tmp) // lost the race; winner's snapshot serves
+      build(tmp.getPath)
+      try {
+        // a dest left behind by a CRASHED pre-rename writer (exists but
+        // incomplete) blocks the rename. Never delete it in place — a
+        // concurrent winner may publish between our completeness check and
+        // the delete, and deleting then would yank a live snapshot from
+        // under readers. Instead move it ASIDE with a rename: even if the
+        // aside victim turns out to be a winner's complete snapshot, our own
+        // complete build replaces it atomically right after, so readers only
+        // ever observe absent or fully-complete dirs (open file handles
+        // under the moved dir stay valid on POSIX).
+        if (dest.exists() && !complete(path, markers)) {
+          val aside = new java.io.File(path + ".stale-" + unique)
+          if (dest.renameTo(aside)) deleteRecursively(aside)
+        }
+        java.nio.file.Files.move(tmp.toPath, dest.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        published = true
+      } catch {
+        case _: java.nio.file.FileSystemException if complete(path, markers) =>
+          () // lost the race; winner's snapshot serves; tmp swept below
+      }
+    } finally {
+      // failed builds and lost races must not accumulate orphan temp dirs
+      if (!published && tmp.exists()) deleteRecursively(tmp)
     }
   }
 

@@ -60,7 +60,10 @@ object Ivf {
   def train(vectors: DataFrame, idCol: String, vecCol: String, k: Int,
             maxIters: Int = 6, tol: Double = 1e-2,
             maxRows: Long = 1L << 22): DataFrame = {
-    val probed = vectors.limit((maxRows + 1).min(Int.MaxValue).toInt).count()
+    // saturate BEFORE the +1: maxRows = Long.MaxValue must not overflow to a
+    // negative limit()
+    val probed =
+      vectors.limit(((maxRows min (Int.MaxValue - 1L)) + 1).toInt).count()
     require(probed <= maxRows,
       s"Ivf.train is the exhaustive (full-corpus-scan) Lloyd path, capped at $maxRows rows " +
         s"(corpus has more). Use Ivf.trainSampled — the corpus-size-independent trainer — " +

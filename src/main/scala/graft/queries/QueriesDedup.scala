@@ -41,13 +41,11 @@ object QueriesDedup {
     * silently serves the old corpus. Returns (corpus, labels). */
   private def clusterLabels(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val c = corpus(s, dir)
-    // cache key = dir + documents.parquet (size, mtime): regenerated
-    // testdata at the SAME path gets a fresh fixpoint instead of silently
-    // serving the old corpus's labels
-    val src = new java.io.File(s"$dir/documents.parquet")
-    val fingerprint = s"$dir|${src.length()}|${src.lastModified()}"
-    val path = "target/cluster_labels_v1_" +
-      java.lang.Long.toHexString(scala.util.hashing.MurmurHash3.stringHash(fingerprint).toLong & 0xffffffffL)
+    // cache key = data fingerprint of documents.parquet (DiskCache.keyedPath,
+    // the unified scheme): regenerated testdata at the SAME path gets a
+    // fresh fixpoint instead of silently serving the old corpus's labels
+    val path = graft.operators.DiskCache.keyedPath(
+      "cluster_labels_v1", s"$dir/documents.parquet")
     graft.operators.DiskCache.ensure(path) { tmp =>
       val edges = Dedup.minhashNearDups(c, "doc_id", "text", threshold = 0.8)
         .select(col("id_a"), col("id_b"))
@@ -328,12 +326,11 @@ object QueriesDedup {
       // the operator's point (the corpus scan amortizes across batches)
       // _v1 = version of the corpus DEFINITION below (existing = doc_id ≥
       // 100, default hash params): bump it if either changes. The key also
-      // folds in documents.parquet's (size, mtime) so REGENERATED testdata
-      // at the same path re-indexes instead of serving the old corpus.
-      val src = new java.io.File(s"$dir/documents.parquet")
-      val idxPath = "target/minhash_idx_v1_" +
-        java.lang.Long.toHexString(scala.util.hashing.MurmurHash3.stringHash(
-          s"$dir|${src.length()}|${src.lastModified()}").toLong & 0xffffffffL)
+      // folds in documents.parquet's data fingerprint so REGENERATED
+      // testdata at the same path re-indexes instead of serving the old
+      // corpus.
+      val idxPath = graft.operators.DiskCache.keyedPath(
+        "minhash_idx_v1", s"$dir/documents.parquet")
       Dedup.ensureMinhashIndex(existing, "doc_id", "text", idxPath)
       val incoming = docs.where(col("doc_id") >= 100 && col("doc_id") % 25 === 0)
         .select((col("doc_id") + 300000L).as("doc_id"),

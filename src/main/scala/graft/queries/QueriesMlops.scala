@@ -76,7 +76,7 @@ object QueriesMlops {
 
     // Kaplan–Meier user-retention survival curve: lifetime = days between
     // a user's first and last event; a user is CHURNED (death observed) if
-    // their last event predates corpus end by > 7 days, else censored —
+    // their last event predates corpus end by > 3 days, else censored —
     // the right-censoring that naive "average lifetime" stats get wrong.
     // Distributed shape: one per-user aggregate (corpus-sized), then every
     // remaining stage lives on the calendar-bounded per-day table; at-risk

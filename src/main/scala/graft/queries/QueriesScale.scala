@@ -176,17 +176,14 @@ object QueriesScale {
       def partials(df: org.apache.spark.sql.DataFrame) =
         df.groupBy(col("source")).agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("sum_chars"), max(col("doc_id")).as("max_id"))
-      // key the state by dir AND the source file's (length, mtime): if the
-      // testdata is regenerated in place, the fingerprint changes and the
-      // stale state is simply never found again (orphans are bytes in
-      // target/, harmless) — without this, old-corpus partials would merge
-      // with new-batch partials and silently report a mixed corpus
-      val srcMeta = {
-        val f = new java.io.File(s"$dir/documents.parquet")
-        s"${f.length}:${f.lastModified}"
-      }
-      val statePath = "target/aggstate_v1_" + java.lang.Long.toHexString(
-        scala.util.hashing.MurmurHash3.stringHash(dir + "|" + srcMeta).toLong & 0xffffffffL)
+      // key the state by the source's data fingerprint (DiskCache.keyedPath,
+      // the unified scheme): if the testdata is regenerated in place, the
+      // fingerprint changes and the stale state is simply never found again
+      // (orphans are bytes under the cache root, harmless) — without this,
+      // old-corpus partials would merge with new-batch partials and
+      // silently report a mixed corpus
+      val statePath = graft.operators.DiskCache.keyedPath(
+        "aggstate_v1", s"$dir/documents.parquet")
       graft.operators.DiskCache.ensure(statePath) { tmp =>
         partials(docs.where(col("doc_id") < 400)).write.mode("overwrite").parquet(tmp)
       }

@@ -199,10 +199,8 @@ object QueriesSim {
       val e = t(s, dir, "embeddings").where(col("embedding").isNotNull)
         .select(col("vec_id"), col("embedding"))
       val cents = Ivf.trainSampled(e, "vec_id", "embedding", k = 8)
-      val src = new java.io.File(s"$dir/embeddings.parquet")
-      val base = "target/ivf_idx_v1_" +
-        java.lang.Long.toHexString(scala.util.hashing.MurmurHash3.stringHash(
-          s"$dir|${src.length()}|${src.lastModified()}").toLong & 0xffffffffL)
+      val base = graft.operators.DiskCache.keyedPath(
+        "ivf_idx_v1", s"$dir/embeddings.parquet")
       graft.operators.DiskCache.ensure(s"$base/corpus") { tmp =>
         Ivf.writeIndex(Ivf.index(e, cents, "vec_id", "embedding"), tmp)
       }

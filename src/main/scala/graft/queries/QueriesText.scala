@@ -263,10 +263,8 @@ object QueriesText {
     // double formula is engine-identical from exact BIGINT tf/df/dl.
     "bm25_search" -> ((s, dir) => {
       import s.implicits._
-      val src = new java.io.File(s"$dir/documents.parquet")
-      val base = "target/bm25_idx_v1_" +
-        java.lang.Long.toHexString(scala.util.hashing.MurmurHash3.stringHash(
-          s"$dir|${src.length()}|${src.lastModified()}").toLong & 0xffffffffL)
+      val base = graft.operators.DiskCache.keyedPath(
+        "bm25_idx_v1", s"$dir/documents.parquet")
       graft.operators.DiskCache.ensure(base, Seq("postings/_SUCCESS",
         "doclens/_SUCCESS", "dfs/_SUCCESS", "stats/_SUCCESS")) { tmp =>
         val terms = t(s, dir, "documents")

@@ -437,27 +437,28 @@ object Streams {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     require(cents.nonEmpty, "frozen quantizer has no centroids")
+    // ONE distance metric for both assignment and the recorded residual:
+    // ragged tails count as distance-from-zero (NearestCells' padding)
+    def sqDist(v: Array[Double], cent: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      val n = math.min(cent.length, v.length)
+      while (i < n) { val d = v(i) - cent(i); s += d * d; i += 1 }
+      while (i < cent.length) { s += cent(i) * cent(i); i += 1 }
+      while (i < v.length && i >= cent.length) { s += v(i) * v(i); i += 1 }
+      s
+    }
     def nearest(v: Array[Double]): Int = {
       var best = 0; var bestD = Double.PositiveInfinity
       var c = 0
       while (c < cents.length) {
-        val cent = cents(c); var s = 0.0; var i = 0
-        val n = math.min(cent.length, v.length)
-        while (i < n) { val d = v(i) - cent(i); s += d * d; i += 1 }
-        // ragged tails count as distance-from-zero (NearestCells' padding)
-        while (i < cent.length) { s += cent(i) * cent(i); i += 1 }
-        while (i < v.length && i >= cent.length) { s += v(i) * v(i); i += 1 }
+        val s = sqDist(v, cents(c))
         if (s < bestD) { bestD = s; best = c } // strict <: ties to the lower cell
         c += 1
       }
       best
     }
-    def qdist(v: Array[Double], cell: Int): Long = {
-      val cent = cents(cell); var s = 0.0; var i = 0
-      val n = math.min(cent.length, v.length)
-      while (i < n) { val d = v(i) - cent(i); s += d * d; i += 1 }
-      math.floor(math.sqrt(s) * 1e6).toLong
-    }
+    def qdist(v: Array[Double], cell: Int): Long =
+      math.floor(math.sqrt(sqDist(v, cents(cell))) * 1e6).toLong
     def update(cell: Int, rows: Iterator[(Int, VecIn)],
                state: GroupState[(Long, Long)]): Iterator[CellIngest] = {
       var (n, sq) = state.getOption.getOrElse((0L, 0L))

@@ -31,6 +31,10 @@ class IvfSpec extends SparkSpec {
     // at-or-under the ceiling still trains
     assert(Ivf.train(vecs.limit(10), "vec_id", "embedding", k = 4, maxRows = 10L)
       .count() == 4L)
+    // maxRows = Long.MaxValue must saturate, not overflow to a negative
+    // limit() (r5 advice: the error message tells callers to raise maxRows)
+    assert(Ivf.train(vecs.limit(10), "vec_id", "embedding", k = 4,
+      maxRows = Long.MaxValue).count() == 4L)
   }
 
   test("trainSampled is deterministic and matches distributed train's recall") {
