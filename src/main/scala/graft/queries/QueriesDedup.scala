@@ -434,51 +434,100 @@ object QueriesDedup {
       val toks = corpus(s, dir)
         .select(col("doc_id"), array_distinct(TextFns.tokens(col("text"))).as("toks"))
         .where(size(col("toks")) > 0)
-      val ex = toks.select(col("doc_id"), explode(col("toks")).as("tok"))
+      // EXACT-DEDUP-BEFORE-NEAR-DEDUP (round 6, the production pipeline
+      // order): J(a,b) is a function of the token SETS alone, so docs with
+      // identical sets are interchangeable — group them into classes
+      // (ckey = the sorted set itself; tokens are whitespace-split so the
+      // space join is injective, no hash-collision risk) and run the
+      // quadratic machinery on DISTINCT CLASSES only. The measured 100×
+      // corpus holds 6000 docs but 3740 classes, with every planted
+      // duplicate cluster collapsing to ONE representative — the 10.6M
+      // prefix-collision rows and 897k verified doc-pairs of the doc-level
+      // join become ~1.4M and ~30k at class level, and the doc-pair
+      // quadratic blowup (c·(c−1)/2 per cluster) is replaced by per-class
+      // ARITHMETIC below. One extra corpus shuffle (the ckey window) buys
+      // a squared-cluster-size reduction everywhere after it.
+      val wc = Window.partitionBy("ckey")
+      val wco = Window.partitionBy("ckey").orderBy("doc_id")
+      val mem = toks
+        .withColumn("ckey", concat_ws(" ", sort_array(col("toks"))))
+        .withColumn("m", count(lit(1)).over(wc))
+        .withColumn("rn", row_number().over(wco))
+        .withColumn("c1", min(col("doc_id")).over(wc))
+        .withColumn("c2", max(when(col("rn") === 2, col("doc_id"))).over(wc))
+      val reps = mem.where(col("rn") === 1)
+        .select(col("c1").as("cid"), col("toks"), col("m"))
+      // class-level prefix join: n rides the array size through the explode
+      // (no unordered count window); df now counts CLASSES per token — any
+      // consistent global total order preserves prefix completeness
+      val ex = reps.select(col("cid"), size(col("toks")).cast("long").as("n"),
+        explode(col("toks")).as("tok"))
       val tf = ex.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      val w = Window.partitionBy("doc_id").orderBy(col("df"), col("tok"))
+      val w = Window.partitionBy("cid").orderBy(col("df"), col("tok"))
       val prefix = ex.join(tf, "tok")
         .withColumn("rk", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
         .where(col("rk") <= col("n") - ceil(col("n") * tau) + 1)
-        .select(col("doc_id"), col("tok"), col("n"))
-      // PPJoin length filter: J ≥ τ forces τ·|a| ≤ |b| ≤ |a|/τ (the overlap
-      // is ≤ min and ≥ τ·max), so length-mismatched collisions prune BEFORE
-      // the candidate distinct — no semantic change, provably lossless.
+        .select(col("cid"), col("tok"), col("n"), col("rk"))
+      // PPJoin length filter: J ≥ τ forces τ·|a| ≤ |b| ≤ |a|/τ, so length-
+      // mismatched collisions prune in the join condition — lossless.
+      // PPJoin+ positional/suffix filter: tokens sort by ONE global
+      // (df, tok) order in every class, so the globally-largest SHARED
+      // prefix token has the largest rk on both sides at once, and any
+      // common token that is not a shared-prefix collision must sort after
+      // it (earlier ⇒ inside both prefixes ⇒ it would have collided).
+      // Hence overlap ≤ cnt + min(|a|−max rkₐ, |b|−max rk_b), and J ≥ τ
+      // needs overlap ≥ τ/(1+τ)·(|a|+|b|) — pairs whose bound falls short
+      // prune HERE, before the exact verify joins the full token arrays.
+      // The ε slack only loosens the bound (a float constant never prunes
+      // a boundary-qualifying pair); the aggregate replaces a .distinct()
+      // with the same shuffle key and map-side combine.
       val cand = prefix.as("a").join(prefix.as("b"),
-          col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.tok") === col("b.tok") && col("a.cid") < col("b.cid") &&
             col("b.n") >= col("a.n") * tau && col("a.n") >= col("b.n") * tau)
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-        .distinct()
+        .groupBy(col("a.cid").as("ca"), col("b.cid").as("cb"))
+        .agg(count(lit(1)).as("cnt"),
+          max(col("a.rk")).as("mra"), max(col("b.rk")).as("mrb"),
+          max(col("a.n")).as("an"), max(col("b.n")).as("bn"))
+        .where(col("cnt") + least(col("an") - col("mra"), col("bn") - col("mrb"))
+          >= (col("an") + col("bn")) * (tau / (1 + tau)) - 1e-9)
+        .select(col("ca"), col("cb"))
       // τ compares against the UNROUNDED ratio: both engines compute the
-      // identical IEEE double from the same integer intersect/union sizes,
-      // while filtering on the rounded value would admit pairs in
-      // [τ−5e-7, τ) that sit OUTSIDE the prefix filter's completeness
-      // guarantee. Rounding happens only on the emitted column.
-      val pairs = cand
-        .join(toks.select(col("doc_id").as("id_a"), col("toks").as("ta")), "id_a")
-        .join(toks.select(col("doc_id").as("id_b"), col("toks").as("tb")), "id_b")
+      // identical IEEE double from the same integer intersect/union sizes.
+      // Distinct classes have distinct sets, so cross-class J < 1 strictly
+      // — the within-class J = 1 entries below always dominate arg-max.
+      val cpairs = cand
+        .join(reps.select(col("cid").as("ca"), col("toks").as("ta")), "ca")
+        .join(reps.select(col("cid").as("cb"), col("toks").as("tb")), "cb")
         .withColumn("j",
           size(array_intersect(col("ta"), col("tb"))).cast("double")
             / size(array_union(col("ta"), col("tb"))))
         .where(col("j") >= tau)
-        .select(col("id_a"), col("id_b"), col("j"))
-      // Declared output is PER-DOC (match count + best partner), linear in
-      // corpus size: the exact all-pairs *output* is quadratic in duplicate-
-      // cluster size by definition (a 30×-duplicated cluster of c docs emits
-      // c·(c−1)/2 rows), which is what made the old declared shape the one
-      // 100×-weak entry. The pair stream above stays the internal feed for
-      // dedup_clusters; here it collapses symmetrically through ONE
-      // map-side-combinable aggregate (arg-max via struct ordering — no
-      // per-doc window buffering a power-doc's full match list).
-      val sym = pairs.select(col("id_a").as("doc_id"), col("id_b").as("partner"), col("j"))
-        .unionByName(pairs.select(col("id_b").as("doc_id"), col("id_a").as("partner"), col("j")))
-      sym.groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_matches"),
-          max(struct(col("j").as("j"), (-col("partner")).as("np"))).as("b"))
+        .select(col("ca"), col("cb"), col("j"))
+      // Per-CLASS cross aggregates (partner class contributes all m members;
+      // its best representative under the (j desc, id asc) tie rule is its
+      // min doc_id = cid), then per-doc expansion by pure arithmetic:
+      //   n_matches(d ∈ A) = (m_A − 1)  +  Σ_{B: J(A,B) ≥ τ} m_B
+      //   best(d ∈ A)      = within-class (J = 1, smallest other member)
+      //                      when m_A > 1, else the best cross class.
+      // Declared output stays PER-DOC (match count + best partner), linear
+      // in corpus size — bit-identical to the brute-force oracle.
+      val symc = cpairs.select(col("ca").as("cid"), col("cb").as("pcid"), col("j"))
+        .unionByName(cpairs.select(col("cb").as("cid"), col("ca").as("pcid"), col("j")))
+      val crossAgg = symc
+        .join(reps.select(col("cid").as("pcid"), col("m").as("pm")), "pcid")
+        .groupBy(col("cid"))
+        .agg(sum(col("pm")).as("cross_n"),
+          max(struct(col("j").as("j"), (-col("pcid")).as("np"))).as("bc"))
+      mem.join(crossAgg, mem("c1") === crossAgg("cid"), "left")
+        .withColumn("n_matches", (col("m") - 1) + coalesce(col("cross_n"), lit(0L)))
+        .where(col("n_matches") > 0)
+        .withColumn("bj", when(col("m") > 1, lit(1.0)).otherwise(col("bc.j")))
+        .withColumn("bp", when(col("m") > 1,
+            when(col("doc_id") === col("c1"), col("c2")).otherwise(col("c1")))
+          .otherwise(-col("bc.np")))
         .select(col("doc_id"), col("n_matches"),
-          (-col("b.np")).as("best_partner"),
-          (floor(col("b.j") * 1e6 + 0.5) / 1e6).as("best_jaccard"))
+          col("bp").as("best_partner"),
+          (floor(col("bj") * 1e6 + 0.5) / 1e6).as("best_jaccard"))
         .orderBy(col("doc_id"))
     }))
 
