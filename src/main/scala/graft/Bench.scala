@@ -71,6 +71,7 @@ object Bench {
         (line + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
     println(line)
+    graft.operators.CacheRegistry.sweep()
     spark.stop()
   }
 }

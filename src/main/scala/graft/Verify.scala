@@ -70,6 +70,10 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v.replace("__SFDIR__", sfDir))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // release the deliberate session-lifetime operator caches (minhash
+    // shingles, packed signatures, bloom shingles) now that every query
+    // has materialized
+    graft.operators.CacheRegistry.sweep()
     spark.stop()
   }
 }

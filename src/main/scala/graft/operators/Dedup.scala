@@ -87,10 +87,9 @@ object Dedup {
                       shingleN: Int = 3): DataFrame = {
     // shingle sets feed the signature path AND both sides of the verify join
     // — persist once instead of recomputing the tokenize+shingle pass 3×.
-    // (Deliberately not unpersisted: the operator returns a lazy plan over
-    // the cache; lifetime is the session's, which suits batch dedup jobs.)
-    val sh = shingleSets(docs, idCol, textCol, shingleN)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // (The operator returns a lazy plan over the cache, so it can't
+    // unpersist here; CacheRegistry hands lifetime to the harness sweep.)
+    val sh = CacheRegistry.track(shingleSets(docs, idCol, textCol, shingleN))
     val bands = bandedKeys(sh, idCol, numHashes, numBands)
     val cand = bands.as("x").join(bands.as("y"),
         col(s"x.band") === col(s"y.band") && col(s"x.bh") === col(s"y.bh") &&
@@ -142,8 +141,7 @@ object Dedup {
                           numHashes: Int = 64, numBands: Int = 16,
                           shingleN: Int = 3): DataFrame = {
     val spark = incoming.sparkSession
-    val sh = shingleSets(incoming, idCol, textCol, shingleN)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = CacheRegistry.track(shingleSets(incoming, idCol, textCol, shingleN))
     val newBands = bandedKeys(sh, idCol, numHashes, numBands)
     val idxBands = spark.read.parquet(s"$indexPath/bands")
       .toDF("_idx_id", "band", "bh")
@@ -221,8 +219,8 @@ object Dedup {
     // collisions (and thus candidate pairs) ~256× rarer than 8-bit chunks.
     val chunkLen = 64 / numChunks
     val mask = if (chunkLen == 64) -1L else (1L << chunkLen) - 1L
-    val sigs = sigs0.select(col(idCol), col(sigCol).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = CacheRegistry.track(
+      sigs0.select(col(idCol), col(sigCol).as("sig")))
     val chunkKeys = array((0 until numChunks).map(k =>
       shiftright(col("sig"), k * chunkLen).bitwiseAND(lit(mask))): _*)
     val chunks = sigs

@@ -238,7 +238,7 @@ object QueriesDedup {
     // at corpus scale.
     "contamination_bloom" -> ((s, dir) => {
       val (evalSh0, trainSh0) = contaminationShingles(s, dir)
-      val evalSh = evalSh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val evalSh = graft.operators.CacheRegistry.track(evalSh0)
       // build over the SAME xxhash64 longs the probe hashes (putLong ↔
       // mightContainLong)
       val bloom = evalSh.select(xxhash64(col("sh")).as("h"))
@@ -352,8 +352,8 @@ object QueriesDedup {
     // intersect/union per candidate pair; the 5-threshold fan-out happens
     // on the (tiny) pair stream. Exact BIGINT counts both engines.
     "dedup_sweep" -> ((s, dir) => {
-      val sh = Dedup.shingleSets(corpus(s, dir), "doc_id", "text", 3)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sh = graft.operators.CacheRegistry.track(
+        Dedup.shingleSets(corpus(s, dir), "doc_id", "text", 3))
       val ex = sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
       val cand = ex.as("a").join(ex.as("b"),
           col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
