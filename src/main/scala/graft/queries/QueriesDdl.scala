@@ -334,6 +334,73 @@ object QueriesDdl {
       graft.operators.Dedup.packedHammingNearDups(hashed, "img_id", "phash",
           maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Cross-modal modality-agreement card (round 6): ONE quartet corpus
+    // drives BOTH dedup modalities — +100000 keeps the TEXT but renders an
+    // UNRELATED image (pattern of base+7777), +200000 keeps the IMAGE but
+    // carries an unrelated stock caption, +300000 duplicates both — and
+    // each within-quartet pair scores text jaccard (3-gram shingle sets,
+    // the dedup family's metric) AND image hamming (aHash64 through the
+    // real BMP render→decode path, phash_neardup's metric). Pairs classify
+    // into the report production cares about: image-dup-but-text-divergent
+    // = caption farms; text-dup-but-image-divergent = template reuse; both
+    // = true duplicates; neither = coincidental collisions. The four pair
+    // kinds land in the four classes deterministically at every SF. Scale
+    // shape: the pair domain is LINEAR in corpus size (4 pairs per base —
+    // no quadratic stream), decode/hash never shuffle (narrow
+    // mapPartitions), and the report aggregates exact BIGINTs (count,
+    // hamming sum) plus order-independent min/max jaccard, so the oracle
+    // matches bit-for-bit from the integer pixel formula + shingle sets.
+    "crossmodal_dedup" -> ((s, dir) => {
+      import graft.operators.Dedup
+      val stub = "stock photo caption reused across unrelated pages"
+      val ids = t(s, dir, "documents").where(col("doc_id") % 50 === 0)
+        .select(col("doc_id"), col("text"))
+      val docs = ids.select(col("doc_id").as("id"), col("text"))
+        .unionByName(ids.select((col("doc_id") + 100000L).as("id"), col("text")))
+        .unionByName(ids.select((col("doc_id") + 200000L).as("id"),
+          lit(stub).as("text")))
+        .unionByName(ids.select((col("doc_id") + 300000L).as("id"), col("text")))
+      // zero-shingle docs can't score a jaccard (0/0 NaN diverges across
+      // engines) — both sides exclude them identically
+      val sh = Dedup.shingleSets(docs, "id", "text")
+        .where(size(col("shingles")) > 0)
+      val imgs = ids.select(col("doc_id").as("img_id"), col("doc_id").as("base"),
+          lit(0).as("bright"))
+        .unionByName(ids.select((col("doc_id") + 100000L).as("img_id"),
+          (col("doc_id") + 7777L).as("base"), lit(0).as("bright")))
+        .unionByName(ids.select((col("doc_id") + 200000L).as("img_id"),
+          col("doc_id").as("base"), lit(0).as("bright")))
+        .unionByName(ids.select((col("doc_id") + 300000L).as("img_id"),
+          col("doc_id").as("base"), lit(0).as("bright")))
+      val hashed = Multimodal.aHashBmp(s, Multimodal.renderBmpVariants(s, imgs))
+      val pairs = ids.select(col("doc_id").as("base"))
+        .select(col("base"), explode(array(
+          struct(lit(0L).as("da"), lit(100000L).as("db")),
+          struct(lit(0L).as("da"), lit(200000L).as("db")),
+          struct(lit(0L).as("da"), lit(300000L).as("db")),
+          struct(lit(100000L).as("da"), lit(200000L).as("db")))).as("p"))
+        .select((col("base") + col("p.da")).as("id_a"),
+          (col("base") + col("p.db")).as("id_b"))
+      pairs
+        .join(sh.select(col("id").as("id_a"), col("shingles").as("sa")), "id_a")
+        .join(sh.select(col("id").as("id_b"), col("shingles").as("sb")), "id_b")
+        .join(hashed.select(col("img_id").as("id_a"), col("phash").as("ha")), "id_a")
+        .join(hashed.select(col("img_id").as("id_b"), col("phash").as("hb")), "id_b")
+        .select(Dedup.jaccard(col("sa"), col("sb")).as("j"),
+          bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("h"))
+        .withColumn("class",
+          when(col("h") <= 3 && col("j") >= 0.8, "agree_dup")
+            .when(col("h") <= 3, "image_only_caption_farm")
+            .when(col("j") >= 0.8, "text_only_template_reuse")
+            .otherwise("neither"))
+        .groupBy(col("class"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("h")).as("sum_hamming"),
+          (floor(min(col("j")) * 1e6 + 0.5) / 1e6).as("min_jaccard"),
+          (floor(max(col("j")) * 1e6 + 0.5) / 1e6).as("max_jaccard"))
+        .orderBy(col("class"))
     }))
 
   /** DuckDB `next-highest-power-of-two` of a max-length aggregate. */
@@ -516,5 +583,68 @@ object QueriesDdl {
         |    CAST(sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS BIGINT) AS hamming
         |  FROM bits a JOIN bits b ON a.k = b.k AND a.img_id < b.img_id
         |  GROUP BY 1, 2)
-        |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin)
+        |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin,
+    // trio-pair recompute of BOTH modalities: shingle jaccard (dedup-family
+    // SQL) + aHash bits from the integer pixel formula (phash oracle SQL),
+    // classified and aggregated with exact integer sums
+    "crossmodal_dedup" ->
+      s"""WITH ids AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+         |docs AS (
+         |  SELECT doc_id AS id, text FROM ids
+         |  UNION ALL SELECT doc_id + 100000, text FROM ids
+         |  UNION ALL SELECT doc_id + 200000,
+         |    'stock photo caption reused across unrelated pages' FROM ids
+         |  UNION ALL SELECT doc_id + 300000, text FROM ids),
+         |sh AS (SELECT id, s FROM (
+         |  SELECT id, list_distinct(list_transform(range(1, greatest(len(tk) - 1, 1)),
+         |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+         |  FROM (SELECT id, ${Tables.toksSql()} AS tk FROM docs)) WHERE len(s) > 0),
+         |imgs AS (
+         |  SELECT doc_id AS img_id, doc_id AS base, 0 AS bright FROM ids
+         |  UNION ALL SELECT doc_id + 100000, doc_id + 7777, 0 FROM ids
+         |  UNION ALL SELECT doc_id + 200000, doc_id, 0 FROM ids
+         |  UNION ALL SELECT doc_id + 300000, doc_id, 0 FROM ids),
+         |g AS (SELECT img_id, base, bright, 8 + base % 9 AS w, 8 + base % 7 AS h,
+         |    unnest(range(0, 64)) AS k FROM imgs),
+         |pos AS (SELECT img_id, base, bright, k,
+         |    (k % 8) * w // 8 AS x, (k // 8) * h // 8 AS y FROM g),
+         |gr AS (SELECT img_id, k,
+         |      least((base + x * 7 + y * 13) % 256 + bright, 255)
+         |    + least((base + x * 7 + y * 13 + 29) % 256 + bright, 255)
+         |    + least((base + x * 7 + y * 13 + 58) % 256 + bright, 255) AS gray
+         |  FROM pos),
+         |bits AS MATERIALIZED (
+         |  SELECT img_id, k,
+         |    CASE WHEN gray * 64 >= sum(gray) OVER (PARTITION BY img_id)
+         |         THEN 1 ELSE 0 END AS bit
+         |  FROM gr),
+         |pairs AS (
+         |  SELECT doc_id + v.da AS id_a, doc_id + v.db AS id_b FROM ids
+         |  CROSS JOIN (VALUES (0, 100000), (0, 200000), (0, 300000),
+         |    (100000, 200000)) AS v(da, db)),
+         |ham AS (
+         |  SELECT p.id_a, p.id_b,
+         |    CAST(sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS BIGINT) AS h
+         |  FROM pairs p
+         |  JOIN bits a ON a.img_id = p.id_a
+         |  JOIN bits b ON b.img_id = p.id_b AND b.k = a.k
+         |  GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+         |      / CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE) AS j,
+         |    ham.h AS h
+         |  FROM pairs p
+         |  JOIN sh sa ON sa.id = p.id_a
+         |  JOIN sh sb ON sb.id = p.id_b
+         |  JOIN ham ON ham.id_a = p.id_a AND ham.id_b = p.id_b)
+         |SELECT cls AS class, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(h) AS BIGINT) AS sum_hamming,
+         |  floor(min(j) * 1e6 + 0.5) / 1e6 AS min_jaccard,
+         |  floor(max(j) * 1e6 + 0.5) / 1e6 AS max_jaccard
+         |FROM (SELECT h, j,
+         |  CASE WHEN h <= 3 AND j >= 0.8 THEN 'agree_dup'
+         |       WHEN h <= 3 THEN 'image_only_caption_farm'
+         |       WHEN j >= 0.8 THEN 'text_only_template_reuse'
+         |       ELSE 'neither' END AS cls FROM scored)
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
 }
