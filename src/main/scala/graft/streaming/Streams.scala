@@ -415,6 +415,69 @@ object Streams {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(update)
   }
 
+  final case class TrainDoc(doc_id: Long, source: String, text: String)
+  final case class ContamStat(source: String, n_docs: Long, n_flagged: Long,
+                              n_hit_shingles: Long)
+
+  /** Streaming contamination guard — the ingest-time twin of the batch
+    * `contamination_bloom` query: every arriving TRAIN document probes a
+    * FROZEN broadcast Bloom filter of the eval suite's distinct token
+    * `shingleN`-grams, and per-SOURCE state tracks exact BIGINT ingest
+    * totals (docs seen, docs flagged, shingle hits). A rising flagged rate
+    * in one source is the leak signal that quarantines the feed before the
+    * batch decontaminate pass runs.
+    *
+    * The filter is built HERE from the eval docs (driver-side `putString`
+    * over the collected distinct shingles — an eval/benchmark suite is
+    * bounded by definition, a few thousand docs, so the collect is
+    * config-sized; the guard is cheap-first-pass approximate in admitting
+    * Bloom false POSITIVES, never false negatives — exactness is restored
+    * downstream by `decontaminate_apply`'s equi-join, the same contract as
+    * the batch bloom prefilter). State is three numbers per source and the
+    * accumulation is associative-commutative integer addition, so
+    * differently-chunked streams land bit-identical state (spec-pinned) —
+    * the 1000-executor shape, partitioned by source. */
+  def contaminationGuardStream(spark: SparkSession, evalDocs: DataFrame,
+                               train: Dataset[TrainDoc], shingleN: Int = 8,
+                               fpp: Double = 0.001): Dataset[ContamStat] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    def shinglesOf(text: String): Iterator[String] = {
+      val toks = text.toLowerCase.split("\\s+").iterator.filter(_.nonEmpty).toArray
+      if (toks.length < shingleN) Iterator.empty
+      else (0 to toks.length - shingleN).iterator
+        .map(i => toks.slice(i, i + shingleN).mkString(" "))
+    }
+    val evalShingles = evalDocs.select(col("text").cast("string")).as[String]
+      .flatMap(shinglesOf).distinct().collect()
+    val bloom = org.apache.spark.util.sketch.BloomFilter
+      .create(math.max(evalShingles.length.toLong, 1024L), fpp)
+    evalShingles.foreach(bloom.putString)
+    val bc = spark.sparkContext.broadcast(bloom)
+    def update(source: String, rows: Iterator[(String, TrainDoc)],
+               state: GroupState[(Long, Long, Long)]): Iterator[ContamStat] = {
+      var (n, f, h) = state.getOption.getOrElse((0L, 0L, 0L))
+      var touched = false
+      rows.foreach { case (_, d) =>
+        touched = true
+        var hits = 0L
+        val seen = scala.collection.mutable.HashSet.empty[String]
+        shinglesOf(d.text).foreach { s =>
+          if (seen.add(s) && bc.value.mightContainString(s)) hits += 1
+        }
+        n += 1; h += hits; if (hits > 0) f += 1
+      }
+      if (!touched) Iterator.empty
+      else {
+        state.update((n, f, h))
+        Iterator.single(ContamStat(source, n, f, h))
+      }
+    }
+    train.map(d => (d.source, d))
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(update)
+  }
+
   final case class VecIn(vec_id: Long, vec: Array[Double])
   final case class CellIngest(cell: Int, n_vectors: Long, sum_qdist: Long)
 

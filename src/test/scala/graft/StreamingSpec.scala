@@ -373,6 +373,60 @@ class StreamingSpec extends SparkSpec {
     assert(oneShot == expected, "stream state diverged from the batch IVF assignment")
   }
 
+  test("contaminationGuardStream: flags planted eval copies, chunking-invariant exact state — r6") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val evalDocs = docs.where(col("doc_id") < 20).select(col("text"))
+    // train = clean docs from two sources + planted eval copies in source 'web'
+    val clean = docs.where(col("doc_id") >= 20 && col("doc_id") < 80)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => Streams.TrainDoc(r.getLong(0),
+        if (r.getLong(0) % 2 == 0) "web" else "books", r.getString(1)))
+    val planted = docs.where(col("doc_id") < 10).select(col("doc_id"), col("text"))
+      .collect().map(r => Streams.TrainDoc(r.getLong(0) + 900000L, "web", r.getString(1)))
+    val data = (clean ++ planted).sortBy(_.doc_id).toSeq
+
+    def run(chunks: Seq[Seq[Streams.TrainDoc]], name: String): Map[String, (Long, Long, Long)] = {
+      val ms = MemoryStream[Streams.TrainDoc]
+      val q = Streams.contaminationGuardStream(spark, evalDocs, ms.toDS()).toDF()
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        chunks.foreach { c => ms.addData(c: _*); q.processAllAvailable() }
+        // final state per source = the emission with the highest doc count
+        spark.table(name).collect()
+          .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+          .groupBy(_._1).view.mapValues(_.map(_._2).maxBy(_._1)).toMap
+      } finally q.stop()
+    }
+    val oneShot = run(Seq(data), "contam_one")
+    val chunked = run(data.grouped(7).toSeq, "contam_chunks")
+    assert(oneShot == chunked, "chunking changed the per-source guard state")
+    // exact ground truth via TRUE set membership (the template-generated
+    // corpus DOES share real 8-grams across docs, so 'clean' sources can
+    // legitimately flag — that's the guard working): the Bloom guard has no
+    // false negatives, and at fpp=0.001 at most a couple of FP docs
+    def sh(text: String): Seq[String] = {
+      val tk = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      (0 to tk.length - 8).map(i => tk.slice(i, i + 8).mkString(" "))
+    }
+    val evalSet = evalDocs.collect().flatMap(r => sh(r.getString(0))).toSet
+    val expected = data.groupBy(_.source).view.mapValues { ds =>
+      (ds.length.toLong,
+        ds.count(d => sh(d.text).exists(evalSet)).toLong,
+        ds.map(d => sh(d.text).distinct.count(evalSet).toLong).sum)
+    }.toMap
+    assert(oneShot.keySet == expected.keySet)
+    for ((src, (n, f, h)) <- expected) {
+      val got = oneShot(src)
+      assert(got._1 == n, s"$src doc count")
+      assert(got._2 >= f && got._2 <= f + 2, s"$src flagged: got ${got._2}, exact $f")
+      assert(got._3 >= h, s"$src hits: got ${got._3}, exact $h")
+    }
+    // the planted eval copies all sit in 'web' and must all flag
+    assert(expected("web")._2 >= planted.length.toLong)
+  }
+
   test("sessionRateMonitor: one alert per burst session, chunking-invariant") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
