@@ -352,29 +352,64 @@ object QueriesDedup {
     // intersect/union per candidate pair; the 5-threshold fan-out happens
     // on the (tiny) pair stream. Exact BIGINT counts both engines.
     "dedup_sweep" -> ((s, dir) => {
+      // EXACT-TEXT CLASS COLLAPSE (round 6, the ssjoin_prefix rewrite's
+      // pattern): J is a function of the shingle SETS, so exact-duplicate
+      // docs are interchangeable — the Σ df² shingle-postings candidate
+      // machinery and the per-pair intersect/union verify run over DISTINCT
+      // TEXTS only (the dup-heavy corpus collapses its planted 30× clusters
+      // to one representative each), and the per-τ pair/doc counts expand
+      // arithmetically: within a class of m docs, C(m,2) pairs at J=1
+      // clear EVERY τ ≤ 0.9 and all m docs count as matched; a qualifying
+      // class pair (A,B) contributes m_A·m_B pairs, and a singleton class
+      // counts as a matched doc iff it has a qualifying cross pair.
+      // Bit-identical to the unchanged brute-force oracle.
+      val taus = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
+      val cls = corpus(s, dir).groupBy(col("text"))
+        .agg(min(col("doc_id")).as("cid"), count(lit(1)).as("m"))
       val sh = graft.operators.CacheRegistry.track(
-        Dedup.shingleSets(corpus(s, dir), "doc_id", "text", 3))
-      val ex = sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
+        cls.select(col("cid"), col("m"),
+          array_distinct(TextFns.shingles(TextFns.tokens(col("text")), 3)).as("shingles")))
+      val ex = sh.select(col("cid"), explode(col("shingles")).as("g"))
       val cand = ex.as("a").join(ex.as("b"),
-          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          col("a.g") === col("b.g") && col("a.cid") < col("b.cid"))
+        .select(col("a.cid").as("ca"), col("b.cid").as("cb"))
         .distinct()
-      val pairs = cand
-        .join(sh.select(col("doc_id").as("id_a"), col("shingles").as("sa")), "id_a")
-        .join(sh.select(col("doc_id").as("id_b"), col("shingles").as("sb")), "id_b")
-        .select(col("id_a"), col("id_b"),
+      val cpairs = cand
+        .join(sh.select(col("cid").as("ca"), col("shingles").as("sa"),
+          col("m").as("ma")), "ca")
+        .join(sh.select(col("cid").as("cb"), col("shingles").as("sb"),
+          col("m").as("mb")), "cb")
+        .select(col("ca"), col("cb"), col("ma"), col("mb"),
           (size(array_intersect(col("sa"), col("sb"))).cast("double")
             / size(array_union(col("sa"), col("sb")))).as("j"))
-      val swept = pairs
-        .select(col("id_a"), col("id_b"), col("j"),
-          explode(array(Seq(0.5, 0.6, 0.7, 0.8, 0.9).map(lit): _*)).as("threshold"))
+      val crossSwept = cpairs
+        .select(col("ca"), col("cb"), col("ma"), col("mb"), col("j"),
+          explode(array(taus.map(lit): _*)).as("threshold"))
         .where(col("j") >= col("threshold"))
-      val np = swept.groupBy(col("threshold")).agg(count(lit(1)).as("n_pairs"))
-      val nd = swept
-        .select(col("threshold"), explode(array(col("id_a"), col("id_b"))).as("doc"))
-        .groupBy(col("threshold")).agg(countDistinct(col("doc")).as("n_docs"))
-      np.join(nd, "threshold")
-        .select(col("threshold"), col("n_pairs"), col("n_docs"))
+      val npCross = crossSwept.groupBy(col("threshold"))
+        .agg(sum(col("ma") * col("mb")).as("np_cross"))
+      // singleton classes match only through a qualifying cross pair;
+      // multi-doc classes are matched at every τ by their J=1 within pairs
+      val matchedCross = crossSwept
+        .select(col("ca").as("cid"), col("threshold"))
+        .unionByName(crossSwept.select(col("cb").as("cid"), col("threshold")))
+        .distinct()
+      val ndSingles = matchedCross
+        .join(cls.where(col("m") === 1).select(col("cid")), "cid")
+        .groupBy(col("threshold")).agg(count(lit(1)).as("nd_single"))
+      val within = broadcast(cls.where(col("m") >= 2)
+        .agg(sum(expr("(m * (m - 1)) div 2")).as("np_within"),
+          sum(col("m")).as("nd_within")))
+      import s.implicits._
+      taus.toDF("threshold")
+        .join(npCross, Seq("threshold"), "left")
+        .join(ndSingles, Seq("threshold"), "left")
+        .crossJoin(within)
+        .select(col("threshold"),
+          (coalesce(col("np_cross"), lit(0L))
+            + coalesce(col("np_within"), lit(0L))).as("n_pairs"),
+          (coalesce(col("nd_single"), lit(0L))
+            + coalesce(col("nd_within"), lit(0L))).as("n_docs"))
         .orderBy(col("threshold"))
     }),
 

@@ -33,6 +33,33 @@ class Round6Spec extends SparkSpec {
       "same unrelated-image pairs feed both image-divergent classes")
   }
 
+  test("dedup_sweep: class-collapsed counts equal brute-force all-pairs exactly") {
+    import graft.functions.TextFns
+    import graft.operators.Dedup
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+      .where(col("doc_id") % 25 === 0).select(col("doc_id"), col("text"))
+    val corpus = base
+      .unionByName(base.select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+      .unionByName(base.select((col("doc_id") + 200000L).as("doc_id"),
+        concat(col("text"), lit(" xtra xtra")).as("text")))
+    val sh = Dedup.shingleSets(corpus, "doc_id", "text", 3).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val ids = sh.keys.toSeq.sorted
+    val brute = for {
+      i <- ids.indices; k <- (i + 1) until ids.length
+      a = sh(ids(i)); b = sh(ids(k))
+      j = a.intersect(b).size.toDouble / a.union(b).size
+    } yield (ids(i), ids(k), j)
+    val expected = Seq(0.5, 0.6, 0.7, 0.8, 0.9).map { t =>
+      val ps = brute.filter(_._3 >= t)
+      (t, ps.length.toLong,
+        ps.flatMap(p => Seq(p._1, p._2)).distinct.length.toLong)
+    }
+    val got = graft.queries.QueriesDedup.queries("dedup_sweep")(spark, dir)
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected, s"got $got\nexpected $expected")
+  }
+
   test("ssjoin_prefix: singleton corpus (no duplicates at all) emits nothing") {
     // class collapse must not invent matches when every doc is unique —
     // guards the m−1 within-class arithmetic at m=1
