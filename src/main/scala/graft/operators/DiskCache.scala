@@ -78,7 +78,7 @@ object DiskCache {
     if (complete(path, markers)) return
     val dest = new java.io.File(path)
     Option(dest.getParentFile).foreach(_.mkdirs())
-    val unique = ProcessHandle.current().pid() + "-" + System.nanoTime()
+    val unique = s"${ProcessHandle.current().pid()}-${System.nanoTime()}"
     val tmp = new java.io.File(path + ".tmp-" + unique)
     var published = false
     try {

@@ -310,6 +310,56 @@ object QueriesDedup {
         .orderBy(col("weight"))
     }),
 
+    // Incremental CLUSTER maintenance (round 6): the production loop where
+    // the persisted dedup fixpoint absorbs an append batch WITHOUT
+    // re-running connected components over the corpus. Edges touching the
+    // batch come from the stored minhash band index (new-vs-corpus, no
+    // corpus recompute) and a batch-local scan (new-vs-new); the corpus
+    // side then CONTRACTS to its component labels — every old cluster is
+    // ONE super-node, its internal edges already folded into the fixpoint
+    // (labels are min-ids, so the contracted min IS the merged cluster's
+    // true min) — and the CC re-run sees only |clusters| + |batch| nodes.
+    // The batch plants all three production cases: near-copies that join
+    // existing clusters (+400000, one appended token), intra-batch
+    // duplicates (+410000, same text as +400000 ⇒ new-new edges), and
+    // novel docs (+420000, reversed token order ⇒ disjoint shingle sets).
+    // Ground truth is a FULL recompute over corpus ∪ batch — the oracle
+    // does exactly that, so the contraction must be exactly equivalent.
+    "dedup_clusters_incremental" -> ((s, dir) => {
+      import graft.operators.{ConnectedComponents, Dedup}
+      val (c, labels) = clusterLabels(s, dir)
+      val bpick = t(s, dir, "documents").where(col("doc_id") % 100 === 0)
+        .select(col("doc_id"), col("text"))
+      val batch = bpick.select((col("doc_id") + 400000L).as("doc_id"),
+          concat(col("text"), lit(" xtra")).as("text"))
+        .unionByName(bpick.where(col("doc_id") % 200 === 0)
+          .select((col("doc_id") + 410000L).as("doc_id"),
+            concat(col("text"), lit(" xtra")).as("text")))
+        .unionByName(bpick.select((col("doc_id") + 420000L).as("doc_id"),
+          concat_ws(" ", reverse(TextFns.tokens(col("text")))).as("text")))
+      val idxPath = graft.operators.DiskCache.keyedPath(
+        "minhash_dcorpus_idx_v1", s"$dir/documents.parquet")
+      Dedup.ensureMinhashIndex(c, "doc_id", "text", idxPath)
+      val newVsIdx = Dedup.incrementalNearDups(batch, "doc_id", "text",
+        idxPath, threshold = 0.8)
+      val newVsNew = Dedup.minhashNearDups(batch, "doc_id", "text", threshold = 0.8)
+      val contractedEdges = newVsIdx
+        .join(labels.select(col("id").as("id_idx"), col("component")), "id_idx")
+        .select(col("component").as("id_a"), col("id_new").as("id_b"))
+        .unionByName(newVsNew.select(col("id_a"), col("id_b")))
+      val vertices = labels.select(col("component").as("doc_id")).distinct()
+        .unionByName(batch.select(col("doc_id")))
+      val contracted = ConnectedComponents.components(contractedEdges, vertices)
+        .select(col("id").as("node"), col("component").as("newc"))
+      labels.select(col("id").as("doc_id"), col("component").as("node"))
+        .unionByName(batch.select(col("doc_id"), col("doc_id").as("node")))
+        .join(contracted, "node")
+        .select(col("doc_id"), col("newc").as("cluster_id"))
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+        .orderBy(col("doc_id"))
+    }),
+
     // Incremental dedup: the append-batch production loop. The existing
     // corpus (doc_id ≥ 100) is signature-indexed ON DISK once; the incoming
     // batch (near-copies of some indexed docs + novel docs) joins the
@@ -731,6 +781,39 @@ object QueriesDedup {
          |SELECT weight, CAST(count(*) AS BIGINT) AS n_clusters,
          |  CAST(sum(cluster_id) AS BIGINT) AS rep_id_sum
          |FROM w GROUP BY weight ORDER BY weight""".stripMargin,
+    // FULL recompute over corpus ∪ batch — the incremental contraction
+    // must reproduce this exactly (cluster_id = min doc_id of the MERGED
+    // cluster, sizes including batch members)
+    "dedup_clusters_incremental" ->
+      s"""WITH RECURSIVE base AS (SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0),
+         |corpus AS (
+         |  SELECT doc_id, text FROM base
+         |  UNION ALL SELECT doc_id + 100000, text FROM base
+         |  UNION ALL SELECT doc_id + 200000, text || ' xtra xtra' FROM base),
+         |bpick AS (SELECT doc_id, text FROM documents WHERE doc_id % 100 = 0),
+         |allc AS (
+         |  SELECT doc_id, text FROM corpus
+         |  UNION ALL SELECT doc_id + 400000, text || ' xtra' FROM bpick
+         |  UNION ALL SELECT doc_id + 410000, text || ' xtra' FROM bpick
+         |    WHERE doc_id % 200 = 0
+         |  UNION ALL SELECT doc_id + 420000,
+         |    array_to_string(list_reverse($toksSql), ' ') FROM bpick),
+         |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(tk) - 1, 1)),
+         |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+         |  FROM (SELECT doc_id, $toksSql AS tk FROM allc)),
+         |edges AS (
+         |  SELECT a.doc_id AS u, b.doc_id AS v FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_distinct(list_intersect(a.s, b.s))) AS DOUBLE) /
+         |        CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.8),
+         |bidir AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
+         |reach(src, dst) AS (
+         |  SELECT doc_id, doc_id FROM allc
+         |  UNION
+         |  SELECT r.src, b.v FROM reach r JOIN bidir b ON r.dst = b.u),
+         |lab AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src)
+         |SELECT doc_id, cluster_id,
+         |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+         |FROM lab ORDER BY doc_id""".stripMargin,
     "dedup_clusters" ->
       s"""WITH RECURSIVE base AS (SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0),
          |corpus AS (

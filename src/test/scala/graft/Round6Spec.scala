@@ -60,6 +60,44 @@ class Round6Spec extends SparkSpec {
     assert(got == expected, s"got $got\nexpected $expected")
   }
 
+  test("dedup_clusters_incremental: contraction equals full CC recompute over corpus ∪ batch") {
+    import graft.operators.{ConnectedComponents, Dedup}
+    import graft.functions.TextFns
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val base = docs.where(col("doc_id") % 25 === 0).select(col("doc_id"), col("text"))
+    val corpus = base
+      .unionByName(base.select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+      .unionByName(base.select((col("doc_id") + 200000L).as("doc_id"),
+        concat(col("text"), lit(" xtra xtra")).as("text")))
+    val bpick = docs.where(col("doc_id") % 100 === 0).select(col("doc_id"), col("text"))
+    val batch = bpick.select((col("doc_id") + 400000L).as("doc_id"),
+        concat(col("text"), lit(" xtra")).as("text"))
+      .unionByName(bpick.where(col("doc_id") % 200 === 0)
+        .select((col("doc_id") + 410000L).as("doc_id"),
+          concat(col("text"), lit(" xtra")).as("text")))
+      .unionByName(bpick.select((col("doc_id") + 420000L).as("doc_id"),
+        concat_ws(" ", reverse(TextFns.tokens(col("text")))).as("text")))
+    val all = corpus.unionByName(batch)
+    val fullEdges = Dedup.minhashNearDups(all, "doc_id", "text", threshold = 0.8)
+      .select(col("id_a"), col("id_b"))
+    val full = ConnectedComponents.components(fullEdges, all.select(col("doc_id")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val inc = graft.queries.QueriesDedup.queries("dedup_clusters_incremental")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // same label per doc AND same size per cluster as the from-scratch run
+    val sizes = full.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(inc.length == full.size)
+    inc.foreach { case (d, c, sz) =>
+      assert(full(d) == c, s"doc $d: incremental label $c vs full ${full(d)}")
+      assert(sizes(c) == sz, s"cluster $c size")
+    }
+    // the planted merge actually happened: a batch near-copy shares its
+    // cluster with the base trio
+    val someBase = inc.find(_._1 < 100000).map(_._1).get
+    assert(inc.exists { case (d, c, _) => d >= 400000 && c <= 200000 + someBase },
+      "no batch doc merged into an existing cluster")
+  }
+
   test("ssjoin_prefix: singleton corpus (no duplicates at all) emits nothing") {
     // class collapse must not invent matches when every doc is unique —
     // guards the m−1 within-class arithmetic at m=1
