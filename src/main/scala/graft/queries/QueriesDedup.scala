@@ -416,9 +416,14 @@ object QueriesDedup {
       val taus = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
       val cls = corpus(s, dir).groupBy(col("text"))
         .agg(min(col("doc_id")).as("cid"), count(lit(1)).as("m"))
+      // zero-shingle classes (docs under 3 tokens — identical text means
+      // identical sets, so the test is class-level) are excluded from the
+      // WITHIN arithmetic too, matching the oracle's len(s) > 0 guard and
+      // the postings path, where an empty set can never form a candidate
       val sh = graft.operators.CacheRegistry.track(
         cls.select(col("cid"), col("m"),
-          array_distinct(TextFns.shingles(TextFns.tokens(col("text")), 3)).as("shingles")))
+          array_distinct(TextFns.shingles(TextFns.tokens(col("text")), 3)).as("shingles"))
+          .where(size(col("shingles")) > 0))
       val ex = sh.select(col("cid"), explode(col("shingles")).as("g"))
       val cand = ex.as("a").join(ex.as("b"),
           col("a.g") === col("b.g") && col("a.cid") < col("b.cid"))
@@ -444,10 +449,12 @@ object QueriesDedup {
         .select(col("ca").as("cid"), col("threshold"))
         .unionByName(crossSwept.select(col("cb").as("cid"), col("threshold")))
         .distinct()
+      // derived from the cached sh (carries cid + m), not from a fresh
+      // corpus groupBy — no extra full-text scans per invocation
       val ndSingles = matchedCross
-        .join(cls.where(col("m") === 1).select(col("cid")), "cid")
+        .join(sh.where(col("m") === 1).select(col("cid")), "cid")
         .groupBy(col("threshold")).agg(count(lit(1)).as("nd_single"))
-      val within = broadcast(cls.where(col("m") >= 2)
+      val within = broadcast(sh.where(col("m") >= 2)
         .agg(sum(expr("(m * (m - 1)) div 2")).as("np_within"),
           sum(col("m")).as("nd_within")))
       import s.implicits._
@@ -798,7 +805,8 @@ object QueriesDedup {
          |    WHERE doc_id % 200 = 0
          |  UNION ALL SELECT doc_id + 420000,
          |    array_to_string(list_reverse($toksSql), ' ') FROM bpick),
-         |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(tk) - 1, 1)),
+         |sh AS MATERIALIZED (
+         |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(tk) - 1, 1)),
          |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
          |  FROM (SELECT doc_id, $toksSql AS tk FROM allc)),
          |edges AS (

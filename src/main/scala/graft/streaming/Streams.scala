@@ -443,6 +443,7 @@ object Streams {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     def shinglesOf(text: String): Iterator[String] = {
+      if (text == null) return Iterator.empty // nullable column, like the batch twin
       val toks = text.toLowerCase.split("\\s+").iterator.filter(_.nonEmpty).toArray
       if (toks.length < shingleN) Iterator.empty
       else (0 to toks.length - shingleN).iterator
