@@ -449,8 +449,16 @@ object Streams {
       else (0 to toks.length - shingleN).iterator
         .map(i => toks.slice(i, i + shingleN).mkString(" "))
     }
+    // guarded like Ivf.train: the driver-side collect is only legal for a
+    // bounded eval/benchmark suite — probe-and-collect in one job, fail
+    // loudly instead of silently materializing a corpus on the driver
+    val maxEvalShingles = 4 << 20
     val evalShingles = evalDocs.select(col("text").cast("string")).as[String]
-      .flatMap(shinglesOf).distinct().collect()
+      .flatMap(shinglesOf).distinct().limit(maxEvalShingles + 1).collect()
+    require(evalShingles.length <= maxEvalShingles,
+      s"contaminationGuardStream's eval suite exceeds $maxEvalShingles distinct shingles — " +
+        "this guard is for bounded benchmark suites; split the eval set or use the batch " +
+        "contamination path")
     val bloom = org.apache.spark.util.sketch.BloomFilter
       .create(math.max(evalShingles.length.toLong, 1024L), fpp)
     evalShingles.foreach(bloom.putString)
