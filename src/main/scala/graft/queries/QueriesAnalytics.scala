@@ -94,6 +94,34 @@ object QueriesAnalytics {
         .orderBy(col("cohort_week"), col("week_offset"))
     }),
 
+    // Functional-dependency discovery card (round 6): for each candidate
+    // FD A→B, ONE groupBy(A) countDistinct(B) pass collapses to (groups,
+    // violating groups, worst fan-out) — the TANE-style profiling primitive
+    // behind schema inference, normalization advice, and dirty-join-key
+    // detection. The candidate set mixes true FDs (nation key → region,
+    // the o_orderkey PK → anything) with false ones (customer nation →
+    // market segment), so both verdicts exercise. Each check is
+    // map-side-combined and independent at any corpus size; exact BIGINTs.
+    "fd_discover" -> ((s, dir) => {
+      val checks = Seq(
+        ("nation", "n_nationkey", "n_regionkey"),
+        ("nation", "n_name", "n_nationkey"),
+        ("part", "p_brand", "p_size"),
+        ("customer", "c_nationkey", "c_mktsegment"),
+        ("orders", "o_orderkey", "o_custkey"),
+        ("lineitem", "l_orderkey", "l_suppkey"))
+      checks.map { case (tbl, det, dep) =>
+        t(s, dir, tbl).groupBy(col(det)).agg(countDistinct(col(dep)).as("nd"))
+          .agg(count(lit(1)).as("n_groups"),
+            sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_violating"),
+            max(col("nd")).as("max_dependents"))
+          .select(lit(tbl).as("table_name"), lit(det).as("determinant"),
+            lit(dep).as("dependent"), col("n_groups"), col("n_violating"),
+            col("max_dependents"), (col("n_violating") === 0).as("holds"))
+      }.reduce(_.unionByName(_))
+        .orderBy(col("table_name"), col("determinant"))
+    }),
+
     // Data-quality expectation suite: each check is ONE independent
     // scan+aggregate (the FK check folds its probe into a broadcast left
     // join, counting misses and total in the same pass), unioned into a
@@ -916,6 +944,23 @@ object QueriesAnalytics {
        |    WHERE rn = 1) b ON p.node = b.node2)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "fd_discover" -> {
+      val checks = Seq(
+        ("nation", "n_nationkey", "n_regionkey"),
+        ("nation", "n_name", "n_nationkey"),
+        ("part", "p_brand", "p_size"),
+        ("customer", "c_nationkey", "c_mktsegment"),
+        ("orders", "o_orderkey", "o_custkey"),
+        ("lineitem", "l_orderkey", "l_suppkey"))
+      checks.map { case (tbl, det, dep) =>
+        s"""SELECT '$tbl' AS table_name, '$det' AS determinant, '$dep' AS dependent,
+           |  CAST(count(*) AS BIGINT) AS n_groups,
+           |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+           |  CAST(max(nd) AS BIGINT) AS max_dependents,
+           |  sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0 AS holds
+           |FROM (SELECT count(DISTINCT $dep) AS nd FROM $tbl GROUP BY $det)""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY table_name, determinant")
+    },
     "er_linkage" ->
       """WITH dirty AS (
         |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer
