@@ -122,6 +122,36 @@ object QueriesAnalytics {
         .orderBy(col("table_name"), col("determinant"))
     }),
 
+    // Inclusion-dependency discovery card (round 6, fd_discover's FK-
+    // candidate sibling): for each candidate A ⊆ B, both sides collapse to
+    // their DISTINCT key domains first (map-side combine — the join never
+    // sees corpus-sized streams), then one left join counts uncovered
+    // child values. True INDs (the real FK chain lineitem→orders→customer
+    // →nation→region) and false ones (customers without orders, part sizes
+    // vs nation keys) both exercise. The discovery primitive behind
+    // foreign-key inference and referential-integrity monitoring.
+    "ind_discover" -> ((s, dir) => {
+      val checks = Seq(
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+        ("nation", "n_regionkey", "region", "r_regionkey"),
+        ("customer", "c_custkey", "orders", "o_custkey"),
+        ("part", "p_size", "nation", "n_nationkey"))
+      checks.map { case (ct, cc, pt, pc) =>
+        val child = t(s, dir, ct).select(col(cc).cast("long").as("k")).distinct()
+        val parent = t(s, dir, pt).select(col(pc).cast("long").as("k")).distinct()
+        child.join(parent.withColumn("_p", lit(1)), Seq("k"), "left")
+          .agg(count(lit(1)).as("n_distinct_child"),
+            count(when(col("_p").isNull, 1)).as("n_missing"))
+          .select(lit(ct).as("child_table"), lit(cc).as("child_col"),
+            lit(pt).as("parent_table"), lit(pc).as("parent_col"),
+            col("n_distinct_child"), col("n_missing"),
+            (col("n_missing") === 0).as("contained"))
+      }.reduce(_.unionByName(_))
+        .orderBy(col("child_table"), col("child_col"))
+    }),
+
     // Data-quality expectation suite: each check is ONE independent
     // scan+aggregate (the FK check folds its probe into a broadcast left
     // join, counting misses and total in the same pass), unioned into a
@@ -944,6 +974,24 @@ object QueriesAnalytics {
        |    WHERE rn = 1) b ON p.node = b.node2)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "ind_discover" -> {
+      val checks = Seq(
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+        ("nation", "n_regionkey", "region", "r_regionkey"),
+        ("customer", "c_custkey", "orders", "o_custkey"),
+        ("part", "p_size", "nation", "n_nationkey"))
+      checks.map { case (ct, cc, pt, pc) =>
+        s"""SELECT '$ct' AS child_table, '$cc' AS child_col,
+           |  '$pt' AS parent_table, '$pc' AS parent_col,
+           |  CAST(count(*) AS BIGINT) AS n_distinct_child,
+           |  CAST(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+           |  sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) = 0 AS contained
+           |FROM (SELECT DISTINCT CAST($cc AS BIGINT) AS k FROM $ct) c
+           |LEFT JOIN (SELECT DISTINCT CAST($pc AS BIGINT) AS k FROM $pt) p USING (k)""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY child_table, child_col")
+    },
     "fd_discover" -> {
       val checks = Seq(
         ("nation", "n_nationkey", "n_regionkey"),
