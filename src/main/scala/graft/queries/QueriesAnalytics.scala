@@ -122,6 +122,35 @@ object QueriesAnalytics {
         .orderBy(col("table_name"), col("determinant"))
     }),
 
+    // Unique-column-combination discovery card (round 6 — the third
+    // profiling primitive after fd_discover/ind_discover: candidate-KEY
+    // discovery): per candidate column set, one distinct-collapse counts
+    // rows vs distinct combinations. Deliberately includes the synthetic
+    // (l_orderkey, l_linenumber) pair, which is NOT unique in this data —
+    // the exact trap order-dependent queries here must tie-break around —
+    // so the card documents it as a measured fact, not tribal knowledge.
+    "ucc_discover" -> ((s, dir) => {
+      val checks = Seq(
+        ("orders", Seq("o_orderkey")),
+        ("customer", Seq("c_custkey")),
+        ("documents", Seq("doc_id")),
+        ("lineitem", Seq("l_orderkey", "l_linenumber")),
+        ("part", Seq("p_brand")),
+        ("events", Seq("user_id", "event_type")))
+      checks.map { case (tbl, cols) =>
+        val df = t(s, dir, tbl)
+        df.agg(count(lit(1)).as("n_rows"))
+          .crossJoin(df.select(cols.map(col): _*).distinct()
+            .agg(count(lit(1)).as("n_distinct")))
+          .select(lit(tbl).as("table_name"),
+            lit(cols.mkString(",")).as("column_set"),
+            col("n_rows"), col("n_distinct"),
+            (col("n_rows") - col("n_distinct")).as("n_excess_rows"),
+            (col("n_rows") === col("n_distinct")).as("is_key"))
+      }.reduce(_.unionByName(_))
+        .orderBy(col("table_name"), col("column_set"))
+    }),
+
     // Inclusion-dependency discovery card (round 6, fd_discover's FK-
     // candidate sibling): for each candidate A ⊆ B, both sides collapse to
     // their DISTINCT key domains first (map-side combine — the join never
@@ -974,6 +1003,25 @@ object QueriesAnalytics {
        |    WHERE rn = 1) b ON p.node = b.node2)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "ucc_discover" -> {
+      val checks = Seq(
+        ("orders", Seq("o_orderkey")),
+        ("customer", Seq("c_custkey")),
+        ("documents", Seq("doc_id")),
+        ("lineitem", Seq("l_orderkey", "l_linenumber")),
+        ("part", Seq("p_brand")),
+        ("events", Seq("user_id", "event_type")))
+      checks.map { case (tbl, cols) =>
+        val cl = cols.mkString(", ")
+        s"""SELECT '$tbl' AS table_name, '${cols.mkString(",")}' AS column_set,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM $tbl) AS n_rows,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM (SELECT DISTINCT $cl FROM $tbl)) AS n_distinct,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM $tbl)
+           |    - (SELECT CAST(count(*) AS BIGINT) FROM (SELECT DISTINCT $cl FROM $tbl)) AS n_excess_rows,
+           |  (SELECT count(*) FROM $tbl)
+           |    = (SELECT count(*) FROM (SELECT DISTINCT $cl FROM $tbl)) AS is_key""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY table_name, column_set")
+    },
     "ind_discover" -> {
       val checks = Seq(
         ("lineitem", "l_orderkey", "orders", "o_orderkey"),
