@@ -156,9 +156,11 @@ object QueriesAnalytics {
     // their DISTINCT key domains first (map-side combine — the join never
     // sees corpus-sized streams), then one left join counts uncovered
     // child values. True INDs (the real FK chain lineitem→orders→customer
-    // →nation→region) and false ones (customers without orders, part sizes
-    // vs nation keys) both exercise. The discovery primitive behind
-    // foreign-key inference and referential-integrity monitoring.
+    // →nation→region) and a guaranteed-false one (part sizes vs nation
+    // keys: 50 ⊄ 25 at every SF) both exercise; customer→orders is the
+    // data-dependent case (every customer ordered at sf0.01, one didn't at
+    // sf0.1 — the card measures it either way). The discovery primitive
+    // behind foreign-key inference and referential-integrity monitoring.
     "ind_discover" -> ((s, dir) => {
       val checks = Seq(
         ("lineitem", "l_orderkey", "orders", "o_orderkey"),
@@ -1013,13 +1015,14 @@ object QueriesAnalytics {
         ("events", Seq("user_id", "event_type")))
       checks.map { case (tbl, cols) =>
         val cl = cols.mkString(", ")
+        // one count + one distinct-collapse per check; excess/is_key derive
+        // from those aliases (scalar-subquery CSE is not guaranteed)
         s"""SELECT '$tbl' AS table_name, '${cols.mkString(",")}' AS column_set,
-           |  (SELECT CAST(count(*) AS BIGINT) FROM $tbl) AS n_rows,
-           |  (SELECT CAST(count(*) AS BIGINT) FROM (SELECT DISTINCT $cl FROM $tbl)) AS n_distinct,
-           |  (SELECT CAST(count(*) AS BIGINT) FROM $tbl)
-           |    - (SELECT CAST(count(*) AS BIGINT) FROM (SELECT DISTINCT $cl FROM $tbl)) AS n_excess_rows,
-           |  (SELECT count(*) FROM $tbl)
-           |    = (SELECT count(*) FROM (SELECT DISTINCT $cl FROM $tbl)) AS is_key""".stripMargin
+           |  n_rows, n_distinct, n_rows - n_distinct AS n_excess_rows,
+           |  n_rows = n_distinct AS is_key
+           |FROM (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM $tbl)
+           |CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n_distinct
+           |  FROM (SELECT DISTINCT $cl FROM $tbl))""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY table_name, column_set")
     },
     "ind_discover" -> {

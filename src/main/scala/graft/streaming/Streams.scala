@@ -449,19 +449,20 @@ object Streams {
       else (0 to toks.length - shingleN).iterator
         .map(i => toks.slice(i, i + shingleN).mkString(" "))
     }
-    // guarded like Ivf.train: the driver-side collect is only legal for a
-    // bounded eval/benchmark suite — probe-and-collect in one job, fail
-    // loudly instead of silently materializing a corpus on the driver
-    val maxEvalShingles = 4 << 20
-    val evalShingles = evalDocs.select(col("text").cast("string")).as[String]
-      .flatMap(shinglesOf).distinct().limit(maxEvalShingles + 1).collect()
-    require(evalShingles.length <= maxEvalShingles,
-      s"contaminationGuardStream's eval suite exceeds $maxEvalShingles distinct shingles — " +
-        "this guard is for bounded benchmark suites; split the eval set or use the batch " +
-        "contamination path")
-    val bloom = org.apache.spark.util.sketch.BloomFilter
-      .create(math.max(evalShingles.length.toLong, 1024L), fpp)
-    evalShingles.foreach(bloom.putString)
+    // DISTRIBUTED filter build (round-6 review): the shingle strings never
+    // collect to the driver — one distinct-count job sizes the filter,
+    // then Spark's BloomFilterAggregate folds the shingles into it
+    // executor-side (putString ≡ the closure's mightContainString probe).
+    // The only driver artifact is the filter's bit array, guarded so a
+    // mis-pointed "eval suite" fails loudly before a multi-GB broadcast.
+    val shingleDf = evalDocs.select(col("text").cast("string")).as[String]
+      .flatMap(shinglesOf).distinct().toDF("sh")
+    val nShingles = shingleDf.count()
+    require(nShingles <= (1L << 28),
+      s"contaminationGuardStream's eval suite has $nShingles distinct shingles — " +
+        "this guard is for bounded benchmark suites; split the eval set or use the " +
+        "batch contamination path")
+    val bloom = shingleDf.stat.bloomFilter("sh", math.max(nShingles, 1024L), fpp)
     val bc = spark.sparkContext.broadcast(bloom)
     def update(source: String, rows: Iterator[(String, TrainDoc)],
                state: GroupState[(Long, Long, Long)]): Iterator[ContamStat] = {
