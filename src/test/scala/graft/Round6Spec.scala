@@ -98,12 +98,12 @@ class Round6Spec extends SparkSpec {
       "no batch doc merged into an existing cluster")
   }
 
-  test("ssjoin_prefix: singleton corpus (no duplicates at all) emits nothing") {
-    // class collapse must not invent matches when every doc is unique —
-    // guards the m−1 within-class arithmetic at m=1
+  test("ssjoin_prefix: class-collapse output invariants (no self-matches, no phantom rows)") {
+    // class collapse must not invent matches — guards the m−1 within-class
+    // arithmetic at m=1 and the partner orientation
     import spark.implicits._
     val out = graft.queries.QueriesDedup.queries("ssjoin_prefix")(spark, dir)
-    // sf0.001 corpus DOES have planted dups, so instead check the invariant
+    // sf0.001 corpus DOES have planted dups, so check the invariants
     // directly: every emitted row has n_matches ≥ 1 and a partner ≠ self
     val bad = out.where(col("n_matches") < 1 ||
       col("best_partner") === col("doc_id")).count()
