@@ -158,6 +158,42 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** [[incrementalNearDups]] + the batch's OWN near-dup pairs from ONE
+    * shingle/band computation (the cluster-maintenance loop needs both edge
+    * families, and computing them separately would scan and signature the
+    * batch twice). Returns (newVsIndex: (id_new, id_idx, jaccard),
+    * newVsNew: (id_a, id_b, jaccard)), both exact-verified ≥ `threshold`. */
+  def batchNearDups(incoming: DataFrame, idCol: String, textCol: String,
+                    indexPath: String, threshold: Double,
+                    numHashes: Int = 64, numBands: Int = 16,
+                    shingleN: Int = 3): (DataFrame, DataFrame) = {
+    val spark = incoming.sparkSession
+    val sh = CacheRegistry.track(shingleSets(incoming, idCol, textCol, shingleN))
+    val newBands = CacheRegistry.track(bandedKeys(sh, idCol, numHashes, numBands))
+    val idxBands = spark.read.parquet(s"$indexPath/bands")
+      .toDF("_idx_id", "band", "bh")
+    val idxSh = spark.read.parquet(s"$indexPath/shingles")
+      .toDF("id_idx", "sh_idx")
+    val newVsIdx = newBands.join(idxBands, Seq("band", "bh"))
+      .select(col(idCol).as("id_new"), col("_idx_id").as("id_idx"))
+      .distinct()
+      .join(sh.withColumnRenamed(idCol, "id_new").withColumnRenamed("shingles", "sh_new"), "id_new")
+      .join(idxSh, "id_idx")
+      .select(col("id_new"), col("id_idx"),
+        jaccard(col("sh_new"), col("sh_idx")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+    val newVsNew = newBands.as("x").join(newBands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+      .distinct()
+      .join(sh.withColumnRenamed(idCol, "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
+      .join(sh.withColumnRenamed(idCol, "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
+      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+    (newVsIdx, newVsNew)
+  }
+
   /** 64-bit SimHash signatures per document as a 0/1 int array (the
     * reference/debug form — [[simhashSignaturesPacked]] is the production
     * path): per bit, sum ±1 contributions of each feature's xxhash64 bit.

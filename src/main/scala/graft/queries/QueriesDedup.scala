@@ -340,9 +340,9 @@ object QueriesDedup {
       val idxPath = graft.operators.DiskCache.keyedPath(
         "minhash_dcorpus_idx_v1", s"$dir/documents.parquet")
       Dedup.ensureMinhashIndex(c, "doc_id", "text", idxPath)
-      val newVsIdx = Dedup.incrementalNearDups(batch, "doc_id", "text",
-        idxPath, threshold = 0.8)
-      val newVsNew = Dedup.minhashNearDups(batch, "doc_id", "text", threshold = 0.8)
+      // ONE batch shingle/band computation feeds both edge families
+      val (newVsIdx, newVsNew) =
+        Dedup.batchNearDups(batch, "doc_id", "text", idxPath, threshold = 0.8)
       val contractedEdges = newVsIdx
         .join(labels.select(col("id").as("id_idx"), col("component")), "id_idx")
         .select(col("component").as("id_a"), col("id_new").as("id_b"))
