@@ -347,14 +347,42 @@ object QueriesDedup {
         .join(labels.select(col("id").as("id_idx"), col("component")), "id_idx")
         .select(col("component").as("id_a"), col("id_new").as("id_b"))
         .unionByName(newVsNew.select(col("id_a"), col("id_b")))
-      val vertices = labels.select(col("component").as("doc_id")).distinct()
-        .unionByName(batch.select(col("doc_id")))
-      val contracted = ConnectedComponents.components(contractedEdges, vertices)
-        .select(col("id").as("node"), col("component").as("newc"))
+      // only nodes TOUCHED by a batch edge re-label; an untouched cluster
+      // (or matchless batch doc) keeps its label via the coalesce below —
+      // so the CC input is batch-bounded, never |clusters|-bounded. Below
+      // the cardinality ceiling the component solve runs as driver
+      // union-find with min-id roots (ONE probe-and-collect job instead of
+      // CC's per-round job train — the winsorize guarded-collect pattern);
+      // the distributed large-star/small-star path is the guarded fallback.
+      val maxDriverEdges = 200000
+      val eProbe = contractedEdges.limit(maxDriverEdges + 1).collect()
+      val contracted =
+        if (eProbe.length <= maxDriverEdges) {
+          val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+          def find(x: Long): Long = {
+            var r = x
+            while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+            var c = x
+            while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+            r
+          }
+          eProbe.foreach { e =>
+            val (ra, rb) = (find(e.getLong(0)), find(e.getLong(1)))
+            if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+          }
+          val nodes = eProbe.flatMap(e => Seq(e.getLong(0), e.getLong(1))).distinct
+          import s.implicits._
+          nodes.map(n => (n, find(n))).toSeq.toDF("node", "newc")
+        } else {
+          val endpoints = contractedEdges.select(col("id_a").as("doc_id"))
+            .unionByName(contractedEdges.select(col("id_b").as("doc_id"))).distinct()
+          ConnectedComponents.components(contractedEdges, endpoints)
+            .select(col("id").as("node"), col("component").as("newc"))
+        }
       labels.select(col("id").as("doc_id"), col("component").as("node"))
         .unionByName(batch.select(col("doc_id"), col("doc_id").as("node")))
-        .join(contracted, "node")
-        .select(col("doc_id"), col("newc").as("cluster_id"))
+        .join(contracted, Seq("node"), "left")
+        .select(col("doc_id"), coalesce(col("newc"), col("node")).as("cluster_id"))
         .withColumn("cluster_size",
           count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
         .orderBy(col("doc_id"))
