@@ -46,7 +46,14 @@ object DiskCache {
         Option(f.listFiles()).foreach(_.sortBy(_.getName)
           .foreach(c => walk(c, rel + "/" + c.getName)))
       else entries += s"$rel|${f.length}|${f.lastModified}|${tailHash(f)}"
-    dataPaths.foreach(p => walk(new java.io.File(p), p))
+    dataPaths.foreach { p =>
+      val f = new java.io.File(p)
+      // a mistyped/missing dataset must fail HERE, loudly — otherwise it
+      // fingerprints to a stable empty key and `ensure` builds (and forever
+      // serves) an index over an empty corpus with no error surfaced.
+      require(f.exists(), s"DiskCache.fingerprint: data path does not exist: $p")
+      walk(f, p)
+    }
     java.lang.Long.toHexString(
       scala.util.hashing.MurmurHash3.orderedHash(entries).toLong & 0xffffffffL)
   }
@@ -96,6 +103,13 @@ object DiskCache {
         if (dest.exists() && !complete(path, markers)) {
           val aside = new java.io.File(path + ".stale-" + unique)
           if (dest.renameTo(aside)) deleteRecursively(aside)
+          // renameTo == false: either a winner published concurrently (the
+          // re-check sees a complete dest — leave it; the ATOMIC_MOVE below
+          // throws and the catch serves the winner), or the rename itself
+          // failed on a still-incomplete leftover — then deleting in place
+          // is the only remaining recovery, and can no longer yank a live
+          // snapshot because the dir is verifiably incomplete right now.
+          else if (!complete(path, markers)) deleteRecursively(dest)
         }
         java.nio.file.Files.move(tmp.toPath, dest.toPath,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)

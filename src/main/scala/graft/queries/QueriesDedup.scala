@@ -321,8 +321,11 @@ object QueriesDedup {
     // true min) — and the CC re-run sees only |clusters| + |batch| nodes.
     // The batch plants all three production cases: near-copies that join
     // existing clusters (+400000, one appended token), intra-batch
-    // duplicates (+410000, same text as +400000 ⇒ new-new edges), and
-    // novel docs (+420000, reversed token order ⇒ disjoint shingle sets).
+    // duplicates (+600000, same text as +400000 ⇒ new-new edges), and
+    // novel docs (+800000, reversed token order ⇒ disjoint shingle sets).
+    // Offsets are spaced 200000 apart (the family's convention, ≥100000):
+    // 10000-spacing would collide doc 10000's +400000 variant with doc 0's
+    // next variant one scale step past sf0.1's 4999-doc ceiling.
     // Ground truth is a FULL recompute over corpus ∪ batch — the oracle
     // does exactly that, so the contraction must be exactly equivalent.
     "dedup_clusters_incremental" -> ((s, dir) => {
@@ -333,9 +336,9 @@ object QueriesDedup {
       val batch = bpick.select((col("doc_id") + 400000L).as("doc_id"),
           concat(col("text"), lit(" xtra")).as("text"))
         .unionByName(bpick.where(col("doc_id") % 200 === 0)
-          .select((col("doc_id") + 410000L).as("doc_id"),
+          .select((col("doc_id") + 600000L).as("doc_id"),
             concat(col("text"), lit(" xtra")).as("text")))
-        .unionByName(bpick.select((col("doc_id") + 420000L).as("doc_id"),
+        .unionByName(bpick.select((col("doc_id") + 800000L).as("doc_id"),
           concat_ws(" ", reverse(TextFns.tokens(col("text")))).as("text")))
       val idxPath = graft.operators.DiskCache.keyedPath(
         "minhash_dcorpus_idx_v1", s"$dir/documents.parquet")
@@ -829,9 +832,9 @@ object QueriesDedup {
          |allc AS (
          |  SELECT doc_id, text FROM corpus
          |  UNION ALL SELECT doc_id + 400000, text || ' xtra' FROM bpick
-         |  UNION ALL SELECT doc_id + 410000, text || ' xtra' FROM bpick
+         |  UNION ALL SELECT doc_id + 600000, text || ' xtra' FROM bpick
          |    WHERE doc_id % 200 = 0
-         |  UNION ALL SELECT doc_id + 420000,
+         |  UNION ALL SELECT doc_id + 800000,
          |    array_to_string(list_reverse($toksSql), ' ') FROM bpick),
          |sh AS MATERIALIZED (
          |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(tk) - 1, 1)),

@@ -135,6 +135,19 @@ class DiskCacheSpec extends AnyFunSuite {
     assert(DiskCache.fingerprint(d.getPath) == one)
   }
 
+  test("fingerprint: nonexistent data path fails loudly instead of keying an empty corpus") {
+    val d = freshDir()
+    val missing = new java.io.File(d, "no-such-dataset.parquet")
+    val ex = intercept[IllegalArgumentException] {
+      DiskCache.fingerprint(missing.getPath)
+    }
+    assert(ex.getMessage.contains("no-such-dataset.parquet"))
+    // and via keyedPath, the production entry point
+    intercept[IllegalArgumentException] {
+      DiskCache.keyedPath("spec_missing_v1", missing.getPath)
+    }: Unit
+  }
+
   test("keyedPath: stale-index invalidation end to end (data change => new path => rebuild)") {
     val data = freshDir()
     val src = new java.io.File(data, "docs.parquet")

@@ -73,9 +73,9 @@ class Round6Spec extends SparkSpec {
     val batch = bpick.select((col("doc_id") + 400000L).as("doc_id"),
         concat(col("text"), lit(" xtra")).as("text"))
       .unionByName(bpick.where(col("doc_id") % 200 === 0)
-        .select((col("doc_id") + 410000L).as("doc_id"),
+        .select((col("doc_id") + 600000L).as("doc_id"),
           concat(col("text"), lit(" xtra")).as("text")))
-      .unionByName(bpick.select((col("doc_id") + 420000L).as("doc_id"),
+      .unionByName(bpick.select((col("doc_id") + 800000L).as("doc_id"),
         concat_ws(" ", reverse(TextFns.tokens(col("text")))).as("text")))
     val all = corpus.unionByName(batch)
     val fullEdges = Dedup.minhashNearDups(all, "doc_id", "text", threshold = 0.8)
