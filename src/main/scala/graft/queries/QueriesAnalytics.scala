@@ -671,6 +671,78 @@ object QueriesAnalytics {
             .as("clustering"))
     }),
 
+    // Link prediction on the sparsified nation trade graph — the fourth
+    // graph-family member (components = connectivity, pagerank =
+    // centrality, LPA = mesoscale, triangles = closure; this one PREDICTS
+    // closure): for every non-adjacent pair score the classic
+    // common-neighbors / Jaccard / resource-allocation indices. Same scale
+    // shape as the rest of the family: the corpus collapses DISTRIBUTEDLY
+    // to the ≤nations² edge list (broadcast dims, one orderkey shuffle) and
+    // every downstream join is config-sized. Resource allocation Σ 1/d(z)
+    // stays EXACT by summing LCM(1..24)/d(z) in BIGINTs (every possible
+    // degree on a 25-node simple graph divides the LCM) with ONE final
+    // division; Jaccard rounds via the engine-identical floor(x·1e6+0.5)
+    // form. Candidate pairs come from the 2-path join e(u,z)⋈e(z,v) minus
+    // existing edges — never a node crossJoin.
+    "graph_link_predict" -> ((s, dir) => {
+      val sp = sparsifiedNationGraph(s, dir) // symmetric (a, b, w)
+      val deg = sp.groupBy(col("a")).agg(count(lit(1)).as("d"))
+        .withColumnRenamed("a", "node")
+      val lcm = 5354228880L // LCM(1..24)
+      val cand = sp.select(col("a").as("u"), col("b").as("z"))
+        .join(sp.select(col("a").as("z"), col("b").as("v")), "z")
+        .where(col("u") < col("v"))
+        .join(sp.select(col("a").as("u"), col("b").as("v")),
+          Seq("u", "v"), "left_anti")
+      cand
+        .join(broadcast(deg.select(col("node").as("z"), col("d").as("dz"))), "z")
+        .groupBy(col("u"), col("v"))
+        .agg(count(lit(1)).as("common_n"),
+          sum(expr(s"$lcm DIV dz")).as("ra_num"))
+        .join(broadcast(deg.select(col("node").as("u"), col("d").as("du"))), "u")
+        .join(broadcast(deg.select(col("node").as("v"), col("d").as("dv"))), "v")
+        .select(col("u").as("node_u"), col("v").as("node_v"), col("common_n"),
+          (floor(col("common_n").cast(DoubleType)
+            / (col("du") + col("dv") - col("common_n")) * 1e6 + 0.5) / 1e6)
+            .as("jaccard"),
+          (floor(col("ra_num").cast(DoubleType) / lit(lcm.toDouble) * 1e6 + 0.5)
+            / 1e6).as("resource_alloc"))
+        .orderBy(col("common_n").desc, col("node_u"), col("node_v"))
+    }),
+
+    // Bounded-horizon BFS hop distances on the same sparsified graph — the
+    // all-pairs reachability card (which trade partners are k removed once
+    // below-average edges drop). The corpus collapses distributedly to the
+    // config-sized edge list exactly as above; the ≤25-node BFS then runs
+    // in the driver (graph_communities/pagerank precedent — a 5-deep
+    // frontier join tree would re-run the corpus collapse per level).
+    // Horizon fixed at 5 hops in BOTH engines (the oracle unrolls 5
+    // DISTINCT frontier levels and takes min(level)); pairs beyond the
+    // horizon are absent by the same rule on both sides. Undirected ⇒ one
+    // (src < dst) row per reachable pair; everything is exact integers.
+    "graph_shortest_paths" -> ((s, dir) => {
+      val edges = sparsifiedNationGraph(s, dir)
+        .select(col("a"), col("b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val nbrs = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      nbrs.keys.toSeq.sorted.foreach { src =>
+        var dist = Map(src -> 0L)
+        var frontier = Set(src)
+        var k = 0L
+        while (frontier.nonEmpty && k < 5) {
+          k += 1
+          val next = frontier.flatMap(n => nbrs.getOrElse(n, Set.empty))
+            .diff(dist.keySet)
+          dist = dist ++ next.map(_ -> k)
+          frontier = next
+        }
+        dist.foreach { case (dst, d) => if (src < dst) out += ((src, dst, d)) }
+      }
+      import s.implicits._
+      out.toSeq.sortBy(t => (t._1, t._2)).toDF("src", "dst", "hops")
+    }),
+
     // 2D Pareto skyline (non-dominated frontier) per group: minimize
     // (price, discount) over lineitem within each return flag. The classic
     // nested NOT-EXISTS dominance test is O(n²); on a SORTED dimension the
@@ -967,7 +1039,12 @@ object QueriesAnalytics {
     * are MATERIALIZED — DuckDB otherwise inlines the 4-table join into
     * every one of the ~11 sp/r references and OOMs at sf0.1 (caught by the
     * 3-SF sweep). */
-  private val lpaBaseSql =
+  /** Shared corpus→graph collapse CTEs (ends at the sparsified symmetric
+    * edge list `sp`): region-affinity-boosted weighted undirected nation
+    * trade edges, kept by the strict above-average rule w·|E| > Σw. Used
+    * by graph_communities (via [[lpaBaseSql]]), graph_link_predict, and
+    * graph_shortest_paths so the three views share ONE graph definition. */
+  private val nationGraphSql =
     """WITH raw0 AS MATERIALIZED (
       |  SELECT CAST(s_nationkey AS BIGINT) AS src, CAST(c_nationkey AS BIGINT) AS dst,
       |    CAST(count(*) AS BIGINT) AS w
@@ -987,9 +1064,44 @@ object QueriesAnalytics {
       |    SELECT src AS a, dst AS b, w FROM ed0
       |    UNION ALL SELECT dst AS a, src AS b, w FROM ed0) GROUP BY 1, 2),
       |tot AS (SELECT CAST(count(*) AS BIGINT) AS ne, CAST(sum(w) AS BIGINT) AS tw FROM und),
-      |sp AS MATERIALIZED (SELECT a, b, w FROM und CROSS JOIN tot WHERE w * ne > tw),
+      |sp AS MATERIALIZED (SELECT a, b, w FROM und CROSS JOIN tot WHERE w * ne > tw)""".stripMargin
+
+  private val lpaBaseSql = nationGraphSql +
+    """,
       |nodes AS (SELECT CAST(n_nationkey AS BIGINT) AS node FROM nation),
       |r0 AS (SELECT node, node AS label FROM nodes)""".stripMargin
+
+  /** The Spark twin of [[nationGraphSql]]'s `sp`: symmetric (a, b, w)
+    * sparsified edges, computed distributedly — broadcast dims around ONE
+    * orderkey-shuffled fact⋈fact join, then nations²-bounded aggregates. */
+  private def sparsifiedNationGraph(
+      s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val supp = t(s, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey").cast(LongType).as("src"))
+    val ord = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey").cast(LongType).as("dst"))
+    val nat = t(s, dir, "nation")
+      .select(col("n_nationkey").cast(LongType).as("nk"),
+        col("n_regionkey").cast(LongType).as("rk"))
+    val raw = li.join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .where(col("src") =!= col("dst"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w0"))
+    val boosted = raw
+      .join(broadcast(nat.select(col("nk").as("src"), col("rk").as("r_src"))), Seq("src"))
+      .join(broadcast(nat.select(col("nk").as("dst"), col("rk").as("r_dst"))), Seq("dst"))
+      .select(col("src"), col("dst"),
+        (col("w0") * when(col("r_src") === col("r_dst"), 5L).otherwise(1L)).as("w"))
+    val und = boosted.select(col("src").as("a"), col("dst").as("b"), col("w"))
+      .unionByName(boosted.select(col("dst").as("a"), col("src").as("b"), col("w")))
+      .groupBy(col("a"), col("b")).agg(sum(col("w")).as("w"))
+    val tot = und.agg(count(lit(1)).as("ne"), sum(col("w")).as("tw"))
+    und.crossJoin(broadcast(tot)).where(col("w") * col("ne") > col("tw"))
+      .select(col("a"), col("b"), col("w"))
+  }
 
   private def lpaRoundSql(k: Int): String =
     s""",
@@ -1101,6 +1213,45 @@ object QueriesAnalytics {
           |          FROM r5 GROUP BY 1)
           |SELECT r5.node AS nation, r5.label AS community, sizes.community_size
           |FROM r5 JOIN sizes USING (label) ORDER BY nation""".stripMargin),
+    "graph_link_predict" ->
+      (nationGraphSql +
+        """,
+          |deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS d FROM sp GROUP BY 1),
+          |cand AS (
+          |  SELECT e1.a AS u, e2.b AS v, e1.b AS z
+          |  FROM sp e1 JOIN sp e2 ON e1.b = e2.a
+          |  WHERE e1.a < e2.b
+          |    AND NOT EXISTS (SELECT 1 FROM sp e3 WHERE e3.a = e1.a AND e3.b = e2.b)),
+          |sc AS (
+          |  SELECT u, v, CAST(count(*) AS BIGINT) AS common_n,
+          |    CAST(sum(5354228880 // dz.d) AS BIGINT) AS ra_num
+          |  FROM cand JOIN deg dz ON cand.z = dz.node
+          |  GROUP BY u, v)
+          |SELECT u AS node_u, v AS node_v, common_n,
+          |  floor(CAST(common_n AS DOUBLE) / (du.d + dv.d - common_n) * 1e6 + 0.5) / 1e6 AS jaccard,
+          |  floor(CAST(ra_num AS DOUBLE) / CAST(5354228880 AS DOUBLE) * 1e6 + 0.5) / 1e6 AS resource_alloc
+          |FROM sc JOIN deg du ON sc.u = du.node JOIN deg dv ON sc.v = dv.node
+          |ORDER BY common_n DESC, node_u, node_v""".stripMargin),
+    "graph_shortest_paths" ->
+      (nationGraphSql +
+        """,
+          |f1 AS MATERIALIZED (SELECT DISTINCT a AS s, b AS t FROM sp WHERE a <> b),
+          |f2 AS MATERIALIZED (SELECT DISTINCT f1.s AS s, sp.b AS t
+          |  FROM f1 JOIN sp ON f1.t = sp.a WHERE f1.s <> sp.b),
+          |f3 AS MATERIALIZED (SELECT DISTINCT f2.s AS s, sp.b AS t
+          |  FROM f2 JOIN sp ON f2.t = sp.a WHERE f2.s <> sp.b),
+          |f4 AS MATERIALIZED (SELECT DISTINCT f3.s AS s, sp.b AS t
+          |  FROM f3 JOIN sp ON f3.t = sp.a WHERE f3.s <> sp.b),
+          |f5 AS MATERIALIZED (SELECT DISTINCT f4.s AS s, sp.b AS t
+          |  FROM f4 JOIN sp ON f4.t = sp.a WHERE f4.s <> sp.b),
+          |alld AS (
+          |  SELECT s, t, 1 AS d FROM f1
+          |  UNION ALL SELECT s, t, 2 FROM f2
+          |  UNION ALL SELECT s, t, 3 FROM f3
+          |  UNION ALL SELECT s, t, 4 FROM f4
+          |  UNION ALL SELECT s, t, 5 FROM f5)
+          |SELECT s AS src, t AS dst, CAST(min(d) AS BIGINT) AS hops
+          |FROM alld WHERE s < t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
     "sql_recursive" ->
       """WITH RECURSIVE anc(child, node, depth) AS (
         |  SELECT c_custkey, c_custkey, CAST(0 AS BIGINT) FROM customer

@@ -360,6 +360,93 @@ object QueriesPipeline {
         .orderBy(col("n").desc, col("pair")).limit(50)
     }),
 
+    // Iterative BPE merge TRAINING (bpe_pairs is round 1's count table;
+    // this runs the actual trainer loop): 4 rounds of argmax-pair →
+    // merge-applied-to-the-vocabulary, the Sennrich-style
+    // vocabulary-weighted BPE. Every round is ONE vocabulary-sized
+    // aggregate (the corpus is touched once, for the word counts, then
+    // cached) + a 1-row argmax collect; the merge itself applies
+    // DISTRIBUTEDLY as a codegen'd string replace over the
+    // space-separated symbol sequences. Merge semantics = one
+    // left-to-right NON-OVERLAPPING replace pass per round (both engines'
+    // replace() contract — a symbol run "a a a a" merges to "aa a a" in
+    // the round it wins, identical on both sides by construction). Pair
+    // counts are exact BIGINTs; ties break (count DESC, lhs, rhs).
+    "bpe_train" -> ((s, dir) => {
+      import graft.operators.CacheRegistry
+      val words = CacheRegistry.track(
+        t(s, dir, "documents")
+          .select(explode(TextFns.tokens(col("text"))).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+          .select(concat(lit(" "), concat_ws(" ",
+              transform(sequence(lit(1), length(col("w"))),
+                i => col("w").substr(i, lit(1)))), lit(" ")).as("seq"),
+            col("cnt")))
+      var cur = words
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+      for (k <- 1 to 4) {
+        val tk = cur.select(col("cnt"), split(trim(col("seq")), " ").as("tk"))
+        val best = tk.where(size(col("tk")) >= 2)
+          .select(col("cnt"), explode(expr(
+            "transform(sequence(1, size(tk) - 1), i -> struct(tk[i-1] AS l, tk[i] AS r))")).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("cnt")).as("c"))
+          .orderBy(col("c").desc, col("l"), col("r")).limit(1).collect()(0)
+        val (l, r, c) = (best.getString(0), best.getString(1), best.getLong(2))
+        merges += ((k, l, r, c))
+        // tokens are [a-z]+ by construction — safe to inline in the expr
+        cur = cur.withColumn("seq", expr(s"replace(seq, ' $l $r ', ' $l$r ')"))
+      }
+      import s.implicits._
+      merges.toSeq.toDF("merge_round", "lhs", "rhs", "pair_count")
+    }),
+
+    // DSIR data selection (Xie et al., NeurIPS 2023 — importance
+    // resampling over hashed n-gram features): every raw doc scores
+    // log p_target/p_raw under two bag-of-hashed-bigram unigram models
+    // (target = the English slice, raw = the whole corpus; 256 md5-banded
+    // feature buckets, add-one smoothing). The two model tables are
+    // CONFIG-SIZED (256 rows) whatever the corpus size and broadcast to
+    // the per-doc scorer; per-doc features collapse to exact (doc, bucket)
+    // BIGINT counts BEFORE any float math so each doc folds ≤256 weighted
+    // log terms (lm_score's round-4 determinism precedent). Declared
+    // output is the per-source selection card the resampling step
+    // consumes: docs, target-like docs (weight > 0), mean weight.
+    "dsir_weights" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val feats = docs
+        .select(col("doc_id"), col("lang"), col("source"),
+          TextFns.shingleExplode(TextFns.tokens(col("text")), 2).as("bg"))
+        .select(col("doc_id"), col("lang"), col("source"),
+          substring(md5(col("bg")), 1, 2).as("f"))
+      val perDoc = feats.groupBy(col("doc_id"), col("source"), col("lang"), col("f"))
+        .agg(count(lit(1)).as("c"))
+      val rawM = feats.groupBy(col("f")).agg(count(lit(1)).as("rc"))
+        .crossJoin(broadcast(feats.agg(count(lit(1)).as("rtot"))))
+      val tgtM = feats.where(col("lang") === "en")
+        .groupBy(col("f")).agg(count(lit(1)).as("tc"))
+      // ttot joins as its own 1-row broadcast: buckets ABSENT from the
+      // target slice null out tc (→ coalesce 0) but the target total is a
+      // corpus constant every bucket's smoothing denominator needs
+      val ttot = feats.where(col("lang") === "en").agg(count(lit(1)).as("ttot"))
+      val scored = perDoc
+        .join(broadcast(rawM), Seq("f"))
+        .join(broadcast(tgtM), Seq("f"), "left")
+        .crossJoin(broadcast(ttot))
+        .select(col("doc_id"), col("source"),
+          (col("c") * (log((coalesce(col("tc"), lit(0L)) + lit(1.0))
+              / (col("ttot") + lit(256.0)))
+            - log((col("rc") + lit(1.0)) / (col("rtot") + lit(256.0)))))
+            .as("term"))
+      val byDoc = scored.groupBy(col("doc_id"), col("source"))
+        .agg(round(sum(col("term")), 4).as("w"))
+      byDoc.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("w") > 0, 1L).otherwise(0L)).as("n_target_like"),
+          round(avg(col("w")), 4).as("mean_w"))
+        .orderBy(col("source"))
+    }),
+
     // Rare-token ratio (OOV-rate quality signal): fraction of a doc's tokens
     // whose corpus-wide frequency is < 5. The broadcast side is the COMMON
     // vocabulary (freq ≥ 5) — the Zipf head, tiny at any corpus size —
@@ -434,6 +521,23 @@ object QueriesPipeline {
     }))
 
   private val toks = Tables.toksSql()
+
+  /** One unrolled BPE trainer round: vocabulary-wide adjacent-pair counts
+    * (zip semantics — overlapping occurrences each count), deterministic
+    * argmax (count DESC, l, r), then the merge applied to every word's
+    * symbol sequence as ONE left-to-right non-overlapping string replace —
+    * the identical replace() contract the Spark side uses. */
+  private def bpeRoundSql(k: Int): String =
+    s""",
+       |p$k AS (SELECT split_part(pr, ' ', 1) AS l, split_part(pr, ' ', 2) AS r,
+       |    CAST(sum(cnt) AS BIGINT) AS c
+       |  FROM (SELECT unnest(list_transform(range(1, len(tk)),
+       |      i -> tk[i] || ' ' || tk[i+1])) AS pr, cnt
+       |    FROM (SELECT string_split(trim(seq), ' ') AS tk, cnt FROM w${k - 1}))
+       |  GROUP BY 1, 2),
+       |b$k AS (SELECT l, r, c FROM p$k ORDER BY c DESC, l, r LIMIT 1),
+       |w$k AS MATERIALIZED (SELECT replace(seq, ' ' || l || ' ' || r || ' ',
+       |    ' ' || l || r || ' ') AS seq, cnt FROM w${k - 1} CROSS JOIN b$k)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "batch_buckets" ->
@@ -599,6 +703,46 @@ object QueriesPipeline {
          |  SELECT w, wc, unnest(range(1, length(w))) AS i FROM words WHERE length(w) >= 2))
          |SELECT pair, CAST(sum(wc) AS BIGINT) AS n FROM pairs
          |GROUP BY pair ORDER BY n DESC, pair LIMIT 50""".stripMargin,
+    "bpe_train" ->
+      (s"""WITH words AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+          |  SELECT unnest($toks) AS w FROM documents) GROUP BY w),
+          |w0 AS MATERIALIZED (SELECT ' ' || array_to_string(
+          |    list_transform(range(1, length(w) + 1), i -> substr(w, CAST(i AS INT), 1)), ' ')
+          |    || ' ' AS seq, cnt FROM words)""".stripMargin
+        + (1 to 4).map(bpeRoundSql).mkString +
+        """
+          |SELECT * FROM (
+          |  SELECT 1 AS merge_round, l AS lhs, r AS rhs, c AS pair_count FROM b1
+          |  UNION ALL SELECT 2, l, r, c FROM b2
+          |  UNION ALL SELECT 3, l, r, c FROM b3
+          |  UNION ALL SELECT 4, l, r, c FROM b4)
+          |ORDER BY merge_round""".stripMargin),
+    "dsir_weights" ->
+      s"""WITH feats AS MATERIALIZED (
+         |  SELECT doc_id, lang, source, substr(md5(bg), 1, 2) AS f FROM (
+         |    SELECT doc_id, lang, source, unnest(list_transform(range(1, len(tk)),
+         |      i -> tk[i] || ' ' || tk[i+1])) AS bg
+         |    FROM (SELECT doc_id, lang, source, $toks AS tk FROM documents))),
+         |per_doc AS (SELECT doc_id, source, lang, f, CAST(count(*) AS BIGINT) AS c
+         |  FROM feats GROUP BY 1, 2, 3, 4),
+         |raw_m AS (SELECT f, CAST(count(*) AS BIGINT) AS rc FROM feats GROUP BY 1),
+         |rtot AS (SELECT CAST(count(*) AS BIGINT) AS rtot FROM feats),
+         |tgt_m AS (SELECT f, CAST(count(*) AS BIGINT) AS tc FROM feats
+         |  WHERE lang = 'en' GROUP BY 1),
+         |ttot AS (SELECT CAST(count(*) AS BIGINT) AS ttot FROM feats WHERE lang = 'en'),
+         |by_doc AS (
+         |  SELECT doc_id, source, round(sum(
+         |    c * (ln((COALESCE(tc, 0) + 1.0) / (ttot + 256.0))
+         |       - ln((rc + 1.0) / (rtot + 256.0)))), 4) AS w
+         |  FROM per_doc
+         |    JOIN raw_m USING (f)
+         |    LEFT JOIN tgt_m USING (f)
+         |    CROSS JOIN rtot CROSS JOIN ttot
+         |  GROUP BY 1, 2)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN w > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_target_like,
+         |  round(avg(w), 4) AS mean_w
+         |FROM by_doc GROUP BY 1 ORDER BY 1""".stripMargin,
     "rare_token_ratio" ->
       s"""WITH tok AS (SELECT doc_id, unnest($toks) AS token FROM documents),
          |common AS (SELECT token FROM (

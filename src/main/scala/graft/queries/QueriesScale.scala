@@ -197,6 +197,46 @@ object QueriesScale {
         .orderBy(col("source"))
     }),
 
+    // Incremental maintenance of a JOIN-AGGREGATE view (agg_incremental
+    // maintains a single-table aggregate; this is the classic IVM delta
+    // rule for V = π(O ⋈ L) γ): with batch deltas ΔO (orders arriving) and
+    // ΔL (lineitems arriving, possibly FOR EXISTING orders — the split is
+    // deliberately on different axes so every delta family is non-empty),
+    // the view refreshes as V += γ(ΔL⋈O ∪ L⋈ΔO ∪ ΔL⋈ΔL's own orders) —
+    // three joins each with a DELTA-sized side, never the full O⋈L rejoin.
+    // Persisted state = the config-sized per-priority partials of the base
+    // join, keyed by BOTH tables' data fingerprints; the merge is a
+    // key-domain-sized aggregate. At 100 TB the base-side probes would
+    // additionally prune by a delta-key bloom/semi-join (join_bloom shows
+    // the plan); the state itself never re-scans the base corpus. All
+    // measures are exact BIGINTs (integral quantities).
+    "mv_join_maintain" -> ((s, dir) => {
+      import graft.operators.DiskCache
+      val ord = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast(LongType).as("qty"))
+      val (ordBase, ordDelta) = (ord.where(col("o_orderkey") % 10 =!= 0),
+        ord.where(col("o_orderkey") % 10 === 0))
+      val (liBase, liDelta) = (li.where(col("l_linenumber") <= 5),
+        li.where(col("l_linenumber") > 5))
+      def partials(o: org.apache.spark.sql.DataFrame, l: org.apache.spark.sql.DataFrame) =
+        o.join(l, col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), sum(col("qty")).as("q"))
+      val statePath = DiskCache.keyedPath("mvjoin_state_v1",
+        s"$dir/orders.parquet", s"$dir/lineitem.parquet")
+      DiskCache.ensure(statePath) { tmp =>
+        partials(ordBase, liBase).write.mode("overwrite").parquet(tmp)
+      }
+      val deltaContrib = partials(ordBase, liDelta)
+        .unionByName(partials(ordDelta, liBase))
+        .unionByName(partials(ordDelta, liDelta))
+      s.read.parquet(statePath).unionByName(deltaContrib)
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("n")).as("n_rows"), sum(col("q")).as("sum_qty"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // Numeric histogram: fixed-width binning by pure floor arithmetic (no
     // engine-specific width_bucket) — the data-profiling shape that feeds
     // distribution drift checks. One partial-aggregable pass; bins with no
@@ -502,6 +542,13 @@ object QueriesScale {
         |  max(doc_id) AS max_id,
         |  round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // full recompute over O ⋈ L — the incremental merge must be exactly
+    // equivalent to the view's definition
+    "mv_join_maintain" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "sample_stratified" ->
       """WITH rated AS (
         |  SELECT o_orderpriority, o_totalprice,
