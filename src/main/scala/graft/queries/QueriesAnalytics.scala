@@ -684,8 +684,17 @@ object QueriesAnalytics {
     // division; Jaccard rounds via the engine-identical floor(x·1e6+0.5)
     // form. Candidate pairs come from the 2-path join e(u,z)⋈e(z,v) minus
     // existing edges — never a node crossJoin.
+    // The edge list is collected ONCE to a local relation
+    // (graph_shortest_paths/graph_communities precedent): `sp` is
+    // referenced 6× downstream and self-joins get no ReusedExchange, so a
+    // lazy `sp` would inline the full corpus collapse per reference (the
+    // round-7 plan: 946 nodes, 288 parquet scans). ≤nations² rows.
     "graph_link_predict" -> ((s, dir) => {
+      import s.implicits._
       val sp = sparsifiedNationGraph(s, dir) // symmetric (a, b, w)
+        .select(col("a"), col("b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+        .toDF("a", "b")
       val deg = sp.groupBy(col("a")).agg(count(lit(1)).as("d"))
         .withColumnRenamed("a", "node")
       val lcm = 5354228880L // LCM(1..24)

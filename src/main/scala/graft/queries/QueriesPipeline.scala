@@ -393,9 +393,14 @@ object QueriesPipeline {
           .agg(sum(col("cnt")).as("c"))
           .orderBy(col("c").desc, col("l"), col("r")).limit(1).collect()(0)
         val (l, r, c) = (best.getString(0), best.getString(1), best.getLong(2))
+        // TextFns.tokens yields [a-z]+ only; the ORACLE unrolls these
+        // tokens into SQL text, so fail loudly if that contract breaks
+        require(l.matches("[a-z]+") && r.matches("[a-z]+"),
+          s"bpe_train merge tokens must be [a-z]+ (got '$l', '$r')")
         merges += ((k, l, r, c))
-        // tokens are [a-z]+ by construction — safe to inline in the expr
-        cur = cur.withColumn("seq", expr(s"replace(seq, ' $l $r ', ' $l$r ')"))
+        // lit()-bound pattern: no data-derived text in the SQL tree
+        cur = cur.withColumn("seq",
+          replace(col("seq"), lit(s" $l $r "), lit(s" $l$r ")))
       }
       import s.implicits._
       merges.toSeq.toDF("merge_round", "lhs", "rhs", "pair_count")
@@ -413,37 +418,42 @@ object QueriesPipeline {
     // output is the per-source selection card the resampling step
     // consumes: docs, target-like docs (weight > 0), mean weight.
     "dsir_weights" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val feats = docs
+      import graft.operators.CacheRegistry
+      // ONE corpus pass (round 7 re-ran the bigram explode 5×): features
+      // collapse straight to exact (doc, bucket) BIGINT counts, cached for
+      // the round's two consumers — the 256-row bucket models and the
+      // per-doc scorer. Determinism: each bucket's log-weight is rounded
+      // ONCE to a micro-unit BIGINT (floor(x·1e6+.5) over a 256-row
+      // table), so every downstream fold — per-doc score, target-like
+      // flag, per-source mean — is an ORDER-INDEPENDENT integer sum;
+      // floats reappear only in the final presentation divide.
+      val perDoc = CacheRegistry.track(t(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("source"),
           TextFns.shingleExplode(TextFns.tokens(col("text")), 2).as("bg"))
         .select(col("doc_id"), col("lang"), col("source"),
           substring(md5(col("bg")), 1, 2).as("f"))
-      val perDoc = feats.groupBy(col("doc_id"), col("source"), col("lang"), col("f"))
-        .agg(count(lit(1)).as("c"))
-      val rawM = feats.groupBy(col("f")).agg(count(lit(1)).as("rc"))
-        .crossJoin(broadcast(feats.agg(count(lit(1)).as("rtot"))))
-      val tgtM = feats.where(col("lang") === "en")
-        .groupBy(col("f")).agg(count(lit(1)).as("tc"))
-      // ttot joins as its own 1-row broadcast: buckets ABSENT from the
-      // target slice null out tc (→ coalesce 0) but the target total is a
-      // corpus constant every bucket's smoothing denominator needs
-      val ttot = feats.where(col("lang") === "en").agg(count(lit(1)).as("ttot"))
-      val scored = perDoc
-        .join(broadcast(rawM), Seq("f"))
-        .join(broadcast(tgtM), Seq("f"), "left")
-        .crossJoin(broadcast(ttot))
-        .select(col("doc_id"), col("source"),
-          (col("c") * (log((coalesce(col("tc"), lit(0L)) + lit(1.0))
-              / (col("ttot") + lit(256.0)))
-            - log((col("rc") + lit(1.0)) / (col("rtot") + lit(256.0)))))
-            .as("term"))
-      val byDoc = scored.groupBy(col("doc_id"), col("source"))
-        .agg(round(sum(col("term")), 4).as("w"))
+        .groupBy(col("doc_id"), col("source"), col("lang"), col("f"))
+        .agg(count(lit(1)).as("c")))
+      // raw + target models from ONE grouped pass over the cached partials
+      // (target counts are the lang='en' conditional slice); totals then
+      // come from the 256-row table, not another corpus scan
+      val bkt = perDoc.groupBy(col("f"))
+        .agg(sum(col("c")).as("rc"),
+          sum(when(col("lang") === "en", col("c")).otherwise(0L)).as("tc"))
+      val tot = bkt.agg(sum(col("rc")).as("rtot"), sum(col("tc")).as("ttot"))
+      val lw = bkt.crossJoin(broadcast(tot))
+        .select(col("f"),
+          floor((log((col("tc") + lit(1.0)) / (col("ttot") + lit(256.0)))
+            - log((col("rc") + lit(1.0)) / (col("rtot") + lit(256.0))))
+            * 1e6 + 0.5).as("lwm"))
+      val byDoc = perDoc.join(broadcast(lw), Seq("f"))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(sum(col("c") * col("lwm")).as("wm"))
       byDoc.groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
-          sum(when(col("w") > 0, 1L).otherwise(0L)).as("n_target_like"),
-          round(avg(col("w")), 4).as("mean_w"))
+          sum(when(col("wm") > 0, 1L).otherwise(0L)).as("n_target_like"),
+          round(sum(col("wm")).cast(DoubleType) / count(lit(1)) / 1e6, 4)
+            .as("mean_w"))
         .orderBy(col("source"))
     }),
 
@@ -723,25 +733,22 @@ object QueriesPipeline {
          |    SELECT doc_id, lang, source, unnest(list_transform(range(1, len(tk)),
          |      i -> tk[i] || ' ' || tk[i+1])) AS bg
          |    FROM (SELECT doc_id, lang, source, $toks AS tk FROM documents))),
-         |per_doc AS (SELECT doc_id, source, lang, f, CAST(count(*) AS BIGINT) AS c
+         |per_doc AS MATERIALIZED (
+         |  SELECT doc_id, source, lang, f, CAST(count(*) AS BIGINT) AS c
          |  FROM feats GROUP BY 1, 2, 3, 4),
-         |raw_m AS (SELECT f, CAST(count(*) AS BIGINT) AS rc FROM feats GROUP BY 1),
-         |rtot AS (SELECT CAST(count(*) AS BIGINT) AS rtot FROM feats),
-         |tgt_m AS (SELECT f, CAST(count(*) AS BIGINT) AS tc FROM feats
-         |  WHERE lang = 'en' GROUP BY 1),
-         |ttot AS (SELECT CAST(count(*) AS BIGINT) AS ttot FROM feats WHERE lang = 'en'),
-         |by_doc AS (
-         |  SELECT doc_id, source, round(sum(
-         |    c * (ln((COALESCE(tc, 0) + 1.0) / (ttot + 256.0))
-         |       - ln((rc + 1.0) / (rtot + 256.0)))), 4) AS w
-         |  FROM per_doc
-         |    JOIN raw_m USING (f)
-         |    LEFT JOIN tgt_m USING (f)
-         |    CROSS JOIN rtot CROSS JOIN ttot
-         |  GROUP BY 1, 2)
+         |bkt AS (SELECT f, CAST(sum(c) AS BIGINT) AS rc,
+         |    CAST(sum(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS BIGINT) AS tc
+         |  FROM per_doc GROUP BY 1),
+         |tot AS (SELECT CAST(sum(rc) AS BIGINT) AS rtot,
+         |    CAST(sum(tc) AS BIGINT) AS ttot FROM bkt),
+         |lw AS (SELECT f, CAST(floor((ln((tc + 1.0) / (ttot + 256.0))
+         |       - ln((rc + 1.0) / (rtot + 256.0))) * 1e6 + 0.5) AS BIGINT) AS lwm
+         |  FROM bkt CROSS JOIN tot),
+         |by_doc AS (SELECT doc_id, source, CAST(sum(c * lwm) AS BIGINT) AS wm
+         |  FROM per_doc JOIN lw USING (f) GROUP BY 1, 2)
          |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-         |  CAST(sum(CASE WHEN w > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_target_like,
-         |  round(avg(w), 4) AS mean_w
+         |  CAST(sum(CASE WHEN wm > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_target_like,
+         |  round(CAST(sum(wm) AS DOUBLE) / count(*) / 1e6, 4) AS mean_w
          |FROM by_doc GROUP BY 1 ORDER BY 1""".stripMargin,
     "rare_token_ratio" ->
       s"""WITH tok AS (SELECT doc_id, unnest($toks) AS token FROM documents),

@@ -121,21 +121,23 @@ class Round7Spec extends SparkSpec {
     }
     val rtot = feats.length.toLong
     val ttotV = feats.count(_._2 == "en").toLong
-    val rawM = feats.groupBy(_._4).map { case (f, xs) => f -> xs.length.toLong }
-    val tgtM = feats.filter(_._2 == "en").groupBy(_._4)
-      .map { case (f, xs) => f -> xs.length.toLong }
+    // round-8 semantics: each bucket's log-weight rounds ONCE to a
+    // micro-unit BIGINT; per-doc and per-source folds are exact integer
+    // sums (order-independent), so the compare can be exact
+    val lwm = feats.groupBy(_._4).map { case (f, xs) =>
+      val rc = xs.length.toLong
+      val tc = xs.count(_._2 == "en").toLong
+      f -> math.floor((math.log((tc + 1.0) / (ttotV + 256.0))
+        - math.log((rc + 1.0) / (rtot + 256.0))) * 1e6 + 0.5).toLong
+    }
     val byDoc = feats.groupBy(f => (f._1, f._3)).map { case ((id, src), xs) =>
-      val w = xs.groupBy(_._4).map { case (f, ys) =>
-        val c = ys.length.toLong
-        c * (math.log((tgtM.getOrElse(f, 0L) + 1.0) / (ttotV + 256.0))
-          - math.log((rawM(f) + 1.0) / (rtot + 256.0)))
-      }.sum
-      // Spark's round() is HALF_UP, not rint's HALF_EVEN
-      (id, src, BigDecimal(w).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      (id, src, xs.groupBy(_._4).map { case (f, ys) => ys.length * lwm(f) }.sum)
     }
     val expected = byDoc.groupBy(_._2).map { case (src, xs) =>
+      // Spark's round() is HALF_UP, not rint's HALF_EVEN
       src -> (xs.size.toLong, xs.count(_._3 > 0).toLong,
-        math.rint(xs.map(_._3).sum / xs.size * 1e4) / 1e4)
+        BigDecimal(xs.map(_._3).sum.toDouble / xs.size / 1e6)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
     }
     val got = graft.queries.QueriesPipeline.queries("dsir_weights")(spark, dir)
       .collect().map(r => r.getString(0) ->
@@ -144,7 +146,7 @@ class Round7Spec extends SparkSpec {
     got.foreach { case (src, (n, sel, mw)) =>
       val (en, esel, emw) = expected(src)
       assert(n == en && sel == esel, s"$src counts: got ($n,$sel) vs ($en,$esel)")
-      assert(math.abs(mw - emw) < 2e-4, s"$src mean_w: $mw vs $emw")
+      assert(mw == emw, s"$src mean_w: $mw vs $emw")
     }
   }
 
