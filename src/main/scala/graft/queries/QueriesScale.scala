@@ -206,12 +206,23 @@ object QueriesScale {
     // three joins each with a DELTA-sized side, never the full O⋈L rejoin.
     // Persisted state = the config-sized per-priority partials of the base
     // join, keyed by BOTH tables' data fingerprints; the merge is a
-    // key-domain-sized aggregate. At 100 TB the base-side probes would
-    // additionally prune by a delta-key bloom/semi-join (join_bloom shows
-    // the plan); the state itself never re-scans the base corpus. All
-    // measures are exact BIGINTs (integral quantities).
-    "mv_join_maintain" -> ((s, dir) => {
+    // key-domain-sized aggregate. The base-side probes are pruned by a
+    // runtime delta-key bloom filter (join_bloom's injection pattern, on an
+    // isolated session): the delta's selective filter becomes a
+    // BloomFilterMightContain on the base scan, so each refresh shuffles
+    // ~the delta's key range of the base, not the whole base — refresh work
+    // ∝ delta, the actual 100 TB contract (Round8Spec pins the plan). The
+    // state itself never re-scans the base corpus. All measures are exact
+    // BIGINTs (integral quantities).
+    "mv_join_maintain" -> ((s0, dir) => {
       import graft.operators.DiskCache
+      val s = s0.newSession()
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      // at 100 TB neither fact side broadcasts, and injection skips
+      // broadcast joins — force the shuffle-join shape the filter prunes
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val ord = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"))
       val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
         col("l_quantity").cast(LongType).as("qty"))
