@@ -373,37 +373,43 @@ object QueriesPipeline {
     // the round it wins, identical on both sides by construction). Pair
     // counts are exact BIGINTs; ties break (count DESC, lhs, rhs).
     "bpe_train" -> ((s, dir) => {
-      import graft.operators.CacheRegistry
-      val words = CacheRegistry.track(
-        t(s, dir, "documents")
-          .select(explode(TextFns.tokens(col("text"))).as("w"))
-          .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-          .select(concat(lit(" "), concat_ws(" ",
-              transform(sequence(lit(1), length(col("w"))),
-                i => col("w").substr(i, lit(1)))), lit(" ")).as("seq"),
-            col("cnt")))
-      var cur = words
-      val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-      for (k <- 1 to 4) {
-        val tk = cur.select(col("cnt"), split(trim(col("seq")), " ").as("tk"))
-        val best = tk.where(size(col("tk")) >= 2)
-          .select(col("cnt"), explode(expr(
-            "transform(sequence(1, size(tk) - 1), i -> struct(tk[i-1] AS l, tk[i] AS r))")).as("p"))
-          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-          .agg(sum(col("cnt")).as("c"))
-          .orderBy(col("c").desc, col("l"), col("r")).limit(1).collect()(0)
-        val (l, r, c) = (best.getString(0), best.getString(1), best.getLong(2))
-        // TextFns.tokens yields [a-z]+ only; the ORACLE unrolls these
-        // tokens into SQL text, so fail loudly if that contract breaks
-        require(l.matches("[a-z]+") && r.matches("[a-z]+"),
-          s"bpe_train merge tokens must be [a-z]+ (got '$l', '$r')")
-        merges += ((k, l, r, c))
-        // lit()-bound pattern: no data-derived text in the SQL tree
-        cur = cur.withColumn("seq",
-          replace(col("seq"), lit(s" $l $r "), lit(s" $l$r ")))
-      }
       import s.implicits._
-      merges.toSeq.toDF("merge_round", "lhs", "rhs", "pair_count")
+      bpeMerges(s, dir).toDF("merge_round", "lhs", "rhs", "pair_count")
+    }),
+
+    // The trained tokenizer APPLIED — closing the train→encode→evaluate
+    // loop: encode the corpus with bpe_train's merge table and report
+    // per-language fertility (tokens/word, chars/token — the metric
+    // tokenizer_fertility computes for the untrained baseline). Encoding
+    // rides the same Zipf trick as training: merges apply ONCE to the
+    // distinct (lang, word) vocabulary (4 codegen'd replaces, no
+    // corpus-sized symbol explode) and corpus totals come back as exact
+    // wc-weighted BIGINT sums; the corpus itself is touched once, for the
+    // word counts. Training is memoized per data dir (pure function of
+    // the corpus), so bpe_train + bpe_apply in one session train once.
+    "bpe_apply" -> ((s, dir) => {
+      val merges = bpeMerges(s, dir)
+      val wordLang = t(s, dir, "documents")
+        .select(col("lang"), explode(TextFns.tokens(col("text"))).as("w"))
+        .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("wc"))
+      val spaced = concat(lit(" "), concat_ws(" ",
+        transform(sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1)))), lit(" "))
+      val encoded = merges.foldLeft(spaced) { case (seq, (_, l, r, _)) =>
+        replace(seq, lit(s" $l $r "), lit(s" $l$r "))
+      }
+      wordLang
+        .select(col("lang"), col("wc"), length(col("w")).as("nc"),
+          size(split(trim(encoded), " ")).cast(LongType).as("ns"))
+        .groupBy(col("lang"))
+        .agg(sum(col("wc")).as("n_words"),
+          sum(col("wc") * col("ns")).as("n_tokens"),
+          sum(col("wc") * col("nc")).as("n_chars"),
+          round(sum(col("wc") * col("ns")).cast(DoubleType)
+            / sum(col("wc")), 4).as("tokens_per_word"),
+          round(sum(col("wc") * col("nc")).cast(DoubleType)
+            / sum(col("wc") * col("ns")), 4).as("chars_per_token"))
+        .orderBy(col("lang"))
     }),
 
     // DSIR data selection (Xie et al., NeurIPS 2023 — importance
@@ -537,6 +543,54 @@ object QueriesPipeline {
     * argmax (count DESC, l, r), then the merge applied to every word's
     * symbol sequence as ONE left-to-right non-overlapping string replace —
     * the identical replace() contract the Spark side uses. */
+  /** The Sennrich-style vocabulary-weighted BPE trainer shared by
+    * bpe_train (reports the merge table) and bpe_apply (encodes with it):
+    * 4 rounds of argmax-pair over the CACHED distinct-word symbol table —
+    * per round ONE vocabulary-sized aggregate + a 1-row collect, the merge
+    * applied distributedly as a codegen'd replace. Memoized per data dir
+    * (training is a pure function of the corpus), so both queries in one
+    * session train once. Merge semantics = one left-to-right
+    * NON-OVERLAPPING replace pass per round (both engines' replace()
+    * contract); pair counts are exact BIGINTs; ties break (count DESC,
+    * lhs, rhs).
+    */
+  private val bpeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, String, String, Long)]]()
+  private def bpeMerges(s: org.apache.spark.sql.SparkSession, dir: String)
+      : Seq[(Int, String, String, Long)] =
+    bpeCache.computeIfAbsent(dir, _ => {
+      import graft.operators.CacheRegistry
+      val words = CacheRegistry.track(
+        t(s, dir, "documents")
+          .select(explode(TextFns.tokens(col("text"))).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+          .select(concat(lit(" "), concat_ws(" ",
+              transform(sequence(lit(1), length(col("w"))),
+                i => col("w").substr(i, lit(1)))), lit(" ")).as("seq"),
+            col("cnt")))
+      var cur = words
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+      for (k <- 1 to 4) {
+        val tk = cur.select(col("cnt"), split(trim(col("seq")), " ").as("tk"))
+        val best = tk.where(size(col("tk")) >= 2)
+          .select(col("cnt"), explode(expr(
+            "transform(sequence(1, size(tk) - 1), i -> struct(tk[i-1] AS l, tk[i] AS r))")).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("cnt")).as("c"))
+          .orderBy(col("c").desc, col("l"), col("r")).limit(1).collect()(0)
+        val (l, r, c) = (best.getString(0), best.getString(1), best.getLong(2))
+        // TextFns.tokens yields [a-z]+ only; the ORACLE unrolls these
+        // tokens into SQL text, so fail loudly if that contract breaks
+        require(l.matches("[a-z]+") && r.matches("[a-z]+"),
+          s"bpe merge tokens must be [a-z]+ (got '$l', '$r')")
+        merges += ((k, l, r, c))
+        // lit()-bound pattern: no data-derived text in the SQL tree
+        cur = cur.withColumn("seq",
+          replace(col("seq"), lit(s" $l $r "), lit(s" $l$r ")))
+      }
+      merges.toSeq
+    })
+
   private def bpeRoundSql(k: Int): String =
     s""",
        |p$k AS (SELECT split_part(pr, ' ', 1) AS l, split_part(pr, ' ', 2) AS r,
@@ -727,6 +781,33 @@ object QueriesPipeline {
           |  UNION ALL SELECT 3, l, r, c FROM b3
           |  UNION ALL SELECT 4, l, r, c FROM b4)
           |ORDER BY merge_round""".stripMargin),
+    "bpe_apply" ->
+      (s"""WITH words AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+          |  SELECT unnest($toks) AS w FROM documents) GROUP BY w),
+          |w0 AS MATERIALIZED (SELECT ' ' || array_to_string(
+          |    list_transform(range(1, length(w) + 1), i -> substr(w, CAST(i AS INT), 1)), ' ')
+          |    || ' ' AS seq, cnt FROM words)""".stripMargin
+        + (1 to 4).map(bpeRoundSql).mkString +
+        s""",
+          |wl AS MATERIALIZED (SELECT lang, w, CAST(count(*) AS BIGINT) AS wc FROM (
+          |  SELECT lang, unnest($toks) AS w FROM documents) GROUP BY 1, 2),
+          |enc AS (SELECT lang, wc, CAST(length(w) AS BIGINT) AS nc,
+          |    CAST(len(string_split(trim(
+          |      replace(replace(replace(replace(
+          |        ' ' || array_to_string(list_transform(range(1, length(w) + 1),
+          |          i -> substr(w, CAST(i AS INT), 1)), ' ') || ' ',
+          |        ' ' || b1.l || ' ' || b1.r || ' ', ' ' || b1.l || b1.r || ' '),
+          |        ' ' || b2.l || ' ' || b2.r || ' ', ' ' || b2.l || b2.r || ' '),
+          |        ' ' || b3.l || ' ' || b3.r || ' ', ' ' || b3.l || b3.r || ' '),
+          |        ' ' || b4.l || ' ' || b4.r || ' ', ' ' || b4.l || b4.r || ' ')
+          |      ), ' ')) AS BIGINT) AS ns
+          |  FROM wl CROSS JOIN b1 CROSS JOIN b2 CROSS JOIN b3 CROSS JOIN b4)
+          |SELECT lang, CAST(sum(wc) AS BIGINT) AS n_words,
+          |  CAST(sum(wc * ns) AS BIGINT) AS n_tokens,
+          |  CAST(sum(wc * nc) AS BIGINT) AS n_chars,
+          |  round(CAST(sum(wc * ns) AS DOUBLE) / sum(wc), 4) AS tokens_per_word,
+          |  round(CAST(sum(wc * nc) AS DOUBLE) / sum(wc * ns), 4) AS chars_per_token
+          |FROM enc GROUP BY 1 ORDER BY 1""".stripMargin),
     "dsir_weights" ->
       s"""WITH feats AS MATERIALIZED (
          |  SELECT doc_id, lang, source, substr(md5(bg), 1, 2) AS f FROM (
