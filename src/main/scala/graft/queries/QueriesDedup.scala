@@ -554,32 +554,51 @@ object QueriesDedup {
       // DuckDB's comparison orders ABOVE the threshold while Spark's Java
       // semantics reject, a latent cross-engine divergence (an empty set
       // has J = 0 < τ with everything anyway)
-      val toks = corpus(s, dir)
-        .select(col("doc_id"), array_distinct(TextFns.tokens(col("text"))).as("toks"))
-        .where(size(col("toks")) > 0)
       // EXACT-DEDUP-BEFORE-NEAR-DEDUP (round 6, the production pipeline
       // order): J(a,b) is a function of the token SETS alone, so docs with
       // identical sets are interchangeable — group them into classes
       // (ckey = the sorted set itself; tokens are whitespace-split so the
       // space join is injective, no hash-collision risk) and run the
-      // quadratic machinery on DISTINCT CLASSES only. The measured 100×
-      // corpus holds 6000 docs but 3740 classes, with every planted
-      // duplicate cluster collapsing to ONE representative — the 10.6M
-      // prefix-collision rows and 897k verified doc-pairs of the doc-level
-      // join become ~1.4M and ~30k at class level, and the doc-pair
-      // quadratic blowup (c·(c−1)/2 per cluster) is replaced by per-class
-      // ARITHMETIC below. One extra corpus shuffle (the ckey window) buys
-      // a squared-cluster-size reduction everywhere after it.
+      // quadratic machinery on DISTINCT CLASSES only. Duplicate clusters
+      // collapse to ONE representative each — the prefix-collision volume
+      // and the doc-pair quadratic blowup (c·(c−1)/2 per cluster) are
+      // replaced by per-class ARITHMETIC below.
+      //
+      // Round-8 plan surgery (profiled at 100×, 14.9 s → see SCALING.md):
+      // every multiply-referenced subtree used to re-run per reference —
+      // the corpus union inlined THREE documents scans, the prefix
+      // self-join re-ran the whole collapse twice (self-joins get no
+      // ReusedExchange), and the symmetric pair expansion re-ran the
+      // entire candidate+verify chain twice. Now: the 3-variant corpus is
+      // ONE documents scan (tokenize once per doc, then a 3-row explode
+      // builds the copies' ckeys — the +200000 variant's token set is
+      // distinct(tk ∪ {xtra}) by construction of " xtra xtra"), only
+      // (doc_id, ckey) rides the class shuffle (the token array
+      // re-derives from ckey by split, which is injective), and the three
+      // reused corpus-shaped intermediates (mem, prefix, verified class
+      // pairs) are tracked session-lifetime caches.
+      val slim = t(s, dir, "documents").where(col("doc_id") % 25 === 0)
+        .select(col("doc_id"),
+          sort_array(array_distinct(TextFns.tokens(col("text")))).as("tk"))
+        .select(col("doc_id"), col("tk"), explode(array(
+          struct(lit(0L).as("off"), lit(false).as("xtra")),
+          struct(lit(100000L).as("off"), lit(false).as("xtra")),
+          struct(lit(200000L).as("off"), lit(true).as("xtra")))).as("v"))
+        .select((col("doc_id") + col("v.off")).as("doc_id"),
+          concat_ws(" ", when(col("v.xtra"),
+            sort_array(array_distinct(concat(col("tk"), array(lit("xtra"))))))
+            .otherwise(col("tk"))).as("ckey"))
+        // zero-token guard (see NaN note above): empty set ⇒ empty ckey
+        .where(col("ckey") =!= "")
       val wc = Window.partitionBy("ckey")
       val wco = Window.partitionBy("ckey").orderBy("doc_id")
-      val mem = toks
-        .withColumn("ckey", concat_ws(" ", sort_array(col("toks"))))
+      val mem = graft.operators.CacheRegistry.track(slim
         .withColumn("m", count(lit(1)).over(wc))
         .withColumn("rn", row_number().over(wco))
         .withColumn("c1", min(col("doc_id")).over(wc))
-        .withColumn("c2", max(when(col("rn") === 2, col("doc_id"))).over(wc))
+        .withColumn("c2", max(when(col("rn") === 2, col("doc_id"))).over(wc)))
       val reps = mem.where(col("rn") === 1)
-        .select(col("c1").as("cid"), col("toks"), col("m"))
+        .select(col("c1").as("cid"), split(col("ckey"), " ").as("toks"), col("m"))
       // class-level prefix join: n rides the array size through the explode
       // (no unordered count window); df now counts CLASSES per token — any
       // consistent global total order preserves prefix completeness
@@ -587,10 +606,12 @@ object QueriesDedup {
         explode(col("toks")).as("tok"))
       val tf = ex.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       val w = Window.partitionBy("cid").orderBy(col("df"), col("tok"))
-      val prefix = ex.join(tf, "tok")
+      // tracked: the self-join below references prefix twice and would
+      // otherwise re-run the whole collapse+df chain per side
+      val prefix = graft.operators.CacheRegistry.track(ex.join(tf, "tok")
         .withColumn("rk", row_number().over(w))
         .where(col("rk") <= col("n") - ceil(col("n") * tau) + 1)
-        .select(col("cid"), col("tok"), col("n"), col("rk"))
+        .select(col("cid"), col("tok"), col("n"), col("rk")))
       // PPJoin length filter: J ≥ τ forces τ·|a| ≤ |b| ≤ |a|/τ, so length-
       // mismatched collisions prune in the join condition — lossless.
       // PPJoin+ positional/suffix filter: tokens sort by ONE global
@@ -618,14 +639,16 @@ object QueriesDedup {
       // identical IEEE double from the same integer intersect/union sizes.
       // Distinct classes have distinct sets, so cross-class J < 1 strictly
       // — the within-class J = 1 entries below always dominate arg-max.
-      val cpairs = cand
+      // tracked: the symmetric expansion below references the verified
+      // pair stream twice and would otherwise re-run candidates + verify
+      val cpairs = graft.operators.CacheRegistry.track(cand
         .join(reps.select(col("cid").as("ca"), col("toks").as("ta")), "ca")
         .join(reps.select(col("cid").as("cb"), col("toks").as("tb")), "cb")
         .withColumn("j",
           size(array_intersect(col("ta"), col("tb"))).cast("double")
             / size(array_union(col("ta"), col("tb"))))
         .where(col("j") >= tau)
-        .select(col("ca"), col("cb"), col("j"))
+        .select(col("ca"), col("cb"), col("j")))
       // Per-CLASS cross aggregates (partner class contributes all m members;
       // its best representative under the (j desc, id asc) tie rule is its
       // min doc_id = cid), then per-doc expansion by pure arithmetic:
