@@ -20,14 +20,16 @@ object SparkEntry {
     QueriesFunctions.queries, QueriesFacade.queries, QueriesTypes.queries,
     QueriesText.queries, QueriesDedup.queries, QueriesPipeline.queries,
     QueriesSim.queries, QueriesScale.queries, QueriesAnalytics.queries,
-    QueriesMlops.queries, QueriesStream.queries, QueriesDdl.queries)
+    QueriesMlops.queries, QueriesStream.queries, QueriesDdl.queries,
+    QueriesTrain.queries)
 
   private def oracleModules: Seq[Map[String, String]] = Seq(
     QueriesRelational.oracle, QueriesRelationalExt.oracle,
     QueriesFunctions.oracle, QueriesFacade.oracle, QueriesTypes.oracle,
     QueriesText.oracle, QueriesDedup.oracle, QueriesPipeline.oracle,
     QueriesSim.oracle, QueriesScale.oracle, QueriesAnalytics.oracle,
-    QueriesMlops.oracle, QueriesStream.oracle, QueriesDdl.oracle)
+    QueriesMlops.oracle, QueriesStream.oracle, QueriesDdl.oracle,
+    QueriesTrain.oracle)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -72,4 +72,133 @@ class Round8Spec extends SparkSpec {
         .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, s"$lang cpt")
     }
   }
+
+  // independent TextStats counters (Java regex, not the native expression)
+  private def stats(text: String): (Double, Double, Double, Double) = {
+    val nc = text.codePointCount(0, text.length).toDouble
+    val nt = "\\S+".r.findAllIn(text).size.toDouble
+    val np = "[^a-zA-Z0-9\\s]".r.findAllIn(text).size.toDouble
+    val ns = "\\b(the|and|of|to|in|is|a|for|on|with|as|by|at|it)\\b".r
+      .findAllIn(text.toLowerCase).size.toDouble
+    (nc, nt, np, ns)
+  }
+
+  private def teacherHi(nc: Double, nt: Double, np: Double, ns: Double): Boolean = {
+    val pr = np / math.max(nc, 1.0)
+    val sr = ns / math.max(nt, 1.0)
+    val mw = nc / math.max(nt, 1.0)
+    val len = if (nc >= 100 && nc <= 10000) 1.0 else if (nc >= 20) 0.5 else 0.0
+    val pu = if (pr <= 0.1) 1.0 else if (pr <= 0.3) 0.5 else 0.0
+    val st = if (sr >= 0.05 && sr <= 0.6) 1.0 else 0.3
+    val wd = if (mw >= 3.0 && mw <= 12.0) 1.0 else 0.3
+    val q = BigDecimal(len * 0.3 + pu * 0.2 + st * 0.3 + wd * 0.2)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    q >= 0.8
+  }
+
+  test("quality_classifier: card matches a from-scratch trainer + scorer") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // independent trainer: first 256 docs by id, standardized logistic GD
+    val sample = docs.sortBy(_._1).take(256).map { case (_, _, tx) =>
+      val (nc, nt, np, ns) = stats(tx)
+      (Array(nt / 100.0, nc / math.max(nt, 1.0), np / math.max(nc, 1.0),
+        ns / math.max(nt, 1.0)), if (teacherHi(nc, nt, np, ns)) 1.0 else 0.0)
+    }
+    val n = sample.length.toDouble
+    val mu = Array.tabulate(4)(i => sample.map(_._1(i)).sum / n)
+    val sd = Array.tabulate(4) { i =>
+      math.max(math.sqrt(
+        sample.map(r => (r._1(i) - mu(i)) * (r._1(i) - mu(i))).sum / n), 1e-9)
+    }
+    val w = Array.fill(5)(0.0)
+    for (_ <- 1 to 300) {
+      val g = Array.fill(5)(0.0)
+      sample.foreach { case (x, y) =>
+        val z = w(0) + (0 until 4).map(i => w(i + 1) * (x(i) - mu(i)) / sd(i)).sum
+        val e = 1.0 / (1.0 + math.exp(-z)) - y
+        g(0) += e
+        for (i <- 0 until 4) g(i + 1) += e * (x(i) - mu(i)) / sd(i)
+      }
+      for (i <- 0 until 5) w(i) -= 1.0 * g(i) / n
+    }
+    val b0 = w(0) - (0 until 4).map(i => w(i + 1) * mu(i) / sd(i)).sum
+    val bw = (0 until 4).map(i => w(i + 1) / sd(i))
+    // independent scorer over the full corpus
+    val byS = docs.groupBy(_._2).map { case (src, xs) =>
+      val scored = xs.map { case (_, _, tx) =>
+        val (nc, nt, np, ns) = stats(tx)
+        val sc = b0 + bw(0) * (nt / 100.0) + bw(1) * (nc / math.max(nt, 1.0)) +
+          bw(2) * (np / math.max(nc, 1.0)) + bw(3) * (ns / math.max(nt, 1.0))
+        (sc, teacherHi(nc, nt, np, ns))
+      }
+      src -> (scored.length.toLong,
+        scored.count(_._1 > 0).toLong,
+        scored.count(s => (s._1 > 0) == s._2).toLong,
+        BigDecimal(scored.map(s => math.floor(s._1 * 1e6 + 0.5).toLong).sum.toDouble
+          / scored.length / 1e6)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = graft.queries.QueriesTrain.queries("quality_classifier")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got == byS, s"got ${got.size} sources vs ${byS.size}")
+    // and the model is not degenerate: both classes predicted somewhere
+    val pred = got.values.map(_._2).sum
+    assert(pred > 0 && pred < got.values.map(_._1).sum, "degenerate classifier")
+  }
+
+  test("doremi_weights: excess + 8-round smoothed multiplicative weights match a from-scratch recompute") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def md5hex2(s0: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s0.getBytes("UTF-8"))
+      f"${d(0) & 0xff}%02x"
+    }
+    val feats = docs.flatMap { case (src, tx) =>
+      val tk = tx.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      tk.zip(tk.tail).map(bg => (src, md5hex2(bg._1 + " " + bg._2)))
+    }
+    val perDS = feats.groupBy(identity).map { case ((src, f), xs) =>
+      (src, f, xs.length.toLong) }.toSeq
+    val cd = perDS.groupBy(_._1).map { case (s0, xs) => s0 -> xs.map(_._3).sum }
+    val gBkt = perDS.groupBy(_._2).map { case (f, xs) => f -> xs.map(_._3).sum }
+    val gt = gBkt.values.sum
+    def micro(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
+    val lgm = gBkt.map { case (f, gc) =>
+      f -> micro(-math.log((gc + 1.0) / (gt + 256.0))) }
+    val num = perDS.groupBy(_._1).map { case (src, xs) =>
+      src -> xs.map { case (_, f, c) =>
+        c * (lgm(f) - micro(-math.log((c + 1.0) / (cd(src) + 256.0))))
+      }.sum
+    }
+    val srcs = cd.keys.toSeq.sorted
+    val dd = srcs.length.toLong
+    val u = srcs.map(s0 =>
+      math.floor(math.exp(1e-1 * (num(s0).toDouble / cd(s0) / 1e6)) * 1e6 + 0.5).toLong)
+    var wts = srcs.map(_ => 1000000000L / dd)
+    for (_ <- 1 to 8) {
+      val p = wts.zip(u).map { case (a, b) => a * b }
+      val tot = p.sum
+      wts = p.map(pi => math.floor(((1.0 - 2e-1) * (pi.toDouble / tot) + 2e-1 / dd)
+        * 1e9 + 0.5).toLong)
+    }
+    val expected = srcs.zip(wts).map { case (s0, w8) =>
+      s0 -> (cd(s0),
+        BigDecimal(num(s0).toDouble / cd(s0) / 1e6)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(w8.toDouble / 1e9)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toMap
+    val got = graft.queries.QueriesTrain.queries("doremi_weights")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got == expected)
+    // weights are a proper distribution up to the nano grid
+    val sumW = got.values.map(_._3).sum
+    assert(math.abs(sumW - 1.0) < 1e-3, s"weights sum $sumW")
+  }
 }
