@@ -201,4 +201,35 @@ class Round8Spec extends SparkSpec {
     val sumW = got.values.map(_._3).sum
     assert(math.abs(sumW - 1.0) < 1e-3, s"weights sum $sumW")
   }
+
+  test("mv_rewrite: the naive join-aggregate is answered from the MV state, not the facts") {
+    val df = graft.queries.QueriesScale.queries("mv_rewrite")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("mvfull_state_v1"),
+      s"expected the MV state scan in the plan:\n${plan.take(4000)}")
+    assert(!plan.contains("orders.parquet") && !plan.contains("lineitem.parquet"),
+      s"fact-table scan survived the rewrite:\n${plan.take(4000)}")
+    // and the rewritten answer equals the naive plan executed WITHOUT the
+    // rule (fresh session: extraOptimizations are session-scoped)
+    val bare = spark.newSession()
+    val naive = graft.queries.Tables.t(bare, dir, "orders")
+      .join(graft.queries.Tables.t(bare, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .orderBy(col("o_orderpriority"))
+      .collect().map(_.toSeq).toSeq
+    assert(df.collect().map(_.toSeq).toSeq == naive)
+    // a query the matcher must NOT claim (filtered base) stays on the facts
+    val filtered = graft.queries.Tables.t(spark, dir, "orders")
+      .where(col("o_totalprice") > 1000.0)
+      .join(graft.queries.Tables.t(spark, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"))
+    val fplan = filtered.queryExecution.executedPlan.toString
+    assert(!fplan.contains("mvfull_state_v1"),
+      "rewrite wrongly claimed a filtered query")
+  }
 }
