@@ -242,6 +242,32 @@ object QueriesPipeline {
         .orderBy(col("pos"))
     }),
 
+    // Curriculum ordering — the staged training-order pass (clean data
+    // first, noisy data later): each doc gets a phase from fixed
+    // quality-score thresholds (1: q ≥ 0.8, 2: q ≥ 0.7, 3: rest) and a
+    // deterministic md5 shuffle key WITHIN its phase; the global position
+    // is GlobalOrder's distributed row numbering over the phase-major
+    // composite key (one data shuffle, never a single-partition window).
+    // Boundaries are static phase:hex prefixes — 4 buckets per phase, no
+    // probe jobs, the whole plan stays lazy.
+    "curriculum_order" -> ((s, dir) => {
+      val q = TextFns.qualityScore(col("text"))
+      val phase = when(q >= 0.8, 1L).when(q >= 0.7, 2L).otherwise(3L)
+      val keyed = t(s, dir, "documents")
+        .select(col("doc_id"), phase.as("phase"),
+          md5(concat(lit("cur:"), col("doc_id").cast(StringType))).as("skey"))
+        .withColumn("ckey",
+          concat(col("phase").cast(StringType), lit(":"), col("skey")))
+      val bounds: Seq[Any] =
+        for (p <- Seq("1", "2", "3"); h <- Seq("0", "4", "8", "c"))
+          yield s"$p:$h"
+      GlobalOrder.withGlobalRowNumber(
+          keyed, Seq(col("ckey"), col("doc_id")), "pos", numParts = 12,
+          boundaries = Some(bounds.drop(1)))
+        .select(col("pos"), col("doc_id"), col("phase"))
+        .orderBy(col("pos"))
+    }),
+
     // Per-source quota (per-domain cap, Common-Crawl style): keep at most 10
     // docs per source, chosen by deterministic hash order (an unbiased
     // subsample, not first-N). The rank filter is recognized by Spark 4's
@@ -712,6 +738,16 @@ object QueriesPipeline {
       """SELECT CAST(row_number() OVER (ORDER BY md5('shuf:' || doc_id), doc_id) AS BIGINT) AS pos,
         |  doc_id, md5('shuf:' || doc_id) AS skey
         |FROM documents ORDER BY pos""".stripMargin,
+    "curriculum_order" ->
+      s"""WITH m AS (${Tables.qualityMetricsSql()}),
+         |q AS (SELECT doc_id, round(${Tables.qualityScoreSql}, 6) AS q FROM m),
+         |p AS (SELECT doc_id,
+         |    CASE WHEN q >= 0.8 THEN 1 WHEN q >= 0.7 THEN 2 ELSE 3 END AS phase,
+         |    md5('cur:' || CAST(doc_id AS VARCHAR)) AS skey
+         |  FROM q)
+         |SELECT CAST(row_number() OVER (ORDER BY phase, skey, doc_id) AS BIGINT) AS pos,
+         |  doc_id, CAST(phase AS BIGINT) AS phase
+         |FROM p ORDER BY pos""".stripMargin,
     "source_quota" ->
       """SELECT source, doc_id, CAST(rk AS BIGINT) AS rk FROM (
         |  SELECT source, doc_id, row_number() OVER (PARTITION BY source

@@ -232,4 +232,23 @@ class Round8Spec extends SparkSpec {
     assert(!fplan.contains("mvfull_state_v1"),
       "rewrite wrongly claimed a filtered query")
   }
+
+  test("curriculum_order: positions are a permutation, phase-major, shuffled within phase") {
+    val rows = graft.queries.QueriesPipeline.queries("curriculum_order")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = rows.length
+    assert(rows.map(_._1).toSet == (1L to n.toLong).toSet, "pos not a permutation")
+    // phases never decrease along the curriculum
+    rows.sortBy(_._1).map(_._3).sliding(2).foreach {
+      case Array(a, b) => assert(a <= b, s"phase regressed $a -> $b")
+      case _ =>
+    }
+    // within-phase order is the md5 shuffle key order (independent recompute)
+    def md5hex(s0: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s0.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    val expected = rows.map { case (_, id, ph) => (ph, md5hex(s"cur:$id"), id) }
+      .sortBy(identity).map(_._3)
+    assert(rows.sortBy(_._1).map(_._2).toSeq == expected.toSeq)
+  }
 }
