@@ -233,6 +233,23 @@ class Round8Spec extends SparkSpec {
       "rewrite wrongly claimed a filtered query")
   }
 
+  test("join_bucketed: co-located layout joins with zero shuffle exchange on either side") {
+    val df = graft.queries.QueriesScale.queries("join_bucketed")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n${plan.take(3000)}")
+    assert(!plan.contains("Exchange hashpartitioning(o_orderkey") &&
+      !plan.contains("Exchange hashpartitioning(l_orderkey"),
+      s"join-side shuffle survived the bucketed layout:\n${plan.take(4000)}")
+    // results equal the plain (layout-free) join
+    val naive = graft.queries.Tables.t(spark, dir, "orders")
+      .join(graft.queries.Tables.t(spark, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity").cast("long")).as("q"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet == naive)
+  }
+
   test("curriculum_order: positions are a permutation, phase-major, shuffled within phase") {
     val rows = graft.queries.QueriesPipeline.queries("curriculum_order")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
