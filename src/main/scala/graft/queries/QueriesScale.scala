@@ -384,15 +384,33 @@ object QueriesScale {
         s"$dir/orders.parquet", s"$dir/lineitem.parquet")
       val oT = s"graft_bkt_orders_$fp"
       val lT = s"graft_bkt_lineitem_$fp"
-      if (!s.catalog.tableExists(oT))
+      // the in-memory catalog dies with the JVM but the warehouse files
+      // survive — and the BUCKETING metadata lives only in the catalog, so
+      // a fresh JVM must rebuild, not adopt: drop the orphaned location
+      // first (fingerprint-keyed ⇒ same-name means same data)
+      def clearOrphan(tbl: String): Unit = if (!s.catalog.tableExists(tbl)) {
+        val wh = s.conf.get("spark.sql.warehouse.dir", "target/warehouse")
+          .stripPrefix("file:")
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        val loc = new java.io.File(wh, tbl)
+        if (loc.exists()) rm(loc)
+      }
+      if (!s.catalog.tableExists(oT)) {
+        clearOrphan(oT)
         t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"))
           .write.bucketBy(16, "o_orderkey").sortBy("o_orderkey")
           .mode("overwrite").saveAsTable(oT)
-      if (!s.catalog.tableExists(lT))
+      }
+      if (!s.catalog.tableExists(lT)) {
+        clearOrphan(lT)
         t(s, dir, "lineitem").select(col("l_orderkey"),
             col("l_quantity").cast(LongType).as("qty"))
           .write.bucketBy(16, "l_orderkey").sortBy("l_orderkey")
           .mode("overwrite").saveAsTable(lT)
+      }
       s.table(oT).join(s.table(lT), col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_rows"), sum(col("qty")).as("sum_qty"))
