@@ -560,6 +560,79 @@ object QueriesPipeline {
           (floor((lit(1.0) - countDistinct(col("text"))
             / count(lit(1)).cast("double")) * 1e6 + 0.5) / 1e6).as("dup_rate"))
         .orderBy(col("source"))
+    }),
+
+    // Data scaling-law fit (the Chinchilla/Heaps-law card a pretraining
+    // team runs before committing compute): distinct-trigram vocabulary
+    // growth V(N) across 8 nested corpus prefixes (by doc_id octile),
+    // fitted as the power law V = k·N^β by closed-form log-log OLS.
+    // Scale shape: ONE corpus trigram pass — each trigram's FIRST
+    // occurrence (min doc_id) collapses map-side, so the shuffle carries
+    // the distinct-trigram domain, not the token stream; prefix totals
+    // come from a per-doc token-count aggregate (no explode). Both curves
+    // land on an 8-row octile frame (cumulative window over 8 rows), and
+    // the OLS moments are exact BIGINT sums of micro-unit ln() grid
+    // points — order-independent, so the DuckDB twin reproduces the fit
+    // bit-for-bit. Octile membership is pure BIGINT arithmetic
+    // ((id·8) div (max+1)) off a 1-row broadcast max — no rank sort.
+    "scaling_law_fit" -> ((s, dir) => {
+      import graft.operators.CacheRegistry
+      val docs = t(s, dir, "documents")
+      // 1-row probe (parquet column stats make this near-free) so octile
+      // membership is computable AT the single corpus pass below; the
+      // interpolated value is a bare Long — no data-derived TEXT in SQL
+      val mxid = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
+      // THE one corpus pass: trigram instances collapse straight to the
+      // (shingle, octile) grid (≤ 8×|vocab| rows, Zipf-bounded), cached
+      // for the round's two consumers — new-vocab counts (min octile per
+      // shingle) and per-octile instance mass both derive from it
+      val shOct = CacheRegistry.track(docs
+        .select(col("doc_id"),
+          TextFns.shingleExplode(TextFns.tokens(col("text")), 3).as("sh"))
+        .select(expr(s"(doc_id * 8) div (${mxid + 1}) + 1").as("k"), col("sh"))
+        .groupBy(col("sh"), col("k")).agg(count(lit(1)).as("c")))
+      val vb = shOct.groupBy(col("sh")).agg(min(col("k")).as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("nv"))
+      val nb = shOct.groupBy(col("k")).agg(sum(col("c")).as("nn"))
+      val frame = s.range(1, 9).toDF("k")
+      val cum = Window.orderBy(col("k"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val pts = frame
+        .join(vb, Seq("k"), "left").join(nb, Seq("k"), "left")
+        .select(col("k"), coalesce(col("nv"), lit(0L)).as("nv"),
+          coalesce(col("nn"), lit(0L)).as("nn"))
+        .select(col("k"), sum(col("nv")).over(cum).as("v"),
+          sum(col("nn")).over(cum).as("n"))
+        .where(col("v") > 0 && col("n") > 0)
+        .select(col("v"), col("n"),
+          floor(log(col("n").cast(DoubleType)) * 1e6 + 0.5)
+            .cast(LongType).as("xm"),
+          floor(log(col("v").cast(DoubleType)) * 1e6 + 0.5)
+            .cast(LongType).as("ym"))
+      pts.agg(count(lit(1)).as("np"), sum(col("xm")).as("sx"),
+          sum(col("ym")).as("sy"), sum(col("xm") * col("ym")).as("sxy"),
+          sum(col("xm") * col("xm")).as("sxx"),
+          sum(col("ym") * col("ym")).as("syy"),
+          max(col("n")).as("n_trigrams"), max(col("v")).as("v_trigrams"))
+        .select(col("np"), col("n_trigrams"), col("v_trigrams"),
+          round((col("np") * col("sxy") - col("sx") * col("sy"))
+            .cast(DoubleType)
+            / (col("np") * col("sxx") - col("sx") * col("sx"))
+              .cast(DoubleType), 6).as("beta"),
+          round(exp(((col("sy").cast(DoubleType)
+              - ((col("np") * col("sxy") - col("sx") * col("sy"))
+                .cast(DoubleType)
+                / (col("np") * col("sxx") - col("sx") * col("sx"))
+                  .cast(DoubleType)) * col("sx").cast(DoubleType))
+            / col("np").cast(DoubleType)) / lit(1e6)), 4).as("k_coef"),
+          round((col("np") * col("sxy") - col("sx") * col("sy"))
+              .cast(DoubleType)
+            * (col("np") * col("sxy") - col("sx") * col("sy"))
+              .cast(DoubleType)
+            / ((col("np") * col("sxx") - col("sx") * col("sx"))
+              .cast(DoubleType)
+              * (col("np") * col("syy") - col("sy") * col("sy"))
+                .cast(DoubleType)), 6).as("r2"))
     }))
 
   private val toks = Tables.toksSql()
@@ -796,6 +869,49 @@ object QueriesPipeline {
          |  round(CAST(count(d.h) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS dup_frac
          |FROM win w LEFT JOIN dup d ON w.h = d.h
          |GROUP BY w.doc_id ORDER BY doc_id""".stripMargin,
+
+    "scaling_law_fit" ->
+      s"""WITH mx AS (SELECT max(doc_id) AS mxid FROM documents),
+         |tk AS MATERIALIZED (SELECT doc_id, $toks AS tk FROM documents),
+         |tri AS (SELECT doc_id, unnest(list_transform(
+         |    range(1, greatest(len(tk) - 1, 1)),
+         |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh FROM tk),
+         |vb AS (SELECT (fd * 8) // (mxid + 1) + 1 AS k,
+         |    CAST(count(*) AS BIGINT) AS nv
+         |  FROM (SELECT sh, min(doc_id) AS fd FROM tri GROUP BY 1) CROSS JOIN mx
+         |  GROUP BY 1),
+         |nb AS (SELECT (doc_id * 8) // (mxid + 1) + 1 AS k,
+         |    CAST(sum(greatest(len(tk) - 2, 0)) AS BIGINT) AS nn
+         |  FROM tk CROSS JOIN mx GROUP BY 1),
+         |frame AS (SELECT CAST(unnest(range(1, 9)) AS BIGINT) AS k),
+         |cum AS (SELECT k,
+         |    CAST(sum(COALESCE(nv, 0)) OVER (ORDER BY k
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS v,
+         |    CAST(sum(COALESCE(nn, 0)) OVER (ORDER BY k
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n
+         |  FROM frame LEFT JOIN vb USING (k) LEFT JOIN nb USING (k)),
+         |pts AS (SELECT v, n,
+         |    CAST(floor(ln(CAST(n AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS xm,
+         |    CAST(floor(ln(CAST(v AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS ym
+         |  FROM cum WHERE v > 0 AND n > 0),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS np,
+         |    CAST(sum(xm) AS BIGINT) AS sx, CAST(sum(ym) AS BIGINT) AS sy,
+         |    CAST(sum(xm * ym) AS BIGINT) AS sxy,
+         |    CAST(sum(xm * xm) AS BIGINT) AS sxx,
+         |    CAST(sum(ym * ym) AS BIGINT) AS syy,
+         |    max(n) AS n_trigrams, max(v) AS v_trigrams FROM pts)
+         |SELECT np, n_trigrams, v_trigrams,
+         |  round(CAST(np * sxy - sx * sy AS DOUBLE)
+         |    / CAST(np * sxx - sx * sx AS DOUBLE), 6) AS beta,
+         |  round(exp(((CAST(sy AS DOUBLE)
+         |      - (CAST(np * sxy - sx * sy AS DOUBLE)
+         |        / CAST(np * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+         |    / CAST(np AS DOUBLE)) / 1e6), 4) AS k_coef,
+         |  round(CAST(np * sxy - sx * sy AS DOUBLE)
+         |      * CAST(np * sxy - sx * sy AS DOUBLE)
+         |    / (CAST(np * sxx - sx * sx AS DOUBLE)
+         |      * CAST(np * syy - sy * sy AS DOUBLE)), 6) AS r2
+         |FROM m""".stripMargin,
     "bpe_pairs" ->
       s"""WITH words AS (SELECT w, count(*) AS wc FROM (
          |  SELECT unnest($toks) AS w FROM documents) GROUP BY w),

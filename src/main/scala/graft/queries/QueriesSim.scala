@@ -41,7 +41,56 @@ object QueriesSim {
 
   private val rank10 = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
 
+  /** Σᵢ (v[i]−cent[i])² as an explicit left-associative Column chain —
+    * the Spark twin of [[l2ChainSql]] (ascending i, same IEEE add order),
+    * over SCALAR element casts (no array-wide `transform`: higher-order
+    * lambdas are interpreted and would re-evaluate per reference). */
+  private def l2Chain(v: org.apache.spark.sql.Column, cent: Array[Double])
+      : org.apache.spark.sql.Column =
+    cent.zipWithIndex.map { case (cv, i) =>
+      val d = element_at(v, i + 1).cast(DoubleType) - lit(cv)
+      d * d
+    }.reduceLeft(_ + _)
+
   val queries: Map[String, Q] = Map(
+    // Clustering-quality card over the trained coarse quantizer (the
+    // "should I trust these cells?" eval an ANN/semantic-dedup pipeline
+    // runs after k-means): per cell, the SIMPLIFIED silhouette on squared
+    // L2 — s = (d₂−d₁)/max(d₁,d₂) with d₁/d₂ the nearest/second-nearest
+    // centroid distances (the centroid-based silhouette approximation;
+    // exact silhouette is O(n²) and never runs at corpus scale). Scale
+    // shape: centroids are 8 driver-side literal chains, so the whole
+    // per-vector computation — 8 distance columns, an 8-element
+    // struct-sort for (d₁, cell, d₂) — is ONE narrow codegen'd map with
+    // no join and no shuffle except the final 8-row aggregate; means fold
+    // as exact micro-unit BIGINTs. Oracle refits the deterministic
+    // sampled trainer and inlines the centroids (sim_ivf_kmeans pattern).
+    "cluster_silhouette" -> ((s, dir) => {
+      import graft.operators.Ivf
+      val e = t(s, dir, "embeddings").where(col("embedding").isNotNull)
+        .select(col("vec_id"), col("embedding"))
+      val cents = Ivf.collectCentroids(
+        Ivf.trainSampled(e, "vec_id", "embedding", k = 8))
+      val ds = cents.zipWithIndex.map { case (c, i) =>
+        struct(l2Chain(col("embedding"), c).as("d"), lit(i).as("cell"))
+      }
+      val sorted = array_sort(array(ds.toSeq: _*))
+      val d1 = element_at(sorted, 1).getField("d")
+      val c1 = element_at(sorted, 1).getField("cell")
+      val d2 = element_at(sorted, 2).getField("d")
+      val sil = when(greatest(d1, d2) > 0,
+        (d2 - d1) / greatest(d1, d2)).otherwise(lit(0.0))
+      e.select(c1.as("cell"), d1.as("d1"), sil.as("sil"))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_vecs"),
+          round(sum(floor(col("sil") * 1e6 + 0.5).cast(LongType))
+            .cast(DoubleType) / count(lit(1)) / 1e6, 6).as("mean_sil"),
+          round(sum(floor(col("d1") * 1e6 + 0.5).cast(LongType))
+            .cast(DoubleType) / count(lit(1)) / 1e6, 6).as("mean_dist2"))
+        .select(col("cell").cast(LongType).as("cell"), col("n_vecs"),
+          col("mean_sil"), col("mean_dist2"))
+        .orderBy(col("cell"))
+    }),
     // Centroid classifier scoring (fastText-style quality-classifier shape):
     // per-label centroids come from ONE distributed posexplode+avg pass
     // (output is labels×dims — config-sized), broadcast back, and every
@@ -640,6 +689,38 @@ object QueriesSim {
        |WHERE rn <= 10 ORDER BY qid, rank""".stripMargin
   }
 
+  /** cluster_silhouette's twin: refit the sampled trainer, inline the 8
+    * centroids, and reproduce (d₁, cell, d₂) with least / argmin-CASE /
+    * list_sort — tie semantics match the Spark struct-sort (lower cell
+    * wins; a tied d₂ equals d₁ either way, so sil agrees bit-for-bit). */
+  private def silhouetteOracle(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    import graft.operators.Ivf
+    val e = t(s, dir, "embeddings").where(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"))
+    val cents = Ivf.collectCentroids(Ivf.trainSampled(e, "vec_id", "embedding", k = 8))
+    val k = cents.length
+    val dDefs = cents.zipWithIndex.map { case (c, i) =>
+      s"${l2ChainSql("v", c)} AS d$i" }.mkString(",\n    ")
+    val dcols = (0 until k).map(i => s"d$i")
+    s"""WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |  WHERE embedding IS NOT NULL),
+       |d AS (SELECT
+       |    $dDefs
+       |  FROM e),
+       |a AS (SELECT ${argminCaseSql(dcols)} AS cell,
+       |    least(${dcols.mkString(", ")}) AS d1,
+       |    list_sort([${dcols.mkString(", ")}])[2] AS d2 FROM d),
+       |sil AS (SELECT cell, d1,
+       |    CASE WHEN greatest(d1, d2) > 0 THEN (d2 - d1) / greatest(d1, d2)
+       |      ELSE 0.0 END AS sil FROM a)
+       |SELECT CAST(cell AS BIGINT) AS cell, CAST(count(*) AS BIGINT) AS n_vecs,
+       |  round(CAST(sum(CAST(floor(sil * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+       |    / count(*) / 1e6, 6) AS mean_sil,
+       |  round(CAST(sum(CAST(floor(d1 * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+       |    / count(*) / 1e6, 6) AS mean_dist2
+       |FROM sil GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   private def pqOracle(s: org.apache.spark.sql.SparkSession, dir: String): String = {
     val e = t(s, dir, "embeddings").where(col("embedding").isNotNull)
     val books = Pq.train(e, "vec_id", "embedding", m = 8, k = 16)
@@ -728,7 +809,8 @@ object QueriesSim {
       (tryGen("sim_ivf_kmeans", ivfKmeansOracle(s, dir)) ++
         tryGen("sim_ivf_append", ivfAppendOracle(s, dir)) ++
         tryGen("sim_pq", pqOracle(s, dir)) ++
-        tryGen("embed_pca_project", pcaOracle(s, dir))).toMap
+        tryGen("embed_pca_project", pcaOracle(s, dir)) ++
+        tryGen("cluster_silhouette", silhouetteOracle(s, dir))).toMap
     }.getOrElse(Map.empty)
 
   private val staticOracle: Map[String, String] = Map(

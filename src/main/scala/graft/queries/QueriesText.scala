@@ -38,7 +38,91 @@ object QueriesText {
       .agg(count(lit(1)).as("n_bigrams"), round(avg(col("lp")), 4).as("avg_logp"))
   }
 
+  /** badwords_filter's lexicon — in production this is the C4/RefinedWeb
+    * blocklist (config-sized, broadcast); on the synthetic corpus it holds
+    * one common and one rare term so both branches of the gate carry
+    * signal. Shared verbatim with the SQL oracle. */
+  private val BadLexicon = Seq("slow", "dup")
+
+  /** search_ndcg's fixed evaluation queries (qid, term1, term2): ranking
+    * scores by term1's tf only while relevance counts BOTH terms, so the
+    * metric separates ranking quality from relevance (NDCG < 1 is
+    * reachable). Shared verbatim with the SQL oracle. */
+  private val NdcgQueries = Seq((1L, "slow", "dup"), (2L, "merge", "join"),
+    (3L, "scan", "vector"))
+
   val queries: Map[String, Q] = Map(
+    // Blocklist filtering card (the C4 "bad words" pipeline stage): per
+    // source, how many docs a lexicon gate would drop and the bad-token
+    // density. ONE corpus tokenize pass: the lexicon test is a codegen'd
+    // IN-list on the exploded token stream, per-doc counts collapse
+    // map-side, and the per-source card is an 8-row aggregate. Docs are
+    // counted from the token stream (every corpus doc has ≥1 token —
+    // empty docs would be invisible to a token-level gate anyway).
+    "badwords_filter" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          explode(TextFns.tokens(col("text"))).as("w"))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(count(lit(1)).as("nt"),
+          sum(when(col("w").isInCollection(BadLexicon), 1L)
+            .otherwise(0L)).as("n_bad"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_bad") > 0, 1L).otherwise(0L)).as("n_flagged"),
+          sum(col("n_bad")).as("bad_tokens"),
+          round(sum(when(col("n_bad") > 0, 1L).otherwise(0L))
+            .cast(DoubleType) / count(lit(1)), 6).as("flag_rate"),
+          round(sum(col("n_bad")).cast(DoubleType) * lit(1e4)
+            / sum(col("nt")).cast(DoubleType), 4).as("bad_per_10k"))
+        .orderBy(col("source"))
+    }),
+
+    // Search-ranking evaluation (NDCG@10) for a deterministic ranker:
+    // score = term1's exact tf (ties doc_id), graded relevance = how many
+    // of the query's two terms the doc contains. Both DCG and ideal-DCG
+    // fold as exact micro-unit BIGINTs over the top-10 window rows, so
+    // the metric is order-independent and cross-engine exact. Scale
+    // shape: queries broadcast into ONE tokenize pass; per-(query, doc)
+    // tfs collapse map-side; ranking windows partition by query id over
+    // the candidate set only (docs containing ≥1 query term).
+    "search_ndcg" -> ((s, dir) => {
+      import s.implicits._
+      val qs = NdcgQueries.toDF("qid", "t1", "t2")
+      val hits = t(s, dir, "documents")
+        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("w"))
+        .join(broadcast(qs), col("w") === col("t1") || col("w") === col("t2"))
+        .groupBy(col("qid"), col("doc_id"))
+        .agg(sum(when(col("w") === col("t1"), 1L).otherwise(0L)).as("tf1"),
+          sum(when(col("w") === col("t2"), 1L).otherwise(0L)).as("tf2"))
+        .select(col("qid"), col("doc_id"), col("tf1"),
+          (when(col("tf1") > 0, 1L).otherwise(0L)
+            + when(col("tf2") > 0, 1L).otherwise(0L)).as("rel"))
+      val wRank = Window.partitionBy(col("qid"))
+        .orderBy(col("tf1").desc, col("doc_id"))
+      val wIdeal = Window.partitionBy(col("qid"))
+        .orderBy(col("rel").desc, col("doc_id"))
+      val gain = when(col("rel") === 2, lit(3.0))
+        .when(col("rel") === 1, lit(1.0)).otherwise(lit(0.0))
+      hits
+        .withColumn("rn", row_number().over(wRank))
+        .withColumn("irn", row_number().over(wIdeal))
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("n_cand"),
+          sum(when(col("rel") === 2, 1L).otherwise(0L)).as("n_rel2"),
+          sum(when(col("rn") <= 10,
+            floor(gain / log2(col("rn") + 1) * 1e6 + 0.5).cast(LongType))
+            .otherwise(0L)).as("dcg_m"),
+          sum(when(col("irn") <= 10,
+            floor(gain / log2(col("irn") + 1) * 1e6 + 0.5).cast(LongType))
+            .otherwise(0L)).as("idcg_m"))
+        .select(col("qid"), col("n_cand"), col("n_rel2"),
+          round(when(col("idcg_m") > 0,
+            col("dcg_m").cast(DoubleType) / col("idcg_m"))
+            .otherwise(lit(0.0)), 6).as("ndcg10"))
+        .orderBy(col("qid"))
+    }),
+
     // Per-source token (Shannon) entropy — the diversity signal that
     // separates natural text from boilerplate/template sources. Uses the
     // identity H = ln(N) − Σc·ln(c)/N so ONE aggregate over the per-source
@@ -602,6 +686,50 @@ object QueriesText {
          |  CROSS JOIN v)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "badwords_filter" ->
+      s"""WITH tok AS (SELECT doc_id, source, unnest($toks) AS w FROM documents),
+         |perdoc AS (SELECT doc_id, source, CAST(count(*) AS BIGINT) AS nt,
+         |    CAST(sum(CASE WHEN w IN (${BadLexicon.map("'" + _ + "'").mkString(", ")})
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_bad
+         |  FROM tok GROUP BY 1, 2)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN n_bad > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+         |  CAST(sum(n_bad) AS BIGINT) AS bad_tokens,
+         |  round(CAST(sum(CASE WHEN n_bad > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*), 6) AS flag_rate,
+         |  round(CAST(sum(n_bad) AS DOUBLE) * 1e4
+         |    / CAST(sum(nt) AS DOUBLE), 4) AS bad_per_10k
+         |FROM perdoc GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "search_ndcg" ->
+      s"""WITH q(qid, t1, t2) AS (VALUES
+         |  ${NdcgQueries.map { case (i, a, b) => s"($i, '$a', '$b')" }.mkString(", ")}),
+         |tok AS (SELECT doc_id, unnest($toks) AS w FROM documents),
+         |hits AS (SELECT qid, doc_id,
+         |    CAST(sum(CASE WHEN w = t1 THEN 1 ELSE 0 END) AS BIGINT) AS tf1,
+         |    CAST(sum(CASE WHEN w = t2 THEN 1 ELSE 0 END) AS BIGINT) AS tf2
+         |  FROM tok JOIN q ON w = t1 OR w = t2 GROUP BY 1, 2),
+         |r AS (SELECT qid, doc_id, tf1,
+         |    (CASE WHEN tf1 > 0 THEN 1 ELSE 0 END
+         |      + CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS rel FROM hits),
+         |rk AS (SELECT qid, rel,
+         |    row_number() OVER (PARTITION BY qid ORDER BY tf1 DESC, doc_id) AS rn,
+         |    row_number() OVER (PARTITION BY qid ORDER BY rel DESC, doc_id) AS irn
+         |  FROM r),
+         |m AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_cand,
+         |    CAST(sum(CASE WHEN rel = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel2,
+         |    CAST(sum(CASE WHEN rn <= 10 THEN CAST(floor(
+         |      (CASE WHEN rel = 2 THEN 3e0 WHEN rel = 1 THEN 1e0 ELSE 0e0 END)
+         |      / log2(rn + 1) * 1e6 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS dcg_m,
+         |    CAST(sum(CASE WHEN irn <= 10 THEN CAST(floor(
+         |      (CASE WHEN rel = 2 THEN 3e0 WHEN rel = 1 THEN 1e0 ELSE 0e0 END)
+         |      / log2(irn + 1) * 1e6 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS idcg_m
+         |  FROM rk GROUP BY 1)
+         |SELECT CAST(qid AS BIGINT) AS qid, n_cand, n_rel2,
+         |  round(CASE WHEN idcg_m > 0 THEN CAST(dcg_m AS DOUBLE) / idcg_m
+         |    ELSE 0e0 END, 6) AS ndcg10
+         |FROM m ORDER BY qid""".stripMargin,
+
     "vocab_growth" ->
       s"""WITH b AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
         |tok AS MATERIALIZED (

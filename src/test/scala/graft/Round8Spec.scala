@@ -268,4 +268,130 @@ class Round8Spec extends SparkSpec {
       .sortBy(identity).map(_._3)
     assert(rows.sortBy(_._1).map(_._2).toSeq == expected.toSeq)
   }
+
+  // round-8 batch 2 (scaling_law_fit / cluster_silhouette / badwords_filter
+  // / search_ndcg): each gets a from-scratch driver differential.
+
+  private def docTokens(): Array[(Long, String, String, Seq[String])] =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3).toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq))
+
+  test("scaling_law_fit: OLS over octile Heaps points matches a driver recompute") {
+    val docs = docTokens()
+    val mx = docs.map(_._1).max
+    def oct(id: Long): Long = (id * 8) / (mx + 1) + 1
+    val firstSeen = scala.collection.mutable.Map[String, Long]()
+    docs.sortBy(_._1).foreach { case (id, _, _, tk) =>
+      tk.sliding(3).filter(_.size == 3).map(_.mkString(" ")).foreach { sh =>
+        if (!firstSeen.contains(sh)) firstSeen(sh) = id
+      }
+    }
+    val pts = (1L to 8L).map { k =>
+      val v = firstSeen.valuesIterator.count(fd => oct(fd) <= k).toLong
+      val n = docs.filter(d => oct(d._1) <= k)
+        .map(d => math.max(d._4.size - 2, 0).toLong).sum
+      (v, n)
+    }.filter { case (v, n) => v > 0 && n > 0 }
+    val xm = pts.map { case (_, n) => math.floor(math.log(n.toDouble) * 1e6 + 0.5).toLong }
+    val ym = pts.map { case (v, _) => math.floor(math.log(v.toDouble) * 1e6 + 0.5).toLong }
+    val np = pts.size.toLong
+    val (sx, sy) = (xm.sum, ym.sum)
+    val sxy = xm.zip(ym).map { case (a, b) => a * b }.sum
+    val sxx = xm.map(a => a * a).sum
+    val beta = (np * sxy - sx * sy).toDouble / (np * sxx - sx * sx).toDouble
+    val row = graft.queries.QueriesPipeline.queries("scaling_law_fit")(spark, dir)
+      .collect()(0)
+    assert(row.getLong(0) == np)
+    assert(row.getLong(1) == pts.last._2 && row.getLong(2) == pts.last._1)
+    assert(math.abs(row.getDouble(3) - beta) < 1e-6,
+      s"beta ${row.getDouble(3)} vs driver $beta")
+    assert(row.getDouble(5) > 0.9, "octile Heaps curve should be near-log-linear")
+  }
+
+  test("cluster_silhouette: per-cell card matches a driver recompute and the plan is shuffle-minimal") {
+    import graft.operators.Ivf
+    val e = graft.queries.Tables.t(spark, dir, "embeddings")
+      .where(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"))
+    val cents = Ivf.collectCentroids(
+      Ivf.trainSampled(e, "vec_id", "embedding", k = 8))
+    val vecs = e.collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val agg = scala.collection.mutable.Map[Int, (Long, Long, Long)]()
+    vecs.foreach { v =>
+      val ds = cents.map(c => c.zip(v).map { case (a, b) => (b - a) * (b - a) }.sum)
+      val cell = ds.indices.minBy(i => (ds(i), i))
+      val sorted = ds.sorted
+      val (d1, d2) = (sorted(0), sorted(1))
+      val sil = if (math.max(d1, d2) > 0) (d2 - d1) / math.max(d1, d2) else 0.0
+      val (n, ssil, sd1) = agg.getOrElse(cell, (0L, 0L, 0L))
+      agg(cell) = (n + 1, ssil + math.floor(sil * 1e6 + 0.5).toLong,
+        sd1 + math.floor(d1 * 1e6 + 0.5).toLong)
+    }
+    val df = graft.queries.QueriesSim.queries("cluster_silhouette")(spark, dir)
+    val got = df.collect().map(r =>
+      (r.getLong(0).toInt, r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.map(_._2).sum == vecs.length)
+    got.foreach { case (cell, n, msil, md1) =>
+      val (en, esil, ed1) = agg(cell)
+      assert(n == en, s"cell $cell count $n != $en")
+      assert(math.abs(msil - esil.toDouble / en / 1e6) < 1e-6)
+      assert(math.abs(md1 - ed1.toDouble / en / 1e6) < 1e-6)
+    }
+    // zero-join plan: literal-centroid chains mean the only exchanges are
+    // the final 8-row aggregate + its orderBy
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"unexpected join:\n${plan.take(3000)}")
+  }
+
+  test("badwords_filter: per-source card matches a driver recompute") {
+    val docs = docTokens()
+    val lex = Set("slow", "dup")
+    val exp = docs.groupBy(_._3).map { case (src, ds) =>
+      val perDoc = ds.map(d => (d._4.size.toLong, d._4.count(lex).toLong))
+      val flagged = perDoc.count(_._2 > 0).toLong
+      src -> (ds.length.toLong, flagged, perDoc.map(_._2).sum,
+        flagged.toDouble / ds.length, perDoc.map(_._2).sum.toDouble * 1e4
+          / perDoc.map(_._1).sum)
+    }
+    val got = graft.queries.QueriesText.queries("badwords_filter")(spark, dir)
+      .collect()
+    assert(got.length == exp.size)
+    got.foreach { r =>
+      val (n, fl, bt, fr, bp) = exp(r.getString(0))
+      assert(r.getLong(1) == n && r.getLong(2) == fl && r.getLong(3) == bt)
+      assert(math.abs(r.getDouble(4) - fr) < 1e-6)
+      assert(math.abs(r.getDouble(5) - bp) < 1e-3)
+    }
+  }
+
+  test("search_ndcg: NDCG@10 matches a driver recompute and separates ranking from relevance") {
+    val docs = docTokens()
+    val qs = Seq((1L, "slow", "dup"), (2L, "merge", "join"), (3L, "scan", "vector"))
+    val exp = qs.map { case (qid, t1, t2) =>
+      val cand = docs.map { d =>
+        (d._1, d._4.count(_ == t1).toLong, d._4.count(_ == t2).toLong)
+      }.filter(c => c._2 > 0 || c._3 > 0)
+      val rel = cand.map(c => (c._1, c._2,
+        (if (c._2 > 0) 1 else 0) + (if (c._3 > 0) 1 else 0))).toSeq
+      def gain(r: Int) = r match { case 2 => 3.0; case 1 => 1.0; case _ => 0.0 }
+      def dcgOf(order: Seq[Int]): Long =
+        order.take(10).zipWithIndex.map { case (r, i) =>
+          math.floor(gain(r) / (math.log(i + 2) / math.log(2)) * 1e6 + 0.5).toLong
+        }.sum
+      val dcg = dcgOf(rel.sortBy(c => (-c._2, c._1)).map(_._3))
+      val idcg = dcgOf(rel.sortBy(c => (-c._3, c._1)).map(_._3))
+      qid -> (cand.length.toLong, rel.count(_._3 == 2).toLong,
+        if (idcg > 0) dcg.toDouble / idcg else 0.0)
+    }.toMap
+    val got = graft.queries.QueriesText.queries("search_ndcg")(spark, dir).collect()
+    got.foreach { r =>
+      val (nc, n2, ndcg) = exp(r.getLong(0))
+      assert(r.getLong(1) == nc && r.getLong(2) == n2)
+      assert(math.abs(r.getDouble(3) - ndcg) < 1e-6)
+    }
+    // the q1 ranker (tf of 'slow') must NOT trivially achieve ideal order
+    assert(got.find(_.getLong(0) == 1L).get.getDouble(3) < 0.999)
+  }
 }
