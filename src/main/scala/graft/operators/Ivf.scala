@@ -29,6 +29,13 @@ object Ivf {
   def nearestCells(vec: Column, cents: Array[Array[Double]], n: Int): Column =
     ColumnBridge.column(NearestCells(ColumnBridge.expression(vec), cents, n))
 
+  /** Like [[nearestCells]] but keeping the squared-L2 distances:
+    * `array<struct<cell, d2>>` ascending by distance — the cluster-quality
+    * diagnostic shape (see [[graft.plans.NearestCellDists]]). */
+  def nearestCellDists(vec: Column, cents: Array[Array[Double]], n: Int): Column =
+    ColumnBridge.column(
+      graft.plans.NearestCellDists(ColumnBridge.expression(vec), cents, n))
+
   /** Materialize a (cell, centroid) DataFrame to the driver-side matrix the
     * assignment expression embeds. Cells are dense 0..k-1 by construction. */
   def collectCentroids(centroids: DataFrame): Array[Array[Double]] = {

@@ -57,9 +57,11 @@ case class NearestCells(child: Expression, centroids: Array[Array[Double]], n: I
 
 object NearestCells {
 
-  /** The tight loop: k squared-L2 distances, then partial selection of the
-    * `n` smallest (k is small — tens to low hundreds of cells). */
-  def nearest(vec: ArrayData, cents: Array[Array[Double]], n: Int, isFloat: Boolean): ArrayData = {
+  /** k squared-L2 distances in ascending element order (left-associative
+    * sequential adds — the same IEEE tree as an explicit `(v[1]-c1)² +
+    * (v[2]-c2)² + …` SQL chain, so oracle twins agree bit-for-bit). */
+  private[plans] def distances(vec: ArrayData, cents: Array[Array[Double]],
+                               isFloat: Boolean): Array[Double] = {
     val k = cents.length
     val nv = vec.numElements()
     val d2 = new Array[Double](k)
@@ -90,6 +92,14 @@ object NearestCells {
       d2(c) = s
       c += 1
     }
+    d2
+  }
+
+  /** Partial selection of the `n` smallest distances (k is small — tens to
+    * low hundreds of cells). Returns selected cell indices in ascending
+    * distance order. */
+  private[plans] def selectN(d2: Array[Double], n: Int): Array[Int] = {
+    val k = d2.length
     val nn = if (n < k) n else k
     val out = new Array[Int](nn)
     val used = new Array[Boolean](k)
@@ -109,6 +119,75 @@ object NearestCells {
       out(j) = best
       j += 1
     }
-    new GenericArrayData(out)
+    out
   }
+
+  /** The tight loop: k squared-L2 distances, then partial selection of the
+    * `n` smallest. */
+  def nearest(vec: ArrayData, cents: Array[Array[Double]], n: Int, isFloat: Boolean): ArrayData = {
+    val d2 = distances(vec, cents, isFloat)
+    new GenericArrayData(selectN(d2, n))
+  }
+
+  /** [[nearest]] with the distances kept: array of (cell, d2) structs in
+    * ascending distance order — the shape cluster-quality diagnostics need
+    * (nearest + second-nearest distance per vector). */
+  def nearestWithDists(vec: ArrayData, cents: Array[Array[Double]], n: Int,
+                       isFloat: Boolean): ArrayData = {
+    val d2 = distances(vec, cents, isFloat)
+    val sel = selectN(d2, n)
+    val rows = new Array[Any](sel.length)
+    var j = 0
+    while (j < sel.length) {
+      rows(j) = org.apache.spark.sql.catalyst.InternalRow(sel(j), d2(sel(j)))
+      j += 1
+    }
+    new GenericArrayData(rows)
+  }
+}
+
+/** [[NearestCells]]' diagnostic sibling: the `n` nearest cells WITH their
+  * squared-L2 distances, as `array<struct<cell:int, d2:double>>` in
+  * ascending distance order. One codegen'd k×dim loop per row — the
+  * built-in alternative (k explicit per-dimension column chains + an
+  * array_sort of k structs) compiles to a megabyte-scale expression tree
+  * that blows past JIT limits (measured: 9.9 MiB task binaries, ~6× the
+  * runtime, on cluster_silhouette's first cut). Same tie/ragged-input
+  * conventions as [[NearestCells]]; distance adds run in ascending element
+  * order so SQL-chain oracle twins agree bit-for-bit. */
+case class NearestCellDists(child: Expression, centroids: Array[Array[Double]], n: Int)
+    extends UnaryExpression {
+
+  require(centroids.nonEmpty, "NearestCellDists needs at least one centroid")
+  require(n >= 1, s"n must be >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("cell", IntegerType, nullable = false),
+      StructField("d2", DoubleType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "nearest_cell_dists"
+
+  private lazy val elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"nearest_cell_dists expects array<float> or array<double>, got ${other.sql}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    NearestCells.nearestWithDists(input.asInstanceOf[ArrayData], centroids, n, elemIsFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cents = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.NearestCells.nearestWithDists($c, $cents, $n, $elemIsFloat);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCellDists =
+    copy(child = newChild)
 }

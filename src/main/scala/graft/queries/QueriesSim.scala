@@ -41,17 +41,6 @@ object QueriesSim {
 
   private val rank10 = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
 
-  /** Σᵢ (v[i]−cent[i])² as an explicit left-associative Column chain —
-    * the Spark twin of [[l2ChainSql]] (ascending i, same IEEE add order),
-    * over SCALAR element casts (no array-wide `transform`: higher-order
-    * lambdas are interpreted and would re-evaluate per reference). */
-  private def l2Chain(v: org.apache.spark.sql.Column, cent: Array[Double])
-      : org.apache.spark.sql.Column =
-    cent.zipWithIndex.map { case (cv, i) =>
-      val d = element_at(v, i + 1).cast(DoubleType) - lit(cv)
-      d * d
-    }.reduceLeft(_ + _)
-
   val queries: Map[String, Q] = Map(
     // Clustering-quality card over the trained coarse quantizer (the
     // "should I trust these cells?" eval an ANN/semantic-dedup pipeline
@@ -59,25 +48,25 @@ object QueriesSim {
     // L2 — s = (d₂−d₁)/max(d₁,d₂) with d₁/d₂ the nearest/second-nearest
     // centroid distances (the centroid-based silhouette approximation;
     // exact silhouette is O(n²) and never runs at corpus scale). Scale
-    // shape: centroids are 8 driver-side literal chains, so the whole
-    // per-vector computation — 8 distance columns, an 8-element
-    // struct-sort for (d₁, cell, d₂) — is ONE narrow codegen'd map with
-    // no join and no shuffle except the final 8-row aggregate; means fold
-    // as exact micro-unit BIGINTs. Oracle refits the deterministic
-    // sampled trainer and inlines the centroids (sim_ivf_kmeans pattern).
+    // shape: the per-vector (d₁, cell, d₂) comes from ONE native
+    // NearestCellDists k×dim loop — a narrow codegen'd map with no join
+    // and no shuffle except the final 8-row aggregate; means fold as
+    // exact micro-unit BIGINTs. Oracle refits the deterministic sampled
+    // trainer and inlines the centroids (sim_ivf_kmeans pattern).
     "cluster_silhouette" -> ((s, dir) => {
       import graft.operators.Ivf
       val e = t(s, dir, "embeddings").where(col("embedding").isNotNull)
         .select(col("vec_id"), col("embedding"))
       val cents = Ivf.collectCentroids(
         Ivf.trainSampled(e, "vec_id", "embedding", k = 8))
-      val ds = cents.zipWithIndex.map { case (c, i) =>
-        struct(l2Chain(col("embedding"), c).as("d"), lit(i).as("cell"))
-      }
-      val sorted = array_sort(array(ds.toSeq: _*))
-      val d1 = element_at(sorted, 1).getField("d")
-      val c1 = element_at(sorted, 1).getField("cell")
-      val d2 = element_at(sorted, 2).getField("d")
+      // one native k×dim loop per row (NearestCellDists) — the explicit
+      // 8×dim column-chain alternative compiled to 9.9 MiB task binaries
+      // and ~6× the runtime; distances add in ascending element order, so
+      // the l2ChainSql oracle stays bit-identical
+      val nd = Ivf.nearestCellDists(col("embedding"), cents, 2)
+      val d1 = element_at(nd, 1).getField("d2")
+      val c1 = element_at(nd, 1).getField("cell")
+      val d2 = element_at(nd, 2).getField("d2")
       val sil = when(greatest(d1, d2) > 0,
         (d2 - d1) / greatest(d1, d2)).otherwise(lit(0.0))
       e.select(c1.as("cell"), d1.as("d1"), sil.as("sil"))

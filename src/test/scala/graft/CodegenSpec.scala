@@ -42,6 +42,35 @@ class CodegenSpec extends SparkSpec {
     assert(byId(5L) == Seq(0, 1))
   }
 
+  test("NearestCellDists: codegen'd, distances match explicit chains, order/ties exact") {
+    import graft.operators.Ivf
+    val cents = Array(Array(0.0, 0.0), Array(10.0, 0.0), Array(0.0, 10.0))
+    val df = spark.range(0, 100)
+      .select(col("id"), array(col("id").cast(DoubleType) % 11, lit(0.0)).as("v"))
+      .select(col("id"), Ivf.nearestCellDists(col("v"), cents, 2).as("nd"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [") && plan.contains("nearest_cell_dists"),
+      s"nearest_cell_dists lost codegen:\n$plan")
+    val rows = df.collect().map { r =>
+      val a = r.getSeq[org.apache.spark.sql.Row](1)
+      r.getLong(0) -> a.map(s => (s.getInt(0), s.getDouble(1)))
+    }.toMap
+    // distances are the exact sequential (v−c)² sums of the explicit chain
+    val x3 = 3.0
+    assert(rows(3L) == Seq((0, x3 * x3 + 0.0), (1, (x3 - 10.0) * (x3 - 10.0) + 0.0)))
+    assert(rows(8L).map(_._1) == Seq(1, 0))
+    // x=5: equidistant to cells 0/1 → lower index first, identical distances
+    assert(rows(5L).map(_._1) == Seq(0, 1))
+    assert(rows(5L)(0)._2 == rows(5L)(1)._2)
+    // ragged input: vector shorter than centroids pads with 0
+    import spark.implicits._
+    val short = Seq(Array(3.0)).toDF("v")
+      .select(Ivf.nearestCellDists(col("v"), cents, 3).as("nd"))
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(short.map(s => (s.getInt(0), s.getDouble(1))) ==
+      Seq((0, 9.0), (1, 49.0), (2, 9.0 + 100.0)))
+  }
+
   test("NearestCells: NaN/Infinity embeddings assign a cell instead of crashing") {
     import graft.operators.Ivf
     import spark.implicits._
