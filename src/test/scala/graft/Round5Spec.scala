@@ -25,10 +25,12 @@ class Round5Spec extends SparkSpec {
   test("bm25_search: postings index builds once and later calls probe it (no rebuild)") {
     val r1 = q("bm25_search").collect()
     assert(r1.nonEmpty)
-    val src = new java.io.File(s"$sf/documents.parquet")
-    val base = "target/bm25_idx_v1_" +
-      java.lang.Long.toHexString(scala.util.hashing.MurmurHash3.stringHash(
-        s"$sf|${src.length()}|${src.lastModified()}").toLong & 0xffffffffL)
+    // the key comes from DiskCache.keyedPath (the round-6 unified content
+    // fingerprint) — the original hand-rolled dir|len|mtime hash silently
+    // went stale when the fingerprint scheme changed, and only kept passing
+    // while a legacy-keyed leftover dir survived in target/
+    val base = graft.operators.DiskCache.keyedPath(
+      "bm25_idx_v1", s"$sf/documents.parquet")
     val success = new java.io.File(s"$base/postings/_SUCCESS")
     assert(success.exists(), s"expected persisted postings at $base")
     val stamp = success.lastModified()
