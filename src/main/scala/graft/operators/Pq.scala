@@ -87,18 +87,24 @@ object Pq {
     cents
   }
 
+  /** The m-code array expression for one vector column — m NearestCells
+    * probes over sliced subvectors, all codegen'd, usable inside any
+    * projection (so composites like IVF-PQ can emit cell + codes in ONE
+    * narrow pass instead of joining two encodes). */
+  def codesFor(vec: Column, books: Seq[Array[Array[Double]]]): Column = {
+    val dim = books.map(_.head.length).sum
+    val sub = dim / books.length
+    array(books.zipWithIndex.map { case (book, j) =>
+      element_at(Ivf.nearestCells(
+        slice(SimFns.toDouble(vec), j * sub + 1, sub), book, 1), 1)
+    }: _*)
+  }
+
   /** Encode every vector to its m-code array — one codegen'd projection
     * (m NearestCells probes over sliced subvectors), no join, no shuffle. */
   def encode(vectors: DataFrame, idCol: String, vecCol: String,
-             books: Seq[Array[Array[Double]]]): DataFrame = {
-    val dim = books.map(_.head.length).sum
-    val sub = dim / books.length
-    val codes = books.zipWithIndex.map { case (book, j) =>
-      element_at(Ivf.nearestCells(
-        slice(SimFns.toDouble(col(vecCol)), j * sub + 1, sub), book, 1), 1)
-    }
-    vectors.select(col(idCol), array(codes: _*).as("codes"))
-  }
+             books: Seq[Array[Array[Double]]]): DataFrame =
+    vectors.select(col(idCol), codesFor(col(vecCol), books).as("codes"))
 
   /** The query-side ADC lookup table: squared L2 from the query's j-th
     * subvector to centroid c of subspace j, for all (j, c). m×k rows. */

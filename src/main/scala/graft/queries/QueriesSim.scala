@@ -257,6 +257,55 @@ object QueriesSim {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // IVF-PQ — the two scale paths COMPOSED, the canonical billion-vector
+    // ANN layout (FAISS IndexIVFPQ with by_residual=false): the coarse
+    // quantizer prunes WHICH vectors are touched (3 of 8 cells per query)
+    // and PQ prunes WHAT is read per vector (m byte-codes via ADC table
+    // lookups — no float vector at query time). One narrow codegen'd pass
+    // emits (cell, codes) together; candidates come from a broadcast
+    // (qid, cell) probe join — each vector lives in exactly one cell, so
+    // no dedup is needed — and the ADC sum folds ascending-j inside one
+    // partition exactly as sim_pq's (the oracle's explicit chain matches).
+    // Residual encoding (PQ over v − centroid[cell]) is the production
+    // refinement; the non-residual variant is a real FAISS option and
+    // keeps codes reusable across cells. Oracle: both trained models
+    // refit at dump time, centroids + codebooks + per-query ADC tables
+    // inlined as literals (sim_ivf_kmeans / sim_pq patterns combined).
+    "sim_ivfpq" -> ((s, dir) => {
+      import graft.operators.Ivf
+      val e = t(s, dir, "embeddings").where(col("embedding").isNotNull)
+        .select(col("vec_id"), col("embedding"))
+      val ca = Ivf.collectCentroids(
+        Ivf.trainSampled(e, "vec_id", "embedding", k = 8))
+      val books = Pq.train(e, "vec_id", "embedding", m = 8, k = 16)
+      val enc = e.select(col("vec_id"),
+        element_at(Ivf.nearestCells(col("embedding"), ca, 1), 1).as("cell"),
+        Pq.codesFor(col("embedding"), books).as("codes"))
+      val q = e.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val probes = q.select(col("qid"),
+        explode(Ivf.nearestCells(col("qe"), ca, 3)).as("cell"))
+      val luts = q.select(col("qid"), SimFns.toDouble(col("qe"))).collect()
+        .flatMap { r =>
+          Pq.adcTable(r.getSeq[Double](1).toArray, books)
+            .map { case (j, c, d) => (r.getLong(0), j, c, d) }
+        }.toIndexedSeq
+      import s.implicits._
+      val lut = broadcast(luts.toDF("qid", "j", "code", "d"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("dist2").asc, col("vec_id").asc)
+      enc.join(broadcast(probes), "cell")
+        .select(col("qid"), col("vec_id"),
+          posexplode(col("codes")).as(Seq("j", "code")))
+        .join(lut, Seq("qid", "j", "code"))
+        .groupBy(col("qid"), col("vec_id")).agg(sum(col("d")).as("dist2"))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 10)
+        .select(col("qid"), col("vec_id"), round(col("dist2"), 6).as("dist2"),
+          col("rank").cast(LongType).as("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // PCA projection onto the top-2 principal directions — the
     // visualization/whitening/linear-probe prep step. The model fits
     // driver-side on the first-2048 sample (operators/Pca — deterministic
@@ -757,6 +806,76 @@ object QueriesSim {
        |WHERE rn <= 10 ORDER BY qid, rank""".stripMargin
   }
 
+  /** sim_ivfpq's twin: BOTH trained models refit at dump time — the 8
+    * coarse centroids select the probe cells (ivfSearchOracle's chains +
+    * argmin-CASE) and the 8×16 codebooks encode + ADC-score the candidates
+    * (pqOracle's chains + literal tables). Candidates are the probe-cell
+    * join; each vector has exactly one cell so the join cannot duplicate
+    * a (qid, vec_id) pair. */
+  private def ivfpqOracle(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    import graft.operators.Ivf
+    val e = t(s, dir, "embeddings").where(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"))
+    val cents = Ivf.collectCentroids(Ivf.trainSampled(e, "vec_id", "embedding", k = 8))
+    val books = Pq.train(e, "vec_id", "embedding", m = 8, k = 16)
+    val k = cents.length
+    val m = books.length
+    val sub = books.map(_.head.length).sum / m
+    val cellDefs = cents.zipWithIndex.map { case (c, i) =>
+      s"${l2ChainSql("v", c)} AS cd$i" }.mkString(",\n    ")
+    val cellCols = (0 until k).map(i => s"cd$i")
+    val pqDefs = books.zipWithIndex.flatMap { case (book, j) =>
+      book.zipWithIndex.map { case (cent, c) =>
+        s"${l2ChainSql("v", cent, off = j * sub)} AS d${j}_$c" }
+    }.mkString(",\n    ")
+    val codeDefs = (0 until m).map { j =>
+      s"${argminCaseSql(books(j).indices.map(c => s"d${j}_$c"))} AS c$j"
+    }.mkString(",\n    ")
+    val qs = e.where(col("vec_id") < 5)
+      .select(col("vec_id"), SimFns.toDouble(col("embedding")))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val distCases = qs.map { case (qid, qv) =>
+      val byJC = Pq.adcTable(qv, books).map { case (j, c, d) => (j, c) -> d }.toMap
+      val chain = (0 until m).map { j =>
+        val arr = books(j).indices.map(c => byJC((j, c))).mkString("[", ", ", "]")
+        s"($arr)[c$j + 1]"
+      }.mkString(" + ")
+      s"WHEN $qid THEN $chain"
+    }.mkString("\n      ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |  WHERE embedding IS NOT NULL),
+       |cd AS (SELECT vec_id, v,
+       |    $cellDefs
+       |  FROM e),
+       |a AS (SELECT vec_id, v, ${argminCaseSql(cellCols)} AS cell FROM cd),
+       |d AS (SELECT vec_id, cell,
+       |    $pqDefs
+       |  FROM a),
+       |enc AS (SELECT vec_id, cell,
+       |    $codeDefs
+       |  FROM d),
+       |qd AS (SELECT vec_id AS qid, ${cellCols.mkString(", ")}
+       |  FROM cd WHERE vec_id < 5),
+       |qc AS (SELECT qid, u.cell,
+       |    CASE u.cell ${(0 until k).map(i => s"WHEN $i THEN cd$i").mkString(" ")} END AS dist
+       |  FROM qd CROSS JOIN (SELECT unnest(range(0, $k)) AS cell) u),
+       |probes AS (SELECT qid, cell FROM (
+       |  SELECT qid, cell,
+       |    row_number() OVER (PARTITION BY qid ORDER BY dist, cell) AS rn FROM qc)
+       |  WHERE rn <= 3),
+       |ad AS (SELECT p.qid, enc.vec_id,
+       |    CASE p.qid
+       |      $distCases
+       |    END AS dd
+       |  FROM enc JOIN probes p ON enc.cell = p.cell)
+       |SELECT CAST(qid AS BIGINT) AS qid, vec_id, round(dd, 6) AS dist2,
+       |  CAST(rn AS BIGINT) AS rank FROM (
+       |  SELECT qid, vec_id, dd,
+       |    row_number() OVER (PARTITION BY qid ORDER BY dd, vec_id) AS rn FROM ad)
+       |WHERE rn <= 10 ORDER BY qid, rank""".stripMargin
+  }
+
   private def pcaOracle(s: org.apache.spark.sql.SparkSession, dir: String): String = {
     import graft.operators.Pca
     val e = t(s, dir, "embeddings").where(col("embedding").isNotNull)
@@ -798,6 +917,7 @@ object QueriesSim {
       (tryGen("sim_ivf_kmeans", ivfKmeansOracle(s, dir)) ++
         tryGen("sim_ivf_append", ivfAppendOracle(s, dir)) ++
         tryGen("sim_pq", pqOracle(s, dir)) ++
+        tryGen("sim_ivfpq", ivfpqOracle(s, dir)) ++
         tryGen("embed_pca_project", pcaOracle(s, dir)) ++
         tryGen("cluster_silhouette", silhouetteOracle(s, dir))).toMap
     }.getOrElse(Map.empty)

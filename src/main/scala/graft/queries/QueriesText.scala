@@ -123,6 +123,57 @@ object QueriesText {
         .orderBy(col("qid"))
     }),
 
+    // Hybrid-retrieval fusion (the RAG-stack standard): the SPARSE ranker
+    // (query-term tf, the search_ndcg ranker over one tokenize pass) and
+    // the DENSE ranker (cosine to the query's anchor embedding — doc_id
+    // and vec_id share the id space, so vec qid IS the query embedding)
+    // each produce a top-20 list; Reciprocal Rank Fusion combines them as
+    // Σ 1/(60 + rank) (Cormack et al., k=60), missing-from-a-list = 0.
+    // The fusion join touches only 2×20 rows per query; the RRF score is
+    // a fixed two-term left-assoc double add (identical IEEE both
+    // engines), ties broken by doc_id. Scale shape: queries broadcast
+    // into one tokenize pass + one embeddings fan-out; at 100 TB the
+    // sparse arm rides the persisted bm25 postings index and the dense
+    // arm the IVF cells — both candidate generators here are their exact
+    // brute-force baselines.
+    "rrf_fusion" -> ((s, dir) => {
+      import s.implicits._
+      import graft.functions.SimFns
+      val qs = NdcgQueries.toDF("qid", "t1", "t2")
+      val wS = Window.partitionBy(col("qid"))
+        .orderBy(col("tf").desc, col("doc_id"))
+      val sparse = t(s, dir, "documents")
+        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("w"))
+        .join(broadcast(qs), col("w") === col("t1") || col("w") === col("t2"))
+        .groupBy(col("qid"), col("doc_id")).agg(count(lit(1)).as("tf"))
+        .withColumn("rs", row_number().over(wS))
+        .where(col("rs") <= 20).select(col("qid"), col("doc_id"), col("rs"))
+      val e = t(s, dir, "embeddings").where(col("embedding").isNotNull)
+      val qe = e.where(col("vec_id").isInCollection(NdcgQueries.map(_._1)))
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val wD = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("doc_id"))
+      val dense = e.crossJoin(broadcast(qe))
+        .select(col("qid"), col("vec_id").as("doc_id"),
+          SimFns.cosine(col("qv"), col("embedding")).as("cos"))
+        .withColumn("rd", row_number().over(wD))
+        .where(col("rd") <= 20).select(col("qid"), col("doc_id"), col("rd"))
+      val wF = Window.partitionBy(col("qid"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+      sparse.join(dense, Seq("qid", "doc_id"), "full_outer")
+        .select(col("qid"), col("doc_id"), col("rs"), col("rd"),
+          (coalesce(lit(1.0) / (lit(60) + col("rs")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("rd")), lit(0.0))).as("rrf"))
+        .withColumn("fr", row_number().over(wF))
+        .where(col("fr") <= 10)
+        .select(col("qid"), col("doc_id"),
+          col("rs").cast(LongType).as("sparse_rank"),
+          col("rd").cast(LongType).as("dense_rank"),
+          round(col("rrf"), 6).as("rrf"),
+          col("fr").cast(LongType).as("fused_rank"))
+        .orderBy(col("qid"), col("fused_rank"))
+    }),
+
     // Per-source token (Shannon) entropy — the diversity signal that
     // separates natural text from boilerplate/template sources. Uses the
     // identity H = ln(N) − Σc·ln(c)/N so ONE aggregate over the per-source
@@ -729,6 +780,39 @@ object QueriesText {
          |  round(CASE WHEN idcg_m > 0 THEN CAST(dcg_m AS DOUBLE) / idcg_m
          |    ELSE 0e0 END, 6) AS ndcg10
          |FROM m ORDER BY qid""".stripMargin,
+
+    "rrf_fusion" ->
+      s"""WITH q(qid, t1, t2) AS (VALUES
+         |  ${NdcgQueries.map { case (i, a, b) => s"($i, '$a', '$b')" }.mkString(", ")}),
+         |tok AS (SELECT doc_id, unnest($toks) AS w FROM documents),
+         |sp0 AS (SELECT qid, doc_id, count(*) AS tf
+         |  FROM tok JOIN q ON w = t1 OR w = t2 GROUP BY 1, 2),
+         |sparse AS (SELECT qid, doc_id, rs FROM (
+         |  SELECT qid, doc_id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY tf DESC, doc_id) AS rs
+         |  FROM sp0) WHERE rs <= 20),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |  WHERE embedding IS NOT NULL),
+         |qe AS (SELECT vec_id AS qid, v AS qv FROM e
+         |  WHERE vec_id IN (${NdcgQueries.map(_._1).mkString(", ")})),
+         |dn0 AS (SELECT qe.qid, e.vec_id AS doc_id,
+         |    list_cosine_similarity(qe.qv, e.v) AS cos FROM e CROSS JOIN qe),
+         |dense AS (SELECT qid, doc_id, rd FROM (
+         |  SELECT qid, doc_id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, doc_id) AS rd
+         |  FROM dn0) WHERE rd <= 20),
+         |f AS (SELECT COALESCE(s.qid, d.qid) AS qid,
+         |    COALESCE(s.doc_id, d.doc_id) AS doc_id, s.rs, d.rd,
+         |    COALESCE(CAST(1 AS DOUBLE) / (60 + s.rs), 0e0)
+         |      + COALESCE(CAST(1 AS DOUBLE) / (60 + d.rd), 0e0) AS rrf
+         |  FROM sparse s FULL OUTER JOIN dense d
+         |    ON s.qid = d.qid AND s.doc_id = d.doc_id)
+         |SELECT CAST(qid AS BIGINT) AS qid, doc_id,
+         |  CAST(rs AS BIGINT) AS sparse_rank, CAST(rd AS BIGINT) AS dense_rank,
+         |  round(rrf, 6) AS rrf, CAST(fr AS BIGINT) AS fused_rank
+         |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+         |    ORDER BY rrf DESC, doc_id) AS fr FROM f)
+         |WHERE fr <= 10 ORDER BY qid, fused_rank""".stripMargin,
 
     "vocab_growth" ->
       s"""WITH b AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
