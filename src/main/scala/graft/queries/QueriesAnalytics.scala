@@ -292,6 +292,93 @@ object QueriesAnalytics {
         .orderBy(col("l"))
     }),
 
+    // t-closeness (Li et al.) — the third member of the privacy-release
+    // trilogy: k-anonymity bounds re-identification, l-diversity bounds
+    // class homogeneity, and t-closeness bounds how much an equivalence
+    // class's SENSITIVE-VALUE DISTRIBUTION deviates from the corpus-wide
+    // one (a class can be diverse yet still leak — e.g. 90% URGENT where
+    // the population is 20%). Same QI classes and sensitive attribute as
+    // l_diversity; distance = variational distance ½·Σ|p_cv − q_v| (the
+    // EMD under the uniform ground metric for categorical attributes),
+    // computed EXACTLY as Σ|n_cv·N − N_v·n_c| BIGINTs with one final
+    // division (n_cv·N ≤ N² ≈ 2.25e18 < 2⁶³ up to ~1.5e9 orders — sf1000).
+    // Scale shape: customer⋈orders is the only data-sized stage; the
+    // global margins derive from the CLASS-LEVEL counts (config-sized),
+    // never a second corpus scan; the domain completion is a 125×5 cross
+    // join of tiny aggregates.
+    "t_closeness" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_custkey"),
+        col("c_mktsegment"), col("c_nationkey"))
+      val o = t(s, dir, "orders").select(col("o_custkey"), col("o_orderpriority"))
+      val cv = c.join(o, col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_mktsegment"), col("c_nationkey"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_cv"))
+      val cls = cv.groupBy(col("c_mktsegment"), col("c_nationkey"))
+        .agg(sum(col("n_cv")).as("n_c"))
+      val gv = cv.groupBy(col("o_orderpriority")).agg(sum(col("n_cv")).as("n_v"))
+      val tot = gv.agg(sum(col("n_v")).as("n_tot"))
+      cls.crossJoin(broadcast(gv)).crossJoin(broadcast(tot))
+        .join(cv, Seq("c_mktsegment", "c_nationkey", "o_orderpriority"), "left")
+        .groupBy(col("c_mktsegment"), col("c_nationkey"))
+        .agg(max(col("n_c")).as("n_orders"),
+          sum(abs(coalesce(col("n_cv"), lit(0L)) * col("n_tot")
+            - col("n_v") * col("n_c"))).as("s_abs"),
+          max(col("n_tot")).as("nt"))
+        .select(col("c_mktsegment"), col("c_nationkey"), col("n_orders"),
+          (floor(col("s_abs").cast(DoubleType)
+            / (lit(2L) * col("n_orders") * col("nt")) * 1e6 + 0.5) / 1e6)
+            .as("t_dist"))
+        .withColumn("at_risk", col("t_dist") > 0.1)
+        .orderBy(col("c_mktsegment"), col("c_nationkey"))
+    }),
+
+    // HITS hubs & authorities (Kleinberg) on the DIRECTED nation trade
+    // graph — the graph family's bipartite-centrality member (pagerank
+    // ranks global importance; HITS separates "big buyers" (hubs:
+    // supplier-nations spreading volume) from "big sellers" (authorities:
+    // customer-nations attracting it) — on a trade graph the two rankings
+    // genuinely differ). Corpus collapses DISTRIBUTEDLY to the ≤nations²
+    // weighted edge list (broadcast dims + one orderkey shuffle — the
+    // graph_pagerank shape); 5 synchronous mutual-reinforcement rounds
+    // a ← Aᵀh, h ← A·a with L1 normalization (the sqrt-free variant —
+    // rank order identical, no libm dependence) run on the config-sized
+    // edge list in the driver with contributions folded in sorted edge
+    // order; the oracle unrolls the identical recurrence.
+    "graph_hits" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val supp = t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey").cast(LongType).as("src"))
+      val ord = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey").cast(LongType).as("dst"))
+      val edges = li.join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2).toDouble))
+        .sortBy(e => (e._1, e._2))
+      val nations = t(s, dir, "nation")
+        .select(col("n_nationkey").cast(LongType)).collect().map(_.getLong(0)).sorted
+      val nN = nations.length
+      var h = nations.map(_ -> 1.0 / nN).toMap
+      var a = Map.empty[Long, Double]
+      for (_ <- 1 to 5) {
+        val ain = scala.collection.mutable.Map(nations.map(_ -> 0.0): _*)
+        edges.foreach { case (src, dst, w) => ain(dst) += w * h(src) }
+        val at = nations.map(ain).sum
+        a = nations.map(n => n -> (if (at == 0.0) 0.0 else ain(n) / at)).toMap
+        val hin = scala.collection.mutable.Map(nations.map(_ -> 0.0): _*)
+        edges.foreach { case (src, dst, w) => hin(src) += w * a(dst) }
+        val ht = nations.map(hin).sum
+        h = nations.map(n => n -> (if (ht == 0.0) 0.0 else hin(n) / ht)).toMap
+      }
+      import s.implicits._
+      nations.map(n => (n, h(n), a(n))).toSeq.toDF("nation", "hub_raw", "auth_raw")
+        .select(col("nation"), round(col("hub_raw"), 6).as("hub"),
+          round(col("auth_raw"), 6).as("authority"))
+        .orderBy(col("nation"))
+    }),
+
     // Key-skew diagnostic for shuffle planning: rows-per-key distribution of
     // lineitem.l_orderkey. One map-side-combined shuffle builds per-key
     // counts, then — because the rows-per-key DOMAIN is tiny even when the
@@ -1125,6 +1212,44 @@ object QueriesAnalytics {
        |      GROUP BY sp.a, p2.label)
        |    WHERE rn = 1) b ON p.node = b.node2)""".stripMargin
 
+  /** graph_hits' unrolled-recurrence twin (graph_pagerank precedent,
+    * loop-generated instead of hand-unrolled): per round, authorities =
+    * in-edge-weighted sums of the previous hubs then L1-normalize, hubs =
+    * out-edge-weighted sums of the new authorities then L1-normalize. */
+  private val graphHitsOracle: String = {
+    val rounds = (1 to 5).map { r =>
+      val hp = if (r == 1) "h0" else s"h${r - 1}"
+      s"""a${r}v AS (SELECT b.nation, COALESCE(sum(e.w * p.h), 0) AS v
+         |  FROM $hp b LEFT JOIN e ON e.dst = b.nation
+         |  LEFT JOIN $hp p ON p.nation = e.src
+         |  GROUP BY b.nation),
+         |a${r}t AS (SELECT sum(v) AS t FROM a${r}v),
+         |a$r AS MATERIALIZED (SELECT nation, CASE WHEN t = 0 THEN 0 ELSE v / t END AS a
+         |  FROM a${r}v CROSS JOIN a${r}t),
+         |h${r}v AS (SELECT b.nation, COALESCE(sum(e.w * p.a), 0) AS v
+         |  FROM a$r b LEFT JOIN e ON e.src = b.nation
+         |  LEFT JOIN a$r p ON p.nation = e.dst
+         |  GROUP BY b.nation),
+         |h${r}t AS (SELECT sum(v) AS t FROM h${r}v),
+         |h$r AS MATERIALIZED (SELECT nation, CASE WHEN t = 0 THEN 0 ELSE v / t END AS h
+         |  FROM h${r}v CROSS JOIN h${r}t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT CAST(s.s_nationkey AS BIGINT) AS src,
+       |    CAST(c.c_nationkey AS BIGINT) AS dst, CAST(count(*) AS DOUBLE) AS w
+       |  FROM lineitem l
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  GROUP BY 1, 2),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nation),
+       |h0 AS MATERIALIZED (SELECT CAST(n_nationkey AS BIGINT) AS nation, 1.0 / nn.n AS h
+       |  FROM nation CROSS JOIN nn),
+       |$rounds
+       |SELECT nation, round(h, 6) AS hub, round(a, 6) AS authority
+       |FROM h5 JOIN a5 USING (nation) ORDER BY nation""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "ucc_discover" -> {
       val checks = Seq(
@@ -1349,6 +1474,31 @@ object QueriesAnalytics {
         |SELECT l, CAST(count(*) AS BIGINT) AS n_classes,
         |  CAST(sum(class_custs) AS BIGINT) AS n_custs, l < 3 AS at_risk
         |FROM cls GROUP BY l ORDER BY l""".stripMargin,
+    "t_closeness" ->
+      """WITH cv AS (
+        |  SELECT c_mktsegment, c_nationkey, o_orderpriority,
+        |    CAST(count(*) AS BIGINT) AS n_cv
+        |  FROM customer JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY 1, 2, 3),
+        |cls AS (SELECT c_mktsegment, c_nationkey, CAST(sum(n_cv) AS BIGINT) AS n_c
+        |  FROM cv GROUP BY 1, 2),
+        |gv AS (SELECT o_orderpriority, CAST(sum(n_cv) AS BIGINT) AS n_v
+        |  FROM cv GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_v) AS BIGINT) AS n_tot FROM gv),
+        |d AS (SELECT cls.c_mktsegment, cls.c_nationkey, cls.n_c,
+        |    gv.n_v, tot.n_tot, COALESCE(cv.n_cv, 0) AS n_cv
+        |  FROM cls CROSS JOIN gv CROSS JOIN tot
+        |  LEFT JOIN cv ON cv.c_mktsegment = cls.c_mktsegment
+        |    AND cv.c_nationkey = cls.c_nationkey
+        |    AND cv.o_orderpriority = gv.o_orderpriority)
+        |SELECT c_mktsegment, c_nationkey, n_orders, t_dist,
+        |  t_dist > 0.1 AS at_risk FROM (
+        |  SELECT c_mktsegment, c_nationkey, max(n_c) AS n_orders,
+        |    floor(CAST(sum(abs(n_cv * n_tot - n_v * n_c)) AS DOUBLE)
+        |      / (2 * max(n_c) * max(n_tot)) * 1e6 + 0.5) / 1e6 AS t_dist
+        |  FROM d GROUP BY 1, 2)
+        |ORDER BY c_mktsegment, c_nationkey""".stripMargin,
+    "graph_hits" -> graphHitsOracle,
     "skew_profile" ->
       """WITH counts AS (
         |  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS cnt

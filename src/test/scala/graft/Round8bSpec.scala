@@ -120,4 +120,72 @@ class Round8bSpec extends SparkSpec {
         r.getDouble(4), r.getLong(5))).toSeq
     assert(got == expected)
   }
+
+  test("t_closeness: matches an exact-integer driver recompute; classes partition orders") {
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey")).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2)))
+      .toMap
+    val ords = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_custkey"), col("o_orderpriority")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val joined = ords.flatMap { case (ck, pr) => cust.get(ck).map(q => (q, pr)) }
+    val nTot = joined.length.toLong
+    val gv = joined.groupBy(_._2).map { case (p, xs) => p -> xs.length.toLong }
+    val expected = joined.groupBy(_._1).map { case (cls, xs) =>
+      val nC = xs.length.toLong
+      val cv = xs.groupBy(_._2).map { case (p, ys) => p -> ys.length.toLong }
+      val s = gv.map { case (p, nV) =>
+        math.abs(cv.getOrElse(p, 0L) * nTot - nV * nC) }.sum
+      val t = math.floor(s.toDouble / (2L * nC * nTot) * 1e6 + 0.5) / 1e6
+      (cls._1, cls._2, nC, t, t > 0.1)
+    }.toSeq.sortBy(x => (x._1, x._2))
+    val got = graft.queries.QueriesAnalytics.queries("t_closeness")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4))).toSeq
+    assert(got == expected)
+    assert(got.map(_._3).sum == nTot, "classes must partition the joined orders")
+  }
+
+  test("graph_hits: matches an independent HITS recompute; L1 mass conserved") {
+    val q = graft.queries.QueriesAnalytics.queries("graph_hits")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+    // independent edge rebuild through SQL text, not the DataFrame chain
+    Seq("lineitem", "supplier", "orders", "customer", "nation").foreach(n =>
+      spark.read.parquet(s"$dir/$n.parquet").createOrReplaceTempView(s"hits_$n"))
+    val edges = spark.sql(
+      """SELECT CAST(s.s_nationkey AS BIGINT) src, CAST(c.c_nationkey AS BIGINT) dst,
+        |  CAST(count(*) AS DOUBLE) w
+        |FROM hits_lineitem l
+        |JOIN hits_supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN hits_orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN hits_customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1, 2""".stripMargin).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(e => (e._1, e._2))
+    val nations = spark.sql("SELECT CAST(n_nationkey AS BIGINT) FROM hits_nation")
+      .collect().map(_.getLong(0)).sorted
+    val idx = nations.zipWithIndex.toMap
+    var h = Array.fill(nations.length)(1.0 / nations.length)
+    var a = Array.fill(nations.length)(0.0)
+    for (_ <- 1 to 5) {
+      val ai = Array.fill(nations.length)(0.0)
+      edges.foreach { case (s, d, w) => ai(idx(d)) += w * h(idx(s)) }
+      val at = ai.sum
+      a = ai.map(v => if (at == 0.0) 0.0 else v / at)
+      val hi = Array.fill(nations.length)(0.0)
+      edges.foreach { case (s, d, w) => hi(idx(s)) += w * a(idx(d)) }
+      val ht = hi.sum
+      h = hi.map(v => if (ht == 0.0) 0.0 else v / ht)
+    }
+    val expected = nations.map(n =>
+      (n, math.rint(h(idx(n)) * 1e6) / 1e6, math.rint(a(idx(n)) * 1e6) / 1e6)).toSeq
+    q.zip(expected).foreach { case (g, ex) =>
+      assert(g._1 == ex._1)
+      assert(math.abs(g._2 - ex._2) < 2e-6, s"hub differs for nation ${g._1}")
+      assert(math.abs(g._3 - ex._3) < 2e-6, s"authority differs for nation ${g._1}")
+    }
+    assert(math.abs(q.map(_._2).sum - 1.0) < 25e-6, "hub mass must L1-normalize to 1")
+    assert(math.abs(q.map(_._3).sum - 1.0) < 25e-6, "authority mass must L1-normalize to 1")
+  }
 }
