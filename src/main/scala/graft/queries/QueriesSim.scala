@@ -257,6 +257,44 @@ object QueriesSim {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // Matryoshka truncation-recall card (Kusupati et al. 2022): how much
+    // of the exact top-10 survives when cosine runs on only the first
+    // 8/16/32 of 64 dimensions — THE index-sizing measurement before a
+    // truncated-dim ANN tier is deployed (matryoshka-trained embeddings
+    // front-load information; this card measures whether THESE embeddings
+    // do). ONE corpus×queries fan-out computes all four prefix cosines
+    // per pair (norms recomputed on the prefix — true truncation
+    // semantics); rank windows partition by (query, dim); the dim=64 row
+    // is the ground truth itself (recall 1.0 — a built-in sanity anchor),
+    // and hits fold per candidate pair so the fan-out executes ONCE (no
+    // second reference for the truth set). recall = hits/possible in the
+    // ann_recall floor-1e4 form.
+    "matryoshka_eval" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").where(col("embedding").isNotNull)
+        .select(col("vec_id"), col("embedding"))
+      val q = e.where(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val dims = Seq(8, 16, 32, 64)
+      val cosMap = map(dims.flatMap(d => Seq(lit(d),
+        SimFns.cosine(slice(col("qe"), 1, d), slice(col("embedding"), 1, d)))): _*)
+      val wDim = Window.partitionBy(col("qid"), col("dim"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      e.crossJoin(broadcast(q))
+        .select(col("qid"), col("vec_id"), explode(cosMap).as(Seq("dim", "cos")))
+        .withColumn("rn", row_number().over(wDim))
+        .where(col("rn") <= 10)
+        .groupBy(col("qid"), col("vec_id"))
+        .agg(max(when(col("dim") === 64, 1).otherwise(0)).as("in_truth"),
+          collect_list(col("dim")).as("ds"))
+        .select(explode(col("ds")).as("dim"), col("in_truth"))
+        .groupBy(col("dim"))
+        .agg(sum(col("in_truth")).as("hits"), count(lit(1)).as("possible"))
+        .select(col("dim").cast(LongType).as("dim"), col("hits"), col("possible"),
+          (floor(col("hits").cast(DoubleType) / col("possible") * 1e4 + 0.5) / 1e4)
+            .as("recall"))
+        .orderBy(col("dim"))
+    }),
+
     // IVF-PQ — the two scale paths COMPOSED, the canonical billion-vector
     // ANN layout (FAISS IndexIVFPQ with by_residual=false): the coarse
     // quantizer prunes WHICH vectors are touched (3 of 8 cells per query)
@@ -923,6 +961,26 @@ object QueriesSim {
     }.getOrElse(Map.empty)
 
   private val staticOracle: Map[String, String] = Map(
+    "matryoshka_eval" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  WHERE embedding IS NOT NULL),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 20),
+        |p AS (SELECT q.qid, e.vec_id, d.dim,
+        |    list_cosine_similarity(list_slice(q.qv, 1, d.dim),
+        |      list_slice(e.v, 1, d.dim)) AS cos
+        |  FROM e CROSS JOIN q CROSS JOIN (SELECT unnest([8, 16, 32, 64]) AS dim) d),
+        |rk AS (SELECT qid, vec_id, dim FROM (
+        |  SELECT qid, vec_id, dim,
+        |    row_number() OVER (PARTITION BY qid, dim ORDER BY cos DESC, vec_id) AS rn
+        |  FROM p) WHERE rn <= 10),
+        |pair AS (SELECT qid, vec_id,
+        |    max(CASE WHEN dim = 64 THEN 1 ELSE 0 END) AS in_truth,
+        |    list(dim) AS ds FROM rk GROUP BY 1, 2),
+        |ex AS (SELECT unnest(ds) AS dim, in_truth FROM pair)
+        |SELECT CAST(dim AS BIGINT) AS dim, CAST(sum(in_truth) AS BIGINT) AS hits,
+        |  CAST(count(*) AS BIGINT) AS possible,
+        |  floor(CAST(sum(in_truth) AS DOUBLE) / count(*) * 1e4 + 0.5) / 1e4 AS recall
+        |FROM ex GROUP BY 1 ORDER BY 1""".stripMargin,
     "ann_recall" ->
       s"""WITH bits AS MATERIALIZED (SELECT vec_id, embedding, label,
          |    $lshBitsSql

@@ -123,6 +123,47 @@ object QueriesText {
         .orderBy(col("qid"))
     }),
 
+    // Feature-relevance card for quality-filter design: mutual information
+    // I(feature; quality-label) for each candidate routing feature (lang,
+    // source, length bucket) against the rule-based quality gate — the
+    // measurement that says WHICH metadata column actually predicts
+    // quality before anyone trains a per-feature filter or stratifies a
+    // mixture on it. ONE corpus pass (fused TextStats scan) collapses to
+    // the ≤ langs×sources×6×2 contingency cube (CacheRegistry-tracked —
+    // the three marginalizations must not re-scan the corpus); every MI
+    // term (n_xy/N)·ln(n_xy·N/(n_x·n_y)) micro-rounds ONCE to a nano-unit
+    // BIGINT so the fold is an order-independent integer sum (the
+    // doremi_weights convention).
+    "mi_features" -> ((s, dir) => {
+      import graft.operators.CacheRegistry
+      val m = TextFns.textStats(col("text"))
+      val cube = CacheRegistry.track(t(s, dir, "documents")
+        .select(col("lang"), col("source"),
+          least(floor(col("n_chars") / lit(100.0)).cast(LongType), lit(5L))
+            .as("len_bucket"),
+          (TextFns.qualityScoreFrom(m) >= 0.8).as("label"))
+        .groupBy(col("lang"), col("source"), col("len_bucket"), col("label"))
+        .agg(count(lit(1)).as("n")))
+      def miFor(f: String) = {
+        val xy = cube.groupBy(col(f).as("xv"), col("label"))
+          .agg(sum(col("n")).as("nxy"))
+        val nx = xy.groupBy(col("xv")).agg(sum(col("nxy")).as("nx"))
+        val ny = xy.groupBy(col("label")).agg(sum(col("nxy")).as("ny"))
+        val ntot = xy.agg(sum(col("nxy")).as("ntot"))
+        val term = floor(
+          (col("nxy").cast(DoubleType) / col("ntot").cast(DoubleType)) *
+            log((col("nxy").cast(DoubleType) * col("ntot").cast(DoubleType)) /
+              (col("nx").cast(DoubleType) * col("ny").cast(DoubleType)))
+            * 1e9 + 0.5).cast(LongType)
+        xy.join(nx, "xv").join(ny, "label").crossJoin(ntot)
+          .agg(count(lit(1)).as("levels"), sum(term).as("mi_nano"))
+          .select(lit(f).as("feature"), col("levels"),
+            round(col("mi_nano").cast(DoubleType) / 1e9, 6).as("mi"))
+      }
+      miFor("lang").unionByName(miFor("source")).unionByName(miFor("len_bucket"))
+        .orderBy(col("feature"))
+    }),
+
     // Hybrid-retrieval fusion (the RAG-stack standard): the SPARSE ranker
     // (query-term tf, the search_ndcg ranker over one tokenize pass) and
     // the DENSE ranker (cosine to the query's anchor embedding — doc_id
@@ -780,6 +821,34 @@ object QueriesText {
          |  round(CASE WHEN idcg_m > 0 THEN CAST(dcg_m AS DOUBLE) / idcg_m
          |    ELSE 0e0 END, 6) AS ndcg10
          |FROM m ORDER BY qid""".stripMargin,
+
+    "mi_features" -> {
+      def block(f: String) =
+        s"""SELECT '$f' AS feature, CAST(count(*) AS BIGINT) AS levels,
+           |  round(CAST(sum(CAST(floor(
+           |    (CAST(nxy AS DOUBLE) / CAST(ntot AS DOUBLE)) *
+           |    ln((CAST(nxy AS DOUBLE) * CAST(ntot AS DOUBLE))
+           |      / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)))
+           |    * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1e9, 6) AS mi
+           |FROM (
+           |  SELECT xy.nxy, x.nx, y.ny, tot.ntot
+           |  FROM (SELECT $f AS xv, label, CAST(sum(n) AS BIGINT) AS nxy
+           |    FROM cube GROUP BY 1, 2) xy
+           |  JOIN (SELECT $f AS xv, CAST(sum(n) AS BIGINT) AS nx
+           |    FROM cube GROUP BY 1) x USING (xv)
+           |  JOIN (SELECT label, CAST(sum(n) AS BIGINT) AS ny
+           |    FROM cube GROUP BY 1) y USING (label)
+           |  CROSS JOIN tot)""".stripMargin
+      s"""WITH m AS (${Tables.qualityMetricsSql(", lang, source, n_chars")}),
+         |lab AS (SELECT lang, source,
+         |    least(CAST(floor(n_chars / 100.0) AS BIGINT), 5) AS len_bucket,
+         |    round(${Tables.qualityScoreSql}, 6) >= 0.8 AS label FROM m),
+         |cube AS MATERIALIZED (SELECT lang, source, len_bucket, label,
+         |    CAST(count(*) AS BIGINT) AS n FROM lab GROUP BY 1, 2, 3, 4),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS ntot FROM cube)
+         |${Seq("lang", "source", "len_bucket").map(block).mkString("\nUNION ALL\n")}
+         |ORDER BY feature""".stripMargin
+    },
 
     "rrf_fusion" ->
       s"""WITH q(qid, t1, t2) AS (VALUES

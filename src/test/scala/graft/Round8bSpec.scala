@@ -121,6 +121,82 @@ class Round8bSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("matryoshka_eval: matches a brute-force prefix-cosine recompute; dim-64 anchor is exact") {
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .where(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    def cosPrefix(a: Array[Double], b: Array[Double], d: Int): Double = {
+      var dd = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < d) { dd += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dd / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val qs = vecs.filter(_._1 < 20)
+    val dims = Seq(8, 16, 32, 64)
+    val tops: Map[Int, Set[(Long, Long)]] = dims.map { d =>
+      d -> qs.flatMap { case (qid, qv) =>
+        vecs.map { case (id, v) => (id, cosPrefix(qv, v, d)) }
+          .sortBy { case (id, c) => (-c, id) }.take(10).map(x => (qid, x._1))
+      }.toSet
+    }.toMap
+    val expected = dims.map { d =>
+      val hits = tops(d).count(tops(64).contains).toLong
+      val possible = tops(d).size.toLong
+      (d.toLong, hits, possible,
+        math.floor(hits.toDouble / possible * 1e4 + 0.5) / 1e4)
+    }
+    val got = graft.queries.QueriesSim.queries("matryoshka_eval")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == expected)
+    assert(got.last == ((64L, qs.length * 10L, qs.length * 10L, 1.0)),
+      "dim-64 row must be the exact ground truth")
+  }
+
+  // independent TextStats + quality-gate replication (Round8Spec precedent)
+  private def teacherHi(text: String): Boolean = {
+    val nc = text.codePointCount(0, text.length).toDouble
+    val nt = "\\S+".r.findAllIn(text).size.toDouble
+    val np = "[^a-zA-Z0-9\\s]".r.findAllIn(text).size.toDouble
+    val ns = "\\b(the|and|of|to|in|is|a|for|on|with|as|by|at|it)\\b".r
+      .findAllIn(text.toLowerCase).size.toDouble
+    val pr = np / math.max(nc, 1.0)
+    val sr = ns / math.max(nt, 1.0)
+    val mw = nc / math.max(nt, 1.0)
+    val len = if (nc >= 100 && nc <= 10000) 1.0 else if (nc >= 20) 0.5 else 0.0
+    val pu = if (pr <= 0.1) 1.0 else if (pr <= 0.3) 0.5 else 0.0
+    val st = if (sr >= 0.05 && sr <= 0.6) 1.0 else 0.3
+    val wd = if (mw >= 3.0 && mw <= 12.0) 1.0 else 0.3
+    BigDecimal(len * 0.3 + pu * 0.2 + st * 0.3 + wd * 0.2)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble >= 0.8
+  }
+
+  test("mi_features: matches an exact nano-unit driver recompute; MI non-negative") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("lang"), col("source"), col("n_chars"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1),
+        math.min(math.floor(r.getLong(2) / 100.0).toLong, 5L), teacherHi(r.getString(3))))
+    def mi(key: ((String, String, Long, Boolean)) => Any): (Long, Double) = {
+      val xy = docs.groupBy(d => (key(d), d._4)).map { case (k, xs) => k -> xs.length.toLong }
+      val nx = docs.groupBy(key).map { case (k, xs) => k -> xs.length.toLong }
+      val ny = docs.groupBy(_._4).map { case (k, xs) => k -> xs.length.toLong }
+      val n = docs.length.toLong
+      val nano = xy.map { case ((x, y), nxy) =>
+        math.floor((nxy.toDouble / n.toDouble) *
+          math.log((nxy.toDouble * n.toDouble) / (nx(x).toDouble * ny(y).toDouble))
+          * 1e9 + 0.5).toLong
+      }.sum
+      (xy.size.toLong,
+        BigDecimal(nano.toDouble / 1e9).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val expected = Seq(
+      ("lang", mi(_._1)), ("len_bucket", mi(_._3)), ("source", mi(_._2)))
+      .map { case (f, (l, m)) => (f, l, m) }.sortBy(_._1)
+    val got = graft.queries.QueriesText.queries("mi_features")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == expected)
+    got.foreach(r => assert(r._3 >= -1e-6, s"MI must be non-negative: $r"))
+  }
+
   test("t_closeness: matches an exact-integer driver recompute; classes partition orders") {
     val cust = spark.read.parquet(s"$dir/customer.parquet")
       .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey")).collect()
