@@ -41,6 +41,36 @@ object QueriesSim {
 
   private val rank10 = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
 
+  /** kcenter_coreset's deterministic greedy fit — a pure function of the
+    * first-256 vectors in id order (the trainSampled convention), shared by
+    * the query and its trained-oracle generator so the two cannot drift:
+    * seed = lowest-id vector; each further center is the sample point
+    * FARTHEST from its nearest selected center (classic 2-approx k-center
+    * greedy; ties to the lower id). Distances are left-assoc ascending-dim
+    * folds (the NearestCells loop order). */
+  private def kcenterFit(s: org.apache.spark.sql.SparkSession, dir: String,
+                         k: Int = 8): Array[(Long, Array[Double])] = {
+    val sample = t(s, dir, "embeddings").where(col("embedding").isNotNull)
+      .orderBy(col("vec_id")).limit(256)
+      .select(col("vec_id"), SimFns.toDouble(col("embedding"))).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    require(sample.nonEmpty, "no vectors to fit on")
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var i = 0
+      while (i < a.length) { val t = a(i) - b(i); d += t * t; i += 1 }
+      d
+    }
+    val selected = scala.collection.mutable.ArrayBuffer(sample.head)
+    while (selected.length < math.min(k, sample.length)) {
+      val next = sample
+        .filterNot(p => selected.exists(_._1 == p._1))
+        .map { p => (p, selected.map(c => l2(p._2, c._2)).min) }
+        .maxBy { case (p, d) => (d, -p._1) }._1
+      selected += next
+    }
+    selected.toArray
+  }
+
   val queries: Map[String, Q] = Map(
     // Clustering-quality card over the trained coarse quantizer (the
     // "should I trust these cells?" eval an ANN/semantic-dedup pipeline
@@ -255,6 +285,96 @@ object QueriesSim {
         .select(col("qid"), col("vec_id"), round(col("cos"), 6).as("cos"),
           col("rank").cast(LongType).as("rank"))
         .orderBy(col("qid"), col("rank"))
+    }),
+
+    // Greedy k-center coreset (the 2-approx farthest-point heuristic —
+    // the active-learning / diverse-subset selection primitive): 8
+    // centers fit on the bounded first-256 sample (corpus-size-
+    // independent, the trainSampled convention), then the WHOLE corpus
+    // assigns to its nearest center in one native codegen'd
+    // NearestCellDists pass — no join, no shuffle except the 8-row card
+    // aggregate. The card reports per-center mass, mean d² (micro-unit
+    // BIGINT fold) and the coverage radius max d² — the "how well do 8
+    // exemplars cover the space" measurement that prices a coreset before
+    // an annotation/distillation run. Oracle: trained-oracle pattern —
+    // the shared kcenterFit re-runs at dump time and the centers inline
+    // as literal distance chains.
+    "kcenter_coreset" -> ((s, dir) => {
+      import graft.operators.Ivf
+      val centers = kcenterFit(s, dir)
+      val e = t(s, dir, "embeddings").where(col("embedding").isNotNull)
+      val nd = Ivf.nearestCellDists(col("embedding"), centers.map(_._2), 1)
+      import s.implicits._
+      val ids = broadcast(centers.zipWithIndex
+        .map { case ((id, _), i) => (i, id) }.toSeq.toDF("cell", "center_id"))
+      e.select(element_at(nd, 1).getField("cell").as("cell"),
+          element_at(nd, 1).getField("d2").as("d1"))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_vecs"),
+          round(sum(floor(col("d1") * 1e6 + 0.5).cast(LongType))
+            .cast(DoubleType) / count(lit(1)) / 1e6, 6).as("mean_d2"),
+          (floor(max(col("d1")) * 1e6 + 0.5) / 1e6).as("radius_d2"))
+        .join(ids, "cell")
+        .select(col("center_id"), (col("cell") + 1).cast(LongType).as("step"),
+          col("n_vecs"), col("mean_d2"), col("radius_d2"))
+        .orderBy(col("step"))
+    }),
+
+    // MMR diversity re-ranking (Carbonell & Goldstein) — the standard
+    // result-diversification stage between retrieval and the context
+    // window: greedily pick 5 of the top-20 dense candidates maximizing
+    // λ·rel − (1−λ)·max-sim-to-already-picked (λ=0.7; the uniform
+    // recurrence treats the empty selected set as max-sim 0, so step 1 is
+    // the pure-relevance argmax). Scale shape: candidate generation is
+    // the distributed dense top-20 (queries broadcast, rank windows per
+    // query); the greedy runs on the COLLECTED 3×20 candidate set — fixed
+    // size by construction (rank ≤ 20 × 3 literal queries), the graph-
+    // family precedent for config-sized sequential recurrences. The
+    // oracle unrolls the identical 5-step recurrence with correlated
+    // max-sim subqueries; scores are two-op double folds of cosines both
+    // engines derive bit-identically (sim_topk precedent), ties to the
+    // lower doc id.
+    "mmr_diversify" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").where(col("embedding").isNotNull)
+        .select(col("vec_id"), col("embedding"))
+      val q = e.where(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val wQ = Window.partitionBy(col("qid")).orderBy(col("rel").desc, col("vec_id"))
+      val cand = e.crossJoin(broadcast(q))
+        .where(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"), col("embedding"),
+          SimFns.cosine(col("qe"), col("embedding")).as("rel"))
+        .withColumn("rn", row_number().over(wQ))
+        .where(col("rn") <= 20)
+        .select(col("qid"), col("vec_id"), col("rel"), col("embedding"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getSeq[Float](3).map(_.toDouble).toArray))
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+        d / (math.sqrt(na) * math.sqrt(nb))
+      }
+      val out = cand.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (qid, cs) =>
+        var remaining = cs.sortBy(_._2).toSeq
+        var selected = Seq.empty[(Long, Array[Double])]
+        (1 to 5).map { step =>
+          val scored = remaining.map { case (_, id, rel, v) =>
+            val maxs = if (selected.isEmpty) 0.0
+              else selected.map(sv => cos(v, sv._2)).max
+            (id, rel, 0.7 * rel - 0.3 * maxs, v)
+          }
+          val best = scored.minBy { case (id, _, sc, _) => (-sc, id) }
+          selected :+= ((best._1, best._4))
+          remaining = remaining.filterNot(_._2 == best._1)
+          (qid, step.toLong, best._1, best._3, best._2)
+        }
+      }
+      import s.implicits._
+      out.toDF("qid", "step", "doc_id", "score_raw", "rel_raw")
+        .select(col("qid"), col("step"), col("doc_id"),
+          round(col("score_raw"), 6).as("score"), round(col("rel_raw"), 6).as("rel"))
+        .orderBy(col("qid"), col("step"))
     }),
 
     // Matryoshka truncation-recall card (Kusupati et al. 2022): how much
@@ -914,6 +1034,33 @@ object QueriesSim {
        |WHERE rn <= 10 ORDER BY qid, rank""".stripMargin
   }
 
+  /** kcenter_coreset's twin: refit the shared greedy (pure function of the
+    * first-256 sample), inline the 8 centers as literal distance chains,
+    * assign with the argmin-CASE, fold the card exactly as the query does
+    * (cluster_silhouette's micro-unit BIGINT mean + order-independent max). */
+  private def kcenterOracle(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val centers = kcenterFit(s, dir)
+    val k = centers.length
+    val dDefs = centers.zipWithIndex.map { case ((_, c), i) =>
+      s"${l2ChainSql("v", c)} AS d$i" }.mkString(",\n    ")
+    val dcols = (0 until k).map(i => s"d$i")
+    val idCase = s"CASE cell ${centers.zipWithIndex
+      .map { case ((id, _), i) => s"WHEN $i THEN $id" }.mkString(" ")} END"
+    s"""WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |  WHERE embedding IS NOT NULL),
+       |d AS (SELECT
+       |    $dDefs
+       |  FROM e),
+       |a AS (SELECT ${argminCaseSql(dcols)} AS cell,
+       |    least(${dcols.mkString(", ")}) AS d1 FROM d)
+       |SELECT $idCase AS center_id, CAST(cell + 1 AS BIGINT) AS step,
+       |  CAST(count(*) AS BIGINT) AS n_vecs,
+       |  round(CAST(sum(CAST(floor(d1 * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+       |    / count(*) / 1e6, 6) AS mean_d2,
+       |  floor(max(d1) * 1e6 + 0.5) / 1e6 AS radius_d2
+       |FROM a GROUP BY cell ORDER BY step""".stripMargin
+  }
+
   private def pcaOracle(s: org.apache.spark.sql.SparkSession, dir: String): String = {
     import graft.operators.Pca
     val e = t(s, dir, "embeddings").where(col("embedding").isNotNull)
@@ -957,10 +1104,53 @@ object QueriesSim {
         tryGen("sim_pq", pqOracle(s, dir)) ++
         tryGen("sim_ivfpq", ivfpqOracle(s, dir)) ++
         tryGen("embed_pca_project", pcaOracle(s, dir)) ++
-        tryGen("cluster_silhouette", silhouetteOracle(s, dir))).toMap
+        tryGen("cluster_silhouette", silhouetteOracle(s, dir)) ++
+        tryGen("kcenter_coreset", kcenterOracle(s, dir))).toMap
     }.getOrElse(Map.empty)
 
+  /** mmr_diversify's unrolled 5-step greedy twin: per step, score every
+    * unselected candidate with a correlated max-sim-to-selected subquery,
+    * pick rn=1 by (score DESC, vec_id). Every accumulating CTE is
+    * MATERIALIZED — the double back reference per step otherwise
+    * re-inlines the chain exponentially (graph_hits lesson). */
+  private val mmrOracle: String = {
+    val steps = (1 to 5).map { k =>
+      val prev = s"sel${k - 1}"
+      s"""sc$k AS (SELECT c.qid, c.vec_id, c.rel,
+         |    0.7e0 * c.rel - 0.3e0 * COALESCE((SELECT max(s.sim) FROM sims s
+         |      JOIN $prev t ON t.qid = s.qid AND t.vec_id = s.ib
+         |      WHERE s.qid = c.qid AND s.ia = c.vec_id), 0e0) AS score
+         |  FROM c0 c WHERE NOT EXISTS (SELECT 1 FROM $prev t
+         |    WHERE t.qid = c.qid AND t.vec_id = c.vec_id)),
+         |pk$k AS MATERIALIZED (SELECT qid, vec_id, rel, score, $k AS step FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid
+         |    ORDER BY score DESC, vec_id) AS rn
+         |  FROM sc$k) WHERE rn = 1),
+         |sel$k AS MATERIALIZED (SELECT qid, vec_id FROM $prev
+         |  UNION ALL SELECT qid, vec_id FROM pk$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |  WHERE embedding IS NOT NULL),
+       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 3),
+       |c0 AS MATERIALIZED (SELECT qid, vec_id, rel, v FROM (
+       |  SELECT q.qid, e.vec_id, list_cosine_similarity(q.qv, e.v) AS rel, e.v,
+       |    row_number() OVER (PARTITION BY q.qid
+       |      ORDER BY list_cosine_similarity(q.qv, e.v) DESC, e.vec_id) AS rn
+       |  FROM e CROSS JOIN q WHERE e.vec_id <> q.qid) WHERE rn <= 20),
+       |sims AS MATERIALIZED (SELECT a.qid, a.vec_id AS ia, b.vec_id AS ib,
+       |  list_cosine_similarity(a.v, b.v) AS sim FROM c0 a JOIN c0 b ON a.qid = b.qid),
+       |sel0 AS (SELECT qid, vec_id FROM c0 WHERE FALSE),
+       |$steps
+       |SELECT CAST(qid AS BIGINT) AS qid, CAST(step AS BIGINT) AS step,
+       |  vec_id AS doc_id, round(score, 6) AS score, round(rel, 6) AS rel
+       |FROM (SELECT * FROM pk1 UNION ALL SELECT * FROM pk2
+       |  UNION ALL SELECT * FROM pk3 UNION ALL SELECT * FROM pk4
+       |  UNION ALL SELECT * FROM pk5)
+       |ORDER BY qid, step""".stripMargin
+  }
+
   private val staticOracle: Map[String, String] = Map(
+    "mmr_diversify" -> mmrOracle,
     "matryoshka_eval" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
         |  WHERE embedding IS NOT NULL),

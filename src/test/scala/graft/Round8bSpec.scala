@@ -152,6 +152,92 @@ class Round8bSpec extends SparkSpec {
       "dim-64 row must be the exact ground truth")
   }
 
+  test("mmr_diversify: every pick is the argmax of an independently rebuilt recurrence") {
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .where(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = (0L until 3L).flatMap { qid =>
+      val qv = vecs.find(_._1 == qid).get._2
+      var remaining = vecs.filter(_._1 != qid)
+        .map { case (id, v) => (id, cos(qv, v), v) }
+        .sortBy { case (id, c, _) => (-c, id) }.take(20).toSeq
+      var selected = Seq.empty[Array[Double]]
+      (1 to 5).map { step =>
+        val scored = remaining.map { case (id, rel, v) =>
+          val maxs = if (selected.isEmpty) 0.0 else selected.map(cos(v, _)).max
+          (id, rel, 0.7 * rel - 0.3 * maxs, v)
+        }
+        val best = scored.minBy { case (id, _, sc, _) => (-sc, id) }
+        selected :+= best._4
+        remaining = remaining.filterNot(_._1 == best._1)
+        (qid, step.toLong, best._1,
+          BigDecimal(best._3).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          BigDecimal(best._2).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }
+    val got = graft.queries.QueriesSim.queries("mmr_diversify")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    assert(got == expected)
+    // diversification must actually trade relevance for novelty somewhere:
+    // at least one query's picked set differs from its pure-relevance top-5
+    val picked = got.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val rel5 = expected.groupBy(_._1).map { case (q, _) =>
+      val qv = vecs.find(_._1 == q).get._2
+      q -> vecs.filter(_._1 != q).map { case (id, v) => (id, cos(qv, v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1).toSet
+    }
+    assert(picked.exists { case (q, s) => s != rel5(q) },
+      "MMR never diverged from pure relevance — the diversity term is inert")
+  }
+
+  test("kcenter_coreset: matches a brute-force assignment; centers cover the sample") {
+    import graft.operators.Ivf
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .where(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var i = 0
+      while (i < a.length) { val t = a(i) - b(i); d += t * t; i += 1 }
+      d
+    }
+    // independent greedy on the same first-256 sample
+    val sample = vecs.take(256)
+    var sel = Vector(sample.head)
+    while (sel.length < 8) {
+      val next = sample.filterNot(p => sel.exists(_._1 == p._1))
+        .map(p => (p, sel.map(c => l2(p._2, c._2)).min))
+        .maxBy { case (p, d) => (d, -p._1) }._1
+      sel :+= next
+    }
+    // brute-force corpus assignment (strict < — ties to the earlier center)
+    val byCell = vecs.map { case (_, v) =>
+      val ds = sel.map(c => l2(v, c._2))
+      (ds.zipWithIndex.minBy { case (d, i) => (d, i) }._2, ds.min)
+    }.groupBy(_._1)
+    val expected = (0 until 8).map { cell =>
+      val ds = byCell(cell).map(_._2)
+      (sel(cell)._1, (cell + 1).toLong, ds.length.toLong,
+        BigDecimal(ds.map(d => math.floor(d * 1e6 + 0.5).toLong).sum.toDouble
+          / ds.length / 1e6).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        math.floor(ds.max * 1e6 + 0.5) / 1e6)
+    }
+    val got = graft.queries.QueriesSim.queries("kcenter_coreset")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    assert(got == expected)
+    assert(got.map(_._3).sum == vecs.length.toLong, "cells must partition the corpus")
+    assert(got.map(_._1).distinct.size == 8, "centers must be 8 distinct vectors")
+  }
+
   // independent TextStats + quality-gate replication (Round8Spec precedent)
   private def teacherHi(text: String): Boolean = {
     val nc = text.codePointCount(0, text.length).toDouble
