@@ -1078,6 +1078,66 @@ object QueriesAnalytics {
     // Welch z on the value means. ONE conditional aggregate computes both
     // arms — no self-join, no second scan; the per-type result is
     // config-sized at any corpus scale.
+    // Sample-ratio-mismatch guard (the FIRST check any A/B readout runs:
+    // a biased assignment invalidates every downstream metric before
+    // means are even compared): per event type, χ² of the observed
+    // variant split vs the designed 50/50 — for two equal-share cells the
+    // statistic collapses to (n_a−n_b)²/n, an exact BIGINT numerator with
+    // ONE division, micro-rounded. Flag at the 95% χ²₁ critical value.
+    // One conditional aggregate to the types domain; same parity-variant
+    // convention as ab_ztest.
+    "ab_srm" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .where(col("user_id").isNotNull && col("event_type").isNotNull)
+        .withColumn("isA", col("user_id") % 2 === 0)
+      ev.groupBy(col("event_type"))
+        .agg(count(when(col("isA"), 1)).as("n_a"),
+          count(when(!col("isA"), 1)).as("n_b"))
+        .select(col("event_type"), col("n_a"), col("n_b"),
+          (floor(((col("n_a") - col("n_b")) * (col("n_a") - col("n_b")))
+            .cast(DoubleType) / (col("n_a") + col("n_b")) * 1e6 + 0.5) / 1e6)
+            .as("chi2"))
+        .withColumn("srm", col("chi2") > 3.841459)
+        .orderBy(col("event_type"))
+    }),
+
+    // Late-data audit — the watermark-sizing measurement a streaming
+    // deployment takes BEFORE choosing its withWatermark delay: each
+    // event's lateness is the running-max event time among its type's
+    // earlier ARRIVALS minus its own event time (strictly preceding
+    // frame — an event is not late against itself). The synthetic events
+    // table is ts-ordered, so a deterministic bounded-disorder arrival
+    // log is simulated: arrivals shuffle by md5 WITHIN 3-hour event-time
+    // buckets (the global_shuffle idiom) — mostly-ordered ingest with
+    // bounded skew, so both the late counter and the 1-hour-drop counter
+    // carry signal; in production the real ingest sequence replaces the
+    // simulated key. Exact integer-µs math end to end; one window sort
+    // per type (the ts_anomaly shape) — no global ordering anywhere.
+    "late_data_audit" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .where(col("ts").isNotNull && col("event_type").isNotNull)
+        .select(col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("tsus"))
+        .withColumn("bucket", expr("tsus DIV 10800000000"))
+        .withColumn("akey", md5(concat(lit("late:"), col("event_id").cast("string"))))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("bucket"), col("akey"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      ev.withColumn("wm", max(col("tsus")).over(w))
+        .withColumn("late_us",
+          when(col("wm").isNull || col("wm") <= col("tsus"), 0L)
+            .otherwise(col("wm") - col("tsus")))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("late_us") > 0, 1L).otherwise(0L)).as("n_late"),
+          sum(when(col("late_us") > 3600L * 1000000L, 1L).otherwise(0L))
+            .as("n_dropped_1h"),
+          expr("CAST(max(late_us) DIV 1000000 AS BIGINT)").as("max_late_s"),
+          round(sum(when(col("late_us") > 0, 1L).otherwise(0L))
+            .cast(DoubleType) / count(lit(1)), 6).as("late_rate"))
+        .orderBy(col("event_type"))
+    }),
+
     "ab_ztest" -> ((s, dir) => {
       val ev = t(s, dir, "events")
         .where(col("value").isNotNull && col("event_type").isNotNull &&
@@ -1841,6 +1901,39 @@ object QueriesAnalytics {
         |SELECT from_type, to_type, n,
         |  floor(n / sum(n) OVER (PARTITION BY from_type) * 1e6 + 0.5) / 1e6 AS p
         |FROM m ORDER BY from_type, to_type""".stripMargin,
+    "ab_srm" ->
+      """WITH ev AS (SELECT event_type, user_id % 2 = 0 AS isA
+        |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |c AS (SELECT event_type,
+        |    CAST(count(CASE WHEN isA THEN 1 END) AS BIGINT) AS n_a,
+        |    CAST(count(CASE WHEN NOT isA THEN 1 END) AS BIGINT) AS n_b
+        |  FROM ev GROUP BY 1)
+        |SELECT event_type, n_a, n_b,
+        |  floor(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+        |    / (n_a + n_b) * 1e6 + 0.5) / 1e6 AS chi2,
+        |  (floor(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+        |    / (n_a + n_b) * 1e6 + 0.5) / 1e6) > 3.841459 AS srm
+        |FROM c ORDER BY event_type""".stripMargin,
+    "late_data_audit" ->
+      """WITH ev AS (SELECT event_id, event_type, epoch_us(ts) AS tsus,
+        |    epoch_us(ts) // 10800000000 AS bucket,
+        |    md5('late:' || CAST(event_id AS VARCHAR)) AS akey
+        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+        |w AS (SELECT event_type, tsus,
+        |    max(tsus) OVER (PARTITION BY event_type ORDER BY bucket, akey, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+        |  FROM ev),
+        |l AS (SELECT event_type,
+        |    CASE WHEN wm IS NULL OR wm <= tsus THEN 0 ELSE wm - tsus END AS late_us
+        |  FROM w)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+        |  CAST(sum(CASE WHEN late_us > 3600000000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dropped_1h,
+        |  CAST(max(late_us) // 1000000 AS BIGINT) AS max_late_s,
+        |  round(CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS late_rate
+        |FROM l GROUP BY 1 ORDER BY 1""".stripMargin,
     "ab_ztest" ->
       """WITH ev AS (SELECT event_type, value, user_id % 2 = 0 AS isA
         |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL

@@ -238,6 +238,54 @@ class Round8bSpec extends SparkSpec {
     assert(got.map(_._1).distinct.size == 8, "centers must be 8 distinct vectors")
   }
 
+  test("ab_srm: matches an exact driver recompute of the 2-cell chi-square") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .where(col("user_id").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"), col("user_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1) % 2 == 0))
+    val expected = ev.groupBy(_._1).map { case (et, xs) =>
+      val na = xs.count(_._2).toLong
+      val nb = xs.size - na
+      val chi2 = math.floor(((na - nb) * (na - nb)).toDouble / (na + nb) * 1e6 + 0.5) / 1e6
+      (et, na, nb, chi2, chi2 > 3.841459)
+    }.toSeq.sortBy(_._1)
+    val got = graft.queries.QueriesAnalytics.queries("ab_srm")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4))).toSeq
+    assert(got == expected)
+  }
+
+  test("late_data_audit: matches a driver replay of the simulated arrival log") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .where(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("event_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("tsus")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expected = ev.groupBy(_._2).map { case (et, xs) =>
+      val arr = xs.sortBy { case (id, _, ts) =>
+        (ts / 10800000000L, md5hex(s"late:$id"), id) }
+      var wm = Long.MinValue
+      val lates = arr.map { case (_, _, ts) =>
+        val l = if (wm > ts) wm - ts else 0L
+        wm = math.max(wm, ts)
+        l
+      }
+      (et, arr.length.toLong, lates.count(_ > 0).toLong,
+        lates.count(_ > 3600000000L).toLong, lates.max / 1000000L,
+        BigDecimal(lates.count(_ > 0).toDouble / arr.length)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq.sortBy(_._1)
+    val got = graft.queries.QueriesAnalytics.queries("late_data_audit")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
+    assert(got == expected)
+    // bounded disorder: nothing can be later than one full bucket
+    got.foreach(r => assert(r._5 <= 10800L, s"lateness exceeded the bucket bound: $r"))
+  }
+
   // independent TextStats + quality-gate replication (Round8Spec precedent)
   private def teacherHi(text: String): Boolean = {
     val nc = text.codePointCount(0, text.length).toDouble
