@@ -36,6 +36,78 @@ object QueriesMlops {
   }
 
   val queries: Map[String, Q] = Map(
+    // ClickHouse-style windowFunnel: the longest prefix of the ORDERED
+    // sequence view → click → purchase each user completes, where every
+    // later step must fall strictly after the previous step and within
+    // 24 h of the user's FIRST view (the anchored-window semantics that
+    // distinguishes this from funnel_conversion's unanchored signup
+    // funnel). Three user-keyed conditional aggregates chained by
+    // co-partitioned joins — the user exchange is planned once and
+    // reused; all time math is exact integer µs. Output is the 4-row
+    // level histogram with conversion shares.
+    "window_funnel" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .where(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("event_type").isNotNull)
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      val horizon = 24L * 3600L * 1000000L
+      val t1 = ev.where(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
+      val t2 = ev.join(t1, "user_id")
+        .where(col("event_type") === "click" &&
+          col("us") > col("t1") && col("us") <= col("t1") + horizon)
+        .groupBy(col("user_id")).agg(min(col("us")).as("t2"), min(col("t1")).as("t1b"))
+      val t3 = ev.join(t2, "user_id")
+        .where(col("event_type") === "purchase" &&
+          col("us") > col("t2") && col("us") <= col("t1b") + horizon)
+        .groupBy(col("user_id")).agg(min(col("us")).as("t3"))
+      val users = ev.select(col("user_id")).distinct()
+      val lvl = users
+        .join(t1.select(col("user_id"), lit(1).as("l1")), Seq("user_id"), "left")
+        .join(t2.select(col("user_id"), lit(1).as("l2")), Seq("user_id"), "left")
+        .join(t3.select(col("user_id"), lit(1).as("l3")), Seq("user_id"), "left")
+        .select((coalesce(col("l1"), lit(0)) + coalesce(col("l2"), lit(0))
+          + coalesce(col("l3"), lit(0))).cast(LongType).as("level"))
+      val tot = lvl.agg(count(lit(1)).as("n_users"))
+      lvl.groupBy(col("level")).agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(tot))
+        .select(col("level"), col("n"),
+          round(col("n").cast(DoubleType) / col("n_users"), 6).as("share"))
+        .orderBy(col("level"))
+    }),
+
+    // Leave-one-out target encoding — the leakage-safe categorical
+    // feature-engineering standard: each order's nation encodes as the
+    // high-priority rate of all OTHER orders in that nation,
+    // (pos_c − y_i)/(n_c − 1) — exact BIGINT numerators, one division,
+    // NULL for singleton categories (ANSI-safe). One orders⋈customer
+    // join is the only data-sized stage; the per-nation sums collapse to
+    // the nations domain and broadcast back. Declared output is the
+    // per-nation encoding card (min/max/mean of the LOO encodings plus
+    // the naive rate) — the full per-row encoded table is the same plan
+    // minus the final aggregate.
+    "target_encode" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"),
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L).as("y"))
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val rows = o.join(c, col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey"), col("o_orderkey"), col("y"))
+      val stats = rows.groupBy(col("c_nationkey"))
+        .agg(sum(col("y")).as("pos"), count(lit(1)).as("n"))
+      rows.join(broadcast(stats), "c_nationkey")
+        .select(col("c_nationkey"), col("y"),
+          when(col("n") > 1, (col("pos") - col("y")).cast(DoubleType)
+            / (col("n") - 1)).as("enc"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("y")).as("n_pos"),
+          round(min(col("enc")), 6).as("min_enc"),
+          round(max(col("enc")), 6).as("max_enc"),
+          round(sum(floor(col("enc") * 1e9 + 0.5).cast(LongType))
+            .cast(DoubleType) / count(lit(1)) / 1e9, 6).as("mean_enc"))
+        .orderBy(col("c_nationkey"))
+    }),
     // Deterministic Poisson BOOTSTRAP confidence intervals on a data-card
     // metric (per-source mean chars): 32 resamples where doc weight in
     // resample b is Poisson(1)-distributed via the md5(b, doc_id) prefix
@@ -935,6 +1007,52 @@ object QueriesMlops {
     }))
 
   val oracle: Map[String, String] = Map(
+    "window_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |t1 AS (SELECT user_id, min(us) AS t1 FROM ev
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |t2 AS (SELECT ev.user_id, min(us) AS t2, min(t1.t1) AS t1b
+        |  FROM ev JOIN t1 ON ev.user_id = t1.user_id
+        |  WHERE event_type = 'click' AND us > t1.t1
+        |    AND us <= t1.t1 + 86400000000 GROUP BY 1),
+        |t3 AS (SELECT ev.user_id, min(us) AS t3
+        |  FROM ev JOIN t2 ON ev.user_id = t2.user_id
+        |  WHERE event_type = 'purchase' AND us > t2.t2
+        |    AND us <= t2.t1b + 86400000000 GROUP BY 1),
+        |users AS (SELECT DISTINCT user_id FROM ev),
+        |lvl AS (SELECT CAST(
+        |    (CASE WHEN t1.user_id IS NULL THEN 0 ELSE 1 END)
+        |    + (CASE WHEN t2.user_id IS NULL THEN 0 ELSE 1 END)
+        |    + (CASE WHEN t3.user_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS level
+        |  FROM users u
+        |  LEFT JOIN t1 ON u.user_id = t1.user_id
+        |  LEFT JOIN t2 ON u.user_id = t2.user_id
+        |  LEFT JOIN t3 ON u.user_id = t3.user_id),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM lvl)
+        |SELECT level, CAST(count(*) AS BIGINT) AS n,
+        |  round(CAST(count(*) AS DOUBLE) / max(tot.n_users), 6) AS share
+        |FROM lvl CROSS JOIN tot GROUP BY level ORDER BY level""".stripMargin,
+    "target_encode" ->
+      """WITH rows0 AS (
+        |  SELECT c_nationkey,
+        |    CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END AS y
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |stats AS (SELECT c_nationkey, CAST(sum(y) AS BIGINT) AS pos,
+        |    CAST(count(*) AS BIGINT) AS n FROM rows0 GROUP BY 1),
+        |enc AS (SELECT r.c_nationkey, r.y,
+        |    CASE WHEN s.n > 1
+        |      THEN CAST(s.pos - r.y AS DOUBLE) / (s.n - 1) END AS enc
+        |  FROM rows0 r JOIN stats s ON r.c_nationkey = s.c_nationkey)
+        |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(y) AS BIGINT) AS n_pos,
+        |  round(min(enc), 6) AS min_enc,
+        |  round(max(enc), 6) AS max_enc,
+        |  round(CAST(sum(CAST(floor(enc * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)
+        |    / count(*) / 1e9, 6) AS mean_enc
+        |FROM enc GROUP BY 1 ORDER BY 1""".stripMargin,
     "bootstrap_ci" ->
       """WITH fan AS (
         |  SELECT source, n_chars, doc_id, unnest(range(0, 32)) AS b FROM documents),

@@ -286,6 +286,60 @@ class Round8bSpec extends SparkSpec {
     got.foreach(r => assert(r._5 <= 10800L, s"lateness exceeded the bucket bound: $r"))
   }
 
+  test("window_funnel: matches a per-user driver replay of the anchored sequence") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .where(col("user_id").isNotNull && col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("us")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val horizon = 24L * 3600L * 1000000L
+    val levels = ev.groupBy(_._1).map { case (_, xs) =>
+      val t1 = xs.filter(_._2 == "view").map(_._3).minOption
+      val t2 = t1.flatMap(a => xs.filter(x => x._2 == "click" && x._3 > a
+        && x._3 <= a + horizon).map(_._3).minOption)
+      val t3 = t1.flatMap(a => t2.flatMap(b => xs.filter(x => x._2 == "purchase"
+        && x._3 > b && x._3 <= a + horizon).map(_._3).minOption))
+      Seq(t1, t2, t3).count(_.isDefined).toLong
+    }.toSeq
+    val n = levels.size.toLong
+    val expected = levels.groupBy(identity).map { case (l, xs) =>
+      (l, xs.size.toLong, BigDecimal(xs.size.toDouble / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq.sortBy(_._1)
+    val got = graft.queries.QueriesMlops.queries("window_funnel")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == expected)
+    // the funnel must be monotone: completing k+1 steps implies completing k
+    val byLevel = got.map(r => r._1 -> r._2).toMap
+    val cum = (0L to 3L).map(l => (l, got.filter(_._1 >= l).map(_._2).sum))
+    assert(cum.sliding(2).forall { case Seq((_, a), (_, b)) => b <= a },
+      s"non-monotone funnel: $byLevel")
+  }
+
+  test("target_encode: matches an exact leave-one-out driver recompute") {
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_nationkey")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_custkey"), col("o_orderpriority")).collect()
+      .flatMap(r => cust.get(r.getLong(0)).map(nat => (nat,
+        if (Set("1-URGENT", "2-HIGH")(r.getString(1))) 1L else 0L)))
+    val expected = rows.groupBy(_._1).map { case (nat, xs) =>
+      val pos = xs.map(_._2).sum
+      val n = xs.size.toLong
+      val encs = xs.map(x => (pos - x._2).toDouble / (n - 1))
+      (nat, n, pos,
+        BigDecimal(encs.min).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(encs.max).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(encs.map(e => math.floor(e * 1e9 + 0.5).toLong).sum.toDouble
+          / n / 1e9).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq.sortBy(_._1)
+    val got = graft.queries.QueriesMlops.queries("target_encode")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got == expected)
+  }
+
   // independent TextStats + quality-gate replication (Round8Spec precedent)
   private def teacherHi(text: String): Boolean = {
     val nc = text.codePointCount(0, text.length).toDouble
