@@ -41,6 +41,63 @@ object QueriesSim {
 
   private val rank10 = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
 
+  /** sim_ivfpq_residual's shared model construction (query + trained-oracle
+    * generator call the SAME function — the kcenterFit pattern): coarse
+    * quantizer from the sampled trainer, then PQ codebooks trained on the
+    * RESIDUALS v − centroid[cell] (FAISS's by_residual=true default — the
+    * codebooks only have to cover the within-cell spread, a much tighter
+    * distribution than the raw corpus). The residual column materializes in
+    * its own projection so the interpreted zip_with runs ONCE per row and
+    * the 8 downstream NearestCells probes read the materialized array.
+    * Returns (centroids, codebooks, (vec_id, cell, rv) frame). */
+  private def ivfpqResidualParts(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (Array[Array[Double]], Seq[Array[Array[Double]]], org.apache.spark.sql.DataFrame) = {
+    import graft.operators.Ivf
+    val e = t(s, dir, "embeddings").where(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"))
+    val cents = Ivf.collectCentroids(
+      Ivf.trainSampled(e, "vec_id", "embedding", k = 8))
+    val centLit = array(cents.map(c => typedLit(c.toSeq)): _*)
+    val res = e.select(col("vec_id"),
+        element_at(Ivf.nearestCells(col("embedding"), cents, 1), 1).as("cell"),
+        SimFns.toDouble(col("embedding")).as("vd"))
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("vd"), element_at(centLit, col("cell") + 1),
+          (x, c) => x - c).as("rv"))
+    val books = Pq.train(res, "vec_id", "rv", m = 8, k = 16)
+    (cents, books, res)
+  }
+
+  /** Per-query probe cells and per-(query, cell) residual ADC tables for
+    * sim_ivfpq_residual — driver-side, shared by query and oracle. */
+  private def ivfpqResidualLuts(s: org.apache.spark.sql.SparkSession, dir: String,
+                                cents: Array[Array[Double]],
+                                books: Seq[Array[Array[Double]]])
+      : (Seq[(Long, Int)], Seq[(Long, Int, Int, Int, Double)]) = {
+    def l2(v: Array[Double], c: Array[Double], off: Int = 0): Double = {
+      var d = 0.0; var i = 0
+      while (i < c.length) { val t = v(off + i) - c(i); d += t * t; i += 1 }
+      d
+    }
+    val qs = t(s, dir, "embeddings").where(col("embedding").isNotNull)
+      .where(col("vec_id") < 5)
+      .select(col("vec_id"), SimFns.toDouble(col("embedding"))).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    val sub = books.map(_.head.length).sum / books.length
+    val probes = qs.flatMap { case (qid, qv) =>
+      cents.indices.map(c => (l2(qv, cents(c)), c)).sorted.take(3)
+        .map { case (_, c) => (qid, c) }
+    }.toSeq
+    val luts = probes.flatMap { case (qid, cell) =>
+      val qv = qs.find(_._1 == qid).get._2
+      val rq = qv.indices.map(i => qv(i) - cents(cell)(i)).toArray
+      books.zipWithIndex.flatMap { case (book, j) =>
+        book.indices.map(c => (qid, cell, j, c, l2(rq, book(c), off = j * sub)))
+      }
+    }
+    (probes, luts)
+  }
+
   /** kcenter_coreset's deterministic greedy fit — a pure function of the
     * first-256 vectors in id order (the trainSampled convention), shared by
     * the query and its trained-oracle generator so the two cannot drift:
@@ -318,6 +375,40 @@ object QueriesSim {
         .select(col("center_id"), (col("cell") + 1).cast(LongType).as("step"),
           col("n_vecs"), col("mean_d2"), col("radius_d2"))
         .orderBy(col("step"))
+    }),
+
+    // IVF-PQ with RESIDUAL encoding — FAISS's by_residual=true DEFAULT,
+    // completing sim_ivfpq's composition with the production refinement:
+    // PQ codebooks train on v − centroid[cell], so they only cover the
+    // within-cell spread (tighter quantization at the same byte budget),
+    // and each query precomputes a SEPARATE ADC table per probed cell
+    // (its residual against that cell). The residual materializes in its
+    // own projection (one interpreted zip_with per row; the 8 native
+    // NearestCells probes read the materialized array); LUTs are
+    // (queries × 3 cells × m × k) broadcast rows — config-sized at any
+    // corpus scale. Oracle: shared model refit + literal centroids in a
+    // CASE-indexed list_transform residual, PQ chains over rv, per-
+    // (query, cell) ADC arrays inlined.
+    "sim_ivfpq_residual" -> ((s, dir) => {
+      val (cents, books, res) = ivfpqResidualParts(s, dir)
+      val enc = res.select(col("vec_id"), col("cell"),
+        Pq.codesFor(col("rv"), books).as("codes"))
+      val (probes, luts) = ivfpqResidualLuts(s, dir, cents, books)
+      import s.implicits._
+      val probesDF = broadcast(probes.toDF("qid", "cell"))
+      val lut = broadcast(luts.toDF("qid", "cell", "j", "code", "d"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("dist2").asc, col("vec_id").asc)
+      enc.join(probesDF, "cell")
+        .select(col("qid"), col("cell"), col("vec_id"),
+          posexplode(col("codes")).as(Seq("j", "code")))
+        .join(lut, Seq("qid", "cell", "j", "code"))
+        .groupBy(col("qid"), col("vec_id")).agg(sum(col("d")).as("dist2"))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 10)
+        .select(col("qid"), col("vec_id"), round(col("dist2"), 6).as("dist2"),
+          col("rank").cast(LongType).as("rank"))
+        .orderBy(col("qid"), col("rank"))
     }),
 
     // MMR diversity re-ranking (Carbonell & Goldstein) — the standard
@@ -1061,6 +1152,69 @@ object QueriesSim {
        |FROM a GROUP BY cell ORDER BY step""".stripMargin
   }
 
+  /** sim_ivfpq_residual's twin: refit the SHARED model parts, assign cells
+    * with literal-centroid chains, materialize the residual with the same
+    * elementwise subtract (list_transform over a CASE-indexed literal
+    * centroid — bit-identical to the Spark zip_with), encode with PQ chains
+    * over rv, and score candidates with the per-(query, probed-cell)
+    * residual ADC arrays inlined as literals. */
+  private def ivfpqResidualOracle(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val (cents, books, _) = ivfpqResidualParts(s, dir)
+    val (probes, luts) = ivfpqResidualLuts(s, dir, cents, books)
+    val k = cents.length
+    val dim = cents.head.length
+    val m = books.length
+    val sub = dim / m
+    val cellDefs = cents.zipWithIndex.map { case (c, i) =>
+      s"${l2ChainSql("v", c)} AS cd$i" }.mkString(",\n    ")
+    val cellCols = (0 until k).map(i => s"cd$i")
+    val centCase = s"CASE cell ${cents.zipWithIndex.map { case (c, i) =>
+      s"WHEN $i THEN ${c.mkString("[", ", ", "]")}" }.mkString(" ")} END"
+    val pqDefs = books.zipWithIndex.flatMap { case (book, j) =>
+      book.zipWithIndex.map { case (cent, c) =>
+        s"${l2ChainSql("rv", cent, off = j * sub)} AS d${j}_$c" }
+    }.mkString(",\n    ")
+    val codeDefs = (0 until m).map { j =>
+      s"${argminCaseSql(books(j).indices.map(c => s"d${j}_$c"))} AS c$j"
+    }.mkString(",\n    ")
+    val byQC = luts.groupBy(x => (x._1, x._2))
+    val ddCases = probes.map { case (qid, cell) =>
+      val d = byQC((qid, cell)).map(x => ((x._3, x._4), x._5)).toMap
+      val chain = (0 until m).map { j =>
+        val arr = (0 until books(j).length).map(c => d((j, c))).mkString("[", ", ", "]")
+        s"($arr)[c$j + 1]"
+      }.mkString(" + ")
+      s"WHEN p.qid = $qid AND enc.cell = $cell THEN $chain"
+    }.mkString("\n      ")
+    val probeValues = probes.map { case (q, c) => s"($q, $c)" }.mkString(", ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |  WHERE embedding IS NOT NULL),
+       |cd AS (SELECT vec_id, v,
+       |    $cellDefs
+       |  FROM e),
+       |a AS (SELECT vec_id, v, ${argminCaseSql(cellCols)} AS cell FROM cd),
+       |rvt AS (SELECT vec_id, cell,
+       |    list_transform(range(1, ${dim + 1}), i -> v[i] - ($centCase)[i]) AS rv
+       |  FROM a),
+       |d AS (SELECT vec_id, cell,
+       |    $pqDefs
+       |  FROM rvt),
+       |enc AS (SELECT vec_id, cell,
+       |    $codeDefs
+       |  FROM d),
+       |p(qid, cell) AS (VALUES $probeValues),
+       |ad AS (SELECT p.qid, enc.vec_id,
+       |    CASE
+       |      $ddCases
+       |    END AS dd
+       |  FROM enc JOIN p ON enc.cell = p.cell)
+       |SELECT CAST(qid AS BIGINT) AS qid, vec_id, round(dd, 6) AS dist2,
+       |  CAST(rn AS BIGINT) AS rank FROM (
+       |  SELECT qid, vec_id, dd,
+       |    row_number() OVER (PARTITION BY qid ORDER BY dd, vec_id) AS rn FROM ad)
+       |WHERE rn <= 10 ORDER BY qid, rank""".stripMargin
+  }
+
   private def pcaOracle(s: org.apache.spark.sql.SparkSession, dir: String): String = {
     import graft.operators.Pca
     val e = t(s, dir, "embeddings").where(col("embedding").isNotNull)
@@ -1103,6 +1257,7 @@ object QueriesSim {
         tryGen("sim_ivf_append", ivfAppendOracle(s, dir)) ++
         tryGen("sim_pq", pqOracle(s, dir)) ++
         tryGen("sim_ivfpq", ivfpqOracle(s, dir)) ++
+        tryGen("sim_ivfpq_residual", ivfpqResidualOracle(s, dir)) ++
         tryGen("embed_pca_project", pcaOracle(s, dir)) ++
         tryGen("cluster_silhouette", silhouetteOracle(s, dir)) ++
         tryGen("kcenter_coreset", kcenterOracle(s, dir))).toMap

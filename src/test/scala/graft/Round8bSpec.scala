@@ -77,6 +77,68 @@ class Round8bSpec extends SparkSpec {
       "every vector fell in every query's probe set — pruning untested")
   }
 
+  test("sim_ivfpq_residual: matches a driver recompute of residual-encoded ADC search") {
+    import graft.operators.{Ivf, Pq}
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .where(col("embedding").isNotNull).select(col("vec_id"), col("embedding"))
+    val cents = Ivf.collectCentroids(
+      Ivf.trainSampled(e, "vec_id", "embedding", k = 8))
+    val vecs = e.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    def l2(v: Array[Double], c: Array[Double], off: Int = 0): Double = {
+      var d = 0.0; var i = 0
+      while (i < c.length) { val t = v(off + i) - c(i); d += t * t; i += 1 }
+      d
+    }
+    def argmin(ds: Array[Double]): Int = {
+      var best = 0; var bd = ds(0); var i = 1
+      while (i < ds.length) { if (ds(i) < bd) { bd = ds(i); best = i }; i += 1 }
+      best
+    }
+    // independent residual table, then the SAME Pq.train on it (trainer is
+    // pinned by PqSpec; this spec pins the residual composition)
+    val cellsOf = vecs.map { case (id, v) => id -> argmin(cents.map(c => l2(v, c))) }.toMap
+    val resRows = vecs.map { case (id, v) =>
+      val c = cents(cellsOf(id))
+      (id, v.indices.map(i => v(i) - c(i)).toArray)
+    }
+    import spark.implicits._
+    val resDf = resRows.map { case (id, rv) => (id, rv.toSeq) }.toSeq.toDF("vec_id", "rv")
+    val books = Pq.train(resDf, "vec_id", "rv", m = 8, k = 16)
+    val sub = books.map(_.head.length).sum / books.length
+    val codesOf = resRows.map { case (id, rv) =>
+      id -> books.zipWithIndex.map { case (book, j) =>
+        argmin(book.map(c => l2(rv, c, off = j * sub))) }
+    }.toMap
+    val expected = vecs.filter(_._1 < 5).flatMap { case (qid, qv) =>
+      val probes = cents.indices.map(c => (l2(qv, cents(c)), c)).sorted.take(3).map(_._2)
+      val cand = vecs.filter(v => probes.contains(cellsOf(v._1)))
+      cand.map { case (id, _) =>
+        val cell = cellsOf(id)
+        val rq = qv.indices.map(i => qv(i) - cents(cell)(i)).toArray
+        var dd = 0.0
+        codesOf(id).zipWithIndex.foreach { case (code, j) =>
+          dd += l2(rq, books(j)(code), off = j * sub) }
+        (qid, id, dd)
+      }.sortBy { case (_, id, dd) => (dd, id) }.take(10).zipWithIndex
+        .map { case ((q, id, dd), i) =>
+          (q, id, math.rint(dd * 1e6) / 1e6, (i + 1).toLong) }
+    }.toSeq
+    val got = graft.queries.QueriesSim.queries("sim_ivfpq_residual")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(got.map(x => (x._1, x._2, x._4)) == expected.map(x => (x._1, x._2, x._4)))
+    got.zip(expected).foreach { case (g, ex) =>
+      assert(math.abs(g._3 - ex._3) < 1e-9, s"residual ADC distance differs: $g vs $ex") }
+    // residual encoding must actually be cell-dependent: two vectors in
+    // different cells with near-identical raw content would share codes
+    // under plain PQ; globally, code distributions must differ across cells
+    val byCell = codesOf.toSeq.groupBy(x => cellsOf(x._1))
+      .view.mapValues(_.map(_._2.head).toSet).toMap
+    assert(byCell.values.toSet.size > 1,
+      "first-subspace code sets identical across all cells — residual encoding inert?")
+  }
+
   test("rrf_fusion: matches a from-scratch driver fusion of both rankers") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("text")).collect()
