@@ -214,6 +214,61 @@ object QueriesScale {
     // ∝ delta, the actual 100 TB contract (Round8Spec pins the plan). The
     // state itself never re-scans the base corpus. All measures are exact
     // BIGINTs (integral quantities).
+    // Incremental SCD-2 dimension MAINTENANCE — the IVM family's temporal
+    // member (agg_incremental maintains partials, mv_join_maintain a join
+    // view; this maintains validity RANGES): the persisted state is the
+    // base era's change-point EVENTS (built once, keyed by the table's
+    // data fingerprint), and each refresh detects the delta era's new
+    // events with delta-sized work — one delta window plus a last-status
+    // probe of the state RESTRICTED to delta customers (left-semi; at
+    // 100 TB the probe also rides a delta-key bloom, the mv_join_maintain
+    // pattern — the state here is the change-event table, already ≪ the
+    // fact). The date split guarantees every base event sorts before
+    // every delta event per customer, so concat(state, new-events) IS the
+    // global change stream; ranges materialize with one lead window over
+    // only the read slice. Declared output = the same custkey<100 range
+    // table as scd2_history — the oracle is the full recompute, which the
+    // incremental merge must reproduce row-for-row.
+    "scd2_maintain" -> ((s, dir) => {
+      val cut = to_date(lit("1997-01-01"))
+      val o = t(s, dir, "orders").select(col("o_custkey"), col("o_orderdate"),
+        col("o_orderkey"), col("o_orderstatus"))
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      def events(df: DataFrame) = df
+        .withColumn("prev_status", lag(col("o_orderstatus"), 1).over(w))
+        .where(col("prev_status").isNull ||
+          col("prev_status") =!= col("o_orderstatus"))
+        .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+          col("o_orderstatus"))
+      val statePath = graft.operators.DiskCache.keyedPath(
+        "scd2state_v1", s"$dir/orders.parquet")
+      graft.operators.DiskCache.ensure(statePath) { tmp =>
+        events(o.where(col("o_orderdate") < cut))
+          .write.mode("overwrite").parquet(tmp)
+      }
+      val state = s.read.parquet(statePath)
+      val delta = o.where(col("o_orderdate") >= cut)
+      val lastBase = state
+        .join(delta.select(col("o_custkey")).distinct(), Seq("o_custkey"), "left_semi")
+        .groupBy(col("o_custkey"))
+        .agg(max(struct(col("o_orderdate"), col("o_orderkey"),
+          col("o_orderstatus"))).as("m"))
+        .select(col("o_custkey"), col("m").getField("o_orderstatus").as("last_status"))
+      val newEvents = delta.join(lastBase, Seq("o_custkey"), "left")
+        .withColumn("prev",
+          coalesce(lag(col("o_orderstatus"), 1).over(w), col("last_status")))
+        .where(col("prev").isNull || col("prev") =!= col("o_orderstatus"))
+        .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+          col("o_orderstatus"))
+      state.unionByName(newEvents)
+        .where(col("o_custkey") < 100)
+        .withColumn("valid_to", lead(col("o_orderdate"), 1).over(w))
+        .select(col("o_custkey"), col("o_orderstatus").as("status"),
+          col("o_orderdate").as("valid_from"), col("valid_to"))
+        .orderBy(col("o_custkey"), col("valid_from"), col("status"))
+    }),
+
     "mv_join_maintain" -> ((s0, dir) => {
       import graft.operators.DiskCache
       val s = s0.newSession()
@@ -664,6 +719,18 @@ object QueriesScale {
         |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // full recompute over the whole orders table — the incremental merge
+    // must reproduce the scd2_history construction row-for-row
+    "scd2_maintain" ->
+      """WITH c AS (SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus,
+        |    lag(o_orderstatus) OVER w AS prev_status FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+        |ch AS (SELECT * FROM c WHERE prev_status IS NULL OR prev_status <> o_orderstatus),
+        |r AS (SELECT o_custkey, o_orderstatus AS status, o_orderdate AS valid_from,
+        |    lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS valid_to
+        |  FROM ch)
+        |SELECT o_custkey, status, valid_from, valid_to FROM r WHERE o_custkey < 100
+        |ORDER BY o_custkey, valid_from, status""".stripMargin,
     // join_bucketed's result is layout-invariant: the plain join SQL
     "join_bucketed" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,

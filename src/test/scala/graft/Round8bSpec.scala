@@ -402,6 +402,35 @@ class Round8bSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("scd2_maintain: state builds once, is base-era-only, and the merge equals full recompute") {
+    import org.apache.spark.sql.expressions.Window
+    val q = () => graft.queries.QueriesScale.queries("scd2_maintain")(spark, dir)
+    val r1 = q().collect()
+    val statePath = graft.operators.DiskCache.keyedPath(
+      "scd2state_v1", s"$dir/orders.parquet")
+    val success = new java.io.File(s"$statePath/_SUCCESS")
+    assert(success.exists(), s"expected persisted SCD-2 state at $statePath")
+    val stamp = success.lastModified()
+    val r2 = q().collect()
+    assert(success.lastModified() == stamp, "second invocation rebuilt the state")
+    assert(r1.map(_.toSeq).toSeq == r2.map(_.toSeq).toSeq)
+    // state holds only base-era change events
+    val maxStateDate = spark.read.parquet(statePath)
+      .agg(max(col("o_orderdate")).cast("string")).collect()(0).getString(0)
+    assert(maxStateDate < "1997-01-01", s"delta-era event leaked into state: $maxStateDate")
+    // full non-incremental recompute (the scd2_history construction)
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    val full = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"), col("o_orderstatus"))
+      .withColumn("prev", lag(col("o_orderstatus"), 1).over(w))
+      .where(col("prev").isNull || col("prev") =!= col("o_orderstatus"))
+      .withColumn("valid_to", lead(col("o_orderdate"), 1).over(w))
+      .where(col("o_custkey") < 100)
+      .select(col("o_custkey"), col("o_orderstatus"), col("o_orderdate"), col("valid_to"))
+      .collect().map(_.toSeq).toSet
+    assert(r1.map(_.toSeq).toSet == full, "incremental merge diverged from full recompute")
+  }
+
   // independent TextStats + quality-gate replication (Round8Spec precedent)
   private def teacherHi(text: String): Boolean = {
     val nc = text.codePointCount(0, text.length).toDouble
