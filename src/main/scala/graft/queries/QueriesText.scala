@@ -356,6 +356,47 @@ object QueriesText {
     // native ShingleGenerator (no intermediate arrays).
     "lm_score" -> ((s, dir) => lmScores(s, dir).orderBy(col("doc_id"))),
 
+    // Stupid-backoff bigram scorer (Brants et al. 2007 — the LM quality
+    // signal that SCALES: no discount estimation, just counts): seen
+    // bigrams score c2/c1(w1), unseen ones back off to 0.4·(c1(w2)+1)/
+    // (N+V) (the +1/(N+V) floor keeps unseen unigrams finite, add-one on
+    // the unigram only). Complements lm_score's add-one bigram model —
+    // and reports the BACKOFF RATE per doc, the fraction of bigrams the
+    // bigram table couldn't cover (a train/eval domain-mismatch signal
+    // add-one smoothing hides). Same train/eval split and count-table
+    // equi-joins as lm_score; per-term logs micro-round to BIGINT so the
+    // per-doc fold is order-independent.
+    "lm_backoff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val train = docs.where(col("doc_id") >= 50)
+      val c2 = train.select(TextFns.shingleExplode(TextFns.tokens(col("text")), 2).as("bg"))
+        .groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+      val c1 = train.select(explode(TextFns.tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+      val nv = c1.agg(sum(col("c1")).as("n"), count(lit(1)).as("v"))
+      val evalBg = docs.where(col("doc_id") < 50)
+        .select(col("doc_id"), TextFns.shingleExplode(TextFns.tokens(col("text")), 2).as("bg"))
+        .withColumn("w1", substring_index(col("bg"), " ", 1))
+        .withColumn("w2", substring_index(col("bg"), " ", -1))
+      evalBg.join(c2, Seq("bg"), "left")
+        .join(c1.select(col("w").as("w1"), col("c1").as("c1w1")), Seq("w1"), "left")
+        .join(c1.select(col("w").as("w2"), col("c1").as("c1w2")), Seq("w2"), "left")
+        .crossJoin(nv)
+        .select(col("doc_id"), col("c2").isNull.as("backed"),
+          when(col("c2").isNotNull,
+            log(col("c2").cast(DoubleType) / col("c1w1")))
+            .otherwise(log(lit(0.4) *
+              (coalesce(col("c1w2"), lit(0L)) + lit(1L)).cast(DoubleType)
+              / (col("n") + col("v")))).as("ls"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(sum(floor(col("ls") * 1e6 + 0.5).cast(LongType)).cast(DoubleType)
+            / count(lit(1)) / 1e6, 4).as("avg_logs"),
+          round(sum(when(col("backed"), 1L).otherwise(0L)).cast(DoubleType)
+            / count(lit(1)), 4).as("backoff_rate"))
+        .orderBy(col("doc_id"))
+    }),
+
     // CCNet head/middle/tail bucketing: the perplexity-style score (shared
     // lmScores pipeline — the two queries can never drift) terciled by
     // ntile(3) over the rounded score with a doc tiebreak (engine-stable
@@ -982,6 +1023,30 @@ object QueriesText {
     "lm_score" ->
       s"""$LmSqlCtes
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, round(avg(lp), 4) AS avg_logp
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "lm_backoff" ->
+      s"""WITH tr AS (SELECT $toks AS tk FROM documents WHERE doc_id >= 50),
+         |tbg AS (SELECT unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bg FROM tr),
+         |c2 AS (SELECT bg, CAST(count(*) AS BIGINT) AS c2 FROM tbg GROUP BY 1),
+         |tw AS (SELECT unnest(tk) AS w FROM tr),
+         |c1 AS (SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM tw GROUP BY 1),
+         |nv AS (SELECT CAST(sum(c1) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS v FROM c1),
+         |ev AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bg
+         |       FROM (SELECT doc_id, $toks AS tk FROM documents WHERE doc_id < 50)),
+         |sc AS (SELECT doc_id, (c2.c2 IS NULL) AS backed,
+         |    CASE WHEN c2.c2 IS NOT NULL
+         |      THEN ln(CAST(c2.c2 AS DOUBLE) / a.c1)
+         |      ELSE ln(0.4e0 * CAST(coalesce(b.c1, 0) + 1 AS DOUBLE) / (nv.n + nv.v))
+         |    END AS ls
+         |  FROM ev LEFT JOIN c2 USING (bg)
+         |  LEFT JOIN c1 a ON a.w = string_split(ev.bg, ' ')[1]
+         |  LEFT JOIN c1 b ON b.w = string_split(ev.bg, ' ')[2]
+         |  CROSS JOIN nv)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  round(CAST(sum(CAST(floor(ls * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+         |    / count(*) / 1e6, 4) AS avg_logs,
+         |  round(CAST(sum(CASE WHEN backed THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*), 4) AS backoff_rate
          |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "ccnet_bucket" ->
       s"""$LmSqlCtes,

@@ -142,6 +142,37 @@ object Streams {
   final case class KeyedValue(key: String, seq: Long, value: Double)
   final case class AnomalyFlag(key: String, seq: Long, value: Double, z: Double)
 
+  final case class ArrivalEvent(key: String, seq: Long, us: Long)
+  final case class LateFlag(key: String, seq: Long, late_us: Long, dropped: Boolean)
+
+  /** Streaming twin of the batch late_data_audit query: per key, each
+    * arriving event scores its lateness against the RUNNING MAX event time
+    * of its key's earlier arrivals; events later than `horizonUs` are the
+    * ones a `withWatermark(horizon)` pipeline would silently drop — this
+    * monitor makes that loss observable BEFORE it happens, per key, with
+    * O(1) state (one Long per key: the bounded-state shape a 100 TB stream
+    * needs). Rows score in `seq` order within each micro-batch and the
+    * watermark carries across batches, so chunking the stream differently
+    * never changes the flags (spec-pinned, the rollingZScore contract). */
+  def lateDataMonitorStream(spark: SparkSession, events: Dataset[ArrivalEvent],
+                            horizonUs: Long = 3600L * 1000000L): Dataset[LateFlag] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    def update(key: String, rows: Iterator[ArrivalEvent],
+               state: GroupState[Long]): Iterator[LateFlag] = {
+      var wm = state.getOption.getOrElse(Long.MinValue)
+      val out = Vector.newBuilder[LateFlag]
+      rows.toVector.sortBy(_.seq).foreach { e =>
+        if (wm > e.us) out += LateFlag(key, e.seq, wm - e.us, wm - e.us > horizonUs)
+        wm = math.max(wm, e.us)
+      }
+      state.update(wm)
+      out.result().iterator
+    }
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(update)
+  }
+
   /** Streaming twin of the batch ts_anomaly query: per-key rolling z-score
     * against the `window` strictly-preceding observations, flagged when
     * |z| > threshold with a FULL window only. State per key is the

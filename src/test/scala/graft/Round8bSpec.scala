@@ -431,6 +431,39 @@ class Round8bSpec extends SparkSpec {
     assert(r1.map(_.toSeq).toSet == full, "incremental merge diverged from full recompute")
   }
 
+  test("lm_backoff: matches a from-scratch driver stupid-backoff scorer") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def toks(t: String): Seq[String] =
+      t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val trainToks = docs.filter(_._1 >= 50).map(d => toks(d._2))
+    val c2 = trainToks.flatMap(tk => tk.zip(tk.tail).map(p => s"${p._1} ${p._2}"))
+      .groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    val c1 = trainToks.flatten.groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    val n = c1.values.sum
+    val v = c1.size.toLong
+    val expected = docs.filter(_._1 < 50).map { case (id, tx) =>
+      val tk = toks(tx)
+      val bgs = tk.zip(tk.tail)
+      val scores = bgs.map { case (w1, w2) =>
+        c2.get(s"$w1 $w2") match {
+          case Some(cc) => (math.log(cc.toDouble / c1(w1)), false)
+          case None => (math.log(0.4 * (c1.getOrElse(w2, 0L) + 1).toDouble / (n + v)), true)
+        }
+      }
+      val nb = scores.length.toLong
+      (id, nb,
+        BigDecimal(scores.map(s => math.floor(s._1 * 1e6 + 0.5).toLong).sum.toDouble
+          / nb / 1e6).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(scores.count(_._2).toDouble / nb)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy(_._1).toSeq
+    val got = graft.queries.QueriesText.queries("lm_backoff")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(got == expected)
+  }
+
   // independent TextStats + quality-gate replication (Round8Spec precedent)
   private def teacherHi(text: String): Boolean = {
     val nc = text.codePointCount(0, text.length).toDouble

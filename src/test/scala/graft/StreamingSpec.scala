@@ -195,6 +195,44 @@ class StreamingSpec extends SparkSpec {
     assert(oneShot.nonEmpty)              // the planted spikes were flagged
   }
 
+  test("lateDataMonitorStream: chunked delivery equals single-batch, flags match a replay") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // deterministic disorder: event times jump ahead then fall back
+    val times = (0 until 50).map { i =>
+      val base = i.toLong * 600L * 1000000L // 10-min cadence
+      if (i % 7 == 3) base + 7200L * 1000000L       // 2h-early spike (makes successors late)
+      else if (i % 11 == 5) base - 1800L * 1000000L // mild lag
+      else base
+    }
+    val data = times.zipWithIndex.map { case (us, i) =>
+      Streams.ArrivalEvent("k", i.toLong, us) }
+
+    def run(chunks: Seq[Seq[Streams.ArrivalEvent]], name: String): Seq[(Long, Long, Boolean)] = {
+      val ms = MemoryStream[Streams.ArrivalEvent]
+      val q = Streams.lateDataMonitorStream(spark, ms.toDS()).toDF()
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        chunks.foreach { c => ms.addData(c: _*); q.processAllAvailable() }
+        spark.table(name).collect()
+          .map(r => (r.getLong(1), r.getLong(2), r.getBoolean(3))).sortBy(_._1).toSeq
+      } finally q.stop()
+    }
+    val oneShot = run(Seq(data), "late_one")
+    val chunked = run(data.grouped(13).toSeq, "late_chunks")
+    assert(oneShot == chunked)
+    // brute-force replay
+    var wm = Long.MinValue
+    val expected = times.zipWithIndex.flatMap { case (us, i) =>
+      val f = if (wm > us) Some((i.toLong, wm - us, wm - us > 3600L * 1000000L)) else None
+      wm = math.max(wm, us)
+      f
+    }
+    assert(oneShot == expected)
+    assert(oneShot.exists(_._3) && oneShot.exists(!_._3),
+      "both late-but-kept and would-be-dropped flags must occur")
+  }
+
   test("transformWithState (RocksDB store) keeps running totals across batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
