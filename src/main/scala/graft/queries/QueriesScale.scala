@@ -214,6 +214,43 @@ object QueriesScale {
     // ∝ delta, the actual 100 TB contract (Round8Spec pins the plan). The
     // state itself never re-scans the base corpus. All measures are exact
     // BIGINTs (integral quantities).
+    // Dynamic-partition-pruning join — the partitioned-fact counterpart of
+    // join_bucketed's co-location story: the fact lands ONCE partitioned
+    // by year (fingerprint-keyed layout, amortized across every later
+    // query) next to a tiny year-dimension table; a query that filters
+    // the DIM has its fact scan pruned AT RUNTIME by Spark's DPP — the
+    // broadcast side's qualifying keys become partition filters on the
+    // fact, so the scan touches only the filtered 4-of-7 years' directories
+    // (the executed plan carries `dynamicpruning`, spec-pinned). At
+    // 100 TB this is the difference between scanning 7 years and
+    // scanning the 3 the query asked about. Result is layout-invariant:
+    // the oracle is the plain join over raw orders.
+    "join_partition_pruned" -> ((s, dir) => {
+      val base = graft.operators.DiskCache.keyedPath(
+        "dppfact_v1", s"$dir/orders.parquet")
+      graft.operators.DiskCache.ensure(s"$base/fact") { tmp =>
+        t(s, dir, "orders")
+          .withColumn("o_year", year(col("o_orderdate")))
+          .write.partitionBy("o_year").mode("overwrite").parquet(tmp)
+      }
+      graft.operators.DiskCache.ensure(s"$base/dimyear") { tmp =>
+        t(s, dir, "orders")
+          .select(year(col("o_orderdate")).as("d_year")).distinct()
+          .withColumn("d_half",
+            when(col("d_year") <= 1997, "early").otherwise("late"))
+          .write.mode("overwrite").parquet(tmp)
+      }
+      val fact = s.read.parquet(s"$base/fact")
+      val dim = s.read.parquet(s"$base/dimyear").where(col("d_half") === "late")
+      fact.join(broadcast(dim), col("o_year") === col("d_year"))
+        .groupBy(col("o_year"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("total_cents"))
+        .select(col("o_year").cast(LongType).as("o_year"), col("n_orders"),
+          col("total_cents"))
+        .orderBy(col("o_year"))
+    }),
+
     // Incremental SCD-2 dimension MAINTENANCE — the IVM family's temporal
     // member (agg_incremental maintains partials, mv_join_maintain a join
     // view; this maintains validity RANGES): the persisted state is the
@@ -718,6 +755,13 @@ object QueriesScale {
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // layout-invariant: the plain join over raw orders
+    "join_partition_pruned" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM orders WHERE year(o_orderdate) > 1997
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // full recompute over the whole orders table — the incremental merge
     // must reproduce the scd2_history construction row-for-row

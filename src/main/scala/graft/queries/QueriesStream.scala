@@ -13,6 +13,30 @@ import Tables._
 object QueriesStream {
 
   val queries: Map[String, Q] = Map(
+    // Stream-stream interval-join attribution, declared in batch mode:
+    // every purchase joins its user's clicks from the preceding hour
+    // (Streams.attributionJoin — the both-sides-unbounded join whose
+    // state the watermarks bound); the card is the clicks-per-purchase
+    // histogram including the UNATTRIBUTED bucket (purchases keep their
+    // event_id, so a left join recovers the zero-click ones). The
+    // streaming execution path (MemoryStream, chunked delivery) is
+    // pinned by StreamingSpec.
+    "stream_join_attrib" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .where(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("event_type").isNotNull)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"))
+      val buys = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts").as("buy_ts"))
+      val perBuy = Streams.attributionJoin(clicks, buys)
+        .groupBy(col("event_id")).agg(count(lit(1)).as("nc"))
+      buys.join(perBuy, Seq("event_id"), "left")
+        .select(coalesce(col("nc"), lit(0L)).as("n_clicks"))
+        .groupBy(col("n_clicks")).agg(count(lit(1)).as("n_purchases"))
+        .orderBy(col("n_clicks"))
+    }),
+
     // Tumbling 1-hour windows per event type.
     "stream_tumbling" -> ((s, dir) => {
       Streams.tumbling(t(s, dir, "events"), "ts", "1 hour",
@@ -142,6 +166,18 @@ object QueriesStream {
     }))
 
   val oracle: Map[String, String] = Map(
+    "stream_join_attrib" ->
+      """WITH ev AS (SELECT user_id, event_type, event_id, ts FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL),
+        |c AS (SELECT user_id, ts AS cts FROM ev WHERE event_type = 'click'),
+        |b AS (SELECT user_id, event_id, ts AS bts FROM ev WHERE event_type = 'purchase'),
+        |pb AS (SELECT b.event_id, CAST(count(*) AS BIGINT) AS nc
+        |  FROM b JOIN c ON b.user_id = c.user_id
+        |    AND c.cts >= b.bts - INTERVAL 1 HOUR AND c.cts <= b.bts
+        |  GROUP BY 1)
+        |SELECT coalesce(nc, 0) AS n_clicks, CAST(count(*) AS BIGINT) AS n_purchases
+        |FROM b LEFT JOIN pb USING (event_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "merge_intervals" ->
       """WITH e AS (SELECT user_id, date_trunc('microseconds', ts) AS s,
         |    date_trunc('microseconds', ts) + INTERVAL 5 MINUTE AS en

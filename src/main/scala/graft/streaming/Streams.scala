@@ -145,6 +145,30 @@ object Streams {
   final case class ArrivalEvent(key: String, seq: Long, us: Long)
   final case class LateFlag(key: String, seq: Long, late_us: Long, dropped: Boolean)
 
+  final case class ClickEv(user_id: Long, click_ts: java.sql.Timestamp)
+  final case class BuyEv(user_id: Long, event_id: Long, buy_ts: java.sql.Timestamp)
+
+  /** STREAM-STREAM interval join — the attribution shape (purchases join
+    * the same user's clicks from the preceding `window`): unlike the
+    * stream-static [[enrich]], BOTH sides are unbounded, so each carries a
+    * watermark and the interval condition bounds the join state — Spark
+    * evicts a buffered click once the purchase-side watermark passes
+    * click_ts + window (state ∝ window, not stream length: the 100 TB-
+    * stream contract for stream-stream joins). Inner append-mode join;
+    * batch DataFrames run the identical plan minus watermarks, which is
+    * what the declared stream_join_attrib query oracle-checks. `clicks`
+    * needs (user_id, click_ts); every `buys` column passes through. */
+  def attributionJoin(clicks: DataFrame, buys: DataFrame,
+                      window: String = "1 hour", wm: String = "2 hours"): DataFrame = {
+    val c = withWatermark(clicks, "click_ts", wm)
+      .select(col("user_id").as("c_user"), col("click_ts"))
+    val b = withWatermark(buys, "buy_ts", wm)
+    b.join(c, col("user_id") === col("c_user") &&
+        col("click_ts") >= col("buy_ts") - expr(s"INTERVAL $window") &&
+        col("click_ts") <= col("buy_ts"))
+      .drop("c_user")
+  }
+
   /** Streaming twin of the batch late_data_audit query: per key, each
     * arriving event scores its lateness against the RUNNING MAX event time
     * of its key's earlier arrivals; events later than `horizonUs` are the

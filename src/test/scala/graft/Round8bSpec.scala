@@ -431,6 +431,21 @@ class Round8bSpec extends SparkSpec {
     assert(r1.map(_.toSeq).toSet == full, "incremental merge diverged from full recompute")
   }
 
+  test("join_partition_pruned: runtime DPP filter reaches the fact scan; result layout-invariant") {
+    val df = graft.queries.QueriesScale.queries("join_partition_pruned")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected a dynamic partition pruning filter on the fact scan:\n${plan.take(4000)}")
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val plain = spark.read.parquet(s"$dir/orders.parquet")
+      .where(year(col("o_orderdate")) > 1997)
+      .groupBy(year(col("o_orderdate")).cast("long").as("y"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sortBy(_._1)
+    assert(got == plain, "partitioned-layout result diverged from the raw-table join")
+  }
+
   test("lm_backoff: matches a from-scratch driver stupid-backoff scorer") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("text")).collect()

@@ -233,6 +233,47 @@ class StreamingSpec extends SparkSpec {
       "both late-but-kept and would-be-dropped flags must occur")
   }
 
+  test("attributionJoin: stream-stream interval join equals batch; chunking-invariant") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def ts(minutes: Long) = new java.sql.Timestamp(minutes * 60000L)
+    // user 1: clicks at 10/50, buy at 60 (both within 1h) and at 130 (neither)
+    // user 2: click at 100, buy at 120 (one match); user 3: buy only
+    val clicks = Seq(Streams.ClickEv(1, ts(10)), Streams.ClickEv(1, ts(50)),
+      Streams.ClickEv(2, ts(100)))
+    val buys = Seq(Streams.BuyEv(1, 901, ts(60)), Streams.BuyEv(1, 902, ts(130)),
+      Streams.BuyEv(2, 903, ts(120)), Streams.BuyEv(3, 904, ts(60)))
+
+    def run(cChunks: Seq[Seq[Streams.ClickEv]], bChunks: Seq[Seq[Streams.BuyEv]],
+            name: String): Seq[(Long, Long)] = {
+      val mc = MemoryStream[Streams.ClickEv]
+      val mb = MemoryStream[Streams.BuyEv]
+      val q = Streams.attributionJoin(mc.toDF(), mb.toDF(), wm = "1000 hours")
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        cChunks.zipAll(bChunks, Seq.empty, Seq.empty).foreach { case (cs, bs) =>
+          if (cs.nonEmpty) mc.addData(cs: _*)
+          if (bs.nonEmpty) mb.addData(bs: _*)
+          q.processAllAvailable()
+        }
+        spark.table(name).collect().map(r =>
+          (r.getAs[Long]("event_id"),
+            r.getAs[java.sql.Timestamp]("click_ts").getTime / 60000L))
+          .sortBy(identity).toSeq
+      } finally q.stop()
+    }
+    val oneShot = run(Seq(clicks), Seq(buys), "attr_one")
+    val chunked = run(clicks.grouped(1).toSeq, buys.grouped(2).toSeq, "attr_chunks")
+    assert(oneShot == chunked)
+    val batch = Streams.attributionJoin(clicks.toDF(), buys.toDF())
+      .collect().map(r => (r.getAs[Long]("event_id"),
+        r.getAs[java.sql.Timestamp]("click_ts").getTime / 60000L)).sortBy(identity).toSeq
+    assert(oneShot == batch)
+    // the planted shape: buy 901 attributes to both user-1 clicks, 903 to
+    // the user-2 click, 902/904 unattributed
+    assert(batch == Seq((901L, 10L), (901L, 50L), (903L, 100L)))
+  }
+
   test("transformWithState (RocksDB store) keeps running totals across batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
