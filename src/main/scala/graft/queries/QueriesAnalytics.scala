@@ -32,31 +32,41 @@ object QueriesAnalytics {
     // output: every match/possible pair with its score (non-matches are
     // the discarded bulk, by design).
     "er_linkage" -> ((s, dir) => {
-      val cust = t(s, dir, "customer")
-      val variants = cust.select(
-        (col("c_custkey") + 500000L).as("c_custkey"),
-        concat(lit("K"), expr("substring(c_name, 2)")).as("c_name"),
-        col("c_nationkey"),
-        (col("c_acctbal") + 0.37).as("c_acctbal"),
-        col("c_mktsegment"))
-      val dirty = cust.unionByName(variants)
-        .withColumn("blk", expr("CAST(floor(c_acctbal / 100.0) AS BIGINT)"))
-      val a = dirty.as("a"); val b = dirty.as("b")
-      val scored = a.join(b,
-          col("a.c_nationkey") === col("b.c_nationkey") &&
-            col("a.blk") === col("b.blk") &&
-            col("a.c_custkey") < col("b.c_custkey"))
-        .select(col("a.c_custkey").as("id_a"), col("b.c_custkey").as("id_b"),
-          (when(levenshtein(col("a.c_name"), col("b.c_name")) <= 1, 30L).otherwise(-10L) +
-            when(abs(col("a.c_acctbal") - col("b.c_acctbal")) < 1.0, 15L).otherwise(-5L) +
-            when(col("a.c_mktsegment") === col("b.c_mktsegment"), 10L).otherwise(-8L))
-            .as("score"))
+      val (_, scored) = erScoredPairs(s, dir)
       scored
         .withColumn("decision",
           when(col("score") >= 45L, "match")
             .when(col("score") >= 15L, "possible"))
         .where(col("decision").isNotNull)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Entity RESOLUTION (er_linkage only SCORES pairs; this materializes
+    // the entities): the match pairs feed the same large-star/small-star
+    // connected-components fixpoint the dedup family uses — transitive
+    // closure matters because A≈B and B≈C link A and C even when the
+    // blocked join never scored (A, C). Declared output is the entity-size
+    // card with an exact representative-id checksum (catches any labeling
+    // drift bare counts would miss). Work: the blocked pair join is the
+    // only data-sized stage; CC runs on match edges (≈ one per planted
+    // variant), and the card is a sizes-domain aggregate. Oracle:
+    // recursive-CTE transitive closure over the identical match pairs.
+    "er_cluster" -> ((s, dir) => {
+      import graft.operators.ConnectedComponents
+      val (dirty, scored) = erScoredPairs(s, dir)
+      val edges = scored.where(col("score") >= 45L)
+        .select(col("id_a"), col("id_b"))
+      val labels = ConnectedComponents.components(
+        edges, dirty.select(col("c_custkey")))
+      labels.groupBy(col("component"))
+        .agg(count(lit(1)).as("entity_size"))
+        .groupBy(col("entity_size"))
+        .agg(count(lit(1)).as("n_entities"),
+          (col("entity_size") * count(lit(1))).as("n_records"),
+          sum(col("component")).as("rep_id_sum"))
+        .select(col("entity_size"), col("n_entities"), col("n_records"),
+          col("rep_id_sum"))
+        .orderBy(col("entity_size"))
     }),
 
     // Recursive CTE (Spark 4's WITH RECURSIVE): walk every customer key up
@@ -1272,6 +1282,35 @@ object QueriesAnalytics {
        |      GROUP BY sp.a, p2.label)
        |    WHERE rn = 1) b ON p.node = b.node2)""".stripMargin
 
+  /** er_linkage / er_cluster's shared construction (ONE definition so the
+    * scoring and the clustering views cannot drift): the dirty universe
+    * (customers + planted K-variants at +500000) and the Fellegi–Sunter
+    * scored candidate pairs from the (nation, acctbal-band) blocked join.
+    * Returns (dirty, scored(id_a, id_b, score)). */
+  private def erScoredPairs(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val cust = t(s, dir, "customer")
+    val variants = cust.select(
+      (col("c_custkey") + 500000L).as("c_custkey"),
+      concat(lit("K"), expr("substring(c_name, 2)")).as("c_name"),
+      col("c_nationkey"),
+      (col("c_acctbal") + 0.37).as("c_acctbal"),
+      col("c_mktsegment"))
+    val dirty = cust.unionByName(variants)
+      .withColumn("blk", expr("CAST(floor(c_acctbal / 100.0) AS BIGINT)"))
+    val a = dirty.as("a"); val b = dirty.as("b")
+    val scored = a.join(b,
+        col("a.c_nationkey") === col("b.c_nationkey") &&
+          col("a.blk") === col("b.blk") &&
+          col("a.c_custkey") < col("b.c_custkey"))
+      .select(col("a.c_custkey").as("id_a"), col("b.c_custkey").as("id_b"),
+        (when(levenshtein(col("a.c_name"), col("b.c_name")) <= 1, 30L).otherwise(-10L) +
+          when(abs(col("a.c_acctbal") - col("b.c_acctbal")) < 1.0, 15L).otherwise(-5L) +
+          when(col("a.c_mktsegment") === col("b.c_mktsegment"), 10L).otherwise(-8L))
+          .as("score"))
+    (dirty, scored)
+  }
+
   /** graph_hits' unrolled-recurrence twin (graph_pagerank precedent,
     * loop-generated instead of hand-unrolled): per round, authorities =
     * in-edge-weighted sums of the previous hubs then L1-normalize, hubs =
@@ -1385,6 +1424,34 @@ object QueriesAnalytics {
         |SELECT id_a, id_b, score,
         |  CASE WHEN score >= 45 THEN 'match' ELSE 'possible' END AS decision
         |FROM scored WHERE score >= 15 ORDER BY id_a, id_b""".stripMargin,
+    "er_cluster" ->
+      """WITH RECURSIVE dirty AS MATERIALIZED (
+        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey + 500000, 'K' || substring(c_name, 2), c_nationkey,
+        |    c_acctbal + 0.37, c_mktsegment FROM customer),
+        |blocked AS MATERIALIZED (SELECT *, CAST(floor(c_acctbal / 100.0) AS BIGINT) AS blk
+        |  FROM dirty),
+        |edges AS MATERIALIZED (
+        |  SELECT a.c_custkey AS u, b.c_custkey AS v
+        |  FROM blocked a JOIN blocked b
+        |    ON a.c_nationkey = b.c_nationkey AND a.blk = b.blk
+        |    AND a.c_custkey < b.c_custkey
+        |  WHERE CAST(CASE WHEN levenshtein(a.c_name, b.c_name) <= 1 THEN 30 ELSE -10 END
+        |      + CASE WHEN abs(a.c_acctbal - b.c_acctbal) < 1.0 THEN 15 ELSE -5 END
+        |      + CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 10 ELSE -8 END AS BIGINT) >= 45),
+        |bidir AS MATERIALIZED (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
+        |reach(src, dst) AS (
+        |  SELECT c_custkey, c_custkey FROM dirty
+        |  UNION
+        |  SELECT r.src, b.v FROM reach r JOIN bidir b ON r.dst = b.u),
+        |lab AS (SELECT src AS id, min(dst) AS component FROM reach GROUP BY src),
+        |sz AS (SELECT component, CAST(count(*) AS BIGINT) AS entity_size
+        |  FROM lab GROUP BY 1)
+        |SELECT entity_size, CAST(count(*) AS BIGINT) AS n_entities,
+        |  CAST(entity_size * count(*) AS BIGINT) AS n_records,
+        |  CAST(sum(component) AS BIGINT) AS rep_id_sum
+        |FROM sz GROUP BY entity_size ORDER BY entity_size""".stripMargin,
     "supplier_scorecard" ->
       """WITH agg AS (
         |  SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_lines,

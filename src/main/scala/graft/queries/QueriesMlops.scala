@@ -51,8 +51,13 @@ object QueriesMlops {
           col("event_type").isNotNull)
         .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
       val horizon = 24L * 3600L * 1000000L
-      val t1 = ev.where(col("event_type") === "view")
-        .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
+      // users + step-1 anchor from ONE conditional aggregate (a separate
+      // distinct-users pass would scan the fact a 4th time; the remaining
+      // two scans are the funnel's sequential depth — t2 needs t1, t3
+      // needs t2)
+      val users = ev.groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "view", col("us"))).as("t1"))
+      val t1 = users.where(col("t1").isNotNull)
       val t2 = ev.join(t1, "user_id")
         .where(col("event_type") === "click" &&
           col("us") > col("t1") && col("us") <= col("t1") + horizon)
@@ -61,9 +66,8 @@ object QueriesMlops {
         .where(col("event_type") === "purchase" &&
           col("us") > col("t2") && col("us") <= col("t1b") + horizon)
         .groupBy(col("user_id")).agg(min(col("us")).as("t3"))
-      val users = ev.select(col("user_id")).distinct()
       val lvl = users
-        .join(t1.select(col("user_id"), lit(1).as("l1")), Seq("user_id"), "left")
+        .withColumn("l1", when(col("t1").isNotNull, 1))
         .join(t2.select(col("user_id"), lit(1).as("l2")), Seq("user_id"), "left")
         .join(t3.select(col("user_id"), lit(1).as("l3")), Seq("user_id"), "left")
         .select((coalesce(col("l1"), lit(0)) + coalesce(col("l2"), lit(0))

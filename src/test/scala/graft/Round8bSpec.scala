@@ -591,4 +591,55 @@ class Round8bSpec extends SparkSpec {
     assert(math.abs(q.map(_._2).sum - 1.0) < 25e-6, "hub mass must L1-normalize to 1")
     assert(math.abs(q.map(_._3).sum - 1.0) < 25e-6, "authority mass must L1-normalize to 1")
   }
+
+  test("er_cluster: matches a driver union-find over independently scored pairs") {
+    // independent Levenshtein (the only non-arithmetic scoring term)
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getDouble(3), r.getString(4)))
+    val dirty = cust ++ cust.map { case (k, n, nk, ab, seg) =>
+      (k + 500000L, "K" + n.substring(1), nk, ab + 0.37, seg) }
+    // rebuild the blocked scored pairs with plain loops (block = nation × band)
+    val edges = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    dirty.groupBy(r => (r._3, math.floor(r._4 / 100.0).toLong)).values.foreach { recs =>
+      val arr = recs.toArray
+      for (i <- arr.indices; j <- arr.indices; if arr(i)._1 < arr(j)._1) {
+        val a = arr(i); val b = arr(j)
+        val score = (if (lev(a._2, b._2) <= 1) 30L else -10L) +
+          (if (math.abs(a._4 - b._4) < 1.0) 15L else -5L) +
+          (if (a._5 == b._5) 10L else -8L)
+        if (score >= 45L) edges += ((a._1, b._1))
+      }
+    }
+    // min-label union-find (union roots at the smaller id, so every root is
+    // its component's minimum — the CC operator's labeling contract)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (u, v) =>
+      val ru = find(u); val rv = find(v)
+      if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+    }
+    val expected = dirty.map(_._1).map(id => find(id))
+      .groupBy(identity).map { case (c, ids) => (c, ids.size.toLong) } // component -> size
+      .groupBy(_._2).map { case (size, comps) =>
+        (size, comps.size.toLong, size * comps.size, comps.map(_._1).sum)
+      }.toSeq.sortBy(_._1)
+    val got = graft.queries.QueriesAnalytics.queries("er_cluster")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    assert(got.map(x => x._1 * x._2).sum == dirty.length.toLong,
+      "entity sizes must partition the dirty universe")
+  }
 }
