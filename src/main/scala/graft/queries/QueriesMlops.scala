@@ -35,6 +35,17 @@ object QueriesMlops {
     (su, pu)
   }
 
+  /** did_estimator's shared formula text, evaluated VERBATIM by both
+    * engines: pure double arithmetic via scientific literals (a 100.0-style
+    * literal parses as DECIMAL, and Spark divides decimals exactly while
+    * DuckDB promotes the quotient to double — the one arithmetic the two
+    * engines genuinely disagree on). */
+  private def didMeanSql(s: String, n: String): String =
+    s"floor(CAST($s AS DOUBLE) / (1e2 * $n) * 1e4 + 0.5) / 1e4"
+  private val DidSql: String =
+    "floor(((CAST(s_tp AS DOUBLE) / (1e2 * n_tp) - CAST(s_tr AS DOUBLE) / (1e2 * n_tr)) - " +
+      "(CAST(s_cp AS DOUBLE) / (1e2 * n_cp) - CAST(s_cr AS DOUBLE) / (1e2 * n_cr))) * 1e4 + 0.5) / 1e4"
+
   val queries: Map[String, Q] = Map(
     // ClickHouse-style windowFunnel: the longest prefix of the ORDERED
     // sequence view → click → purchase each user completes, where every
@@ -943,6 +954,42 @@ object QueriesMlops {
         .orderBy(col("arm"))
     }),
 
+    // Difference-in-differences (Card & Krueger's workhorse — the natural-
+    // experiment estimator when randomization isn't available, completing
+    // the causal family beside ab_cuped/ab_ztest/ab_srm/lift_deciles):
+    // a deterministic "program" cohort (custkey ≡ 0 mod 3) crosses a
+    // policy date, and the effect is the treated group's post−pre change
+    // net of the control group's — differencing out both the stable
+    // cohort gap and the common time trend. ONE conditional aggregate
+    // over orders collapses the corpus to a single 2×2 row (counts +
+    // exact cents sums); the four means and the DiD derive through
+    // shared formula text in pure DOUBLE arithmetic (scientific literals
+    // — no DECIMAL division asymmetry between engines), floor-rounded at
+    // 1e4 per the ab_cuped convention.
+    "did_estimator" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+          (col("o_custkey") % 3 === 0).as("tr"),
+          (col("o_orderdate") >= expr("TIMESTAMP '1995-06-01 00:00:00'")).as("po"))
+      o.agg(
+          count(when(!col("tr") && !col("po"), 1)).as("n_cr"),
+          count(when(!col("tr") && col("po"), 1)).as("n_cp"),
+          count(when(col("tr") && !col("po"), 1)).as("n_tr"),
+          count(when(col("tr") && col("po"), 1)).as("n_tp"),
+          sum(when(!col("tr") && !col("po"), col("cents")).otherwise(0L)).as("s_cr"),
+          sum(when(!col("tr") && col("po"), col("cents")).otherwise(0L)).as("s_cp"),
+          sum(when(col("tr") && !col("po"), col("cents")).otherwise(0L)).as("s_tr"),
+          sum(when(col("tr") && col("po"), col("cents")).otherwise(0L)).as("s_tp"))
+        .select(
+          col("n_cr").as("n_ctrl_pre"), col("n_cp").as("n_ctrl_post"),
+          col("n_tr").as("n_treat_pre"), col("n_tp").as("n_treat_post"),
+          expr(didMeanSql("s_cr", "n_cr")).as("mean_ctrl_pre"),
+          expr(didMeanSql("s_cp", "n_cp")).as("mean_ctrl_post"),
+          expr(didMeanSql("s_tr", "n_tr")).as("mean_treat_pre"),
+          expr(didMeanSql("s_tp", "n_tp")).as("mean_treat_post"),
+          expr(DidSql).as("did"))
+    }),
+
     // Seasonal-naive forecast backtest: predict each test-week hour-of-week
     // bucket as the train-period average for that bucket, score with wMAPE
     // per series — the capacity-planning baseline every fancier forecast
@@ -1158,6 +1205,28 @@ object QueriesMlops {
         |  floor((CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy) / (CAST(n AS DOUBLE) * (n - 1)) * (1.0 - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))) * 1e4 + 0.5) / 1e4 AS var_adj,
         |  floor((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) * 1e6 + 0.5) / 1e6 AS rho2
         |FROM m ORDER BY arm""".stripMargin,
+    "did_estimator" ->
+      s"""WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         |    (o_custkey % 3 = 0) AS tr,
+         |    (o_orderdate >= TIMESTAMP '1995-06-01 00:00:00') AS po FROM orders),
+         |a AS (SELECT
+         |    CAST(count(CASE WHEN NOT tr AND NOT po THEN 1 END) AS BIGINT) AS n_cr,
+         |    CAST(count(CASE WHEN NOT tr AND po THEN 1 END) AS BIGINT) AS n_cp,
+         |    CAST(count(CASE WHEN tr AND NOT po THEN 1 END) AS BIGINT) AS n_tr,
+         |    CAST(count(CASE WHEN tr AND po THEN 1 END) AS BIGINT) AS n_tp,
+         |    CAST(sum(CASE WHEN NOT tr AND NOT po THEN cents ELSE 0 END) AS BIGINT) AS s_cr,
+         |    CAST(sum(CASE WHEN NOT tr AND po THEN cents ELSE 0 END) AS BIGINT) AS s_cp,
+         |    CAST(sum(CASE WHEN tr AND NOT po THEN cents ELSE 0 END) AS BIGINT) AS s_tr,
+         |    CAST(sum(CASE WHEN tr AND po THEN cents ELSE 0 END) AS BIGINT) AS s_tp
+         |  FROM o)
+         |SELECT n_cr AS n_ctrl_pre, n_cp AS n_ctrl_post,
+         |  n_tr AS n_treat_pre, n_tp AS n_treat_post,
+         |  ${didMeanSql("s_cr", "n_cr")} AS mean_ctrl_pre,
+         |  ${didMeanSql("s_cp", "n_cp")} AS mean_ctrl_post,
+         |  ${didMeanSql("s_tr", "n_tr")} AS mean_treat_pre,
+         |  ${didMeanSql("s_tp", "n_tp")} AS mean_treat_post,
+         |  $DidSql AS did
+         |FROM a""".stripMargin,
     "forecast_snaive" ->
       """WITH ev AS (
         |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,

@@ -397,6 +397,66 @@ object QueriesText {
         .orderBy(col("doc_id"))
     }),
 
+    // Interpolated Kneser–Ney bigram scorer (Kneser & Ney 1995, the
+    // Chen & Goodman 1999 interpolated form with fixed discount D=0.75) —
+    // completes the LM trio: add-one (lm_score) over-smooths, stupid
+    // backoff (lm_backoff) is not a probability; KN is what production
+    // n-gram LMs actually shipped. EVERYTHING derives from the bigram
+    // count table: history mass c1(w1)=Σc2 and the N1+(w1,·) fan-out come
+    // from ONE aggregate over c2, continuation counts N1+(·,w2) from
+    // another — the train corpus is tokenized ONCE (lm_score/lm_backoff
+    // each scan it twice) and every model table is vocabulary-sized.
+    // p(w2|w1) = (c2−D)⁺/c1 + D·N1+(w1,·)/c1 · pcont(w2); an unseen
+    // HISTORY falls back to pcont entirely; pcont is add-one smoothed so
+    // unseen continuations stay finite. Per-term logs micro-round to
+    // BIGINT (order-independent fold); novel_rate = share of eval bigrams
+    // scored by the continuation model alone — KN's domain-mismatch
+    // signal.
+    "lm_kneser_ney" -> ((s, dir) => {
+      import graft.operators.CacheRegistry
+      val docs = t(s, dir, "documents")
+      val train = docs.where(col("doc_id") >= 50)
+      // the bigram table is referenced 4× (fw, bw, gl, the eval probe) —
+      // CacheRegistry-tracked so the train corpus is tokenized ONCE and
+      // the three model aggregates run on the vocabulary-sized cache
+      // (the dsir_weights round-8 lesson)
+      val c2 = CacheRegistry.track(train
+        .select(TextFns.shingleExplode(TextFns.tokens(col("text")), 2).as("bg"))
+        .groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+        .withColumn("w1", substring_index(col("bg"), " ", 1))
+        .withColumn("w2", substring_index(col("bg"), " ", -1)))
+      val fw = c2.groupBy(col("w1"))
+        .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1fw"))
+      val bw = c2.groupBy(col("w2")).agg(count(lit(1)).as("n1bw"))
+      val glob = bw.agg(sum(col("n1bw")).as("n1all"), count(lit(1)).as("vcont"))
+      val evalBg = docs.where(col("doc_id") < 50)
+        .select(col("doc_id"),
+          TextFns.shingleExplode(TextFns.tokens(col("text")), 2).as("bg"))
+        .withColumn("ew1", substring_index(col("bg"), " ", 1))
+        .withColumn("ew2", substring_index(col("bg"), " ", -1))
+      val d = lit(0.75)
+      // pcont must be ONE shared definition — both branches and both
+      // engines fold the identical IEEE tree
+      val pcont = (coalesce(col("n1bw"), lit(0L)) + lit(1L)).cast(DoubleType) /
+        (col("n1all") + col("vcont") + lit(1L))
+      evalBg.join(c2.select(col("bg"), col("c2")), Seq("bg"), "left")
+        .join(fw.select(col("w1").as("ew1"), col("c1"), col("n1fw")), Seq("ew1"), "left")
+        .join(bw.select(col("w2").as("ew2"), col("n1bw")), Seq("ew2"), "left")
+        .crossJoin(glob)
+        .select(col("doc_id"), col("c1").isNull.as("novel"),
+          log(when(col("c1").isNotNull,
+            greatest(coalesce(col("c2"), lit(0L)).cast(DoubleType) - d, lit(0.0)) / col("c1") +
+              d * col("n1fw") / col("c1") * pcont)
+            .otherwise(pcont)).as("ls"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(sum(floor(col("ls") * 1e6 + 0.5).cast(LongType)).cast(DoubleType)
+            / count(lit(1)) / 1e6, 4).as("avg_logp"),
+          round(sum(when(col("novel"), 1L).otherwise(0L)).cast(DoubleType)
+            / count(lit(1)), 4).as("novel_rate"))
+        .orderBy(col("doc_id"))
+    }),
+
     // CCNet head/middle/tail bucketing: the perplexity-style score (shared
     // lmScores pipeline — the two queries can never drift) terciled by
     // ntile(3) over the rounded score with a doc tiebreak (engine-stable
@@ -1047,6 +1107,35 @@ object QueriesText {
          |    / count(*) / 1e6, 4) AS avg_logs,
          |  round(CAST(sum(CASE WHEN backed THEN 1 ELSE 0 END) AS DOUBLE)
          |    / count(*), 4) AS backoff_rate
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "lm_kneser_ney" ->
+      s"""WITH tr AS (SELECT $toks AS tk FROM documents WHERE doc_id >= 50),
+         |tbg AS (SELECT unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bg FROM tr),
+         |c2 AS (SELECT bg, CAST(count(*) AS BIGINT) AS c2 FROM tbg GROUP BY 1),
+         |fw AS (SELECT string_split(bg, ' ')[1] AS w1, CAST(sum(c2) AS BIGINT) AS c1,
+         |    CAST(count(*) AS BIGINT) AS n1fw FROM c2 GROUP BY 1),
+         |bw AS (SELECT string_split(bg, ' ')[2] AS w2, CAST(count(*) AS BIGINT) AS n1bw
+         |  FROM c2 GROUP BY 1),
+         |gl AS (SELECT CAST(sum(n1bw) AS BIGINT) AS n1all, CAST(count(*) AS BIGINT) AS vcont FROM bw),
+         |ev AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bg
+         |       FROM (SELECT doc_id, $toks AS tk FROM documents WHERE doc_id < 50)),
+         |sc AS (SELECT doc_id, (f.c1 IS NULL) AS novel,
+         |    ln(CASE WHEN f.c1 IS NOT NULL
+         |      THEN greatest(CAST(coalesce(c2.c2, 0) AS DOUBLE) - 0.75e0, 0e0) / f.c1
+         |        + 0.75e0 * f.n1fw / f.c1
+         |          * (CAST(coalesce(b.n1bw, 0) + 1 AS DOUBLE) / (g.n1all + g.vcont + 1))
+         |      ELSE CAST(coalesce(b.n1bw, 0) + 1 AS DOUBLE) / (g.n1all + g.vcont + 1)
+         |    END) AS ls
+         |  FROM ev
+         |  LEFT JOIN c2 USING (bg)
+         |  LEFT JOIN fw f ON f.w1 = string_split(ev.bg, ' ')[1]
+         |  LEFT JOIN bw b ON b.w2 = string_split(ev.bg, ' ')[2]
+         |  CROSS JOIN gl g)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  round(CAST(sum(CAST(floor(ls * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+         |    / count(*) / 1e6, 4) AS avg_logp,
+         |  round(CAST(sum(CASE WHEN novel THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*), 4) AS novel_rate
          |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "ccnet_bucket" ->
       s"""$LmSqlCtes,

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-8 additions, batch 3: lm_kneser_ney (interpolated KN bigram LM)
+  * and did_estimator (difference-in-differences) — each checked against a
+  * from-scratch driver recompute with plain Scala loops.
+  */
+class Round8cSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("lm_kneser_ney: matches a from-scratch driver interpolated-KN scorer") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def toks(t: String): Seq[String] =
+      t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val trainToks = docs.filter(_._1 >= 50).map(d => toks(d._2))
+    val c2 = trainToks.flatMap(tk => tk.zip(tk.tail))
+      .groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    // everything else derives from the bigram table, like the query
+    val c1 = c2.groupBy(_._1._1).map { case (w1, m) => w1 -> m.values.sum }
+    val n1fw = c2.groupBy(_._1._1).map { case (w1, m) => w1 -> m.size.toLong }
+    val n1bw = c2.groupBy(_._1._2).map { case (w2, m) => w2 -> m.size.toLong }
+    val n1all = c2.size.toLong
+    val vcont = n1bw.size.toLong
+    def pcont(w2: String): Double =
+      (n1bw.getOrElse(w2, 0L) + 1).toDouble / (n1all + vcont + 1)
+    val expected = docs.filter(_._1 < 50).map { case (id, tx) =>
+      val tk = toks(tx)
+      val scores = tk.zip(tk.tail).map { case (w1, w2) =>
+        c1.get(w1) match {
+          case Some(cw1) =>
+            val disc = math.max(c2.getOrElse((w1, w2), 0L).toDouble - 0.75, 0.0)
+            (math.log(disc / cw1 + 0.75 * n1fw(w1) / cw1 * pcont(w2)), false)
+          case None => (math.log(pcont(w2)), true)
+        }
+      }
+      val nb = scores.length.toLong
+      (id, nb,
+        BigDecimal(scores.map(s => math.floor(s._1 * 1e6 + 0.5).toLong).sum.toDouble
+          / nb / 1e6).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(scores.count(_._2).toDouble / nb)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy(_._1).toSeq
+    val got = graft.queries.QueriesText.queries("lm_kneser_ney")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(got == expected)
+    // KN is a proper conditional distribution over seen histories: for a
+    // few train histories, the discounted mass + interpolation weight sums
+    // to ≤ 1 over the SEEN continuations (the remainder goes to unseen)
+    c1.keys.take(5).foreach { w1 =>
+      val seenMass = c2.collect { case ((a, b), c) if a == w1 =>
+        math.max(c - 0.75, 0.0) / c1(w1) + 0.75 * n1fw(w1) / c1(w1) * pcont(b)
+      }.sum
+      assert(seenMass <= 1.0 + 1e-9, s"history '$w1' leaks probability mass")
+    }
+  }
+
+  test("did_estimator: matches an exact driver 2x2 recompute") {
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_custkey"), col("o_totalprice"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("us")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val cutUs = java.time.Instant.parse("1995-06-01T00:00:00Z").getEpochSecond * 1000000L
+    val cells = orders.map { case (ck, tp, us) =>
+      (ck % 3 == 0, us >= cutUs, math.round(tp * 100))
+    }
+    def cell(tr: Boolean, po: Boolean): (Long, Long) = {
+      val xs = cells.filter(c => c._1 == tr && c._2 == po)
+      (xs.length.toLong, xs.map(_._3).sum)
+    }
+    val (ncr, scr) = cell(tr = false, po = false)
+    val (ncp, scp) = cell(tr = false, po = true)
+    val (ntr, str) = cell(tr = true, po = false)
+    val (ntp, stp) = cell(tr = true, po = true)
+    def mean(s: Long, n: Long): Double =
+      math.floor(s.toDouble / (1e2 * n) * 1e4 + 0.5) / 1e4
+    val did = math.floor(((stp.toDouble / (1e2 * ntp) - str.toDouble / (1e2 * ntr)) -
+      (scp.toDouble / (1e2 * ncp) - scr.toDouble / (1e2 * ncr))) * 1e4 + 0.5) / 1e4
+    val got = graft.queries.QueriesMlops.queries("did_estimator")(spark, dir).head()
+    assert(got.getLong(0) == ncr && got.getLong(1) == ncp &&
+      got.getLong(2) == ntr && got.getLong(3) == ntp)
+    assert(got.getDouble(4) == mean(scr, ncr) && got.getDouble(5) == mean(scp, ncp))
+    assert(got.getDouble(6) == mean(str, ntr) && got.getDouble(7) == mean(stp, ntp))
+    assert(got.getDouble(8) == did)
+    // the estimator nets out the common trend: did = (Δtreat − Δctrl)
+    val recomposed = BigDecimal(
+      (got.getDouble(7) - got.getDouble(6)) - (got.getDouble(5) - got.getDouble(4)))
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP)
+    assert((recomposed - BigDecimal(got.getDouble(8))).abs <= BigDecimal("0.001"))
+  }
+}
