@@ -954,6 +954,56 @@ object QueriesMlops {
         .orderBy(col("arm"))
     }),
 
+    // Split conformal prediction intervals (Vovk's conformal framework,
+    // the Lei et al. 2018 split recipe — the distribution-free way to
+    // turn ANY point model into calibrated intervals, and the modern
+    // ML-ops release gate for regression models): train/calibration/test
+    // split by key mod 4, a per-priority group-mean point model, and the
+    // conformal radius q = the ⌈0.9·(n+1)⌉-th smallest calibration
+    // residual — finite-sample ≥90% coverage guaranteed for exchangeable
+    // data, verified here on the held-out fold. Everything is EXACT
+    // integers: predictions are cents DIV counts, residuals are |cents|
+    // differences, and the selection runs on a (priority, residual)
+    // COUNT HISTOGRAM (the DiscreteQuantile pattern — the calibration
+    // values are never buffered per group) with the rank computed as
+    // (9·(n+1)+9) DIV 10. Three disjoint fold scans + priority-bounded
+    // aggregates; the 5-row model broadcasts.
+    "conformal_pi" -> ((s, dir) => {
+      import graft.operators.CacheRegistry
+      val o = t(s, dir, "orders").select(
+        col("o_orderpriority").as("prio"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+        expr("o_orderkey % 4").as("fold"))
+      val pred = CacheRegistry.track(o.where(col("fold") <= 1)
+        .groupBy(col("prio"))
+        .agg(count(lit(1)).as("n_train"), sum(col("cents")).as("s_train"))
+        .withColumn("pred_cents", expr("s_train DIV n_train")))
+      val hist = o.where(col("fold") === 2)
+        .join(broadcast(pred.select(col("prio"), col("pred_cents"))), "prio")
+        .select(col("prio"), abs(col("cents") - col("pred_cents")).as("r"))
+        .groupBy(col("prio"), col("r")).agg(count(lit(1)).as("c"))
+      val wq = Window.partitionBy(col("prio")).orderBy(col("r"))
+      val wAll = Window.partitionBy(col("prio"))
+      val q = hist
+        .withColumn("cum", sum(col("c")).over(wq))
+        .withColumn("n_cal", sum(col("c")).over(wAll))
+        .where(col("cum") >= least(expr("(9 * (n_cal + 1) + 9) DIV 10"), col("n_cal")))
+        .groupBy(col("prio"))
+        .agg(min(col("r")).as("q_cents"), max(col("n_cal")).as("n_cal"))
+      o.where(col("fold") === 3)
+        .join(broadcast(pred.select(col("prio"), col("n_train"), col("pred_cents"))), "prio")
+        .join(broadcast(q), "prio")
+        .groupBy(col("prio"), col("n_train"), col("n_cal"),
+          col("pred_cents"), col("q_cents"))
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(abs(col("cents") - col("pred_cents")) <= col("q_cents"), 1L)
+            .otherwise(0L)).as("n_in"))
+        .select(col("prio").as("o_orderpriority"), col("n_train"), col("n_cal"),
+          col("n_test"), col("pred_cents"), col("q_cents"),
+          round(col("n_in").cast(DoubleType) / col("n_test"), 4).as("coverage"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // Difference-in-differences (Card & Krueger's workhorse — the natural-
     // experiment estimator when randomization isn't available, completing
     // the causal family beside ab_cuped/ab_ztest/ab_srm/lift_deciles):
@@ -1205,6 +1255,32 @@ object QueriesMlops {
         |  floor((CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy) / (CAST(n AS DOUBLE) * (n - 1)) * (1.0 - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))) * 1e4 + 0.5) / 1e4 AS var_adj,
         |  floor((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) * 1e6 + 0.5) / 1e6 AS rho2
         |FROM m ORDER BY arm""".stripMargin,
+    "conformal_pi" ->
+      s"""WITH o AS (SELECT o_orderpriority AS prio,
+         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         |    o_orderkey % 4 AS fold FROM orders),
+         |pred AS (SELECT prio, CAST(count(*) AS BIGINT) AS n_train,
+         |    CAST(CAST(sum(cents) AS BIGINT) // count(*) AS BIGINT) AS pred_cents
+         |  FROM o WHERE fold <= 1 GROUP BY 1),
+         |hist AS (SELECT o.prio, abs(cents - pred_cents) AS r,
+         |    CAST(count(*) AS BIGINT) AS c
+         |  FROM o JOIN pred USING (prio) WHERE fold = 2 GROUP BY 1, 2),
+         |qs AS (SELECT prio, r,
+         |    CAST(sum(c) OVER (PARTITION BY prio ORDER BY r) AS BIGINT) AS cum,
+         |    CAST(sum(c) OVER (PARTITION BY prio) AS BIGINT) AS n_cal FROM hist),
+         |q AS (SELECT prio,
+         |    CAST(min(CASE WHEN cum >= least((9 * (n_cal + 1) + 9) // 10, n_cal)
+         |      THEN r END) AS BIGINT) AS q_cents,
+         |    CAST(max(n_cal) AS BIGINT) AS n_cal FROM qs GROUP BY 1),
+         |cov AS (SELECT o.prio, n_train, n_cal, pred_cents, q_cents,
+         |    CAST(count(*) AS BIGINT) AS n_test,
+         |    CAST(sum(CASE WHEN abs(cents - pred_cents) <= q_cents THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_in
+         |  FROM o JOIN pred USING (prio) JOIN q USING (prio)
+         |  WHERE fold = 3 GROUP BY 1, 2, 3, 4, 5)
+         |SELECT prio AS o_orderpriority, n_train, n_cal, n_test, pred_cents, q_cents,
+         |  round(CAST(n_in AS DOUBLE) / n_test, 4) AS coverage
+         |FROM cov ORDER BY 1""".stripMargin,
     "did_estimator" ->
       s"""WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
          |    (o_custkey % 3 = 0) AS tr,

@@ -470,6 +470,31 @@ object QueriesText {
         .orderBy(col("bucket"))
     }),
 
+    // Flesch reading-ease card (Flesch 1948 — the readability standard
+    // behind every "grade level" metric; a training-data lens on register:
+    // legal/academic text scores low, conversational text high). Per doc,
+    // three codegen'd regexp counters (words = \S+ runs, sentences =
+    // terminal punctuation clamped ≥1, syllables ≈ vowel groups — the
+    // standard dictionary-free approximation), then the classic
+    // 206.835 − 1.015·(W/S) − 84.6·(Syl/W) through SHARED formula text so
+    // both engines fold the identical IEEE tree. Per-doc scores
+    // micro-round to BIGINT (order-independent mean folds); output is the
+    // langs×5-bounded (lang, bucket) histogram with mean scores.
+    "readability_score" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select(col("lang"),
+        greatest(TextFns.tokenCount(col("text")), lit(1L)).as("w"),
+        greatest(regexp_count(col("text"), lit("[.!?]")).cast(LongType), lit(1L))
+          .as("sents"),
+        regexp_count(lower(col("text")), lit("[aeiouy]+")).cast(LongType).as("syl"))
+      base.withColumn("fs", expr(FleschSql))
+        .withColumn("bucket", expr(FleschBucketSql))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(floor(col("fs") * 1e4 + 0.5).cast(LongType)).cast(DoubleType)
+            / count(lit(1)) / 1e4, 4).as("mean_flesch"))
+        .orderBy(col("lang"), col("bucket"))
+    }),
+
     // Gopher-style quality gate: the rule-by-rule drop report a filtering
     // stage publishes before committing a corpus. All four rule inputs come
     // from the ONE fused TextStats scan; the report is a single
@@ -857,6 +882,16 @@ object QueriesText {
   // DuckDB mirrors. Tokens: list_filter(string_split_regex(lower(text))).
   private val toks = Tables.toksSql()
 
+  /** readability_score's shared formula text — evaluated VERBATIM by both
+    * engines over the (w, sents, syl) counts (scientific literals keep the
+    * constants pure doubles in both SQL dialects). */
+  private val FleschSql =
+    "206.835e0 - 1.015e0 * (CAST(w AS DOUBLE) / sents) - 84.6e0 * (CAST(syl AS DOUBLE) / w)"
+  private val FleschBucketSql =
+    "CASE WHEN fs >= 90e0 THEN 'very_easy' WHEN fs >= 70e0 THEN 'easy' " +
+      "WHEN fs >= 50e0 THEN 'standard' WHEN fs >= 30e0 THEN 'difficult' " +
+      "ELSE 'very_difficult' END"
+
   private def markers(pat: String) =
     s"len(regexp_extract_all(lower(text), '$pat'))"
   private val en = markers("\\b(the|and|of|to|in|is|a)\\b")
@@ -1146,6 +1181,18 @@ object QueriesText {
          |  CAST(count(*) AS BIGINT) AS n_docs,
          |  round(avg(avg_logp), 4) AS mean_logp
          |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+    "readability_score" ->
+      s"""WITH m AS (SELECT lang,
+         |    greatest(CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT), 1) AS w,
+         |    greatest(CAST(len(regexp_extract_all(text, '[.!?]')) AS BIGINT), 1) AS sents,
+         |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS syl
+         |  FROM documents),
+         |f AS (SELECT lang, $FleschSql AS fs FROM m),
+         |b AS (SELECT lang, fs, $FleschBucketSql AS bucket FROM f)
+         |SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+         |  round(CAST(sum(CAST(floor(fs * 1e4 + 0.5) AS BIGINT)) AS DOUBLE)
+         |    / count(*) / 1e4, 4) AS mean_flesch
+         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "doc_quality_gate" ->
       s"""WITH m AS (${Tables.qualityMetricsSql()}),
          |f AS (SELECT

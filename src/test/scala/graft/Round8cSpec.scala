@@ -91,4 +91,63 @@ class Round8cSpec extends SparkSpec {
       .setScale(3, BigDecimal.RoundingMode.HALF_UP)
     assert((recomposed - BigDecimal(got.getDouble(8))).abs <= BigDecimal("0.001"))
   }
+
+  test("conformal_pi: matches an exact driver split-conformal recompute") {
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), math.round(r.getDouble(2) * 100)))
+    val byPrio = orders.groupBy(_._2)
+    val expected = byPrio.toSeq.map { case (prio, rows) =>
+      val train = rows.filter(_._1 % 4 <= 1)
+      val cal = rows.filter(_._1 % 4 == 2)
+      val test = rows.filter(_._1 % 4 == 3)
+      val pred = train.map(_._3).sum / train.length // integer division
+      val resid = cal.map(r => math.abs(r._3 - pred)).sorted
+      val k = math.min((9 * (cal.length + 1) + 9) / 10, cal.length)
+      val q = resid(k - 1) // k-th smallest
+      val nIn = test.count(r => math.abs(r._3 - pred) <= q)
+      (prio, train.length.toLong, cal.length.toLong, test.length.toLong,
+        pred, q,
+        BigDecimal(nIn.toDouble / test.length)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy(_._1)
+    val got = graft.queries.QueriesMlops.queries("conformal_pi")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6))).toSeq
+    assert(got == expected)
+    // the conformal radius must cover at least k of the calibration
+    // residuals and fewer than k lie strictly below it (selection law)
+    expected.foreach { case (prio, _, nCal, _, pred, q, _) =>
+      val resid = orders.filter(r => r._2 == prio && r._1 % 4 == 2)
+        .map(r => math.abs(r._3 - pred))
+      val k = math.min((9 * (nCal + 1) + 9) / 10, nCal)
+      assert(resid.count(_ <= q) >= k && resid.count(_ < q) < k)
+    }
+  }
+
+  test("readability_score: matches a driver Flesch recompute") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("lang"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val expected = docs.map { case (lang, text) =>
+      val w = math.max("\\S+".r.findAllIn(text).size.toLong, 1L)
+      val sents = math.max("[.!?]".r.findAllIn(text).size.toLong, 1L)
+      val syl = "[aeiouy]+".r.findAllIn(text.toLowerCase).size.toLong
+      val fs = 206.835 - 1.015 * (w.toDouble / sents) - 84.6 * (syl.toDouble / w)
+      val bucket =
+        if (fs >= 90) "very_easy" else if (fs >= 70) "easy"
+        else if (fs >= 50) "standard" else if (fs >= 30) "difficult"
+        else "very_difficult"
+      (lang, bucket, math.floor(fs * 1e4 + 0.5).toLong)
+    }.groupBy(d => (d._1, d._2)).toSeq.map { case ((lang, bucket), xs) =>
+      (lang, bucket, xs.length.toLong,
+        BigDecimal(xs.map(_._3).sum.toDouble / xs.length / 1e4)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy(x => (x._1, x._2))
+    val got = graft.queries.QueriesText.queries("readability_score")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == expected)
+  }
 }
