@@ -342,6 +342,32 @@ object QueriesAnalytics {
         .orderBy(col("c_mktsegment"), col("c_nationkey"))
     }),
 
+    // Differentially-private histogram release (Dwork et al. 2006 Laplace
+    // mechanism — the privacy family's RELEASE member: k_anonymity/
+    // l_diversity/t_closeness are re-identification AUDITS of data you
+    // keep; DP is the calibrated-noise contract for counts you publish).
+    // Per-nation customer counts (sensitivity 1) get Laplace(1/ε), ε=1,
+    // via inverse-CDF over a DETERMINISTIC md5-seeded uniform — the
+    // repo-wide seeded-randomness convention (train_split's md5 prefix),
+    // so the release is reproducible and cross-engine checkable while
+    // keeping the mechanism's exact shape. The ln() noise micro-rounds to
+    // 1e-4 BEFORE the add (engine libm ulp insurance); released counts
+    // are the standard max(0, round) post-processing. Key-bounded
+    // aggregate + per-key scalar math — embarrassingly parallel at any
+    // corpus size.
+    "dp_histogram" -> ((s, dir) => {
+      val ex = t(s, dir, "customer")
+        .groupBy(col("c_nationkey").cast(LongType).as("nation_key"))
+        .agg(count(lit(1)).as("n_exact"))
+      ex.withColumn("h",
+          expr("CAST(conv(substring(md5(concat('dp:', CAST(nation_key AS STRING))), 1, 6), 16, 10) AS BIGINT)"))
+        .withColumn("dp_noise", expr(DpNoiseSql))
+        .select(col("nation_key"), col("n_exact"), col("dp_noise"),
+          expr("greatest(CAST(floor(n_exact + dp_noise + 0.5e0) AS BIGINT), 0)")
+            .as("n_released"))
+        .orderBy(col("nation_key"))
+    }),
+
     // HITS hubs & authorities (Kleinberg) on the DIRECTED nation trade
     // graph — the graph family's bipartite-centrality member (pagerank
     // ranks global importance; HITS separates "big buyers" (hubs:
@@ -1210,6 +1236,15 @@ object QueriesAnalytics {
     * trade edges, kept by the strict above-average rule w·|E| > Σw. Used
     * by graph_communities (via [[lpaBaseSql]]), graph_link_predict, and
     * graph_shortest_paths so the three views share ONE graph definition. */
+  /** dp_histogram's shared Laplace inverse-CDF text — identical IEEE tree
+    * in both engines over the 24-bit md5 integer `h`: u = (h+0.5)/2²⁴ is
+    * strictly inside (0,1) and never exactly 0.5, so the sign CASE and
+    * ln(1−2|u−0.5|) are both well-defined; the result micro-rounds to
+    * 1e-4 so a last-ulp libm ln() disagreement cannot flip the compare. */
+  private val DpNoiseSql =
+    "floor(-(CASE WHEN (CAST(h AS DOUBLE) + 0.5e0) / 16777216e0 >= 0.5e0 THEN 1e0 ELSE -1e0 END) " +
+      "* ln(1e0 - 2e0 * abs((CAST(h AS DOUBLE) + 0.5e0) / 16777216e0 - 0.5e0)) * 1e4 + 0.5) / 1e4"
+
   private val nationGraphSql =
     """WITH raw0 AS MATERIALIZED (
       |  SELECT CAST(s_nationkey AS BIGINT) AS src, CAST(c_nationkey AS BIGINT) AS dst,
@@ -1626,6 +1661,16 @@ object QueriesAnalytics {
         |  FROM d GROUP BY 1, 2)
         |ORDER BY c_mktsegment, c_nationkey""".stripMargin,
     "graph_hits" -> graphHitsOracle,
+    "dp_histogram" ->
+      s"""WITH ex AS (SELECT CAST(c_nationkey AS BIGINT) AS nation_key,
+         |    CAST(count(*) AS BIGINT) AS n_exact FROM customer GROUP BY 1),
+         |hh AS (SELECT nation_key, n_exact,
+         |    CAST(('0x' || substr(md5('dp:' || CAST(nation_key AS VARCHAR)), 1, 6)) AS BIGINT) AS h
+         |  FROM ex),
+         |n AS (SELECT nation_key, n_exact, $DpNoiseSql AS dp_noise FROM hh)
+         |SELECT nation_key, n_exact, dp_noise,
+         |  greatest(CAST(floor(n_exact + dp_noise + 0.5e0) AS BIGINT), 0) AS n_released
+         |FROM n ORDER BY 1""".stripMargin,
     "skew_profile" ->
       """WITH counts AS (
         |  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS cnt

@@ -954,6 +954,45 @@ object QueriesMlops {
         .orderBy(col("arm"))
     }),
 
+    // Holt's linear-trend exponential smoothing (Holt 1957 — the
+    // level+trend forecasting workhorse between ts_ewma's flat smoother
+    // and a full seasonal model): the corpus collapses DISTRIBUTEDLY to
+    // the calendar-bounded daily cents series, then the inherently
+    // sequential (level, trend) recurrence l←αy+(1−α)(l+b),
+    // b←β(l−l₋₁)+(1−β)b folds in the driver over ≤thousands of rows (the
+    // graph-family precedent: the collect is bounded by the CALENDAR, not
+    // the corpus, and probe-and-fail guarded). α=0.2, β=0.1 as literals
+    // in BOTH engines — never a computed 1−α, whose double differs from
+    // the 0.8 literal. State stays full-precision; only OUTPUTS
+    // micro-round. The oracle walks the identical recurrence as a
+    // recursive CTE over the row-numbered dailies.
+    "ts_holt" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .where(col("ts").isNotNull && col("value").isNotNull)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+      val rows = daily.orderBy(col("day")).limit(4001).collect()
+      require(rows.length <= 4000,
+        "ts_holt: daily series exceeds the 4000-day driver-fold ceiling")
+      var l = 0.0; var b = 0.0
+      val out = rows.zipWithIndex.map { case (r, i) =>
+        val day = r.getDate(0); val cents = r.getLong(1); val y = cents.toDouble
+        val fitted: Option[Double] =
+          if (i == 0) { l = y; b = 0.0; None }
+          else {
+            val fit = l + b
+            val lNew = 0.2 * y + 0.8 * (l + b)
+            b = 0.1 * (lNew - l) + 0.9 * b
+            l = lNew
+            Some(fit)
+          }
+        def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+        (day, cents, fitted.map(r4), r4(l), r4(b))
+      }.toSeq
+      import s.implicits._
+      out.toDF("day", "actual_cents", "fitted", "level", "trend")
+    }),
+
     // Split conformal prediction intervals (Vovk's conformal framework,
     // the Lei et al. 2018 split recipe — the distribution-free way to
     // turn ANY point model into calibrated intervals, and the modern
@@ -1255,6 +1294,26 @@ object QueriesMlops {
         |  floor((CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy) / (CAST(n AS DOUBLE) * (n - 1)) * (1.0 - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))) * 1e4 + 0.5) / 1e4 AS var_adj,
         |  floor((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) * 1e6 + 0.5) / 1e6 AS rho2
         |FROM m ORDER BY arm""".stripMargin,
+    "ts_holt" ->
+      """WITH RECURSIVE d AS MATERIALIZED (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL GROUP BY 1),
+        |o AS MATERIALIZED (SELECT day, cents,
+        |    row_number() OVER (ORDER BY day) AS rn FROM d),
+        |h(rn, day, cents, fitted, l, b) AS (
+        |  SELECT rn, day, cents, CAST(NULL AS DOUBLE),
+        |    CAST(cents AS DOUBLE), 0e0 FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.rn, o.day, o.cents, h.l + h.b,
+        |    0.2e0 * o.cents + 0.8e0 * (h.l + h.b),
+        |    0.1e0 * ((0.2e0 * o.cents + 0.8e0 * (h.l + h.b)) - h.l) + 0.9e0 * h.b
+        |  FROM h JOIN o ON o.rn = h.rn + 1)
+        |SELECT day, cents AS actual_cents,
+        |  floor(fitted * 1e4 + 0.5) / 1e4 AS fitted,
+        |  floor(l * 1e4 + 0.5) / 1e4 AS level,
+        |  floor(b * 1e4 + 0.5) / 1e4 AS trend
+        |FROM h ORDER BY day""".stripMargin,
     "conformal_pi" ->
       s"""WITH o AS (SELECT o_orderpriority AS prio,
          |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,

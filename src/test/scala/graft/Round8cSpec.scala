@@ -126,6 +126,64 @@ class Round8cSpec extends SparkSpec {
     }
   }
 
+  test("ts_holt: matches a driver replay of the level/trend recurrence") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .where(col("ts").isNotNull && col("value").isNotNull)
+      .select(to_date(col("ts").cast("timestamp")).as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1)))
+    val daily = ev.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+    var l = 0.0; var b = 0.0
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    val expected = daily.zipWithIndex.map { case ((day, cents), i) =>
+      val y = cents.toDouble
+      val fit =
+        if (i == 0) { l = y; b = 0.0; None }
+        else {
+          val f = l + b
+          val lNew = 0.2 * y + 0.8 * (l + b)
+          b = 0.1 * (lNew - l) + 0.9 * b
+          l = lNew
+          Some(f)
+        }
+      (day, cents, fit.map(r4), r4(l), r4(b))
+    }
+    val got = graft.queries.QueriesMlops.queries("ts_holt")(spark, dir)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    assert(got == expected)
+    // one-step-forecast law: each fitted value is the previous row's
+    // (level + trend), up to the independent output rounding
+    got.sliding(2).foreach { case Seq(prev, cur) =>
+      cur._3.foreach(f => assert(math.abs(f - (prev._4 + prev._5)) < 2e-4))
+    }
+  }
+
+  test("dp_histogram: matches a driver Laplace-mechanism recompute") {
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_nationkey")).collect().map(_.getInt(0).toLong)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expected = cust.groupBy(identity).toSeq.map { case (nk, xs) =>
+      val hex = md.digest(s"dp:$nk".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(6)
+      val h = java.lang.Long.parseLong(hex, 16)
+      val u = (h.toDouble + 0.5) / 16777216.0
+      val a = u - 0.5
+      val raw = -(if (a >= 0) 1.0 else -1.0) * math.log(1.0 - 2.0 * math.abs(a))
+      val noise = math.floor(raw * 1e4 + 0.5) / 1e4
+      val released = math.max(math.floor(xs.length + noise + 0.5).toLong, 0L)
+      (nk, xs.length.toLong, noise, released)
+    }.sortBy(_._1)
+    val got = graft.queries.QueriesAnalytics.queries("dp_histogram")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    // Laplace(1) bounds under a 24-bit uniform: |noise| ≤ ln(2^24) ≈ 16.64
+    got.foreach { case (_, _, noise, rel) =>
+      assert(math.abs(noise) <= 16.65 && rel >= 0L)
+    }
+  }
+
   test("readability_score: matches a driver Flesch recompute") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("lang"), col("text")).collect()
