@@ -46,6 +46,72 @@ object QueriesMlops {
     "floor(((CAST(s_tp AS DOUBLE) / (1e2 * n_tp) - CAST(s_tr AS DOUBLE) / (1e2 * n_tr)) - " +
       "(CAST(s_cp AS DOUBLE) / (1e2 * n_cp) - CAST(s_cr AS DOUBLE) / (1e2 * n_cr))) * 1e4 + 0.5) / 1e4"
 
+  /** attribution_markov's unrolled-fixpoint oracle (graph_hits precedent:
+    * loop-generated per-round CTEs, every one AS MATERIALIZED so the
+    * double back-reference cannot re-inline exponentially). The rounds run
+    * the SAME exact fixed-point integer arithmetic as the driver solve —
+    * probabilities in 1e-6 BIGINT units, values in 1e-12 units, each term
+    * (p6·v12) // 1e6 — so the unordered SQL sum is safe (integer
+    * addition commutes) and the compare is bit-exact. */
+  private val attributionMarkovOracle: String = {
+    val rounds = (1 to 20).map { i =>
+      val pv = s"v${i - 1}"
+      s"""v$i AS MATERIALIZED (
+         |  SELECT v.removed, v.state, CAST(
+         |      coalesce(max(CASE WHEN p.to_s = 'conv' THEN p.p6 END), 0) * 1000000
+         |      + coalesce(sum(CASE WHEN p.to_s NOT IN ('conv', 'null')
+         |          AND p.to_s <> v.removed
+         |          THEN (p.p6 * vv.v12) // 1000000 END), 0) AS BIGINT) AS v12
+         |  FROM $pv v
+         |  LEFT JOIN p ON p.from_s = v.state
+         |  LEFT JOIN $pv vv ON vv.removed = v.removed AND vv.state = p.to_s
+         |  GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ev AS (SELECT user_id, event_type, ts, event_id FROM events
+       |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL),
+       |seq0 AS (SELECT user_id, event_type,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+       |  FROM ev),
+       |seq AS (SELECT user_id, event_type, rn,
+       |    min(CASE WHEN event_type = 'purchase' THEN rn END)
+       |      OVER (PARTITION BY user_id) AS fp
+       |  FROM seq0),
+       |kept AS (SELECT user_id, rn,
+       |    CASE WHEN event_type = 'purchase' THEN 'conv' ELSE event_type END AS cur
+       |  FROM seq WHERE fp IS NULL OR rn <= fp),
+       |lab AS (SELECT user_id, rn, cur,
+       |    coalesce(lag(cur) OVER (PARTITION BY user_id ORDER BY rn), 'start') AS from_s,
+       |    max(rn) OVER (PARTITION BY user_id) AS mx
+       |  FROM kept),
+       |m AS MATERIALIZED (SELECT from_s, to_s, CAST(count(*) AS BIGINT) AS n FROM (
+       |    SELECT from_s, cur AS to_s FROM lab
+       |    UNION ALL
+       |    SELECT cur AS from_s, 'null' AS to_s FROM lab WHERE rn = mx AND cur <> 'conv')
+       |  GROUP BY 1, 2),
+       |rs AS (SELECT from_s, CAST(sum(n) AS BIGINT) AS tot FROM m GROUP BY 1),
+       |p AS MATERIALIZED (SELECT m.from_s, m.to_s,
+       |    CAST(CAST(m.n * 1000000 AS BIGINT) // rs.tot AS BIGINT) AS p6
+       |  FROM m JOIN rs USING (from_s)),
+       |scen AS (SELECT DISTINCT to_s AS removed FROM m
+       |    WHERE to_s NOT IN ('conv', 'null')
+       |  UNION ALL SELECT '<base>'),
+       |states AS (SELECT DISTINCT from_s AS state FROM m),
+       |v0 AS MATERIALIZED (SELECT s.removed, st.state, CAST(0 AS BIGINT) AS v12
+       |  FROM scen s CROSS JOIN states st),
+       |$rounds,
+       |base AS (SELECT v12 AS vb FROM v20 WHERE removed = '<base>' AND state = 'start'),
+       |d AS (SELECT removed AS channel, v12 AS vr FROM v20
+       |  WHERE removed <> '<base>' AND state = 'start'),
+       |nc AS (SELECT CAST(sum(n) AS BIGINT) AS nconv FROM m WHERE to_s = 'conv'),
+       |dd AS (SELECT channel, vb, vb - vr AS dc FROM d CROSS JOIN base),
+       |tt AS (SELECT CAST(sum(dc) AS BIGINT) AS dtot FROM dd)
+       |SELECT channel,
+       |  floor(CAST(dc AS DOUBLE) / vb * 1e6 + 0.5) / 1e6 AS removal_effect,
+       |  floor(CAST(dc AS DOUBLE) / dtot * 1e6 + 0.5) / 1e6 AS attr_share,
+       |  floor(CAST(dc AS DOUBLE) * nconv / dtot * 1e2 + 0.5) / 1e2 AS attr_conversions
+       |FROM dd CROSS JOIN tt CROSS JOIN nc ORDER BY channel""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     // ClickHouse-style windowFunnel: the longest prefix of the ORDERED
     // sequence view → click → purchase each user completes, where every
@@ -954,6 +1020,75 @@ object QueriesMlops {
         .orderBy(col("arm"))
     }),
 
+    // Markov removal-effect attribution (Anderl et al. 2016 —
+    // "fractribution", the principled multi-touch model that
+    // first/last-touch and linear heuristics approximate): journeys
+    // truncate at first purchase, a first-order chain over
+    // {start}∪channels∪{conv,null} is fitted from ONE user window sort
+    // (the markov_transitions shape), and each channel's credit is its
+    // REMOVAL EFFECT — how much absorbing-into-conv probability vanishes
+    // when transitions into that channel are deleted. The absorbing-chain
+    // solve is a 20-round fixed-point on the types²-bounded matrix in the
+    // DRIVER (guarded collect) — and it runs in EXACT FIXED-POINT
+    // INTEGERS: probabilities quantize to 1e-6 units via BIGINT floor
+    // division, values live in 1e-12 units, every term is
+    // (p6·v12) DIV 1e6 ≤ 1e18 regardless of corpus size — so the
+    // iteration is order-independent and the loop-generated unrolled
+    // oracle reproduces it bit-for-bit (the graph_hits precedent, minus
+    // its double-sum ordering care).
+    "attribution_markov" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .where(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("event_type").isNotNull)
+      val wSeq = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wUser = Window.partitionBy(col("user_id"))
+      val seq = ev.withColumn("rn", row_number().over(wSeq))
+        .withColumn("fp",
+          min(when(col("event_type") === "purchase", col("rn"))).over(wUser))
+      val kept = seq.where(col("fp").isNull || col("rn") <= col("fp"))
+        .withColumn("cur", when(col("event_type") === "purchase", lit("conv"))
+          .otherwise(col("event_type")))
+      val wSeq2 = Window.partitionBy(col("user_id")).orderBy(col("rn"))
+      val lab = kept
+        .withColumn("from_s", coalesce(lag(col("cur"), 1).over(wSeq2), lit("start")))
+        .withColumn("mx", max(col("rn")).over(wUser))
+      val m = lab.select(col("from_s"), col("cur").as("to_s"))
+        .unionByName(lab.where(col("rn") === col("mx") && col("cur") =!= "conv")
+          .select(col("cur").as("from_s"), lit("null").as("to_s")))
+        .groupBy(col("from_s"), col("to_s")).agg(count(lit(1)).as("n"))
+      val cells = m.limit(1001).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      require(cells.length <= 1000,
+        "attribution_markov: transition domain exceeds the driver ceiling")
+      val tot = cells.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+      val p6 = cells.map { case (f, tt, n) => ((f, tt), n * 1000000L / tot(f)) }.toMap
+      val states = cells.map(_._1).distinct.sorted
+      val chans = cells.map(_._2).filter(c => c != "conv" && c != "null").distinct.sorted
+      def solve(removed: String): Long = {
+        var v = Map.empty[String, Long].withDefaultValue(0L)
+        for (_ <- 1 to 20) {
+          v = states.map { st =>
+            st -> (p6.getOrElse((st, "conv"), 0L) * 1000000L +
+              chans.filter(_ != removed)
+                .map(c => p6.getOrElse((st, c), 0L) * v(c) / 1000000L).sum)
+          }.toMap.withDefaultValue(0L)
+        }
+        v("start")
+      }
+      val vb = solve("<base>")
+      val nconv = cells.filter(_._2 == "conv").map(_._3).sum
+      val diffs = chans.map(c => (c, vb - solve(c)))
+      val dtot = diffs.map(_._2).sum
+      val out = diffs.map { case (c, dc) =>
+        (c, math.floor((dc.toDouble / vb) * 1e6 + 0.5) / 1e6,
+          math.floor(dc.toDouble / dtot * 1e6 + 0.5) / 1e6,
+          math.floor(dc.toDouble * nconv / dtot * 1e2 + 0.5) / 1e2)
+      }
+      import s.implicits._
+      out.toSeq.toDF("channel", "removal_effect", "attr_share", "attr_conversions")
+        .orderBy(col("channel"))
+    }),
+
     // Holt's linear-trend exponential smoothing (Holt 1957 — the
     // level+trend forecasting workhorse between ts_ewma's flat smoother
     // and a full seasonal model): the corpus collapses DISTRIBUTEDLY to
@@ -1294,6 +1429,7 @@ object QueriesMlops {
         |  floor((CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy) / (CAST(n AS DOUBLE) * (n - 1)) * (1.0 - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))) * 1e4 + 0.5) / 1e4 AS var_adj,
         |  floor((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) * 1e6 + 0.5) / 1e6 AS rho2
         |FROM m ORDER BY arm""".stripMargin,
+    "attribution_markov" -> attributionMarkovOracle,
     "ts_holt" ->
       """WITH RECURSIVE d AS MATERIALIZED (
         |  SELECT CAST(ts AS DATE) AS day,

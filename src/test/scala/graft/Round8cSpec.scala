@@ -184,6 +184,64 @@ class Round8cSpec extends SparkSpec {
     }
   }
 
+  test("attribution_markov: matches an independent journey rebuild and solve") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .where(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_type").isNotNull)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("us"), col("event_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // independent journey construction: sort per user, truncate at first
+    // purchase, emit start/terminal edges
+    val trans = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    ev.groupBy(_._1).values.foreach { rows =>
+      val seq0 = rows.sortBy(r => (r._3, r._4)).map(_._2).toSeq
+      val fp = seq0.indexOf("purchase")
+      val seq = (if (fp >= 0) seq0.take(fp + 1) else seq0)
+        .map(t => if (t == "purchase") "conv" else t)
+      trans += (("start", seq.head))
+      seq.zip(seq.tail).foreach { case (a, b) => trans += ((a, b)) }
+      if (seq.last != "conv") trans += ((seq.last, "null"))
+    }
+    val m = trans.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tot = m.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val p6 = m.map { case ((f, t), n) => ((f, t), n * 1000000L / tot(f)) }
+    val states = tot.keys.toSeq.sorted
+    val chans = m.keys.map(_._2).filter(c => c != "conv" && c != "null").toSeq.distinct.sorted
+    def solve(removed: String): Long = {
+      var v = Map.empty[String, Long].withDefaultValue(0L)
+      for (_ <- 1 to 20) {
+        v = states.map { st =>
+          st -> (p6.getOrElse((st, "conv"), 0L) * 1000000L +
+            chans.filter(_ != removed)
+              .map(c => p6.getOrElse((st, c), 0L) * v(c) / 1000000L).sum)
+        }.toMap.withDefaultValue(0L)
+      }
+      v("start")
+    }
+    val vb = solve("<base>")
+    val nconv = m.collect { case ((_, "conv"), n) => n }.sum
+    val diffs = chans.map(c => (c, vb - solve(c)))
+    val dtot = diffs.map(_._2).sum
+    val expected = diffs.map { case (c, dc) =>
+      (c, math.floor((dc.toDouble / vb) * 1e6 + 0.5) / 1e6,
+        math.floor(dc.toDouble / dtot * 1e6 + 0.5) / 1e6,
+        math.floor(dc.toDouble * nconv / dtot * 1e2 + 0.5) / 1e2)
+    }
+    val got = graft.queries.QueriesMlops.queries("attribution_markov")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(got == expected)
+    // attribution laws: shares partition the credit, removal effects are
+    // probabilities, attributed conversions re-sum to ~all conversions
+    assert(math.abs(got.map(_._3).sum - 1.0) < 1e-4)
+    got.foreach { case (_, re, sh, _) =>
+      assert(re >= 0.0 && re <= 1.0 && sh >= 0.0 && sh <= 1.0)
+    }
+    assert(math.abs(got.map(_._4).sum - nconv) < 0.1 * nconv)
+  }
+
   test("readability_score: matches a driver Flesch recompute") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("lang"), col("text")).collect()
