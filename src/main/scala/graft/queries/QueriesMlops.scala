@@ -1020,6 +1020,41 @@ object QueriesMlops {
         .orderBy(col("arm"))
     }),
 
+    // Simpson's-paradox audit (Simpson 1951; the Berkeley-admissions
+    // failure mode every experiment readout should check): the pooled
+    // A-vs-B rate comparison can REVERSE inside every segment when arm
+    // mix differs across segments — this card flags segments whose
+    // direction contradicts the pooled direction, the "don't ship the
+    // pooled number" signal. ONE orders⋈customer join then a
+    // segments-bounded conditional aggregate; signs compare via
+    // cross-multiplied DOUBLE products (exact below 2⁵³ per arm-segment
+    // cell — the ab_cuped second-moment convention — and graceful, not
+    // wrapping, beyond); rates round through single divisions.
+    "simpson_check" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_custkey"),
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH").as("hi"))
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+      val per = o.join(c, col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment"), (col("o_custkey") % 2 === 0).as("isA"), col("hi"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(when(col("isA"), 1)).as("n_a"),
+          count(when(col("isA") && col("hi"), 1)).as("pos_a"),
+          count(when(!col("isA"), 1)).as("n_b"),
+          count(when(!col("isA") && col("hi"), 1)).as("pos_b"))
+      val pooled = per.agg(sum(col("pos_a")).as("pa"), sum(col("n_a")).as("na"),
+        sum(col("pos_b")).as("pb"), sum(col("n_b")).as("nb"))
+      per.crossJoin(broadcast(pooled))
+        .select(col("c_mktsegment"), col("n_a"), col("pos_a"), col("n_b"), col("pos_b"),
+          expr("floor(CAST(pos_a AS DOUBLE) / n_a * 1e6 + 0.5) / 1e6").as("rate_a"),
+          expr("floor(CAST(pos_b AS DOUBLE) / n_b * 1e6 + 0.5) / 1e6").as("rate_b"),
+          expr("CAST(sign(CAST(pos_a AS DOUBLE) * n_b - CAST(pos_b AS DOUBLE) * n_a) AS BIGINT)")
+            .as("seg_sign"),
+          expr("CAST(sign(CAST(pa AS DOUBLE) * nb - CAST(pb AS DOUBLE) * na) AS BIGINT)")
+            .as("pooled_sign"))
+        .withColumn("reversed", expr("seg_sign * pooled_sign < 0"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // Markov removal-effect attribution (Anderl et al. 2016 —
     // "fractribution", the principled multi-touch model that
     // first/last-touch and linear heuristics approximate): journeys
@@ -1429,6 +1464,27 @@ object QueriesMlops {
         |  floor((CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy) / (CAST(n AS DOUBLE) * (n - 1)) * (1.0 - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))) * 1e4 + 0.5) / 1e4 AS var_adj,
         |  floor((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) * 1e6 + 0.5) / 1e6 AS rho2
         |FROM m ORDER BY arm""".stripMargin,
+    "simpson_check" ->
+      """WITH seg AS (
+        |  SELECT c_mktsegment, (o_custkey % 2 = 0) AS isA,
+        |    (o_orderpriority IN ('1-URGENT', '2-HIGH')) AS hi
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |per AS (SELECT c_mktsegment,
+        |    CAST(count(CASE WHEN isA THEN 1 END) AS BIGINT) AS n_a,
+        |    CAST(count(CASE WHEN isA AND hi THEN 1 END) AS BIGINT) AS pos_a,
+        |    CAST(count(CASE WHEN NOT isA THEN 1 END) AS BIGINT) AS n_b,
+        |    CAST(count(CASE WHEN NOT isA AND hi THEN 1 END) AS BIGINT) AS pos_b
+        |  FROM seg GROUP BY 1),
+        |pooled AS (SELECT CAST(sum(pos_a) AS BIGINT) AS pa, CAST(sum(n_a) AS BIGINT) AS na,
+        |    CAST(sum(pos_b) AS BIGINT) AS pb, CAST(sum(n_b) AS BIGINT) AS nb FROM per)
+        |SELECT c_mktsegment, n_a, pos_a, n_b, pos_b,
+        |  floor(CAST(pos_a AS DOUBLE) / n_a * 1e6 + 0.5) / 1e6 AS rate_a,
+        |  floor(CAST(pos_b AS DOUBLE) / n_b * 1e6 + 0.5) / 1e6 AS rate_b,
+        |  CAST(sign(CAST(pos_a AS DOUBLE) * n_b - CAST(pos_b AS DOUBLE) * n_a) AS BIGINT) AS seg_sign,
+        |  CAST(sign(CAST(pa AS DOUBLE) * nb - CAST(pb AS DOUBLE) * na) AS BIGINT) AS pooled_sign,
+        |  CAST(sign(CAST(pos_a AS DOUBLE) * n_b - CAST(pos_b AS DOUBLE) * n_a) AS BIGINT)
+        |    * CAST(sign(CAST(pa AS DOUBLE) * nb - CAST(pb AS DOUBLE) * na) AS BIGINT) < 0 AS reversed
+        |FROM per CROSS JOIN pooled ORDER BY c_mktsegment""".stripMargin,
     "attribution_markov" -> attributionMarkovOracle,
     "ts_holt" ->
       """WITH RECURSIVE d AS MATERIALIZED (

@@ -456,6 +456,37 @@ object QueriesScale {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // Neyman optimal allocation (Neyman 1934 — the variance-minimizing way
+    // to split a fixed sample budget across strata, the design step BEFORE
+    // sample_stratified's per-stratum rates exist): n_h ∝ N_h·S_h, so
+    // big AND volatile strata get the samples a proportional split wastes
+    // on homogeneous ones. ONE conditional aggregate collapses customers
+    // to the segments domain (first moments exact cents BIGINTs, second
+    // moments DOUBLE — the ab_cuped overflow convention); S_h via sqrt
+    // (IEEE-correctly-rounded in both engines), weights round to BIGINT
+    // so the total is an order-independent integer sum, and both the
+    // Neyman and the proportional allocation round through single
+    // double divisions.
+    "neyman_alloc" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .select(col("c_mktsegment"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("cents"))
+      val m = c.groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_h"), sum(col("cents")).as("sx"),
+          sum(col("cents").cast(DoubleType) * col("cents")).as("sxx"))
+        .withColumn("sd",
+          expr("sqrt((CAST(n_h AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) / (CAST(n_h AS DOUBLE) * (n_h - 1)))"))
+        .withColumn("w", expr("CAST(floor(n_h * sd + 0.5) AS BIGINT)"))
+      val totals = m.agg(sum(col("n_h")).as("n_tot"), sum(col("w")).as("w_tot"))
+      m.crossJoin(broadcast(totals))
+        .select(col("c_mktsegment"), col("n_h"),
+          expr("floor(sx / (1e2 * n_h) * 1e4 + 0.5) / 1e4").as("mean_bal"),
+          expr("floor(sd / 1e2 * 1e4 + 0.5) / 1e4").as("sd_bal"),
+          expr("CAST(floor(1000e0 * w / w_tot + 0.5) AS BIGINT)").as("neyman_n"),
+          expr("CAST(floor(1000e0 * n_h / n_tot + 0.5) AS BIGINT)").as("prop_n"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // Zero-exchange co-located join via BUCKETED layout — the standing
     // answer to "is there a shuffle here that becomes the bottleneck at
     // scale?": both fact tables are written ONCE bucketed by the join key
@@ -787,6 +818,24 @@ object QueriesScale {
         |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "neyman_alloc" ->
+      """WITH c AS (SELECT c_mktsegment,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents FROM customer),
+        |m AS (SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_h,
+        |    CAST(sum(cents) AS BIGINT) AS sx,
+        |    sum(CAST(cents AS DOUBLE) * cents) AS sxx
+        |  FROM c GROUP BY 1),
+        |m2 AS (SELECT *, sqrt((CAST(n_h AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+        |    / (CAST(n_h AS DOUBLE) * (n_h - 1))) AS sd FROM m),
+        |m3 AS (SELECT *, CAST(floor(n_h * sd + 0.5) AS BIGINT) AS w FROM m2),
+        |t AS (SELECT CAST(sum(n_h) AS BIGINT) AS n_tot,
+        |    CAST(sum(w) AS BIGINT) AS w_tot FROM m3)
+        |SELECT c_mktsegment, n_h,
+        |  floor(sx / (1e2 * n_h) * 1e4 + 0.5) / 1e4 AS mean_bal,
+        |  floor(sd / 1e2 * 1e4 + 0.5) / 1e4 AS sd_bal,
+        |  CAST(floor(1000e0 * w / w_tot + 0.5) AS BIGINT) AS neyman_n,
+        |  CAST(floor(1000e0 * n_h / n_tot + 0.5) AS BIGINT) AS prop_n
+        |FROM m3 CROSS JOIN t ORDER BY 1""".stripMargin,
     "sample_stratified" ->
       """WITH rated AS (
         |  SELECT o_orderpriority, o_totalprice,

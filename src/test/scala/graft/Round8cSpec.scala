@@ -242,6 +242,77 @@ class Round8cSpec extends SparkSpec {
     assert(math.abs(got.map(_._4).sum - nconv) < 0.1 * nconv)
   }
 
+  test("neyman_alloc: matches a driver allocation recompute") {
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_mktsegment"), col("c_acctbal")).collect()
+      .map(r => (r.getString(0), math.round(r.getDouble(1) * 100)))
+    val m = cust.groupBy(_._1).toSeq.map { case (seg, xs) =>
+      val n = xs.length.toLong
+      val sx = xs.map(_._2).sum
+      val sxx = xs.map(x => x._2.toDouble * x._2).sum
+      val sd = math.sqrt((n.toDouble * sxx - sx.toDouble * sx) / (n.toDouble * (n - 1)))
+      (seg, n, sx, sd, math.floor(n * sd + 0.5).toLong)
+    }.sortBy(_._1)
+    val nTot = m.map(_._2).sum
+    val wTot = m.map(_._5).sum
+    val expected = m.map { case (seg, n, sx, sd, w) =>
+      (seg, n,
+        math.floor(sx / (1e2 * n) * 1e4 + 0.5) / 1e4,
+        math.floor(sd / 1e2 * 1e4 + 0.5) / 1e4,
+        math.floor(1000e0 * w / wTot + 0.5).toLong,
+        math.floor(1000e0 * n / nTot + 0.5).toLong)
+    }
+    val got = graft.queries.QueriesScale.queries("neyman_alloc")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expected)
+    // the optimality direction: relative to proportional, Neyman moves
+    // budget toward higher-variance strata — so the ordering of
+    // (neyman − prop) must follow the ordering of sd
+    val bySd = got.sortBy(r => expected.find(_._1 == r._1).get._4)
+    val deltas = bySd.map(r => r._5 - r._6)
+    assert(deltas.last >= deltas.head,
+      "highest-variance stratum must not lose budget relative to the lowest")
+    // budgets land within rounding of the 1000 target
+    assert(math.abs(got.map(_._5).sum - 1000L) <= got.length)
+    assert(math.abs(got.map(_._6).sum - 1000L) <= got.length)
+  }
+
+  test("simpson_check: matches a driver recompute with exact sign laws") {
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_custkey"), col("o_orderpriority")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter(o => cust.contains(o._1))
+    val per = orders.groupBy(o => cust(o._1)).toSeq.map { case (seg, xs) =>
+      val a = xs.filter(_._1 % 2 == 0); val b = xs.filter(_._1 % 2 != 0)
+      def hi(ys: Array[(Long, String)]) =
+        ys.count(y => y._2 == "1-URGENT" || y._2 == "2-HIGH").toLong
+      (seg, a.length.toLong, hi(a), b.length.toLong, hi(b))
+    }.sortBy(_._1)
+    val (pa, na, pb, nb) = (per.map(_._3).sum, per.map(_._2).sum,
+      per.map(_._5).sum, per.map(_._4).sum)
+    val pooledSign = math.signum(pa.toDouble * nb - pb.toDouble * na).toLong
+    val expected = per.map { case (seg, nA, posA, nB, posB) =>
+      val segSign = math.signum(posA.toDouble * nB - posB.toDouble * nA).toLong
+      (seg, nA, posA, nB, posB,
+        math.floor(posA.toDouble / nA * 1e6 + 0.5) / 1e6,
+        math.floor(posB.toDouble / nB * 1e6 + 0.5) / 1e6,
+        segSign, pooledSign, segSign * pooledSign < 0)
+    }
+    val got = graft.queries.QueriesMlops.queries("simpson_check")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6), r.getLong(7), r.getLong(8),
+        r.getBoolean(9))).toSeq
+    assert(got == expected)
+    // sign law: a flagged reversal means the rate gap genuinely flips
+    got.foreach { g =>
+      if (g._10) assert((g._6 - g._7) * pooledSign < 0)
+    }
+  }
+
   test("readability_score: matches a driver Flesch recompute") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("lang"), col("text")).collect()
