@@ -112,6 +112,19 @@ object QueriesMlops {
        |FROM dd CROSS JOIN tt CROSS JOIN nc ORDER BY channel""".stripMargin
   }
 
+  /** power_analysis' shared formula text: raw mean/variance in cents, and
+    * the two-arm sample-size requirement n = 2σ²(z_{α/2}+z_β)²/δ² at
+    * α=.05 / 80% power with MDE = 5% of the mean — z constants appear as
+    * literals so both engines square the identical double sum. */
+  private val PowerMeanSql =
+    "floor(CAST(sx AS DOUBLE) / n * 1e4 + 0.5) / 1e4"
+  private val PowerVarSql =
+    "floor((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) / (CAST(n AS DOUBLE) * (n - 1)) * 1e4 + 0.5) / 1e4"
+  private val PowerNReqSql =
+    "CAST(ceil(2e0 * ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) / (CAST(n AS DOUBLE) * (n - 1))) " +
+      "* ((1.959964e0 + 0.841621e0) * (1.959964e0 + 0.841621e0)) " +
+      "/ ((0.05e0 * (CAST(sx AS DOUBLE) / n)) * (0.05e0 * (CAST(sx AS DOUBLE) / n)))) AS BIGINT)"
+
   val queries: Map[String, Q] = Map(
     // ClickHouse-style windowFunnel: the longest prefix of the ORDERED
     // sequence view → click → purchase each user completes, where every
@@ -1020,6 +1033,79 @@ object QueriesMlops {
         .orderBy(col("arm"))
     }),
 
+    // Coarsened Exact Matching ATT (Iacus, King & Porro 2012 — the
+    // matching estimator that actually scales: coarsen covariates, match
+    // EXACTLY on the coarsened cells, prune unmatched cells, and weight
+    // the per-cell treated−control gaps by treated mass; no distance
+    // metric, no nearest-neighbor search, just a groupBy). Covariates =
+    // (segment, acctbal bin); outcome = lifetime order spend (left join —
+    // never-buyers count at 0, excluding them would select on the
+    // outcome). Per-cell contributions micro-round to BIGINT so the ATT
+    // fold is an order-independent integer sum; the estimate rides every
+    // row of the per-cell card (simpson_check's pooled-column shape).
+    "cem_att" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_custkey"),
+        col("c_mktsegment"),
+        expr("CAST(floor(c_acctbal / 2500e0) AS BIGINT)").as("bal_bin"),
+        (col("c_custkey") % 3 === 0).as("treated"))
+      val spend = t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("sp"))
+      val cell = c.join(spend, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_mktsegment"), col("bal_bin"), col("treated"),
+          coalesce(col("sp"), lit(0L)).as("cents"))
+        .groupBy(col("c_mktsegment"), col("bal_bin"))
+        .agg(count(when(col("treated"), 1)).as("n_t"),
+          sum(when(col("treated"), col("cents")).otherwise(0L)).as("s_t"),
+          count(when(!col("treated"), 1)).as("n_c"),
+          sum(when(!col("treated"), col("cents")).otherwise(0L)).as("s_c"))
+        .withColumn("matched", col("n_t") > 0 && col("n_c") > 0)
+        .withColumn("c6", when(col("matched"),
+          expr("CAST(floor((CAST(s_t AS DOUBLE) / n_t - CAST(s_c AS DOUBLE) / n_c) * n_t * 1e6 + 0.5) AS BIGINT)"))
+          .otherwise(lit(0L)))
+      val tot = cell.agg(
+        sum(when(col("matched"), col("n_t")).otherwise(0L)).as("nt_m"),
+        sum(col("c6")).as("c6_tot"))
+      cell.crossJoin(broadcast(tot))
+        .select(col("c_mktsegment"), col("bal_bin"), col("n_t"), col("n_c"),
+          col("matched"),
+          when(col("n_t") > 0,
+            expr("floor(CAST(s_t AS DOUBLE) / (1e2 * n_t) * 1e4 + 0.5) / 1e4")).as("mean_t"),
+          when(col("n_c") > 0,
+            expr("floor(CAST(s_c AS DOUBLE) / (1e2 * n_c) * 1e4 + 0.5) / 1e4")).as("mean_c"),
+          expr("floor(CAST(c6_tot AS DOUBLE) / nt_m / 1e6 / 1e2 * 1e4 + 0.5) / 1e4")
+            .as("att"))
+        .orderBy(col("c_mktsegment"), col("bal_bin"))
+    }),
+
+    // Experiment power analysis (the sample-size gate that runs BEFORE
+    // ab_ztest's readout — an underpowered test that "found nothing" found
+    // nothing about nothing): per event type, the classic two-arm formula
+    // n = 2σ²(z_{α/2}+z_β)²/δ² at 80% power / 5% α, with the MDE set to
+    // 5% of the observed mean. z constants are shared literals (both
+    // engines square the identical sum); moments follow the ab_cuped
+    // convention (exact cents first moments, DOUBLE second); ONE
+    // conditional aggregate to the types domain also yields the parity
+    // arm sizes the requirement is checked against.
+    "power_analysis" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .where(col("user_id").isNotNull && col("event_type").isNotNull &&
+          col("value").isNotNull)
+        .select(col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+          (col("user_id") % 2 === 0).as("isA"))
+      ev.groupBy(col("event_type"))
+        .agg(count(when(col("isA"), 1)).as("n_a"),
+          count(when(!col("isA"), 1)).as("n_b"),
+          count(lit(1)).as("n"), sum(col("cents")).as("sx"),
+          sum(col("cents").cast(DoubleType) * col("cents")).as("sxx"))
+        .select(col("event_type"), col("n_a"), col("n_b"),
+          expr(PowerMeanSql).as("mean_cents"),
+          expr(PowerVarSql).as("var_cents"),
+          expr(PowerNReqSql).as("n_required"))
+        .withColumn("powered", expr("least(n_a, n_b) >= n_required"))
+        .orderBy(col("event_type"))
+    }),
+
     // Simpson's-paradox audit (Simpson 1951; the Berkeley-admissions
     // failure mode every experiment readout should check): the pooled
     // A-vs-B rate comparison can REVERSE inside every segment when arm
@@ -1464,6 +1550,50 @@ object QueriesMlops {
         |  floor((CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy) / (CAST(n AS DOUBLE) * (n - 1)) * (1.0 - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))) * 1e4 + 0.5) / 1e4 AS var_adj,
         |  floor((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) * 1e6 + 0.5) / 1e6 AS rho2
         |FROM m ORDER BY arm""".stripMargin,
+    "cem_att" ->
+      """WITH c AS (SELECT c_custkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 2500e0) AS BIGINT) AS bal_bin,
+        |    (c_custkey % 3 = 0) AS treated FROM customer),
+        |sp AS (SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sp
+        |  FROM orders GROUP BY 1),
+        |y AS (SELECT c_mktsegment, bal_bin, treated, coalesce(sp, 0) AS cents
+        |  FROM c LEFT JOIN sp ON c_custkey = o_custkey),
+        |cell AS (SELECT c_mktsegment, bal_bin,
+        |    CAST(count(CASE WHEN treated THEN 1 END) AS BIGINT) AS n_t,
+        |    CAST(sum(CASE WHEN treated THEN cents ELSE 0 END) AS BIGINT) AS s_t,
+        |    CAST(count(CASE WHEN NOT treated THEN 1 END) AS BIGINT) AS n_c,
+        |    CAST(sum(CASE WHEN NOT treated THEN cents ELSE 0 END) AS BIGINT) AS s_c
+        |  FROM y GROUP BY 1, 2),
+        |cc AS (SELECT *, (n_t > 0 AND n_c > 0) AS matched,
+        |    CASE WHEN n_t > 0 AND n_c > 0
+        |      THEN CAST(floor((CAST(s_t AS DOUBLE) / n_t - CAST(s_c AS DOUBLE) / n_c) * n_t * 1e6 + 0.5) AS BIGINT)
+        |      ELSE 0 END AS c6
+        |  FROM cell),
+        |tot AS (SELECT CAST(sum(CASE WHEN matched THEN n_t ELSE 0 END) AS BIGINT) AS nt_m,
+        |    CAST(sum(c6) AS BIGINT) AS c6_tot FROM cc)
+        |SELECT c_mktsegment, bal_bin, n_t, n_c, matched,
+        |  CASE WHEN n_t > 0 THEN floor(CAST(s_t AS DOUBLE) / (1e2 * n_t) * 1e4 + 0.5) / 1e4 END AS mean_t,
+        |  CASE WHEN n_c > 0 THEN floor(CAST(s_c AS DOUBLE) / (1e2 * n_c) * 1e4 + 0.5) / 1e4 END AS mean_c,
+        |  floor(CAST(c6_tot AS DOUBLE) / nt_m / 1e6 / 1e2 * 1e4 + 0.5) / 1e4 AS att
+        |FROM cc CROSS JOIN tot ORDER BY c_mktsegment, bal_bin""".stripMargin,
+    "power_analysis" ->
+      s"""WITH ev AS (SELECT event_type,
+         |    CAST(round(value * 100) AS BIGINT) AS cents,
+         |    (user_id % 2 = 0) AS isA
+         |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+         |    AND value IS NOT NULL),
+         |m AS (SELECT event_type,
+         |    CAST(count(CASE WHEN isA THEN 1 END) AS BIGINT) AS n_a,
+         |    CAST(count(CASE WHEN NOT isA THEN 1 END) AS BIGINT) AS n_b,
+         |    CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS sx,
+         |    sum(CAST(cents AS DOUBLE) * cents) AS sxx
+         |  FROM ev GROUP BY 1)
+         |SELECT event_type, n_a, n_b,
+         |  $PowerMeanSql AS mean_cents,
+         |  $PowerVarSql AS var_cents,
+         |  $PowerNReqSql AS n_required,
+         |  least(n_a, n_b) >= $PowerNReqSql AS powered
+         |FROM m ORDER BY event_type""".stripMargin,
     "simpson_check" ->
       """WITH seg AS (
         |  SELECT c_mktsegment, (o_custkey % 2 = 0) AS isA,

@@ -313,6 +313,85 @@ class Round8cSpec extends SparkSpec {
     }
   }
 
+  test("cem_att: matches a driver coarsened-matching recompute") {
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        math.floor(r.getDouble(2) / 2500e0).toLong))
+    val spend = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_custkey"), col("o_totalprice")).collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1) * 100)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val cells = cust.map { case (ck, seg, bin) =>
+      ((seg, bin), ck % 3 == 0, spend.getOrElse(ck, 0L))
+    }.groupBy(_._1).toSeq.map { case ((seg, bin), xs) =>
+      val t = xs.filter(_._2); val c = xs.filter(!_._2)
+      val (nT, sT) = (t.length.toLong, t.map(_._3).sum)
+      val (nC, sC) = (c.length.toLong, c.map(_._3).sum)
+      val matched = nT > 0 && nC > 0
+      val c6 = if (matched)
+        math.floor((sT.toDouble / nT - sC.toDouble / nC) * nT * 1e6 + 0.5).toLong
+      else 0L
+      (seg, bin, nT, sT, nC, sC, matched, c6)
+    }.sortBy(x => (x._1, x._2))
+    val ntM = cells.filter(_._7).map(_._3).sum
+    val c6Tot = cells.map(_._8).sum
+    val att = math.floor(c6Tot.toDouble / ntM / 1e6 / 1e2 * 1e4 + 0.5) / 1e4
+    val expected = cells.map { case (seg, bin, nT, sT, nC, sC, matched, _) =>
+      (seg, bin, nT, nC, matched,
+        if (nT > 0) Some(math.floor(sT.toDouble / (1e2 * nT) * 1e4 + 0.5) / 1e4) else None,
+        if (nC > 0) Some(math.floor(sC.toDouble / (1e2 * nC) * 1e4 + 0.5) / 1e4) else None,
+        att)
+    }
+    val got = graft.queries.QueriesMlops.queries("cem_att")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5)),
+        if (r.isNullAt(6)) None else Some(r.getDouble(6)),
+        r.getDouble(7))).toSeq
+    assert(got == expected)
+    // the ATT is a convex-ish recombination of matched per-cell gaps:
+    // it must lie within the [min, max] matched-cell mean difference
+    val gaps = got.filter(_._5).flatMap(g => for (a <- g._6; b <- g._7) yield a - b)
+    assert(att >= gaps.min - 1e-3 && att <= gaps.max + 1e-3)
+  }
+
+  test("power_analysis: matches a driver sample-size recompute") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .where(col("user_id").isNotNull && col("event_type").isNotNull &&
+        col("value").isNotNull)
+      .select(col("event_type"), col("value"), col("user_id")).collect()
+      .map(r => (r.getString(0), math.round(r.getDouble(1) * 100), r.getLong(2)))
+    val expected = ev.groupBy(_._1).toSeq.map { case (typ, xs) =>
+      val nA = xs.count(_._3 % 2 == 0).toLong
+      val nB = xs.count(_._3 % 2 != 0).toLong
+      val n = xs.length.toLong
+      val sx = xs.map(_._2).sum
+      val sxx = xs.map(x => x._2.toDouble * x._2).sum
+      val varc = (n.toDouble * sxx - sx.toDouble * sx) / (n.toDouble * (n - 1))
+      val meanc = sx.toDouble / n
+      val nReq = math.ceil(2e0 * varc *
+        ((1.959964 + 0.841621) * (1.959964 + 0.841621)) /
+        ((0.05 * meanc) * (0.05 * meanc))).toLong
+      (typ, nA, nB,
+        math.floor(meanc * 1e4 + 0.5) / 1e4,
+        math.floor(varc * 1e4 + 0.5) / 1e4,
+        nReq, math.min(nA, nB) >= nReq)
+    }.sortBy(_._1)
+    val got = graft.queries.QueriesMlops.queries("power_analysis")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getLong(5), r.getBoolean(6))).toSeq
+    assert(got == expected)
+    // the formula's monotonicity: higher variance relative to MDE² means
+    // more samples required — recompute with a doubled MDE and check 4x↓
+    expected.foreach { case (_, _, _, mean, v, nReq, _) =>
+      val relaxed = math.ceil(2e0 * v *
+        ((1.959964 + 0.841621) * (1.959964 + 0.841621)) /
+        ((0.10 * mean) * (0.10 * mean))).toLong
+      assert(relaxed <= nReq / 4 + 1)
+    }
+  }
+
   test("readability_score: matches a driver Flesch recompute") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("lang"), col("text")).collect()
