@@ -197,6 +197,44 @@ object QueriesScale {
         .orderBy(col("source"))
     }),
 
+    // Incremental DISTINCT-count maintenance — the sketch member of the
+    // IVM family (agg_incremental merges algebraic partials; exact
+    // distincts are NOT algebraic, which is precisely why production
+    // pipelines maintain them as HLL sketches): the base era's per-source
+    // token sketches persist ONCE under the fingerprint-keyed DiskCache,
+    // each refresh sketches only its own batch, and the merge is
+    // hll_union_agg over |sources| kilobyte-sized sketch rows — HLL
+    // registers merge by max, so union-of-era-sketches is LOSSLESS vs a
+    // single-pass sketch (spec-pinned) and the estimate path never
+    // re-scans the base corpus. The exact_vocab column is the AUDIT side
+    // (full recompute, hll_card's oracle convention) — the maintained
+    // artifact is the sketch state.
+    "hll_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      def sk(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("source"), explode(TextFns.tokens(col("text"))).as("token"))
+        .groupBy(col("source"))
+        .agg(hll_sketch_agg(col("token")).as("sk"), count(lit(1)).as("n_tokens"))
+      val statePath = graft.operators.DiskCache.keyedPath(
+        "hllstate_v1", s"$dir/documents.parquet")
+      graft.operators.DiskCache.ensure(statePath) { tmp =>
+        sk(docs.where(col("doc_id") < 400)).write.mode("overwrite").parquet(tmp)
+      }
+      val merged = s.read.parquet(statePath)
+        .unionByName(sk(docs.where(col("doc_id") >= 400)))
+        .groupBy(col("source"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"),
+          sum(col("n_tokens")).as("n_tokens"))
+      val exact = docs
+        .select(col("source"), explode(TextFns.tokens(col("text"))).as("token"))
+        .groupBy(col("source")).agg(countDistinct(col("token")).as("exact_vocab"))
+      merged.join(exact, "source")
+        .select(col("source"), col("exact_vocab"), col("n_tokens"),
+          (abs(col("est") - col("exact_vocab")) <=
+            greatest(col("exact_vocab") * 0.1, lit(16.0))).as("est_ok"))
+        .orderBy(col("source"))
+    }),
+
     // Incremental maintenance of a JOIN-AGGREGATE view (agg_incremental
     // maintains a single-table aggregate; this is the classic IVM delta
     // rule for V = π(O ⋈ L) γ): with batch deltas ΔO (orders arriving) and
@@ -862,6 +900,11 @@ object QueriesScale {
          |  CAST(count(*) AS BIGINT) AS n_tokens, TRUE AS est_ok
          |FROM tok
          |ORDER BY source""".stripMargin,
+    "hll_incremental" ->
+      s"""WITH tok AS (SELECT source, unnest($toks) AS token FROM documents)
+         |SELECT source, CAST(count(DISTINCT token) AS BIGINT) AS exact_vocab,
+         |  CAST(count(*) AS BIGINT) AS n_tokens, TRUE AS est_ok
+         |FROM tok GROUP BY source ORDER BY source""".stripMargin,
     "heavy_hitters" ->
       s"""WITH tok AS (SELECT unnest($toks) AS token FROM documents)
          |SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok

@@ -392,6 +392,39 @@ class Round8cSpec extends SparkSpec {
     }
   }
 
+  test("hll_incremental: state is base-era-only, built once, and merge is lossless") {
+    import graft.functions.TextFns
+    val got = graft.queries.QueriesScale.queries("hll_incremental")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.nonEmpty && got.forall(_._4), "every sketch estimate within tolerance")
+    // the persisted state holds ONLY the base era's mass
+    val statePath = graft.operators.DiskCache.keyedPath(
+      "hllstate_v1", s"$dir/documents.parquet")
+    val docs = graft.queries.Tables.t(spark, dir, "documents")
+    val baseTok = docs.where(col("doc_id") < 400)
+      .select(explode(TextFns.tokens(col("text"))).as("t")).count()
+    val stateTok = spark.read.parquet(statePath)
+      .agg(sum(col("n_tokens"))).head().getLong(0)
+    assert(stateTok == baseTok, "state must cover exactly the base era")
+    // built once: a second invocation leaves the state files untouched
+    val stamp = new java.io.File(statePath).lastModified()
+    graft.queries.QueriesScale.queries("hll_incremental")(spark, dir).collect()
+    assert(new java.io.File(statePath).lastModified() == stamp)
+    // lossless merge: union-of-era-sketches estimates = single-pass sketch
+    val tok = docs.select(col("source"), explode(TextFns.tokens(col("text"))).as("token"))
+    val single = tok.groupBy(col("source"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("token"))).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val eras = docs.withColumn("era", col("doc_id") < 400)
+      .select(col("source"), col("era"), explode(TextFns.tokens(col("text"))).as("token"))
+      .groupBy(col("source"), col("era"))
+      .agg(hll_sketch_agg(col("token")).as("sk"))
+      .groupBy(col("source"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(eras == single, "HLL union of era sketches must be lossless")
+  }
+
   test("readability_score: matches a driver Flesch recompute") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("lang"), col("text")).collect()
