@@ -1198,6 +1198,40 @@ object QueriesAnalytics {
         .orderBy(col("event_type"))
     }),
 
+    // Benjamini–Hochberg FDR correction (Benjamini & Hochberg 1995 — the
+    // multiple-comparisons gate for a DASHBOARD of tests: five per-type
+    // z-tests at α=.05 expect a false positive every fourth refresh;
+    // BH bounds the false-discovery RATE instead of Bonferroni's
+    // family-wise overkill). Consumes ab_ztest's card VERBATIM (one
+    // definition — the readout and its correction cannot drift); p-values
+    // come from the Abramowitz–Stegun 26.2.17 normal-tail polynomial in
+    // SHARED formula text (exp + multiply only — no erf in either
+    // engine), micro-rounded to 1e-6; the BH step-up p₍ₖ₎ ≤ α·k/m runs as
+    // the EXACT integer comparison p6·20·m ≤ k·1e6, so the reject set has
+    // no floating tie. Windows run on the types-bounded card, never the
+    // corpus.
+    "fdr_bh" -> ((s, dir) => {
+      val base = queries("ab_ztest")(s, dir).select(col("event_type"), col("z"))
+        .where(col("z").isNotNull)
+        .withColumn("az", abs(col("z")))
+        .withColumn("tq", expr(FdrTSql))
+        .withColumn("p6", expr(FdrP6Sql))
+      val w = Window.orderBy(col("p6"), col("event_type"))
+      val wAll = Window.partitionBy()
+      base.withColumn("bh_rank", row_number().over(w).cast(LongType))
+        .withColumn("m", count(lit(1)).over(wAll))
+        .withColumn("kstar",
+          max(when(col("p6") * 20 * col("m") <= col("bh_rank") * lit(1000000L),
+            col("bh_rank"))).over(wAll))
+        .select(col("event_type"), col("z"),
+          (col("p6").cast(DoubleType) / 1e6).as("p_value"),
+          col("bh_rank"),
+          expr("floor(CAST(bh_rank AS DOUBLE) / (20e0 * m) * 1e6 + 0.5) / 1e6")
+            .as("bh_crit"),
+          (col("bh_rank") <= coalesce(col("kstar"), lit(0L))).as("rejected"))
+        .orderBy(col("event_type"))
+    }),
+
     // PMI collocations: pointwise mutual information over adjacent token
     // pairs — phrase/tokenizer-merge mining. Bigrams stream from the native
     // ShingleGenerator (no intermediate arrays); unigram joins are
@@ -1236,6 +1270,18 @@ object QueriesAnalytics {
     * trade edges, kept by the strict above-average rule w·|E| > Σw. Used
     * by graph_communities (via [[lpaBaseSql]]), graph_link_predict, and
     * graph_shortest_paths so the three views share ONE graph definition. */
+  /** fdr_bh's shared normal-tail text (Abramowitz–Stegun 26.2.17, |ε| <
+    * 7.5e-8 — far inside the 1e-6 micro-round): tq = 1/(1+0.2316419·|z|),
+    * then p = 2·φ(|z|)·Σbᵢtqⁱ with the powers written as explicit product
+    * trees so both engines fold the identical IEEE shape; 1/√(2π) appears
+    * as a literal (no sqrt call). */
+  private val FdrTSql = "1e0 / (1e0 + 0.2316419e0 * az)"
+  private val FdrP6Sql =
+    "CAST(floor(2e0 * (exp(-az * az / 2e0) * 0.3989422804014327e0 * " +
+      "(0.319381530e0 * tq - 0.356563782e0 * (tq * tq) + 1.781477937e0 * (tq * tq * tq) " +
+      "- 1.821255978e0 * ((tq * tq) * (tq * tq)) + 1.330274429e0 * ((tq * tq) * ((tq * tq) * tq)))) " +
+      "* 1e6 + 0.5) AS BIGINT)"
+
   /** dp_histogram's shared Laplace inverse-CDF text — identical IEEE tree
     * in both engines over the 24-bit md5 integer `h`: u = (h+0.5)/2²⁴ is
     * strictly inside (0,1) and never exactly 0.5, so the sign CASE and
@@ -2059,6 +2105,26 @@ object QueriesAnalytics {
         |    / sqrt(var_samp(CASE WHEN isA THEN value END) / count(CASE WHEN isA THEN 1 END)
         |      + var_samp(CASE WHEN NOT isA THEN value END) / count(CASE WHEN NOT isA THEN 1 END)), 4) AS z
         |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "fdr_bh" ->
+      s"""WITH ev AS (SELECT event_type, value, user_id % 2 = 0 AS isA
+         |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+         |    AND user_id IS NOT NULL),
+         |zt AS (SELECT event_type,
+         |    round((avg(CASE WHEN isA THEN value END) - avg(CASE WHEN NOT isA THEN value END))
+         |      / sqrt(var_samp(CASE WHEN isA THEN value END) / count(CASE WHEN isA THEN 1 END)
+         |        + var_samp(CASE WHEN NOT isA THEN value END) / count(CASE WHEN NOT isA THEN 1 END)), 4) AS z
+         |  FROM ev GROUP BY event_type),
+         |zz AS (SELECT event_type, z, abs(z) AS az FROM zt WHERE z IS NOT NULL),
+         |tt AS (SELECT *, $FdrTSql AS tq FROM zz),
+         |pp AS (SELECT *, $FdrP6Sql AS p6 FROM tt),
+         |rr AS (SELECT *, CAST(row_number() OVER (ORDER BY p6, event_type) AS BIGINT) AS bh_rank,
+         |    CAST(count(*) OVER () AS BIGINT) AS m FROM pp),
+         |kk AS (SELECT *, max(CASE WHEN p6 * 20 * m <= bh_rank * 1000000 THEN bh_rank END)
+         |    OVER () AS kstar FROM rr)
+         |SELECT event_type, z, CAST(p6 AS DOUBLE) / 1e6 AS p_value, bh_rank,
+         |  floor(CAST(bh_rank AS DOUBLE) / (20e0 * m) * 1e6 + 0.5) / 1e6 AS bh_crit,
+         |  bh_rank <= coalesce(kstar, 0) AS rejected
+         |FROM kk ORDER BY event_type""".stripMargin,
     "pmi_collocations" ->
       s"""WITH tk AS (SELECT ${Tables.toksSql()} AS tk FROM documents),
         |bgs AS (SELECT unnest(list_transform(range(1, len(tk)),

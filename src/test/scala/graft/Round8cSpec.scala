@@ -425,6 +425,66 @@ class Round8cSpec extends SparkSpec {
     assert(eras == single, "HLL union of era sketches must be lossless")
   }
 
+  test("fdr_bh: matches a driver Welch-z + A&S-tail + step-up recompute") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .where(col("value").isNotNull && col("event_type").isNotNull &&
+        col("user_id").isNotNull)
+      .select(col("event_type"), col("value"), col("user_id")).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    def welchZ(xs: Array[Double], ys: Array[Double]): Double = {
+      def mv(a: Array[Double]) = {
+        val m = a.sum / a.length
+        (m, a.map(x => (x - m) * (x - m)).sum / (a.length - 1))
+      }
+      val (ma, va) = mv(xs); val (mb, vb) = mv(ys)
+      (ma - mb) / math.sqrt(va / xs.length + vb / ys.length)
+    }
+    val zs = ev.groupBy(_._1).toSeq.map { case (typ, xs) =>
+      val a = xs.filter(_._3 % 2 == 0).map(_._2)
+      val b = xs.filter(_._3 % 2 != 0).map(_._2)
+      (typ, BigDecimal(welchZ(a, b)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val withP = zs.map { case (typ, z) =>
+      val az = math.abs(z)
+      val tq = 1e0 / (1e0 + 0.2316419 * az)
+      val tail = math.exp(-az * az / 2e0) * 0.3989422804014327 *
+        (0.319381530 * tq - 0.356563782 * (tq * tq) + 1.781477937 * (tq * tq * tq) -
+          1.821255978 * ((tq * tq) * (tq * tq)) +
+          1.330274429 * ((tq * tq) * ((tq * tq) * tq)))
+      (typ, z, math.floor(2e0 * tail * 1e6 + 0.5).toLong)
+    }
+    val m = withP.length.toLong
+    val ranked = withP.sortBy(x => (x._3, x._1)).zipWithIndex
+      .map { case ((typ, z, p6), i) => (typ, z, p6, (i + 1).toLong) }
+    val kstar = ranked.filter(r => r._3 * 20 * m <= r._4 * 1000000L)
+      .map(_._4).maxOption.getOrElse(0L)
+    val expected = ranked.map { case (typ, z, p6, k) =>
+      (typ, z, p6.toDouble / 1e6, k,
+        math.floor(k.toDouble / (20e0 * m) * 1e6 + 0.5) / 1e6, k <= kstar)
+    }.sortBy(_._1)
+    val got = graft.queries.QueriesAnalytics.queries("fdr_bh")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getLong(3), r.getDouble(4), r.getBoolean(5))).toSeq
+    assert(got == expected)
+    // step-up law: the reject set is exactly the rank prefix up to the
+    // LAST rank whose p-value clears its own BH line (later ranks may dip
+    // under their lines and still be rejected-free only above k*)
+    val byRank = got.sortBy(_._4)
+    assert(byRank.takeWhile(_._6).length == byRank.count(_._6))
+    byRank.filter(_._6).foreach(r => assert(r._4 <= kstar))
+    // A&S accuracy: spot-check the tail against a brute-force numerical
+    // integration of the standard normal density
+    got.foreach { case (_, z, p, _, _, _) =>
+      val az = math.abs(z)
+      val grid = 200000
+      val hi = az + 12.0
+      val h = (hi - az) / grid
+      val dens = (x: Double) => math.exp(-x * x / 2) * 0.3989422804014327
+      val integral = (1 to grid).map(i => dens(az + (i - 0.5) * h) * h).sum
+      assert(math.abs(p - 2 * integral) < 5e-6, s"A&S tail off for z=$z")
+    }
+  }
+
   test("readability_score: matches a driver Flesch recompute") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("lang"), col("text")).collect()
