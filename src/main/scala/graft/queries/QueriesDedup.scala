@@ -91,6 +91,47 @@ object QueriesDedup {
        |  FROM (SELECT doc_id, $toksSql AS tk FROM corpus)""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    // Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the MOSS
+    // algorithm; the LOCAL-similarity guarantee the MinHash family lacks:
+    // any shared run of w+k−1 tokens shares ≥1 selected fingerprint, so
+    // partial overlap is detected, not just whole-document similarity).
+    // Per doc: 5-gram md5 hashes, a w=4 sliding window keeps each window's
+    // MINIMUM (ties to the RIGHTMOST position — the paper's rule, encoded
+    // by packing hash·1e6 + (999999−pos) into ONE BIGINT so a plain window
+    // min implements arg-min-with-tie; docs are contracted < 1e6 shingles,
+    // and past it both engines degrade identically). Selected fingerprints
+    // dedupe to per-doc SETS; fingerprints in >50 docs are dropped (MOSS's
+    // common-code guard — they carry no signal and quadratically blow up
+    // the join); pairs sharing ≥8 fingerprints report. The fingerprint
+    // table is CacheRegistry-tracked: the df guard and both sides of the
+    // pair join reuse ONE shingle/window pass.
+    "winnowing_pairs" -> ((s, dir) => {
+      val sh = corpus(s, dir).select(col("doc_id"),
+          posexplode(TextFns.shingles(TextFns.tokens(col("text")), 5)))
+        .toDF("doc_id", "pos", "sh")
+      val hashed = sh.select(col("doc_id"), col("pos"),
+        expr("CAST(conv(substring(md5(sh), 1, 10), 16, 10) AS BIGINT) * 1000000 + (999999 - pos)")
+          .as("c"))
+      val wFrame = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(0, 3)
+      val wDoc = Window.partitionBy(col("doc_id"))
+      val fps = graft.operators.CacheRegistry.track(hashed
+        .withColumn("sel", min(col("c")).over(wFrame))
+        .withColumn("cnt", count(lit(1)).over(wDoc))
+        .where(col("pos") <= col("cnt") - 4)
+        .select(col("doc_id"), expr("sel DIV 1000000").as("fp")).distinct())
+      val keep = fps.groupBy(col("fp"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .where(col("df") <= 50).select(col("fp"))
+      val rare = fps.join(keep, Seq("fp"))
+      rare.as("a").join(rare.as("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("shared"))
+        .where(col("shared") >= 8)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // Exact dedup: hash-groupBy on full text; keep min id + multiplicity.
     "dedup_exact" -> ((s, dir) => {
       corpus(s, dir)
@@ -696,6 +737,27 @@ object QueriesDedup {
        |GROUP BY train_id, eval_id ORDER BY train_id, eval_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "winnowing_pairs" ->
+      s"""$corpusSql,
+         |tk5 AS (SELECT doc_id, $toksSql AS tk FROM corpus),
+         |sh AS (SELECT doc_id, i - 1 AS pos,
+         |    tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4] AS sh
+         |  FROM (SELECT doc_id, tk, unnest(range(1, greatest(len(tk) - 3, 1))) AS i FROM tk5)),
+         |hashed AS (SELECT doc_id, pos,
+         |    CAST(('0x' || substr(md5(sh), 1, 10)) AS BIGINT) * 1000000 + (999999 - pos) AS c
+         |  FROM sh),
+         |sel AS (SELECT doc_id, pos,
+         |    min(c) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel,
+         |    count(*) OVER (PARTITION BY doc_id) AS cnt
+         |  FROM hashed),
+         |fps AS (SELECT DISTINCT doc_id, sel // 1000000 AS fp FROM sel
+         |  WHERE pos <= cnt - 4),
+         |keep AS (SELECT fp FROM fps GROUP BY fp HAVING count(DISTINCT doc_id) <= 50),
+         |rare AS (SELECT fps.doc_id, fps.fp FROM fps JOIN keep USING (fp))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS shared
+         |FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 8 ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_exact" ->
       s"""$corpusSql
          |SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies

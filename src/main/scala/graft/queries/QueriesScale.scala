@@ -494,6 +494,34 @@ object QueriesScale {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // Rendezvous (highest-random-weight) hashing resize audit (Thaler &
+    // Ravishankar 1998 — what consistent hashing buys at a resharding:
+    // mod-N placement moves ~15/16 of all keys when N goes 16→17, HRW
+    // moves EXACTLY the 1/17 that land on the new shard and nothing
+    // else). Each key's shard = argmax over shards of md5(key:shard) —
+    // the HOF arrays materialize ONCE per width as columns (the round-1
+    // lambda-rebinding rule), so the 33 hashes per key are computed once;
+    // the card is a 16-row per-shard report and n_moved_elsewhere = 0 IS
+    // the minimal-disruption law, published as a column.
+    "rendezvous_resize" -> ((s, dir) => {
+      val a = t(s, dir, "documents").select(col("doc_id"))
+        .withColumn("arr16",
+          expr("transform(sequence(0, 15), s -> md5(concat(CAST(doc_id AS STRING), ':', CAST(s AS STRING))))"))
+        .withColumn("arr17",
+          expr("transform(sequence(0, 16), s -> md5(concat(CAST(doc_id AS STRING), ':', CAST(s AS STRING))))"))
+        .select(
+          expr("CAST(array_position(arr16, array_max(arr16)) - 1 AS BIGINT)").as("s16"),
+          expr("CAST(array_position(arr17, array_max(arr17)) - 1 AS BIGINT)").as("s17"))
+      a.groupBy(col("s16").as("shard"))
+        .agg(count(lit(1)).as("n_keys"),
+          count(when(col("s16") =!= col("s17"), 1)).as("n_moved"),
+          count(when(col("s16") =!= col("s17") && col("s17") =!= 16, 1))
+            .as("n_moved_elsewhere"))
+        .withColumn("pct_moved",
+          expr("floor(CAST(n_moved AS DOUBLE) / n_keys * 1e4 + 0.5) / 1e4"))
+        .orderBy(col("shard"))
+    }),
+
     // Neyman optimal allocation (Neyman 1934 — the variance-minimizing way
     // to split a fixed sample budget across strata, the design step BEFORE
     // sample_stratified's per-stratum rates exist): n_h ∝ N_h·S_h, so
@@ -856,6 +884,20 @@ object QueriesScale {
         |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "rendezvous_resize" ->
+      """WITH a AS (SELECT doc_id,
+        |    list_transform(range(0, 16), s -> md5(CAST(doc_id AS VARCHAR) || ':' || CAST(s AS VARCHAR))) AS arr16,
+        |    list_transform(range(0, 17), s -> md5(CAST(doc_id AS VARCHAR) || ':' || CAST(s AS VARCHAR))) AS arr17
+        |  FROM documents),
+        |sh AS (SELECT
+        |    CAST(list_indexof(arr16, list_aggregate(arr16, 'max')) - 1 AS BIGINT) AS s16,
+        |    CAST(list_indexof(arr17, list_aggregate(arr17, 'max')) - 1 AS BIGINT) AS s17
+        |  FROM a)
+        |SELECT s16 AS shard, CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(count(CASE WHEN s16 <> s17 THEN 1 END) AS BIGINT) AS n_moved,
+        |  CAST(count(CASE WHEN s16 <> s17 AND s17 <> 16 THEN 1 END) AS BIGINT) AS n_moved_elsewhere,
+        |  floor(CAST(count(CASE WHEN s16 <> s17 THEN 1 END) AS DOUBLE) / count(*) * 1e4 + 0.5) / 1e4 AS pct_moved
+        |FROM sh GROUP BY 1 ORDER BY 1""".stripMargin,
     "neyman_alloc" ->
       """WITH c AS (SELECT c_mktsegment,
         |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents FROM customer),

@@ -485,6 +485,79 @@ class Round8cSpec extends SparkSpec {
     }
   }
 
+  test("winnowing_pairs: matches a driver winnowing replay; planted dups found") {
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+      .where(col("doc_id") % 25 === 0).select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val corpus = base ++ base.map(d => (d._1 + 100000L, d._2)) ++
+      base.map(d => (d._1 + 200000L, d._2 + " xtra xtra"))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h40(s2: String): Long = java.lang.Long.parseLong(
+      md.digest(s2.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(10), 16)
+    // independent winnowing: explicit window scan with the rightmost-tie rule
+    val fps = corpus.map { case (id, text) =>
+      val tk = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val grams = tk.sliding(5).filter(_.length == 5).map(_.mkString(" ")).toArray
+      val sel = scala.collection.mutable.Set.empty[Long]
+      for (i <- 0 to grams.length - 4) {
+        val win = (i until i + 4).map(j => (h40(grams(j)), j))
+        // min hash, ties to the RIGHTMOST position
+        val best = win.minBy(x => (x._1, -x._2))
+        sel += best._1
+      }
+      id -> sel.toSet
+    }.toMap
+    val dfOk = fps.values.flatten.groupBy(identity).view
+      .mapValues(_.size).filter(_._2 <= 50).keySet
+    val ids = fps.keys.toSeq.sorted
+    val expected = (for {
+      a <- ids; b <- ids if a < b
+      shared = (fps(a) intersect fps(b)).count(dfOk)
+      if shared >= 8
+    } yield (a, b, shared.toLong)).sortBy(x => (x._1, x._2))
+    val got = graft.queries.QueriesDedup.queries("winnowing_pairs")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    // the local-similarity guarantee on planted duplicates: every exact
+    // copy pairs with its base, and every near copy (token-level suffix
+    // edit) still pairs — MinHash-style whole-doc thresholds can miss
+    // partial overlap, winnowing must not
+    val gotSet = got.map(p => (p._1, p._2)).toSet
+    base.map(_._1).foreach { id =>
+      if (fps(id).count(dfOk) >= 8) {
+        assert(gotSet.contains((id, id + 100000L)), s"exact pair missed for $id")
+        assert(gotSet.contains((id, id + 200000L)), s"near pair missed for $id")
+      }
+    }
+  }
+
+  test("rendezvous_resize: matches a driver HRW replay; minimal disruption") {
+    val ids = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s2: String) =
+      md.digest(s2.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def shard(id: Long, n: Int): Long =
+      (0 until n).map(s2 => md5hex(s"$id:$s2") -> s2).max._2.toLong
+    val assign = ids.map(id => (shard(id, 16), shard(id, 17)))
+    val expected = assign.groupBy(_._1).toSeq.map { case (s16, xs) =>
+      val moved = xs.count(x => x._1 != x._2).toLong
+      (s16, xs.length.toLong, moved,
+        xs.count(x => x._1 != x._2 && x._2 != 16).toLong,
+        math.floor(moved.toDouble / xs.length * 1e4 + 0.5) / 1e4)
+    }.sortBy(_._1)
+    val got = graft.queries.QueriesScale.queries("rendezvous_resize")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    assert(got == expected)
+    // HRW's whole point: nothing moves except into the NEW shard, and the
+    // moved mass is in the neighborhood of 1/17
+    assert(got.forall(_._4 == 0L), "keys moved between OLD shards")
+    val movedShare = got.map(_._3).sum.toDouble / got.map(_._2).sum
+    assert(movedShare > 0.02 && movedShare < 0.12,
+      s"moved share $movedShare far from 1/17")
+  }
+
   test("readability_score: matches a driver Flesch recompute") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("lang"), col("text")).collect()
