@@ -69,6 +69,34 @@ object QueriesAnalytics {
         .orderBy(col("entity_size"))
     }),
 
+    // Golden-record construction (MDM survivorship — the step AFTER
+    // er_cluster's entities exist: one publishable record per entity,
+    // attributes resolved by explicit deterministic rules instead of
+    // "whichever copy the pipeline saw last"): canonical id = the
+    // component minimum (the original record, since variants live at
+    // +500000), name/segment survive from that canonical member via
+    // min_by (unique keys ⇒ deterministic), balance survives as the MAX
+    // across members (most-recent-favorable rule), n_members counts the
+    // merge. Same blocked pairs + CC fixpoint as er_cluster (the shared
+    // erScoredPairs definition); the survivorship pass is one join +
+    // one entity-keyed aggregate.
+    "golden_record" -> ((s, dir) => {
+      import graft.operators.ConnectedComponents
+      val (dirty, scored) = erScoredPairs(s, dir)
+      val edges = scored.where(col("score") >= 45L)
+        .select(col("id_a"), col("id_b"))
+      val labels = ConnectedComponents.components(
+        edges, dirty.select(col("c_custkey")))
+      dirty.join(labels, dirty("c_custkey") === labels("id"))
+        .groupBy(col("component").as("entity_id"))
+        .agg(count(lit(1)).as("n_members"),
+          min_by(col("c_name"), col("c_custkey")).as("name"),
+          min_by(col("c_mktsegment"), col("c_custkey")).as("segment"),
+          expr("CAST(round(max(c_acctbal) * 100) AS BIGINT)").as("max_bal_cents"))
+        .withColumn("is_merged", col("n_members") > 1L)
+        .orderBy(col("entity_id"))
+    }),
+
     // Recursive CTE (Spark 4's WITH RECURSIVE): walk every customer key up
     // its binary-ancestor chain (node -> node div 2) to the root and profile
     // nodes per depth. The iteration count is bounded by log2(max key) —
@@ -1270,6 +1298,35 @@ object QueriesAnalytics {
     * trade edges, kept by the strict above-average rule w·|E| > Σw. Used
     * by graph_communities (via [[lpaBaseSql]]), graph_link_predict, and
     * graph_shortest_paths so the three views share ONE graph definition. */
+  /** er_cluster / golden_record's shared transitive-closure oracle prefix
+    * (ONE text — the entity definition cannot drift between the size card
+    * and the survivorship merge): the dirty universe, the blocked scored
+    * match edges, and the recursive min-label closure `lab(id, component)`.
+    * Corpus-sized CTEs are MATERIALIZED (DuckDB inlines plain CTEs per
+    * reference — the graph_communities OOM lesson). */
+  private val erClosureSql =
+    """WITH RECURSIVE dirty AS MATERIALIZED (
+      |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey + 500000, 'K' || substring(c_name, 2), c_nationkey,
+      |    c_acctbal + 0.37, c_mktsegment FROM customer),
+      |blocked AS MATERIALIZED (SELECT *, CAST(floor(c_acctbal / 100.0) AS BIGINT) AS blk
+      |  FROM dirty),
+      |edges AS MATERIALIZED (
+      |  SELECT a.c_custkey AS u, b.c_custkey AS v
+      |  FROM blocked a JOIN blocked b
+      |    ON a.c_nationkey = b.c_nationkey AND a.blk = b.blk
+      |    AND a.c_custkey < b.c_custkey
+      |  WHERE CAST(CASE WHEN levenshtein(a.c_name, b.c_name) <= 1 THEN 30 ELSE -10 END
+      |      + CASE WHEN abs(a.c_acctbal - b.c_acctbal) < 1.0 THEN 15 ELSE -5 END
+      |      + CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 10 ELSE -8 END AS BIGINT) >= 45),
+      |bidir AS MATERIALIZED (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
+      |reach(src, dst) AS (
+      |  SELECT c_custkey, c_custkey FROM dirty
+      |  UNION
+      |  SELECT r.src, b.v FROM reach r JOIN bidir b ON r.dst = b.u),
+      |lab AS (SELECT src AS id, min(dst) AS component FROM reach GROUP BY src)""".stripMargin
+
   /** fdr_bh's shared normal-tail text (Abramowitz–Stegun 26.2.17, |ε| <
     * 7.5e-8 — far inside the 1e-6 micro-round): tq = 1/(1+0.2316419·|z|),
     * then p = 2·φ(|z|)·Σbᵢtqⁱ with the powers written as explicit product
@@ -1506,33 +1563,22 @@ object QueriesAnalytics {
         |  CASE WHEN score >= 45 THEN 'match' ELSE 'possible' END AS decision
         |FROM scored WHERE score >= 15 ORDER BY id_a, id_b""".stripMargin,
     "er_cluster" ->
-      """WITH RECURSIVE dirty AS MATERIALIZED (
-        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer
-        |  UNION ALL
-        |  SELECT c_custkey + 500000, 'K' || substring(c_name, 2), c_nationkey,
-        |    c_acctbal + 0.37, c_mktsegment FROM customer),
-        |blocked AS MATERIALIZED (SELECT *, CAST(floor(c_acctbal / 100.0) AS BIGINT) AS blk
-        |  FROM dirty),
-        |edges AS MATERIALIZED (
-        |  SELECT a.c_custkey AS u, b.c_custkey AS v
-        |  FROM blocked a JOIN blocked b
-        |    ON a.c_nationkey = b.c_nationkey AND a.blk = b.blk
-        |    AND a.c_custkey < b.c_custkey
-        |  WHERE CAST(CASE WHEN levenshtein(a.c_name, b.c_name) <= 1 THEN 30 ELSE -10 END
-        |      + CASE WHEN abs(a.c_acctbal - b.c_acctbal) < 1.0 THEN 15 ELSE -5 END
-        |      + CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 10 ELSE -8 END AS BIGINT) >= 45),
-        |bidir AS MATERIALIZED (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
-        |reach(src, dst) AS (
-        |  SELECT c_custkey, c_custkey FROM dirty
-        |  UNION
-        |  SELECT r.src, b.v FROM reach r JOIN bidir b ON r.dst = b.u),
-        |lab AS (SELECT src AS id, min(dst) AS component FROM reach GROUP BY src),
-        |sz AS (SELECT component, CAST(count(*) AS BIGINT) AS entity_size
-        |  FROM lab GROUP BY 1)
-        |SELECT entity_size, CAST(count(*) AS BIGINT) AS n_entities,
-        |  CAST(entity_size * count(*) AS BIGINT) AS n_records,
-        |  CAST(sum(component) AS BIGINT) AS rep_id_sum
-        |FROM sz GROUP BY entity_size ORDER BY entity_size""".stripMargin,
+      s"""$erClosureSql,
+         |sz AS (SELECT component, CAST(count(*) AS BIGINT) AS entity_size
+         |  FROM lab GROUP BY 1)
+         |SELECT entity_size, CAST(count(*) AS BIGINT) AS n_entities,
+         |  CAST(entity_size * count(*) AS BIGINT) AS n_records,
+         |  CAST(sum(component) AS BIGINT) AS rep_id_sum
+         |FROM sz GROUP BY entity_size ORDER BY entity_size""".stripMargin,
+    "golden_record" ->
+      s"""$erClosureSql
+         |SELECT component AS entity_id, CAST(count(*) AS BIGINT) AS n_members,
+         |  min_by(c_name, c_custkey) AS name,
+         |  min_by(c_mktsegment, c_custkey) AS segment,
+         |  CAST(round(max(c_acctbal) * 100) AS BIGINT) AS max_bal_cents,
+         |  count(*) > 1 AS is_merged
+         |FROM dirty JOIN lab ON c_custkey = lab.id
+         |GROUP BY component ORDER BY entity_id""".stripMargin,
     "supplier_scorecard" ->
       """WITH agg AS (
         |  SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_lines,

@@ -494,6 +494,32 @@ object QueriesScale {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // EXACT mergeable distinct counts via bitmap indexes — the Druid/
+    // ClickHouse pattern and the exact sibling of hll_incremental's
+    // sketch: per-(day, 32k-id bucket) bitmaps are kilobytes each, and
+    // the MONTH rollup is bitmap_or_agg over the DAY bitmaps — distinct
+    // users per month WITHOUT re-touching events, and (unlike HLL) the
+    // merged answer is exact, so the whole card is hash-checkable. The
+    // bucket split keeps every bitmap bounded regardless of the id
+    // domain; the per-bucket state is CacheRegistry-tracked so the day
+    // and month readouts share one corpus scan.
+    "bitmap_distinct" -> ((s, dir) => {
+      val perBucket = graft.operators.CacheRegistry.track(
+        t(s, dir, "events")
+          .where(col("user_id").isNotNull && col("ts").isNotNull)
+          .select(to_date(col("ts")).as("day"), col("user_id"))
+          .groupBy(col("day"), expr("bitmap_bucket_number(user_id)").as("bkt"))
+          .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))").as("bm")))
+      val days = perBucket.groupBy(col("day"))
+        .agg(sum(expr("bitmap_count(bm)")).as("n_users"))
+        .select(col("day").cast(StringType).as("period"), col("n_users"))
+      val months = perBucket
+        .groupBy(expr("substring(CAST(day AS STRING), 1, 7)").as("period"), col("bkt"))
+        .agg(expr("bitmap_or_agg(bm)").as("bm"))
+        .groupBy(col("period")).agg(sum(expr("bitmap_count(bm)")).as("n_users"))
+      days.unionByName(months).orderBy(col("period"))
+    }),
+
     // Rendezvous (highest-random-weight) hashing resize audit (Thaler &
     // Ravishankar 1998 — what consistent hashing buys at a resharding:
     // mod-N placement moves ~15/16 of all keys when N goes 16→17, HRW
@@ -884,6 +910,17 @@ object QueriesScale {
         |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "bitmap_distinct" ->
+      """WITH ev AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL)
+        |SELECT CAST(day AS VARCHAR) AS period,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM ev GROUP BY day
+        |UNION ALL
+        |SELECT substr(CAST(day AS VARCHAR), 1, 7) AS period,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM ev GROUP BY 1
+        |ORDER BY period""".stripMargin,
     "rendezvous_resize" ->
       """WITH a AS (SELECT doc_id,
         |    list_transform(range(0, 16), s -> md5(CAST(doc_id AS VARCHAR) || ':' || CAST(s AS VARCHAR))) AS arr16,

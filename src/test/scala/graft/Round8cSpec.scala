@@ -558,6 +558,80 @@ class Round8cSpec extends SparkSpec {
       s"moved share $movedShare far from 1/17")
   }
 
+  test("bitmap_distinct: matches exact driver distincts; rollup never rescans") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .where(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(to_date(col("ts").cast("timestamp")).as("day"), col("user_id"))
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1)))
+    val days = ev.groupBy(_._1).toSeq
+      .map { case (d, xs) => (d, xs.map(_._2).distinct.length.toLong) }
+    val months = ev.groupBy(_._1.substring(0, 7)).toSeq
+      .map { case (m, xs) => (m, xs.map(_._2).distinct.length.toLong) }
+    val expected = (days ++ months).sortBy(_._1)
+    val got = graft.queries.QueriesScale.queries("bitmap_distinct")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == expected)
+    // the bitmap OR rollup is exact (not a sketch): month distinct must be
+    // bounded by the day sum and reach at least the biggest day
+    val dayByMonth = days.groupBy(_._1.substring(0, 7))
+    months.foreach { case (m, n) =>
+      val ds = dayByMonth(m).map(_._2)
+      assert(n <= ds.sum && n >= ds.max)
+    }
+  }
+
+  test("golden_record: matches a driver survivorship replay over er entities") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getDouble(3), r.getString(4)))
+    val dirty = cust ++ cust.map { case (k, n, nk, ab, seg) =>
+      (k + 500000L, "K" + n.substring(1), nk, ab + 0.37, seg) }
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    dirty.groupBy(r => (r._3, math.floor(r._4 / 100.0).toLong)).values.foreach { recs =>
+      val arr = recs.toArray
+      for (i <- arr.indices; j <- arr.indices; if arr(i)._1 < arr(j)._1) {
+        val a = arr(i); val b = arr(j)
+        val score = (if (lev(a._2, b._2) <= 1) 30L else -10L) +
+          (if (math.abs(a._4 - b._4) < 1.0) 15L else -5L) +
+          (if (a._5 == b._5) 10L else -8L)
+        if (score >= 45L) {
+          val ra = find(a._1); val rb = find(b._1)
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+      }
+    }
+    val byId = dirty.map(r => r._1 -> r).toMap
+    val expected = dirty.groupBy(r => find(r._1)).toSeq.map { case (comp, members) =>
+      val canon = byId(members.map(_._1).min)
+      (comp, members.length.toLong, canon._2, canon._5,
+        math.round(members.map(_._4).max * 100))
+    }.sortBy(_._1)
+    val got = graft.queries.QueriesAnalytics.queries("golden_record")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3), r.getLong(4), r.getBoolean(5))).toSeq
+    assert(got.map(g => (g._1, g._2, g._3, g._4, g._5)) == expected)
+    // survivorship laws: canonical ids are real records, entities
+    // partition the dirty universe, merge flag ⟺ size
+    assert(got.map(_._2).sum == dirty.length.toLong)
+    got.foreach { g =>
+      assert(byId.contains(g._1) && (g._6 == (g._2 > 1)))
+      assert(byId(g._1)._2 == g._3, "name must survive from the canonical member")
+    }
+  }
+
   test("readability_score: matches a driver Flesch recompute") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("lang"), col("text")).collect()
