@@ -26,6 +26,40 @@ object QueriesPipeline {
     if (rate >= 1.0) "zzzz" else f"${math.floor(rate * 65536).toLong}%04x"
 
   val queries: Map[String, Q] = Map(
+    // KV-cache prefix-sharing estimate (the vLLM/PagedAttention serving-
+    // cost card: a 16-token block is reusable iff the WHOLE prefix up to
+    // and through it matches an earlier request, so the per-depth hit
+    // curve prices prefix caching before anyone deploys it). The corpus
+    // gets the realistic sharing structure requests actually have — one
+    // fixed 16-token system preamble (block 0: fully shared) and an
+    // 8-token per-lang segment (block 1: shared within language, then
+    // diverging into user text). Prefix identity = md5 of the first
+    // (idx+1)·16 tokens — per block depth ONE aggregate over
+    // (depth, prefix-hash); docs shorter than a depth simply drop out,
+    // exactly like short requests.
+    "prefix_cache_stats" -> ((s, dir) => {
+      val preamble = "you are a helpful assistant follow the rules answer " +
+        "briefly cite sources stay safe be kind"
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        slice(TextFns.tokens(concat(lit(preamble), lit(" "),
+          expr("repeat(concat(lang, ' '), 8)"), col("text"))), 1, 64).as("tk"))
+      toks.select(col("doc_id"), col("tk"),
+          explode(expr("array(0, 1, 2, 3)")).as("block_idx"))
+        .where(size(col("tk")) >= (col("block_idx") + 1) * 16)
+        .select(col("block_idx"),
+          md5(concat_ws(" ",
+            slice(col("tk"), lit(1), (col("block_idx") + 1) * 16))).as("pfx"))
+        .groupBy(col("block_idx").cast(LongType).as("block_idx"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("pfx")).as("n_prefixes"))
+        .select(col("block_idx"), col("n_docs"), col("n_prefixes"),
+          (col("n_docs") - col("n_prefixes")).as("n_cache_hits"),
+          ((col("n_docs") - col("n_prefixes")) * 16L).as("tokens_saved"),
+          expr("floor(CAST(n_docs - n_prefixes AS DOUBLE) / n_docs * 1e4 + 0.5) / 1e4")
+            .as("hit_rate"))
+        .orderBy(col("block_idx"))
+    }),
+
     // Length-bucketed BATCH-PADDING planner: for candidate bucket counts
     // B ∈ {1,2,4,8}, partition docs into B equal-width token-length bands
     // and charge each doc the pad-to-band-max cost — the padded-token
@@ -703,6 +737,22 @@ object QueriesPipeline {
        |    ' ' || l || r || ' ') AS seq, cnt FROM w${k - 1} CROSS JOIN b$k)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "prefix_cache_stats" ->
+      s"""WITH tk AS (SELECT doc_id,
+         |    ${Tables.toksSql("('you are a helpful assistant follow the rules answer " +
+        "briefly cite sources stay safe be kind' || ' ' || repeat(lang || ' ', 8) || text)")}[1:64] AS tk
+         |  FROM documents),
+         |px AS (SELECT block_idx,
+         |    md5(array_to_string(tk[1:(block_idx + 1) * 16], ' ')) AS pfx
+         |  FROM tk, unnest([0, 1, 2, 3]) AS u(block_idx)
+         |  WHERE len(tk) >= (block_idx + 1) * 16)
+         |SELECT CAST(block_idx AS BIGINT) AS block_idx,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT pfx) AS BIGINT) AS n_prefixes,
+         |  CAST(count(*) - count(DISTINCT pfx) AS BIGINT) AS n_cache_hits,
+         |  CAST((count(*) - count(DISTINCT pfx)) * 16 AS BIGINT) AS tokens_saved,
+         |  floor(CAST(count(*) - count(DISTINCT pfx) AS DOUBLE) / count(*) * 1e4 + 0.5) / 1e4 AS hit_rate
+         |FROM px GROUP BY 1 ORDER BY 1""".stripMargin,
     "batch_buckets" ->
       s"""WITH lens AS (SELECT CAST(len(${Tables.toksSql()}) AS BIGINT) AS len FROM documents),
         |mx AS (SELECT max(len) AS mx FROM lens),

@@ -632,6 +632,37 @@ class Round8cSpec extends SparkSpec {
     }
   }
 
+  test("prefix_cache_stats: matches a driver prefix-hash replay") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val preamble = "you are a helpful assistant follow the rules answer " +
+      "briefly cite sources stay safe be kind"
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s2: String) =
+      md.digest(s2.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val perDoc = docs.map { case (_, lang, text) =>
+      (preamble + " " + (lang + " ") * 8 + text)
+        .toLowerCase.split("\\s+").filter(_.nonEmpty).take(64)
+    }
+    val expected = (0 to 3).map { idx =>
+      val need = (idx + 1) * 16
+      val pfx = perDoc.filter(_.length >= need).map(tk => md5hex(tk.take(need).mkString(" ")))
+      val n = pfx.length.toLong; val d = pfx.distinct.length.toLong
+      (idx.toLong, n, d, n - d, (n - d) * 16L,
+        math.floor((n - d).toDouble / n * 1e4 + 0.5) / 1e4)
+    }
+    val got = graft.queries.QueriesPipeline.queries("prefix_cache_stats")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSeq
+    assert(got == expected)
+    // caching laws: the shared system preamble makes block 0 a single
+    // prefix; eligible docs shrink with depth; hits = docs − prefixes
+    assert(got.head._3 == 1L, "block 0 must collapse to the one system prefix")
+    assert(got.map(_._2) == got.map(_._2).sorted.reverse)
+    got.foreach(g => assert(g._4 == g._2 - g._3))
+  }
+
   test("readability_score: matches a driver Flesch recompute") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("lang"), col("text")).collect()
