@@ -1033,6 +1033,50 @@ object QueriesMlops {
         .orderBy(col("arm"))
     }),
 
+    // Growth accounting (the standard New/Retained/Resurrected/Churned
+    // decomposition — the identity every WAU chart should be read
+    // through: ΔWAU = new + resurrected − churned, so flat topline can
+    // hide a leaky bucket): users collapse to (user, week) presence in
+    // one aggregate, each user's week classifies against their previous
+    // active week via ONE lag window (new = first week; retained = prev
+    // week adjacent; resurrected = gap > 1), churn counts into the week
+    // AFTER the last activity via lead. Exact integer week arithmetic on
+    // epoch-days DIV 7; the conservation law ships as spec, not prose.
+    "growth_accounting" -> ((s, dir) => {
+      // the synthetic log is dense (every user active every week), so a
+      // deterministic md5 thinning (keep 10/16 of (user, week) presences —
+      // the train_split seeded-randomness convention) plants the gaps that
+      // make all four quadrants non-degenerate
+      val uw = t(s, dir, "events")
+        .where(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"),
+          expr("CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01') AS BIGINT) DIV 7")
+            .as("wk"))
+        .distinct()
+        .where(expr("substring(md5(concat('ga:', CAST(user_id AS STRING), ':', CAST(wk AS STRING))), 1, 1)")
+          .isin("0", "1", "2", "3", "4", "5", "6", "7", "8", "9"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("wk"))
+      val lab = uw
+        .withColumn("prev", lag(col("wk"), 1).over(w))
+        .withColumn("nxt", lead(col("wk"), 1).over(w))
+      val active = lab.select(col("wk"),
+        when(col("prev").isNull, "new")
+          .when(col("prev") === col("wk") - 1, "retained")
+          .otherwise("resurrected").as("kind"))
+      // churn lands in the week AFTER the last active week (or after a
+      // gap): one row per (user, inactive-following-week)
+      val churned = lab
+        .where(col("nxt").isNull || col("nxt") > col("wk") + 1)
+        .select((col("wk") + 1).as("wk"), lit("churned").as("kind"))
+      active.unionByName(churned)
+        .groupBy(col("wk"))
+        .agg(count(when(col("kind") === "new", 1)).as("n_new"),
+          count(when(col("kind") === "retained", 1)).as("n_retained"),
+          count(when(col("kind") === "resurrected", 1)).as("n_resurrected"),
+          count(when(col("kind") === "churned", 1)).as("n_churned"))
+        .orderBy(col("wk"))
+    }),
+
     // Coarsened Exact Matching ATT (Iacus, King & Porro 2012 — the
     // matching estimator that actually scales: coarsen covariates, match
     // EXACTLY on the coarsened cells, prune unmatched cells, and weight
@@ -1550,6 +1594,29 @@ object QueriesMlops {
         |  floor((CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy) / (CAST(n AS DOUBLE) * (n - 1)) * (1.0 - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))) * 1e4 + 0.5) / 1e4 AS var_adj,
         |  floor((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) * 1e6 + 0.5) / 1e6 AS rho2
         |FROM m ORDER BY arm""".stripMargin,
+    "growth_accounting" ->
+      """WITH uw0 AS (SELECT DISTINCT user_id,
+        |    CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) // 7 AS wk
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |uw AS (SELECT user_id, wk FROM uw0
+        |  WHERE substr(md5('ga:' || CAST(user_id AS VARCHAR) || ':' || CAST(wk AS VARCHAR)), 1, 1)
+        |    IN ('0','1','2','3','4','5','6','7','8','9')),
+        |lab AS (SELECT wk,
+        |    lag(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev,
+        |    lead(wk) OVER (PARTITION BY user_id ORDER BY wk) AS nxt
+        |  FROM uw),
+        |ev2 AS (
+        |  SELECT wk, CASE WHEN prev IS NULL THEN 'new'
+        |    WHEN prev = wk - 1 THEN 'retained' ELSE 'resurrected' END AS kind
+        |  FROM lab
+        |  UNION ALL
+        |  SELECT wk + 1 AS wk, 'churned' AS kind FROM lab
+        |  WHERE nxt IS NULL OR nxt > wk + 1)
+        |SELECT wk, CAST(count(CASE WHEN kind = 'new' THEN 1 END) AS BIGINT) AS n_new,
+        |  CAST(count(CASE WHEN kind = 'retained' THEN 1 END) AS BIGINT) AS n_retained,
+        |  CAST(count(CASE WHEN kind = 'resurrected' THEN 1 END) AS BIGINT) AS n_resurrected,
+        |  CAST(count(CASE WHEN kind = 'churned' THEN 1 END) AS BIGINT) AS n_churned
+        |FROM ev2 GROUP BY wk ORDER BY wk""".stripMargin,
     "cem_att" ->
       """WITH c AS (SELECT c_custkey, c_mktsegment,
         |    CAST(floor(c_acctbal / 2500e0) AS BIGINT) AS bal_bin,

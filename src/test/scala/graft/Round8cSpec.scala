@@ -663,6 +663,50 @@ class Round8cSpec extends SparkSpec {
     got.foreach(g => assert(g._4 == g._2 - g._3))
   }
 
+  test("growth_accounting: matches a driver replay and conserves WAU") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s2: String) =
+      md.digest(s2.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val day0 = java.time.LocalDate.parse("2024-01-01")
+    val uw = spark.read.parquet(s"$dir/events.parquet")
+      .where(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), to_date(col("ts").cast("timestamp")).as("d"))
+      .collect()
+      .map(r => (r.getLong(0),
+        java.time.temporal.ChronoUnit.DAYS.between(day0, r.getDate(1).toLocalDate) / 7))
+      .distinct
+      .filter { case (u, w) => md5hex(s"ga:$u:$w").head.isDigit }
+    val events = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    uw.groupBy(_._1).values.foreach { rows =>
+      val wks = rows.map(_._2).sorted
+      wks.zipWithIndex.foreach { case (w, i) =>
+        if (i == 0) events += ((w, "new"))
+        else if (wks(i - 1) == w - 1) events += ((w, "retained"))
+        else events += ((w, "resurrected"))
+        if (i == wks.length - 1 || wks(i + 1) > w + 1) events += ((w + 1, "churned"))
+      }
+    }
+    val expected = events.groupBy(_._1).toSeq.map { case (w, xs) =>
+      (w, xs.count(_._2 == "new").toLong, xs.count(_._2 == "retained").toLong,
+        xs.count(_._2 == "resurrected").toLong, xs.count(_._2 == "churned").toLong)
+    }.sortBy(_._1)
+    val got = graft.queries.QueriesMlops.queries("growth_accounting")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expected)
+    // conservation: active(w) = active(w−1) + new + resurrected − churned,
+    // with active(w) = new + retained + resurrected
+    val active = got.map(g => g._1 -> (g._2 + g._3 + g._4)).toMap
+    got.foreach { g =>
+      val prev = active.getOrElse(g._1 - 1, 0L)
+      assert(active.getOrElse(g._1, 0L) == prev + g._2 + g._4 - g._5,
+        s"WAU identity broken at week ${g._1}")
+    }
+    // all four quadrants carry signal in the thinned log
+    assert(got.map(_._2).sum > 0 && got.map(_._3).sum > 0 &&
+      got.map(_._4).sum > 0 && got.map(_._5).sum > 0)
+  }
+
   test("readability_score: matches a driver Flesch recompute") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("lang"), col("text")).collect()
