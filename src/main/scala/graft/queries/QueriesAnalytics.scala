@@ -69,6 +69,82 @@ object QueriesAnalytics {
         .orderBy(col("entity_size"))
     }),
 
+    // Blocking-quality card (Christen's two numbers for ANY blocking
+    // scheme, and the tuning readout er_linkage's (nation, balance-band)
+    // key was chosen by: REDUCTION RATIO = the share of the n² pair space
+    // the blocks never score, PAIRS COMPLETENESS = the share of TRUE
+    // matches that survive blocking — the planted +500000 variants give
+    // exact ground truth). All counts are exact BIGINTs: candidate volume
+    // = Σ over blocks of n_orig·n_variant cross-counts (computed from a
+    // block-sized aggregate, never by materializing pairs), total space =
+    // |orig|·|variant|, and found-matches via ONE join of the planted
+    // pair ids against their blocks.
+    "er_blocking_quality" -> ((s, dir) => {
+      val (dirty, _) = erScoredPairs(s, dir)
+      val blocked = dirty.select(col("c_custkey"), col("c_nationkey"), col("blk"),
+        (col("c_custkey") >= 500000L).as("variant"))
+      // per-block pair volume n(n−1)/2 stays exact BIGINT to ~3e9 rows per
+      // block (n² < 2⁶³) — past that the card wants the double form anyway
+      val perBlock = blocked.groupBy(col("c_nationkey"), col("blk"))
+        .agg(count(lit(1)).as("n"))
+      val tot = blocked.agg(
+        count(when(!col("variant"), 1)).as("t_o"),
+        count(when(col("variant"), 1)).as("t_v"))
+      // a planted pair (k, k+500000) survives blocking iff both land in
+      // the same (nation, band) — i.e. the +0.37 shift stayed in-band
+      val o = blocked.where(!col("variant"))
+        .select(col("c_custkey").as("k"), col("c_nationkey").as("n1"), col("blk").as("b1"))
+      val v = blocked.where(col("variant"))
+        .select((col("c_custkey") - 500000L).as("k"),
+          col("c_nationkey").as("n2"), col("blk").as("b2"))
+      val found = o.join(v, "k")
+        .agg(count(lit(1)).as("n_true"),
+          count(when(col("n1") === col("n2") && col("b1") === col("b2"), 1))
+            .as("n_found"))
+      perBlock.agg(
+          sum(expr("n * (n - 1) DIV 2")).as("cand_pairs"),
+          count(lit(1)).as("n_blocks"))
+        .crossJoin(broadcast(tot)).crossJoin(broadcast(found))
+        .select(col("n_blocks"), col("cand_pairs"),
+          expr("(t_o + t_v) * (t_o + t_v - 1) DIV 2").as("total_pairs"),
+          col("n_true"), col("n_found"),
+          expr("floor((1e0 - CAST(cand_pairs AS DOUBLE) / ((t_o + t_v) * (t_o + t_v - 1) DIV 2)) * 1e6 + 0.5) / 1e6")
+            .as("reduction_ratio"),
+          expr("floor(CAST(n_found AS DOUBLE) / n_true * 1e6 + 0.5) / 1e6")
+            .as("pairs_completeness"))
+    }),
+
+    // Minimal-generalization search (the k-anonymity DESIGN step:
+    // k_anonymity audits one generalization, this finds the least-coarse
+    // balance-band width whose WORST equivalence class still reaches
+    // k=10 — publish at that width and no coarser, the Samarati lattice
+    // walk in one pass): the four candidate widths explode alongside the
+    // rows, ONE aggregate computes every width's class-size profile, and
+    // the chosen flag marks the smallest passing width. Exact integers
+    // throughout.
+    "kanon_generalize" -> ((s, dir) => {
+      val widths = Seq(100L, 500L, 2500L, 12500L)
+      val c = t(s, dir, "customer").select(col("c_mktsegment"), col("c_acctbal"))
+        .select(col("c_mktsegment"), explode(typedLit(widths)).as("width"),
+          col("c_acctbal"))
+        .withColumn("bin", expr("CAST(floor(c_acctbal / CAST(width AS DOUBLE)) AS BIGINT)"))
+      val classes = c.groupBy(col("width"), col("c_mktsegment"), col("bin"))
+        .agg(count(lit(1)).as("n"))
+      val per = classes.groupBy(col("width"))
+        .agg(count(lit(1)).as("n_classes"), min(col("n")).as("min_class"),
+          count(when(col("n") < 10L, 1)).as("n_violating"))
+      val best = per.where(col("min_class") >= 10L)
+        .agg(min(col("width")).as("best_width"))
+      per.crossJoin(broadcast(best))
+        .select(col("width"), col("n_classes"), col("min_class"),
+          col("n_violating"),
+          (col("min_class") >= 10L).as("k_ok"),
+          // no width may pass at tiny SFs: null-safe compare keeps
+          // `chosen` a real FALSE instead of NULL
+          (col("width") <=> col("best_width")).as("chosen"))
+        .orderBy(col("width"))
+    }),
+
     // Golden-record construction (MDM survivorship — the step AFTER
     // er_cluster's entities exist: one publishable record per entity,
     // attributes resolved by explicit deterministic rules instead of
@@ -1570,6 +1646,47 @@ object QueriesAnalytics {
          |  CAST(entity_size * count(*) AS BIGINT) AS n_records,
          |  CAST(sum(component) AS BIGINT) AS rep_id_sum
          |FROM sz GROUP BY entity_size ORDER BY entity_size""".stripMargin,
+    "er_blocking_quality" ->
+      """WITH dirty AS (
+        |  SELECT c_custkey, c_nationkey, c_acctbal,
+        |    CAST(floor(c_acctbal / 100.0) AS BIGINT) AS blk, FALSE AS variant
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey + 500000, c_nationkey, c_acctbal + 0.37,
+        |    CAST(floor((c_acctbal + 0.37) / 100.0) AS BIGINT) AS blk, TRUE AS variant
+        |  FROM customer),
+        |pb AS (SELECT c_nationkey, blk, CAST(count(*) AS BIGINT) AS n
+        |  FROM dirty GROUP BY 1, 2),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+        |    CAST(sum(n * (n - 1) // 2) AS BIGINT) AS cand_pairs FROM pb),
+        |tot AS (SELECT CAST(count(CASE WHEN NOT variant THEN 1 END) AS BIGINT) AS t_o,
+        |    CAST(count(CASE WHEN variant THEN 1 END) AS BIGINT) AS t_v FROM dirty),
+        |fo AS (SELECT CAST(count(*) AS BIGINT) AS n_true,
+        |    CAST(count(CASE WHEN o.c_nationkey = v.c_nationkey AND o.blk = v.blk
+        |      THEN 1 END) AS BIGINT) AS n_found
+        |  FROM (SELECT c_custkey AS k, c_nationkey, blk FROM dirty WHERE NOT variant) o
+        |  JOIN (SELECT c_custkey - 500000 AS k, c_nationkey, blk FROM dirty WHERE variant) v
+        |  USING (k))
+        |SELECT n_blocks, cand_pairs,
+        |  CAST((t_o + t_v) * (t_o + t_v - 1) // 2 AS BIGINT) AS total_pairs,
+        |  n_true, n_found,
+        |  floor((1e0 - CAST(cand_pairs AS DOUBLE) / ((t_o + t_v) * (t_o + t_v - 1) // 2)) * 1e6 + 0.5) / 1e6 AS reduction_ratio,
+        |  floor(CAST(n_found AS DOUBLE) / n_true * 1e6 + 0.5) / 1e6 AS pairs_completeness
+        |FROM agg CROSS JOIN tot CROSS JOIN fo""".stripMargin,
+    "kanon_generalize" ->
+      """WITH c AS (SELECT c_mktsegment, width,
+        |    CAST(floor(c_acctbal / CAST(width AS DOUBLE)) AS BIGINT) AS bin
+        |  FROM customer, unnest([100, 500, 2500, 12500]) AS u(width)),
+        |cls AS (SELECT width, c_mktsegment, bin, CAST(count(*) AS BIGINT) AS n
+        |  FROM c GROUP BY 1, 2, 3),
+        |per AS (SELECT width, CAST(count(*) AS BIGINT) AS n_classes,
+        |    CAST(min(n) AS BIGINT) AS min_class,
+        |    CAST(count(CASE WHEN n < 10 THEN 1 END) AS BIGINT) AS n_violating
+        |  FROM cls GROUP BY 1),
+        |best AS (SELECT min(width) AS best_width FROM per WHERE min_class >= 10)
+        |SELECT CAST(width AS BIGINT) AS width, n_classes, min_class, n_violating,
+        |  min_class >= 10 AS k_ok, coalesce(width = best_width, FALSE) AS chosen
+        |FROM per CROSS JOIN best ORDER BY width""".stripMargin,
     "golden_record" ->
       s"""$erClosureSql
          |SELECT component AS entity_id, CAST(count(*) AS BIGINT) AS n_members,

@@ -707,6 +707,53 @@ class Round8cSpec extends SparkSpec {
       got.map(_._4).sum > 0 && got.map(_._5).sum > 0)
   }
 
+  test("er_blocking_quality: matches a driver recompute of RR and PC") {
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal")).collect()
+      .map(r => (r.getLong(0), r.getInt(2 - 1), r.getDouble(2)))
+    val dirty = cust.map(c => (c._1, c._2, c._3, false)) ++
+      cust.map(c => (c._1 + 500000L, c._2, c._3 + 0.37, true))
+    def blk(b: Double) = math.floor(b / 100.0).toLong
+    val blocks = dirty.groupBy(d => (d._2, blk(d._3))).view.mapValues(_.length.toLong)
+    val cand = blocks.values.map(n => n * (n - 1) / 2).sum
+    val nTot = dirty.length.toLong
+    val total = nTot * (nTot - 1) / 2
+    val nTrue = cust.length.toLong
+    val nFound = cust.count(c => blk(c._3) == blk(c._3 + 0.37)).toLong
+    val rr = math.floor((1e0 - cand.toDouble / total) * 1e6 + 0.5) / 1e6
+    val pc = math.floor(nFound.toDouble / nTrue * 1e6 + 0.5) / 1e6
+    val got = graft.queries.QueriesAnalytics.queries("er_blocking_quality")(spark, dir).head()
+    assert(got.getLong(0) == blocks.size.toLong && got.getLong(1) == cand)
+    assert(got.getLong(2) == total && got.getLong(3) == nTrue && got.getLong(4) == nFound)
+    assert(got.getDouble(5) == rr && got.getDouble(6) == pc)
+    // blocking must be worth having: huge reduction, small recall loss
+    assert(rr > 0.9, "blocking should prune >90% of the pair space")
+    assert(pc > 0.9, "blocking should keep >90% of true matches")
+  }
+
+  test("kanon_generalize: matches a driver lattice walk") {
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_mktsegment"), col("c_acctbal")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val widths = Seq(100L, 500L, 2500L, 12500L)
+    val per = widths.map { w =>
+      val sizes = cust.groupBy(c => (c._1, math.floor(c._2 / w.toDouble).toLong))
+        .map(_._2.length.toLong)
+      (w, sizes.size.toLong, sizes.min, sizes.count(_ < 10L).toLong)
+    }
+    val best = per.filter(_._3 >= 10L).map(_._1).minOption
+    val expected = per.map { case (w, nc, mn, nv) =>
+      (w, nc, mn, nv, mn >= 10L, best.contains(w))
+    }
+    val got = graft.queries.QueriesAnalytics.queries("kanon_generalize")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4), r.getBoolean(5))).toSeq
+    assert(got == expected)
+    // lattice monotonicity: coarser widths never shrink the worst class
+    assert(got.map(_._3) == got.map(_._3).sorted)
+    assert(got.count(_._6) <= 1, "at most one chosen width")
+  }
+
   test("readability_score: matches a driver Flesch recompute") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("lang"), col("text")).collect()
