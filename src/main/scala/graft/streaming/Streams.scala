@@ -265,6 +265,42 @@ object Streams {
       .flatMapGroupsWithState(OutputMode.Update(), mode)(update)
   }
 
+  final case class KeyedId(key: String, id: Long)
+  final case class DistinctCount(key: String, n_rows: Long, n_distinct: Long)
+
+  /** Streaming EXACT distinct-per-key — the ingest twin of the batch
+    * bitmap_distinct card: state is the per-64-id bitmap word map
+    * (id DIV 64 → mask), so an insert is a bitwise OR and the running
+    * count is exact under ANY chunking — invariance holds by ALGEBRA
+    * (OR commutes and is idempotent), not by per-batch sorting like the
+    * order-sensitive members. Emits the running (rows, distinct) snapshot
+    * per key per touched batch; state is ∝ distinct/64 words — the same
+    * asymptote as any exact distinct at 1/64th the boxed-set constant
+    * (ids are contracted non-negative). */
+  def distinctCountStream(spark: SparkSession,
+                          events: Dataset[KeyedId]): Dataset[DistinctCount] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    def update(key: String, rows: Iterator[KeyedId],
+               state: GroupState[(Long, Map[Long, Long])]): Iterator[DistinctCount] = {
+      var (n, bm) = state.getOption.getOrElse((0L, Map.empty[Long, Long]))
+      var touched = false
+      rows.foreach { r =>
+        n += 1; touched = true
+        val w = r.id >> 6
+        bm = bm.updated(w, bm.getOrElse(w, 0L) | (1L << (r.id & 63L).toInt))
+      }
+      if (!touched) Iterator.empty
+      else {
+        state.update((n, bm))
+        Iterator.single(DistinctCount(key, n,
+          bm.valuesIterator.map(java.lang.Long.bitCount(_).toLong).sum))
+      }
+    }
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(update)
+  }
+
   final case class DocSig(doc_id: Long, bucket: String, mh: Array[Long])
   final case class NearDupHit(id_new: Long, id_prior: Long, est_jaccard: Double)
 

@@ -233,6 +233,37 @@ class StreamingSpec extends SparkSpec {
       "both late-but-kept and would-be-dropped flags must occur")
   }
 
+  test("distinctCountStream: exact under any chunking, equals batch countDistinct") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // repeats, cross-word ids, and a cross-batch duplicate pattern
+    val data = (0 until 200).map { i =>
+      Streams.KeyedId(if (i % 3 == 0) "a" else "b", (i * 37 % 90).toLong)
+    }
+    def finalCounts(chunks: Seq[Seq[Streams.KeyedId]], name: String): Map[String, (Long, Long)] = {
+      val ms = MemoryStream[Streams.KeyedId]
+      val q = Streams.distinctCountStream(spark, ms.toDS()).toDF()
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        chunks.foreach { c => ms.addData(c: _*); q.processAllAvailable() }
+        // last snapshot per key = the one with the max rows-seen counter
+        spark.table(name).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+          .groupBy(_._1).view.mapValues(v => { val m = v.maxBy(_._2); (m._2, m._3) }).toMap
+      } finally q.stop()
+    }
+    val one = finalCounts(Seq(data), "dc_one")
+    val chunked = finalCounts(data.grouped(17).toSeq, "dc_chunks")
+    val shuffled = finalCounts(data.reverse.grouped(23).toSeq, "dc_rev")
+    assert(one == chunked)
+    // ORDER invariance too, not just chunking: OR commutes
+    assert(one.view.mapValues(_._2).toMap == shuffled.view.mapValues(_._2).toMap)
+    // batch ground truth
+    val expected = data.groupBy(_.key).map { case (k, xs) =>
+      k -> (xs.length.toLong, xs.map(_.id).distinct.length.toLong) }
+    assert(one == expected)
+  }
+
   test("attributionJoin: stream-stream interval join equals batch; chunking-invariant") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
