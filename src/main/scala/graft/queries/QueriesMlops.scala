@@ -125,6 +125,17 @@ object QueriesMlops {
       "* ((1.959964e0 + 0.841621e0) * (1.959964e0 + 0.841621e0)) " +
       "/ ((0.05e0 * (CAST(sx AS DOUBLE) / n)) * (0.05e0 * (CAST(sx AS DOUBLE) / n)))) AS BIGINT)"
 
+  /** ab_sequential's shared mSPRT text over the cumulative arm moments
+    * (cna/cnb/csa/csb, cents) and the pooled full-period variance sig2:
+    * δ̂ = csa/cna − csb/cnb, V = σ²(1/nₐ+1/n_b), unit-information mixture
+    * logΛ = ½ln(V/(V+σ²)) + δ̂²σ²/(2V(V+σ²)), micro-rounded to a BIGINT
+    * (log space — a decisive Λ would overflow exp). */
+  private val MsprtLlr6Sql =
+    "CAST(floor((0.5e0 * ln((sig2 * (1e0 / cna + 1e0 / cnb)) / (sig2 * (1e0 / cna + 1e0 / cnb) + sig2)) " +
+      "+ (CAST(csa AS DOUBLE) / cna - CAST(csb AS DOUBLE) / cnb) * (CAST(csa AS DOUBLE) / cna - CAST(csb AS DOUBLE) / cnb) " +
+      "* sig2 / (2e0 * (sig2 * (1e0 / cna + 1e0 / cnb)) * (sig2 * (1e0 / cna + 1e0 / cnb) + sig2))) " +
+      "* 1e6 + 0.5) AS BIGINT)"
+
   val queries: Map[String, Q] = Map(
     // ClickHouse-style windowFunnel: the longest prefix of the ORDERED
     // sequence view → click → purchase each user completes, where every
@@ -1033,6 +1044,100 @@ object QueriesMlops {
         .orderBy(col("arm"))
     }),
 
+    // Always-valid sequential A/B monitoring (Johari, Pekelis & Walsh's
+    // mSPRT — the fix for the "peeking" problem: a fixed-n z-test read
+    // weekly inflates false positives several-fold, while the mixture
+    // likelihood ratio is valid at EVERY look). Per type, cumulative
+    // weekly arm moments come from ONE conditional aggregate + windows;
+    // the unit-information mixture (τ²=σ²) gives the closed form
+    // logΛ = ½ln(V/(V+σ²)) + δ̂²σ²/(2V(V+σ²)) with V = σ²(1/nₐ+1/n_b),
+    // computed in LOG space so a decisive experiment never overflows exp.
+    // σ² is the full-period pooled variance (one broadcast row per type,
+    // ab_cuped moment convention). Significance = rounded logΛ ≥ ln(20)
+    // (always-valid p ≤ 0.05), an exact compare on the micro-rounded
+    // value.
+    "ab_sequential" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .where(col("user_id").isNotNull && col("event_type").isNotNull &&
+          col("value").isNotNull && col("ts").isNotNull)
+        .select(col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+          (col("user_id") % 2 === 0).as("isA"),
+          expr("CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01') AS BIGINT) DIV 7")
+            .as("wk"))
+      val wkAgg = ev.groupBy(col("event_type"), col("wk"))
+        .agg(count(when(col("isA"), 1)).as("na"),
+          count(when(!col("isA"), 1)).as("nb"),
+          sum(when(col("isA"), col("cents")).otherwise(0L)).as("sa"),
+          sum(when(!col("isA"), col("cents")).otherwise(0L)).as("sb"))
+      val pooled = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sx"),
+          sum(col("cents").cast(DoubleType) * col("cents")).as("sxx"))
+        .select(col("event_type"),
+          expr("(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) / (CAST(n AS DOUBLE) * (n - 1))")
+            .as("sig2"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("wk"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      wkAgg
+        .withColumn("cna", sum(col("na")).over(w))
+        .withColumn("cnb", sum(col("nb")).over(w))
+        .withColumn("csa", sum(col("sa")).over(w))
+        .withColumn("csb", sum(col("sb")).over(w))
+        .join(broadcast(pooled), "event_type")
+        .withColumn("llr6", expr(MsprtLlr6Sql))
+        .select(col("event_type"), col("wk"), col("cna").as("n_a"),
+          col("cnb").as("n_b"),
+          (col("llr6").cast(DoubleType) / 1e6).as("log_lr"),
+          (col("llr6") >= 2995732L).as("significant"))
+        .orderBy(col("event_type"), col("wk"))
+    }),
+
+    // Offline policy evaluation by replay (Li, Chu, Langford & Wang 2011
+    // — the unbiased way to score a NEW decision policy on LOGGED
+    // randomized data without deploying it: keep exactly the events where
+    // the logged arm equals the policy's choice; under uniform logging
+    // the matched subset is an unbiased sample of the policy's own
+    // trajectory). Policy = "pick the arm with the higher first-half mean
+    // reward" per type (exact cross-multiplied BIGINT argmax, ties to A);
+    // the replay runs on the held-out second half. Two conditional
+    // aggregates to the types domain; the match rate ≈ ½ IS the uniform-
+    // logging premise, published as a column.
+    "policy_replay" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .where(col("user_id").isNotNull && col("event_type").isNotNull &&
+          col("value").isNotNull && col("ts").isNotNull)
+        .select(col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+          (col("user_id") % 2 === 0).as("isA"),
+          (col("ts") < expr("TIMESTAMP '2024-01-16 00:00:00'")).as("fh"))
+      val policy = ev.where(col("fh")).groupBy(col("event_type"))
+        .agg(count(when(col("isA"), 1)).as("na"),
+          sum(when(col("isA"), col("cents")).otherwise(0L)).as("sa"),
+          count(when(!col("isA"), 1)).as("nb"),
+          sum(when(!col("isA"), col("cents")).otherwise(0L)).as("sb"))
+        // exact rational argmax sa/na ≥ sb/nb ⟺ sa·nb ≥ sb·na (doubles:
+        // exact < 2⁵³ per product, the ab_cuped convention)
+        .select(col("event_type"),
+          expr("CAST(sa AS DOUBLE) * nb >= CAST(sb AS DOUBLE) * na").as("pickA"))
+      ev.where(!col("fh")).join(broadcast(policy), "event_type")
+        .groupBy(col("event_type"), col("pickA"))
+        .agg(count(lit(1)).as("n_test"),
+          count(when(col("isA") === col("pickA"), 1)).as("n_matched"),
+          sum(when(col("isA") === col("pickA"), col("cents")).otherwise(0L))
+            .as("s_matched"),
+          sum(col("cents")).as("s_all"))
+        .select(col("event_type"),
+          when(col("pickA"), "A").otherwise("B").as("target_arm"),
+          col("n_test"), col("n_matched"),
+          expr("floor(CAST(n_matched AS DOUBLE) / n_test * 1e4 + 0.5) / 1e4")
+            .as("match_rate"),
+          expr("floor(CAST(s_matched AS DOUBLE) / (1e2 * n_matched) * 1e4 + 0.5) / 1e4")
+            .as("policy_value"),
+          expr("floor(CAST(s_all AS DOUBLE) / (1e2 * n_test) * 1e4 + 0.5) / 1e4")
+            .as("logged_value"))
+        .orderBy(col("event_type"))
+    }),
+
     // Growth accounting (the standard New/Retained/Resurrected/Churned
     // decomposition — the identity every WAU chart should be read
     // through: ΔWAU = new + resurrected − churned, so flat topline can
@@ -1594,6 +1699,61 @@ object QueriesMlops {
         |  floor((CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy) / (CAST(n AS DOUBLE) * (n - 1)) * (1.0 - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))) * 1e4 + 0.5) / 1e4 AS var_adj,
         |  floor((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) * 1e6 + 0.5) / 1e6 AS rho2
         |FROM m ORDER BY arm""".stripMargin,
+    "ab_sequential" ->
+      s"""WITH ev AS (SELECT event_type,
+         |    CAST(round(value * 100) AS BIGINT) AS cents,
+         |    (user_id % 2 = 0) AS isA,
+         |    CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) // 7 AS wk
+         |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+         |    AND value IS NOT NULL AND ts IS NOT NULL),
+         |wkagg AS (SELECT event_type, wk,
+         |    CAST(count(CASE WHEN isA THEN 1 END) AS BIGINT) AS na,
+         |    CAST(count(CASE WHEN NOT isA THEN 1 END) AS BIGINT) AS nb,
+         |    CAST(sum(CASE WHEN isA THEN cents ELSE 0 END) AS BIGINT) AS sa,
+         |    CAST(sum(CASE WHEN NOT isA THEN cents ELSE 0 END) AS BIGINT) AS sb
+         |  FROM ev GROUP BY 1, 2),
+         |pooled AS (SELECT event_type,
+         |    (CAST(count(*) AS DOUBLE) * sum(CAST(cents AS DOUBLE) * cents)
+         |      - CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE) * CAST(sum(cents) AS BIGINT))
+         |      / (CAST(count(*) AS DOUBLE) * (count(*) - 1)) AS sig2
+         |  FROM ev GROUP BY 1),
+         |cum AS (SELECT event_type, wk,
+         |    CAST(sum(na) OVER (PARTITION BY event_type ORDER BY wk) AS BIGINT) AS cna,
+         |    CAST(sum(nb) OVER (PARTITION BY event_type ORDER BY wk) AS BIGINT) AS cnb,
+         |    CAST(sum(sa) OVER (PARTITION BY event_type ORDER BY wk) AS BIGINT) AS csa,
+         |    CAST(sum(sb) OVER (PARTITION BY event_type ORDER BY wk) AS BIGINT) AS csb
+         |  FROM wkagg),
+         |lr AS (SELECT event_type, wk, cna, cnb, $MsprtLlr6Sql AS llr6
+         |  FROM cum JOIN pooled USING (event_type))
+         |SELECT event_type, wk, cna AS n_a, cnb AS n_b,
+         |  CAST(llr6 AS DOUBLE) / 1e6 AS log_lr,
+         |  llr6 >= 2995732 AS significant
+         |FROM lr ORDER BY event_type, wk""".stripMargin,
+    "policy_replay" ->
+      """WITH ev AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    (user_id % 2 = 0) AS isA,
+        |    (ts < TIMESTAMP '2024-01-16 00:00:00') AS fh
+        |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |    AND value IS NOT NULL AND ts IS NOT NULL),
+        |pol AS (SELECT event_type,
+        |    CAST(sum(CASE WHEN isA THEN cents ELSE 0 END) AS DOUBLE)
+        |        * count(CASE WHEN NOT isA THEN 1 END)
+        |      >= CAST(sum(CASE WHEN NOT isA THEN cents ELSE 0 END) AS DOUBLE)
+        |        * count(CASE WHEN isA THEN 1 END) AS pickA
+        |  FROM ev WHERE fh GROUP BY 1),
+        |rep AS (SELECT ev.event_type, pickA,
+        |    CAST(count(*) AS BIGINT) AS n_test,
+        |    CAST(count(CASE WHEN isA = pickA THEN 1 END) AS BIGINT) AS n_matched,
+        |    CAST(sum(CASE WHEN isA = pickA THEN cents ELSE 0 END) AS BIGINT) AS s_matched,
+        |    CAST(sum(cents) AS BIGINT) AS s_all
+        |  FROM ev JOIN pol USING (event_type) WHERE NOT fh GROUP BY 1, 2)
+        |SELECT event_type, CASE WHEN pickA THEN 'A' ELSE 'B' END AS target_arm,
+        |  n_test, n_matched,
+        |  floor(CAST(n_matched AS DOUBLE) / n_test * 1e4 + 0.5) / 1e4 AS match_rate,
+        |  floor(CAST(s_matched AS DOUBLE) / (1e2 * n_matched) * 1e4 + 0.5) / 1e4 AS policy_value,
+        |  floor(CAST(s_all AS DOUBLE) / (1e2 * n_test) * 1e4 + 0.5) / 1e4 AS logged_value
+        |FROM rep ORDER BY event_type""".stripMargin,
     "growth_accounting" ->
       """WITH uw0 AS (SELECT DISTINCT user_id,
         |    CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) // 7 AS wk

@@ -754,6 +754,82 @@ class Round8cSpec extends SparkSpec {
     assert(got.count(_._6) <= 1, "at most one chosen width")
   }
 
+  test("ab_sequential: matches a driver mSPRT replay; monotone in evidence") {
+    val day0 = java.time.LocalDate.parse("2024-01-01")
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .where(col("user_id").isNotNull && col("event_type").isNotNull &&
+        col("value").isNotNull && col("ts").isNotNull)
+      .select(col("event_type"), col("value"), col("user_id"),
+        to_date(col("ts").cast("timestamp")).as("d")).collect()
+      .map(r => (r.getString(0), math.round(r.getDouble(1) * 100), r.getLong(2) % 2 == 0,
+        java.time.temporal.ChronoUnit.DAYS.between(day0, r.getDate(3).toLocalDate) / 7))
+    val expected = ev.groupBy(_._1).toSeq.flatMap { case (typ, xs) =>
+      val n = xs.length.toLong
+      val sx = xs.map(_._2).sum
+      val sxx = xs.map(x => x._2.toDouble * x._2).sum
+      val sig2 = (n.toDouble * sxx - sx.toDouble * sx) / (n.toDouble * (n - 1))
+      val weeks = xs.map(_._4).distinct.sorted
+      weeks.map { w =>
+        val cum = xs.filter(_._4 <= w)
+        val a = cum.filter(_._3); val b = cum.filter(!_._3)
+        val (cna, cnb) = (a.length.toLong, b.length.toLong)
+        val dh = a.map(_._2).sum.toDouble / cna - b.map(_._2).sum.toDouble / cnb
+        val v = sig2 * (1e0 / cna + 1e0 / cnb)
+        val llr = 0.5e0 * math.log(v / (v + sig2)) + dh * dh * sig2 / (2e0 * v * (v + sig2))
+        val llr6 = math.floor(llr * 1e6 + 0.5).toLong
+        (typ, w, cna, cnb, llr6.toDouble / 1e6, llr6 >= 2995732L)
+      }
+    }.sortBy(x => (x._1, x._2))
+    val got = graft.queries.QueriesMlops.queries("ab_sequential")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getBoolean(5))).toSeq
+    assert(got == expected)
+    // mixture-LR structure: logΛ = ½ln(V/(V+σ²)) + (a nonnegative term),
+    // so every row is bounded below by its own mixture-shrinkage constant
+    // (the always-valid guarantee itself is per-EXPERIMENT probabilistic —
+    // a lucky tiny-sample parity split may legitimately cross ln(20))
+    val sig2ByType = ev.groupBy(_._1).view.mapValues { xs =>
+      val n = xs.length.toLong; val sx = xs.map(_._2).sum
+      val sxx = xs.map(x => x._2.toDouble * x._2).sum
+      (n.toDouble * sxx - sx.toDouble * sx) / (n.toDouble * (n - 1))
+    }.toMap
+    got.foreach { g =>
+      val v = sig2ByType(g._1) * (1e0 / g._3 + 1e0 / g._4)
+      val floor6 = 0.5e0 * math.log(v / (v + sig2ByType(g._1)))
+      assert(g._5 >= floor6 - 1e-6, s"logΛ under its mixture floor for ${g._1}")
+    }
+  }
+
+  test("policy_replay: matches a driver replay estimator recompute") {
+    val cutUs = java.time.Instant.parse("2024-01-16T00:00:00Z").getEpochSecond * 1000000L
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .where(col("user_id").isNotNull && col("event_type").isNotNull &&
+        col("value").isNotNull && col("ts").isNotNull)
+      .select(col("event_type"), col("value"), col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us")).collect()
+      .map(r => (r.getString(0), math.round(r.getDouble(1) * 100),
+        r.getLong(2) % 2 == 0, r.getLong(3) < cutUs))
+    val expected = ev.groupBy(_._1).toSeq.map { case (typ, xs) =>
+      val fh = xs.filter(_._4)
+      val a = fh.filter(_._3); val b = fh.filter(!_._3)
+      val pickA = a.map(_._2).sum.toDouble * b.length >=
+        b.map(_._2).sum.toDouble * a.length
+      val sh = xs.filter(!_._4)
+      val matched = sh.filter(_._3 == pickA)
+      (typ, if (pickA) "A" else "B", sh.length.toLong, matched.length.toLong,
+        math.floor(matched.length.toDouble / sh.length * 1e4 + 0.5) / 1e4,
+        math.floor(matched.map(_._2).sum.toDouble / (1e2 * matched.length) * 1e4 + 0.5) / 1e4,
+        math.floor(sh.map(_._2).sum.toDouble / (1e2 * sh.length) * 1e4 + 0.5) / 1e4)
+    }.sortBy(_._1)
+    val got = graft.queries.QueriesMlops.queries("policy_replay")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6))).toSeq
+    assert(got == expected)
+    // uniform-logging premise: the matched share sits near 1/2 per type
+    got.foreach(g => assert(g._5 > 0.35 && g._5 < 0.65,
+      s"match rate ${g._5} far from the uniform-logging half"))
+  }
+
   test("readability_score: matches a driver Flesch recompute") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("lang"), col("text")).collect()
