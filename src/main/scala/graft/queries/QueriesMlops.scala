@@ -1063,7 +1063,8 @@ object QueriesMlops {
         .select(col("event_type"),
           expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
           (col("user_id") % 2 === 0).as("isA"),
-          expr("CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01') AS BIGINT) DIV 7")
+          expr("CAST(floor(CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01') AS DOUBLE) / 7e0) AS BIGINT)") // FLOOR division: Spark DIV truncates toward zero while the
+            // oracle's DuckDB `//` floors — they differ on pre-epoch dates
             .as("wk"))
       val wkAgg = ev.groupBy(col("event_type"), col("wk"))
         .agg(count(when(col("isA"), 1)).as("na"),
@@ -1155,7 +1156,8 @@ object QueriesMlops {
       val uw = t(s, dir, "events")
         .where(col("user_id").isNotNull && col("ts").isNotNull)
         .select(col("user_id"),
-          expr("CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01') AS BIGINT) DIV 7")
+          expr("CAST(floor(CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01') AS DOUBLE) / 7e0) AS BIGINT)") // FLOOR division: Spark DIV truncates toward zero while the
+            // oracle's DuckDB `//` floors — they differ on pre-epoch dates
             .as("wk"))
         .distinct()
         .where(expr("substring(md5(concat('ga:', CAST(user_id AS STRING), ':', CAST(wk AS STRING))), 1, 1)")
