@@ -259,6 +259,38 @@ object QueriesSim {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // Late-interaction retrieval (ColBERT's MaxSim, Khattab & Zaharia
+    // 2020 — the multi-vector scoring single-vector cosine can't express:
+    // each QUERY part matches its own best DOC part, so a document
+    // covering all aspects beats one maximizing a pooled average). Vectors
+    // deterministically slice into 4×16 sub-vectors standing in for token
+    // embeddings; score = Σᵢ maxⱼ cos(qᵢ, dⱼ). The 4-way max is
+    // order-free (max commutes) and the outer sum folds in fixed ascending
+    // part order, so both engines walk the identical tree; ranking follows
+    // sim_topk's raw-score + id-tiebreak convention. Brute force over the
+    // broadcast query set — the IVF family is the scale path for the
+    // candidate-generation stage in front of this re-scorer.
+    "maxsim_retrieval" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val d = 16
+      val maxsim = (0 until 4).map { i =>
+        greatest((0 until 4).map { j =>
+          SimFns.cosine(slice(col("qe"), i * d + 1, d),
+            slice(col("embedding"), j * d + 1, d))
+        }: _*)
+      }.reduce(_ + _)
+      e.join(broadcast(q))
+        .select(col("qid"), col("vec_id"), maxsim.as("ms"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("ms").desc, col("vec_id"))))
+        .where(col("rank") <= 5)
+        .select(col("qid"), col("vec_id"), round(col("ms"), 6).as("maxsim"),
+          col("rank").cast(LongType).as("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     "sim_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val q = e.where(col("vec_id") < 5)
@@ -1468,6 +1500,19 @@ object QueriesSim {
         |    i -> abs(x[i] - deq[i]))), 6) AS max_err,
         |  round(list_cosine_similarity(x, deq), 6) AS cos_deq
         |FROM d ORDER BY vec_id""".stripMargin,
+    "maxsim_retrieval" -> {
+      def lcs(i: Int, j: Int) =
+        s"list_cosine_similarity(CAST(q.embedding[${i * 16 + 1}:${i * 16 + 16}] AS DOUBLE[]), " +
+          s"CAST(e.embedding[${j * 16 + 1}:${j * 16 + 16}] AS DOUBLE[]))"
+      val ms = (0 until 4).map(i =>
+        "greatest(" + (0 until 4).map(j => lcs(i, j)).mkString(", ") + ")")
+        .mkString(" + ")
+      s"""SELECT qid, vec_id, round(ms, 6) AS maxsim, CAST(rn AS BIGINT) AS rank FROM (
+         |  SELECT qid, vec_id, ms, row_number() OVER (PARTITION BY qid ORDER BY ms DESC, vec_id) AS rn
+         |  FROM (SELECT q.vec_id AS qid, e.vec_id, $ms AS ms
+         |    FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 5) q))
+         |WHERE rn <= 5 ORDER BY qid, rank""".stripMargin
+    },
     "sim_topk" ->
       """SELECT qid, vec_id, round(c, 6) AS cos, CAST(rn AS BIGINT) AS rank FROM (
         |  SELECT qid, vec_id, c, row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS rn

@@ -830,6 +830,46 @@ class Round8cSpec extends SparkSpec {
       s"match rate ${g._5} far from the uniform-logging half"))
   }
 
+  test("maxsim_retrieval: matches a driver late-interaction recompute") {
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    def maxsim(q: Array[Double], e: Array[Double]): Double =
+      (0 until 4).map { i =>
+        (0 until 4).map(j =>
+          cos(q.slice(i * 16, i * 16 + 16), e.slice(j * 16, j * 16 + 16))).max
+      }.reduce(_ + _)
+    val queries2 = vecs.filter(_._1 < 5)
+    val expected = queries2.flatMap { case (qid, q) =>
+      vecs.map { case (did, e) => (qid, did, maxsim(q, e)) }
+        .sortBy(x => (-x._3, x._2)).take(5).zipWithIndex
+        .map { case ((_, did, ms), r) =>
+          (qid, did, BigDecimal(ms).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+            (r + 1).toLong) }
+    }.sortBy(x => (x._1, x._4)).toSeq
+    val got = graft.queries.QueriesSim.queries("maxsim_retrieval")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    // late-interaction laws: self-retrieval scores exactly 4 (every part
+    // matches itself at cosine 1) and ranks first; maxsim dominates the
+    // pooled whole-vector cosine's aspect-averaging upper structure
+    got.filter(g => g._1 == g._2).foreach { g =>
+      assert(math.abs(g._3 - 4.0) < 1e-9 && g._4 == 1L)
+    }
+    queries2.take(2).foreach { case (qid, q) =>
+      vecs.take(50).foreach { case (_, e) =>
+        assert(maxsim(q, e) + 1e-9 >=
+          (0 until 4).map(i => cos(q.slice(i * 16, i * 16 + 16), e.slice(i * 16, i * 16 + 16))).sum,
+          "max over doc parts must dominate the aligned-parts sum")
+      }
+    }
+  }
+
   test("readability_score: matches a driver Flesch recompute") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("lang"), col("text")).collect()
