@@ -11,7 +11,8 @@ import org.apache.spark.sql.types._
   *
   * The composed form — `transform(v, x => x / sqrt(aggregate(v, 0d,
   * (a,x) => a + x*x)))` — evaluates interpretively AND re-evaluates the
-  * norm subtree per element unless let-bound (the CLAUDE.md HOF rule);
+  * norm subtree per element unless let-bound (the HOF re-evaluation rule
+  * recorded in BASELINE.md / PLANS.md);
   * normalization runs once per vector in every embedding operator's input
   * stage, so it deserves the same fused-loop treatment as [[CosineSim]].
   *

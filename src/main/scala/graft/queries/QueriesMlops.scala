@@ -788,19 +788,33 @@ object QueriesMlops {
     }),
 
     // Compression-ratio quality screen (Gopher/C4 "too compressible =
-    // boilerplate"): ONE codegen'd deflate pass per document (native
-    // DeflateRatio expression — no UDF round-trip, no match arrays), then
-    // a sources-sized aggregate. Rows-only: DEFLATE byte counts are
-    // JVM-stable but not a cross-engine-portable definition; invariants
-    // are pinned in MlopsSpec instead.
+    // boilerplate"). Round 9 retired the DEFLATE definition from the
+    // DECLARED query (byte counts were JVM-stable but not cross-engine-
+    // expressible — the fleet's one rows-only asterisk) in favor of a
+    // deterministic LZ-style proxy both engines compute exactly: per doc,
+    // the fraction of its 8-char windows that are DISTINCT (few distinct
+    // windows = long repeats = highly compressible — the same signal
+    // DEFLATE's match-finder keys on). Per-doc ratio quantized to 1e-6
+    // BIGINT via integer DIV, so the per-source average is an exact
+    // integer sum + one IEEE division (order-independent, attribution_
+    // markov convention). One narrow interpreted-HOF map per doc (docs
+    // are KB-sized; the lambda body is a single substring — the
+    // re-evaluation rule doesn't bite), then a sources-sized aggregate.
+    // The native DeflateRatio expression stays as a non-declared
+    // diagnostic, spec-pinned in MlopsSpec.
     "compression_ratio" -> ((s, dir) => {
-      import graft.functions.TextFns
       t(s, dir, "documents")
-        .where(col("text").isNotNull && length(col("text")) > 0)
-        .withColumn("r", TextFns.deflateRatio(col("text")))
+        .where(col("text").isNotNull && length(col("text")) >= 8)
+        .withColumn("r6", expr(
+          "(CAST(size(array_distinct(transform(sequence(1, length(text) - 7), " +
+            "i -> substring(text, i, 8)))) AS BIGINT) * 1000000) " +
+            "DIV CAST(length(text) - 7 AS BIGINT)"))
         .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"), round(avg(col("r")), 4).as("avg_ratio"),
-          count(when(col("r") < 0.4, 1)).as("n_repetitive"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr("sum(r6) DIV count(1)").as("avg6"),
+          count(when(col("r6") < 400000L, 1)).as("n_repetitive"))
+        .select(col("source"), col("n_docs"),
+          (col("avg6") / lit(1e6)).as("avg_ratio"), col("n_repetitive"))
         .orderBy(col("source"))
     }),
 
@@ -1554,6 +1568,27 @@ object QueriesMlops {
     }))
 
   val oracle: Map[String, String] = Map(
+    // 8-char-window distinct fraction, quantized to 1e-6 BIGINT per doc
+    // via integer DIV (// in DuckDB): the per-source mean is an exact
+    // BIGINT sum + one integer DIV + ONE division by the 1e6 literal —
+    // no double accumulation order anywhere. generate_series is
+    // inclusive-inclusive like Spark's sequence.
+    "compression_ratio" ->
+      """WITH g AS (
+        |  SELECT doc_id, source,
+        |    substr(text, CAST(i AS INTEGER), 8) AS gram
+        |  FROM documents,
+        |    unnest(generate_series(1, length(text) - 7)) AS t(i)
+        |  WHERE text IS NOT NULL AND length(text) >= 8),
+        |perdoc AS (
+        |  SELECT doc_id, source,
+        |    (CAST(count(DISTINCT gram) AS BIGINT) * 1000000)
+        |      // CAST(count(*) AS BIGINT) AS r6
+        |  FROM g GROUP BY 1, 2)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  (CAST(sum(r6) AS BIGINT) // count(*)) / 1e6 AS avg_ratio,
+        |  CAST(count(CASE WHEN r6 < 400000 THEN 1 END) AS BIGINT) AS n_repetitive
+        |FROM perdoc GROUP BY source ORDER BY source""".stripMargin,
     "window_funnel" ->
       """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us
         |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
