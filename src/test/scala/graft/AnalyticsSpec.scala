@@ -597,4 +597,26 @@ class AnalyticsSpec extends SparkSpec {
     val sizes = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
     rows.foreach { case (_, c, sz) => assert(sz == sizes(c)) }
   }
+
+  test("withinGroupPairs: salted path is row-identical to plain on a mega-group") {
+    import spark.implicits._
+    // one 300-item outlier group (forces S=5 chunks at chunk=64), several
+    // normal groups, plus duplicates of group keys across items
+    val rows =
+      (1 to 300).map(i => (1L, 1000L + i)) ++
+      (1 to 7).map(i => (2L, 2000L + i)) ++
+      Seq((3L, 3001L)) ++
+      (1 to 64).map(i => (4L, 4000L + i))
+    val df = rows.toDF("l_orderkey", "l_partkey")
+    def collectPairs(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val plain = collectPairs(QueriesAnalytics.withinGroupPairs(df, salted = false))
+    val salted = collectPairs(QueriesAnalytics.withinGroupPairs(df, salted = true))
+    assert(plain == salted, "salted pair set must equal plain pair set")
+    // exact expected cardinality: sum over groups of n*(n-1)/2
+    val expected = 300 * 299 / 2 + 7 * 6 / 2 + 0 + 64 * 63 / 2
+    assert(plain.size == expected)
+    assert(plain.distinct.size == plain.size, "each pair exactly once")
+    assert(plain.forall { case (_, a, b) => a < b })
+  }
 }
