@@ -495,27 +495,37 @@ object QueriesAnalytics {
         .join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
         .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2).toDouble))
-        .sortBy(e => (e._1, e._2))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       val nations = t(s, dir, "nation")
         .select(col("n_nationkey").cast(LongType)).collect().map(_.getLong(0)).sorted
       val nN = nations.length
-      var h = nations.map(_ -> 1.0 / nN).toMap
-      var a = Map.empty[Long, Double]
+      // round-9 (advice item): the fold runs in EXACT fixed-point integers —
+      // scores in 1e-12 units, contributions w·h12 and the L1 normalization
+      // (v·1e12)//t in BigInt (mirroring DuckDB HUGEINT, exact to 1e38, so
+      // corpus-scale w cannot overflow) — making the sums order-independent;
+      // the previous double fold micro-rounded at 1e-6 and a value landing
+      // on a rounding boundary could flip between engines' accumulation
+      // orders (attribution_markov convention, applied to HITS).
+      val unit = BigInt(1000000000000L)
+      var h = nations.map(_ -> unit / nN).toMap
+      var a = Map.empty[Long, BigInt]
       for (_ <- 1 to 5) {
-        val ain = scala.collection.mutable.Map(nations.map(_ -> 0.0): _*)
-        edges.foreach { case (src, dst, w) => ain(dst) += w * h(src) }
+        val ain = scala.collection.mutable.Map(nations.map(_ -> BigInt(0)): _*)
+        edges.foreach { case (src, dst, w) => ain(dst) += BigInt(w) * h(src) }
         val at = nations.map(ain).sum
-        a = nations.map(n => n -> (if (at == 0.0) 0.0 else ain(n) / at)).toMap
-        val hin = scala.collection.mutable.Map(nations.map(_ -> 0.0): _*)
-        edges.foreach { case (src, dst, w) => hin(src) += w * a(dst) }
+        a = nations.map(n =>
+          n -> (if (at == 0) BigInt(0) else ain(n) * unit / at)).toMap
+        val hin = scala.collection.mutable.Map(nations.map(_ -> BigInt(0)): _*)
+        edges.foreach { case (src, dst, w) => hin(src) += BigInt(w) * a(dst) }
         val ht = nations.map(hin).sum
-        h = nations.map(n => n -> (if (ht == 0.0) 0.0 else hin(n) / ht)).toMap
+        h = nations.map(n =>
+          n -> (if (ht == 0) BigInt(0) else hin(n) * unit / ht)).toMap
       }
       import s.implicits._
-      nations.map(n => (n, h(n), a(n))).toSeq.toDF("nation", "hub_raw", "auth_raw")
-        .select(col("nation"), round(col("hub_raw"), 6).as("hub"),
-          round(col("auth_raw"), 6).as("authority"))
+      nations.map(n => (n, h(n).toLong, a(n).toLong)).toSeq
+        .toDF("nation", "h12", "a12")
+        .select(col("nation"), (col("h12") / lit(1e12)).as("hub"),
+          (col("a12") / lit(1e12)).as("authority"))
         .orderBy(col("nation"))
     }),
 
@@ -856,6 +866,53 @@ object QueriesAnalytics {
       pr.toSeq.sortBy(_._1).toDF("nation", "pr_raw")
         .select(col("nation"), round(col("pr_raw"), 6).as("pr"))
         .orderBy(col("nation"))
+    }),
+
+    // PageRank on a DATA-SIZED node domain — the distributed-iteration
+    // counterpart to graph_pagerank's config-sized nation fold (PLANS.md
+    // "Graph-family scale contract"; round-8 verdict #1). Graph = the
+    // user×user temporal-successor graph: within each (event_type, hour)
+    // bucket ordered by (ts, event_id), an edge from each event's user to
+    // the NEXT event's user. ONE window sort builds the edge list — linear
+    // in events at any scale, where bucket co-occurrence PAIRS would grow
+    // quadratically with per-bucket density. Nodes = distinct users (grows
+    // with SF: 15 / 150 / 1500 across the test SFs); operators/PageRank
+    // then runs 5 synchronous distributed rounds in exact fixed-point
+    // integers (scores 1e-12, edge probabilities 1e-6), so the unrolled
+    // 5-round SQL oracle matches bit-for-bit. Top-100 by final score,
+    // TakeOrderedAndProject-planned; rank is assigned AFTER the top-k (a
+    // global row_number over the full node domain would single-partition
+    // the corpus-sized score table).
+    "graph_pagerank_users" -> ((s, dir) => {
+      import graft.operators.{CacheRegistry, PageRank}
+      val ev = t(s, dir, "events")
+        .where(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("event_type").isNotNull)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+      val win = Window.partitionBy(col("event_type"), col("hb"))
+        .orderBy(col("us"), col("event_id"))
+      val e0 = ev.withColumn("hb", expr("us DIV 3600000000"))
+        .withColumn("nxt", lead(col("user_id"), 1).over(win))
+        .where(col("nxt").isNotNull && col("nxt") =!= col("user_id"))
+        .groupBy(col("user_id").as("src"), col("nxt").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      // out-weight via a window over the SAME src exchange (a groupBy+join
+      // would recompute the whole window pipeline for the second consumer);
+      // edges are scanned every round — persist once (session-lifetime,
+      // swept by the harness mains); p6 is the per-edge 1e-6 transition
+      // probability, a constant across rounds
+      val edges = CacheRegistry.track(e0
+        .withColumn("wo", sum(col("w")).over(Window.partitionBy(col("src"))))
+        .select(col("src"), col("dst"), expr("(w * 1000000) DIV wo").as("p6")))
+      val nodes = CacheRegistry.track(ev.select(col("user_id").as("id")).distinct())
+      val n = nodes.count()
+      PageRank.run(edges, nodes, n, 5)
+        .orderBy(col("r12").desc, col("id")).limit(100)
+        .select(col("id").as("user_id"), col("r12").as("score12"))
+        .withColumn("rnk", row_number()
+          .over(Window.orderBy(col("score12").desc, col("user_id"))).cast(LongType))
+        .orderBy(col("rnk"))
     }),
 
     // Triangle census + global clustering coefficient on the nation trade
@@ -1608,42 +1665,98 @@ object QueriesAnalytics {
   /** graph_hits' unrolled-recurrence twin (graph_pagerank precedent,
     * loop-generated instead of hand-unrolled): per round, authorities =
     * in-edge-weighted sums of the previous hubs then L1-normalize, hubs =
-    * out-edge-weighted sums of the new authorities then L1-normalize. */
+    * out-edge-weighted sums of the new authorities then L1-normalize.
+    * Round 9: the whole recurrence runs in EXACT fixed-point integers —
+    * scores h12/a12 in 1e-12 units, contributions and the (v·1e12)//t
+    * normalization in HUGEINT (mirrored by the driver fold in BigInt) — so
+    * the unordered SQL sums commute and no micro-rounding boundary can
+    * flip between engines. */
   private val graphHitsOracle: String = {
     val rounds = (1 to 5).map { r =>
       val hp = if (r == 1) "h0" else s"h${r - 1}"
-      s"""a${r}v AS (SELECT b.nation, COALESCE(sum(e.w * p.h), 0) AS v
+      s"""a${r}v AS (SELECT b.nation,
+         |    COALESCE(sum(CAST(e.w AS HUGEINT) * p.h12), 0) AS v
          |  FROM $hp b LEFT JOIN e ON e.dst = b.nation
          |  LEFT JOIN $hp p ON p.nation = e.src
          |  GROUP BY b.nation),
          |a${r}t AS (SELECT sum(v) AS t FROM a${r}v),
-         |a$r AS MATERIALIZED (SELECT nation, CASE WHEN t = 0 THEN 0 ELSE v / t END AS a
+         |a$r AS MATERIALIZED (SELECT nation, CAST(CASE WHEN t = 0 THEN 0
+         |    ELSE (v * 1000000000000) // t END AS BIGINT) AS a12
          |  FROM a${r}v CROSS JOIN a${r}t),
-         |h${r}v AS (SELECT b.nation, COALESCE(sum(e.w * p.a), 0) AS v
+         |h${r}v AS (SELECT b.nation,
+         |    COALESCE(sum(CAST(e.w AS HUGEINT) * p.a12), 0) AS v
          |  FROM a$r b LEFT JOIN e ON e.src = b.nation
          |  LEFT JOIN a$r p ON p.nation = e.dst
          |  GROUP BY b.nation),
          |h${r}t AS (SELECT sum(v) AS t FROM h${r}v),
-         |h$r AS MATERIALIZED (SELECT nation, CASE WHEN t = 0 THEN 0 ELSE v / t END AS h
+         |h$r AS MATERIALIZED (SELECT nation, CAST(CASE WHEN t = 0 THEN 0
+         |    ELSE (v * 1000000000000) // t END AS BIGINT) AS h12
          |  FROM h${r}v CROSS JOIN h${r}t)""".stripMargin
     }.mkString(",\n")
     s"""WITH e AS MATERIALIZED (
        |  SELECT CAST(s.s_nationkey AS BIGINT) AS src,
-       |    CAST(c.c_nationkey AS BIGINT) AS dst, CAST(count(*) AS DOUBLE) AS w
+       |    CAST(c.c_nationkey AS BIGINT) AS dst, CAST(count(*) AS BIGINT) AS w
        |  FROM lineitem l
        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
        |  JOIN customer c ON o.o_custkey = c.c_custkey
        |  GROUP BY 1, 2),
-       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nation),
-       |h0 AS MATERIALIZED (SELECT CAST(n_nationkey AS BIGINT) AS nation, 1.0 / nn.n AS h
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nation),
+       |h0 AS MATERIALIZED (SELECT CAST(n_nationkey AS BIGINT) AS nation,
+       |    CAST(1000000000000 // nn.n AS BIGINT) AS h12
        |  FROM nation CROSS JOIN nn),
        |$rounds
-       |SELECT nation, round(h, 6) AS hub, round(a, 6) AS authority
+       |SELECT nation, h12 / 1e12 AS hub, a12 / 1e12 AS authority
        |FROM h5 JOIN a5 USING (nation) ORDER BY nation""".stripMargin
   }
 
+  /** graph_pagerank_users' unrolled-fixpoint oracle (attribution_markov
+    * precedent): 5 loop-generated rounds running the SAME exact fixed-point
+    * integer recurrence as operators/PageRank — scores in 1e-12 BIGINT
+    * units, edge probabilities in 1e-6 units, each term (r12·p6) // 1e6 —
+    * so the unordered SQL sums commute and the compare is bit-exact. Every
+    * multiply-referenced or corpus-sized CTE is AS MATERIALIZED (each round
+    * references the previous twice; plain CTEs would re-inline 2^5-fold). */
+  private val pagerankUsersOracle: String = {
+    val rounds = (1 to 5).map { i =>
+      val pv = s"r${i - 1}"
+      s"""d$i AS (SELECT CAST(coalesce(sum(r12), 0) AS BIGINT) AS d12 FROM $pv
+         |  WHERE id NOT IN (SELECT src FROM e)),
+         |i$i AS (SELECT e.dst AS id,
+         |    CAST(sum((p.r12 * e.p6) // 1000000) AS BIGINT) AS in12
+         |  FROM e JOIN $pv p ON p.id = e.src GROUP BY 1),
+         |r$i AS MATERIALIZED (SELECT nd.id,
+         |    CAST((15 * nn.base) // 100
+         |      + (85 * (coalesce(i$i.in12, 0) + d$i.d12 // nn.n)) // 100
+         |      AS BIGINT) AS r12
+         |  FROM nodes nd CROSS JOIN nn CROSS JOIN d$i
+         |  LEFT JOIN i$i ON i$i.id = nd.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ev AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS us
+       |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+       |    AND event_type IS NOT NULL),
+       |sq AS (SELECT user_id,
+       |    lead(user_id) OVER (PARTITION BY event_type, us // 3600000000
+       |      ORDER BY us, event_id) AS nxt
+       |  FROM ev),
+       |e0 AS (SELECT user_id AS src, nxt AS dst, CAST(count(*) AS BIGINT) AS w
+       |  FROM sq WHERE nxt IS NOT NULL AND nxt <> user_id GROUP BY 1, 2),
+       |wo AS (SELECT src, CAST(sum(w) AS BIGINT) AS wo FROM e0 GROUP BY 1),
+       |e AS MATERIALIZED (SELECT e0.src, e0.dst,
+       |    CAST((e0.w * 1000000) // wo.wo AS BIGINT) AS p6
+       |  FROM e0 JOIN wo USING (src)),
+       |nodes AS MATERIALIZED (SELECT DISTINCT user_id AS id FROM ev),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(1000000000000 // count(*) AS BIGINT) AS base FROM nodes),
+       |r0 AS MATERIALIZED (SELECT id, nn.base AS r12 FROM nodes CROSS JOIN nn),
+       |$rounds
+       |SELECT id AS user_id, r12 AS score12,
+       |  CAST(row_number() OVER (ORDER BY r12 DESC, id) AS BIGINT) AS rnk
+       |FROM r5 ORDER BY rnk LIMIT 100""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "graph_pagerank_users" -> pagerankUsersOracle,
     "ucc_discover" -> {
       val checks = Seq(
         ("orders", Seq("o_orderkey")),

@@ -1087,7 +1087,7 @@ object QueriesMlops {
           sum(when(!col("isA"), col("cents")).otherwise(0L)).as("sb"))
       val pooled = ev.groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("sx"),
-          sum(col("cents").cast(DoubleType) * col("cents")).as("sxx"))
+          sum(col("cents") * col("cents")).as("sxx"))
         .select(col("event_type"),
           expr("(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) / (CAST(n AS DOUBLE) * (n - 1))")
             .as("sig2"))
@@ -1247,10 +1247,13 @@ object QueriesMlops {
     // nothing about nothing): per event type, the classic two-arm formula
     // n = 2σ²(z_{α/2}+z_β)²/δ² at 80% power / 5% α, with the MDE set to
     // 5% of the observed mean. z constants are shared literals (both
-    // engines square the identical sum); moments follow the ab_cuped
-    // convention (exact cents first moments, DOUBLE second); ONE
-    // conditional aggregate to the types domain also yields the parity
-    // arm sizes the requirement is checked against.
+    // engines square the identical sum); round 9: the second moment sxx
+    // sums cents² as EXACT BIGINT (a distributed DOUBLE sum past 2^53
+    // becomes partition-order-dependent at very large SFs; ANSI sum
+    // overflow throws rather than wraps, which is the guard — cents² is
+    // bounded, so the sum fits until ~1e18/cents² rows); ONE conditional
+    // aggregate to the types domain also yields the parity arm sizes the
+    // requirement is checked against.
     "power_analysis" -> ((s, dir) => {
       val ev = t(s, dir, "events")
         .where(col("user_id").isNotNull && col("event_type").isNotNull &&
@@ -1262,7 +1265,7 @@ object QueriesMlops {
         .agg(count(when(col("isA"), 1)).as("n_a"),
           count(when(!col("isA"), 1)).as("n_b"),
           count(lit(1)).as("n"), sum(col("cents")).as("sx"),
-          sum(col("cents").cast(DoubleType) * col("cents")).as("sxx"))
+          sum(col("cents") * col("cents")).as("sxx"))
         .select(col("event_type"), col("n_a"), col("n_b"),
           expr(PowerMeanSql).as("mean_cents"),
           expr(PowerVarSql).as("var_cents"),
@@ -1750,7 +1753,7 @@ object QueriesMlops {
          |    CAST(sum(CASE WHEN NOT isA THEN cents ELSE 0 END) AS BIGINT) AS sb
          |  FROM ev GROUP BY 1, 2),
          |pooled AS (SELECT event_type,
-         |    (CAST(count(*) AS DOUBLE) * sum(CAST(cents AS DOUBLE) * cents)
+         |    (CAST(count(*) AS DOUBLE) * CAST(sum(cents * cents) AS BIGINT)
          |      - CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE) * CAST(sum(cents) AS BIGINT))
          |      / (CAST(count(*) AS DOUBLE) * (count(*) - 1)) AS sig2
          |  FROM ev GROUP BY 1),
@@ -1850,7 +1853,7 @@ object QueriesMlops {
          |    CAST(count(CASE WHEN isA THEN 1 END) AS BIGINT) AS n_a,
          |    CAST(count(CASE WHEN NOT isA THEN 1 END) AS BIGINT) AS n_b,
          |    CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS sx,
-         |    sum(CAST(cents AS DOUBLE) * cents) AS sxx
+         |    CAST(sum(cents * cents) AS BIGINT) AS sxx
          |  FROM ev GROUP BY 1)
          |SELECT event_type, n_a, n_b,
          |  $PowerMeanSql AS mean_cents,

@@ -456,7 +456,12 @@ object QueriesSim {
     // oracle unrolls the identical 5-step recurrence with correlated
     // max-sim subqueries; scores are two-op double folds of cosines both
     // engines derive bit-identically (sim_topk precedent), ties to the
-    // lower doc id.
+    // lower doc id. Round 9 (advice item): the pairwise candidate sims
+    // come from a SECOND distributed pass through SimFns.cosine — the one
+    // pinned cosine implementation pair — instead of a hand-rolled driver
+    // copy; the greedy only ever reads the collected 20×20 sim matrix, so
+    // a single-ulp divergence in a third cosine can no longer flip an
+    // argmax pick.
     "mmr_diversify" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").where(col("embedding").isNotNull)
         .select(col("vec_id"), col("embedding"))
@@ -472,28 +477,36 @@ object QueriesSim {
         .select(col("qid"), col("vec_id"), col("rel"), col("embedding"))
         .collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
-          r.getSeq[Float](3).map(_.toDouble).toArray))
-      def cos(a: Array[Double], b: Array[Double]): Double = {
-        var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-        while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-        d / (math.sqrt(na) * math.sqrt(nb))
-      }
+          r.getSeq[Float](3)))
+      import s.implicits._
+      // fixed-size (3 queries × ≤20 candidates) local relation → one
+      // distributed SimFns.cosine pass over the ≤ 3·20·19/2 pairs
+      val candDf = cand.map { case (qid, id, _, emb) => (qid, id, emb) }
+        .toSeq.toDF("qid", "vec_id", "emb")
+      val simM = candDf.as("x").join(candDf.as("y"),
+          col("x.qid") === col("y.qid") && col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.qid"), col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+          SimFns.cosine(col("x.emb"), col("y.emb")).as("sim"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getDouble(3))
+        .toMap
+      def sim(qid: Long, x: Long, y: Long): Double =
+        simM((qid, math.min(x, y), math.max(x, y)))
       val out = cand.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (qid, cs) =>
-        var remaining = cs.sortBy(_._2).toSeq
-        var selected = Seq.empty[(Long, Array[Double])]
+        var remaining = cs.map(c => (c._2, c._3)).sortBy(_._1).toSeq
+        var selected = Seq.empty[Long]
         (1 to 5).map { step =>
-          val scored = remaining.map { case (_, id, rel, v) =>
+          val scored = remaining.map { case (id, rel) =>
             val maxs = if (selected.isEmpty) 0.0
-              else selected.map(sv => cos(v, sv._2)).max
-            (id, rel, 0.7 * rel - 0.3 * maxs, v)
+              else selected.map(sid => sim(qid, id, sid)).max
+            (id, rel, 0.7 * rel - 0.3 * maxs)
           }
-          val best = scored.minBy { case (id, _, sc, _) => (-sc, id) }
-          selected :+= ((best._1, best._4))
-          remaining = remaining.filterNot(_._2 == best._1)
+          val best = scored.minBy { case (id, _, sc) => (-sc, id) }
+          selected :+= best._1
+          remaining = remaining.filterNot(_._1 == best._1)
           (qid, step.toLong, best._1, best._3, best._2)
         }
       }
-      import s.implicits._
       out.toDF("qid", "step", "doc_id", "score_raw", "rel_raw")
         .select(col("qid"), col("step"), col("doc_id"),
           round(col("score_raw"), 6).as("score"), round(col("rel_raw"), 6).as("rel"))
