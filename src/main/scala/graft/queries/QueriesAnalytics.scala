@@ -1294,6 +1294,45 @@ object QueriesAnalytics {
         .limit(25)
     }),
 
+    // Peak interval concurrency via SWEEP-LINE — the scalable form of the
+    // interval-overlap self-join (overlap joins are quadratic inside an
+    // overlap cluster; the sweep is one aggregate + one window over
+    // date-bounded delta rows, linear at any overlap density): each
+    // lineitem is "in flight" from its order date to its ship date
+    // (inclusive; the synthetic data ships ~half its lines before the
+    // order date — those invalid intervals are filtered identically in
+    // both engines), and the card reports each supplier's peak number of
+    // simultaneously in-flight lineitems and the FIRST date the peak is
+    // reached. Same-day ties never depend on row order: +1/−1 deltas
+    // aggregate per (supplier, day) BEFORE the running sum.
+    "interval_peak" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), to_date(col("l_shipdate")).as("d1"))
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("d0"))
+      val iv = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .where(col("d1") >= col("d0"))
+        .select(col("l_suppkey").as("sk"), col("d0"), col("d1"))
+      // one explode, not a union: a union's two branches would each
+      // recompute the lineitem⋈orders join
+      val deltas = iv
+        .select(col("sk"), explode(array(
+          struct(col("d0").as("d"), lit(1L).as("delta")),
+          struct(date_add(col("d1"), 1).as("d"), lit(-1L).as("delta")))).as("ev"))
+        .groupBy(col("sk"), col("ev.d").as("d"))
+        .agg(sum(col("ev.delta")).as("dsum"))
+      val w = Window.partitionBy(col("sk")).orderBy(col("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val run = deltas.withColumn("cur", sum(col("dsum")).over(w))
+        .withColumn("peak", max(col("cur")).over(Window.partitionBy(col("sk"))))
+      run.where(col("cur") === col("peak"))
+        .groupBy(col("sk"), col("peak"))
+        .agg(min(col("d")).as("peak_date"))
+        .select(col("sk").as("s_suppkey"), col("peak").as("peak_inflight"),
+          col("peak_date"))
+        .orderBy(col("s_suppkey"))
+    }),
+
     // First-order Markov transition matrix over per-user event sequences:
     // lead pairs (cur -> next) from ONE user_id window sort, then a
     // types²-bounded aggregate; transition probabilities come from a window
@@ -1756,6 +1795,22 @@ object QueriesAnalytics {
   }
 
   val oracle: Map[String, String] = Map(
+    "interval_peak" ->
+      """WITH iv AS (
+        |  SELECT l_suppkey AS sk, CAST(o_orderdate AS DATE) AS d0,
+        |    CAST(l_shipdate AS DATE) AS d1
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE CAST(l_shipdate AS DATE) >= CAST(o_orderdate AS DATE)),
+        |g AS (SELECT sk, d, CAST(sum(delta) AS BIGINT) AS dsum FROM (
+        |    SELECT sk, d0 AS d, 1 AS delta FROM iv
+        |    UNION ALL SELECT sk, d1 + 1 AS d, -1 AS delta FROM iv)
+        |  GROUP BY 1, 2),
+        |r AS (SELECT sk, d,
+        |    sum(dsum) OVER (PARTITION BY sk ORDER BY d) AS cur FROM g),
+        |p AS (SELECT sk, CAST(max(cur) AS BIGINT) AS peak FROM r GROUP BY 1)
+        |SELECT r.sk AS s_suppkey, p.peak AS peak_inflight, min(r.d) AS peak_date
+        |FROM r JOIN p ON p.sk = r.sk AND r.cur = p.peak
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     "graph_pagerank_users" -> pagerankUsersOracle,
     "ucc_discover" -> {
       val checks = Seq(

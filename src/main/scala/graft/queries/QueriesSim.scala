@@ -513,6 +513,44 @@ object QueriesSim {
         .orderBy(col("qid"), col("step"))
     }),
 
+    // SemDeDup (Abbas et al. 2023) — semantic deduplication at embedding
+    // scale: a cheap k-means quantizer buckets the corpus, then the
+    // expensive pairwise-cosine prune runs ONLY within cells — Σ cell²
+    // work instead of corpus², the bucketed-never-all-pairs contract of
+    // the MinHash/LSH family, with the cell as the partitioning key. The
+    // cell count is the knob that prices the prune (k should grow with
+    // the corpus so cells stay bounded; k=8 here matches the fleet's
+    // trained-quantizer convention). Corpus = embeddings ∪ planted copies
+    // (+100000 of vec_id%25, the embed_neardup convention — the natural
+    // corpus has no pairs above cos 0.7, so the planted near-dups ARE the
+    // signal). Drop rule: within a cell, a vector is dropped when any
+    // LOWER-id vector sits above cos 0.95 (deterministic keeper; cosines
+    // via SimFns.cosine ≡ list_cosine_similarity, the sim_topk-pinned
+    // pair). Declared output: the per-cell card with an exact dropped-id
+    // checksum. Oracle: trained-model pattern (refit + inlined centroid
+    // distance chains).
+    "semdedup" -> ((s, dir) => {
+      import graft.operators.Ivf
+      val e = t(s, dir, "embeddings").where(col("embedding").isNotNull)
+        .select(col("vec_id"), col("embedding"))
+      val corpus = e.unionByName(e.where(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+      val cents = Ivf.trainSampled(e, "vec_id", "embedding", k = 8)
+      val assigned = Ivf.index(corpus, cents, "vec_id", "embedding")
+      val dropped = assigned.as("a").join(assigned.as("b"),
+          col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id") &&
+            SimFns.cosine(col("a.embedding"), col("b.embedding")) > 0.95)
+        .select(col("b.cell").as("cell"), col("b.vec_id").as("did"))
+        .distinct()
+      assigned.groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
+        .join(dropped.groupBy(col("cell"))
+          .agg(count(lit(1)).as("nd"), sum(col("did")).as("ds")), Seq("cell"), "left")
+        .select(col("cell").cast(LongType).as("cell"), col("n_vecs"),
+          coalesce(col("nd"), lit(0L)).as("n_dropped"),
+          coalesce(col("ds"), lit(0L)).as("dropped_id_sum"))
+        .orderBy(col("cell"))
+    }),
+
     // Matryoshka truncation-recall card (Kusupati et al. 2022): how much
     // of the exact top-10 survives when cosine runs on only the first
     // 8/16/32 of 64 dimensions — THE index-sizing measurement before a
@@ -1021,6 +1059,40 @@ object QueriesSim {
        |WHERE rn <= 10 ORDER BY qid, rank""".stripMargin
   }
 
+  /** semdedup's twin: refit the sampled trainer, assign corpus ∪ planted
+    * copies via the inlined argmin distance chains, and reproduce the
+    * within-cell lower-id cosine prune with list_cosine_similarity (the
+    * sim_topk-pinned pair of SimFns.cosine). */
+  private def semdedupOracle(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    import graft.operators.Ivf
+    val e = t(s, dir, "embeddings").where(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"))
+    val cents = Ivf.collectCentroids(Ivf.trainSampled(e, "vec_id", "embedding", k = 8))
+    val k = cents.length
+    val dDefs = cents.zipWithIndex.map { case (c, i) =>
+      s"${l2ChainSql("v", c)} AS d$i" }.mkString(",\n    ")
+    val dcols = (0 until k).map(i => s"d$i")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |    WHERE embedding IS NOT NULL
+       |  UNION ALL
+       |  SELECT vec_id + 100000, CAST(embedding AS DOUBLE[]) FROM embeddings
+       |    WHERE vec_id % 25 = 0 AND embedding IS NOT NULL),
+       |d AS (SELECT vec_id, v,
+       |    $dDefs
+       |  FROM e),
+       |a AS MATERIALIZED (SELECT vec_id, v, ${argminCaseSql(dcols)} AS cell FROM d),
+       |dropped AS (SELECT DISTINCT b.cell, b.vec_id AS did
+       |  FROM a x JOIN a b ON x.cell = b.cell AND x.vec_id < b.vec_id
+       |  WHERE list_cosine_similarity(x.v, b.v) > 0.95),
+       |nv AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs FROM a GROUP BY 1),
+       |dd AS (SELECT cell, CAST(count(*) AS BIGINT) AS nd,
+       |    CAST(sum(did) AS BIGINT) AS ds FROM dropped GROUP BY 1)
+       |SELECT CAST(nv.cell AS BIGINT) AS cell, n_vecs,
+       |  CAST(coalesce(dd.nd, 0) AS BIGINT) AS n_dropped,
+       |  CAST(coalesce(dd.ds, 0) AS BIGINT) AS dropped_id_sum
+       |FROM nv LEFT JOIN dd ON dd.cell = nv.cell ORDER BY cell""".stripMargin
+  }
+
   /** cluster_silhouette's twin: refit the sampled trainer, inline the 8
     * centroids, and reproduce (d₁, cell, d₂) with least / argmin-CASE /
     * list_sort — tie semantics match the Spark struct-sort (lower cell
@@ -1305,7 +1377,8 @@ object QueriesSim {
         tryGen("sim_ivfpq_residual", ivfpqResidualOracle(s, dir)) ++
         tryGen("embed_pca_project", pcaOracle(s, dir)) ++
         tryGen("cluster_silhouette", silhouetteOracle(s, dir)) ++
-        tryGen("kcenter_coreset", kcenterOracle(s, dir))).toMap
+        tryGen("kcenter_coreset", kcenterOracle(s, dir)) ++
+        tryGen("semdedup", semdedupOracle(s, dir))).toMap
     }.getOrElse(Map.empty)
 
   /** mmr_diversify's unrolled 5-step greedy twin: per step, score every

@@ -81,6 +81,47 @@ class Round9Spec extends SparkSpec {
     assert(got.nonEmpty && got.map(_._1).distinct.length == got.length)
   }
 
+  test("semdedup: drops exactly the planted copies, never base vectors") {
+    val rows = graft.queries.QueriesSim.queries("semdedup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val planted = graft.queries.Tables.t(spark, dir, "embeddings")
+      .where(col("embedding").isNotNull && col("vec_id") % 25 === 0)
+      .select(col("vec_id")).collect().map(_.getLong(0) + 100000L)
+    val nBase = graft.queries.Tables.t(spark, dir, "embeddings")
+      .where(col("embedding").isNotNull).count()
+    // per-cell counts partition the corpus
+    assert(rows.map(_._2).sum == nBase + planted.length)
+    // the natural corpus has no near-dup pairs, so the dropped set is
+    // EXACTLY the planted copies (each has an identical lower-id partner)
+    assert(rows.map(_._3).sum == planted.length.toLong)
+    assert(rows.map(_._4).sum == planted.sum, "dropped-id checksum = planted ids")
+    rows.foreach { case (_, n, nd, _) => assert(nd <= n) }
+  }
+
+  test("interval_peak: brute-force sweep recompute at sf0.001") {
+    val got = graft.queries.QueriesAnalytics.queries("interval_peak")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDate(2).toLocalDate))
+    val iv = graft.queries.Tables.t(spark, dir, "lineitem")
+      .select(col("l_suppkey"), to_date(col("l_shipdate")).as("d1"), col("l_orderkey"))
+      .join(graft.queries.Tables.t(spark, dir, "orders")
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("d0")),
+        col("l_orderkey") === col("o_orderkey"))
+      .where(col("d1") >= col("d0"))
+      .select(col("l_suppkey"), col("d0"), col("d1"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate.toEpochDay,
+        r.getDate(2).toLocalDate.toEpochDay))
+    val expected = iv.groupBy(_._1).map { case (sk, ivs) =>
+      // concurrency only increases at interval starts, so the peak is
+      // achieved at some start day; first such day wins
+      val starts = ivs.map(_._2).distinct.sorted
+      val at = starts.map(d => d -> ivs.count(i => i._2 <= d && d <= i._3).toLong)
+      val peak = at.map(_._2).max
+      (sk, peak, java.time.LocalDate.ofEpochDay(at.find(_._2 == peak).get._1))
+    }.toSeq.sortBy(_._1)
+    assert(got.toSeq == expected)
+  }
+
   test("compression_ratio: distinct-8-gram proxy bounds and monotonicity") {
     // a pure repeat has near-zero distinct fraction; high-entropy text is ~1
     import spark.implicits._
