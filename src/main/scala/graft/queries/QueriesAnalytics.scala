@@ -885,18 +885,7 @@ object QueriesAnalytics {
     // the corpus-sized score table).
     "graph_pagerank_users" -> ((s, dir) => {
       import graft.operators.{CacheRegistry, PageRank}
-      val ev = t(s, dir, "events")
-        .where(col("user_id").isNotNull && col("ts").isNotNull &&
-          col("event_type").isNotNull)
-        .select(col("user_id"), col("event_type"), col("event_id"),
-          unix_micros(col("ts")).as("us"))
-      val win = Window.partitionBy(col("event_type"), col("hb"))
-        .orderBy(col("us"), col("event_id"))
-      val e0 = ev.withColumn("hb", expr("us DIV 3600000000"))
-        .withColumn("nxt", lead(col("user_id"), 1).over(win))
-        .where(col("nxt").isNotNull && col("nxt") =!= col("user_id"))
-        .groupBy(col("user_id").as("src"), col("nxt").as("dst"))
-        .agg(count(lit(1)).as("w"))
+      val (e0, nodes0) = successorGraph(s, dir)
       // out-weight via a window over the SAME src exchange (a groupBy+join
       // would recompute the whole window pipeline for the second consumer);
       // edges are scanned every round — persist once (session-lifetime,
@@ -905,7 +894,7 @@ object QueriesAnalytics {
       val edges = CacheRegistry.track(e0
         .withColumn("wo", sum(col("w")).over(Window.partitionBy(col("src"))))
         .select(col("src"), col("dst"), expr("(w * 1000000) DIV wo").as("p6")))
-      val nodes = CacheRegistry.track(ev.select(col("user_id").as("id")).distinct())
+      val nodes = CacheRegistry.track(nodes0)
       val n = nodes.count()
       PageRank.run(edges, nodes, n, 5)
         .orderBy(col("r12").desc, col("id")).limit(100)
@@ -913,6 +902,50 @@ object QueriesAnalytics {
         .withColumn("rnk", row_number()
           .over(Window.orderBy(col("score12").desc, col("user_id"))).cast(LongType))
         .orderBy(col("rnk"))
+    }),
+
+    // Label-propagation communities on the SAME data-sized user graph —
+    // the second distributed-iteration member beside graph_pagerank_users
+    // (graph_communities is its config-sized nation twin, PLANS.md
+    // "Graph-family scale contract"). The successor edge list symmetrizes
+    // (community affinity is undirected), labels start as own ids, and 5
+    // synchronous rounds re-label every node with the neighbor-weight
+    // argmax label (ties → smaller label; ALL arithmetic is integer edge
+    // weights, so the unrolled SQL oracle matches bit-for-bit — no
+    // normalization, nothing to quantize). Each round: one join + one
+    // (node, label) aggregate + one WindowGroupLimit argmax, checkpointed.
+    // Declared output: the community card (label, size, member checksum).
+    "graph_lpa_users" -> ((s, dir) => {
+      import graft.operators.CacheRegistry
+      val (e0, nodes0) = successorGraph(s, dir)
+      // repeat-affinity sparsification: a single chance adjacency is
+      // noise — an undirected pair must co-occur >= 2 times to carry
+      // community signal (without it the dense successor graph floods to
+      // ONE community at every SF; with it: 3 / 4 / 246 communities at
+      // the three test SFs)
+      val edges = CacheRegistry.track(
+        e0.select(col("src").as("a"), col("dst").as("b"), col("w"))
+          .unionByName(e0.select(col("dst").as("a"), col("src").as("b"), col("w")))
+          .groupBy(col("a"), col("b")).agg(sum(col("w")).as("w"))
+          .where(col("w") >= 2))
+      val nodes = CacheRegistry.track(nodes0)
+      var lbl = nodes.select(col("id"), col("id").as("lbl"))
+      for (_ <- 1 to 5) {
+        val wv = Window.partitionBy(col("a")).orderBy(col("ws").desc, col("cl").asc)
+        val votes = edges
+          .join(lbl.select(col("id").as("b"), col("lbl").as("cl")), "b")
+          .groupBy(col("a"), col("cl")).agg(sum(col("w")).as("ws"))
+          .withColumn("rn", row_number().over(wv)).where(col("rn") === 1)
+          .select(col("a").as("id"), col("cl").as("nl"))
+        // isolated nodes (no edges) keep their own label
+        lbl = lbl.join(votes, Seq("id"), "left")
+          .select(col("id"), coalesce(col("nl"), col("lbl")).as("lbl"))
+          .localCheckpoint(false)
+      }
+      lbl.groupBy(col("lbl"))
+        .agg(count(lit(1)).as("n_members"), sum(col("id")).as("member_id_sum"))
+        .select(col("lbl").as("community"), col("n_members"), col("member_id_sum"))
+        .orderBy(col("community"))
     }),
 
     // Triangle census + global clustering coefficient on the nation trade
@@ -1642,6 +1675,30 @@ object QueriesAnalytics {
     * (customers + planted K-variants at +500000) and the Fellegi–Sunter
     * scored candidate pairs from the (nation, acctbal-band) blocked join.
     * Returns (dirty, scored(id_a, id_b, score)). */
+  /** The user×user temporal-successor graph shared by
+    * graph_pagerank_users / graph_lpa_users: within each (event_type,
+    * hour) bucket ordered by (ts, event_id), an edge from each event's
+    * user to the NEXT event's user — ONE window sort, edge count linear
+    * in events at any scale (bucket co-occurrence PAIRS would grow
+    * quadratically with per-bucket density). Returns (edges (src, dst,
+    * w), nodes (id)); node domain = distinct users, grows with SF. */
+  private def successorGraph(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val ev = t(s, dir, "events")
+      .where(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_type").isNotNull)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+    val win = Window.partitionBy(col("event_type"), col("hb"))
+      .orderBy(col("us"), col("event_id"))
+    val e0 = ev.withColumn("hb", expr("us DIV 3600000000"))
+      .withColumn("nxt", lead(col("user_id"), 1).over(win))
+      .where(col("nxt").isNotNull && col("nxt") =!= col("user_id"))
+      .groupBy(col("user_id").as("src"), col("nxt").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    (e0, ev.select(col("user_id").as("id")).distinct())
+  }
+
   /** Exact unordered within-group pairs over (l_orderkey, l_partkey) rows →
     * (ok, pa, pb) with pa < pb, each pair exactly once.
     *
@@ -1749,6 +1806,44 @@ object QueriesAnalytics {
        |FROM h5 JOIN a5 USING (nation) ORDER BY nation""".stripMargin
   }
 
+  /** graph_lpa_users' unrolled twin: 5 loop-generated synchronous LPA
+    * rounds over the symmetrized successor graph — neighbor-weight argmax
+    * per node with (ws DESC, label ASC) determinism; all arithmetic is
+    * integer edge weights, so the compare is bit-exact with zero
+    * quantization. Each round's label table is referenced twice by the
+    * next (votes + carry-forward) → AS MATERIALIZED throughout. */
+  private val lpaUsersOracle: String = {
+    val rounds = (1 to 5).map { i =>
+      val pv = s"l${i - 1}"
+      s"""v$i AS (SELECT e.a, p.lbl AS cl, CAST(sum(e.w) AS BIGINT) AS ws
+         |  FROM e JOIN $pv p ON p.id = e.b GROUP BY 1, 2),
+         |pk$i AS (SELECT a AS id, cl AS nl FROM (
+         |  SELECT a, cl, row_number() OVER (PARTITION BY a
+         |    ORDER BY ws DESC, cl) AS rn FROM v$i) WHERE rn = 1),
+         |l$i AS MATERIALIZED (SELECT n.id, coalesce(pk$i.nl, lp.lbl) AS lbl
+         |  FROM nodes n JOIN $pv lp USING (id) LEFT JOIN pk$i USING (id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ev AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS us
+       |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+       |    AND event_type IS NOT NULL),
+       |sq AS (SELECT user_id,
+       |    lead(user_id) OVER (PARTITION BY event_type, us // 3600000000
+       |      ORDER BY us, event_id) AS nxt
+       |  FROM ev),
+       |e0 AS (SELECT user_id AS src, nxt AS dst, CAST(count(*) AS BIGINT) AS w
+       |  FROM sq WHERE nxt IS NOT NULL AND nxt <> user_id GROUP BY 1, 2),
+       |e AS MATERIALIZED (SELECT a, b, CAST(sum(w) AS BIGINT) AS w FROM (
+       |    SELECT src AS a, dst AS b, w FROM e0
+       |    UNION ALL SELECT dst AS a, src AS b, w FROM e0) GROUP BY 1, 2
+       |  HAVING CAST(sum(w) AS BIGINT) >= 2),
+       |nodes AS MATERIALIZED (SELECT DISTINCT user_id AS id FROM ev),
+       |l0 AS MATERIALIZED (SELECT id, id AS lbl FROM nodes),
+       |$rounds
+       |SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_members,
+       |  CAST(sum(id) AS BIGINT) AS member_id_sum
+       |FROM l5 GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** graph_pagerank_users' unrolled-fixpoint oracle (attribution_markov
     * precedent): 5 loop-generated rounds running the SAME exact fixed-point
     * integer recurrence as operators/PageRank — scores in 1e-12 BIGINT
@@ -1812,6 +1907,7 @@ object QueriesAnalytics {
         |FROM r JOIN p ON p.sk = r.sk AND r.cur = p.peak
         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     "graph_pagerank_users" -> pagerankUsersOracle,
+    "graph_lpa_users" -> lpaUsersOracle,
     "ucc_discover" -> {
       val checks = Seq(
         ("orders", Seq("o_orderkey")),

@@ -81,6 +81,35 @@ class Round9Spec extends SparkSpec {
     assert(got.nonEmpty && got.map(_._1).distinct.length == got.length)
   }
 
+  test("graph_lpa_users: driver LPA recompute at sf0.001; communities partition users") {
+    val got = graft.queries.QueriesAnalytics.queries("graph_lpa_users")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ev = graft.queries.Tables.t(spark, dir, "events")
+      .where(col("user_id").isNotNull && col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("user_id"), col("event_type"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val trans = ev.groupBy(e => (e._2, e._4 / 3600000000L)).toSeq.flatMap { case (_, es) =>
+      val ordered = es.sortBy(e => (e._4, e._3))
+      ordered.zip(ordered.tail).map { case (a, b) => (a._1, b._1) }.filter(p => p._1 != p._2)
+    }
+    val und = trans.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .map { case ((a, b), w) => (a, b, w) }.filter(_._3 >= 2)
+    val nodes = ev.map(_._1).distinct.sorted
+    var lbl = nodes.map(id => id -> id).toMap
+    for (_ <- 1 to 5) {
+      val votes = und.groupBy(_._1).view.mapValues { es =>
+        es.groupBy(e => lbl(e._2)).view.mapValues(_.map(_._3).sum).toSeq
+          .minBy { case (cl, ws) => (-ws, cl) }._1
+      }.toMap
+      lbl = nodes.map(id => id -> votes.getOrElse(id, lbl(id))).toMap
+    }
+    val expected = lbl.toSeq.groupBy(_._2).map { case (c, ms) =>
+      (c, ms.size.toLong, ms.map(_._1).sum) }.toSeq.sortBy(_._1)
+    assert(got.toSeq == expected)
+    assert(got.map(_._2).sum == nodes.length.toLong, "communities partition users")
+  }
+
   test("semdedup: drops exactly the planted copies, never base vectors") {
     val rows = graft.queries.QueriesSim.queries("semdedup")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
