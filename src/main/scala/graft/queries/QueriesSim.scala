@@ -513,6 +513,38 @@ object QueriesSim {
         .orderBy(col("qid"), col("step"))
     }),
 
+    // Leave-one-out kNN label-recovery — the standard "is this embedding
+    // space any good" eval card (a probe classifier without training):
+    // for each of 100 query vectors, the 10 nearest neighbors (cosine,
+    // self excluded) vote on its label; ties → smaller label. Per-label
+    // accuracy is an exact count ratio. Scale shape: queries broadcast,
+    // ONE corpus×queries fan-out, rank windows per query cut at 10, then
+    // everything is query-domain-sized; at real scale the fan-out swaps
+    // for an IVF probe (sim_ivf) with ann_recall pricing the swap —
+    // brute force IS the declared ground truth here.
+    "knn_eval" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .where(col("embedding").isNotNull && col("label").isNotNull)
+        .select(col("vec_id"), col("label").cast(LongType).as("lbl"), col("embedding"))
+      val q = e.where(col("vec_id") < 100)
+        .select(col("vec_id").as("qid"), col("lbl").as("qlbl"), col("embedding").as("qe"))
+      val wQ = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+      val nn = e.crossJoin(broadcast(q)).where(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("qlbl"), col("vec_id"), col("lbl"),
+          SimFns.cosine(col("qe"), col("embedding")).as("cos"))
+        .withColumn("rn", row_number().over(wQ)).where(col("rn") <= 10)
+      val wv = Window.partitionBy(col("qid")).orderBy(col("votes").desc, col("lbl").asc)
+      val pred = nn.groupBy(col("qid"), col("qlbl"), col("lbl"))
+        .agg(count(lit(1)).as("votes"))
+        .withColumn("r2", row_number().over(wv)).where(col("r2") === 1)
+      pred.groupBy(col("qlbl").as("label"))
+        .agg(count(lit(1)).as("n_queries"),
+          count(when(col("lbl") === col("qlbl"), 1)).as("n_correct"))
+        .withColumn("accuracy",
+          expr("floor(CAST(n_correct AS DOUBLE) / n_queries * 1e6 + 0.5) / 1e6"))
+        .orderBy(col("label"))
+    }),
+
     // SemDeDup (Abbas et al. 2023) — semantic deduplication at embedding
     // scale: a cheap k-means quantizer buckets the corpus, then the
     // expensive pairwise-cosine prune runs ONLY within cells — Σ cell²
@@ -1423,6 +1455,25 @@ object QueriesSim {
   }
 
   private val staticOracle: Map[String, String] = Map(
+    "knn_eval" ->
+      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS lbl,
+        |    CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL),
+        |q AS (SELECT vec_id AS qid, lbl AS qlbl, v AS qv FROM e WHERE vec_id < 100),
+        |nn AS (SELECT qid, qlbl, lbl FROM (
+        |  SELECT q.qid, q.qlbl, e.lbl,
+        |    row_number() OVER (PARTITION BY q.qid
+        |      ORDER BY list_cosine_similarity(q.qv, e.v) DESC, e.vec_id) AS rn
+        |  FROM e CROSS JOIN q WHERE e.vec_id <> q.qid) WHERE rn <= 10),
+        |pred AS (SELECT qid, qlbl, lbl FROM (
+        |  SELECT qid, qlbl, lbl,
+        |    row_number() OVER (PARTITION BY qid ORDER BY count(*) DESC, lbl) AS r2
+        |  FROM nn GROUP BY qid, qlbl, lbl) WHERE r2 = 1)
+        |SELECT qlbl AS label, CAST(count(*) AS BIGINT) AS n_queries,
+        |  CAST(count(CASE WHEN lbl = qlbl THEN 1 END) AS BIGINT) AS n_correct,
+        |  floor(CAST(count(CASE WHEN lbl = qlbl THEN 1 END) AS DOUBLE)
+        |    / count(*) * 1e6 + 0.5) / 1e6 AS accuracy
+        |FROM pred GROUP BY 1 ORDER BY 1""".stripMargin,
     "mmr_diversify" -> mmrOracle,
     "matryoshka_eval" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
