@@ -614,6 +614,71 @@ object QueriesText {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // Incremental BM25 index maintenance — the text-retrieval member of
+    // the IVM family (agg_incremental merges algebraic partials,
+    // hll_incremental merges sketches; THIS merges postings): the base
+    // era's postings/doclens/dfs persist ONCE under the fingerprint-keyed
+    // DiskCache, a corpus refresh tokenizes ONLY the appended batch
+    // (doc_id >= 400), and the merged statistics are delta-sized unions —
+    // df per term = base ⊎ batch summed, doclens a union, corpus stats
+    // one aggregate over the doc-domain doclens table. Search over the
+    // merged index must EQUAL the full-corpus rebuild: the oracle
+    // recomputes from scratch, so a drifted merge fails the hash. The
+    // base-era TEXT is never re-tokenized — that is the 100-TB contract
+    // (re-tokenizing the corpus per refresh is the cost this kills).
+    "bm25_incremental" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.{CacheRegistry, DiskCache}
+      val docs = t(s, dir, "documents")
+      def termsOf(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("doc_id"),
+          TextFns.shingleExplode(TextFns.tokens(col("text")), 2).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val base = DiskCache.keyedPath("bm25_base_v1", s"$dir/documents.parquet")
+      DiskCache.ensure(base, Seq("postings/_SUCCESS", "dfs/_SUCCESS",
+        "doclens/_SUCCESS")) { tmp =>
+        val terms = termsOf(docs.where(col("doc_id") < 400))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        terms.write.parquet(s"$tmp/postings")
+        terms.groupBy(col("term")).agg(count(lit(1)).as("df"))
+          .write.parquet(s"$tmp/dfs")
+        terms.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+          .write.parquet(s"$tmp/doclens")
+        terms.unpersist(): Unit
+      }
+      // the refresh: tokenize the BATCH only (three consumers → tracked)
+      val batchTerms = CacheRegistry.track(termsOf(docs.where(col("doc_id") >= 400)))
+      val postings = s.read.parquet(s"$base/postings").unionByName(batchTerms)
+      val dfs = s.read.parquet(s"$base/dfs")
+        .unionByName(batchTerms.groupBy(col("term")).agg(count(lit(1)).as("df")))
+        .groupBy(col("term")).agg(sum(col("df")).as("df"))
+      val dlen = s.read.parquet(s"$base/doclens")
+        .unionByName(batchTerms.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")))
+      val stats = broadcast(
+        dlen.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len")))
+      val q = Seq((0L, "hash join"), (0L, "table scan"),
+        (1L, "merge sort"), (1L, "batch stream"),
+        (2L, "slow query"), (2L, "fast scan")).toDF("qid", "term")
+      val qTerms = Seq("hash join", "table scan", "merge sort",
+        "batch stream", "slow query", "fast scan")
+      val qdf = broadcast(q.join(dfs.where(col("term").isin(qTerms: _*)), "term"))
+      val scored = postings.where(col("term").isin(qTerms: _*)).join(qdf, "term")
+        .join(dlen, "doc_id")
+        .crossJoin(stats)
+        .withColumn("part",
+          log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+            (col("tf") * 2.2) / (col("tf") +
+              lit(1.2) * (lit(1.0) - 0.75 + lit(0.75) * col("dl")
+                / (col("total_len").cast(DoubleType) / col("n_docs")))))
+        .groupBy(col("qid"), col("doc_id")).agg(sum(col("part")).as("score"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))
+      scored.withColumn("rank", row_number().over(w)).where(col("rank") <= 10)
+        .select(col("qid"), col("doc_id"),
+          (floor(col("score") * 1e6 + 0.5) / 1e6).as("score"),
+          col("rank").cast(LongType).as("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // Fixed-size token chunking with overlap (64-token windows, stride 48) —
     // the context-window prep step of a training pipeline. One narrow pass:
     // tokens are let-bound per row, chunk starts come from `sequence`, and
@@ -1226,6 +1291,34 @@ object QueriesText {
     // 6.6000000000000005), a last-ulp engine split (review-caught; the
     // decimal DIVISIONS are safe — DuckDB promotes those to DOUBLE)
     "bm25_search" ->
+      s"""WITH toks AS (SELECT doc_id, $toks AS tk FROM documents),
+         |terms AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+         |    i -> tk[i] || ' ' || tk[i+1])) AS term FROM toks),
+         |tfm AS MATERIALIZED (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |  FROM terms GROUP BY doc_id, term),
+         |dlen AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tfm GROUP BY doc_id),
+         |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(dl) AS BIGINT) AS total_len FROM dlen),
+         |dfm AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tfm GROUP BY term),
+         |q(qid, term) AS (VALUES (0, 'hash join'), (0, 'table scan'),
+         |  (1, 'merge sort'), (1, 'batch stream'),
+         |  (2, 'slow query'), (2, 'fast scan')),
+         |scored AS (
+         |  SELECT q.qid, tfm.doc_id,
+         |    sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+         |      * (tf * CAST(2.2 AS DOUBLE)) / (tf
+         |        + 1.2 * (1.0 - 0.75 + 0.75 * dl
+         |          / (CAST(total_len AS DOUBLE) / n_docs)))) AS score
+         |  FROM q JOIN tfm USING (term) JOIN dfm USING (term)
+         |    JOIN dlen USING (doc_id) CROSS JOIN stats
+         |  GROUP BY q.qid, tfm.doc_id)
+         |SELECT CAST(qid AS BIGINT) AS qid, doc_id,
+         |  floor(score * 1e6 + 0.5) / 1e6 AS score, CAST(rn AS BIGINT) AS rank
+         |FROM (SELECT qid, doc_id, score,
+         |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rn
+         |  FROM scored)
+         |WHERE rn <= 10 ORDER BY qid, rank""".stripMargin,
+"bm25_incremental" ->
       s"""WITH toks AS (SELECT doc_id, $toks AS tk FROM documents),
          |terms AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
          |    i -> tk[i] || ' ' || tk[i+1])) AS term FROM toks),

@@ -151,6 +151,17 @@ class Round9Spec extends SparkSpec {
     assert(got.toSeq == expected)
   }
 
+  test("bm25_incremental: merged delta index equals the from-scratch bm25_search") {
+    // the IVM contract: base postings + batch-only tokenize must score
+    // identically to the full rebuild (same queries, same corpus)
+    val inc = graft.queries.QueriesText.queries("bm25_incremental")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val full = graft.queries.QueriesText.queries("bm25_search")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(inc == full)
+    assert(inc.nonEmpty)
+  }
+
   test("compression_ratio: distinct-8-gram proxy bounds and monotonicity") {
     // a pure repeat has near-zero distinct fraction; high-entropy text is ~1
     import spark.implicits._
