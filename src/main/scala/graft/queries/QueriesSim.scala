@@ -513,6 +513,61 @@ object QueriesSim {
         .orderBy(col("qid"), col("step"))
     }),
 
+    // IVF nprobe tuning curve — the recall-vs-cost card that SIZES an ANN
+    // deployment (ann_recall prices two bucketing methods at one setting;
+    // THIS sweeps the knob): recall@10 vs brute force for nprobe ∈
+    // {1,2,4,8} over the SAME trained 8-cell quantizer. Candidate cosines
+    // compute ONCE with each candidate's cell-rank attached; each nprobe
+    // level is a filter + rank window over that one fan-out, so the sweep
+    // costs one pass, not four. nprobe=8 probes every cell ⇒ recall 1.0 —
+    // a built-in sanity anchor (matryoshka's dim=64 convention). Oracle:
+    // trained-model pattern (refit + inlined centroid distance chains).
+    "ann_nprobe_sweep" -> ((s, dir) => {
+      import graft.operators.Ivf
+      val e = t(s, dir, "embeddings").where(col("embedding").isNotNull)
+        .select(col("vec_id"), col("embedding"))
+      val centsDf = Ivf.trainSampled(e, "vec_id", "embedding", k = 8)
+      val cents = Ivf.collectCentroids(centsDf)
+      val assigned = Ivf.index(e, centsDf, "vec_id", "embedding")
+      val q = e.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val qcells = q.select(col("qid"), col("qe"),
+          posexplode(Ivf.nearestCells(col("qe"), cents, 8)).as(Seq("pos", "cell")))
+        .select(col("qid"), col("qe"), col("cell"), (col("pos") + 1).as("crank"))
+      // brute-force truth: panel-bounded (5 queries × 10), collected into a
+      // local relation (ann_recall's convention — no session-lifetime cache)
+      val truthPlan = e.crossJoin(broadcast(q)).where(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          SimFns.cosine(col("qe"), col("embedding")).as("cos"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))))
+        .where(col("rn") <= 10).select(col("qid"), col("vec_id"))
+      val truthRows = truthPlan.collect()
+      val truth = broadcast(s.createDataFrame(
+        s.sparkContext.parallelize(truthRows.toSeq, 1), truthPlan.schema))
+      val possible = lit(truthRows.length.toLong)
+      val cand = assigned.join(broadcast(qcells), "cell")
+        .where(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("crank"), col("vec_id"),
+          SimFns.cosine(col("qe"), col("embedding")).as("cos"))
+      val lev = cand
+        .withColumn("np", explode(array(lit(1), lit(2), lit(4), lit(8))))
+        .where(col("crank") <= col("np"))
+        .withColumn("rn", row_number().over(Window.partitionBy(col("qid"), col("np"))
+          .orderBy(col("cos").desc, col("vec_id"))))
+        .where(col("rn") <= 10)
+        .select(col("np"), col("qid"), col("vec_id"))
+      val hits = lev.join(truth, Seq("qid", "vec_id"), "left_semi")
+        .groupBy(col("np")).agg(count(lit(1)).as("hits"))
+      import s.implicits._
+      Seq(1, 2, 4, 8).toDF("np").join(hits, Seq("np"), "left")
+        .select(col("np").cast(LongType).as("nprobe"),
+          coalesce(col("hits"), lit(0L)).as("hits"), possible.as("possible"),
+          (floor(coalesce(col("hits"), lit(0L)) / possible.cast(DoubleType) * 1e4 + 0.5)
+            / 1e4).as("recall"))
+        .orderBy(col("nprobe"))
+    }),
+
     // Leave-one-out kNN label-recovery — the standard "is this embedding
     // space any good" eval card (a probe classifier without training):
     // for each of 100 query vectors, the 10 nearest neighbors (cosine,
@@ -1091,6 +1146,58 @@ object QueriesSim {
        |WHERE rn <= 10 ORDER BY qid, rank""".stripMargin
   }
 
+  /** ann_nprobe_sweep's twin: refit the sampled trainer, inline the 8
+    * centroid distance chains for BOTH corpus assignment and query cell
+    * ranks, brute-force the truth top-10, and reproduce each nprobe
+    * level's recall with the same (dist, cell) / (cos DESC, vec_id)
+    * determinism. */
+  private def nprobeSweepOracle(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    import graft.operators.Ivf
+    val e = t(s, dir, "embeddings").where(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"))
+    val cents = Ivf.collectCentroids(Ivf.trainSampled(e, "vec_id", "embedding", k = 8))
+    val k = cents.length
+    val dDefs = cents.zipWithIndex.map { case (c, i) =>
+      s"${l2ChainSql("v", c)} AS d$i" }.mkString(",\n    ")
+    val dcols = (0 until k).map(i => s"d$i")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |  WHERE embedding IS NOT NULL),
+       |d AS (SELECT vec_id, v,
+       |    $dDefs
+       |  FROM e),
+       |a AS MATERIALIZED (SELECT vec_id, v, ${argminCaseSql(dcols)} AS cell FROM d),
+       |qd AS (SELECT vec_id AS qid, v AS qv, ${dcols.mkString(", ")}
+       |  FROM d WHERE vec_id < 5),
+       |qc AS (SELECT qid, qv, u.cell,
+       |    CASE u.cell ${(0 until k).map(i => s"WHEN $i THEN d$i").mkString(" ")} END AS dist
+       |  FROM qd CROSS JOIN (SELECT unnest(range(0, $k)) AS cell) u),
+       |pr AS MATERIALIZED (SELECT qid, qv, cell,
+       |    row_number() OVER (PARTITION BY qid ORDER BY dist, cell) AS crank FROM qc),
+       |truth AS MATERIALIZED (SELECT qid, vec_id FROM (
+       |  SELECT q.qid, a.vec_id,
+       |    row_number() OVER (PARTITION BY q.qid
+       |      ORDER BY list_cosine_similarity(q.qv, a.v) DESC, a.vec_id) AS rn
+       |  FROM a CROSS JOIN (SELECT qid, qv FROM qd) q WHERE a.vec_id <> q.qid)
+       |  WHERE rn <= 10),
+       |tt AS (SELECT CAST(count(*) AS BIGINT) AS possible FROM truth),
+       |cand AS MATERIALIZED (SELECT p.qid, p.crank, a.vec_id,
+       |    list_cosine_similarity(p.qv, a.v) AS c
+       |  FROM a JOIN pr p ON a.cell = p.cell WHERE a.vec_id <> p.qid),
+       |nps(np) AS (VALUES (1), (2), (4), (8)),
+       |lev AS (SELECT np, qid, vec_id FROM (
+       |  SELECT n.np, cand.qid, cand.vec_id,
+       |    row_number() OVER (PARTITION BY cand.qid, n.np
+       |      ORDER BY cand.c DESC, cand.vec_id) AS rn
+       |  FROM cand CROSS JOIN nps n WHERE cand.crank <= n.np) WHERE rn <= 10),
+       |h AS (SELECT np, CAST(count(*) AS BIGINT) AS hits
+       |  FROM lev JOIN truth USING (qid, vec_id) GROUP BY 1)
+       |SELECT CAST(n.np AS BIGINT) AS nprobe,
+       |  CAST(coalesce(h.hits, 0) AS BIGINT) AS hits, tt.possible,
+       |  floor(CAST(coalesce(h.hits, 0) AS DOUBLE) / tt.possible * 1e4 + 0.5) / 1e4
+       |    AS recall
+       |FROM nps n LEFT JOIN h ON h.np = n.np CROSS JOIN tt ORDER BY nprobe""".stripMargin
+  }
+
   /** semdedup's twin: refit the sampled trainer, assign corpus ∪ planted
     * copies via the inlined argmin distance chains, and reproduce the
     * within-cell lower-id cosine prune with list_cosine_similarity (the
@@ -1410,7 +1517,8 @@ object QueriesSim {
         tryGen("embed_pca_project", pcaOracle(s, dir)) ++
         tryGen("cluster_silhouette", silhouetteOracle(s, dir)) ++
         tryGen("kcenter_coreset", kcenterOracle(s, dir)) ++
-        tryGen("semdedup", semdedupOracle(s, dir))).toMap
+        tryGen("semdedup", semdedupOracle(s, dir)) ++
+        tryGen("ann_nprobe_sweep", nprobeSweepOracle(s, dir))).toMap
     }.getOrElse(Map.empty)
 
   /** mmr_diversify's unrolled 5-step greedy twin: per step, score every

@@ -162,6 +162,18 @@ class Round9Spec extends SparkSpec {
     assert(inc.nonEmpty)
   }
 
+  test("ann_nprobe_sweep: recall is monotone in nprobe and exactly 1.0 at full probe") {
+    val rows = graft.queries.QueriesSim.queries("ann_nprobe_sweep")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 4L, 8L))
+    // more probed cells can only add candidates: hits are monotone
+    rows.sliding(2).foreach { case Array(a, b) => assert(a._2 <= b._2) }
+    val full = rows.last
+    assert(full._2 == full._3 && full._4 == 1.0,
+      "nprobe=8 probes every cell - must reproduce brute force exactly")
+    rows.foreach { case (_, h, p0, _) => assert(h >= 0 && h <= p0) }
+  }
+
   test("compression_ratio: distinct-8-gram proxy bounds and monotonicity") {
     // a pure repeat has near-zero distinct fraction; high-entropy text is ~1
     import spark.implicits._
