@@ -71,9 +71,13 @@ object Bench {
     // flag it IN the artifact so a downstream reader can never mistake load
     // for regression. Only for full runs (a BENCH_ONLY subset of heavy
     // queries legitimately exceeds the fleet-median band).
+    // band over SUCCESSFUL queries only: crashes often co-occur with load,
+    // and counting them in the denominator while excluding their time from
+    // `total` would let a loaded run slip under the band (review-caught)
     val cleanBandSecPerQuery = 0.69
+    val nOk = results.count(_._2 >= 0)
     val loadWarning = only.isEmpty &&
-      total > 1.5 * cleanBandSecPerQuery * results.size
+      total > 1.5 * cleanBandSecPerQuery * nOk
     if (loadWarning)
       System.err.println(f"[bench] WARNING: total ${total}%.1f s exceeds the " +
         f"clean band (${cleanBandSecPerQuery * results.size}%.1f s) by >1.5x - " +
@@ -85,17 +89,21 @@ object Bench {
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
         (line + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
-    graft.operators.CacheRegistry.sweep()
     // Full line first (BENCH_FULL parity), then a COMPACT summary as the very
     // last stdout line: the driver captures only the tail of the run output,
     // and at 338 queries the full line's HEAD gets cut, leaving unparseable
     // JSON (BENCH_r08 shipped "parsed": null). The compact line always fits
     // any tail window; per-query times stay diffable via BENCH_FULL.json.
+    // Both print BEFORE the cache sweep — a sweep failure must not lose the
+    // artifact from the captured output (review-caught).
     val sorted = results.map(_._2).filter(_ >= 0).sorted
     val median = if (sorted.isEmpty) 0.0 else sorted(sorted.size / 2)
+    val failField =
+      if (nOk < results.size) s""","n_failed":${results.size - nOk}""" else ""
     println(line)
-    println(s"""{"metric":"total","unit":"sec","n_queries":${results.size},""" +
+    println(s"""{"metric":"total","unit":"sec","n_queries":${results.size}$failField,""" +
       s""""median":${fmt(median)},"sf":"$sfDir"$warnField,"full":"BENCH_FULL.json","value":${fmt(total)}}""")
+    graft.operators.CacheRegistry.sweep()
     spark.stop()
   }
 }

@@ -1282,9 +1282,12 @@ object QueriesAnalytics {
     // Then lift = P(ab)/(P(a)P(b)) from the frequency joins. Top-25 by
     // rounded lift, pair-tiebroken.
     "basket_pairs" -> ((s, dir) => {
-      import graft.operators.CacheRegistry
-      // the distinct (order, part) stream feeds four consumers (two probes,
-      // the pair join twice) — persist it once for the query
+      // the distinct (order, part) stream feeds several consumers (freq,
+      // the optional semi-join, both pair-join sides) — all inside ONE job,
+      // where the identical distinct-exchange subtrees plan as
+      // ReusedExchange, so no explicit persist is needed (measured: the
+      // guarded plan runs within ~0.4 s of the unguarded one at sf0.1, the
+      // probe job's cost)
       val raw = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
       val li = raw.distinct()
       val nOrders = t(s, dir, "orders").agg(count(lit(1))).collect().head.getLong(0)
@@ -1670,11 +1673,6 @@ object QueriesAnalytics {
        |      GROUP BY sp.a, p2.label)
        |    WHERE rn = 1) b ON p.node = b.node2)""".stripMargin
 
-  /** er_linkage / er_cluster's shared construction (ONE definition so the
-    * scoring and the clustering views cannot drift): the dirty universe
-    * (customers + planted K-variants at +500000) and the Fellegi–Sunter
-    * scored candidate pairs from the (nation, acctbal-band) blocked join.
-    * Returns (dirty, scored(id_a, id_b, score)). */
   /** The user×user temporal-successor graph shared by
     * graph_pagerank_users / graph_lpa_users: within each (event_type,
     * hour) bucket ordered by (ts, event_id), an edge from each event's
@@ -1691,7 +1689,12 @@ object QueriesAnalytics {
         unix_micros(col("ts")).as("us"))
     val win = Window.partitionBy(col("event_type"), col("hb"))
       .orderBy(col("us"), col("event_id"))
-    val e0 = ev.withColumn("hb", expr("us DIV 3600000000"))
+    // FLOOR division (pmod-based, exact at any magnitude): Spark DIV
+    // truncates toward zero while the oracle's DuckDB `//` floors — they
+    // diverge on pre-epoch micros (the growth_accounting/ab_sequential
+    // lesson applied here before it can bite a regenerated calendar)
+    val e0 = ev.withColumn("hb",
+        expr("(us - pmod(us, 3600000000L)) DIV 3600000000"))
       .withColumn("nxt", lead(col("user_id"), 1).over(win))
       .where(col("nxt").isNotNull && col("nxt") =!= col("user_id"))
       .groupBy(col("user_id").as("src"), col("nxt").as("dst"))
@@ -1734,6 +1737,11 @@ object QueriesAnalytics {
         .select(col("ok"), col("pa"), col("pb"))
     }
 
+  /** er_linkage / er_cluster's shared construction (ONE definition so the
+    * scoring and the clustering views cannot drift): the dirty universe
+    * (customers + planted K-variants at +500000) and the Fellegi–Sunter
+    * scored candidate pairs from the (nation, acctbal-band) blocked join.
+    * Returns (dirty, scored(id_a, id_b, score)). */
   private def erScoredPairs(s: org.apache.spark.sql.SparkSession, dir: String)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val cust = t(s, dir, "customer")

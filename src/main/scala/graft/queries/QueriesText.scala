@@ -634,7 +634,17 @@ object QueriesText {
         .select(col("doc_id"),
           TextFns.shingleExplode(TextFns.tokens(col("text")), 2).as("term"))
         .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      val base = DiskCache.keyedPath("bm25_base_v1", s"$dir/documents.parquet")
+      // the base-era cache key covers ONLY the base slice's content — a
+      // file-level fingerprint of documents.parquet would change on every
+      // batch append and re-tokenize the base each refresh, defeating the
+      // IVM contract (review-caught). One tiny probe aggregate derives a
+      // refresh-stable content key: (count ^ xor of xxhash64(doc_id, text))
+      // over doc_id < 400 changes iff the BASE ERA changes.
+      val bRow = docs.where(col("doc_id") < 400)
+        .agg(count(lit(1)), bit_xor(xxhash64(col("doc_id"), col("text")))).head()
+      val baseKey = java.lang.Long.toHexString(
+        bRow.getLong(0) ^ (if (bRow.isNullAt(1)) 0L else bRow.getLong(1)))
+      val base = s"${DiskCache.root}/bm25_base_v1_$baseKey"
       DiskCache.ensure(base, Seq("postings/_SUCCESS", "dfs/_SUCCESS",
         "doclens/_SUCCESS")) { tmp =>
         val terms = termsOf(docs.where(col("doc_id") < 400))
