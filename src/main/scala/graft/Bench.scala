@@ -80,8 +80,9 @@ object Bench {
       total > 1.5 * cleanBandSecPerQuery * nOk
     if (loadWarning)
       System.err.println(f"[bench] WARNING: total ${total}%.1f s exceeds the " +
-        f"clean band (${cleanBandSecPerQuery * results.size}%.1f s) by >1.5x - " +
-        "container load suspected; re-run on a quiet machine before committing")
+        f"clean band (${cleanBandSecPerQuery * nOk}%.1f s over $nOk ok queries) " +
+        "by >1.5x - container load suspected; re-run on a quiet machine " +
+        "before committing")
     val warnField = if (loadWarning) ""","load_warning":true""" else ""
     val line =
       s"""{"metric":"total","unit":"sec","queries":$qs,"sf":"$sfDir"$warnField,"value":${fmt(total)}}"""

@@ -1309,7 +1309,8 @@ object QueriesAnalytics {
           count(when(col("gp") === 0 && col("n") < 3, 1)).as("inelig"),
           count(when(col("gp") === 0, 1)).as("items"))
         .head()
-      val maxBn = pr.getLong(0)
+      // empty lineitem: max aggregates to NULL — treat as no baskets
+      val maxBn = if (pr.isNullAt(0)) 0L else pr.getLong(0)
       val pruneable = pr.getLong(1) * 20L >= pr.getLong(2)
       val kept =
         if (pruneable)
@@ -1838,7 +1839,8 @@ object QueriesAnalytics {
        |    lead(user_id) OVER (PARTITION BY event_type, us // 3600000000
        |      ORDER BY us, event_id) AS nxt
        |  FROM ev),
-       |e0 AS (SELECT user_id AS src, nxt AS dst, CAST(count(*) AS BIGINT) AS w
+       |e0 AS MATERIALIZED (SELECT user_id AS src, nxt AS dst,
+       |    CAST(count(*) AS BIGINT) AS w
        |  FROM sq WHERE nxt IS NOT NULL AND nxt <> user_id GROUP BY 1, 2),
        |e AS MATERIALIZED (SELECT a, b, CAST(sum(w) AS BIGINT) AS w FROM (
        |    SELECT src AS a, dst AS b, w FROM e0
@@ -1881,7 +1883,8 @@ object QueriesAnalytics {
        |    lead(user_id) OVER (PARTITION BY event_type, us // 3600000000
        |      ORDER BY us, event_id) AS nxt
        |  FROM ev),
-       |e0 AS (SELECT user_id AS src, nxt AS dst, CAST(count(*) AS BIGINT) AS w
+       |e0 AS MATERIALIZED (SELECT user_id AS src, nxt AS dst,
+       |    CAST(count(*) AS BIGINT) AS w
        |  FROM sq WHERE nxt IS NOT NULL AND nxt <> user_id GROUP BY 1, 2),
        |wo AS (SELECT src, CAST(sum(w) AS BIGINT) AS wo FROM e0 GROUP BY 1),
        |e AS MATERIALIZED (SELECT e0.src, e0.dst,
@@ -1899,7 +1902,7 @@ object QueriesAnalytics {
 
   val oracle: Map[String, String] = Map(
     "interval_peak" ->
-      """WITH iv AS (
+      """WITH iv AS MATERIALIZED (
         |  SELECT l_suppkey AS sk, CAST(o_orderdate AS DATE) AS d0,
         |    CAST(l_shipdate AS DATE) AS d1
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey

@@ -570,6 +570,11 @@ object QueriesScale {
           expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("cents"))
       val m = c.groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_h"), sum(col("cents")).as("sx"),
+          // exact BIGINT second moment (ab_sequential convention): ANSI sum
+          // overflow throws = the guard; cents² ≈ 1e12 for acctbal, so the
+          // horizon is ~9e6 customers per segment — far past the tested SFs,
+          // and BOTH engines fail loudly (DuckDB HUGEINT→BIGINT cast) rather
+          // than diverge
           sum(col("cents") * col("cents")).as("sxx"))
         .withColumn("sd",
           expr("sqrt((CAST(n_h AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) / (CAST(n_h AS DOUBLE) * (n_h - 1)))"))

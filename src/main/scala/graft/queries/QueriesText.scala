@@ -639,7 +639,11 @@ object QueriesText {
       // batch append and re-tokenize the base each refresh, defeating the
       // IVM contract (review-caught). One tiny probe aggregate derives a
       // refresh-stable content key: (count ^ xor of xxhash64(doc_id, text))
-      // over doc_id < 400 changes iff the BASE ERA changes.
+      // over doc_id < 400 changes iff the BASE ERA changes. The probe
+      // reads only the base slice (doc_id pushdown); at real scale the
+      // base era is its own immutable file and keyedPath's O(files)
+      // fingerprint applies instead — this content probe is the testbed's
+      // single-file stand-in (CLAUDE.md invariant amended).
       val bRow = docs.where(col("doc_id") < 400)
         .agg(count(lit(1)), bit_xor(xxhash64(col("doc_id"), col("text")))).head()
       val baseKey = java.lang.Long.toHexString(

@@ -52,7 +52,7 @@ class Round9Spec extends SparkSpec {
       .where(col("user_id").isNotNull && col("ts").isNotNull && col("event_type").isNotNull)
       .select(col("user_id"), col("event_type"), col("event_id"), unix_micros(col("ts")).as("us"))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
-    val trans = ev.groupBy(e => (e._2, e._4 / 3600000000L)).toSeq.flatMap { case (_, es) =>
+    val trans = ev.groupBy(e => (e._2, Math.floorDiv(e._4, 3600000000L))).toSeq.flatMap { case (_, es) =>
       val ordered = es.sortBy(e => (e._4, e._3))
       ordered.zip(ordered.tail).map { case (a, b) => (a._1, b._1) }.filter(p => p._1 != p._2)
     }
@@ -88,7 +88,7 @@ class Round9Spec extends SparkSpec {
       .where(col("user_id").isNotNull && col("ts").isNotNull && col("event_type").isNotNull)
       .select(col("user_id"), col("event_type"), col("event_id"), unix_micros(col("ts")).as("us"))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
-    val trans = ev.groupBy(e => (e._2, e._4 / 3600000000L)).toSeq.flatMap { case (_, es) =>
+    val trans = ev.groupBy(e => (e._2, Math.floorDiv(e._4, 3600000000L))).toSeq.flatMap { case (_, es) =>
       val ordered = es.sortBy(e => (e._4, e._3))
       ordered.zip(ordered.tail).map { case (a, b) => (a._1, b._1) }.filter(p => p._1 != p._2)
     }
