@@ -45,6 +45,34 @@ object QueriesRelationalExt {
           |WHERE c.c_custkey < 200
           |ORDER BY c.c_custkey, price DESC, o.o_orderkey""".stripMargin)
     }),
+    // LIVE JDBC round-trip against embedded Derby (on /opt/spark/jars —
+    // the first real database this bridge touches; rounds 1–8 could only
+    // spec the pure option/DDL layers): the reference's import-data-table
+    // → get-data-table cycle (clsql-data-table.lisp:13-19, 236-239) run
+    // for real — Jdbc.save writes the nation table through Spark's JDBC
+    // sink (Overwrite = drop/create via DerbyDialect DDL), Jdbc.scan reads
+    // it back as a RANGE-PARTITIONED parallel scan (4 range-predicate
+    // queries — the 100-TB shape for pulling a warehouse table), and the
+    // aggregate must reproduce the parquet truth (the DuckDB oracle never
+    // sees Derby, so any round-trip corruption fails the hash). Embedded
+    // Derby lives under target/ (same lifecycle as the warehouse dir).
+    "jdbc_roundtrip" -> ((s, dir) => {
+      import graft.sources.Jdbc
+      import org.apache.spark.sql.SaveMode
+      val conn = Jdbc.Conn("jdbc:derby:target/derby_graft;create=true",
+        driver = Some("org.apache.derby.jdbc.EmbeddedDriver"))
+      val nation = t(s, dir, "nation").select(
+        col("n_nationkey").cast(LongType).as("n_nationkey"), col("n_name"),
+        col("n_regionkey").cast(LongType).as("n_regionkey"))
+      Jdbc.save(nation, conn, "graft_nation", SaveMode.Overwrite, numPartitions = 2)
+      Jdbc.scan(s, conn, "graft_nation",
+          Some(Jdbc.Partitioned("n_nationkey", 0L, 25L, 4)))
+        .groupBy(col("n_regionkey"))
+        .agg(count(lit(1)).as("n_nations"), sum(col("n_nationkey")).as("key_sum"),
+          min(col("n_name")).as("first_name"))
+        .orderBy(col("n_regionkey"))
+    }),
+
     // get-data-table: arbitrary SQL in, DataTable out (clsql-data-table.lisp:13-19).
     "sql_bridge" -> ((s, dir) => {
       Tables.registerAll(s, dir)
@@ -459,6 +487,14 @@ object QueriesRelationalExt {
       |ORDER BY c_custkey""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // the oracle reads the PARQUET truth — Derby never enters the compare,
+    // so a write/read corruption in the live bridge fails the hash
+    "jdbc_roundtrip" ->
+      """SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+        |  CAST(count(*) AS BIGINT) AS n_nations,
+        |  CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+        |  min(n_name) AS first_name
+        |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin,
     // two windows + two joins where the cogroup form is one exchange per
     // side — an independent formulation of the same per-customer facts
     "typed_cogroup" ->

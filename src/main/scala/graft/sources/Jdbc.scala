@@ -8,11 +8,15 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * `import-data-table`), re-expressed as Spark's own JDBC source wired to
   * the [[graft.Ddl]] dialect generators.
   *
-  * No JDBC driver jar exists in this sandbox, so the split is deliberate:
-  * everything that touches a real database (`scan`/`save`) is a one-line
-  * passthrough to `spark.read.jdbc`/`df.write.jdbc`, and everything pure —
-  * option assembly, dialect inference, ensure-table DDL — is a separate
-  * function the spec pins without a connection.
+  * The split is deliberate: everything that touches a real database
+  * (`scan`/`save`) is a one-line passthrough to
+  * `spark.read.jdbc`/`df.write.jdbc`, and everything pure — option
+  * assembly, dialect inference, ensure-table DDL — is a separate function
+  * the spec pins without a connection. Round 9: the live path IS now
+  * exercised for real against embedded Derby (on /opt/spark/jars) — the
+  * declared `jdbc_roundtrip` query writes/reads through it with a
+  * parquet-truth oracle, and JdbcSpec runs a live save→partitioned-scan
+  * round-trip.
   *
   * Scale shape: a JDBC scan is single-stream unless partitioned — always
   * pass `partitioned` bounds for data-sized tables (Spark then issues

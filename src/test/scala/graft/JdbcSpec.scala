@@ -45,6 +45,33 @@ class JdbcSpec extends SparkSpec {
     assert(msSql.contains("IDENTITY"), msSql)
   }
 
+  test("LIVE embedded-Derby round-trip: save -> partitioned scan preserves content") {
+    // the first live-database exercise of the bridge (round-9; Derby ships
+    // on /opt/spark/jars): content equality through a real JDBC write/read,
+    // the range-partitioned parallel scan, and Overwrite idempotency
+    import spark.implicits._
+    import org.apache.spark.sql.SaveMode
+    val conn = Jdbc.Conn("jdbc:derby:target/derby_spec;create=true",
+      driver = Some("org.apache.derby.jdbc.EmbeddedDriver"))
+    val df = Seq((1L, "alpha", 10.5), (2L, "beta", -3.25), (3L, "gamma", 0.0),
+      (4L, "delta", 99.99)).toDF("id", "name", "score")
+    Jdbc.save(df, conn, "spec_t", SaveMode.Overwrite, numPartitions = 2)
+    val back = Jdbc.scan(spark, conn, "spec_t")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    assert(back == Seq((1L, "alpha", 10.5), (2L, "beta", -3.25),
+      (3L, "gamma", 0.0), (4L, "delta", 99.99)))
+    // partitioned scan: 3 range queries, same content, and the plan really
+    // has 3 partitions
+    val part = Jdbc.scan(spark, conn, "spec_t",
+      Some(Jdbc.Partitioned("id", 1L, 5L, 3)))
+    assert(part.rdd.getNumPartitions == 3)
+    assert(part.count() == 4)
+    // Overwrite reruns are idempotent (drop/create, not append)
+    Jdbc.save(df, conn, "spec_t", SaveMode.Overwrite, numPartitions = 2)
+    assert(Jdbc.scan(spark, conn, "spec_t").count() == 4)
+  }
+
   test("connection properties carry driver + extras") {
     val c = pg.copy(driver = Some("org.postgresql.Driver"),
       extra = Map("ssl" -> "true"))
