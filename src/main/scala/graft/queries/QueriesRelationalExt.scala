@@ -59,7 +59,14 @@ object QueriesRelationalExt {
     "jdbc_roundtrip" -> ((s, dir) => {
       import graft.sources.Jdbc
       import org.apache.spark.sql.SaveMode
-      val conn = Jdbc.Conn("jdbc:derby:target/derby_graft;create=true",
+      // per-PROCESS database path: embedded Derby takes an exclusive
+      // filesystem lock, so a shared target/derby_graft made concurrent
+      // harness processes (Verify while a Bench is still up) fail with
+      // XJ040 boot errors instead of data results (advice round 9). The
+      // pid suffix gives each JVM its own db; dirs are scratch under
+      // target/ with the warehouse's lifecycle.
+      val pid = java.lang.ProcessHandle.current().pid()
+      val conn = Jdbc.Conn(s"jdbc:derby:target/derby_graft_$pid;create=true",
         driver = Some("org.apache.derby.jdbc.EmbeddedDriver"))
       val nation = t(s, dir, "nation").select(
         col("n_nationkey").cast(LongType).as("n_nationkey"), col("n_name"),
