@@ -948,6 +948,47 @@ object QueriesAnalytics {
         .orderBy(col("community"))
     }),
 
+    // Frontier BFS reachability on the SAME data-sized user graph — the
+    // third distributed-iteration member (round-9 verdict #3; PageRank =
+    // scores, LPA = communities, BFS = reach): "blast radius" from a
+    // data-scale seed set (every 25th user id — 1/6/60 seeds across the
+    // test SFs, grows with the corpus) over the directed successor edges,
+    // 5 fixed synchronous rounds. Per round: ONE frontier⋈edges join (the
+    // frontier side shrinks as the graph saturates — AQE picks broadcast
+    // when it fits), one distinct, one anti-join against the settled set;
+    // both frontier and settled checkpoint per round (ConnectedComponents'
+    // lineage discipline — without it round r's plan nests all r−1 prior
+    // joins). All arithmetic is exact integers (distances are literals,
+    // checksums are id sums), so the unrolled 5-round SQL oracle matches
+    // bit-for-bit. Declared output: the per-distance card (n_users, id
+    // checksum) with dist = −1 carrying the unreached remainder — the
+    // influence-reach curve, never a corpus-sized result.
+    "graph_bfs_users" -> ((s, dir) => {
+      import graft.operators.CacheRegistry
+      val (e0, nodes0) = successorGraph(s, dir)
+      val edges = CacheRegistry.track(e0.select(col("src"), col("dst")))
+      val nodes = CacheRegistry.track(nodes0)
+      var reached = nodes.where(col("id") % 25 === 0)
+        .select(col("id"), lit(0L).as("dist")).localCheckpoint(false)
+      var frontier = reached.select(col("id").as("src"))
+      for (i <- 1 to 5) {
+        val nxt = edges.join(frontier, "src")
+          .select(col("dst").as("id")).distinct()
+          .join(reached, Seq("id"), "left_anti")
+          .select(col("id"), lit(i.toLong).as("dist"))
+          .localCheckpoint(false)
+        reached = reached.unionByName(nxt).localCheckpoint(false)
+        frontier = nxt.select(col("id").as("src"))
+      }
+      val card = reached.groupBy(col("dist"))
+        .agg(count(lit(1)).as("n_users"), sum(col("id")).as("user_id_sum"))
+      val unreached = nodes.join(reached, Seq("id"), "left_anti")
+        .agg(count(lit(1)).as("n_users"),
+          coalesce(sum(col("id")), lit(0L)).as("user_id_sum"))
+        .select(lit(-1L).as("dist"), col("n_users"), col("user_id_sum"))
+      card.unionByName(unreached).orderBy(col("dist"))
+    }),
+
     // Triangle census + global clustering coefficient on the nation trade
     // graph. The corpus collapses to the config-sized undirected edge list
     // distributedly (same broadcast-dim joins as graph_pagerank — the fact
@@ -1854,6 +1895,45 @@ object QueriesAnalytics {
        |FROM l5 GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** graph_bfs_users' unrolled twin: 5 loop-generated synchronous frontier
+    * rounds over the directed successor graph — frontier⋈edges minus the
+    * settled set, then the per-distance card plus the dist = −1 unreached
+    * remainder. Pure integer set algebra, nothing to quantize; every
+    * round's tables are referenced twice (expand + carry) → AS MATERIALIZED
+    * throughout. NOT IN is safe here: ids are non-null by construction. */
+  private val bfsUsersOracle: String = {
+    val rounds = (1 to 5).map { i =>
+      val pf = s"f${i - 1}"; val pd = s"d${i - 1}"
+      s"""f$i AS MATERIALIZED (SELECT DISTINCT e.dst AS id
+         |  FROM e JOIN $pf p ON e.src = p.id
+         |  WHERE e.dst NOT IN (SELECT id FROM $pd)),
+         |d$i AS MATERIALIZED (SELECT id, dist FROM $pd
+         |  UNION ALL SELECT id, CAST($i AS BIGINT) AS dist FROM f$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ev AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS us
+       |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+       |    AND event_type IS NOT NULL),
+       |sq AS (SELECT user_id,
+       |    lead(user_id) OVER (PARTITION BY event_type, us // 3600000000
+       |      ORDER BY us, event_id) AS nxt
+       |  FROM ev),
+       |e AS MATERIALIZED (SELECT DISTINCT user_id AS src, nxt AS dst
+       |  FROM sq WHERE nxt IS NOT NULL AND nxt <> user_id),
+       |nodes AS MATERIALIZED (SELECT DISTINCT user_id AS id FROM ev),
+       |d0 AS MATERIALIZED (SELECT id, CAST(0 AS BIGINT) AS dist FROM nodes
+       |  WHERE id % 25 = 0),
+       |f0 AS (SELECT id FROM d0),
+       |$rounds
+       |SELECT dist, CAST(count(*) AS BIGINT) AS n_users,
+       |  CAST(sum(id) AS BIGINT) AS user_id_sum
+       |FROM d5 GROUP BY 1
+       |UNION ALL
+       |SELECT CAST(-1 AS BIGINT) AS dist, CAST(count(*) AS BIGINT) AS n_users,
+       |  CAST(coalesce(sum(id), 0) AS BIGINT) AS user_id_sum
+       |FROM nodes WHERE id NOT IN (SELECT id FROM d5)
+       |ORDER BY dist""".stripMargin
+  }
+
   /** graph_pagerank_users' unrolled-fixpoint oracle (attribution_markov
     * precedent): 5 loop-generated rounds running the SAME exact fixed-point
     * integer recurrence as operators/PageRank — scores in 1e-12 BIGINT
@@ -1919,6 +1999,7 @@ object QueriesAnalytics {
         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     "graph_pagerank_users" -> pagerankUsersOracle,
     "graph_lpa_users" -> lpaUsersOracle,
+    "graph_bfs_users" -> bfsUsersOracle,
     "ucc_discover" -> {
       val checks = Seq(
         ("orders", Seq("o_orderkey")),
