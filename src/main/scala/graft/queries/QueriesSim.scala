@@ -760,6 +760,64 @@ object QueriesSim {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // IVF-PQ APPEND-BATCH ingestion (round-9 verdict #4 — sim_ivf_append's
+    // composed sibling): at 100 TB you NEVER retrain centroids or
+    // codebooks per batch — the delta is encoded under the FROZEN models
+    // (one narrow codegen'd pass over the batch only: cell + m byte-codes
+    // together) and lands in its own snapshot dir beside the once-written
+    // corpus layout; probes read the union of snapshots with per-side
+    // cell-partition pruning. Search must equal a full re-encode of
+    // corpus ∪ batch under the same models — bm25_incremental's
+    // inc ≡ rebuild contract, pinned both by the trained-model oracle
+    // (same frozen models refit, union corpus) and by a Round10Spec
+    // differential against the in-memory full re-encode.
+    "sim_ivfpq_append" -> ((s, dir) => {
+      import graft.operators.Ivf
+      val e = t(s, dir, "embeddings").where(col("embedding").isNotNull)
+        .select(col("vec_id"), col("embedding"))
+      val ca = Ivf.collectCentroids(
+        Ivf.trainSampled(e, "vec_id", "embedding", k = 8))
+      val books = Pq.train(e, "vec_id", "embedding", m = 8, k = 16)
+      def enc(df: org.apache.spark.sql.DataFrame) = df.select(col("vec_id"),
+        element_at(Ivf.nearestCells(col("embedding"), ca, 1), 1).as("cell"),
+        Pq.codesFor(col("embedding"), books).as("codes"))
+      val base = graft.operators.DiskCache.keyedPath(
+        "ivfpq_idx_v1", s"$dir/embeddings.parquet")
+      graft.operators.DiskCache.ensure(s"$base/corpus") { tmp =>
+        Ivf.writeIndex(enc(e), tmp)
+      }
+      val batch = e.where(col("vec_id") % 50 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      // snapshot overwrite keeps reruns idempotent (sim_ivf_append's
+      // convention); the union below is the live index
+      Ivf.writeIndex(enc(batch), s"$base/batch_1")
+      val idx = Ivf.readIndex(s, s"$base/corpus")
+        .unionByName(Ivf.readIndex(s, s"$base/batch_1"))
+      val q = e.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val probes = q.select(col("qid"),
+        explode(Ivf.nearestCells(col("qe"), ca, 3)).as("cell"))
+      val luts = q.select(col("qid"), SimFns.toDouble(col("qe"))).collect()
+        .flatMap { r =>
+          Pq.adcTable(r.getSeq[Double](1).toArray, books)
+            .map { case (j, c, d) => (r.getLong(0), j, c, d) }
+        }.toIndexedSeq
+      import s.implicits._
+      val lut = broadcast(luts.toDF("qid", "j", "code", "d"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("dist2").asc, col("vec_id").asc)
+      idx.join(broadcast(probes), "cell")
+        .select(col("qid"), col("vec_id"),
+          posexplode(col("codes")).as(Seq("j", "code")))
+        .join(lut, Seq("qid", "j", "code"))
+        .groupBy(col("qid"), col("vec_id")).agg(sum(col("d")).as("dist2"))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 10)
+        .select(col("qid"), col("vec_id"), round(col("dist2"), 6).as("dist2"),
+          col("rank").cast(LongType).as("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // PCA projection onto the top-2 principal directions — the
     // visualization/whitening/linear-probe prep step. The model fits
     // driver-side on the first-2048 sample (operators/Pca — deterministic
@@ -1354,8 +1412,13 @@ object QueriesSim {
     * argmin-CASE) and the 8×16 codebooks encode + ADC-score the candidates
     * (pqOracle's chains + literal tables). Candidates are the probe-cell
     * join; each vector has exactly one cell so the join cannot duplicate
-    * a (qid, vec_id) pair. */
-  private def ivfpqOracle(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    * a (qid, vec_id) pair. `corpusSql` parameterizes WHICH vectors are
+    * indexed (sim_ivfpq_append unions the planted batch) while the models
+    * ALWAYS refit on the natural corpus — the frozen-model contract. */
+  private def ivfpqOracle(s: org.apache.spark.sql.SparkSession, dir: String,
+      corpusSql: String =
+        """SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+          |  WHERE embedding IS NOT NULL""".stripMargin): String = {
     import graft.operators.Ivf
     val e = t(s, dir, "embeddings").where(col("embedding").isNotNull)
       .select(col("vec_id"), col("embedding"))
@@ -1386,8 +1449,7 @@ object QueriesSim {
       }.mkString(" + ")
       s"WHEN $qid THEN $chain"
     }.mkString("\n      ")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-       |  WHERE embedding IS NOT NULL),
+    s"""WITH e AS ($corpusSql),
        |cd AS (SELECT vec_id, v,
        |    $cellDefs
        |  FROM e),
@@ -1551,6 +1613,12 @@ object QueriesSim {
         tryGen("sim_ivf_append", ivfAppendOracle(s, dir)) ++
         tryGen("sim_pq", pqOracle(s, dir)) ++
         tryGen("sim_ivfpq", ivfpqOracle(s, dir)) ++
+        tryGen("sim_ivfpq_append", ivfpqOracle(s, dir,
+          """SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            |    WHERE embedding IS NOT NULL
+            |  UNION ALL
+            |  SELECT vec_id + 100000, CAST(embedding AS DOUBLE[])
+            |  FROM embeddings WHERE vec_id % 50 = 0 AND embedding IS NOT NULL""".stripMargin)) ++
         tryGen("sim_ivfpq_residual", ivfpqResidualOracle(s, dir)) ++
         tryGen("embed_pca_project", pcaOracle(s, dir)) ++
         tryGen("cluster_silhouette", silhouetteOracle(s, dir)) ++

@@ -40,4 +40,49 @@ class Round10Spec extends SparkSpec {
     // sanity: the seed level exists and carries every 25th user
     assert(got.exists(r => r._1 == 0L && r._2 == nodes.count(_ % 25 == 0)))
   }
+
+  test("sim_ivfpq_append: snapshot-union search equals a one-pass full re-encode under the frozen models") {
+    import graft.operators.{Ivf, Pq}
+    import graft.functions.SimFns
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.LongType
+    val got = graft.queries.QueriesSim.queries("sim_ivfpq_append")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+
+    // full re-encode: same frozen models (trained on the NATURAL corpus),
+    // corpus ∪ batch encoded in ONE pass with no snapshot layout, same search
+    val e = graft.queries.Tables.t(spark, dir, "embeddings")
+      .where(col("embedding").isNotNull).select(col("vec_id"), col("embedding"))
+    val ca = Ivf.collectCentroids(Ivf.trainSampled(e, "vec_id", "embedding", k = 8))
+    val books = Pq.train(e, "vec_id", "embedding", m = 8, k = 16)
+    val union = e.unionByName(e.where(col("vec_id") % 50 === 0)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+    val enc = union.select(col("vec_id"),
+      element_at(Ivf.nearestCells(col("embedding"), ca, 1), 1).as("cell"),
+      Pq.codesFor(col("embedding"), books).as("codes"))
+    val q = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val probes = q.select(col("qid"),
+      explode(Ivf.nearestCells(col("qe"), ca, 3)).as("cell"))
+    val luts = q.select(col("qid"), SimFns.toDouble(col("qe"))).collect()
+      .flatMap { r =>
+        Pq.adcTable(r.getSeq[Double](1).toArray, books)
+          .map { case (j, c, d) => (r.getLong(0), j, c, d) }
+      }.toIndexedSeq
+    import spark.implicits._
+    val lut = broadcast(luts.toDF("qid", "j", "code", "d"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist2").asc, col("vec_id").asc)
+    val expected = enc.join(broadcast(probes), "cell")
+      .select(col("qid"), col("vec_id"), posexplode(col("codes")).as(Seq("j", "code")))
+      .join(lut, Seq("qid", "j", "code"))
+      .groupBy(col("qid"), col("vec_id")).agg(sum(col("d")).as("dist2"))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= 10)
+      .select(col("qid"), col("vec_id"), round(col("dist2"), 6).as("dist2"),
+        col("rank").cast(LongType).as("rank"))
+      .orderBy(col("qid"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(got == expected, s"append path diverged from full re-encode")
+    // the batch actually participates: some planted +100000 id must rank
+    assert(got.exists(_._2 >= 100000L), "no planted batch vector in the results")
+  }
 }
