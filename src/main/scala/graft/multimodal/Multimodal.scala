@@ -201,6 +201,105 @@ object Multimodal {
     })
   }
 
+  final case class WavMedia(doc_id: Long, bytes: Array[Byte])
+  final case class WavChannelStats(doc_id: Long, channel: Long, n_samples: Long,
+                                   sample_rate: Long, peak_abs: Long,
+                                   sum_sq: Long, checksum: Long)
+
+  /** Sample formula for the deterministic test audio: signed 16-bit PCM
+    * sample `i` of channel `ch` in doc `id`'s clip. Pure integer arithmetic
+    * (inputs are non-negative, so `%` is exact in both engines) — the
+    * DuckDB oracle regenerates the ground-truth statistics without parsing
+    * RIFF. */
+  private[graft] def wavSample(id: Long, ch: Int, i: Int): Int =
+    ((id * 31L + ch * 1009L + i * 7919L) % 65536L).toInt - 32768
+
+  private[graft] def wavChannels(id: Long): Int = (1 + id % 2).toInt
+  private[graft] def wavFrames(id: Long): Int = (400 + (id % 7) * 50).toInt
+  private[graft] val WavRate = 8000
+
+  /** Encode one REAL RIFF/WAVE file (canonical 44-byte header + interleaved
+    * signed 16-bit little-endian PCM frames) — the actual wire format
+    * javax.sound reads, byte for byte. */
+  private[graft] def encodeWav(id: Long): Array[Byte] = {
+    val ch = wavChannels(id)
+    val n = wavFrames(id)
+    val dataSize = n * ch * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1)                       // PCM
+      .putShort(ch.toShort)
+      .putInt(WavRate)
+      .putInt(WavRate * ch * 2)          // byte rate
+      .putShort((ch * 2).toShort)        // block align
+      .putShort(16)                      // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var i = 0
+    while (i < n) {
+      var c = 0
+      while (c < ch) { buf.putShort(wavSample(id, c, i).toShort); c += 1 }
+      i += 1
+    }
+    buf.array()
+  }
+
+  /** Render one deterministic WAV per doc_id — the ingest-side stand-in for
+    * reading real audio files, the renderBmp sibling. */
+  def renderWav(spark: SparkSession, ids: DataFrame): Dataset[WavMedia] = {
+    import spark.implicits._
+    ids.select(col("doc_id")).as[Long].mapPartitions(_.map(id =>
+      WavMedia(id, encodeWav(id))))
+  }
+
+  /** REAL audio decode through javax.sound (JDK java.desktop — no new
+    * deps): AudioSystem parses the RIFF/fmt headers into an AudioFormat
+    * (channels, rate, bit depth, endianness — all VERIFIED, not assumed),
+    * streams the PCM frames, and each channel de-interleaves to exact
+    * integer statistics — peak |s|, energy Σs², and a frame-order-weighted
+    * checksum that pins interleaving and sample order (a decoder that
+    * swaps channels or drops a frame produces the right peak but the wrong
+    * checksum). Spark shape: typed Dataset in, one narrow mapPartitions
+    * batch loop (decode never shuffles; only the ~56-byte stat rows do) —
+    * the decode slot a real audio codec drops into at 100 TB. */
+  def decodeWav(spark: SparkSession, media: Dataset[WavMedia]): Dataset[WavChannelStats] = {
+    import spark.implicits._
+    media.mapPartitions(_.flatMap { m =>
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(m.bytes))
+      val fmt = ais.getFormat
+      require(fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+        fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+        s"doc ${m.doc_id}: unsupported audio format $fmt")
+      val ch = fmt.getChannels
+      val rate = math.round(fmt.getSampleRate).toLong
+      val data = ais.readAllBytes()
+      ais.close()
+      val nFrames = data.length / (2 * ch)
+      val peak = new Array[Long](ch)
+      val sumSq = new Array[Long](ch)
+      val ck = new Array[Long](ch)
+      var i = 0
+      while (i < nFrames) {
+        var c = 0
+        while (c < ch) {
+          val off = (i * ch + c) * 2
+          val s = ((data(off) & 0xff) | (data(off + 1) << 8)).toShort.toLong
+          if (math.abs(s) > peak(c)) peak(c) = math.abs(s)
+          sumSq(c) += s * s
+          ck(c) += (i + 1L) * s
+          c += 1
+        }
+        i += 1
+      }
+      (0 until ch).map(c =>
+        WavChannelStats(m.doc_id, c.toLong, nFrames.toLong, rate,
+          peak(c), sumSq(c), ck(c)))
+    })
+  }
+
   /** STUB resize: downsample the payload to a byte budget by stride
     * sampling — keep every k-th byte, k = ⌈len/budget⌉ — standing in for
     * image down-scaling; metadata scales with the same factor so the

@@ -85,4 +85,32 @@ class Round10Spec extends SparkSpec {
     // the batch actually participates: some planted +100000 id must rank
     assert(got.exists(_._2 >= 100000L), "no planted batch vector in the results")
   }
+
+  test("WAV round trip: javax.sound decode of the rendered RIFF matches a direct sample-formula fold") {
+    import graft.multimodal.Multimodal
+    // id 3 → stereo, id 4 → mono (wavChannels = 1 + id % 2)
+    val ids = Seq(3L, 4L)
+    import spark.implicits._
+    val got = Multimodal.decodeWav(spark,
+        Multimodal.renderWav(spark, ids.toDF("doc_id")))
+      .collect().map(s => (s.doc_id, s.channel) -> s).toMap
+    assert(got.size == 2 + 1) // stereo doc has two channel rows
+    ids.foreach { id =>
+      val ch = Multimodal.wavChannels(id)
+      val n = Multimodal.wavFrames(id)
+      (0 until ch).foreach { c =>
+        val samples = (0 until n).map(i => Multimodal.wavSample(id, c, i).toLong)
+        val s = got((id, c.toLong))
+        assert(s.n_samples == n && s.sample_rate == 8000L)
+        assert(s.peak_abs == samples.map(math.abs).max)
+        assert(s.sum_sq == samples.map(x => x * x).sum)
+        assert(s.checksum == samples.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum)
+      }
+    }
+    // header sanity straight from javax.sound (not our own parse)
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(Multimodal.encodeWav(3L)))
+    assert(ais.getFormat.getChannels == 2 && ais.getFormat.getSampleRate == 8000f)
+    assert(ais.getFrameLength == Multimodal.wavFrames(3L).toLong)
+  }
 }
