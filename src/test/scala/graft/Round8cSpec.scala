@@ -395,8 +395,9 @@ class Round8cSpec extends SparkSpec {
   test("hll_incremental: state is base-era-only, built once, and merge is lossless") {
     import graft.functions.TextFns
     val got = graft.queries.QueriesScale.queries("hll_incremental")(spark, dir)
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
-    assert(got.nonEmpty && got.forall(_._4), "every sketch estimate within tolerance")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty && got.forall(_._4 == 0L),
+      "every sketch estimate within tolerance (est_err_units = 0)")
     // the persisted state holds ONLY the base era's mass
     val statePath = graft.operators.DiskCache.keyedPath(
       "hllstate_v1", s"$dir/documents.parquet")
