@@ -894,7 +894,7 @@ object QueriesAnalytics {
       val edges = CacheRegistry.track(e0
         .withColumn("wo", sum(col("w")).over(Window.partitionBy(col("src"))))
         .select(col("src"), col("dst"), expr("(w * 1000000) DIV wo").as("p6")))
-      val nodes = CacheRegistry.track(nodes0)
+      val nodes = nodes0 // persisted inside successorGraph
       val n = nodes.count()
       PageRank.run(edges, nodes, n, 5)
         .orderBy(col("r12").desc, col("id")).limit(100)
@@ -928,7 +928,7 @@ object QueriesAnalytics {
           .unionByName(e0.select(col("dst").as("a"), col("src").as("b"), col("w")))
           .groupBy(col("a"), col("b")).agg(sum(col("w")).as("w"))
           .where(col("w") >= 2))
-      val nodes = CacheRegistry.track(nodes0)
+      val nodes = nodes0 // persisted inside successorGraph
       var lbl = nodes.select(col("id"), col("id").as("lbl"))
       for (_ <- 1 to 5) {
         val wv = Window.partitionBy(col("a")).orderBy(col("ws").desc, col("cl").asc)
@@ -964,10 +964,10 @@ object QueriesAnalytics {
     // checksum) with dist = −1 carrying the unreached remainder — the
     // influence-reach curve, never a corpus-sized result.
     "graph_bfs_users" -> ((s, dir) => {
-      import graft.operators.CacheRegistry
       val (e0, nodes0) = successorGraph(s, dir)
-      val edges = CacheRegistry.track(e0.select(col("src"), col("dst")))
-      val nodes = CacheRegistry.track(nodes0)
+      // narrow projections of the frames successorGraph already persists
+      val edges = e0.select(col("src"), col("dst"))
+      val nodes = nodes0
       var reached = nodes.where(col("id") % 25 === 0)
         .select(col("id"), lit(0L).as("dist")).localCheckpoint(false)
       var frontier = reached.select(col("id").as("src"))
@@ -1721,7 +1721,13 @@ object QueriesAnalytics {
     * user to the NEXT event's user — ONE window sort, edge count linear
     * in events at any scale (bucket co-occurrence PAIRS would grow
     * quadratically with per-bucket density). Returns (edges (src, dst,
-    * w), nodes (id)); node domain = distinct users, grows with SF. */
+    * w), nodes (id)); node domain = distinct users, grows with SF.
+    *
+    * Both frames are persisted via CacheRegistry.track HERE (round 10):
+    * three queries share this construction (PageRank / LPA / BFS), and
+    * Spark's CacheManager keys cache entries by canonicalized plan, so the
+    * one registered persist serves all three in a full Verify/Bench
+    * session — the events window sort runs once, not three times. */
   private def successorGraph(s: org.apache.spark.sql.SparkSession, dir: String)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val ev = t(s, dir, "events")
@@ -1741,7 +1747,8 @@ object QueriesAnalytics {
       .where(col("nxt").isNotNull && col("nxt") =!= col("user_id"))
       .groupBy(col("user_id").as("src"), col("nxt").as("dst"))
       .agg(count(lit(1)).as("w"))
-    (e0, ev.select(col("user_id").as("id")).distinct())
+    (graft.operators.CacheRegistry.track(e0),
+      graft.operators.CacheRegistry.track(ev.select(col("user_id").as("id")).distinct()))
   }
 
   /** Exact unordered within-group pairs over (l_orderkey, l_partkey) rows →

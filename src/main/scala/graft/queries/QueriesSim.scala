@@ -606,7 +606,11 @@ object QueriesSim {
     // ONE corpus×queries fan-out, rank windows per query cut at 10, then
     // everything is query-domain-sized; at real scale the fan-out swaps
     // for an IVF probe (sim_ivf) with ann_recall pricing the swap —
-    // brute force IS the declared ground truth here.
+    // brute force IS the declared ground truth here. At 100 TB, use the
+    // knn_eval_sampled variant: a seeded fixed-size md5-ordered query
+    // subset caps truth cost at corpus×|sample| (the same knob applies to
+    // every eval card in this family — swap the vec_id<N prefix for the
+    // md5 TakeOrdered sample).
     "knn_eval" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
         .where(col("embedding").isNotNull && col("label").isNotNull)
