@@ -109,6 +109,28 @@ object QueriesDdl {
         .orderBy(col("lang"), col("source"))
     }),
 
+    // XML round-trip — Spark 4's BUILT-IN xml datasource (new in 4.0; no
+    // external spark-xml connector needed), the remaining native format
+    // after parquet/orc/csv/json/text/binary: documents out as <doc>
+    // elements (writer XML-escapes content), re-ingested with rowTag
+    // schema-on-read (types re-inferred: doc_id comes back integral), then
+    // the json_roundtrip aggregate — the content md5 proves the
+    // escape/unescape cycle is byte-lossless.
+    "xml_roundtrip" -> ((s, dir) => {
+      val out = "target/tmp_sink_xml"
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("text"))
+        .repartition(8)
+        .write.mode("overwrite").option("rowTag", "doc").xml(out)
+      val back = s.read.option("rowTag", "doc").xml(out)
+      back.where(col("lang").isin("en", "de"))
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("text"))).as("total_chars"),
+          md5(concat_ws("", sort_array(collect_list(md5(col("text")))))).as("content_md5"))
+        .orderBy(col("lang"), col("source"))
+    }),
+
     // binaryFile source — the multimodal ingestion path: whole files as
     // (path, length, binary content) rows, e.g. image/audio corpora landing
     // as blobs before featurization. Column pruning matters here: a
@@ -541,6 +563,12 @@ object QueriesDdl {
         |  round(sum(o_totalprice), 2) AS sum_price, CAST(sum(o_orderkey) AS BIGINT) AS sum_key
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "json_roundtrip" ->
+      """SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        |  md5(string_agg(md5(text), '' ORDER BY md5(text))) AS content_md5
+        |FROM documents WHERE lang IN ('en', 'de')
+        |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "xml_roundtrip" ->
       """SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
         |  md5(string_agg(md5(text), '' ORDER BY md5(text))) AS content_md5
