@@ -300,6 +300,48 @@ object Multimodal {
     })
   }
 
+  final case class WavWindow(doc_id: Long, channel: Long, win: Long, energy: Long)
+
+  /** Per-window PCM energy through the SAME javax.sound parse as
+    * [[decodeWav]]: frames bucket into fixed `windowSamples`-frame windows
+    * (the trailing partial window is kept — deterministic in both engines
+    * as i DIV windowSamples) and each window folds Σs² per channel. This is
+    * the voice-activity-detection primitive: the downstream card gates
+    * windows on an energy threshold. One narrow mapPartitions; only the
+    * per-window rows (corpus × frames/windowSamples) shuffle. */
+  def wavWindowEnergy(spark: SparkSession, media: Dataset[WavMedia],
+                      windowSamples: Int): Dataset[WavWindow] = {
+    import spark.implicits._
+    media.mapPartitions(_.flatMap { m =>
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(m.bytes))
+      val fmt = ais.getFormat
+      require(fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+        fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+        s"doc ${m.doc_id}: unsupported audio format $fmt")
+      val ch = fmt.getChannels
+      val data = ais.readAllBytes()
+      ais.close()
+      val nFrames = data.length / (2 * ch)
+      val nWins = (nFrames + windowSamples - 1) / windowSamples
+      val energy = Array.ofDim[Long](ch, nWins)
+      var i = 0
+      while (i < nFrames) {
+        val w = i / windowSamples
+        var c = 0
+        while (c < ch) {
+          val off = (i * ch + c) * 2
+          val s = ((data(off) & 0xff) | (data(off + 1) << 8)).toShort.toLong
+          energy(c)(w) += s * s
+          c += 1
+        }
+        i += 1
+      }
+      for (c <- 0 until ch; w <- 0 until nWins)
+        yield WavWindow(m.doc_id, c.toLong, w.toLong, energy(c)(w))
+    })
+  }
+
   /** STUB resize: downsample the payload to a byte budget by stride
     * sampling — keep every k-th byte, k = ⌈len/budget⌉ — standing in for
     * image down-scaling; metadata scales with the same factor so the

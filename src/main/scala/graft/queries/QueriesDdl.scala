@@ -351,6 +351,29 @@ object QueriesDdl {
         .orderBy(col("doc_id"), col("channel"))
     }),
 
+    // Voice-activity / windowed-energy card — the speech-pipeline gating
+    // step ON TOP of the real decode path (what you run before paying for
+    // ASR at 100 TB): frames bucket into fixed 80-sample (10 ms at 8 kHz)
+    // windows through the same javax.sound parse, each window folds Σs²,
+    // and the card counts windows above an energy threshold near the
+    // formula's expected window energy (E[s²]·80 ≈ 2.86e10 for the
+    // uniform-ish sample distribution — a literal both engines share, so
+    // roughly half the windows gate active and the count carries signal).
+    // Exact integer energies; the trailing partial window is kept
+    // (i DIV 80 in both engines).
+    "multimodal_audio_vad" -> ((s, dir) => {
+      val ids = t(s, dir, "documents").where(col("doc_id") < 200)
+        .select(col("doc_id"))
+      Multimodal.wavWindowEnergy(s, Multimodal.renderWav(s, ids), windowSamples = 80)
+        .toDF()
+        .groupBy(col("doc_id"), col("channel"))
+        .agg(count(lit(1)).as("n_windows"),
+          count(when(col("energy") > 28600000000L, 1)).as("n_active"),
+          max(col("energy")).as("peak_energy"),
+          sum(col("energy")).as("total_energy"))
+        .orderBy(col("doc_id"), col("channel"))
+    }),
+
     // Perceptual-hash image dedup — the cross-modal near-dup the text
     // shingle path can't see: every image reduces to a 64-bit average hash
     // (8×8 gray grid vs integer mean, Multimodal.aHash64) through the REAL
@@ -621,6 +644,24 @@ object QueriesDdl {
         |  CAST(sum(s * s) AS BIGINT) AS sum_sq,
         |  CAST(sum((i + 1) * s) AS BIGINT) AS checksum
         |FROM sm GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "multimodal_audio_vad" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+        |ch AS (SELECT doc_id, u.c AS channel FROM ids
+        |  CROSS JOIN (SELECT unnest(range(0, 2)) AS c) u
+        |  WHERE u.c < 1 + doc_id % 2),
+        |si AS (SELECT doc_id, channel,
+        |    unnest(range(0, 400 + (doc_id % 7) * 50)) AS i FROM ch),
+        |sm AS (SELECT doc_id, channel, i // 80 AS win,
+        |    (doc_id * 31 + channel * 1009 + i * 7919) % 65536 - 32768 AS s
+        |  FROM si),
+        |w AS (SELECT doc_id, channel, win, sum(s * s) AS e
+        |  FROM sm GROUP BY 1, 2, 3)
+        |SELECT doc_id, CAST(channel AS BIGINT) AS channel,
+        |  CAST(count(*) AS BIGINT) AS n_windows,
+        |  CAST(count(CASE WHEN e > 28600000000 THEN 1 END) AS BIGINT) AS n_active,
+        |  CAST(max(e) AS BIGINT) AS peak_energy,
+        |  CAST(sum(e) AS BIGINT) AS total_energy
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // aHash recomputed bit-for-bit from the pixel formula (gray = R+G+B of
     // the clamped channels at the 8×8 grid samples; bit k set iff
     // 64·gray_k ≥ Σgray), then brute-force all-pairs per-bit hamming — the
