@@ -977,7 +977,11 @@ object QueriesAnalytics {
           .join(reached, Seq("id"), "left_anti")
           .select(col("id"), lit(i.toLong).as("dist"))
           .localCheckpoint(false)
-        reached = reached.unionByName(nxt).localCheckpoint(false)
+        // only the NEW frontier needs a checkpoint: `reached` is a flat
+        // union of already-checkpointed frames, so its lineage never nests
+        // a round's join pipeline (checkpointing the union too paid an
+        // extra materialization job per round for nothing)
+        reached = reached.unionByName(nxt)
         frontier = nxt.select(col("id").as("src"))
       }
       val card = reached.groupBy(col("dist"))
