@@ -857,6 +857,48 @@ object QueriesSim {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // Binary sign quantization + Hamming pre-rank + exact cosine rerank —
+    // the 32×-compression ANN scan path (Charikar 2002's sign-random-
+    // projection geometry applied as a compressed SCAN rather than sim_lsh's
+    // bucketed index): each 64-dim vector packs into two BIGINT words
+    // (bit i = [v_i > 0], split 32/32 so both words stay positive — no
+    // sign-bit aliasing in either engine), the candidate stage ranks the
+    // whole corpus by codegen'd bit_count(xor) over 16 bytes/vector — no
+    // float math, no index build, no training — and only the top-C=50
+    // candidates per query fetch their full vectors for the exact cosine
+    // rerank. At 100 TB the packed projection is its own narrow column
+    // (or cached layout), the Hamming scan is bandwidth-bound at 1/16 the
+    // bytes of the float scan, and the rerank join touches C×|queries|
+    // rows. Packing is an unrolled sum of 32 when()s per word — distinct
+    // powers of two, an order-free integer sum, bit-exact cross-engine.
+    "sim_hamming_rerank" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").where(col("embedding").isNotNull)
+      def word(off: Int): org.apache.spark.sql.Column = (0 until 32).map(i =>
+        when(col("embedding")(off + i) > 0f, lit(1L << i)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      val packed = e.select(col("vec_id"), word(0).as("lo"), word(32).as("hi"))
+      val qp = packed.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("lo").as("qlo"), col("hi").as("qhi"))
+      val ham = bit_count(col("lo").bitwiseXOR(col("qlo"))).cast(LongType) +
+        bit_count(col("hi").bitwiseXOR(col("qhi"))).cast(LongType)
+      val cand = packed.join(broadcast(qp))
+        .select(col("qid"), col("vec_id"), ham.as("ham"))
+        .withColumn("crn", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("ham"), col("vec_id"))))
+        .where(col("crn") <= 50)
+        .select(col("qid"), col("vec_id"), col("ham"))
+      val q = e.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      e.join(broadcast(cand), "vec_id").join(broadcast(q), "qid")
+        .select(col("qid"), col("vec_id"), col("ham"),
+          SimFns.cosine(col("qe"), col("embedding")).as("cos"))
+        .withColumn("rank", row_number().over(rank10))
+        .where(col("rank") <= 10)
+        .select(col("qid"), col("vec_id"), col("ham"),
+          round(col("cos"), 6).as("cos"), col("rank").cast(LongType).as("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // PCA projection onto the top-2 principal directions — the
     // visualization/whitening/linear-probe prep step. The model fits
     // driver-side on the first-2048 sample (operators/Pca — deterministic
@@ -1930,6 +1972,38 @@ object QueriesSim {
         |      list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS c
         |    FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 5) q))
         |WHERE rn <= 10 ORDER BY qid, rank""".stripMargin,
+    "sim_hamming_rerank" -> {
+      // sign-bit packing as literal power-of-two CASE sums — the exact
+      // integer the Spark side's unrolled when() sum produces
+      val lo = (0 until 32).map(i =>
+        s"(CASE WHEN x[${i + 1}] > 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)")
+        .mkString(" + ")
+      val hi = (0 until 32).map(i =>
+        s"(CASE WHEN x[${i + 33}] > 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH v AS MATERIALIZED (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x,
+         |    $lo AS lo, $hi AS hi
+         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |q AS (SELECT vec_id AS qid, x AS qx, lo AS qlo, hi AS qhi
+         |  FROM v WHERE vec_id < 5),
+         |cand AS (
+         |  SELECT qid, vec_id, ham FROM (
+         |    SELECT qid, vec_id, ham,
+         |      row_number() OVER (PARTITION BY qid ORDER BY ham, vec_id) AS crn
+         |    FROM (SELECT q.qid, v.vec_id,
+         |        CAST(bit_count(xor(v.lo, q.qlo)) AS BIGINT)
+         |          + CAST(bit_count(xor(v.hi, q.qhi)) AS BIGINT) AS ham
+         |      FROM v CROSS JOIN q))
+         |  WHERE crn <= 50)
+         |SELECT qid, vec_id, ham, round(c, 6) AS cos, CAST(rn AS BIGINT) AS rank
+         |FROM (
+         |  SELECT t.qid, t.vec_id, t.ham, list_cosine_similarity(q.qx, v.x) AS c,
+         |    row_number() OVER (PARTITION BY t.qid
+         |      ORDER BY list_cosine_similarity(q.qx, v.x) DESC, t.vec_id) AS rn
+         |  FROM cand t JOIN v ON v.vec_id = t.vec_id JOIN q ON q.qid = t.qid)
+         |WHERE rn <= 10 ORDER BY qid, rank""".stripMargin
+    },
     "sim_ivf" ->
       """SELECT qid, vec_id, round(c, 6) AS cos, CAST(rn AS BIGINT) AS rank FROM (
         |  SELECT qid, vec_id, c, row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS rn

@@ -86,6 +86,43 @@ class Round10Spec extends SparkSpec {
     assert(got.exists(_._2 >= 100000L), "no planted batch vector in the results")
   }
 
+  test("sim_hamming_rerank: full differential recompute at sf0.001") {
+    val got = graft.queries.QueriesSim.queries("sim_hamming_rerank")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4))).toSeq
+
+    // plain-Scala recompute: pack sign bits, Hamming top-50, cosine rerank
+    val vecs = graft.queries.Tables.t(spark, dir, "embeddings")
+      .where(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def pack(v: Array[Float], off: Int): Long =
+      (0 until 32).foldLeft(0L)((acc, i) => if (v(off + i) > 0f) acc + (1L << i) else acc)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble; nb += b(i).toDouble * b(i).toDouble
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val packed = vecs.map { case (id, v) => id -> (pack(v, 0), pack(v, 32)) }
+    val expected = (0L until 5L).flatMap { qid =>
+      val (qlo, qhi) = packed(qid)
+      val top50 = packed.toSeq.map { case (id, (lo, hi)) =>
+        (id, java.lang.Long.bitCount(lo ^ qlo).toLong + java.lang.Long.bitCount(hi ^ qhi).toLong)
+      }.sortBy(p => (p._2, p._1)).take(50)
+      top50.map { case (id, ham) => (id, ham, cos(vecs(qid), vecs(id))) }
+        .sortBy(p => (-p._3, p._1)).take(10).zipWithIndex
+        .map { case ((id, ham, c), i) => (qid, id, ham, c, i + 1L) }
+    }
+    assert(got.map(r => (r._1, r._2, r._3, r._5)) == expected.map(r => (r._1, r._2, r._3, r._5)))
+    // query output rounds cos to 6 decimals — compare within half an ulp of that
+    got.zip(expected).foreach { case (g, e) => assert(math.abs(g._4 - e._4) <= 5.001e-7) }
+    // every query's rank 1 is itself: ham 0, cosine exactly 1
+    (0L until 5L).foreach { qid =>
+      assert(got.contains((qid, qid, 0L, 1.0, 1L))) }
+  }
+
   test("WAV round trip: javax.sound decode of the rendered RIFF matches a direct sample-formula fold") {
     import graft.multimodal.Multimodal
     // id 3 → stereo, id 4 → mono (wavChannels = 1 + id % 2)
