@@ -993,6 +993,62 @@ object QueriesAnalytics {
       card.unionByName(unreached).orderBy(col("dist"))
     }),
 
+    // Batched densest-subgraph peel on the SAME data-sized user graph —
+    // the fourth distributed-iteration member (PageRank = scores, LPA =
+    // communities, BFS = reach, this = the dense core): Bahmani, Kumar &
+    // Vassilvitskii's (VLDB 2012) MapReduce greedy, which removes EVERY
+    // node with degree < (2+ε)·E/V per round instead of one min-degree
+    // node at a time — O(log n) rounds where the sequential peel is O(n),
+    // the whole reason it survives at 100 TB. ε = 0.1; the threshold is
+    // the exact integer (m2·11) DIV (n·10) over m2 = 2E directed edge
+    // rows, so every quantity in the card (threshold, removals, remaining
+    // V/E, density in 1e-6 units via (m2·500000) DIV n) is a BIGINT both
+    // engines derive bit-identically — the unrolled 5-round SQL oracle
+    // needs no quantization at all. Per round: ONE degree aggregate, the
+    // 1-row stats frame rides shuffle_replicate_nl into the filter (a
+    // broadcast exchange would spawn its own collect job per round — the
+    // PageRank lesson), two anti-joins shrink the edge list, and both
+    // frames localCheckpoint (ConnectedComponents' lineage discipline).
+    // Declared output: the peel trajectory card (round 0 = whole graph),
+    // whose density argmax is the 2(1+ε)-approx densest subgraph.
+    "graph_densest_users" -> ((s, dir) => {
+      val (e0, nodes0) = successorGraph(s, dir)
+      var eg = e0.select(col("src").as("a"), col("dst").as("b"))
+        .unionByName(e0.select(col("dst").as("a"), col("src").as("b")))
+        .distinct().localCheckpoint(false)
+      var v = nodes0.select(col("id")).localCheckpoint(false)
+      def statsOf(egF: org.apache.spark.sql.DataFrame,
+          vF: org.apache.spark.sql.DataFrame) =
+        egF.agg(count(lit(1)).as("m2")).crossJoin(vF.agg(count(lit(1)).as("n")))
+      var st = statsOf(eg, v).localCheckpoint(false)
+      val thrExpr = expr("(m2 * 11) DIV (greatest(n, 1) * 10)")
+      var cards = Seq(st.select(lit(0L).as("round"), lit(0L).as("thr"),
+        lit(0L).as("n_removed"), col("n").as("n_remaining"),
+        expr("m2 DIV 2").as("n_edges"),
+        expr("(m2 * 500000) DIV greatest(n, 1)").as("density6")))
+      for (i <- 1 to 5) {
+        val deg = eg.groupBy(col("a").as("id")).agg(count(lit(1)).as("d"))
+        val rm = v.join(deg, Seq("id"), "left")
+          .crossJoin(st.hint("shuffle_replicate_nl"))
+          .where(coalesce(col("d"), lit(0L)) < thrExpr)
+          .select(col("id")).localCheckpoint(false)
+        v = v.join(rm, Seq("id"), "left_anti").localCheckpoint(false)
+        eg = eg.join(rm.select(col("id").as("a")), Seq("a"), "left_anti")
+          .join(rm.select(col("id").as("b")), Seq("b"), "left_anti")
+          .localCheckpoint(false)
+        val newSt = statsOf(eg, v).localCheckpoint(false)
+        cards :+= rm.agg(count(lit(1)).as("n_removed"))
+          .crossJoin(st.select(thrExpr.as("thr")))
+          .crossJoin(newSt.select(col("n").as("n_remaining"),
+            expr("m2 DIV 2").as("n_edges"),
+            expr("(m2 * 500000) DIV greatest(n, 1)").as("density6")))
+          .select(lit(i.toLong).as("round"), col("thr"), col("n_removed"),
+            col("n_remaining"), col("n_edges"), col("density6"))
+        st = newSt
+      }
+      cards.reduce(_ unionByName _).orderBy(col("round"))
+    }),
+
     // Triangle census + global clustering coefficient on the nation trade
     // graph. The corpus collapses to the config-sized undirected edge list
     // distributedly (same broadcast-dim joins as graph_pagerank — the fact
@@ -1945,6 +2001,57 @@ object QueriesAnalytics {
        |ORDER BY dist""".stripMargin
   }
 
+  /** graph_densest_users' unrolled twin: 5 loop-generated batched-peel
+    * rounds (Bahmani et al.'s (2+ε)·E/V threshold as the exact integer
+    * (m2·11) // (n·10)) — pure integer set algebra + integer division,
+    * nothing to quantize; round CTEs are referenced multiple times
+    * (threshold, removal, carry) → AS MATERIALIZED throughout. NOT IN is
+    * safe: ids are non-null by construction. */
+  private val densestUsersOracle: String = {
+    val rounds = (1 to 5).map { i =>
+      val p = i - 1
+      s"""thr$i AS (SELECT CAST((m2 * 11) // (greatest(n, 1) * 10) AS BIGINT) AS thr
+         |  FROM st$p),
+         |deg$i AS (SELECT a AS id, count(*) AS d FROM eg$p GROUP BY 1),
+         |rm$i AS MATERIALIZED (SELECT v.id FROM v$p v
+         |  LEFT JOIN deg$i d ON d.id = v.id CROSS JOIN thr$i t
+         |  WHERE coalesce(d.d, 0) < t.thr),
+         |v$i AS MATERIALIZED (SELECT id FROM v$p
+         |  WHERE id NOT IN (SELECT id FROM rm$i)),
+         |eg$i AS MATERIALIZED (SELECT a, b FROM eg$p
+         |  WHERE a NOT IN (SELECT id FROM rm$i)
+         |    AND b NOT IN (SELECT id FROM rm$i)),
+         |st$i AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM eg$i) AS m2,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM v$i) AS n),
+         |card$i AS (SELECT CAST($i AS BIGINT) AS round, t.thr,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM rm$i) AS n_removed,
+         |  s.n AS n_remaining, CAST(s.m2 // 2 AS BIGINT) AS n_edges,
+         |  CAST((s.m2 * 500000) // greatest(s.n, 1) AS BIGINT) AS density6
+         |  FROM st$i s CROSS JOIN thr$i t)""".stripMargin
+    }.mkString(",\n")
+    val finals = (1 to 5).map(i => s"SELECT * FROM card$i").mkString(" UNION ALL ")
+    s"""WITH ev AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS us
+       |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+       |    AND event_type IS NOT NULL),
+       |sq AS (SELECT user_id,
+       |    lead(user_id) OVER (PARTITION BY event_type, us // 3600000000
+       |      ORDER BY us, event_id) AS nxt
+       |  FROM ev),
+       |e0 AS MATERIALIZED (SELECT DISTINCT user_id AS src, nxt AS dst
+       |  FROM sq WHERE nxt IS NOT NULL AND nxt <> user_id),
+       |eg0 AS MATERIALIZED (SELECT src AS a, dst AS b FROM e0
+       |  UNION SELECT dst AS a, src AS b FROM e0),
+       |v0 AS MATERIALIZED (SELECT DISTINCT user_id AS id FROM ev),
+       |st0 AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM eg0) AS m2,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM v0) AS n),
+       |card0 AS (SELECT CAST(0 AS BIGINT) AS round, CAST(0 AS BIGINT) AS thr,
+       |  CAST(0 AS BIGINT) AS n_removed, n AS n_remaining,
+       |  CAST(m2 // 2 AS BIGINT) AS n_edges,
+       |  CAST((m2 * 500000) // greatest(n, 1) AS BIGINT) AS density6 FROM st0),
+       |$rounds
+       |SELECT * FROM (SELECT * FROM card0 UNION ALL $finals) ORDER BY round""".stripMargin
+  }
+
   /** graph_pagerank_users' unrolled-fixpoint oracle (attribution_markov
     * precedent): 5 loop-generated rounds running the SAME exact fixed-point
     * integer recurrence as operators/PageRank — scores in 1e-12 BIGINT
@@ -2011,6 +2118,7 @@ object QueriesAnalytics {
     "graph_pagerank_users" -> pagerankUsersOracle,
     "graph_lpa_users" -> lpaUsersOracle,
     "graph_bfs_users" -> bfsUsersOracle,
+    "graph_densest_users" -> densestUsersOracle,
     "ucc_discover" -> {
       val checks = Seq(
         ("orders", Seq("o_orderkey")),

@@ -86,6 +86,41 @@ class Round10Spec extends SparkSpec {
     assert(got.exists(_._2 >= 100000L), "no planted batch vector in the results")
   }
 
+  test("graph_densest_users: full differential recompute at sf0.001") {
+    val got = graft.queries.QueriesAnalytics.queries("graph_densest_users")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+
+    // recompute the batched peel with plain Scala set algebra
+    val ev = graft.queries.Tables.t(spark, dir, "events")
+      .where(col("user_id").isNotNull && col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("user_id"), col("event_type"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val directed = ev.groupBy(e => (e._2, Math.floorDiv(e._4, 3600000000L))).toSeq
+      .flatMap { case (_, es) =>
+        val ordered = es.sortBy(e => (e._4, e._3))
+        ordered.zip(ordered.tail).map { case (a, b) => (a._1, b._1) }.filter(p => p._1 != p._2)
+      }.toSet
+    var eg = directed ++ directed.map(p => (p._2, p._1)) // both orientations
+    var v = ev.map(_._1).toSet
+    def card(round: Long, thr: Long, nRemoved: Long): (Long, Long, Long, Long, Long, Long) = {
+      val m2 = eg.size.toLong; val n = v.size.toLong
+      (round, thr, nRemoved, n, m2 / 2, m2 * 500000L / math.max(n, 1L))
+    }
+    var expected = Seq(card(0, 0, 0))
+    for (i <- 1 to 5) {
+      val m2 = eg.size.toLong; val n = v.size.toLong
+      val thr = m2 * 11L / (math.max(n, 1L) * 10L)
+      val deg = eg.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val rm = v.filter(id => deg.getOrElse(id, 0L) < thr)
+      v = v.diff(rm)
+      eg = eg.filter(p => !rm.contains(p._1) && !rm.contains(p._2))
+      expected :+= card(i.toLong, thr, rm.size.toLong)
+    }
+    assert(got == expected, s"got $got != $expected")
+    // peel must actually engage and density6 stays exact-integer consistent
+    assert(got(1)._3 > 0, "round 1 removed nothing — threshold never engaged")
+  }
+
   test("sim_hamming_rerank: full differential recompute at sf0.001") {
     val got = graft.queries.QueriesSim.queries("sim_hamming_rerank")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4))).toSeq
