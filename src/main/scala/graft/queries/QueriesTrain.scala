@@ -137,6 +137,45 @@ object QueriesTrain {
         .orderBy(col("source"))
     }),
 
+    // Reliability diagram + expected calibration error (Guo et al. 2017's
+    // ECE, 10 equal-width bins) for the stopword-ratio confidence signal
+    // against the rule-gate teacher (qualityScore ≥ 0.8) — the "can I
+    // trust this cheap score as a probability" card a pipeline runs before
+    // using a heuristic as a sampling weight. EVERYTHING is exact integer
+    // µ-units: per-doc confidence s6 = (n_stop·1e6) DIV max(n_tokens,1)
+    // (stop tokens ⊆ tokens so s6 ≤ 1e6), bin = min(s6 DIV 1e5, 9) — no
+    // doubles anywhere near a bin boundary, so no cross-engine binning
+    // flake — and per-bin conf/acc/|gap| plus the n-weighted ECE summary
+    // row (bin = −1) are BIGINT folds that commute. One fused TextStats
+    // corpus pass, one 10-group aggregate; the summary reuses the bin
+    // frame, never a second corpus scan.
+    "calibration_ece" -> ((s, dir) => {
+      val m = TextFns.textStats(col("text"))
+      val scored = t(s, dir, "documents").select(
+          m.getField("n_stop").cast(LongType).as("ns"),
+          m.getField("n_tokens").cast(LongType).as("nt"),
+          (TextFns.qualityScoreFrom(m) >= 0.8).cast(LongType).as("y"))
+        .select(expr("(ns * 1000000) DIV greatest(nt, 1)").as("s6"), col("y"))
+        .withColumn("bin", least(expr("s6 DIV 100000"), lit(9L)))
+      val bins = scored.groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("s6")).as("s6sum"),
+          sum(col("y")).as("ysum"))
+        .withColumn("conf6", expr("s6sum DIV n_docs"))
+        .withColumn("acc6", expr("(ysum * 1000000) DIV n_docs"))
+        // ≤10 rows, referenced by BOTH union branches: without the
+        // checkpoint each branch re-runs the full TextStats corpus scan
+        .localCheckpoint(false)
+      val summary = bins.agg(sum(col("n_docs")).as("n"),
+          sum(col("s6sum")).as("ss"), sum(col("ysum")).as("ys"),
+          sum(expr("n_docs * abs(acc6 - conf6)")).as("wgap"))
+        .select(lit(-1L).as("bin"), col("n").as("n_docs"),
+          expr("ss DIV n").as("conf6"), expr("(ys * 1000000) DIV n").as("acc6"),
+          expr("wgap DIV n").as("gap6"))
+      bins.select(col("bin"), col("n_docs"), col("conf6"), col("acc6"),
+          abs(col("acc6") - col("conf6")).as("gap6"))
+        .unionByName(summary).orderBy(col("bin"))
+    }),
+
     // DoReMi domain reweighting (Xie et al. 2023): per-domain excess =
     // KL(domain ‖ corpus) over 256 hashed-bigram buckets, computed from
     // ONE corpus pass as exact micro-unit BIGINT sums (each bucket's
@@ -281,7 +320,34 @@ object QueriesTrain {
     * set (Verify dump time); degrades to rows-only independently and
     * loudly on a generator failure (QueriesSim's tryGen contract). */
   def oracle: Map[String, String] =
-    Map("doremi_weights" -> doremiSql) ++
+    Map("doremi_weights" -> doremiSql,
+      "calibration_ece" ->
+        s"""WITH m AS (${Tables.qualityMetricsSql()}),
+           |sc AS (SELECT
+           |    (CAST(ns AS BIGINT) * 1000000) // greatest(CAST(nt AS BIGINT), 1) AS s6,
+           |    CASE WHEN round(${Tables.qualityScoreSql}, 6) >= 0.8
+           |      THEN 1 ELSE 0 END AS y
+           |  FROM m),
+           |b AS (SELECT least(s6 // 100000, 9) AS bin,
+           |    CAST(count(*) AS BIGINT) AS n_docs,
+           |    CAST(sum(s6) AS BIGINT) AS s6sum, CAST(sum(y) AS BIGINT) AS ysum
+           |  FROM sc GROUP BY 1),
+           |bb AS (SELECT bin, n_docs, s6sum, ysum,
+           |    CAST(s6sum // n_docs AS BIGINT) AS conf6,
+           |    CAST((ysum * 1000000) // n_docs AS BIGINT) AS acc6
+           |  FROM b),
+           |sm AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n,
+           |    CAST(sum(s6sum) AS BIGINT) AS ss, CAST(sum(ysum) AS BIGINT) AS ys,
+           |    CAST(sum(n_docs * abs(acc6 - conf6)) AS BIGINT) AS wgap
+           |  FROM bb)
+           |SELECT * FROM (
+           |  SELECT CAST(bin AS BIGINT) AS bin, n_docs, conf6, acc6,
+           |    CAST(abs(acc6 - conf6) AS BIGINT) AS gap6 FROM bb
+           |  UNION ALL
+           |  SELECT CAST(-1 AS BIGINT), n, CAST(ss // n AS BIGINT),
+           |    CAST((ys * 1000000) // n AS BIGINT), CAST(wgap // n AS BIGINT)
+           |  FROM sm)
+           |ORDER BY bin""".stripMargin) ++
       Tables.OracleContext.ctx.flatMap { case (s, dir) =>
         try Some("quality_classifier" -> qcOracle(s, dir))
         catch {
