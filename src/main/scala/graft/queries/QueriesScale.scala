@@ -748,6 +748,60 @@ object QueriesScale {
     // first rn-self-join form paid a second data shuffle; plan-audited).
     // avg run length derives from two exact BIGINTs in one division
     // (engine-identical IEEE).
+    // Zone-map skipping effectiveness under two write layouts — the
+    // min/max-statistics pruning card (the mechanism behind parquet
+    // row-group stats / Delta-Iceberg file skipping) that quantifies
+    // "cluster by your hottest filter column" BEFORE paying for a
+    // rewrite (rle_layout prices compression; this prices I/O): blocks
+    // are key-range "files" (orderkey DIV 256 for the insertion-order
+    // layout, shipdate-epoch-day DIV 16 for the date-clustered layout —
+    // how range-partitioned writers actually bin rows), each keeping
+    // min/max of BOTH columns; a block is scanned iff its stats range
+    // intersects the predicate band. BOTH layouts' block stats come from
+    // ONE grouping-sets pass over the raw scan (the basket_pairs probe
+    // lesson — separate groupBys would pay the corpus exchange twice),
+    // the blocks frame is checkpointed for the two predicate branches,
+    // and every figure (skip fraction, read amplification in 1e-6 units)
+    // is a BIGINT ratio — bit-exact cross-engine. At 100 TB this card IS
+    // the layout decision: skip6 ≈ 0 on the cold column says re-cluster.
+    "zonemap_selectivity" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").where(col("l_shipdate").isNotNull)
+        .select(col("l_orderkey").as("ok"),
+          datediff(to_date(col("l_shipdate")), to_date(lit("1970-01-01")))
+            .cast(LongType).as("d"))
+      val blocks = li
+        .select(expr("ok DIV 256").as("ka"), expr("d DIV 16").as("kb"),
+          col("ok"), col("d"))
+        .groupingSets(Seq(Seq(col("ka")), Seq(col("kb"))), col("ka"), col("kb"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("ok")).as("min_ok"), max(col("ok")).as("max_ok"),
+          min(col("d")).as("min_d"), max(col("d")).as("max_d"),
+          sum(when(col("ok").between(1000L, 1499L), 1L).otherwise(0L)).as("m_ok"),
+          sum(when(col("d").between(10013L, 10042L), 1L).otherwise(0L)).as("m_d"),
+          grouping(col("ka")).as("gka"))
+        .localCheckpoint(false) // blocks-sized; both pred branches read it
+      val tagged = blocks.select(
+        when(col("gka") === 0, lit("orderkey_range"))
+          .otherwise(lit("date_range")).as("layout"),
+        col("n_rows"), col("m_ok"), col("m_d"),
+        (col("max_ok") >= 1000L && col("min_ok") <= 1499L).as("scan_ok"),
+        (col("max_d") >= 10013L && col("min_d") <= 10042L).as("scan_d"))
+      tagged.select(col("layout"), lit("orderkey_band").as("pred"),
+          col("n_rows"), col("m_ok").as("m"), col("scan_ok").as("scanned"))
+        .unionByName(tagged.select(col("layout"), lit("date_band").as("pred"),
+          col("n_rows"), col("m_d").as("m"), col("scan_d").as("scanned")))
+        .groupBy(col("layout"), col("pred"))
+        .agg(count(lit(1)).as("n_blocks"),
+          sum(when(col("scanned"), 1L).otherwise(0L)).as("n_blocks_scanned"),
+          sum(when(col("scanned"), col("n_rows")).otherwise(0L)).as("rows_scanned"),
+          sum(col("m")).as("rows_matching"))
+        .withColumn("skip6",
+          expr("((n_blocks - n_blocks_scanned) * 1000000) DIV n_blocks"))
+        .withColumn("amp6",
+          expr("(rows_scanned * 1000000) DIV greatest(rows_matching, 1)"))
+        .orderBy(col("layout"), col("pred"))
+    }),
+
     "rle_layout" -> ((s, dir) => {
       val li = t(s, dir, "lineitem").select(
         col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
@@ -806,6 +860,33 @@ object QueriesScale {
         |  CAST(sum(user_id) AS BIGINT) AS uid_sum
         |FROM planted JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "zonemap_selectivity" ->
+      """WITH li AS (SELECT l_orderkey AS ok,
+        |    CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS d
+        |  FROM lineitem WHERE l_shipdate IS NOT NULL),
+        |b AS (SELECT ok // 256 AS ka, d // 16 AS kb, ok, d FROM li),
+        |blocks AS (SELECT
+        |    CASE WHEN GROUPING(ka) = 0 THEN 'orderkey_range'
+        |      ELSE 'date_range' END AS layout,
+        |    CAST(count(*) AS BIGINT) AS n_rows,
+        |    min(ok) AS min_ok, max(ok) AS max_ok,
+        |    min(d) AS min_d, max(d) AS max_d,
+        |    CAST(sum(CASE WHEN ok BETWEEN 1000 AND 1499 THEN 1 ELSE 0 END) AS BIGINT) AS m_ok,
+        |    CAST(sum(CASE WHEN d BETWEEN 10013 AND 10042 THEN 1 ELSE 0 END) AS BIGINT) AS m_d
+        |  FROM b GROUP BY GROUPING SETS ((ka), (kb))),
+        |pp AS (SELECT layout, 'orderkey_band' AS pred, n_rows, m_ok AS m,
+        |    (max_ok >= 1000 AND min_ok <= 1499) AS scanned FROM blocks
+        |  UNION ALL SELECT layout, 'date_band', n_rows, m_d,
+        |    (max_d >= 10013 AND min_d <= 10042) FROM blocks)
+        |SELECT layout, pred, CAST(count(*) AS BIGINT) AS n_blocks,
+        |  CAST(sum(CASE WHEN scanned THEN 1 ELSE 0 END) AS BIGINT) AS n_blocks_scanned,
+        |  CAST(sum(CASE WHEN scanned THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+        |  CAST(sum(m) AS BIGINT) AS rows_matching,
+        |  CAST(((count(*) - sum(CASE WHEN scanned THEN 1 ELSE 0 END)) * 1000000)
+        |    // count(*) AS BIGINT) AS skip6,
+        |  CAST((sum(CASE WHEN scanned THEN n_rows ELSE 0 END) * 1000000)
+        |    // greatest(sum(m), 1) AS BIGINT) AS amp6
+        |FROM pp GROUP BY 1, 2 ORDER BY layout, pred""".stripMargin,
     "rle_layout" ->
       """WITH li AS (
         |  SELECT l_orderkey, l_linenumber, l_returnflag,
