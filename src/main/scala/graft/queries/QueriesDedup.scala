@@ -323,6 +323,38 @@ object QueriesDedup {
         .orderBy(col("cluster_size"))
     }),
 
+    // B-cubed precision/recall/F1 of the near-dup clustering against the
+    // PLANTED truth (Bagga & Baldwin 1998; Amigó et al. 2009 singles B³
+    // out as the clustering metric satisfying all four formal
+    // constraints) — "did dedup find the right clusters", the eval card
+    // that gates a threshold change before it ships. Truth key: the
+    // constructed corpus plants each base doc's copies at +100000/+200000,
+    // so id % 100000 recovers the intended cluster (same corpus-bound
+    // assumption dedup_clusters itself makes). Exactness: B³P averages
+    // n_pt/n_p over docs — each (pred, truth) cell quantizes ONCE to
+    // µ-units ((n_pt·1e6) DIV n_p, the dsir one-rounding discipline; the
+    // n_pt·q form keeps every term ≤ N·1e6, overflow-safe at any corpus)
+    // and cell sums are commuting BIGINT folds. Work is cells-sized (≤
+    // cluster count) — the per-doc definition never materializes pairs.
+    "dedup_bcubed" -> ((s, dir) => {
+      val (_, labels) = clusterLabels(s, dir)
+      val lt = labels.select(col("id"), col("component").as("p"),
+          (col("id") % 100000L).as("t"))
+        .localCheckpoint(false) // read by 3 aggregates below
+      val cells = lt.groupBy(col("p"), col("t")).agg(count(lit(1)).as("n_pt"))
+      val psz = lt.groupBy(col("p")).agg(count(lit(1)).as("n_p"))
+      val tsz = lt.groupBy(col("t")).agg(count(lit(1)).as("n_t"))
+      cells.join(psz, "p").join(tsz, "t")
+        .agg(sum(expr("n_pt * ((n_pt * 1000000) DIV n_p)")).as("psum6"),
+          sum(expr("n_pt * ((n_pt * 1000000) DIV n_t)")).as("rsum6"),
+          sum(col("n_pt")).as("n_docs"))
+        .crossJoin(psz.agg(count(lit(1)).as("n_pred_clusters")))
+        .crossJoin(tsz.agg(count(lit(1)).as("n_truth_clusters")))
+        .select(col("n_docs"), col("n_pred_clusters"), col("n_truth_clusters"),
+          expr("psum6 DIV n_docs").as("p6"), expr("rsum6 DIV n_docs").as("r6"))
+        .withColumn("f1_6", expr("(2 * p6 * r6) DIV greatest(p6 + r6, 1)"))
+    }),
+
     // Dedup APPLIED: clusters → one representative per cluster (the min
     // doc_id, which IS the component label) → the filtered corpus. The
     // end-to-end "make the training set" step that dedup_clusters' labels
@@ -960,6 +992,44 @@ object QueriesDedup {
          |SELECT doc_id, cluster_id,
          |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
          |FROM lab ORDER BY doc_id""".stripMargin,
+    "dedup_bcubed" ->
+      s"""WITH RECURSIVE base AS (SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0),
+         |corpus AS (
+         |  SELECT doc_id, text FROM base
+         |  UNION ALL SELECT doc_id + 100000, text FROM base
+         |  UNION ALL SELECT doc_id + 200000, text || ' xtra xtra' FROM base),
+         |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(tk) - 1, 1)),
+         |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+         |  FROM (SELECT doc_id, $toksSql AS tk FROM corpus)),
+         |edges AS (
+         |  SELECT a.doc_id AS u, b.doc_id AS v FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_distinct(list_intersect(a.s, b.s))) AS DOUBLE) /
+         |        CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.8),
+         |bidir AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
+         |reach(src, dst) AS (
+         |  SELECT doc_id, doc_id FROM corpus
+         |  UNION
+         |  SELECT r.src, b.v FROM reach r JOIN bidir b ON r.dst = b.u),
+         |lt AS MATERIALIZED (SELECT src AS doc_id, min(dst) AS p,
+         |    src % 100000 AS t
+         |  FROM reach GROUP BY src),
+         |cells AS (SELECT p, t, CAST(count(*) AS BIGINT) AS n_pt FROM lt GROUP BY 1, 2),
+         |psz AS MATERIALIZED (SELECT p, CAST(count(*) AS BIGINT) AS n_p FROM lt GROUP BY 1),
+         |tsz AS MATERIALIZED (SELECT t, CAST(count(*) AS BIGINT) AS n_t FROM lt GROUP BY 1),
+         |pr AS (SELECT
+         |    CAST(sum(n_pt * ((n_pt * 1000000) // n_p)) AS BIGINT) AS psum6,
+         |    CAST(sum(n_pt * ((n_pt * 1000000) // n_t)) AS BIGINT) AS rsum6,
+         |    CAST(sum(n_pt) AS BIGINT) AS n_docs
+         |  FROM cells JOIN psz USING (p) JOIN tsz USING (t)),
+         |pp AS (SELECT n_docs,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM psz) AS n_pred_clusters,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM tsz) AS n_truth_clusters,
+         |    CAST(psum6 // n_docs AS BIGINT) AS p6,
+         |    CAST(rsum6 // n_docs AS BIGINT) AS r6
+         |  FROM pr)
+         |SELECT n_docs, n_pred_clusters, n_truth_clusters, p6, r6,
+         |  CAST((2 * p6 * r6) // greatest(p6 + r6, 1) AS BIGINT) AS f1_6
+         |FROM pp""".stripMargin,
     "dup_cluster_stats" ->
       s"""WITH RECURSIVE base AS (SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0),
          |corpus AS (
