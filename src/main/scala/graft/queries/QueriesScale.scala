@@ -126,6 +126,54 @@ object QueriesScale {
     // row needs a second pass (distinct-across-sources is not mergeable —
     // that impossibility is exactly what the sketch union solves).
     // HllCardSpec still pins the ε-accuracy and merge-exactness properties.
+    // Bloom-filter sizing curve: MEASURED false-positive rate at three
+    // bits-per-key / hash-count operating points (k ≈ 0.69·bpk, the
+    // theoretical optimum) — the card that prices the Bloom prefilter
+    // the contamination/join_bloom family leans on before committing a
+    // filter size at 100 TB. The filter is modeled exactly: member keys
+    // set k md5-derived positions in an m = bpk·n_keys bit space (the
+    // dp_histogram md5→BIGINT idiom, bit-identical in both engines —
+    // conv(substr(md5, 1, 15), 16, 10) stays under 2^60), probes (the
+    // odd orderkeys, disjoint from the even members by construction) are
+    // false positives iff ALL k positions are set. Work: |keys|·k rows
+    // through distinct + one equi-join per config — linear, never a bit
+    // ARRAY on the driver; every output is an exact BIGINT so the fpr6
+    // in 1e-6 units is the same integer in both engines.
+    "bloom_fpr_curve" -> ((s, dir) => {
+      import s.implicits._
+      val ok = t(s, dir, "lineitem").select(col("l_orderkey").as("x"))
+        .distinct().localCheckpoint(false) // members + probes both read it
+      val members = ok.where(col("x") % 2 === 0)
+      val probes = ok.where(col("x") % 2 === 1)
+      val stats = members.agg(count(lit(1)).as("n_keys")).localCheckpoint(false)
+      val cfg = broadcast(Seq((4, 3), (8, 6), (12, 8)).toDF("bpk", "k")
+        .crossJoin(stats).withColumn("m", col("bpk") * col("n_keys")))
+      val posExpr = expr("CAST(conv(substring(md5(concat('bf', " +
+        "CAST(j AS STRING), ':', CAST(x AS STRING))), 1, 15), 16, 10) " +
+        "AS BIGINT) % m")
+      val bits = members.crossJoin(cfg)
+        .withColumn("j", explode(sequence(lit(1), col("k"))))
+        .select(col("bpk"), col("k"), posExpr.as("pos")).distinct()
+        .localCheckpoint(false) // reused by the bit count and the probe join
+      val pr = probes.crossJoin(cfg)
+        .withColumn("j", explode(sequence(lit(1), col("k"))))
+        .select(col("bpk"), col("k"), col("x"), posExpr.as("pos"))
+      val fp = pr.join(bits, Seq("bpk", "k", "pos"))
+        .groupBy(col("bpk"), col("k"), col("x")).agg(count(lit(1)).as("nm"))
+        .where(col("nm") === col("k"))
+        .groupBy(col("bpk"), col("k")).agg(count(lit(1)).as("n_fp"))
+      val bc = bits.groupBy(col("bpk"), col("k")).agg(count(lit(1)).as("n_bits_set"))
+      cfg.join(broadcast(bc), Seq("bpk", "k"), "left")
+        .join(broadcast(fp), Seq("bpk", "k"), "left")
+        .crossJoin(probes.agg(count(lit(1)).as("n_probes")))
+        .select(col("bpk").cast(LongType).as("bpk"),
+          col("k").cast(LongType).as("k"), col("n_keys"), col("m"),
+          col("n_bits_set"), col("n_probes"),
+          coalesce(col("n_fp"), lit(0L)).as("n_fp"))
+        .withColumn("fpr6", expr("(n_fp * 1000000) DIV greatest(n_probes, 1)"))
+        .orderBy(col("bpk"), col("k"))
+    }),
+
     "hll_card" -> ((s, dir) => {
       // NOT persisted: toks feeds two consumers, but both collapse to tiny
       // aggregates immediately — re-running the narrow tokenize scan twice
@@ -1066,6 +1114,37 @@ object QueriesScale {
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |WHERE s_nationkey = 3
         |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin,
+    "bloom_fpr_curve" ->
+      """WITH ok AS (SELECT DISTINCT l_orderkey AS x FROM lineitem),
+        |members AS MATERIALIZED (SELECT x FROM ok WHERE x % 2 = 0),
+        |probes AS MATERIALIZED (SELECT x FROM ok WHERE x % 2 = 1),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_keys FROM members),
+        |cfg AS MATERIALIZED (SELECT bpk, k, bpk * n_keys AS m
+        |  FROM (VALUES (4, 3), (8, 6), (12, 8)) c(bpk, k) CROSS JOIN stats),
+        |bits AS MATERIALIZED (
+        |  SELECT DISTINCT c.bpk, c.k,
+        |    CAST(('0x' || substr(md5('bf' || j || ':' || m.x), 1, 15)) AS BIGINT) % c.m AS pos
+        |  FROM members m CROSS JOIN cfg c, UNNEST(range(1, c.k + 1)) u(j)),
+        |pr AS (
+        |  SELECT c.bpk, c.k, p.x,
+        |    CAST(('0x' || substr(md5('bf' || j || ':' || p.x), 1, 15)) AS BIGINT) % c.m AS pos
+        |  FROM probes p CROSS JOIN cfg c, UNNEST(range(1, c.k + 1)) u(j)),
+        |hits AS (SELECT pr.bpk, pr.k, pr.x, CAST(count(*) AS BIGINT) AS nm
+        |  FROM pr JOIN bits b ON b.bpk = pr.bpk AND b.k = pr.k AND b.pos = pr.pos
+        |  GROUP BY 1, 2, 3),
+        |fp AS (SELECT bpk, k, CAST(count(*) AS BIGINT) AS n_fp FROM hits
+        |  WHERE nm = k GROUP BY 1, 2),
+        |bc AS (SELECT bpk, k, CAST(count(*) AS BIGINT) AS n_bits_set
+        |  FROM bits GROUP BY 1, 2),
+        |np AS (SELECT CAST(count(*) AS BIGINT) AS n_probes FROM probes)
+        |SELECT CAST(c.bpk AS BIGINT) AS bpk, CAST(c.k AS BIGINT) AS k,
+        |  s.n_keys, CAST(c.m AS BIGINT) AS m, bc.n_bits_set, np.n_probes,
+        |  CAST(coalesce(fp.n_fp, 0) AS BIGINT) AS n_fp,
+        |  CAST((coalesce(fp.n_fp, 0) * 1000000) // greatest(np.n_probes, 1) AS BIGINT) AS fpr6
+        |FROM cfg c CROSS JOIN stats s CROSS JOIN np
+        |LEFT JOIN bc ON bc.bpk = c.bpk AND bc.k = c.k
+        |LEFT JOIN fp ON fp.bpk = c.bpk AND fp.k = c.k
+        |ORDER BY bpk, k""".stripMargin,
     "hll_card" ->
       s"""WITH tok AS (SELECT source, unnest($toks) AS token FROM documents)
          |SELECT source, CAST(count(DISTINCT token) AS BIGINT) AS exact_vocab,
