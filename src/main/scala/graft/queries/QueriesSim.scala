@@ -899,6 +899,83 @@ object QueriesSim {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // One NN-descent refinement round (Dong, Moses & Li, WWW 2011: "a
+    // neighbor of a neighbor is likely a neighbor") over an LSH-seeded
+    // kNN graph — the scalable ANN-GRAPH construction path (HNSW/NSG's
+    // distributed cousin): init the 5-NN lists from sim_lsh's sign-bit
+    // buckets (bucket-local top-k, work Σ bucket² — more planes bound
+    // the bucket size at larger corpora), then ONE descent round scores
+    // only sym ∪ sym∘sym candidates (≤ (2K)² per node, K²-bounded — the
+    // whole point: never corpus², and each round is two equi-joins + one
+    // window, the MapReduce-friendly shape). Card: edges / mean neighbor
+    // cosine (quantized ONCE per edge to µ-units, then commuting BIGINT
+    // sums) / recall@5 vs exact truth on the seed queries (vec_id < 20,
+    // the knn_eval_sampled bounded-truth knob) for both stages — the
+    // measured "one round closes most of the LSH recall gap" curve.
+    "nndescent_round" -> ((s, dir) => {
+      // TWO independent sign-bit bucketings seed the graph: a single
+      // bucketing is a fixpoint of the descent (2-hop candidates never
+      // leave the bucket, so round 1 provably changes nothing — caught
+      // live); with two, a round merges information ACROSS the hashings
+      // and the recall jump is the measurement.
+      val pa = SimFns.fixedPlanes(nPlanes = 6, dim = 64)
+      val pb = SimFns.fixedPlanes(nPlanes = 6, dim = 64, seed = 777L)
+      val e = t(s, dir, "embeddings").where(col("embedding").isNotNull)
+        .select(col("vec_id"), col("embedding"),
+          SimFns.rpLshKey(col("embedding"), pa).as("bka"),
+          SimFns.rpLshKey(col("embedding"), pb).as("bkb"))
+        .localCheckpoint(false) // read by 2 init joins, 2 fetches, truth
+      val wk = Window.partitionBy(col("v")).orderBy(col("cos").desc, col("u"))
+      def bucketTop3(bk: String) =
+        e.select(col("vec_id").as("v"), col(bk), col("embedding").as("ev"))
+          .join(e.select(col("vec_id").as("u"), col(bk), col("embedding").as("eu")),
+            Seq(bk))
+          .where(col("u") =!= col("v"))
+          .select(col("v"), col("u"), SimFns.cosine(col("ev"), col("eu")).as("cos"))
+          .withColumn("rk", row_number().over(wk)).where(col("rk") <= 3)
+          .select(col("v"), col("u"), col("cos"))
+      val n0 = bucketTop3("bka").unionByName(bucketTop3("bkb"))
+        .groupBy(col("v"), col("u")).agg(max(col("cos")).as("cos")) // dedup
+        .withColumn("rk", row_number().over(wk)).where(col("rk") <= 5)
+        .select(col("v"), col("u"), col("cos"))
+        .localCheckpoint(false)
+      val sym = n0.select(col("v"), col("u"))
+        .unionByName(n0.select(col("u").as("v"), col("v").as("u"))).distinct()
+        .localCheckpoint(false) // joined with itself below
+      val cand = sym.unionByName(
+          sym.join(sym.select(col("v").as("u"), col("u").as("w")), "u")
+            .select(col("v"), col("w").as("u")))
+        .where(col("u") =!= col("v")).distinct()
+      val n1 = cand
+        .join(e.select(col("vec_id").as("v"), col("embedding").as("ev")), "v")
+        .join(e.select(col("vec_id").as("u"), col("embedding").as("eu")), "u")
+        .select(col("v"), col("u"), SimFns.cosine(col("ev"), col("eu")).as("cos"))
+        .withColumn("rk", row_number().over(wk)).where(col("rk") <= 5)
+        .select(col("v"), col("u"), col("cos"))
+        .localCheckpoint(false)
+      val q = e.where(col("vec_id") < 20)
+        .select(col("vec_id").as("v"), col("embedding").as("ev"))
+      val truth = e.select(col("vec_id").as("u"), col("embedding").as("eu"))
+        .join(broadcast(q)).where(col("u") =!= col("v"))
+        .select(col("v"), col("u"), SimFns.cosine(col("ev"), col("eu")).as("cos"))
+        .withColumn("rk", row_number().over(wk)).where(col("rk") <= 5)
+        .select(col("v"), col("u"))
+        .localCheckpoint(false) // read by both stage cards + the count
+      val nt = truth.agg(count(lit(1)).as("n_truth")).localCheckpoint(false)
+      def card(stage: String, edges: org.apache.spark.sql.DataFrame) =
+        edges.agg(count(lit(1)).as("n_edges"),
+            sum(floor(col("cos") * 1e6 + 0.5).cast(LongType)).as("c6"))
+          .crossJoin(edges.join(truth, Seq("v", "u"), "left_semi")
+            .agg(count(lit(1)).as("n_hits")))
+          .crossJoin(nt)
+          .select(lit(stage).as("stage"), col("n_edges"),
+            expr("c6 DIV greatest(n_edges, 1)").as("avg_cos6"),
+            col("n_hits"), col("n_truth"),
+            expr("(n_hits * 1000000) DIV greatest(n_truth, 1)").as("recall6"))
+      card("lsh_init", n0).unionByName(card("nn_descent_r1", n1))
+        .orderBy(col("stage"))
+    }),
+
     // PCA projection onto the top-2 principal directions — the
     // visualization/whitening/linear-probe prep step. The model fits
     // driver-side on the first-2048 sample (operators/Pca — deterministic
@@ -1220,6 +1297,19 @@ object QueriesSim {
 
   private val lshBucketSql: String =
     (0 until 6).map(i => s"CAST(b$i AS VARCHAR)").mkString(" || ")
+
+  /** nndescent_round's generalized twin of [[lshBitsSql]]: sign-bit columns
+    * for an arbitrary (prefix, seed) so the oracle can inline BOTH
+    * independent bucketings. */
+  private def lshBitsSqlFor(prefix: String, seed: Long): String =
+    SimFns.fixedPlanes(nPlanes = 6, dim = 64, seed = seed).zipWithIndex.map {
+      case (p, i) =>
+        s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), " +
+          s"[${p.mkString(", ")}]) >= 0 THEN 1 ELSE 0 END) AS $prefix$i"
+    }.mkString(",\n    ")
+
+  private def lshBucketSqlFor(prefix: String): String =
+    (0 until 6).map(i => s"CAST($prefix$i AS VARCHAR)").mkString(" || ")
 
   /** The multi-probe key list: own bucket + each one-bit flip. */
   private val lshProbesSql: String = {
@@ -1878,6 +1968,75 @@ object QueriesSim {
         |  floor(min(sim) * 1e6 + 0.5) / 1e6 AS min_cos,
         |  floor(avg(sim) * 1e6 + 0.5) / 1e6 AS mean_cos
         |FROM sc GROUP BY label ORDER BY label""".stripMargin,
+    "nndescent_round" ->
+      s"""WITH bits AS (SELECT vec_id, embedding,
+         |    ${lshBitsSqlFor("a", 42L)},
+         |    ${lshBitsSqlFor("c", 777L)}
+         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |b AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+         |  ${lshBucketSqlFor("a")} AS bka, ${lshBucketSqlFor("c")} AS bkb
+         |  FROM bits),
+         |ea AS (SELECT v, u, c FROM (
+         |  SELECT x.vec_id AS v, y.vec_id AS u,
+         |    list_cosine_similarity(x.emb, y.emb) AS c,
+         |    row_number() OVER (PARTITION BY x.vec_id
+         |      ORDER BY list_cosine_similarity(x.emb, y.emb) DESC, y.vec_id) AS rk
+         |  FROM b x JOIN b y ON x.bka = y.bka AND x.vec_id <> y.vec_id) z
+         |  WHERE rk <= 3),
+         |eb AS (SELECT v, u, c FROM (
+         |  SELECT x.vec_id AS v, y.vec_id AS u,
+         |    list_cosine_similarity(x.emb, y.emb) AS c,
+         |    row_number() OVER (PARTITION BY x.vec_id
+         |      ORDER BY list_cosine_similarity(x.emb, y.emb) DESC, y.vec_id) AS rk
+         |  FROM b x JOIN b y ON x.bkb = y.bkb AND x.vec_id <> y.vec_id) z
+         |  WHERE rk <= 3),
+         |n0 AS MATERIALIZED (SELECT v, u, c FROM (
+         |  SELECT v, u, c, row_number() OVER (PARTITION BY v
+         |      ORDER BY c DESC, u) AS rk
+         |  FROM (SELECT v, u, max(c) AS c FROM (
+         |    SELECT * FROM ea UNION ALL SELECT * FROM eb) z0 GROUP BY v, u) z1) z
+         |  WHERE rk <= 5),
+         |sym AS MATERIALIZED (SELECT DISTINCT v, u FROM (
+         |  SELECT v, u FROM n0 UNION ALL SELECT u AS v, v AS u FROM n0) z),
+         |cand AS MATERIALIZED (SELECT DISTINCT v, u FROM (
+         |  SELECT v, u FROM sym
+         |  UNION ALL SELECT s1.v, s2.u FROM sym s1 JOIN sym s2 ON s1.u = s2.v) z
+         |  WHERE u <> v),
+         |n1 AS MATERIALIZED (SELECT v, u, c FROM (
+         |  SELECT cand.v, cand.u, list_cosine_similarity(ev.emb, eu.emb) AS c,
+         |    row_number() OVER (PARTITION BY cand.v
+         |      ORDER BY list_cosine_similarity(ev.emb, eu.emb) DESC, cand.u) AS rk
+         |  FROM cand JOIN b ev ON ev.vec_id = cand.v
+         |    JOIN b eu ON eu.vec_id = cand.u) z
+         |  WHERE rk <= 5),
+         |truth AS MATERIALIZED (SELECT v, u FROM (
+         |  SELECT q.vec_id AS v, e.vec_id AS u,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY list_cosine_similarity(q.emb, e.emb) DESC, e.vec_id) AS rk
+         |  FROM b q JOIN b e ON q.vec_id < 20 AND e.vec_id <> q.vec_id) z
+         |  WHERE rk <= 5),
+         |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+         |st0 AS (SELECT CAST(count(*) AS BIGINT) AS n_edges,
+         |  CAST(sum(CAST(floor(c * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS c6 FROM n0),
+         |h0 AS (SELECT CAST(count(*) AS BIGINT) AS n_hits
+         |  FROM n0 JOIN truth USING (v, u)),
+         |st1 AS (SELECT CAST(count(*) AS BIGINT) AS n_edges,
+         |  CAST(sum(CAST(floor(c * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS c6 FROM n1),
+         |h1 AS (SELECT CAST(count(*) AS BIGINT) AS n_hits
+         |  FROM n1 JOIN truth USING (v, u))
+         |SELECT * FROM (
+         |  SELECT 'lsh_init' AS stage, n_edges,
+         |    CAST(c6 // greatest(n_edges, 1) AS BIGINT) AS avg_cos6,
+         |    n_hits, n_truth,
+         |    CAST((n_hits * 1000000) // greatest(n_truth, 1) AS BIGINT) AS recall6
+         |  FROM st0 CROSS JOIN h0 CROSS JOIN nt
+         |  UNION ALL
+         |  SELECT 'nn_descent_r1' AS stage, n_edges,
+         |    CAST(c6 // greatest(n_edges, 1) AS BIGINT) AS avg_cos6,
+         |    n_hits, n_truth,
+         |    CAST((n_hits * 1000000) // greatest(n_truth, 1) AS BIGINT) AS recall6
+         |  FROM st1 CROSS JOIN h1 CROSS JOIN nt) z
+         |ORDER BY stage""".stripMargin,
     "sim_lsh" ->
       s"""WITH bits AS (SELECT vec_id, embedding,
          |    $lshBitsSql
