@@ -323,6 +323,67 @@ object QueriesDedup {
         .orderBy(col("cluster_size"))
     }),
 
+    // MinHash banding S-curve (Leskovec/Rajaraman/Ullman ch.3: P(candidate)
+    // = 1−(1−s^r)^b) MEASURED at three (bands, rows) operating points over
+    // the planted tuning sample — the "pick b×r before the 100-TB dedup
+    // run" card: more rows/band cuts false candidates but starts missing
+    // 0.8-similar pairs (the S-curve shoulder), and this card prices that
+    // trade with real counts. Minhashes here are md5-derived (the
+    // dp_histogram idiom) so BOTH engines compute identical signatures —
+    // the production path (Dedup.minhashNearDups) keeps xxhash64, which
+    // DuckDB can't mirror; this card is the TUNER, run on a sample, so
+    // hash portability beats hash speed. Ground truth = exact Jaccard
+    // ≥ 0.8 via the shared-shingle equi-join (work ∝ overlap, never
+    // all-pairs) with integer cross-multiplication (containment_dedup's
+    // trick) — zero doubles anywhere in the card.
+    "minhash_curve" -> ((s, dir) => {
+      val c = corpus(s, dir)
+      val sh = graft.operators.CacheRegistry.track(
+        Dedup.shingleSets(c, "doc_id", "text", 3))
+      val ex = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+      val aggs = (0 until 32).map(i => min(expr(
+        s"CAST(conv(substring(md5(concat('mh$i:', s)), 1, 15), 16, 10) AS BIGINT)"))
+        .as(s"m$i"))
+      val sig = ex.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+        .localCheckpoint(false) // the 3 config projections read it
+      val keys = Seq((16, 2), (8, 4), (4, 8)).map { case (b, r) =>
+        val bandKeys = (0 until b).map { j =>
+          concat_ws(",", (0 until r).map(k => col(s"m${j * r + k}")): _*)
+        }
+        sig.select(lit(b.toLong).as("b"), lit(r.toLong).as("r"), col("doc_id"),
+          posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
+      }.reduce(_ unionByName _)
+      val cand = keys.as("x").join(keys.as("y"),
+          col("x.b") === col("y.b") && col("x.band") === col("y.band") &&
+            col("x.key") === col("y.key") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.b").as("b"), col("x.r").as("r"),
+          col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+        .distinct()
+        .localCheckpoint(false) // counted AND truth-joined
+      val shared = ex.as("a").join(ex.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("shared"))
+      val sizes = sh.select(col("doc_id"), size(col("shingles")).cast("long").as("sz"))
+      val truth = shared
+        .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), "id_a")
+        .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), "id_b")
+        .where(expr("shared * 10 >= (sz_a + sz_b - shared) * 8"))
+        .select(col("id_a"), col("id_b"))
+        .localCheckpoint(false) // counted AND semi-joined per config
+      cand.groupBy(col("b"), col("r")).agg(count(lit(1)).as("n_candidates"))
+        .join(cand.join(truth, Seq("id_a", "id_b"), "left_semi")
+            .groupBy(col("b"), col("r")).agg(count(lit(1)).as("n_cand_true")),
+          Seq("b", "r"), "left")
+        .crossJoin(truth.agg(count(lit(1)).as("n_true")))
+        .select(col("b"), col("r"), col("n_candidates"),
+          coalesce(col("n_cand_true"), lit(0L)).as("n_cand_true"), col("n_true"))
+        .withColumn("recall6", expr("(n_cand_true * 1000000) DIV greatest(n_true, 1)"))
+        .withColumn("precision6",
+          expr("(n_cand_true * 1000000) DIV greatest(n_candidates, 1)"))
+        .orderBy(col("b"))
+    }),
+
     // B-cubed precision/recall/F1 of the near-dup clustering against the
     // PLANTED truth (Bagga & Baldwin 1998; Amigó et al. 2009 singles B³
     // out as the clustering metric satisfying all four formal
@@ -807,6 +868,54 @@ object QueriesDedup {
         |  CAST(doc_id + 100000 AS BIGINT) AS id_b, CAST(0 AS BIGINT) AS hamming
         |FROM documents WHERE doc_id % 25 = 0 AND doc_id < 100000
         |ORDER BY id_a, id_b""".stripMargin,
+    "minhash_curve" -> {
+      val mhCols = (0 until 32).map(i =>
+        s"min(CAST(('0x' || substr(md5('mh$i:' || sg), 1, 15)) AS BIGINT)) AS m$i")
+        .mkString(",\n    ")
+      val keyArms = Seq((16, 2), (8, 4), (4, 8)).flatMap { case (b, r) =>
+        (0 until b).map { j =>
+          val key = (0 until r).map(k => s"CAST(m${j * r + k} AS VARCHAR)")
+            .mkString(" || ',' || ")
+          s"SELECT CAST($b AS BIGINT) AS b, CAST($r AS BIGINT) AS r, doc_id, " +
+            s"$j AS band, $key AS key FROM sig"
+        }
+      }.mkString("\n  UNION ALL ")
+      s"""$corpusSql,
+         |sh AS MATERIALIZED ($shinglesSql),
+         |ex AS MATERIALIZED (SELECT doc_id, unnest(s) AS sg FROM sh),
+         |sig AS MATERIALIZED (SELECT doc_id,
+         |    $mhCols
+         |  FROM ex GROUP BY doc_id),
+         |keys AS MATERIALIZED (
+         |  $keyArms),
+         |cand AS MATERIALIZED (SELECT DISTINCT x.b, x.r,
+         |    x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM keys x JOIN keys y ON x.b = y.b AND x.band = y.band
+         |    AND x.key = y.key AND x.doc_id < y.doc_id),
+         |shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(count(*) AS BIGINT) AS shared
+         |  FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |sizes AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS sz FROM sh),
+         |truth AS MATERIALIZED (SELECT id_a, id_b
+         |  FROM shared JOIN sizes sa ON sa.doc_id = id_a
+         |    JOIN sizes sb ON sb.doc_id = id_b
+         |  WHERE shared * 10 >= (sa.sz + sb.sz - shared) * 8),
+         |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM truth),
+         |cc AS (SELECT b, r, CAST(count(*) AS BIGINT) AS n_candidates
+         |  FROM cand GROUP BY 1, 2),
+         |ct AS (SELECT b, r, CAST(count(*) AS BIGINT) AS n_cand_true
+         |  FROM cand JOIN truth USING (id_a, id_b) GROUP BY 1, 2)
+         |SELECT cc.b, cc.r, cc.n_candidates,
+         |  coalesce(ct.n_cand_true, 0) AS n_cand_true, nt.n_true,
+         |  CAST((coalesce(ct.n_cand_true, 0) * 1000000)
+         |    // greatest(nt.n_true, 1) AS BIGINT) AS recall6,
+         |  CAST((coalesce(ct.n_cand_true, 0) * 1000000)
+         |    // greatest(cc.n_candidates, 1) AS BIGINT) AS precision6
+         |FROM cc CROSS JOIN nt
+         |LEFT JOIN ct ON ct.b = cc.b AND ct.r = cc.r
+         |ORDER BY cc.b""".stripMargin
+    },
     "minhash_dedup" ->
       s"""$corpusSql,
          |sh AS ($shinglesSql)
