@@ -386,6 +386,43 @@ object QueriesDdl {
     // small hamming. The whole pipeline is integer arithmetic on the pixel
     // formula, so the oracle recomputes hashes bit-for-bit and brute-forces
     // all pairs (multimodal_decode precedent).
+    // Scene-cut detection on synthetic 6-frame videos — the shot-boundary
+    // card a video-ingest pipeline runs before keyframe extraction: frames
+    // 0–2 render the base pattern with a small brightness drift (aHash is
+    // brightness-invariant away from clamping, so within-scene hamming
+    // stays near 0), frames 3–5 render a DIFFERENT pattern (base+128 — the half-phase shift; +17 measured cut hamming as low as 2, indistinguishable from clamp noise) — a
+    // known structural cut at frame 3. Each frame goes through the REAL
+    // BMP render → aHash64 decode path (phash_neardup's machinery, one
+    // narrow mapPartitions — pixels never shuffle, only 16-byte hashes),
+    // consecutive-frame hamming = codegen'd bit_count(xor) over a per-doc
+    // lag window, cut ⇔ hamming ≥ 16. The oracle never parses a BMP: it
+    // recomputes every sampled gray from the integer pixel formula
+    // (Multimodal.channel) and counts bit diffs per (frame, k) — the
+    // synthetic-payload trick that keeps a binary decode oracle-checkable.
+    "multimodal_scenecut" -> ((s, dir) => {
+      val ids = t(s, dir, "documents").where(col("doc_id") % 50 === 0)
+        .select(col("doc_id"))
+      val frames = ids.withColumn("f", explode(sequence(lit(0), lit(5))))
+        .select((col("doc_id") * 10 + col("f")).as("img_id"),
+          when(col("f") < 3, col("doc_id")).otherwise(col("doc_id") + 128L).as("base"),
+          (col("f") % 3).as("bright"))
+      val hashed = Multimodal.aHashBmp(s, Multimodal.renderBmpVariants(s, frames))
+      val wf = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("f"))
+      hashed.select(expr("img_id DIV 10").as("doc_id"),
+          pmod(col("img_id"), lit(10L)).as("f"), col("phash"))
+        .withColumn("prev", lag(col("phash"), 1).over(wf))
+        .where(col("prev").isNotNull)
+        .select(col("doc_id"), col("f"),
+          bit_count(col("phash").bitwiseXOR(col("prev"))).cast(LongType).as("ham"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_transitions"),
+          sum(when(col("ham") >= 16, 1L).otherwise(0L)).as("n_cuts"),
+          sum(when(col("ham") >= 16, col("f")).otherwise(0L)).as("cut_frame_sum"),
+          max(col("ham")).as("max_hamming"))
+        .orderBy(col("doc_id"))
+    }),
+
     "phash_neardup" -> ((s, dir) => {
       val ids = t(s, dir, "documents").where(col("doc_id") % 50 === 0)
         .select(col("doc_id"))
@@ -668,6 +705,36 @@ object QueriesDdl {
     // banded Spark join is provably complete for hamming ≤ 3, so the two
     // answers must coincide exactly. `bits` is corpus-sized and read twice:
     // MATERIALIZED per the CTE-inlining rule.
+    "multimodal_scenecut" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 50 = 0),
+        |fr AS (SELECT doc_id, f,
+        |    CASE WHEN f < 3 THEN doc_id ELSE doc_id + 128 END AS base,
+        |    f % 3 AS bright
+        |  FROM ids CROSS JOIN (SELECT unnest(range(0, 6)) AS f) g0),
+        |g AS (SELECT doc_id, f, base, bright, 8 + base % 9 AS w, 8 + base % 7 AS h,
+        |    unnest(range(0, 64)) AS k FROM fr),
+        |pos AS (SELECT doc_id, f, base, bright, k,
+        |    (k % 8) * w // 8 AS x, (k // 8) * h // 8 AS y FROM g),
+        |gr AS (SELECT doc_id, f, k,
+        |      least((base + x * 7 + y * 13) % 256 + bright, 255)
+        |    + least((base + x * 7 + y * 13 + 29) % 256 + bright, 255)
+        |    + least((base + x * 7 + y * 13 + 58) % 256 + bright, 255) AS gray
+        |  FROM pos),
+        |bits AS MATERIALIZED (
+        |  SELECT doc_id, f, k,
+        |    CASE WHEN gray * 64 >= sum(gray) OVER (PARTITION BY doc_id, f)
+        |         THEN 1 ELSE 0 END AS bit
+        |  FROM gr),
+        |ham AS (SELECT a.doc_id, a.f,
+        |    CAST(sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS BIGINT) AS ham
+        |  FROM bits a JOIN bits b ON b.doc_id = a.doc_id AND b.f = a.f - 1
+        |    AND b.k = a.k
+        |  GROUP BY 1, 2)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_transitions,
+        |  CAST(sum(CASE WHEN ham >= 16 THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+        |  CAST(sum(CASE WHEN ham >= 16 THEN f ELSE 0 END) AS BIGINT) AS cut_frame_sum,
+        |  CAST(max(ham) AS BIGINT) AS max_hamming
+        |FROM ham GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "phash_neardup" ->
       """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 50 = 0),
         |imgs AS (
