@@ -41,6 +41,58 @@ object QueriesAnalytics {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Fellegi–Sunter match weights LEARNED by EM (Fellegi & Sunter 1969;
+    // Winkler's EM formulation — the Splink/record-linkage standard) over
+    // the same blocked comparison vectors er_linkage scores by hand: the
+    // card that replaces hand-tuned agreement weights with estimated
+    // m = P(agree | match) and u = P(agree | non-match) per field, plus
+    // the match prior. Scale shape: the ONLY data-sized stage is the
+    // pattern-count aggregate (3 binary fields ⇒ ≤ 8 rows); 5 EM rounds
+    // run on the collected 8-row table in EXACT BigInt fixed-point (all
+    // probabilities 1e-6 BIGINTs, products ≤ 1e24 — the attribution_markov
+    // integer-EM discipline, clamped to [1, 999999] so no branch ever
+    // divides by zero), and the oracle unrolls the identical recurrence in
+    // HUGEINT — bit-for-bit, no quantization drift possible. Both engines
+    // truncate non-negative division identically.
+    "er_em_weights" -> ((s, dir) => {
+      import s.implicits._
+      val (_, pairs) = erComparisonPairs(s, dir)
+      val pats = pairs.groupBy(col("g1"), col("g2"), col("g3"))
+        .agg(count(lit(1)).as("n")).collect() // ≤ 2^3 rows — config-sized
+        .map(r => (r.getBoolean(0), r.getBoolean(1), r.getBoolean(2), r.getLong(3)))
+      val M = BigInt(1000000)
+      def clamp(x: BigInt) = x.max(BigInt(1)).min(BigInt(999999))
+      var p = BigInt(500000)
+      var m = Vector(BigInt(900000), BigInt(900000), BigInt(900000))
+      var u = Vector(BigInt(100000), BigInt(100000), BigInt(100000))
+      for (_ <- 1 to 5) {
+        var sn = BigInt(0); var sw = BigInt(0); var sv = BigInt(0)
+        val swk = Array.fill(3)(BigInt(0)); val svk = Array.fill(3)(BigInt(0))
+        pats.foreach { case (g1, g2, g3, n) =>
+          val g = Vector(g1, g2, g3)
+          val num = (0 until 3).foldLeft(p)((acc, k) =>
+            acc * (if (g(k)) m(k) else M - m(k)))
+          val den = num + (0 until 3).foldLeft(M - p)((acc, k) =>
+            acc * (if (g(k)) u(k) else M - u(k)))
+          val w = num * M / den
+          val nB = BigInt(n)
+          sn += nB; sw += nB * w; sv += nB * (M - w)
+          (0 until 3).foreach { k =>
+            if (g(k)) { swk(k) += nB * w; svk(k) += nB * (M - w) } }
+        }
+        p = clamp(sw / sn.max(BigInt(1)))
+        m = Vector.tabulate(3)(k => clamp(swk(k) * M / sw.max(BigInt(1))))
+        u = Vector.tabulate(3)(k => clamp(svk(k) * M / sv.max(BigInt(1))))
+      }
+      Seq(("bal_lt1", m(1), u(1)), ("name_lev1", m(0), u(0)),
+          ("prior", p, BigInt(0)), ("segment_eq", m(2), u(2)))
+        .map { case (f, mm, uu) =>
+          (f, mm.toLong, uu.toLong,
+            if (f == "prior") 0L else (mm * M / uu.max(BigInt(1))).toLong)
+        }
+        .toDF("field", "m6", "u6", "mu_ratio6").orderBy(col("field"))
+    }),
+
     // Entity RESOLUTION (er_linkage only SCORES pairs; this materializes
     // the entities): the match pairs feed the same large-star/small-star
     // connected-components fixpoint the dedup family uses — transitive
@@ -1851,7 +1903,12 @@ object QueriesAnalytics {
     * (customers + planted K-variants at +500000) and the Fellegi–Sunter
     * scored candidate pairs from the (nation, acctbal-band) blocked join.
     * Returns (dirty, scored(id_a, id_b, score)). */
-  private def erScoredPairs(s: org.apache.spark.sql.SparkSession, dir: String)
+  /** The ER comparison-vector construction er_linkage/er_cluster score and
+    * er_em_weights learns from — ONE blocked pair join emitting the three
+    * binary agreement fields (name-within-1-edit, balance-within-1,
+    * segment-equal), so the deterministic score and the EM model can never
+    * see different comparisons. Returns (dirty, (id_a, id_b, g1, g2, g3)). */
+  private def erComparisonPairs(s: org.apache.spark.sql.SparkSession, dir: String)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val cust = t(s, dir, "customer")
     val variants = cust.select(
@@ -1863,15 +1920,24 @@ object QueriesAnalytics {
     val dirty = cust.unionByName(variants)
       .withColumn("blk", expr("CAST(floor(c_acctbal / 100.0) AS BIGINT)"))
     val a = dirty.as("a"); val b = dirty.as("b")
-    val scored = a.join(b,
+    val pairs = a.join(b,
         col("a.c_nationkey") === col("b.c_nationkey") &&
           col("a.blk") === col("b.blk") &&
           col("a.c_custkey") < col("b.c_custkey"))
       .select(col("a.c_custkey").as("id_a"), col("b.c_custkey").as("id_b"),
-        (when(levenshtein(col("a.c_name"), col("b.c_name")) <= 1, 30L).otherwise(-10L) +
-          when(abs(col("a.c_acctbal") - col("b.c_acctbal")) < 1.0, 15L).otherwise(-5L) +
-          when(col("a.c_mktsegment") === col("b.c_mktsegment"), 10L).otherwise(-8L))
-          .as("score"))
+        (levenshtein(col("a.c_name"), col("b.c_name")) <= 1).as("g1"),
+        (abs(col("a.c_acctbal") - col("b.c_acctbal")) < 1.0).as("g2"),
+        (col("a.c_mktsegment") === col("b.c_mktsegment")).as("g3"))
+    (dirty, pairs)
+  }
+
+  private def erScoredPairs(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val (dirty, pairs) = erComparisonPairs(s, dir)
+    val scored = pairs.select(col("id_a"), col("id_b"),
+      (when(col("g1"), 30L).otherwise(-10L) +
+        when(col("g2"), 15L).otherwise(-5L) +
+        when(col("g3"), 10L).otherwise(-8L)).as("score"))
     (dirty, scored)
   }
 
@@ -2173,6 +2239,67 @@ object QueriesAnalytics {
            |  sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0 AS holds
            |FROM (SELECT count(DISTINCT $dep) AS nd FROM $tbl GROUP BY $det)""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY table_name, determinant")
+    },
+    "er_em_weights" -> {
+      val rounds = (1 to 5).map { i =>
+        val rp = s"r${i - 1}"
+        s"""e$i AS (SELECT g1, g2, g3, n,
+           |    (p * (CASE WHEN g1 THEN m1 ELSE 1000000 - m1 END)
+           |       * (CASE WHEN g2 THEN m2 ELSE 1000000 - m2 END)
+           |       * (CASE WHEN g3 THEN m3 ELSE 1000000 - m3 END) * 1000000)
+           |    // (p * (CASE WHEN g1 THEN m1 ELSE 1000000 - m1 END)
+           |          * (CASE WHEN g2 THEN m2 ELSE 1000000 - m2 END)
+           |          * (CASE WHEN g3 THEN m3 ELSE 1000000 - m3 END)
+           |        + (1000000 - p) * (CASE WHEN g1 THEN u1 ELSE 1000000 - u1 END)
+           |          * (CASE WHEN g2 THEN u2 ELSE 1000000 - u2 END)
+           |          * (CASE WHEN g3 THEN u3 ELSE 1000000 - u3 END)) AS w
+           |  FROM pats CROSS JOIN $rp),
+           |r$i AS (SELECT
+           |    least(greatest(sum(n * w) // greatest(sum(n), 1), 1), 999999) AS p,
+           |    least(greatest((sum(CASE WHEN g1 THEN n * w ELSE 0 END) * 1000000)
+           |      // greatest(sum(n * w), 1), 1), 999999) AS m1,
+           |    least(greatest((sum(CASE WHEN g2 THEN n * w ELSE 0 END) * 1000000)
+           |      // greatest(sum(n * w), 1), 1), 999999) AS m2,
+           |    least(greatest((sum(CASE WHEN g3 THEN n * w ELSE 0 END) * 1000000)
+           |      // greatest(sum(n * w), 1), 1), 999999) AS m3,
+           |    least(greatest((sum(CASE WHEN g1 THEN n * (1000000 - w) ELSE 0 END) * 1000000)
+           |      // greatest(sum(n * (1000000 - w)), 1), 1), 999999) AS u1,
+           |    least(greatest((sum(CASE WHEN g2 THEN n * (1000000 - w) ELSE 0 END) * 1000000)
+           |      // greatest(sum(n * (1000000 - w)), 1), 1), 999999) AS u2,
+           |    least(greatest((sum(CASE WHEN g3 THEN n * (1000000 - w) ELSE 0 END) * 1000000)
+           |      // greatest(sum(n * (1000000 - w)), 1), 1), 999999) AS u3
+           |  FROM e$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH dirty AS (
+         |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer
+         |  UNION ALL
+         |  SELECT c_custkey + 500000, 'K' || substring(c_name, 2), c_nationkey,
+         |    c_acctbal + 0.37, c_mktsegment FROM customer),
+         |blocked AS (SELECT *, CAST(floor(c_acctbal / 100.0) AS BIGINT) AS blk FROM dirty),
+         |flags AS (
+         |  SELECT levenshtein(a.c_name, b.c_name) <= 1 AS g1,
+         |    abs(a.c_acctbal - b.c_acctbal) < 1.0 AS g2,
+         |    a.c_mktsegment = b.c_mktsegment AS g3
+         |  FROM blocked a JOIN blocked b
+         |    ON a.c_nationkey = b.c_nationkey AND a.blk = b.blk
+         |    AND a.c_custkey < b.c_custkey),
+         |pats AS MATERIALIZED (SELECT g1, g2, g3, CAST(count(*) AS HUGEINT) AS n
+         |  FROM flags GROUP BY 1, 2, 3),
+         |r0 AS (SELECT CAST(500000 AS HUGEINT) AS p,
+         |  CAST(900000 AS HUGEINT) AS m1, CAST(900000 AS HUGEINT) AS m2,
+         |  CAST(900000 AS HUGEINT) AS m3, CAST(100000 AS HUGEINT) AS u1,
+         |  CAST(100000 AS HUGEINT) AS u2, CAST(100000 AS HUGEINT) AS u3),
+         |$rounds
+         |SELECT * FROM (
+         |  SELECT 'bal_lt1' AS field, CAST(m2 AS BIGINT) AS m6, CAST(u2 AS BIGINT) AS u6,
+         |    CAST((m2 * 1000000) // greatest(u2, 1) AS BIGINT) AS mu_ratio6 FROM r5
+         |  UNION ALL SELECT 'name_lev1', CAST(m1 AS BIGINT), CAST(u1 AS BIGINT),
+         |    CAST((m1 * 1000000) // greatest(u1, 1) AS BIGINT) FROM r5
+         |  UNION ALL SELECT 'prior', CAST(p AS BIGINT), CAST(0 AS BIGINT),
+         |    CAST(0 AS BIGINT) FROM r5
+         |  UNION ALL SELECT 'segment_eq', CAST(m3 AS BIGINT), CAST(u3 AS BIGINT),
+         |    CAST((m3 * 1000000) // greatest(u3, 1) AS BIGINT) FROM r5) z
+         |ORDER BY field""".stripMargin
     },
     "er_linkage" ->
       """WITH dirty AS (
