@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-10 session-2 additions: densest-peel/calibration/zonemap/B-cubed/
+  * bloom-curve/minhash-curve/NN-descent/scene-cut/EM-weights invariants.
+  * (sim_hamming_rerank and graph_densest_users get full differential
+  * recomputes in Round10Spec; these pin the cross-cutting invariants the
+  * oracle compare alone can't express.) */
+class Round10bSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("calibration_ece: summary row is the exact n-weighted fold of the bins") {
+    val rows = graft.queries.QueriesTrain.queries("calibration_ece")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val (bins, summary) = rows.partition(_._1 >= 0)
+    assert(summary.length == 1)
+    val s = summary.head
+    assert(s._2 == bins.map(_._2).sum, "summary n_docs != sum of bin n_docs")
+    // ECE = sum(n_b * gap_b) DIV N, recomputed from the emitted bins
+    assert(s._5 == bins.map(b => b._2 * (b._4 - b._3).abs).sum / s._2)
+    // every bin's confidence lies inside its bin's micro-unit band
+    bins.foreach { b =>
+      val lo = b._1 * 100000
+      val hi = if (b._1 == 9) 1000000L else (b._1 + 1) * 100000
+      assert(b._3 >= lo && b._3 <= hi, s"bin ${b._1} conf ${b._3} outside band")
+    }
+  }
+
+  test("zonemap_selectivity: blocks partition rows and the matched layout skips") {
+    val rows = graft.queries.QueriesScale.queries("zonemap_selectivity")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(rows.length == 4)
+    val total = graft.queries.Tables.t(spark, dir, "lineitem")
+      .where(col("l_shipdate").isNotNull).count()
+    rows.foreach { r =>
+      assert(r._4 <= r._3, "scanned blocks exceed total blocks")
+      assert(r._5 <= total && r._6 <= r._5,
+        "rows_matching must lie inside rows_scanned inside the corpus")
+    }
+    // the matched layout prunes; the mismatched one reads everything
+    def skip(layout: String, pred: String) =
+      rows.find(r => r._1 == layout && r._2 == pred).get._7
+    assert(skip("orderkey_range", "orderkey_band") > 0)
+    assert(skip("date_range", "date_band") > 0)
+    assert(skip("orderkey_range", "date_band") == 0)
+    assert(skip("date_range", "orderkey_band") == 0)
+  }
+
+  test("dedup_bcubed: P/R/F1 bounded by 1e6 and truth clusters tile the corpus") {
+    val r = graft.queries.QueriesDedup.queries("dedup_bcubed")(spark, dir).head()
+    val (n, np, nt, p6, r6, f1) = (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5))
+    assert(n == 3 * nt, "planted corpus is exactly 3 copies per truth cluster")
+    assert(p6 <= 1000000 && r6 <= 1000000 && f1 <= 1000000)
+    assert(f1 <= p6.max(r6) && f1 >= p6.min(r6) - 1, "F1 lies between P and R")
+    assert(np >= 1 && np <= n)
+  }
+
+  test("bloom_fpr_curve: FPR strictly improves with bits per key; bit math is consistent") {
+    val rows = graft.queries.QueriesScale.queries("bloom_fpr_curve")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(4L, 8L, 12L))
+    rows.foreach { r =>
+      assert(r._4 == r._1 * r._3, "m = bpk * n_keys")
+      assert(r._5 <= r._2 * r._3 && r._5 <= r._4, "bits set bounded by k*n and m")
+      assert(r._7 <= r._6, "false positives bounded by probes")
+    }
+    assert(rows(0)._8 > rows(1)._8 && rows(1)._8 > rows(2)._8,
+      "measured FPR must fall as bits per key grow")
+  }
+
+  test("minhash_curve: recall falls (weakly) and precision rises as rows/band grow") {
+    val rows = graft.queries.QueriesDedup.queries("minhash_curve")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).sortBy(-_._1) // b desc = r asc
+    assert(rows.map(r => (r._1, r._2)).toSeq == Seq((16L, 2L), (8L, 4L), (4L, 8L)))
+    rows.foreach { r =>
+      assert(r._4 <= r._3, "true candidates bounded by candidates")
+      assert(r._4 <= r._5, "true candidates bounded by truth")
+    }
+    assert(rows.map(_._6).sliding(2).forall(p => p.head >= p.last),
+      "recall6 must be non-increasing in rows-per-band")
+    assert(rows.map(_._3).sliding(2).forall(p => p.head >= p.last),
+      "candidate volume must be non-increasing in rows-per-band")
+  }
+
+  test("nndescent_round: one round never hurts recall and edge lists stay <= 5 per node") {
+    val rows = graft.queries.QueriesSim.queries("nndescent_round")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    val init = rows.find(_._1 == "lsh_init").get
+    val r1 = rows.find(_._1 == "nn_descent_r1").get
+    assert(r1._6 >= init._6, "descent round must not lose recall")
+    assert(r1._3 >= init._3, "descent round must not lower mean neighbor cosine")
+    val n = graft.queries.Tables.t(spark, dir, "embeddings")
+      .where(col("embedding").isNotNull).count()
+    assert(init._2 <= 5 * n && r1._2 <= 5 * n)
+    assert(init._5 == r1._5, "both stages share one ground truth")
+  }
+
+  test("multimodal_scenecut: every video has exactly the planted cut at frame 3") {
+    val rows = graft.queries.QueriesDdl.queries("multimodal_scenecut")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r._2 == 5, "6 frames -> 5 transitions")
+      assert(r._3 == 1 && r._4 == 3, s"doc ${r._1}: cut not detected exactly at frame 3")
+      assert(r._5 >= 16, "cut hamming must clear the threshold")
+    }
+  }
+
+  test("er_em_weights: EM separates m from u on every field and the prior is sane") {
+    val byField = graft.queries.QueriesAnalytics.queries("er_em_weights")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(byField.size == 4)
+    Seq("name_lev1", "bal_lt1", "segment_eq").foreach { f =>
+      val (m6, u6, ratio) = byField(f)
+      assert(m6 > u6, s"$f: m must exceed u after EM")
+      assert(ratio == m6 * 1000000L / math.max(u6, 1L))
+      assert(m6 >= 1 && m6 <= 999999 && u6 >= 1 && u6 <= 999999, "clamp bounds")
+    }
+    val prior = byField("prior")._1
+    assert(prior >= 1 && prior <= 999999)
+  }
+}
