@@ -524,6 +524,42 @@ object QueriesAnalytics {
         .orderBy(col("nation_key"))
     }),
 
+    // ε-DP top-k release (noisy top-k / one-shot report-noisy-max with
+    // Laplace noise — Dwork & Roth §3.4; dp_histogram releases COUNTS,
+    // this releases a RANKING, the "most frequent tokens we may publish"
+    // card): per-token df + per-token Laplace noise from the md5-derived
+    // uniform (dp_histogram's inverse-CDF construction), rank by the
+    // noisy score, publish the top 5 with rounded noisy counts. The noise
+    // stays in 1e-4-unit BIGINTs (floor ONCE after the ln — the only
+    // libm call, bit-identical cross-engine per the dp_histogram
+    // precedent) so the ranking compares pure integers; negative noisy
+    // scores clamp BEFORE the rounding division so floor vs truncate can
+    // never diverge. Ranking windows run on the vocab-sized count table
+    // with partitionBy(lit(0)) explicit — the "no global window" rule is
+    // about data-sized inputs.
+    "dp_topk" -> ((s, dir) => {
+      val noise4 = "CAST(floor(-(CASE WHEN (CAST(h AS DOUBLE) + 0.5e0) / 16777216e0 >= 0.5e0 " +
+        "THEN 1e0 ELSE -1e0 END) * ln(1e0 - 2e0 * abs((CAST(h AS DOUBLE) + 0.5e0) " +
+        "/ 16777216e0 - 0.5e0)) * 1e4 + 0.5) AS BIGINT)"
+      val counts = t(s, dir, "documents")
+        .select(explode(TextFns.tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n_exact"))
+        .withColumn("h", expr("CAST(conv(substring(md5(concat('dptk:', token)), 1, 6), 16, 10) AS BIGINT)"))
+        .withColumn("noise4", expr(noise4))
+        .withColumn("score4", expr("n_exact * 10000 + noise4"))
+      val w0 = Window.partitionBy(lit(0))
+      counts
+        .withColumn("exact_rank",
+          row_number().over(w0.orderBy(col("n_exact").desc, col("token"))))
+        .withColumn("rank",
+          row_number().over(w0.orderBy(col("score4").desc, col("token"))))
+        .where(col("rank") <= 5)
+        .select(col("rank").cast(LongType).as("rank"), col("token"),
+          expr("(greatest(score4, 0) + 5000) DIV 10000").as("n_released"),
+          (col("exact_rank") <= 5).as("in_exact_topk"))
+        .orderBy(col("rank"))
+    }),
+
     // HITS hubs & authorities (Kleinberg) on the DIRECTED nation trade
     // graph — the graph family's bipartite-centrality member (pagerank
     // ranks global importance; HITS separates "big buyers" (hubs:
@@ -2562,6 +2598,26 @@ object QueriesAnalytics {
          |SELECT nation_key, n_exact, dp_noise,
          |  greatest(CAST(floor(n_exact + dp_noise + 0.5e0) AS BIGINT), 0) AS n_released
          |FROM n ORDER BY 1""".stripMargin,
+    "dp_topk" ->
+      s"""WITH tok AS (SELECT unnest(${Tables.toksSql()}) AS token FROM documents),
+         |c AS (SELECT token, CAST(count(*) AS BIGINT) AS n_exact FROM tok GROUP BY 1),
+         |hh AS (SELECT token, n_exact,
+         |    CAST(('0x' || substr(md5('dptk:' || token), 1, 6)) AS BIGINT) AS h
+         |  FROM c),
+         |nz AS (SELECT token, n_exact,
+         |    CAST(floor(-(CASE WHEN (CAST(h AS DOUBLE) + 0.5e0) / 16777216e0 >= 0.5e0
+         |        THEN 1e0 ELSE -1e0 END)
+         |      * ln(1e0 - 2e0 * abs((CAST(h AS DOUBLE) + 0.5e0) / 16777216e0 - 0.5e0))
+         |      * 1e4 + 0.5) AS BIGINT) AS noise4
+         |  FROM hh),
+         |sc AS (SELECT token, n_exact, n_exact * 10000 + noise4 AS score4 FROM nz),
+         |rk AS (SELECT token, n_exact, score4,
+         |    row_number() OVER (ORDER BY n_exact DESC, token) AS exact_rank,
+         |    row_number() OVER (ORDER BY score4 DESC, token) AS rank FROM sc)
+         |SELECT CAST(rank AS BIGINT) AS rank, token,
+         |  CAST((greatest(score4, 0) + 5000) // 10000 AS BIGINT) AS n_released,
+         |  exact_rank <= 5 AS in_exact_topk
+         |FROM rk WHERE rank <= 5 ORDER BY rank""".stripMargin,
     "skew_profile" ->
       """WITH counts AS (
         |  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS cnt

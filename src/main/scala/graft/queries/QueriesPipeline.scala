@@ -302,6 +302,49 @@ object QueriesPipeline {
         .orderBy(col("pos"))
     }),
 
+    // Quantile normalization across sources (Bolstad et al. 2003 — the
+    // microarray-era fix applied to the mixing problem: per-source quality
+    // scores are differently calibrated, so mixing by raw score
+    // over/under-samples whole sources; rank-mapping every source onto the
+    // POOLED distribution makes "top 20% of source A" and "top 20% of
+    // source B" mean the same thing). Mechanism, all exact integers: the
+    // per-doc confidence s6 (stopword-ratio µ-units, calibration_ece's
+    // signal), ONE GlobalOrder distributed row-numbering over (s6, doc_id)
+    // — never a single-partition window — gives the pooled rank; each
+    // doc's target position p = 1 + (r−1)(N−1) DIV max(N_s−1, 1) from its
+    // within-source rank, and the normalized score is the pooled s6 at
+    // position p via a rank equi-join. (r−1)(N−1) holds in BIGINT to
+    // N ≈ 3e9 rows; past that the position computes in DOUBLE with
+    // harmless quantization.) Card: per-source before/after means and the
+    // after-range — sources-sized output.
+    "quantile_normalize" -> ((s, dir) => {
+      import graft.operators.GlobalOrder
+      val m = TextFns.textStats(col("text"))
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        m.getField("n_stop").cast(LongType).as("ns"),
+        m.getField("n_tokens").cast(LongType).as("nt"))
+        .select(col("doc_id"), col("source"),
+          expr("(ns * 1000000) DIV greatest(nt, 1)").as("s6"))
+      val ranked = GlobalOrder.withGlobalRowNumber(
+          docs, Seq(col("s6"), col("doc_id")), "pos", numParts = 10,
+          boundaries = Some((1 to 9).map(i => i * 100000L)))
+        .localCheckpoint(false) // read as the doc stream AND the lookup
+      val ws = Window.partitionBy(col("source"))
+      val withR = ranked
+        .withColumn("r", row_number().over(ws.orderBy(col("s6"), col("doc_id"))))
+        .withColumn("ns_src", count(lit(1)).over(ws))
+        .crossJoin(ranked.agg(count(lit(1)).as("n_all")))
+        .withColumn("p",
+          expr("1 + ((r - 1) * (n_all - 1)) DIV greatest(ns_src - 1, 1)"))
+      withR.join(ranked.select(col("pos").as("p"), col("s6").as("n6")), "p")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr("sum(s6) DIV count(1)").as("mean_before6"),
+          expr("sum(n6) DIV count(1)").as("mean_after6"),
+          min(col("n6")).as("min_after6"), max(col("n6")).as("max_after6"))
+        .orderBy(col("source"))
+    }),
+
     // Per-source quota (per-domain cap, Common-Crawl style): keep at most 10
     // docs per source, chosen by deterministic hash order (an unbiased
     // subsample, not first-N). The rank filter is recognized by Spark 4's
@@ -861,6 +904,30 @@ object QueriesPipeline {
       """SELECT CAST(row_number() OVER (ORDER BY md5('shuf:' || doc_id), doc_id) AS BIGINT) AS pos,
         |  doc_id, md5('shuf:' || doc_id) AS skey
         |FROM documents ORDER BY pos""".stripMargin,
+    "quantile_normalize" ->
+      s"""WITH m AS (${Tables.qualityMetricsSql(", source")}),
+         |sc AS (SELECT doc_id, source,
+         |    (CAST(ns AS BIGINT) * 1000000) // greatest(CAST(nt AS BIGINT), 1) AS s6
+         |  FROM m),
+         |rk AS MATERIALIZED (SELECT doc_id, source, s6,
+         |    CAST(row_number() OVER (ORDER BY s6, doc_id) AS BIGINT) AS pos
+         |  FROM sc),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM rk),
+         |wr AS (SELECT doc_id, source, s6,
+         |    CAST(row_number() OVER (PARTITION BY source ORDER BY s6, doc_id) AS BIGINT) AS r,
+         |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS ns_src
+         |  FROM rk),
+         |pp AS (SELECT wr.source, wr.s6,
+         |    1 + ((r - 1) * (n_all - 1)) // greatest(ns_src - 1, 1) AS p
+         |  FROM wr CROSS JOIN n),
+         |j AS (SELECT pp.source, pp.s6, lk.s6 AS n6
+         |  FROM pp JOIN rk lk ON lk.pos = pp.p)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(s6) // count(*) AS BIGINT) AS mean_before6,
+         |  CAST(sum(n6) // count(*) AS BIGINT) AS mean_after6,
+         |  CAST(min(n6) AS BIGINT) AS min_after6,
+         |  CAST(max(n6) AS BIGINT) AS max_after6
+         |FROM j GROUP BY 1 ORDER BY source""".stripMargin,
     "curriculum_order" ->
       s"""WITH m AS (${Tables.qualityMetricsSql()}),
          |q AS (SELECT doc_id, round(${Tables.qualityScoreSql}, 6) AS q FROM m),

@@ -113,6 +113,38 @@ class Round10bSpec extends SparkSpec {
     }
   }
 
+  test("quantile_normalize: equal-size sources land on the identical pooled distribution") {
+    val rows = graft.queries.QueriesPipeline.queries("quantile_normalize")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    val total = graft.queries.Tables.t(spark, dir, "documents").count()
+    assert(rows.map(_._2).sum == total, "sources partition the corpus")
+    // synthetic sources are equal-sized -> identical rank maps -> identical
+    // after-stats for every source; before-means must actually differ
+    assert(rows.map(_._2).distinct.length == 1, "test assumes equal source sizes")
+    assert(rows.map(r => (r._4, r._5, r._6)).distinct.length == 1,
+      "after-normalization stats must be identical across equal-size sources")
+    assert(rows.map(_._3).distinct.length > 1,
+      "before-means should differ or the card demonstrates nothing")
+  }
+
+  test("dp_topk: five ranked tokens, released counts within the Laplace noise bound") {
+    import org.apache.spark.sql.functions.{explode, lit, count => cnt}
+    val rows = graft.queries.QueriesAnalytics.queries("dp_topk")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.map(_._1).toSeq == (1L to 5L))
+    assert(rows.map(_._2).distinct.length == 5)
+    val exact = graft.queries.Tables.t(spark, dir, "documents")
+      .select(explode(graft.functions.TextFns.tokens(org.apache.spark.sql.functions.col("text"))).as("token"))
+      .groupBy("token").agg(cnt(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { case (_, token, released, _) =>
+      // |Laplace_{b=1}| from a 24-bit uniform is at most ln(2^24) < 17
+      assert(math.abs(released - exact(token)) <= 17,
+        s"$token: released $released too far from exact ${exact(token)}")
+    }
+  }
+
   test("er_em_weights: EM separates m from u on every field and the prior is sane") {
     val byField = graft.queries.QueriesAnalytics.queries("er_em_weights")(spark, dir)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
