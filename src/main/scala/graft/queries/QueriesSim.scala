@@ -926,14 +926,20 @@ object QueriesSim {
           SimFns.rpLshKey(col("embedding"), pb).as("bkb"))
         .localCheckpoint(false) // read by 2 init joins, 2 fetches, truth
       val wk = Window.partitionBy(col("v")).orderBy(col("cos").desc, col("u"))
-      def bucketTop3(bk: String) =
-        e.select(col("vec_id").as("v"), col(bk), col("embedding").as("ev"))
+      // score each unordered within-bucket pair ONCE (u < v), checkpoint,
+      // mirror for the per-v ranking — halves the native-cosine work of
+      // the dominant stage (measured 7.3 s → the pair scan is the cost)
+      def bucketTop3(bk: String) = {
+        val half = e.select(col("vec_id").as("v"), col(bk), col("embedding").as("ev"))
           .join(e.select(col("vec_id").as("u"), col(bk), col("embedding").as("eu")),
             Seq(bk))
-          .where(col("u") =!= col("v"))
+          .where(col("u") < col("v"))
           .select(col("v"), col("u"), SimFns.cosine(col("ev"), col("eu")).as("cos"))
+          .localCheckpoint(false) // read by both orientations below
+        half.unionByName(half.select(col("u").as("v"), col("v").as("u"), col("cos")))
           .withColumn("rk", row_number().over(wk)).where(col("rk") <= 3)
           .select(col("v"), col("u"), col("cos"))
+      }
       val n0 = bucketTop3("bka").unionByName(bucketTop3("bkb"))
         .groupBy(col("v"), col("u")).agg(max(col("cos")).as("cos")) // dedup
         .withColumn("rk", row_number().over(wk)).where(col("rk") <= 5)
