@@ -563,6 +563,128 @@ object QueriesText {
     // 1-row broadcast. EXACTLY 2 terms per query keeps the score sum
     // order-free (IEEE addition of two values is commutative), so the
     // double formula is engine-identical from exact BIGINT tf/df/dl.
+    // RAKE keyword extraction (Rose et al. 2010 — Rapid Automatic Keyword
+    // Extraction, the zero-training phrase miner): candidate phrases are
+    // maximal runs of non-stopword tokens (the gaps-and-islands pos − rn
+    // trick — one per-doc window, no UDF), each word scores
+    // degree/frequency over phrase occurrences, a phrase scores the sum of
+    // its words. All counts are integers and the word score quantizes
+    // ONCE to µ-units ((deg·1e6) DIV freq), so phrase sums commute and
+    // the SQL twin is bit-exact. Work: two corpus-token passes + joins on
+    // the vocab/phrase domain; the final top-10 window runs on the
+    // phrase-domain frame with partitionBy(lit(0)) explicit.
+    "rake_keywords" -> ((s, dir) => {
+      val stops = Seq("the", "and", "of", "to", "in", "is", "a", "for",
+        "on", "with", "as", "by", "at", "it")
+      val tok = t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(TextFns.tokens(col("text"))).as(Seq("pos", "w")))
+      val phrases = tok.where(!col("w").isInCollection(stops))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+        .groupBy(col("doc_id"), (col("pos") - col("rn")).as("run"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+          x => x.getField("w")).as("ws"))
+        .select(concat_ws(" ", col("ws")).as("phrase"), col("ws"))
+        .localCheckpoint(false) // word stats + occurrence counts + scores
+      val wscore = phrases.select(explode(col("ws")).as("w"), size(col("ws")).as("len"))
+        .groupBy(col("w"))
+        .agg(count(lit(1)).as("freq"), sum(col("len")).as("deg"))
+        .select(col("w"), expr("(deg * 1000000) DIV freq").as("ws6"))
+      val occ = phrases.groupBy(col("phrase")).agg(count(lit(1)).as("n_occ"))
+      val sc = phrases.dropDuplicates("phrase")
+        .select(col("phrase"), explode(col("ws")).as("w"))
+        .join(wscore, "w")
+        .groupBy(col("phrase"))
+        .agg(count(lit(1)).as("n_words"), sum(col("ws6")).as("score6"))
+      sc.join(occ, "phrase")
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(lit(0)).orderBy(col("score6").desc, col("phrase"))))
+        .where(col("rank") <= 10)
+        .select(col("rank").cast(LongType).as("rank"), col("phrase"),
+          col("n_words"), col("n_occ"), col("score6"))
+        .orderBy(col("rank"))
+    }),
+
+    // BM25 + pseudo-relevance feedback (RM3-lite, Lavrenko & Croft's
+    // relevance-model idea in its integer-exact form): stage 1 ranks with
+    // the SAME index bm25_search built (DiskCache-shared — no second
+    // build), the top-3 docs per query vote expansion terms by
+    // idf6·Σtf (pure integers), and stage 2 rescores original (weight 10)
+    // + expansion (weight 5) terms. Cross-engine exactness: each (term,
+    // doc) BM25 contribution quantizes ONCE to µ-unit BIGINTs right after
+    // the double formula (bm25_search ranks raw doubles but only ever
+    // sums TWO terms — IEEE addition is commutative; 4+ terms need the
+    // quantize-then-integer-sum discipline), so stage-2 sums commute.
+    "bm25_prf" -> ((s, dir) => {
+      import s.implicits._
+      val base = graft.operators.DiskCache.keyedPath(
+        "bm25_idx_v1", s"$dir/documents.parquet")
+      graft.operators.DiskCache.ensure(base, Seq("postings/_SUCCESS",
+        "doclens/_SUCCESS", "dfs/_SUCCESS", "stats/_SUCCESS")) { tmp =>
+        val terms = t(s, dir, "documents")
+          .select(col("doc_id"), TextFns.shingleExplode(TextFns.tokens(col("text")), 2).as("term"))
+          .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        terms.repartitionByRange(col("term")).sortWithinPartitions(col("term"))
+          .write.parquet(s"$tmp/postings")
+        val dlen = terms.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        dlen.write.parquet(s"$tmp/doclens")
+        dlen.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
+          .write.parquet(s"$tmp/stats")
+        terms.groupBy(col("term")).agg(count(lit(1)).as("df"))
+          .repartitionByRange(col("term")).sortWithinPartitions(col("term"))
+          .write.parquet(s"$tmp/dfs")
+        dlen.unpersist()
+        terms.unpersist(): Unit
+      }
+      val postings = s.read.parquet(s"$base/postings")
+      val dft = s.read.parquet(s"$base/dfs")
+      val dlen = s.read.parquet(s"$base/doclens")
+      val stats = broadcast(s.read.parquet(s"$base/stats"))
+      val part6 = floor(
+        (log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * 2.2) / (col("tf") +
+            lit(1.2) * (lit(1.0) - 0.75 + lit(0.75) * col("dl")
+              / (col("total_len").cast(DoubleType) / col("n_docs"))))) * 1e6 + 0.5)
+        .cast(LongType)
+      def scored(qterms: org.apache.spark.sql.DataFrame) =
+        postings.join(broadcast(qterms), "term")
+          .join(dft, "term").join(dlen, "doc_id").crossJoin(stats)
+          .select(col("qid"), col("doc_id"), col("w"), part6.as("p6"))
+      val q0 = Seq((0L, "hash join"), (0L, "table scan"),
+        (1L, "merge sort"), (1L, "batch stream"),
+        (2L, "slow query"), (2L, "fast scan")).toDF("qid", "term")
+      val s1 = scored(q0.withColumn("w", lit(10L)))
+        .groupBy(col("qid"), col("doc_id")).agg(sum(col("p6")).as("sc1"))
+      val fb = s1.withColumn("rk", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("sc1").desc, col("doc_id"))))
+        .where(col("rk") <= 3).select(col("qid"), col("doc_id"))
+        .localCheckpoint(false) // expansion vote join below
+      val idf6 = floor(log(lit(1.0) +
+        (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) * 1e6 + 0.5)
+        .cast(LongType)
+      val exp = postings.join(broadcast(fb), "doc_id")
+        .groupBy(col("qid"), col("term")).agg(sum(col("tf")).as("wsum"))
+        .join(q0.select(col("qid"), col("term")), Seq("qid", "term"), "left_anti")
+        .join(dft, "term").crossJoin(stats)
+        .select(col("qid"), col("term"), (idf6 * col("wsum")).as("esc"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("esc").desc, col("term"))))
+        .where(col("rk") <= 2).select(col("qid"), col("term"))
+      val allq = q0.withColumn("w", lit(10L))
+        .unionByName(exp.withColumn("w", lit(5L)))
+      scored(allq)
+        .groupBy(col("qid"), col("doc_id"))
+        .agg(sum(expr("w * p6")).as("score6w"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("score6w").desc, col("doc_id"))))
+        .where(col("rank") <= 5)
+        .select(col("qid"), col("doc_id"), col("score6w"),
+          col("rank").cast(LongType).as("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     "bm25_search" -> ((s, dir) => {
       import s.implicits._
       val base = graft.operators.DiskCache.keyedPath(
@@ -1304,6 +1426,82 @@ object QueriesText {
     // and BIGINT×DECIMAL stays exact (3·2.2 = 6.6 vs double
     // 6.6000000000000005), a last-ulp engine split (review-caught; the
     // decimal DIVISIONS are safe — DuckDB promotes those to DOUBLE)
+    "rake_keywords" ->
+      s"""WITH toks AS (SELECT doc_id, $toks AS tk FROM documents),
+         |tok AS (SELECT doc_id, u.i, tk[u.i] AS w
+         |  FROM toks, UNNEST(range(1, len(tk) + 1)) u(i)),
+         |ns AS (SELECT doc_id, i, w,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rn
+         |  FROM tok WHERE w NOT IN ('the', 'and', 'of', 'to', 'in', 'is', 'a',
+         |    'for', 'on', 'with', 'as', 'by', 'at', 'it')),
+         |phr AS MATERIALIZED (
+         |  SELECT array_to_string(list(w ORDER BY i), ' ') AS phrase,
+         |    list(w ORDER BY i) AS ws
+         |  FROM ns GROUP BY doc_id, i - rn),
+         |wsc AS (SELECT w, (CAST(sum(len) AS BIGINT) * 1000000)
+         |    // CAST(count(*) AS BIGINT) AS ws6
+         |  FROM (SELECT unnest(ws) AS w, len(ws) AS len FROM phr) z GROUP BY 1),
+         |occ AS (SELECT phrase, CAST(count(*) AS BIGINT) AS n_occ
+         |  FROM phr GROUP BY 1),
+         |uniq AS (SELECT DISTINCT phrase, ws FROM phr),
+         |sc AS (SELECT phrase, CAST(count(*) AS BIGINT) AS n_words,
+         |    CAST(sum(ws6) AS BIGINT) AS score6
+         |  FROM (SELECT phrase, unnest(ws) AS w FROM uniq) z JOIN wsc USING (w)
+         |  GROUP BY 1)
+         |SELECT CAST(rn AS BIGINT) AS rank, phrase, n_words, n_occ, score6 FROM (
+         |  SELECT sc.phrase, sc.n_words, occ.n_occ, sc.score6,
+         |    row_number() OVER (ORDER BY sc.score6 DESC, sc.phrase) AS rn
+         |  FROM sc JOIN occ USING (phrase)) z
+         |WHERE rn <= 10 ORDER BY rank""".stripMargin,
+    "bm25_prf" ->
+      s"""WITH toks AS (SELECT doc_id, $toks AS tk FROM documents),
+         |terms AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+         |    i -> tk[i] || ' ' || tk[i+1])) AS term FROM toks),
+         |tfm AS MATERIALIZED (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |  FROM terms GROUP BY doc_id, term),
+         |dlen AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tfm GROUP BY doc_id),
+         |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(dl) AS BIGINT) AS total_len FROM dlen),
+         |dfm AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tfm GROUP BY term),
+         |p6 AS MATERIALIZED (
+         |  SELECT tfm.term, tfm.doc_id,
+         |    CAST(floor(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+         |      * (tf * CAST(2.2 AS DOUBLE)) / (tf
+         |        + 1.2 * (1.0 - 0.75 + 0.75 * dl
+         |          / (CAST(total_len AS DOUBLE) / n_docs))) * 1e6 + 0.5) AS BIGINT) AS p6
+         |  FROM tfm JOIN dfm USING (term) JOIN dlen USING (doc_id) CROSS JOIN stats),
+         |q0(qid, term) AS (VALUES (0, 'hash join'), (0, 'table scan'),
+         |  (1, 'merge sort'), (1, 'batch stream'),
+         |  (2, 'slow query'), (2, 'fast scan')),
+         |s1 AS (SELECT q0.qid, p6.doc_id, CAST(sum(p6.p6) AS BIGINT) AS sc1
+         |  FROM q0 JOIN p6 USING (term) GROUP BY 1, 2),
+         |fb AS MATERIALIZED (SELECT qid, doc_id FROM (
+         |  SELECT qid, doc_id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY sc1 DESC, doc_id) AS rk
+         |  FROM s1) z WHERE rk <= 3),
+         |votes AS (SELECT fb.qid, tfm.term, CAST(sum(tfm.tf) AS BIGINT) AS wsum
+         |  FROM fb JOIN tfm USING (doc_id)
+         |  GROUP BY 1, 2),
+         |cand AS (SELECT v.qid, v.term,
+         |    CAST(floor(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * 1e6 + 0.5)
+         |      AS BIGINT) * v.wsum AS esc
+         |  FROM votes v JOIN dfm USING (term) CROSS JOIN stats
+         |  WHERE NOT EXISTS (SELECT 1 FROM q0
+         |    WHERE q0.qid = v.qid AND q0.term = v.term)),
+         |exp AS (SELECT qid, term FROM (
+         |  SELECT qid, term,
+         |    row_number() OVER (PARTITION BY qid ORDER BY esc DESC, term) AS rk
+         |  FROM cand) z WHERE rk <= 2),
+         |allq AS (SELECT qid, term, CAST(10 AS BIGINT) AS w FROM q0
+         |  UNION ALL SELECT qid, term, CAST(5 AS BIGINT) AS w FROM exp),
+         |s2 AS (SELECT allq.qid, p6.doc_id,
+         |    CAST(sum(allq.w * p6.p6) AS BIGINT) AS score6w
+         |  FROM allq JOIN p6 USING (term) GROUP BY 1, 2)
+         |SELECT CAST(qid AS BIGINT) AS qid, doc_id, score6w, CAST(rn AS BIGINT) AS rank
+         |FROM (SELECT qid, doc_id, score6w,
+         |    row_number() OVER (PARTITION BY qid ORDER BY score6w DESC, doc_id) AS rn
+         |  FROM s2) z
+         |WHERE rn <= 5 ORDER BY qid, rank""".stripMargin,
     "bm25_search" ->
       s"""WITH toks AS (SELECT doc_id, $toks AS tk FROM documents),
          |terms AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),

@@ -145,6 +145,36 @@ class Round10bSpec extends SparkSpec {
     }
   }
 
+  test("rake_keywords: phrases contain no stopwords and scores fold from word stats") {
+    val stops = Set("the", "and", "of", "to", "in", "is", "a", "for",
+      "on", "with", "as", "by", "at", "it")
+    val rows = graft.queries.QueriesText.queries("rake_keywords")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).toSeq == (1L to rows.length))
+    rows.foreach { r =>
+      val words = r._2.split(" ")
+      assert(words.forall(w => !stops.contains(w)), s"stopword inside phrase: ${r._2}")
+      assert(words.length == r._3, "n_words must equal the phrase token count")
+      assert(r._4 >= 1 && r._5 > 0)
+    }
+    // scores non-increasing down the ranking
+    assert(rows.map(_._5).sliding(2).forall(p => p.head >= p.last))
+  }
+
+  test("bm25_prf: 5 results per query, expansion never breaks score ordering") {
+    val rows = graft.queries.QueriesText.queries("bm25_prf")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.keySet == Set(0L, 1L, 2L))
+    byQ.values.foreach { qs =>
+      assert(qs.map(_._4).sorted.toSeq == (1L to qs.length), "ranks 1..k per query")
+      val ordered = qs.sortBy(_._4)
+      assert(ordered.map(_._3).sliding(2).forall(p => p.head >= p.last),
+        "weighted scores must be non-increasing in rank")
+      assert(qs.map(_._2).distinct.length == qs.length, "distinct docs per query")
+    }
+  }
+
   test("er_em_weights: EM separates m from u on every field and the prior is sane") {
     val byField = graft.queries.QueriesAnalytics.queries("er_em_weights")(spark, dir)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
