@@ -342,6 +342,53 @@ object Multimodal {
     })
   }
 
+  final case class WavHadamard(doc_id: Long, channel: Long, seq_j: Long, coef: Long)
+
+  /** First `nCoef` natural-order Walsh–Hadamard (sequency-domain)
+    * coefficients per channel over the first `window` PCM frames, through
+    * the SAME javax.sound parse as [[decodeWav]]:
+    * coef_j = Σ_n (−1)^popcount(j AND n) · s_n — the integer-EXACT
+    * spectral transform. A DFT bin would need cos()/sin(), and Java's
+    * Math.cos intrinsic disagrees with libm in 4 of the 1600 angles this
+    * card would evaluate (measured, not assumed) — Walsh functions are
+    * ±1 masks from a popcount, so both engines fold identical BIGINTs.
+    * One narrow mapPartitions; only the (doc, channel, j) rows shuffle. */
+  def wavHadamard(spark: SparkSession, media: Dataset[WavMedia],
+                  nCoef: Int, window: Int): Dataset[WavHadamard] = {
+    import spark.implicits._
+    media.mapPartitions(_.flatMap { m =>
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(m.bytes))
+      val fmt = ais.getFormat
+      require(fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+        fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+        s"doc ${m.doc_id}: unsupported audio format $fmt")
+      val ch = fmt.getChannels
+      val data = ais.readAllBytes()
+      ais.close()
+      val nFrames = data.length / (2 * ch)
+      val n = math.min(nFrames, window)
+      val coef = Array.ofDim[Long](ch, nCoef)
+      var i = 0
+      while (i < n) {
+        var c = 0
+        while (c < ch) {
+          val off = (i * ch + c) * 2
+          val s = ((data(off) & 0xff) | (data(off + 1) << 8)).toShort.toLong
+          var j = 0
+          while (j < nCoef) {
+            coef(c)(j) += (if (java.lang.Integer.bitCount(j & i) % 2 == 0) s else -s)
+            j += 1
+          }
+          c += 1
+        }
+        i += 1
+      }
+      for (c <- 0 until ch; j <- 0 until nCoef)
+        yield WavHadamard(m.doc_id, c.toLong, j.toLong, coef(c)(j))
+    })
+  }
+
   /** STUB resize: downsample the payload to a byte budget by stride
     * sampling — keep every k-th byte, k = ⌈len/budget⌉ — standing in for
     * image down-scaling; metadata scales with the same factor so the

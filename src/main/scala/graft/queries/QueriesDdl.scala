@@ -344,6 +344,23 @@ object QueriesDdl {
     // decode∘encode = identity including channel de-interleave (the
     // multimodal_decode contract extended to samples). Narrow end to end:
     // render and decode never shuffle; only the stat rows do.
+    // Sequency (Walsh–Hadamard) spectrum of the decoded PCM — the
+    // integer-exact frequency-analysis card on top of the real audio
+    // decode path: 8 natural-order WHT coefficients per channel over the
+    // first 256 frames, coef_j = Σ (−1)^popcount(j AND n)·s_n. A DFT bin
+    // needs cos(), and Java's intrinsic disagrees with libm on 4/1600 of
+    // the angles involved (measured) — Walsh masks are popcount signs, so
+    // the oracle regenerates identical BIGINTs from the sample formula
+    // with zero transcendentals. The window (256) is under the minimum
+    // clip length (400), so no partial-window edge exists by construction.
+    "multimodal_audio_wht" -> ((s, dir) => {
+      val ids = t(s, dir, "documents").where(col("doc_id") < 200)
+        .select(col("doc_id"))
+      Multimodal.wavHadamard(s, Multimodal.renderWav(s, ids),
+          nCoef = 8, window = 256).toDF()
+        .orderBy(col("doc_id"), col("channel"), col("seq_j"))
+    }),
+
     "multimodal_audio" -> ((s, dir) => {
       val ids = t(s, dir, "documents").where(col("doc_id") < 200)
         .select(col("doc_id"))
@@ -664,6 +681,20 @@ object QueriesDdl {
     // / wavChannels / wavFrames) — never from the RIFF bytes, so the oracle
     // independently cross-checks the encode→javax.sound-decode round trip
     // including channel de-interleave (checksum weights by frame order)
+    "multimodal_audio_wht" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+        |ch AS (SELECT doc_id, u.c AS channel FROM ids,
+        |  UNNEST(range(0, 1 + doc_id % 2)) u(c)),
+        |sm AS (SELECT doc_id, channel, u.i AS i,
+        |    (doc_id * 31 + channel * 1009 + u.i * 7919) % 65536 - 32768 AS s
+        |  FROM ch, UNNEST(range(0, 256)) u(i)),
+        |co AS (SELECT doc_id, channel, j.j AS seq_j,
+        |    CAST(sum(CASE WHEN bit_count(CAST((j.j & i) AS BIGINT)) % 2 = 0
+        |      THEN s ELSE -s END) AS BIGINT) AS coef
+        |  FROM sm, UNNEST(range(0, 8)) j(j) GROUP BY 1, 2, 3)
+        |SELECT doc_id, CAST(channel AS BIGINT) AS channel,
+        |  CAST(seq_j AS BIGINT) AS seq_j, coef
+        |FROM co ORDER BY doc_id, channel, seq_j""".stripMargin,
     "multimodal_audio" ->
       """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 200),
         |ch AS (SELECT doc_id, u.c AS channel FROM ids

@@ -175,6 +175,29 @@ class Round10bSpec extends SparkSpec {
     }
   }
 
+  test("multimodal_audio_wht: decode-path coefficients equal the direct formula fold") {
+    import graft.multimodal.Multimodal
+    import spark.implicits._
+    val ids = Seq(3L, 4L) // stereo + mono
+    val got = Multimodal.wavHadamard(spark,
+        Multimodal.renderWav(spark, ids.toDF("doc_id")), nCoef = 8, window = 256)
+      .collect().map(h => (h.doc_id, h.channel, h.seq_j) -> h.coef).toMap
+    ids.foreach { id =>
+      (0 until Multimodal.wavChannels(id)).foreach { c =>
+        (0 until 8).foreach { j =>
+          val expect = (0 until 256).map { i =>
+            val s = Multimodal.wavSample(id, c, i).toLong
+            if (java.lang.Integer.bitCount(j & i) % 2 == 0) s else -s
+          }.sum
+          assert(got((id, c.toLong, j.toLong)) == expect, s"id=$id c=$c j=$j")
+        }
+        // sequency 0 is the plain DC sum over the window
+        assert(got((id, c.toLong, 0L)) ==
+          (0 until 256).map(i => Multimodal.wavSample(id, c, i).toLong).sum)
+      }
+    }
+  }
+
   test("er_em_weights: EM separates m from u on every field and the prior is sane") {
     val byField = graft.queries.QueriesAnalytics.queries("er_em_weights")(spark, dir)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
