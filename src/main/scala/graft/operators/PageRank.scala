@@ -72,4 +72,46 @@ object PageRank {
     }
     r.select(col("id"), col("r12"))
   }
+
+  /** Personalized PageRank (Haveliwala's topic-sensitive variant — the
+    * recommendation / trust-propagation primitive): the teleport AND the
+    * dangling-mass redistribution both target the SEED set instead of the
+    * whole node universe, so scores measure proximity TO the seeds. Same
+    * exact fixed-point integer recurrence as [[run]], with base_s =
+    * 1e12 DIV nSeeds and the seed indicator gating both mass sources:
+    *
+    *   r12'(v) = [v∈S]·(15·base_s) DIV 100
+    *           + (85·(Σ in12 + [v∈S]·(D12 DIV nSeeds))) DIV 100
+    *
+    * `nodes` must carry a boolean `seedCol`; non-seed nodes start at 0. */
+  def runPersonalized(edges: DataFrame, nodes: DataFrame, seedCol: String,
+                      nSeeds: Long, k: Int): DataFrame = {
+    require(nSeeds > 0, "personalized PageRank over an empty seed set")
+    val baseS = 1000000000000L / nSeeds
+    val teleport = (15L * baseS) / 100L
+    val nodesF = nodes
+      .join(edges.select(col("src").as("id")).distinct()
+        .withColumn("hasOut", lit(true)), Seq("id"), "left")
+      .select(col("id"), col(seedCol).as("seed"),
+        coalesce(col("hasOut"), lit(false)).as("out"))
+      .localCheckpoint(false)
+    var r = nodesF.withColumn("r12",
+      when(col("seed"), lit(baseS)).otherwise(lit(0L)))
+    for (_ <- 1 to k) {
+      val d12 = r.agg(coalesce(sum(when(!col("out"), col("r12"))), lit(0L)).as("d12"))
+      val in = edges
+        .join(r.select(col("id").as("src"), col("r12")), Seq("src"))
+        .select(col("dst"), expr("(r12 * p6) DIV 1000000").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("in12"))
+      r = nodesF.join(in.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .crossJoin(d12.hint("shuffle_replicate_nl"))
+        .select(col("id"), col("seed"), col("out"),
+          (when(col("seed"), lit(teleport)).otherwise(lit(0L)) +
+            expr(s"(85 * (coalesce(in12, CAST(0 AS BIGINT)) + " +
+              s"(CASE WHEN seed THEN d12 DIV ${nSeeds}L ELSE CAST(0 AS BIGINT) END))) DIV 100"))
+            .as("r12"))
+        .localCheckpoint(false)
+    }
+    r.select(col("id"), col("r12"))
+  }
 }

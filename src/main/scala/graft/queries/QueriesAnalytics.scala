@@ -992,6 +992,32 @@ object QueriesAnalytics {
         .orderBy(col("rnk"))
     }),
 
+    // Personalized PageRank from the seed set — the sixth data-scale graph
+    // member and the RECOMMENDATION primitive (scores = proximity to the
+    // seeds, Haveliwala's topic-sensitive teleport): every 25th user (the
+    // BFS seed convention, data-scale) receives the teleport AND the
+    // dangling mass; everything else is graph_pagerank_users' machinery
+    // verbatim — the SAME persisted p6 edge table (CacheManager dedups by
+    // canonicalized plan, so the events window sort still runs once per
+    // session across the four user-graph queries), 5 synchronous rounds,
+    // exact 1e-12 fixed-point integers, unrolled bit-exact SQL oracle.
+    // Declared output: top-100 by proximity score.
+    "graph_ppr_users" -> ((s, dir) => {
+      import graft.operators.{CacheRegistry, PageRank}
+      val (e0, nodes0) = successorGraph(s, dir)
+      val edges = CacheRegistry.track(e0
+        .withColumn("wo", sum(col("w")).over(Window.partitionBy(col("src"))))
+        .select(col("src"), col("dst"), expr("(w * 1000000) DIV wo").as("p6")))
+      val nodes = nodes0.select(col("id"), (col("id") % 25 === 0).as("seed"))
+      val nSeeds = nodes.where(col("seed")).count()
+      PageRank.runPersonalized(edges, nodes, "seed", nSeeds, 5)
+        .orderBy(col("r12").desc, col("id")).limit(100)
+        .select(col("id").as("user_id"), col("r12").as("score12"))
+        .withColumn("rnk", row_number()
+          .over(Window.orderBy(col("score12").desc, col("user_id"))).cast(LongType))
+        .orderBy(col("rnk"))
+    }),
+
     // Label-propagation communities on the SAME data-sized user graph —
     // the second distributed-iteration member beside graph_pagerank_users
     // (graph_communities is its config-sized nation twin, PLANS.md
@@ -2103,6 +2129,53 @@ object QueriesAnalytics {
        |ORDER BY dist""".stripMargin
   }
 
+  /** graph_ppr_users' unrolled twin — pagerankUsersOracle with the seed
+    * indicator gating both mass sources: baseS = 1e12 // nSeeds, r0 = baseS
+    * on seeds only, and each round's teleport + dangling redistribution
+    * applies CASE WHEN seed. Same exact fixed-point integers throughout. */
+  private val pprUsersOracle: String = {
+    val rounds = (1 to 5).map { i =>
+      val pv = s"r${i - 1}"
+      s"""d$i AS (SELECT CAST(coalesce(sum(r12), 0) AS BIGINT) AS d12 FROM $pv
+         |  WHERE id NOT IN (SELECT src FROM e)),
+         |i$i AS (SELECT e.dst AS id,
+         |    CAST(sum((p.r12 * e.p6) // 1000000) AS BIGINT) AS in12
+         |  FROM e JOIN $pv p ON p.id = e.src GROUP BY 1),
+         |r$i AS MATERIALIZED (SELECT nd.id,
+         |    CAST((CASE WHEN nd.id % 25 = 0 THEN (15 * nn.baseS) // 100 ELSE 0 END)
+         |      + (85 * (coalesce(i$i.in12, 0)
+         |          + (CASE WHEN nd.id % 25 = 0 THEN d$i.d12 // nn.ns ELSE 0 END))) // 100
+         |      AS BIGINT) AS r12
+         |  FROM nodes nd CROSS JOIN nn CROSS JOIN d$i
+         |  LEFT JOIN i$i ON i$i.id = nd.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ev AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS us
+       |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+       |    AND event_type IS NOT NULL),
+       |sq AS (SELECT user_id,
+       |    lead(user_id) OVER (PARTITION BY event_type, us // 3600000000
+       |      ORDER BY us, event_id) AS nxt
+       |  FROM ev),
+       |e0 AS MATERIALIZED (SELECT user_id AS src, nxt AS dst,
+       |    CAST(count(*) AS BIGINT) AS w
+       |  FROM sq WHERE nxt IS NOT NULL AND nxt <> user_id GROUP BY 1, 2),
+       |wo AS (SELECT src, CAST(sum(w) AS BIGINT) AS wo FROM e0 GROUP BY 1),
+       |e AS MATERIALIZED (SELECT e0.src, e0.dst,
+       |    CAST((e0.w * 1000000) // wo.wo AS BIGINT) AS p6
+       |  FROM e0 JOIN wo USING (src)),
+       |nodes AS MATERIALIZED (SELECT DISTINCT user_id AS id FROM ev),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS ns,
+       |    CAST(1000000000000 // count(*) AS BIGINT) AS baseS
+       |  FROM nodes WHERE id % 25 = 0),
+       |r0 AS MATERIALIZED (SELECT id,
+       |    CASE WHEN id % 25 = 0 THEN nn.baseS ELSE CAST(0 AS BIGINT) END AS r12
+       |  FROM nodes CROSS JOIN nn),
+       |$rounds
+       |SELECT id AS user_id, r12 AS score12,
+       |  CAST(row_number() OVER (ORDER BY r12 DESC, id) AS BIGINT) AS rnk
+       |FROM r5 ORDER BY rnk LIMIT 100""".stripMargin
+  }
+
   /** graph_densest_users' unrolled twin: 5 loop-generated batched-peel
     * rounds (Bahmani et al.'s (2+ε)·E/V threshold as the exact integer
     * (m2·11) // (n·10)) — pure integer set algebra + integer division,
@@ -2218,6 +2291,7 @@ object QueriesAnalytics {
         |FROM r JOIN p ON p.sk = r.sk AND r.cur = p.peak
         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     "graph_pagerank_users" -> pagerankUsersOracle,
+    "graph_ppr_users" -> pprUsersOracle,
     "graph_lpa_users" -> lpaUsersOracle,
     "graph_bfs_users" -> bfsUsersOracle,
     "graph_densest_users" -> densestUsersOracle,

@@ -175,6 +175,48 @@ class Round10bSpec extends SparkSpec {
     }
   }
 
+  test("graph_ppr_users: full differential recompute at sf0.001") {
+    val got = graft.queries.QueriesAnalytics.queries("graph_ppr_users")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+    val ev = graft.queries.Tables.t(spark, dir, "events")
+      .where(col("user_id").isNotNull && col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("user_id"), col("event_type"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val w = ev.groupBy(e => (e._2, Math.floorDiv(e._4, 3600000000L))).toSeq
+      .flatMap { case (_, es) =>
+        val o = es.sortBy(e => (e._4, e._3))
+        o.zip(o.tail).map { case (a, b) => (a._1, b._1) }.filter(p => p._1 != p._2)
+      }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val wout = w.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2).sum).toMap
+    val p6 = w.map { case ((s0, d0), ww) => (s0, d0) -> ww * 1000000L / wout(s0) }
+    val nodes = ev.map(_._1).toSet
+    val seeds = nodes.filter(_ % 25 == 0)
+    val baseS = 1000000000000L / seeds.size
+    val hasOut = wout.keySet
+    var r = nodes.map(id => id -> (if (seeds(id)) baseS else 0L)).toMap
+    for (_ <- 1 to 5) {
+      val d12 = nodes.toSeq.filterNot(hasOut).map(r).sum
+      val in = p6.toSeq.groupBy(_._1._2).view
+        .mapValues(_.map { case ((s0, _), p) => r(s0) * p / 1000000L }.sum).toMap
+      r = nodes.map { id =>
+        val tele = if (seeds(id)) 15L * baseS / 100L else 0L
+        val dang = if (seeds(id)) d12 / seeds.size else 0L
+        id -> (tele + 85L * (in.getOrElse(id, 0L) + dang) / 100L)
+      }.toMap
+    }
+    val expected = r.toSeq.sortBy(p => (-p._2, p._1)).take(100).zipWithIndex
+      .map { case ((id, sc), i) => (id, sc, i + 1L) }
+    assert(got == expected, s"got.head=${got.head} expected.head=${expected.head}")
+    // provable invariants (a seed-dominance heuristic is NOT one: in a
+    // dense graph high-in-degree non-seeds legitimately outrank seeds):
+    // total mass stays ~1e12 (minus DIV truncation), and the seed set
+    // keeps at least its 15% teleport share of it
+    val total = r.values.sum
+    assert(total > 900000000000L && total <= 1000000000000L)
+    assert(seeds.toSeq.map(r).sum * 100L >= total * 14L)
+  }
+
   test("multimodal_audio_wht: decode-path coefficients equal the direct formula fold") {
     import graft.multimodal.Multimodal
     import spark.implicits._
