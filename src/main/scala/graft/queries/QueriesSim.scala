@@ -41,6 +41,58 @@ object QueriesSim {
 
   private val rank10 = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
 
+  /** nndescent_round's graph construction, shared with sim_beam_search (one
+    * definition — the build and the search can never disagree about the
+    * graph): TWO independent sign-bit bucketings seed 3-NN lists (a single
+    * bucketing is a descent FIXPOINT: 2-hop candidates never leave the
+    * bucket — caught live), merged to a 5-NN init n0, then ONE NN-descent
+    * round over sym ∪ sym∘sym candidates gives n1. Each unordered
+    * within-bucket pair scores ONCE (u < v, checkpointed, mirrored).
+    * Returns (corpus-with-buckets, n0, n1) — all checkpointed. */
+  private def dualLshKnnGraph(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+         org.apache.spark.sql.DataFrame) = {
+    val pa = SimFns.fixedPlanes(nPlanes = 6, dim = 64)
+    val pb = SimFns.fixedPlanes(nPlanes = 6, dim = 64, seed = 777L)
+    val e = t(s, dir, "embeddings").where(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"),
+        SimFns.rpLshKey(col("embedding"), pa).as("bka"),
+        SimFns.rpLshKey(col("embedding"), pb).as("bkb"))
+      .localCheckpoint(false) // read by 2 init joins, 2 fetches, truth
+    val wk = Window.partitionBy(col("v")).orderBy(col("cos").desc, col("u"))
+    def bucketTop3(bk: String) = {
+      val half = e.select(col("vec_id").as("v"), col(bk), col("embedding").as("ev"))
+        .join(e.select(col("vec_id").as("u"), col(bk), col("embedding").as("eu")),
+          Seq(bk))
+        .where(col("u") < col("v"))
+        .select(col("v"), col("u"), SimFns.cosine(col("ev"), col("eu")).as("cos"))
+        .localCheckpoint(false) // read by both orientations below
+      half.unionByName(half.select(col("u").as("v"), col("v").as("u"), col("cos")))
+        .withColumn("rk", row_number().over(wk)).where(col("rk") <= 3)
+        .select(col("v"), col("u"), col("cos"))
+    }
+    val n0 = bucketTop3("bka").unionByName(bucketTop3("bkb"))
+      .groupBy(col("v"), col("u")).agg(max(col("cos")).as("cos")) // dedup
+      .withColumn("rk", row_number().over(wk)).where(col("rk") <= 5)
+      .select(col("v"), col("u"), col("cos"))
+      .localCheckpoint(false)
+    val sym = n0.select(col("v"), col("u"))
+      .unionByName(n0.select(col("u").as("v"), col("v").as("u"))).distinct()
+      .localCheckpoint(false) // joined with itself below
+    val cand = sym.unionByName(
+        sym.join(sym.select(col("v").as("u"), col("u").as("w")), "u")
+          .select(col("v"), col("w").as("u")))
+      .where(col("u") =!= col("v")).distinct()
+    val n1 = cand
+      .join(e.select(col("vec_id").as("v"), col("embedding").as("ev")), "v")
+      .join(e.select(col("vec_id").as("u"), col("embedding").as("eu")), "u")
+      .select(col("v"), col("u"), SimFns.cosine(col("ev"), col("eu")).as("cos"))
+      .withColumn("rk", row_number().over(wk)).where(col("rk") <= 5)
+      .select(col("v"), col("u"), col("cos"))
+      .localCheckpoint(false)
+    (e, n0, n1)
+  }
+
   /** sim_ivfpq_residual's shared model construction (query + trained-oracle
     * generator call the SAME function — the kcenterFit pattern): coarse
     * quantizer from the sampled trainer, then PQ codebooks trained on the
@@ -912,53 +964,64 @@ object QueriesSim {
     // sums) / recall@5 vs exact truth on the seed queries (vec_id < 20,
     // the knn_eval_sampled bounded-truth knob) for both stages — the
     // measured "one round closes most of the LSH recall gap" curve.
-    "nndescent_round" -> ((s, dir) => {
-      // TWO independent sign-bit bucketings seed the graph: a single
-      // bucketing is a fixpoint of the descent (2-hop candidates never
-      // leave the bucket, so round 1 provably changes nothing — caught
-      // live); with two, a round merges information ACROSS the hashings
-      // and the recall jump is the measurement.
-      val pa = SimFns.fixedPlanes(nPlanes = 6, dim = 64)
-      val pb = SimFns.fixedPlanes(nPlanes = 6, dim = 64, seed = 777L)
-      val e = t(s, dir, "embeddings").where(col("embedding").isNotNull)
-        .select(col("vec_id"), col("embedding"),
-          SimFns.rpLshKey(col("embedding"), pa).as("bka"),
-          SimFns.rpLshKey(col("embedding"), pb).as("bkb"))
-        .localCheckpoint(false) // read by 2 init joins, 2 fetches, truth
-      val wk = Window.partitionBy(col("v")).orderBy(col("cos").desc, col("u"))
-      // score each unordered within-bucket pair ONCE (u < v), checkpoint,
-      // mirror for the per-v ranking — halves the native-cosine work of
-      // the dominant stage (measured 7.3 s → the pair scan is the cost)
-      def bucketTop3(bk: String) = {
-        val half = e.select(col("vec_id").as("v"), col(bk), col("embedding").as("ev"))
-          .join(e.select(col("vec_id").as("u"), col(bk), col("embedding").as("eu")),
-            Seq(bk))
-          .where(col("u") < col("v"))
-          .select(col("v"), col("u"), SimFns.cosine(col("ev"), col("eu")).as("cos"))
-          .localCheckpoint(false) // read by both orientations below
-        half.unionByName(half.select(col("u").as("v"), col("v").as("u"), col("cos")))
-          .withColumn("rk", row_number().over(wk)).where(col("rk") <= 3)
-          .select(col("v"), col("u"), col("cos"))
+    // Greedy beam search OVER the refined kNN graph — the query side of
+    // the graph-ANN pair (nndescent_round builds the graph; this is
+    // HNSW's layer-0 walk, distributed): from a fixed entry node (vec 0,
+    // present at every SF), 5 hops of expand-neighbors → score → keep the
+    // top-2 beam per query. Each hop is ONE equi-join against the
+    // symmetric edge list + a per-query WindowGroupLimit — work per hop
+    // is beams×degree, independent of the corpus, which is the entire
+    // point: at 100 TB the walk touches tens of vectors where the
+    // brute-force scan touches all of them. Card: per query, the node the
+    // walk converged to, its cosine, and whether it IS the exact nearest
+    // neighbor (brute-force truth on the 10 seed queries only). Revisits
+    // dedup via groupBy max — the cosine of a (qid, u) pair is one
+    // deterministic value, so max ≡ first-visit in both engines.
+    "sim_beam_search" -> ((s, dir) => {
+      val (e, _, n1) = dualLshKnnGraph(s, dir)
+      val sym1 = n1.select(col("v"), col("u"))
+        .unionByName(n1.select(col("u").as("v"), col("v").as("u"))).distinct()
+        .localCheckpoint(false) // expanded every hop
+      val q = broadcast(e.where(col("vec_id").between(1, 10))
+        .select(col("vec_id").as("qid"), col("embedding").as("qe")))
+      val eu = e.select(col("vec_id").as("u"), col("embedding").as("eu"))
+      def score(cands: org.apache.spark.sql.DataFrame) =
+        cands.join(eu, "u").join(q, "qid")
+          .select(col("qid"), col("u"), SimFns.cosine(col("qe"), col("eu")).as("cos"))
+      val wb = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("u"))
+      var beam = score(q.select(col("qid")).withColumn("u", lit(0L)))
+        .localCheckpoint(false)
+      for (_ <- 1 to 5) {
+        val exp = beam.select(col("qid"), col("u").as("v"))
+          .join(sym1, "v").select(col("qid"), col("u"))
+          .where(col("u") =!= col("qid")).distinct()
+        beam = score(exp).unionByName(beam)
+          .groupBy(col("qid"), col("u")).agg(max(col("cos")).as("cos"))
+          .withColumn("rk", row_number().over(wb)).where(col("rk") <= 2)
+          .select(col("qid"), col("u"), col("cos"))
+          .localCheckpoint(false)
       }
-      val n0 = bucketTop3("bka").unionByName(bucketTop3("bkb"))
-        .groupBy(col("v"), col("u")).agg(max(col("cos")).as("cos")) // dedup
-        .withColumn("rk", row_number().over(wk)).where(col("rk") <= 5)
-        .select(col("v"), col("u"), col("cos"))
-        .localCheckpoint(false)
-      val sym = n0.select(col("v"), col("u"))
-        .unionByName(n0.select(col("u").as("v"), col("v").as("u"))).distinct()
-        .localCheckpoint(false) // joined with itself below
-      val cand = sym.unionByName(
-          sym.join(sym.select(col("v").as("u"), col("u").as("w")), "u")
-            .select(col("v"), col("w").as("u")))
-        .where(col("u") =!= col("v")).distinct()
-      val n1 = cand
-        .join(e.select(col("vec_id").as("v"), col("embedding").as("ev")), "v")
-        .join(e.select(col("vec_id").as("u"), col("embedding").as("eu")), "u")
-        .select(col("v"), col("u"), SimFns.cosine(col("ev"), col("eu")).as("cos"))
-        .withColumn("rk", row_number().over(wk)).where(col("rk") <= 5)
-        .select(col("v"), col("u"), col("cos"))
-        .localCheckpoint(false)
+      // full brute-force ranking per query (the corpus×10 fan-out the walk
+      // REPLACES — here it is the declared ground truth): the found node's
+      // exact rank is the honest quality metric — on near-isotropic
+      // embeddings a 5-hop beam-2 walk lands top-decile, not rank 1, and
+      // an is_exact flag would just read all-false (caught live)
+      val rnk = e.select(col("vec_id").as("u"), col("embedding").as("eu"))
+        .join(q).where(col("u") =!= col("qid"))
+        .select(col("qid"), col("u"), SimFns.cosine(col("qe"), col("eu")).as("cos"))
+        .withColumn("true_rank", row_number().over(wb).cast(LongType))
+        .select(col("qid"), col("u"), col("true_rank"))
+      beam.withColumn("rk", row_number().over(wb)).where(col("rk") === 1)
+        .join(rnk, Seq("qid", "u"))
+        .select(col("qid"), col("u").as("found_id"),
+          round(col("cos"), 6).as("cos"), col("true_rank"),
+          (col("true_rank") <= 10).as("in_top10"))
+        .orderBy(col("qid"))
+    }),
+
+    "nndescent_round" -> ((s, dir) => {
+      val (e, n0, n1) = dualLshKnnGraph(s, dir)
+      val wk = Window.partitionBy(col("v")).orderBy(col("cos").desc, col("u"))
       val q = e.where(col("vec_id") < 20)
         .select(col("vec_id").as("v"), col("embedding").as("ev"))
       val truth = e.select(col("vec_id").as("u"), col("embedding").as("eu"))
@@ -1303,6 +1366,51 @@ object QueriesSim {
 
   private val lshBucketSql: String =
     (0 until 6).map(i => s"CAST(b$i AS VARCHAR)").mkString(" || ")
+
+  /** The dual-LSH kNN-graph CTE chain (bits → buckets → per-bucketing
+    * top-3 → n0 → sym/cand → n1) shared by the nndescent_round and
+    * sim_beam_search oracles — one definition, the graphs cannot drift. */
+  private def dualLshGraphCtes: String =
+    s"""bits AS (SELECT vec_id, embedding,
+       |    ${lshBitsSqlFor("a", 42L)},
+       |    ${lshBitsSqlFor("c", 777L)}
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |b AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+       |  ${lshBucketSqlFor("a")} AS bka, ${lshBucketSqlFor("c")} AS bkb
+       |  FROM bits),
+       |ea AS (SELECT v, u, c FROM (
+       |  SELECT x.vec_id AS v, y.vec_id AS u,
+       |    list_cosine_similarity(x.emb, y.emb) AS c,
+       |    row_number() OVER (PARTITION BY x.vec_id
+       |      ORDER BY list_cosine_similarity(x.emb, y.emb) DESC, y.vec_id) AS rk
+       |  FROM b x JOIN b y ON x.bka = y.bka AND x.vec_id <> y.vec_id) z
+       |  WHERE rk <= 3),
+       |eb AS (SELECT v, u, c FROM (
+       |  SELECT x.vec_id AS v, y.vec_id AS u,
+       |    list_cosine_similarity(x.emb, y.emb) AS c,
+       |    row_number() OVER (PARTITION BY x.vec_id
+       |      ORDER BY list_cosine_similarity(x.emb, y.emb) DESC, y.vec_id) AS rk
+       |  FROM b x JOIN b y ON x.bkb = y.bkb AND x.vec_id <> y.vec_id) z
+       |  WHERE rk <= 3),
+       |n0 AS MATERIALIZED (SELECT v, u, c FROM (
+       |  SELECT v, u, c, row_number() OVER (PARTITION BY v
+       |      ORDER BY c DESC, u) AS rk
+       |  FROM (SELECT v, u, max(c) AS c FROM (
+       |    SELECT * FROM ea UNION ALL SELECT * FROM eb) z0 GROUP BY v, u) z1) z
+       |  WHERE rk <= 5),
+       |sym AS MATERIALIZED (SELECT DISTINCT v, u FROM (
+       |  SELECT v, u FROM n0 UNION ALL SELECT u AS v, v AS u FROM n0) z),
+       |cand AS MATERIALIZED (SELECT DISTINCT v, u FROM (
+       |  SELECT v, u FROM sym
+       |  UNION ALL SELECT s1.v, s2.u FROM sym s1 JOIN sym s2 ON s1.u = s2.v) z
+       |  WHERE u <> v),
+       |n1 AS MATERIALIZED (SELECT v, u, c FROM (
+       |  SELECT cand.v, cand.u, list_cosine_similarity(ev.emb, eu.emb) AS c,
+       |    row_number() OVER (PARTITION BY cand.v
+       |      ORDER BY list_cosine_similarity(ev.emb, eu.emb) DESC, cand.u) AS rk
+       |  FROM cand JOIN b ev ON ev.vec_id = cand.v
+       |    JOIN b eu ON eu.vec_id = cand.u) z
+       |  WHERE rk <= 5)""".stripMargin
 
   /** nndescent_round's generalized twin of [[lshBitsSql]]: sign-bit columns
     * for an arbitrary (prefix, seed) so the oracle can inline BOTH
@@ -1974,47 +2082,45 @@ object QueriesSim {
         |  floor(min(sim) * 1e6 + 0.5) / 1e6 AS min_cos,
         |  floor(avg(sim) * 1e6 + 0.5) / 1e6 AS mean_cos
         |FROM sc GROUP BY label ORDER BY label""".stripMargin,
+    "sim_beam_search" -> {
+      val hops = (1 to 5).map { i =>
+        val p = s"b${i - 1}"
+        s"""x$i AS (SELECT DISTINCT p.qid, s.u FROM $p p
+           |  JOIN sym1 s ON s.v = p.u WHERE s.u <> p.qid),
+           |sc$i AS (SELECT x.qid, x.u,
+           |    list_cosine_similarity(q.qe, eb.emb) AS c
+           |  FROM x$i x JOIN b eb ON eb.vec_id = x.u
+           |    JOIN qs q ON q.qid = x.qid),
+           |m$i AS (SELECT qid, u, max(c) AS c FROM (
+           |  SELECT * FROM sc$i UNION ALL SELECT * FROM $p) z GROUP BY 1, 2),
+           |b$i AS MATERIALIZED (SELECT qid, u, c FROM (
+           |  SELECT qid, u, c, row_number() OVER (PARTITION BY qid
+           |      ORDER BY c DESC, u) AS rk FROM m$i) z
+           |  WHERE rk <= 2)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $dualLshGraphCtes,
+         |sym1 AS MATERIALIZED (SELECT DISTINCT v, u FROM (
+         |  SELECT v, u FROM n1 UNION ALL SELECT u AS v, v AS u FROM n1) z),
+         |qs AS MATERIALIZED (SELECT vec_id AS qid, emb AS qe FROM b
+         |  WHERE vec_id BETWEEN 1 AND 10),
+         |b0 AS MATERIALIZED (SELECT qs.qid, CAST(0 AS BIGINT) AS u,
+         |    list_cosine_similarity(qs.qe, e0.emb) AS c
+         |  FROM qs JOIN b e0 ON e0.vec_id = 0),
+         |$hops,
+         |rnk AS (SELECT q.qid, e.vec_id AS u,
+         |    CAST(row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY list_cosine_similarity(q.qe, e.emb) DESC, e.vec_id)
+         |      AS BIGINT) AS true_rank
+         |  FROM qs q JOIN b e ON e.vec_id <> q.qid)
+         |SELECT f.qid, f.u AS found_id, round(f.c, 6) AS cos,
+         |  r.true_rank, r.true_rank <= 10 AS in_top10
+         |FROM (SELECT qid, u, c FROM (
+         |  SELECT qid, u, c, row_number() OVER (PARTITION BY qid
+         |      ORDER BY c DESC, u) AS rk FROM b5) z WHERE rk = 1) f
+         |JOIN rnk r ON r.qid = f.qid AND r.u = f.u ORDER BY f.qid""".stripMargin
+    },
     "nndescent_round" ->
-      s"""WITH bits AS (SELECT vec_id, embedding,
-         |    ${lshBitsSqlFor("a", 42L)},
-         |    ${lshBitsSqlFor("c", 777L)}
-         |  FROM embeddings WHERE embedding IS NOT NULL),
-         |b AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
-         |  ${lshBucketSqlFor("a")} AS bka, ${lshBucketSqlFor("c")} AS bkb
-         |  FROM bits),
-         |ea AS (SELECT v, u, c FROM (
-         |  SELECT x.vec_id AS v, y.vec_id AS u,
-         |    list_cosine_similarity(x.emb, y.emb) AS c,
-         |    row_number() OVER (PARTITION BY x.vec_id
-         |      ORDER BY list_cosine_similarity(x.emb, y.emb) DESC, y.vec_id) AS rk
-         |  FROM b x JOIN b y ON x.bka = y.bka AND x.vec_id <> y.vec_id) z
-         |  WHERE rk <= 3),
-         |eb AS (SELECT v, u, c FROM (
-         |  SELECT x.vec_id AS v, y.vec_id AS u,
-         |    list_cosine_similarity(x.emb, y.emb) AS c,
-         |    row_number() OVER (PARTITION BY x.vec_id
-         |      ORDER BY list_cosine_similarity(x.emb, y.emb) DESC, y.vec_id) AS rk
-         |  FROM b x JOIN b y ON x.bkb = y.bkb AND x.vec_id <> y.vec_id) z
-         |  WHERE rk <= 3),
-         |n0 AS MATERIALIZED (SELECT v, u, c FROM (
-         |  SELECT v, u, c, row_number() OVER (PARTITION BY v
-         |      ORDER BY c DESC, u) AS rk
-         |  FROM (SELECT v, u, max(c) AS c FROM (
-         |    SELECT * FROM ea UNION ALL SELECT * FROM eb) z0 GROUP BY v, u) z1) z
-         |  WHERE rk <= 5),
-         |sym AS MATERIALIZED (SELECT DISTINCT v, u FROM (
-         |  SELECT v, u FROM n0 UNION ALL SELECT u AS v, v AS u FROM n0) z),
-         |cand AS MATERIALIZED (SELECT DISTINCT v, u FROM (
-         |  SELECT v, u FROM sym
-         |  UNION ALL SELECT s1.v, s2.u FROM sym s1 JOIN sym s2 ON s1.u = s2.v) z
-         |  WHERE u <> v),
-         |n1 AS MATERIALIZED (SELECT v, u, c FROM (
-         |  SELECT cand.v, cand.u, list_cosine_similarity(ev.emb, eu.emb) AS c,
-         |    row_number() OVER (PARTITION BY cand.v
-         |      ORDER BY list_cosine_similarity(ev.emb, eu.emb) DESC, cand.u) AS rk
-         |  FROM cand JOIN b ev ON ev.vec_id = cand.v
-         |    JOIN b eu ON eu.vec_id = cand.u) z
-         |  WHERE rk <= 5),
+      s"""WITH $dualLshGraphCtes,
          |truth AS MATERIALIZED (SELECT v, u FROM (
          |  SELECT q.vec_id AS v, e.vec_id AS u,
          |    row_number() OVER (PARTITION BY q.vec_id

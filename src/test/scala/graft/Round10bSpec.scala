@@ -217,6 +217,29 @@ class Round10bSpec extends SparkSpec {
     assert(seeds.toSeq.map(r).sum * 100L >= total * 14L)
   }
 
+  test("sim_beam_search: one row per query, walk never ends worse than the entry node") {
+    val rows = graft.queries.QueriesSim.queries("sim_beam_search")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getBoolean(4)))
+    assert(rows.map(_._1).toSeq == (1L to 10L))
+    rows.foreach { r =>
+      assert(r._4 >= 1 && (r._5 == (r._4 <= 10)))
+      assert(r._2 != r._1, "walk must not return the query itself")
+    }
+    // the beam keeps its best member, so the result dominates the entry
+    val vecs = graft.queries.Tables.t(spark, dir, "embeddings")
+      .where(col("embedding").isNotNull).select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble; nb += b(i).toDouble * b(i).toDouble }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    rows.foreach { r =>
+      assert(r._3 >= cos(vecs(r._1), vecs(0L)) - 5.001e-7,
+        s"query ${r._1}: walk ended below the entry node") }
+  }
+
   test("multimodal_audio_wht: decode-path coefficients equal the direct formula fold") {
     import graft.multimodal.Multimodal
     import spark.implicits._
