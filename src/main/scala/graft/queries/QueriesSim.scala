@@ -48,7 +48,11 @@ object QueriesSim {
     * bucket — caught live), merged to a 5-NN init n0, then ONE NN-descent
     * round over sym ∪ sym∘sym candidates gives n1. Each unordered
     * within-bucket pair scores ONCE (u < v, checkpointed, mirrored).
-    * Returns (corpus-with-buckets, n0, n1) — all checkpointed. */
+    * The n0/n1 edge lists persist through DiskCache keyed by the data
+    * fingerprint (the cluster_labels pattern — and the production shape:
+    * the graph is built ONCE and searched many times; before the cache
+    * each of the two queries re-paid the ~6 s construction per sweep).
+    * Returns (corpus-with-buckets, n0, n1). */
   private def dualLshKnnGraph(s: org.apache.spark.sql.SparkSession, dir: String)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
          org.apache.spark.sql.DataFrame) = {
@@ -59,38 +63,44 @@ object QueriesSim {
         SimFns.rpLshKey(col("embedding"), pa).as("bka"),
         SimFns.rpLshKey(col("embedding"), pb).as("bkb"))
       .localCheckpoint(false) // read by 2 init joins, 2 fetches, truth
-    val wk = Window.partitionBy(col("v")).orderBy(col("cos").desc, col("u"))
-    def bucketTop3(bk: String) = {
-      val half = e.select(col("vec_id").as("v"), col(bk), col("embedding").as("ev"))
-        .join(e.select(col("vec_id").as("u"), col(bk), col("embedding").as("eu")),
-          Seq(bk))
-        .where(col("u") < col("v"))
-        .select(col("v"), col("u"), SimFns.cosine(col("ev"), col("eu")).as("cos"))
-        .localCheckpoint(false) // read by both orientations below
-      half.unionByName(half.select(col("u").as("v"), col("v").as("u"), col("cos")))
-        .withColumn("rk", row_number().over(wk)).where(col("rk") <= 3)
+    val base = graft.operators.DiskCache.keyedPath(
+      "knn_graph_v1", s"$dir/embeddings.parquet")
+    graft.operators.DiskCache.ensure(base,
+        Seq("n0/_SUCCESS", "n1/_SUCCESS")) { tmp =>
+      val wk = Window.partitionBy(col("v")).orderBy(col("cos").desc, col("u"))
+      def bucketTop3(bk: String) = {
+        val half = e.select(col("vec_id").as("v"), col(bk), col("embedding").as("ev"))
+          .join(e.select(col("vec_id").as("u"), col(bk), col("embedding").as("eu")),
+            Seq(bk))
+          .where(col("u") < col("v"))
+          .select(col("v"), col("u"), SimFns.cosine(col("ev"), col("eu")).as("cos"))
+          .localCheckpoint(false) // read by both orientations below
+        half.unionByName(half.select(col("u").as("v"), col("v").as("u"), col("cos")))
+          .withColumn("rk", row_number().over(wk)).where(col("rk") <= 3)
+          .select(col("v"), col("u"), col("cos"))
+      }
+      val n0 = bucketTop3("bka").unionByName(bucketTop3("bkb"))
+        .groupBy(col("v"), col("u")).agg(max(col("cos")).as("cos")) // dedup
+        .withColumn("rk", row_number().over(wk)).where(col("rk") <= 5)
         .select(col("v"), col("u"), col("cos"))
+        .localCheckpoint(false)
+      n0.write.parquet(s"$tmp/n0")
+      val sym = n0.select(col("v"), col("u"))
+        .unionByName(n0.select(col("u").as("v"), col("v").as("u"))).distinct()
+        .localCheckpoint(false) // joined with itself below
+      val cand = sym.unionByName(
+          sym.join(sym.select(col("v").as("u"), col("u").as("w")), "u")
+            .select(col("v"), col("w").as("u")))
+        .where(col("u") =!= col("v")).distinct()
+      cand
+        .join(e.select(col("vec_id").as("v"), col("embedding").as("ev")), "v")
+        .join(e.select(col("vec_id").as("u"), col("embedding").as("eu")), "u")
+        .select(col("v"), col("u"), SimFns.cosine(col("ev"), col("eu")).as("cos"))
+        .withColumn("rk", row_number().over(wk)).where(col("rk") <= 5)
+        .select(col("v"), col("u"), col("cos"))
+        .write.parquet(s"$tmp/n1")
     }
-    val n0 = bucketTop3("bka").unionByName(bucketTop3("bkb"))
-      .groupBy(col("v"), col("u")).agg(max(col("cos")).as("cos")) // dedup
-      .withColumn("rk", row_number().over(wk)).where(col("rk") <= 5)
-      .select(col("v"), col("u"), col("cos"))
-      .localCheckpoint(false)
-    val sym = n0.select(col("v"), col("u"))
-      .unionByName(n0.select(col("u").as("v"), col("v").as("u"))).distinct()
-      .localCheckpoint(false) // joined with itself below
-    val cand = sym.unionByName(
-        sym.join(sym.select(col("v").as("u"), col("u").as("w")), "u")
-          .select(col("v"), col("w").as("u")))
-      .where(col("u") =!= col("v")).distinct()
-    val n1 = cand
-      .join(e.select(col("vec_id").as("v"), col("embedding").as("ev")), "v")
-      .join(e.select(col("vec_id").as("u"), col("embedding").as("eu")), "u")
-      .select(col("v"), col("u"), SimFns.cosine(col("ev"), col("eu")).as("cos"))
-      .withColumn("rk", row_number().over(wk)).where(col("rk") <= 5)
-      .select(col("v"), col("u"), col("cos"))
-      .localCheckpoint(false)
-    (e, n0, n1)
+    (e, s.read.parquet(s"$base/n0"), s.read.parquet(s"$base/n1"))
   }
 
   /** sim_ivfpq_residual's shared model construction (query + trained-oracle
