@@ -388,10 +388,16 @@ object QueriesDedup {
     // PLANTED truth (Bagga & Baldwin 1998; Amigó et al. 2009 singles B³
     // out as the clustering metric satisfying all four formal
     // constraints) — "did dedup find the right clusters", the eval card
-    // that gates a threshold change before it ships. Truth key: the
-    // constructed corpus plants each base doc's copies at +100000/+200000,
-    // so id % 100000 recovers the intended cluster (same corpus-bound
-    // assumption dedup_clusters itself makes). Exactness: B³P averages
+    // that gates a threshold change before it ships. Truth key: recovered
+    // by MEMBERSHIP against the base id set, not by id % 100000 — at the
+    // 100× generated dir real doc_ids reach 9e7 and the modulo collapsed
+    // 2000 base docs onto 200 truth keys (measured; cross-engine
+    // consistent, so the oracle stayed green while the semantics silently
+    // broke — the semdedup planted-offset lesson again). Every corpus
+    // member is exactly one of base / base+100000 / base+200000 and
+    // planted ids never collide with real ids (copies land inside a
+    // block's unused id range), so two left joins decide provenance.
+    // Exactness: B³P averages
     // n_pt/n_p over docs — each (pred, truth) cell quantizes ONCE to
     // µ-units ((n_pt·1e6) DIV n_p, the dsir one-rounding discipline; the
     // n_pt·q form keeps every term ≤ N·1e6, overflow-safe at any corpus)
@@ -399,8 +405,16 @@ object QueriesDedup {
     // cluster count) — the per-doc definition never materializes pairs.
     "dedup_bcubed" -> ((s, dir) => {
       val (_, labels) = clusterLabels(s, dir)
-      val lt = labels.select(col("id"), col("component").as("p"),
-          (col("id") % 100000L).as("t"))
+      val base = t(s, dir, "documents").where(col("doc_id") % 25 === 0)
+        .select(col("doc_id"))
+      val lt = labels
+        .join(base.select(col("doc_id").as("id"), lit(true).as("b1")), Seq("id"), "left")
+        .join(base.select((col("doc_id") + 100000L).as("id"), lit(true).as("b2")),
+          Seq("id"), "left")
+        .select(col("id"), col("component").as("p"),
+          when(col("b1"), col("id"))
+            .when(col("b2"), col("id") - 100000L)
+            .otherwise(col("id") - 200000L).as("t"))
         .localCheckpoint(false) // read by 3 aggregates below
       val cells = lt.groupBy(col("p"), col("t")).agg(count(lit(1)).as("n_pt"))
       val psz = lt.groupBy(col("p")).agg(count(lit(1)).as("n_p"))
@@ -1119,9 +1133,14 @@ object QueriesDedup {
          |  SELECT doc_id, doc_id FROM corpus
          |  UNION
          |  SELECT r.src, b.v FROM reach r JOIN bidir b ON r.dst = b.u),
-         |lt AS MATERIALIZED (SELECT src AS doc_id, min(dst) AS p,
-         |    src % 100000 AS t
-         |  FROM reach GROUP BY src),
+         |lab AS (SELECT src AS doc_id, min(dst) AS p FROM reach GROUP BY src),
+         |lt AS MATERIALIZED (SELECT lab.doc_id, lab.p,
+         |    CASE WHEN b1.doc_id IS NOT NULL THEN lab.doc_id
+         |         WHEN b2.doc_id IS NOT NULL THEN lab.doc_id - 100000
+         |         ELSE lab.doc_id - 200000 END AS t
+         |  FROM lab
+         |  LEFT JOIN base b1 ON b1.doc_id = lab.doc_id
+         |  LEFT JOIN base b2 ON b2.doc_id = lab.doc_id - 100000),
          |cells AS (SELECT p, t, CAST(count(*) AS BIGINT) AS n_pt FROM lt GROUP BY 1, 2),
          |psz AS MATERIALIZED (SELECT p, CAST(count(*) AS BIGINT) AS n_p FROM lt GROUP BY 1),
          |tsz AS MATERIALIZED (SELECT t, CAST(count(*) AS BIGINT) AS n_t FROM lt GROUP BY 1),
