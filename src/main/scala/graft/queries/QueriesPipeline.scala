@@ -325,9 +325,14 @@ object QueriesPipeline {
         m.getField("n_tokens").cast(LongType).as("nt"))
         .select(col("doc_id"), col("source"),
           expr("(ns * 1000000) DIV greatest(nt, 1)").as("s6"))
+      // static range boundaries CALIBRATED to the s6 deciles (measured
+      // 17k–115k at sf0.1 — the multimodal_audio_vad threshold precedent);
+      // the first cut at (1..9)·1e5 put ~88% of rows in ONE bucket, which
+      // rebuilds the single-partition window GlobalOrder exists to avoid
       val ranked = GlobalOrder.withGlobalRowNumber(
           docs, Seq(col("s6"), col("doc_id")), "pos", numParts = 10,
-          boundaries = Some((1 to 9).map(i => i * 100000L)))
+          boundaries = Some(Seq(17000L, 34000L, 45000L, 53000L, 62000L,
+            71000L, 82000L, 95000L, 115000L)))
         .localCheckpoint(false) // read as the doc stream AND the lookup
       val ws = Window.partitionBy(col("source"))
       val withR = ranked
