@@ -547,16 +547,20 @@ object QueriesAnalytics {
         .withColumn("h", expr("CAST(conv(substring(md5(concat('dptk:', token)), 1, 6), 16, 10) AS BIGINT)"))
         .withColumn("noise4", expr(noise4))
         .withColumn("score4", expr("n_exact * 10000 + noise4"))
-      val w0 = Window.partitionBy(lit(0))
-      counts
-        .withColumn("exact_rank",
-          row_number().over(w0.orderBy(col("n_exact").desc, col("token"))))
-        .withColumn("rank",
-          row_number().over(w0.orderBy(col("score4").desc, col("token"))))
-        .where(col("rank") <= 5)
+      // TakeOrderedAndProject cuts both top-5s DISTRIBUTEDLY (a
+      // partitionBy(lit(0)) rank over the token domain is a data-sized
+      // single partition at real vocabulary scale — caught in self-review);
+      // the rank window then runs on the 5-row result
+      val cc = counts.localCheckpoint(false) // both top-5 cuts read it
+      val top5 = cc.orderBy(col("score4").desc, col("token")).limit(5)
+      val exact5 = cc.orderBy(col("n_exact").desc, col("token")).limit(5)
+        .select(col("token"), lit(true).as("in_exact"))
+      top5.join(broadcast(exact5), Seq("token"), "left")
+        .withColumn("rank", row_number().over(Window.partitionBy(lit(0))
+          .orderBy(col("score4").desc, col("token"))))
         .select(col("rank").cast(LongType).as("rank"), col("token"),
           expr("(greatest(score4, 0) + 5000) DIV 10000").as("n_released"),
-          (col("exact_rank") <= 5).as("in_exact_topk"))
+          coalesce(col("in_exact"), lit(false)).as("in_exact_topk"))
         .orderBy(col("rank"))
     }),
 

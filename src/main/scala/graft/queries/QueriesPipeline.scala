@@ -334,11 +334,21 @@ object QueriesPipeline {
           boundaries = Some(Seq(17000L, 34000L, 45000L, 53000L, 62000L,
             71000L, 82000L, 95000L, 115000L)))
         .localCheckpoint(false) // read as the doc stream AND the lookup
-      val ws = Window.partitionBy(col("source"))
-      val withR = ranked
-        .withColumn("r", row_number().over(ws.orderBy(col("s6"), col("doc_id"))))
-        .withColumn("ns_src", count(lit(1)).over(ws))
+      // per-source ranks WITHOUT a per-source window (one source = one
+      // task at real scale — caught in self-review): a SECOND GlobalOrder
+      // over the source-major total order gives a global position, and
+      // r = pos2 − min(pos2 within source) + 1 derives arithmetically from
+      // a sources-sized broadcast join (sampled boundaries here — the lead
+      // key is a string domain, and the probe's determinism only has to
+      // hold within the engine: ranks are order-defined either way)
+      val ranked2 = GlobalOrder.withGlobalRowNumber(
+          ranked.select(col("doc_id"), col("source"), col("s6"), col("pos")),
+          Seq(col("source"), col("s6"), col("doc_id")), "pos2", numParts = 10)
+      val srcBase = ranked2.groupBy(col("source"))
+        .agg(min(col("pos2")).as("basep"), count(lit(1)).as("ns_src"))
+      val withR = ranked2.join(broadcast(srcBase), "source")
         .crossJoin(ranked.agg(count(lit(1)).as("n_all")))
+        .withColumn("r", col("pos2") - col("basep") + 1)
         .withColumn("p",
           expr("1 + ((r - 1) * (n_all - 1)) DIV greatest(ns_src - 1, 1)"))
       withR.join(ranked.select(col("pos").as("p"), col("s6").as("n6")), "p")

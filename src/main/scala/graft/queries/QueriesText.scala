@@ -596,10 +596,14 @@ object QueriesText {
         .join(wscore, "w")
         .groupBy(col("phrase"))
         .agg(count(lit(1)).as("n_words"), sum(col("ws6")).as("score6"))
+      // TakeOrderedAndProject cuts the top-10 DISTRIBUTEDLY (the phrase
+      // domain grows with the corpus — a partitionBy(lit(0)) rank over it
+      // is a data-sized single partition; caught in self-review), then the
+      // rank window runs on the 10-row result
       sc.join(occ, "phrase")
+        .orderBy(col("score6").desc, col("phrase")).limit(10)
         .withColumn("rank", row_number().over(
           Window.partitionBy(lit(0)).orderBy(col("score6").desc, col("phrase"))))
-        .where(col("rank") <= 10)
         .select(col("rank").cast(LongType).as("rank"), col("phrase"),
           col("n_words"), col("n_occ"), col("score6"))
         .orderBy(col("rank"))
