@@ -125,6 +125,35 @@ object GlobalOrder {
       .withColumn(out, col("_g_rank0") + lit(1L))
       .drop("_g_rank0")
 
+  /** Adds `out` = `ntile(k)` over the total order `orderCols` — the
+    * distributed replacement for `ntile(k).over(Window.orderBy(...))`,
+    * which is a single task at any scale. Standard SQL ntile semantics
+    * (n rows split into k tiles differing by at most one row, larger
+    * tiles first — Spark and DuckDB agree), derived arithmetically from
+    * [[withGlobalRowNumber]]'s position: with q = n DIV k and
+    * cut = (n MOD k)·(q+1), tile = (pos−1) DIV (q+1) + 1 for pos ≤ cut
+    * and (n MOD k) + (pos−cut−1) DIV q + 1 past it. Costs ONE eager
+    * count probe beyond GlobalOrder's own — pass a cached/checkpointed
+    * `df` so the probes re-read partitions, not the upstream plan.
+    * Descending cuts: negate the lead key (bucket boundaries are sampled
+    * from the key as passed, so monotonicity is preserved).
+    */
+  def withNtile(df: DataFrame, orderCols: Seq[Column], k: Int, out: String,
+                numParts: Int = 0, boundaries: Option[Seq[Any]] = None): DataFrame = {
+    require(k >= 1, s"ntile buckets must be >= 1: $k")
+    val n = df.count()
+    val q = n / k
+    val rem = n % k
+    val cut = rem * (q + 1)
+    val tileSql =
+      if (q == 0) "CAST(_g_pos AS INT)" // n < k: row i is tile i
+      else s"CAST(CASE WHEN _g_pos <= $cut THEN (_g_pos - 1) DIV ${q + 1} + 1 " +
+        s"ELSE $rem + (_g_pos - $cut - 1) DIV $q + 1 END AS INT)"
+    withGlobalRowNumber(df, orderCols, "_g_pos", numParts, boundaries)
+      .withColumn(out, expr(tileSql))
+      .drop("_g_pos")
+  }
+
   /** Evenly spaced 4-hex-digit prefixes — static boundaries for md5-hex lead
     * keys (uniform by construction): n buckets, no probe jobs. */
   def hexBoundaries(n: Int): Seq[Any] =

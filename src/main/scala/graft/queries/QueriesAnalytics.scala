@@ -1347,19 +1347,25 @@ object QueriesAnalytics {
     // class boundaries compare in EXACT BIGINT arithmetic
     // (cum·20 ≤ total·16 / cum·20 ≤ total·19) — a cum/total double ratio
     // against 0.8 would tie on representable rationals. Revenue collapses
-    // to the parts domain first; the rank/cumulative windows run over that
-    // aggregate; ties order by (revenue desc, partkey).
+    // to the parts domain first; the cumulative revenue is a DISTRIBUTED
+    // GlobalOrder prefix sum over (revenue desc, partkey) — the naive
+    // unpartitioned cumsum window is one task sorting the whole parts
+    // dimension at scale (round-10 verdict) — and the corpus total joins
+    // back as a broadcast scalar instead of a global window.
     "abc_classification" -> ((s, dir) => {
+      import graft.operators.GlobalOrder
       val rev = t(s, dir, "lineitem")
         .where(col("l_extendedprice").isNotNull && col("l_discount").isNotNull)
         .groupBy(col("l_partkey"))
         .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + 0.5)
           .cast("long")).as("cents"))
-      val ord = Window.orderBy(col("cents").desc, col("l_partkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val tot = Window.partitionBy()
-      rev.withColumn("cum", sum(col("cents")).over(ord))
-        .withColumn("total", sum(col("cents")).over(tot))
+        .localCheckpoint(false) // feeds the prefix sum, its probes, the total
+      val tot = rev.agg(sum(col("cents")).as("total"))
+      GlobalOrder.withExclusivePrefixSum(
+          rev.withColumn("_negc", col("cents") * -1),
+          Seq(col("_negc"), col("l_partkey")), col("cents"), "cum0")
+        .withColumn("cum", col("cum0") + col("cents"))
+        .crossJoin(broadcast(tot))
         .withColumn("abc_class",
           when(col("cum") * 20 <= col("total") * 16, "A")
             .when(col("cum") * 20 <= col("total") * 19, "B")
@@ -1451,13 +1457,19 @@ object QueriesAnalytics {
     }),
 
     // RFM segmentation: recency/frequency/monetary quartiles per customer
-    // from ONE orders aggregate, ntile windows over the customers-sized
-    // result (3 independent 4-way cuts => 64 possible segments), then a
-    // segment-level rollup. The classic warehouse cohorting op.
+    // from ONE orders aggregate (3 independent 4-way cuts => 64 possible
+    // segments), then a segment-level rollup. The classic warehouse
+    // cohorting op. Each cut is a DISTRIBUTED GlobalOrder.withNtile over
+    // the checkpointed customer aggregate — the naive
+    // ntile(4).over(Window.orderBy(...)) is a single task sorting the
+    // whole customer dimension, three times, at any scale (round-10
+    // verdict). Descending axes negate the lead key (the sampled range
+    // bucket is monotone in the key as passed); the three per-axis tile
+    // frames hash-join back on o_custkey.
     "rfm_segmentation" -> ((s, dir) => {
+      import graft.operators.GlobalOrder
       val orders = t(s, dir, "orders")
-      // corpus max date joins back as a broadcast scalar — no driver types,
-      // stays lazy
+      // corpus max date joins back as a broadcast scalar — no driver types
       val mx = orders.agg(max(col("o_orderdate")).as("md"))
       val rfm = orders
         .groupBy(col("o_custkey"))
@@ -1466,13 +1478,16 @@ object QueriesAnalytics {
           sum(col("o_totalprice")).as("monetary"))
         .crossJoin(broadcast(mx))
         .withColumn("recency", datediff(col("md"), col("last_order")).cast(LongType))
+        .localCheckpoint(false) // feeds 3 ntile passes + their probe jobs
       // quartile 1 = best on every axis (most recent / most frequent /
       // highest spend); custkey tiebreaks make every cut deterministic
-      val r = ntile(4).over(Window.orderBy(col("recency").asc, col("o_custkey").asc))
-      val f = ntile(4).over(Window.orderBy(col("frequency").desc, col("o_custkey").asc))
-      val mq = ntile(4).over(Window.orderBy(col("monetary").desc, col("o_custkey").asc))
-      rfm.select(col("o_custkey"), col("monetary"),
-          r.as("r_q"), f.as("f_q"), mq.as("m_q"))
+      def cut(lead: org.apache.spark.sql.Column, out: String) =
+        GlobalOrder.withNtile(rfm.select(col("o_custkey"), lead.as("_lead")),
+            Seq(col("_lead"), col("o_custkey")), 4, out)
+          .select(col("o_custkey"), col(out))
+      rfm.join(cut(col("recency"), "r_q"), "o_custkey")
+        .join(cut(col("frequency") * -1, "f_q"), "o_custkey")
+        .join(cut(col("monetary") * -1, "m_q"), "o_custkey")
         .groupBy(col("r_q"), col("f_q"), col("m_q"))
         .agg(count(lit(1)).as("n_customers"), round(sum(col("monetary")), 2).as("total_spend"))
         .orderBy(col("r_q"), col("f_q"), col("m_q"))

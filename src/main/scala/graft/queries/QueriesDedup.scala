@@ -371,13 +371,20 @@ object QueriesDedup {
         .where(expr("shared * 10 >= (sz_a + sz_b - shared) * 8"))
         .select(col("id_a"), col("id_b"))
         .localCheckpoint(false) // counted AND semi-joined per config
-      cand.groupBy(col("b"), col("r")).agg(count(lit(1)).as("n_candidates"))
+      // anchor the output on the STATIC 3-row config frame (bloom_fpr_curve
+      // pattern — round-10 ADVICE): an operating point with ZERO candidates
+      // must still report n_candidates=0 instead of silently vanishing
+      val confs = broadcast(s.createDataFrame(Seq((16L, 2L), (8L, 4L), (4L, 8L)))
+        .toDF("b", "r"))
+      confs
+        .join(cand.groupBy(col("b"), col("r")).agg(count(lit(1)).as("nc")),
+          Seq("b", "r"), "left")
         .join(cand.join(truth, Seq("id_a", "id_b"), "left_semi")
-            .groupBy(col("b"), col("r")).agg(count(lit(1)).as("n_cand_true")),
+            .groupBy(col("b"), col("r")).agg(count(lit(1)).as("nct")),
           Seq("b", "r"), "left")
         .crossJoin(truth.agg(count(lit(1)).as("n_true")))
-        .select(col("b"), col("r"), col("n_candidates"),
-          coalesce(col("n_cand_true"), lit(0L)).as("n_cand_true"), col("n_true"))
+        .select(col("b"), col("r"), coalesce(col("nc"), lit(0L)).as("n_candidates"),
+          coalesce(col("nct"), lit(0L)).as("n_cand_true"), col("n_true"))
         .withColumn("recall6", expr("(n_cand_true * 1000000) DIV greatest(n_true, 1)"))
         .withColumn("precision6",
           expr("(n_cand_true * 1000000) DIV greatest(n_candidates, 1)"))
@@ -919,16 +926,19 @@ object QueriesDedup {
          |cc AS (SELECT b, r, CAST(count(*) AS BIGINT) AS n_candidates
          |  FROM cand GROUP BY 1, 2),
          |ct AS (SELECT b, r, CAST(count(*) AS BIGINT) AS n_cand_true
-         |  FROM cand JOIN truth USING (id_a, id_b) GROUP BY 1, 2)
-         |SELECT cc.b, cc.r, cc.n_candidates,
+         |  FROM cand JOIN truth USING (id_a, id_b) GROUP BY 1, 2),
+         |g AS (SELECT CAST(unnest([16, 8, 4]) AS BIGINT) AS b,
+         |  CAST(unnest([2, 4, 8]) AS BIGINT) AS r)
+         |SELECT g.b, g.r, coalesce(cc.n_candidates, 0) AS n_candidates,
          |  coalesce(ct.n_cand_true, 0) AS n_cand_true, nt.n_true,
          |  CAST((coalesce(ct.n_cand_true, 0) * 1000000)
          |    // greatest(nt.n_true, 1) AS BIGINT) AS recall6,
          |  CAST((coalesce(ct.n_cand_true, 0) * 1000000)
-         |    // greatest(cc.n_candidates, 1) AS BIGINT) AS precision6
-         |FROM cc CROSS JOIN nt
-         |LEFT JOIN ct ON ct.b = cc.b AND ct.r = cc.r
-         |ORDER BY cc.b""".stripMargin
+         |    // greatest(coalesce(cc.n_candidates, 0), 1) AS BIGINT) AS precision6
+         |FROM g CROSS JOIN nt
+         |LEFT JOIN cc ON cc.b = g.b AND cc.r = g.r
+         |LEFT JOIN ct ON ct.b = g.b AND ct.r = g.r
+         |ORDER BY g.b""".stripMargin
     },
     "minhash_dedup" ->
       s"""$corpusSql,

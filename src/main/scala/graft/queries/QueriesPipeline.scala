@@ -329,26 +329,40 @@ object QueriesPipeline {
       // 17k–115k at sf0.1 — the multimodal_audio_vad threshold precedent);
       // the first cut at (1..9)·1e5 put ~88% of rows in ONE bucket, which
       // rebuilds the single-partition window GlobalOrder exists to avoid
+      val qBnds: Seq[Any] = Seq(17000L, 34000L, 45000L, 53000L, 62000L,
+        71000L, 82000L, 95000L, 115000L)
       val ranked = GlobalOrder.withGlobalRowNumber(
           docs, Seq(col("s6"), col("doc_id")), "pos", numParts = 10,
-          boundaries = Some(Seq(17000L, 34000L, 45000L, 53000L, 62000L,
-            71000L, 82000L, 95000L, 115000L)))
+          boundaries = Some(qBnds))
         .localCheckpoint(false) // read as the doc stream AND the lookup
       // per-source ranks WITHOUT a per-source window (one source = one
-      // task at real scale — caught in self-review): a SECOND GlobalOrder
-      // over the source-major total order gives a global position, and
-      // r = pos2 − min(pos2 within source) + 1 derives arithmetically from
-      // a sources-sized broadcast join (sampled boundaries here — the lead
-      // key is a string domain, and the probe's determinism only has to
-      // hold within the engine: ranks are order-defined either way)
-      val ranked2 = GlobalOrder.withGlobalRowNumber(
-          ranked.select(col("doc_id"), col("source"), col("s6"), col("pos")),
-          Seq(col("source"), col("s6"), col("doc_id")), "pos2", numParts = 10)
-      val srcBase = ranked2.groupBy(col("source"))
-        .agg(min(col("pos2")).as("basep"), count(lit(1)).as("ns_src"))
-      val withR = ranked2.join(broadcast(srcBase), "source")
+      // task at real scale — caught in self-review) and WITHOUT a second
+      // GlobalOrder keyed on the low-cardinality source (a range bucket
+      // that is a function of the key can never SPLIT a source, so that
+      // was the same single task in disguise — round-10 ADVICE): bucket
+      // on the HIGH-cardinality s6 with the same calibrated boundaries
+      // (splits every source across buckets), cumulate per-(source,
+      // bucket) counts over that config-sized sources×buckets domain,
+      // and the per-source rank is the bucket base + a bucket-LOCAL
+      // (source, bucket)-partitioned row number. Within a source the s6
+      // bucket order IS the (s6, doc_id) order, so r reproduces the
+      // per-source rank exactly.
+      val keyed = ranked.withColumn("_b",
+        qBnds.foldLeft(lit(0)) { (acc, b) =>
+          acc + when(col("s6") >= lit(b), 1).otherwise(0) })
+      val bases = keyed.groupBy(col("source"), col("_b"))
+        .agg(count(lit(1)).as("_t"))
+        .withColumn("basep", coalesce(sum(col("_t")).over(
+          Window.partitionBy(col("source")).orderBy(col("_b"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .drop("_t")
+      val srcN = keyed.groupBy(col("source")).agg(count(lit(1)).as("ns_src"))
+      val wloc = Window.partitionBy(col("source"), col("_b"))
+        .orderBy(col("s6"), col("doc_id"))
+      val withR = keyed.join(broadcast(bases), Seq("source", "_b"))
+        .withColumn("r", row_number().over(wloc).cast(LongType) + col("basep"))
+        .join(broadcast(srcN), "source")
         .crossJoin(ranked.agg(count(lit(1)).as("n_all")))
-        .withColumn("r", col("pos2") - col("basep") + 1)
         .withColumn("p",
           expr("1 + ((r - 1) * (n_all - 1)) DIV greatest(ns_src - 1, 1)"))
       withR.join(ranked.select(col("pos").as("p"), col("s6").as("n6")), "p")

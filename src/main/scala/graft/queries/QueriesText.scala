@@ -458,13 +458,18 @@ object QueriesText {
     }),
 
     // CCNet head/middle/tail bucketing: the perplexity-style score (shared
-    // lmScores pipeline — the two queries can never drift) terciled by
-    // ntile(3) over the rounded score with a doc tiebreak (engine-stable
-    // cut). The bucket assignment is the CCNet recipe's quality routing.
+    // lmScores pipeline — the two queries can never drift) terciled over
+    // the rounded score with a doc tiebreak (engine-stable cut). The cut
+    // is a DISTRIBUTED GlobalOrder.withNtile — the naive ntile(3) global
+    // window is one task sorting the ENTIRE corpus at scale, the most
+    // corpus-sized of the round-10 verdict's five. The LM score pipeline
+    // is checkpointed so the ntile probe jobs re-read partitions instead
+    // of re-running the bigram model.
     "ccnet_bucket" -> ((s, dir) => {
-      lmScores(s, dir)
-        .withColumn("bucket",
-          ntile(3).over(Window.orderBy(col("avg_logp").desc, col("doc_id"))))
+      import graft.operators.GlobalOrder
+      val lm = lmScores(s, dir).localCheckpoint(false)
+      GlobalOrder.withNtile(lm.withColumn("_neg", col("avg_logp") * -1),
+          Seq(col("_neg"), col("doc_id")), 3, "bucket")
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n_docs"), round(avg(col("avg_logp")), 4).as("mean_logp"))
         .orderBy(col("bucket"))
@@ -1012,19 +1017,25 @@ object QueriesText {
 
     // Vocabulary-coverage curve for tokenizer sizing: the share of total
     // token MASS the top-k vocabulary covers, k ∈ {10, 100, 1000}. The
-    // corpus collapses to (token, count) first; the global Zipf rank runs
-    // over the bounded vocabulary domain (the rfm single-sort trade-off —
-    // vocabulary, not corpus, sized), and the 3-row k-grid fans out vocab
-    // rows only. Exact integer mass; one rounded share per k.
+    // corpus collapses to (token, count) first; the global Zipf rank is a
+    // DISTRIBUTED GlobalOrder row number over (count desc, token) — the
+    // vocabulary domain is data-sized (Heaps' law: it grows with the
+    // corpus), so the round-10 verdict's single-task row_number window is
+    // a real hazard here, and with no rank-limit filter
+    // InferWindowGroupLimit cannot rescue it. The total mass joins back
+    // as a broadcast scalar; the 3-row k-grid fans out vocab rows only.
+    // Exact integer mass; one rounded share per k.
     "vocab_coverage" -> ((s, dir) => {
+      import graft.operators.GlobalOrder
       val tc = t(s, dir, "documents")
         .where(col("text").isNotNull)
         .select(explode(TextFns.tokens(col("text"))).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("c"))
-      val ord = Window.orderBy(col("c").desc, col("w"))
-      val ranked = tc
-        .withColumn("r", row_number().over(ord))
-        .withColumn("tot", sum(col("c")).over(Window.partitionBy()))
+        .localCheckpoint(false) // feeds the rank pass, its probes, the total
+      val tot = tc.agg(sum(col("c")).as("tot"))
+      val ranked = GlobalOrder.withGlobalRowNumber(
+          tc.withColumn("_negc", col("c") * -1), Seq(col("_negc"), col("w")), "r")
+        .crossJoin(broadcast(tot))
       val grid = broadcast(s.range(1, 4)
         .select(pow(lit(10.0), col("id")).cast("long").as("k")))
       ranked.crossJoin(grid)
