@@ -145,6 +145,111 @@ object Ivf {
     vectors.withColumn("cell", element_at(nearestCells(col(vecCol), cents, 1), 1))
   }
 
+  /** Cell assignment with a bounded-occupancy GUARANTEE at ANY corpus size
+    * — the tier past [[NearestCells]]' literal-centroid ceiling (round-10
+    * verdict: semdedup's linear-pair-work property held only to ~33M
+    * vectors; past that, fixed-k cells grow as N/k and the within-cell
+    * quadratic term returns).
+    *
+    * Base tier: the caller's pre-trained centroid table (k ≤ a few
+    * thousand — the trained-sample and plan-reference-object budget) via
+    * the codegen'd [[NearestCells]] scan, bit-identical to [[index]] when
+    * no cell overflows — so existing oracles over the base tier stay
+    * valid, and training-vs-assignment corpora may differ (semdedup
+    * trains on the natural corpus, assigns corpus ∪ planted).
+    *
+    * Past the bound: cells whose occupancy exceeds `occSlack × targetOcc`
+    * are RECURSIVELY SPLIT. Per depth, one (cell, count) aggregate finds
+    * oversized cells; each trains its own sub-quantizer from a bounded
+    * per-cell sample (first `sampleN` rows in id order — a cells-partitioned
+    * rank, no global sort) INSIDE `flatMapGroups`, so sub-training is
+    * distributed across executors with per-task memory bounded by
+    * sampleN × dim; assignment is a JOIN against the (cell, sub, centroid)
+    * table (broadcast when small — the "centroid table join" production
+    * path) with a map-side-combined per-id argmin, so no stage ever holds
+    * a cell's full population. Composite ids (cell+1)·65536 + sub are
+    * collision-free (sub < 65536; parents that split leave the id space)
+    * up to `maxDepth` = 3 (≤ 2^48 < Long range).
+    *
+    * Expected split depth: occupancy shrinks ~(sub-k)× per split, so
+    * d ≈ log_k(N / (k·targetOcc)) — 1B vectors at k=4096 need ONE depth.
+    * `maxDepth` caps pathological data (e.g. > bound exact-duplicate
+    * vectors, which no quantizer can separate); the bound then holds for
+    * every splittable cell and the remainder is duplicate-mass, which the
+    * CALLER's within-cell pass handles (for semdedup, duplicates are
+    * precisely what it drops).
+    *
+    * Determinism: sub-sampling is id-ordered, Lloyd is [[Pq.lloydLocal]]
+    * (first-k seeds, lower-index ties), the argmin ties to the lower sub
+    * id via the struct min. Returns (idCol, vecCol, cell: Long).
+    */
+  def assignBounded(vectors: DataFrame, centroids: DataFrame,
+                    idCol: String, vecCol: String,
+                    targetOcc: Long = 512L, occSlack: Long = 4L,
+                    sampleN: Int = 2048, maxDepth: Int = 3): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val bound = occSlack * targetOcc
+    var assigned = index(vectors, centroids, idCol, vecCol)
+      .select(col(idCol), col(vecCol), col("cell").cast("long").as("cell"))
+      .localCheckpoint(false) // re-read per depth by the occupancy probe
+    var depth = 0
+    var done = false
+    while (depth < maxDepth && !done) {
+      val occ = assigned.groupBy(col("cell")).agg(count(lit(1)).as("_cnt"))
+        .where(col("_cnt") > bound)
+      // one early-terminating probe job decides whether this depth runs at
+      // all — at test SFs (occupancy ≈ targetOcc) the loop exits here
+      if (occ.limit(1).count() == 0L) done = true
+      else {
+        val routed = assigned.join(broadcast(occ), Seq("cell"), "left")
+        val keep = routed.where(col("_cnt").isNull).drop("_cnt")
+        val over = routed.where(col("_cnt").isNotNull)
+        // bounded per-cell sample: a cells-partitioned rank, never a
+        // global sort; ranks are id-ordered so the sample (and the Lloyd
+        // seeds) are deterministic
+        val wCell = Window.partitionBy(col("cell")).orderBy(col(idCol))
+        val sampled = over
+          .withColumn("_rk", row_number().over(wCell))
+          .where(col("_rk") <= sampleN)
+          .select(col("cell"), col("_cnt"),
+            SimFns.toDouble(col(vecCol)).as("_v"))
+          .as[(Long, Long, Seq[Double])]
+        val subCents = sampled.groupByKey(_._1)
+          .flatMapGroups { (cell, it) =>
+            val rows = it.toArray
+            val cnt = rows.head._2
+            val data = rows.map(_._3.toArray)
+            val kc = math.min(
+              math.max(2L, (cnt + targetOcc - 1) / targetOcc), 65535L).toInt
+            Pq.lloydLocal(data, kc, maxIters = 25, tol = 1e-4)
+              .zipWithIndex.map { case (c, i) => (cell, i, c.toSeq) }.iterator
+          }
+          .toDF("cell", "_sub", "_cent")
+        // argmin over the joined (vector × sub-centroid) rows: the struct
+        // min partial-aggregates map-side, so the kc-fold blowup collapses
+        // before the shuffle; d2 is the same ascending-dim left fold as
+        // NearestCells
+        val d2 = aggregate(
+          zip_with(SimFns.toDouble(col(vecCol)), col("_cent"),
+            (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, v) => acc + v)
+        val reassigned = over.join(subCents, "cell")
+          .select(col("cell"), col(idCol), col(vecCol), col("_sub"), d2.as("_d2"))
+          .groupBy(col(idCol))
+          .agg(min(struct(col("_d2"), col("_sub"), col("cell"), col(vecCol)))
+            .as("_m"))
+          .select(col(idCol), col("_m").getField(vecCol).as(vecCol),
+            ((col("_m.cell") + 1L) * 65536L + col("_m._sub")).as("cell"))
+        assigned = keep.select(col(idCol), col(vecCol), col("cell"))
+          .unionByName(reassigned.select(col(idCol), col(vecCol), col("cell")))
+          .localCheckpoint(false)
+        depth += 1
+      }
+    }
+    assigned
+  }
+
   /** Persist the index partitioned by cell — the on-disk ANN layout for a
     * 100 TB corpus: every cell is its own directory, so a probe against
     * [[readIndex]] scans ONLY the probed cells' files. With the probe side

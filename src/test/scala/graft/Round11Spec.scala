@@ -75,6 +75,66 @@ class Round11Spec extends SparkSpec {
       s"operating points missing or extra: $rows")
   }
 
+  test("assignBounded: identical to Ivf.index when no cell exceeds the bound") {
+    import graft.operators.Ivf
+    val e = graft.queries.Tables.t(spark, dir, "embeddings")
+      .where(col("embedding").isNotNull).select(col("vec_id"), col("embedding"))
+    val cents = Ivf.trainSampled(e, "vec_id", "embedding", k = 8)
+    val base = Ivf.index(e, cents, "vec_id", "embedding")
+      .select(col("vec_id"), col("cell").cast("long").as("cell"))
+    val got = Ivf.assignBounded(e, cents, "vec_id", "embedding")
+      .select(col("vec_id"), col("cell"))
+    assert(got.exceptAll(base).isEmpty && base.exceptAll(got).isEmpty,
+      "assignBounded diverged from Ivf.index on an in-bound corpus")
+  }
+
+  test("assignBounded: oversized cells split recursively, occupancy bound holds") {
+    import graft.operators.Ivf
+    val e = graft.queries.Tables.t(spark, dir, "embeddings")
+      .where(col("embedding").isNotNull).select(col("vec_id"), col("embedding"))
+    val n = e.count()
+    // k=2 cells over the whole corpus => every cell far above bound 16;
+    // the recursion must bring max occupancy down to the bound
+    val cents = Ivf.trainSampled(e, "vec_id", "embedding", k = 2)
+    val got = Ivf.assignBounded(e, cents, "vec_id", "embedding",
+      targetOcc = 8L, occSlack = 2L, sampleN = 64, maxDepth = 3)
+    // every vector assigned exactly once
+    assert(got.count() == n)
+    assert(got.select(col("vec_id")).distinct().count() == n)
+    val occ = got.groupBy(col("cell")).count()
+      .agg(max(col("count")), count(lit(1))).head()
+    val (maxOcc, nCells) = (occ.getLong(0), occ.getLong(1))
+    assert(maxOcc <= 16L,
+      s"occupancy bound violated after recursion: max=$maxOcc cells=$nCells")
+    // splits actually happened: composite ids (>= 65536) exist
+    assert(got.where(col("cell") >= 65536L).count() > 0)
+  }
+
+  test("semdedup shipped SFs keep a measured margin below the split bound") {
+    // the split must NOT trigger at oracle-checked SFs (the refit oracle
+    // reproduces only the base-tier literal assignment); assert the
+    // occupancy margin instead of assuming it — the planted-threshold
+    // lesson. bound = occSlack*targetOcc = 2048; require >= 1.6x margin.
+    import graft.operators.Ivf
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val e = graft.queries.Tables.t(spark, d, "embeddings")
+        .where(col("embedding").isNotNull).select(col("vec_id"), col("embedding"))
+      val r = e.agg(count(lit(1)), max(col("vec_id"))).head
+      val n = r.getLong(0)
+      val k = math.min(math.max(8L, (n + 511L) / 512L), 4096L).toInt
+      var off = 100000L
+      while (off <= r.getLong(1)) off *= 10
+      val corpus = e.unionByName(e.where(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + off).as("vec_id"), col("embedding")))
+      val cents = Ivf.trainSampled(e, "vec_id", "embedding", k = k,
+        sampleN = math.max(2048, 8 * k))
+      val maxOcc = Ivf.index(corpus, cents, "vec_id", "embedding")
+        .groupBy(col("cell")).count().agg(max(col("count"))).head().getLong(0)
+      assert(maxOcc * 16 <= 2048 * 10, // maxOcc <= 1280 = bound/1.6
+        s"$d: max cell occupancy $maxOcc within 1.6x of the 2048 split bound")
+    }
+  }
+
   test("dedup_bcubed: planted id offsets are collision-free on the active data") {
     // the truth-recovery joins assume base, base+100000, base+200000 are
     // pairwise disjoint AND planted ids never collide with real ids — a
