@@ -473,6 +473,76 @@ object QueriesSim {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // FILTERED (predicate-constrained) ANN — the most common production
+    // vector-search shape (round-10 verdict "what's missing" #1:
+    // "neighbors among docs WHERE lang='en' AND quality>0.8"), and the
+    // card that prices the two ways to do it:
+    //  - FILTERED PROBE: the predicate (label % 3 = 0, ~1/3 selective)
+    //    pushes INTO the cell-pruned candidate scan — Catalyst places the
+    //    filter below the probe join, and on the partitioned-by-cell
+    //    on-disk layout it composes with partition pruning, so top-k
+    //    fills from matching vectors only;
+    //  - POST-FILTER (the anti-pattern): unfiltered top-10, predicate
+    //    applied after — survivors ≈ 10×selectivity and recall collapses.
+    // Ground truth is exact filtered top-10 (query-bounded brute force).
+    // All metrics are exact BIGINTs (hit counts, µ-unit recalls) — the
+    // Spark/DuckDB compare is bit-exact. Oracle: trained-oracle pattern
+    // (refit + inlined centroid distance chains + the same predicate).
+    "sim_filtered" -> ((s, dir) => {
+      import graft.operators.Ivf
+      val e = t(s, dir, "embeddings")
+        .where(col("embedding").isNotNull && col("label").isNotNull)
+        .select(col("vec_id"), col("label"), col("embedding"))
+      val pred = col("label") % 3 === 0
+      val cents = Ivf.trainSampled(e, "vec_id", "embedding", k = 8)
+      val idx = Ivf.index(e, cents, "vec_id", "embedding")
+      val q = e.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val fil = Ivf.search(idx.where(pred), cents, q,
+          "vec_id", "embedding", "qid", "qe", topK = 10, nprobe = 3)
+        .select(col("qid"), col("vec_id"))
+        .localCheckpoint(false) // counted AND truth-joined
+      val post = Ivf.search(idx, cents, q,
+          "vec_id", "embedding", "qid", "qe", topK = 10, nprobe = 3)
+        .select(col("qid"), col("vec_id"))
+        .join(e.select(col("vec_id"), col("label")), "vec_id")
+        .where(pred)
+        .select(col("qid"), col("vec_id"))
+        .localCheckpoint(false)
+      // exact filtered top-10: the rank<=10 filter plans WindowGroupLimit
+      // around the qid exchange, so no task holds a query's full candidate
+      // ranking (the knn_eval_sampled shape)
+      val wq = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+      val truth = e.where(pred).crossJoin(broadcast(q))
+        .select(col("qid"), col("vec_id"),
+          SimFns.cosine(col("qe"), col("embedding")).as("cos"))
+        .withColumn("rk", row_number().over(wq)).where(col("rk") <= 10)
+        .select(col("qid"), col("vec_id"))
+        .localCheckpoint(false)
+      def cnt(df: org.apache.spark.sql.DataFrame, name: String) =
+        df.groupBy(col("qid")).agg(count(lit(1)).as(name))
+      def hits(df: org.apache.spark.sql.DataFrame, name: String) =
+        df.join(truth, Seq("qid", "vec_id"), "left_semi")
+          .groupBy(col("qid")).agg(count(lit(1)).as(name))
+      q.select(col("qid"))
+        .join(cnt(truth, "n_truth"), Seq("qid"), "left")
+        .join(cnt(fil, "n_filtered"), Seq("qid"), "left")
+        .join(hits(fil, "filtered_hits"), Seq("qid"), "left")
+        .join(cnt(post, "n_post"), Seq("qid"), "left")
+        .join(hits(post, "post_hits"), Seq("qid"), "left")
+        .select(col("qid"),
+          coalesce(col("n_truth"), lit(0L)).as("n_truth"),
+          coalesce(col("n_filtered"), lit(0L)).as("n_filtered"),
+          coalesce(col("filtered_hits"), lit(0L)).as("filtered_hits"),
+          coalesce(col("n_post"), lit(0L)).as("n_post"),
+          coalesce(col("post_hits"), lit(0L)).as("post_hits"))
+        .withColumn("recall_filtered6",
+          expr("(filtered_hits * 1000000) DIV greatest(n_truth, 1)"))
+        .withColumn("recall_post6",
+          expr("(post_hits * 1000000) DIV greatest(n_truth, 1)"))
+        .orderBy(col("qid"))
+    }),
+
     // Greedy k-center coreset (the 2-approx farthest-point heuristic —
     // the active-learning / diverse-subset selection primitive): 8
     // centers fit on the bounded first-256 sample (corpus-size-
@@ -1020,21 +1090,35 @@ object QueriesSim {
           .select(col("qid"), col("u"), col("cos"))
           .localCheckpoint(false)
       }
-      // full brute-force ranking per query (the corpus×10 fan-out the walk
-      // REPLACES — here it is the declared ground truth): the found node's
-      // exact rank is the honest quality metric — on near-isotropic
-      // embeddings a 5-hop beam-2 walk lands top-decile, not rank 1, and
-      // an is_exact flag would just read all-false (caught live)
-      val rnk = e.select(col("vec_id").as("u"), col("embedding").as("eu"))
-        .join(q).where(col("u") =!= col("qid"))
-        .select(col("qid"), col("u"), SimFns.cosine(col("qe"), col("eu")).as("cos"))
-        .withColumn("true_rank", row_number().over(wb).cast(LongType))
-        .select(col("qid"), col("u"), col("true_rank"))
-      beam.withColumn("rk", row_number().over(wb)).where(col("rk") === 1)
-        .join(rnk, Seq("qid", "u"))
-        .select(col("qid"), col("u").as("found_id"),
-          round(col("cos"), 6).as("cos"), col("true_rank"),
-          (col("true_rank") <= 10).as("in_top10"))
+      // SAMPLED ground truth (round-10 verdict #4 — knn_eval_sampled's
+      // seeded-subset treatment): the found node ranks within a seeded
+      // md5-ordered 2048-node corpus subset instead of the full corpus, so
+      // the truth fan-out is BOUNDED at any corpus size; and the rank is a
+      // COUNT of strictly-better sample nodes (a map-side-combined
+      // aggregate), never a corpus-sized per-query window sort. On
+      // near-isotropic embeddings the 5-hop beam-2 walk lands top-decile,
+      // not rank 1 — the honest metric survives the sampling.
+      val sample = e
+        .orderBy(md5(concat(lit("beam1:"), col("vec_id").cast("string"))), col("vec_id"))
+        .limit(2048)
+        .select(col("vec_id").as("u"), col("embedding").as("eu"))
+      val found = beam.withColumn("rk", row_number().over(wb)).where(col("rk") === 1)
+        .select(col("qid"), col("u"), col("cos"))
+      val scored = sample.crossJoin(q).where(col("u") =!= col("qid"))
+        .select(col("qid"), col("u"), SimFns.cosine(col("qe"), col("eu")).as("scos"))
+        .localCheckpoint(false) // read by the size and the rank aggregates
+      val nScored = scored.groupBy(col("qid")).agg(count(lit(1)).as("n_sample"))
+      val better = scored
+        .join(found.select(col("qid"), col("u").as("fu"), col("cos").as("fcos")), "qid")
+        .where(col("scos") > col("fcos") ||
+          (col("scos") === col("fcos") && col("u") < col("fu")))
+        .groupBy(col("qid")).agg(count(lit(1)).as("n_better"))
+      found.join(nScored, "qid")
+        .join(better, Seq("qid"), "left")
+        .withColumn("sample_rank", coalesce(col("n_better"), lit(0L)) + lit(1L))
+        .select(col("qid"), col("u").as("found_id"), round(col("cos"), 6).as("cos"),
+          col("sample_rank"), col("n_sample"),
+          (col("sample_rank") * 10 <= col("n_sample")).as("in_top_decile"))
         .orderBy(col("qid"))
     }),
 
@@ -1509,6 +1593,80 @@ object QueriesSim {
         |  SELECT vec_id + 100000, CAST(embedding AS DOUBLE[])
         |  FROM embeddings WHERE vec_id % 50 = 0 AND embedding IS NOT NULL""".stripMargin)
 
+  /** sim_filtered's twin: refit the quantizer, assign the corpus and rank
+    * the probes via inlined distance chains, and reproduce the
+    * filtered-probe / post-filter / exact-filtered-truth top-10s with the
+    * same `label % 3 = 0` predicate — every output column is an exact
+    * BIGINT (hit counts and µ-unit recalls), so the compare is bit-exact. */
+  private def simFilteredOracle(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    import graft.operators.Ivf
+    val e = t(s, dir, "embeddings")
+      .where(col("embedding").isNotNull && col("label").isNotNull)
+      .select(col("vec_id"), col("embedding"))
+    val cents = Ivf.collectCentroids(Ivf.trainSampled(e, "vec_id", "embedding", k = 8))
+    val k = cents.length
+    val dDefs = cents.zipWithIndex.map { case (c, i) =>
+      s"${l2ChainSql("v", c)} AS d$i" }.mkString(",\n    ")
+    val dcols = (0 until k).map(i => s"d$i")
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL),
+       |d AS (SELECT vec_id, label, v,
+       |    $dDefs
+       |  FROM e),
+       |a AS MATERIALIZED (SELECT vec_id, label, v,
+       |  ${argminCaseSql(dcols)} AS cell FROM d),
+       |qd AS (SELECT vec_id AS qid, v AS qv, ${dcols.mkString(", ")}
+       |  FROM d WHERE vec_id < 5),
+       |qc AS (SELECT qid, qv, u.cell,
+       |    CASE u.cell ${(0 until k).map(i => s"WHEN $i THEN d$i").mkString(" ")} END AS dist
+       |  FROM qd CROSS JOIN (SELECT unnest(range(0, $k)) AS cell) u),
+       |probes AS MATERIALIZED (SELECT qid, qv, cell FROM (
+       |  SELECT qid, qv, cell,
+       |    row_number() OVER (PARTITION BY qid ORDER BY dist, cell) AS rn FROM qc)
+       |  WHERE rn <= 3),
+       |fil AS MATERIALIZED (SELECT qid, vec_id FROM (
+       |  SELECT p.qid, a.vec_id,
+       |    row_number() OVER (PARTITION BY p.qid
+       |      ORDER BY list_cosine_similarity(p.qv, a.v) DESC, a.vec_id) AS rn
+       |  FROM probes p JOIN a ON a.cell = p.cell AND a.label % 3 = 0) z
+       |  WHERE rn <= 10),
+       |post AS MATERIALIZED (SELECT qid, vec_id FROM (
+       |  SELECT p.qid, a.vec_id, a.label,
+       |    row_number() OVER (PARTITION BY p.qid
+       |      ORDER BY list_cosine_similarity(p.qv, a.v) DESC, a.vec_id) AS rn
+       |  FROM probes p JOIN a ON a.cell = p.cell) z
+       |  WHERE rn <= 10 AND label % 3 = 0),
+       |truth AS MATERIALIZED (SELECT qid, vec_id FROM (
+       |  SELECT q.qid, a.vec_id,
+       |    row_number() OVER (PARTITION BY q.qid
+       |      ORDER BY list_cosine_similarity(q.qv, a.v) DESC, a.vec_id) AS rn
+       |  FROM (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5) q
+       |    JOIN a ON a.label % 3 = 0) z WHERE rn <= 10),
+       |qs AS (SELECT qid FROM qd)
+       |SELECT qs.qid,
+       |  coalesce(t.c, 0) AS n_truth,
+       |  coalesce(f.c, 0) AS n_filtered,
+       |  coalesce(fh.c, 0) AS filtered_hits,
+       |  coalesce(p.c, 0) AS n_post,
+       |  coalesce(ph.c, 0) AS post_hits,
+       |  CAST((coalesce(fh.c, 0) * 1000000)
+       |    // greatest(coalesce(t.c, 0), 1) AS BIGINT) AS recall_filtered6,
+       |  CAST((coalesce(ph.c, 0) * 1000000)
+       |    // greatest(coalesce(t.c, 0), 1) AS BIGINT) AS recall_post6
+       |FROM qs
+       |LEFT JOIN (SELECT qid, CAST(count(*) AS BIGINT) AS c
+       |  FROM truth GROUP BY 1) t ON t.qid = qs.qid
+       |LEFT JOIN (SELECT qid, CAST(count(*) AS BIGINT) AS c
+       |  FROM fil GROUP BY 1) f ON f.qid = qs.qid
+       |LEFT JOIN (SELECT fil.qid, CAST(count(*) AS BIGINT) AS c
+       |  FROM fil JOIN truth USING (qid, vec_id) GROUP BY 1) fh ON fh.qid = qs.qid
+       |LEFT JOIN (SELECT post.qid, CAST(count(*) AS BIGINT) AS c
+       |  FROM post GROUP BY 1) p ON p.qid = qs.qid
+       |LEFT JOIN (SELECT post.qid, CAST(count(*) AS BIGINT) AS c
+       |  FROM post JOIN truth USING (qid, vec_id) GROUP BY 1) ph ON ph.qid = qs.qid
+       |ORDER BY qs.qid""".stripMargin
+  }
+
   private def ivfSearchOracle(s: org.apache.spark.sql.SparkSession, dir: String,
                               corpusSql: String): String = {
     import graft.operators.Ivf
@@ -1915,6 +2073,7 @@ object QueriesSim {
         }
       (tryGen("sim_ivf_kmeans", ivfKmeansOracle(s, dir)) ++
         tryGen("sim_ivf_append", ivfAppendOracle(s, dir)) ++
+        tryGen("sim_filtered", simFilteredOracle(s, dir)) ++
         tryGen("sim_pq", pqOracle(s, dir)) ++
         tryGen("sim_ivfpq", ivfpqOracle(s, dir)) ++
         tryGen("sim_ivfpq_append", ivfpqOracle(s, dir,
@@ -2126,17 +2285,25 @@ object QueriesSim {
          |    list_cosine_similarity(qs.qe, e0.emb) AS c
          |  FROM qs JOIN b e0 ON e0.vec_id = 0),
          |$hops,
-         |rnk AS (SELECT q.qid, e.vec_id AS u,
-         |    CAST(row_number() OVER (PARTITION BY q.qid
-         |      ORDER BY list_cosine_similarity(q.qe, e.emb) DESC, e.vec_id)
-         |      AS BIGINT) AS true_rank
-         |  FROM qs q JOIN b e ON e.vec_id <> q.qid)
-         |SELECT f.qid, f.u AS found_id, round(f.c, 6) AS cos,
-         |  r.true_rank, r.true_rank <= 10 AS in_top10
-         |FROM (SELECT qid, u, c FROM (
+         |samp AS MATERIALIZED (SELECT vec_id AS u, emb AS eu FROM b
+         |  ORDER BY md5('beam1:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 2048),
+         |f AS MATERIALIZED (SELECT qid, u, c FROM (
          |  SELECT qid, u, c, row_number() OVER (PARTITION BY qid
-         |      ORDER BY c DESC, u) AS rk FROM b5) z WHERE rk = 1) f
-         |JOIN rnk r ON r.qid = f.qid AND r.u = f.u ORDER BY f.qid""".stripMargin
+         |      ORDER BY c DESC, u) AS rk FROM b5) z WHERE rk = 1),
+         |sc AS MATERIALIZED (SELECT q.qid, s.u,
+         |    list_cosine_similarity(q.qe, s.eu) AS scos
+         |  FROM qs q JOIN samp s ON s.u <> q.qid),
+         |ns AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_sample
+         |  FROM sc GROUP BY 1),
+         |bt AS (SELECT sc.qid, CAST(count(*) AS BIGINT) AS n_better
+         |  FROM sc JOIN f ON f.qid = sc.qid
+         |  WHERE sc.scos > f.c OR (sc.scos = f.c AND sc.u < f.u)
+         |  GROUP BY 1)
+         |SELECT f.qid, f.u AS found_id, round(f.c, 6) AS cos,
+         |  coalesce(bt.n_better, 0) + 1 AS sample_rank, ns.n_sample,
+         |  (coalesce(bt.n_better, 0) + 1) * 10 <= ns.n_sample AS in_top_decile
+         |FROM f JOIN ns ON ns.qid = f.qid
+         |LEFT JOIN bt ON bt.qid = f.qid ORDER BY f.qid""".stripMargin
     },
     "nndescent_round" ->
       s"""WITH $dualLshGraphCtes,

@@ -219,10 +219,14 @@ class Round10bSpec extends SparkSpec {
 
   test("sim_beam_search: one row per query, walk never ends worse than the entry node") {
     val rows = graft.queries.QueriesSim.queries("sim_beam_search")(spark, dir)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getBoolean(4)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5)))
     assert(rows.map(_._1).toSeq == (1L to 10L))
     rows.foreach { r =>
-      assert(r._4 >= 1 && (r._5 == (r._4 <= 10)))
+      // sampled-truth rank (round 11): 1 <= rank <= n_sample+1, decile flag
+      // consistent with the rank, bounded sample actually bounded
+      assert(r._4 >= 1 && r._4 <= r._5 + 1 && r._5 <= 2048)
+      assert(r._6 == (r._4 * 10 <= r._5))
       assert(r._2 != r._1, "walk must not return the query itself")
     }
     // the beam keeps its best member, so the result dominates the entry

@@ -135,6 +135,47 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  test("sim_filtered: post-filter is a subset of the filtered probe, never better") {
+    val rows = graft.queries.QueriesSim.queries("sim_filtered")(spark, dir).collect()
+    assert(rows.map(_.getLong(0)).toSeq == (0L until 5L))
+    rows.foreach { r =>
+      val (nt, nf, fh, np, ph) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      // structural: any truth-hit surviving the post-filter was a
+      // pred-satisfying probed candidate inside the unfiltered top-10 —
+      // the filtered ranking only removes its competitors, so post ⊆ fil
+      assert(nf >= np && fh >= ph, s"qid ${r.getLong(0)}: post beat filtered")
+      assert(nf <= 10 && np <= 10 && fh <= nt && ph <= fh)
+      assert(r.getLong(6) == fh * 1000000L / math.max(nt, 1L))
+      assert(r.getLong(7) == ph * 1000000L / math.max(nt, 1L))
+    }
+    // the anti-pattern visibly under-fills at ~1/3 selectivity
+    assert(rows.map(_.getLong(4)).sum < rows.map(_.getLong(2)).sum,
+      "post-filter did not under-fill — predicate not selective on this data?")
+  }
+
+  test("chunk_windows: overlapping windows tile every doc exactly") {
+    val rows = graft.queries.QueriesPipeline.queries("chunk_windows")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    // the multi-chunk overlap path must actually be exercised by the data
+    assert(rows.count(_._3 > 0) > 0, "no doc produced more than one chunk")
+    rows.groupBy(_._1).foreach { case (doc, ch) =>
+      val sorted = ch.sortBy(_._3)
+      val n = sorted.head._2
+      assert(sorted.map(_._3).toSeq == (0L until sorted.length.toLong),
+        s"doc $doc: chunk ids not dense")
+      assert(sorted.head._4 == 0L, s"doc $doc: first window must start at 0")
+      assert(sorted.last._5 == n, s"doc $doc: last window must reach the tail")
+      sorted.foreach { c =>
+        assert(c._4 == c._3 * 24 && c._4 < n, s"doc $doc: bad start")
+        assert(c._5 == math.min(c._4 + 32, n), s"doc $doc: bad end")
+        assert(c._6 == c._5 - c._4 && c._6 > 0, s"doc $doc: bad len")
+      }
+    }
+  }
+
   test("dedup_bcubed: planted id offsets are collision-free on the active data") {
     // the truth-recovery joins assume base, base+100000, base+200000 are
     // pairwise disjoint AND planted ids never collide with real ids — a
