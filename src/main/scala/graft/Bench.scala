@@ -1,7 +1,18 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** 1-minute load average from /proc/loadavg (-1.0 if unreadable) — stamped
+    * into the artifact so a loaded-container run is distinguishable from a
+    * regression WITHOUT re-litigating it from memory each round (round-10
+    * verdict #8: three of four "canonical" totals were taken under visible
+    * ambient load and every round re-derived that fact). */
+  private def loadAvg(): Double =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+      .split("\\s+")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
+    val loadStart = loadAvg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -88,8 +99,14 @@ object Bench {
         "by >1.5x - container load suspected; re-run on a quiet machine " +
         "before committing")
     val warnField = if (loadWarning) ""","load_warning":true""" else ""
+    // ambient-load stamp: 1-min /proc/loadavg at bench start and end. The
+    // bench itself drives load (local[32] executes on all cores), so the
+    // START figure is the pre-existing ambient load and the honest one to
+    // judge a run by; end is recorded for completeness.
+    val loadField =
+      s""","load_avg_start":${fmt(loadStart)},"load_avg_end":${fmt(loadAvg())}"""
     val line =
-      s"""{"metric":"total","unit":"sec","queries":$qs,"sf":"$sfDir"$warnField,"value":${fmt(total)}}"""
+      s"""{"metric":"total","unit":"sec","queries":$qs,"sf":"$sfDir"$warnField$loadField,"value":${fmt(total)}}"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
         (line + "\n").getBytes("UTF-8"))
@@ -113,7 +130,8 @@ object Bench {
       if (nOk < results.size) s""","n_failed":${results.size - nOk}""" else ""
     val compact =
       s"""{"metric":"total","unit":"sec","n_queries":${results.size}$failField,""" +
-        s""""median":${fmt(median)},"sf":"$sfDir"$warnField,"full":"BENCH_FULL.json","value":${fmt(total)}}"""
+        s""""median":${fmt(median)},"sf":"$sfDir"$warnField$loadField,""" +
+        s""""full":"BENCH_FULL.json","value":${fmt(total)}}"""
     // BENCH_COMPACT.json: the driver-parseable artifact (round-9 verdict #2 —
     // BENCH_r08/r09 shipped "parsed": null because the captured stdout tail
     // carried an sbt "[info] " prefix on the compact line). A FILE cannot be
