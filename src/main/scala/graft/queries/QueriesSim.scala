@@ -473,6 +473,80 @@ object QueriesSim {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // IVF snapshot COMPACTION — the index-maintenance op that completes
+    // the build → append (sim_ivf_append) → compact lifecycle: appended
+    // snapshot dirs accumulate small files and per-snapshot listing cost,
+    // so a periodic compaction rewrites the snapshot UNION into one
+    // cell-partitioned layout. Crucially there is NO re-assignment and no
+    // quantizer involvement — cells are STORED, the rewrite is a pure
+    // partitioned shuffle-write of (vec_id, embedding, cell) — so
+    // compaction cost is IO-linear in the index size at any scale and the
+    // compacted index must search EXACTLY like the snapshot union: the
+    // declared output is the same probe search, checked against the
+    // sim_ivf_append oracle (full recompute over corpus ∪ batch).
+    "ivf_compact" -> ((s, dir) => {
+      import graft.operators.Ivf
+      val e = t(s, dir, "embeddings").where(col("embedding").isNotNull)
+        .select(col("vec_id"), col("embedding"))
+      val cents = Ivf.trainSampled(e, "vec_id", "embedding", k = 8)
+      val base = graft.operators.DiskCache.keyedPath(
+        "ivf_idx_v1", s"$dir/embeddings.parquet")
+      graft.operators.DiskCache.ensure(s"$base/corpus") { tmp =>
+        Ivf.writeIndex(Ivf.index(e, cents, "vec_id", "embedding"), tmp)
+      }
+      val batch = e.where(col("vec_id") % 50 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      Ivf.writeIndex(Ivf.index(batch, cents, "vec_id", "embedding"), s"$base/batch_1")
+      // the compaction: snapshot union → ONE partitioned-by-cell rewrite
+      // (overwrite keeps reruns idempotent, like the batch snapshots)
+      val union = Ivf.readIndex(s, s"$base/corpus")
+        .unionByName(Ivf.readIndex(s, s"$base/batch_1"))
+      Ivf.writeIndex(union, s"$base/compacted_1")
+      val idx = Ivf.readIndex(s, s"$base/compacted_1")
+      val q = e.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      Ivf.search(idx, cents, q, "vec_id", "embedding", "qid", "qe", topK = 10, nprobe = 3)
+        .select(col("qid"), col("vec_id"), round(col("cos"), 6).as("cos"),
+          col("rank").cast(LongType).as("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // Label-match retrieval MRR — the reciprocal-rank eval the recall
+    // cards (ann_recall, knn_eval) don't cover: "how deep must a user
+    // read before the first relevant hit". Relevance = same label;
+    // queries are the seeded md5-ordered 64-id subset (knn_eval_sampled's
+    // 100 TB-safe pattern), the ranking is cut at 100 by a
+    // WindowGroupLimit-planned rank filter (MRR@100: misses score 0), and
+    // every metric is an exact BIGINT — reciprocal ranks as 1e6 DIV rank
+    // µ-units, means as integer division — so the compare is bit-exact.
+    "retrieval_mrr" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .where(col("embedding").isNotNull && col("label").isNotNull)
+        .select(col("vec_id"), col("label").cast(LongType).as("lbl"), col("embedding"))
+      val q = e
+        .orderBy(md5(concat(lit("mrr1:"), col("vec_id").cast("string"))), col("vec_id"))
+        .limit(64)
+        .select(col("vec_id").as("qid"), col("lbl").as("qlbl"), col("embedding").as("qe"))
+      val wq = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+      val ranked = e.crossJoin(broadcast(q)).where(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("qlbl"), col("vec_id"), col("lbl"),
+          SimFns.cosine(col("qe"), col("embedding")).as("cos"))
+        .withColumn("rk", row_number().over(wq)).where(col("rk") <= 100)
+      val firstHit = ranked.where(col("lbl") === col("qlbl"))
+        .groupBy(col("qid"), col("qlbl"))
+        .agg(min(col("rk")).cast(LongType).as("rank1"))
+      q.select(col("qid"), col("qlbl"))
+        .join(firstHit, Seq("qid", "qlbl"), "left")
+        .groupBy(col("qlbl").as("label"))
+        .agg(count(lit(1)).as("n_queries"),
+          count(when(col("rank1") === 1, 1)).as("hits_at1"),
+          count(when(col("rank1") <= 10, 1)).as("hits_at10"),
+          count(col("rank1")).as("hits_at100"),
+          sum(coalesce(expr("1000000 DIV rank1"), lit(0L))).as("rr6_sum"))
+        .withColumn("mrr6", expr("rr6_sum DIV n_queries"))
+        .orderBy(col("label"))
+    }),
+
     // FILTERED (predicate-constrained) ANN — the most common production
     // vector-search shape (round-10 verdict "what's missing" #1:
     // "neighbors among docs WHERE lang='en' AND quality>0.8"), and the
@@ -2073,6 +2147,9 @@ object QueriesSim {
         }
       (tryGen("sim_ivf_kmeans", ivfKmeansOracle(s, dir)) ++
         tryGen("sim_ivf_append", ivfAppendOracle(s, dir)) ++
+        // compaction must search EXACTLY like the snapshot union, so its
+        // oracle IS the append oracle (full recompute over corpus ∪ batch)
+        tryGen("ivf_compact", ivfAppendOracle(s, dir)) ++
         tryGen("sim_filtered", simFilteredOracle(s, dir)) ++
         tryGen("sim_pq", pqOracle(s, dir)) ++
         tryGen("sim_ivfpq", ivfpqOracle(s, dir)) ++
@@ -2171,6 +2248,27 @@ object QueriesSim {
         |  floor(CAST(count(CASE WHEN lbl = qlbl THEN 1 END) AS DOUBLE)
         |    / count(*) * 1e6 + 0.5) / 1e6 AS accuracy
         |FROM pred GROUP BY 1 ORDER BY 1""".stripMargin,
+    "retrieval_mrr" ->
+      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS lbl,
+        |    CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL),
+        |q AS (SELECT vec_id AS qid, lbl AS qlbl, v AS qv FROM e
+        |  ORDER BY md5('mrr1:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 64),
+        |r AS (SELECT qid, qlbl, lbl, rk FROM (
+        |  SELECT q.qid, q.qlbl, e.lbl,
+        |    row_number() OVER (PARTITION BY q.qid
+        |      ORDER BY list_cosine_similarity(q.qv, e.v) DESC, e.vec_id) AS rk
+        |  FROM e CROSS JOIN q WHERE e.vec_id <> q.qid) z WHERE rk <= 100),
+        |fh AS (SELECT qid, qlbl, CAST(min(rk) AS BIGINT) AS rank1
+        |  FROM r WHERE lbl = qlbl GROUP BY 1, 2)
+        |SELECT q.qlbl AS label, CAST(count(*) AS BIGINT) AS n_queries,
+        |  CAST(count(CASE WHEN rank1 = 1 THEN 1 END) AS BIGINT) AS hits_at1,
+        |  CAST(count(CASE WHEN rank1 <= 10 THEN 1 END) AS BIGINT) AS hits_at10,
+        |  CAST(count(rank1) AS BIGINT) AS hits_at100,
+        |  CAST(sum(coalesce(1000000 // rank1, 0)) AS BIGINT) AS rr6_sum,
+        |  CAST(sum(coalesce(1000000 // rank1, 0)) // count(*) AS BIGINT) AS mrr6
+        |FROM q LEFT JOIN fh ON fh.qid = q.qid AND fh.qlbl = q.qlbl
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "mmr_diversify" -> mmrOracle,
     "matryoshka_eval" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

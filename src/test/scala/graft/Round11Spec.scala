@@ -176,6 +176,32 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  test("ivf_compact: compacted index searches exactly like the snapshot union") {
+    // collect the union search BEFORE building ivf_compact: both queries
+    // overwrite the batch_1 snapshot, and a lazy plan would re-list the
+    // dir after the rewrite replaced its files
+    def rows(q: String) = graft.queries.QueriesSim.queries(q)(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    val a = rows("sim_ivf_append")
+    val b = rows("ivf_compact")
+    assert(a == b, "compaction changed search results")
+  }
+
+  test("retrieval_mrr: hit monotonicity and exact integer identities") {
+    val rows = graft.queries.QueriesSim.queries("retrieval_mrr")(spark, dir).collect()
+    assert(rows.map(_.getLong(1)).sum == 64L, "query subset must be exactly 64")
+    rows.foreach { r =>
+      val (nq, h1, h10, h100, rr, mrr) = (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(h1 <= h10 && h10 <= h100 && h100 <= nq)
+      assert(mrr == rr / nq)
+      // rr6 is bounded by hits: every hit contributes at most 1e6 (rank 1)
+      // and at least 1e6/100 (rank 100)
+      assert(rr <= h100 * 1000000L && rr >= h100 * 10000L)
+    }
+  }
+
   test("dedup_bcubed: planted id offsets are collision-free on the active data") {
     // the truth-recovery joins assume base, base+100000, base+200000 are
     // pairwise disjoint AND planted ids never collide with real ids — a
