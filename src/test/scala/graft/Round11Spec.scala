@@ -135,6 +135,36 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  test("sim_filtered: the predicate executes below the probe join, not after it") {
+    import graft.operators.Ivf
+    val e = graft.queries.Tables.t(spark, dir, "embeddings")
+      .where(col("embedding").isNotNull && col("label").isNotNull)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val cents = Ivf.trainSampled(e, "vec_id", "embedding", k = 8)
+    val idx = Ivf.index(e, cents, "vec_id", "embedding")
+    val q = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val fil = Ivf.search(idx.where(col("label") % 3 === 0), cents, q,
+      "vec_id", "embedding", "qid", "qe", topK = 10, nprobe = 3)
+    val exec = fil.queryExecution.executedPlan
+    val plan = exec.collectFirst {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+    }.getOrElse(exec)
+    val labelFilters = plan.collect {
+      case f: org.apache.spark.sql.execution.FilterExec
+          if f.condition.toString.contains("label") &&
+            f.condition.toString.contains("% 3") => f
+    }
+    // the predicate must exist AND at least one instance must sit in a
+    // join-free subtree (i.e. on the scan side BELOW the probe join — the
+    // candidate stream is filtered before top-k fills, never after)
+    assert(labelFilters.nonEmpty, "label predicate missing from the plan")
+    assert(labelFilters.exists(f => f.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }.isEmpty), "label predicate only appears above the probe join")
+  }
+
   test("sim_filtered: post-filter is a subset of the filtered probe, never better") {
     val rows = graft.queries.QueriesSim.queries("sim_filtered")(spark, dir).collect()
     assert(rows.map(_.getLong(0)).toSeq == (0L until 5L))
