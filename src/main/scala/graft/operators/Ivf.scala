@@ -212,14 +212,17 @@ object Ivf {
         val sampled = over
           .withColumn("_rk", row_number().over(wCell))
           .where(col("_rk") <= sampleN)
-          .select(col("cell"), col("_cnt"),
+          .select(col("cell"), col("_cnt"), col("_rk"),
             SimFns.toDouble(col(vecCol)).as("_v"))
-          .as[(Long, Long, Seq[Double])]
+          .as[(Long, Long, Int, Seq[Double])]
         val subCents = sampled.groupByKey(_._1)
           .flatMapGroups { (cell, it) =>
-            val rows = it.toArray
+            // flatMapGroups guarantees NO within-group order — re-sort by
+            // the rank so the Lloyd seeds (first kc rows in id order) are
+            // deterministic across runs and partitionings
+            val rows = it.toArray.sortBy(_._3)
             val cnt = rows.head._2
-            val data = rows.map(_._3.toArray)
+            val data = rows.map(_._4.toArray)
             val kc = math.min(
               math.max(2L, (cnt + targetOcc - 1) / targetOcc), 65535L).toInt
             Pq.lloydLocal(data, kc, maxIters = 25, tol = 1e-4)

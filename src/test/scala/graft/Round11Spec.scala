@@ -108,6 +108,15 @@ class Round11Spec extends SparkSpec {
       s"occupancy bound violated after recursion: max=$maxOcc cells=$nCells")
     // splits actually happened: composite ids (>= 65536) exist
     assert(got.where(col("cell") >= 65536L).count() > 0)
+    // determinism: a second run reproduces the identical assignment
+    // (flatMapGroups has no within-group order — the sub-trainer re-sorts
+    // by rank, so seeds cannot depend on partitioning)
+    val again = Ivf.assignBounded(e, cents, "vec_id", "embedding",
+      targetOcc = 8L, occSlack = 2L, sampleN = 64, maxDepth = 3)
+      .select(col("vec_id"), col("cell"))
+    assert(got.select(col("vec_id"), col("cell")).exceptAll(again).isEmpty &&
+      again.exceptAll(got.select(col("vec_id"), col("cell"))).isEmpty,
+      "assignBounded split assignment is not deterministic")
   }
 
   test("semdedup shipped SFs keep a measured margin below the split bound") {
