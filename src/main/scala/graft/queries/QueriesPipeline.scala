@@ -411,6 +411,57 @@ object QueriesPipeline {
         .orderBy(col("source"))
     }),
 
+    // Neyman-allocated STRATIFIED SAMPLE (Neyman 1934 — the optimal
+    // fixed-budget allocation n_h ∝ N_h·σ_h: high-variance strata deserve
+    // more of the sample; neyman_alloc computes the allocation THEORY
+    // card, this executes the sampling). All-exact arithmetic at any
+    // scale: per-source Σs6 and Σs6² accumulate in DECIMAL(38,0) (Spark)
+    // / HUGEINT (DuckDB) — s6 ≤ 1e6 so N²·1e12 stays inside 1e38 to
+    // N ≈ 3e12 docs per stratum — and N_h·σ_h = sqrt(N_h·Σs6² − (Σs6)²)
+    // exactly (both engines take sqrt of the SAME exact integer's nearest
+    // double, then floor to µ-weight BIGINTs; quantize-once). Allocation
+    // n_h = (500·q_h) DIV Σq_h in integers; selection is the
+    // deterministic md5-order rank within each source, capped by the
+    // LITERAL 500 first (WindowGroupLimit prunes each source's sort) then
+    // by the per-source allocation. Output: the per-source execution card
+    // with an exact picked-id checksum.
+    "stratified_sample" -> ((s, dir) => {
+      val m = TextFns.textStats(col("text"))
+      val docs = t(s, dir, "documents").where(col("text").isNotNull)
+        .select(col("doc_id"), col("source"),
+          m.getField("n_stop").cast(LongType).as("ns"),
+          m.getField("n_tokens").cast(LongType).as("nt"))
+        .select(col("doc_id"), col("source"),
+          expr("(ns * 1000000) DIV greatest(nt, 1)").as("s6"))
+        .localCheckpoint(false) // read by the moments AND the selection
+      val d38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+      val strata = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_h"),
+          sum(col("s6").cast(d38)).as("sum6"),
+          sum((col("s6") * col("s6")).cast(d38)).as("sumsq6"))
+        .withColumn("v", col("n_h").cast(d38) * col("sumsq6")
+          - col("sum6") * col("sum6"))
+        .withColumn("q", floor(sqrt(col("v").cast(DoubleType))).cast(LongType))
+      val alloc = strata
+        .crossJoin(broadcast(strata.agg(sum(col("q")).as("qtot"))))
+        .withColumn("n_alloc", expr("(500 * q) DIV greatest(qtot, 1)"))
+        .select(col("source"), col("n_h"), col("q"), col("n_alloc"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(md5(concat(lit("strat:"), col("doc_id").cast(StringType))), col("doc_id"))
+      val picked = docs
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 500) // literal cap => WindowGroupLimit per source
+        .join(broadcast(alloc), "source")
+        .where(col("rk") <= col("n_alloc"))
+      alloc.join(picked.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_picked"), sum(col("doc_id")).as("picked_id_sum")),
+          Seq("source"), "left")
+        .select(col("source"), col("n_h"), col("q"), col("n_alloc"),
+          coalesce(col("n_picked"), lit(0L)).as("n_picked"),
+          coalesce(col("picked_id_sum"), lit(0L)).as("picked_id_sum"))
+        .orderBy(col("source"))
+    }),
+
     // Per-source quota (per-domain cap, Common-Crawl style): keep at most 10
     // docs per source, chosen by deterministic hash order (an unbiased
     // subsample, not first-N). The rank filter is recognized by Spark 4's
@@ -1021,6 +1072,36 @@ object QueriesPipeline {
          |SELECT CAST(row_number() OVER (ORDER BY phase, skey, doc_id) AS BIGINT) AS pos,
          |  doc_id, CAST(phase AS BIGINT) AS phase
          |FROM p ORDER BY pos""".stripMargin,
+    "stratified_sample" ->
+      s"""WITH m AS (SELECT * FROM (${Tables.qualityMetricsSql(", source, text")}) z
+         |  WHERE text IS NOT NULL),
+         |sc AS (SELECT doc_id, source,
+         |    (CAST(ns AS BIGINT) * 1000000) // greatest(CAST(nt AS BIGINT), 1) AS s6
+         |  FROM m),
+         |st AS (SELECT source, CAST(count(*) AS BIGINT) AS n_h,
+         |    sum(CAST(s6 AS HUGEINT)) AS sum6,
+         |    sum(CAST(s6 AS HUGEINT) * s6) AS sumsq6
+         |  FROM sc GROUP BY 1),
+         |qv AS (SELECT source, n_h,
+         |    CAST(floor(sqrt(CAST(CAST(n_h AS HUGEINT) * sumsq6 - sum6 * sum6
+         |      AS DOUBLE))) AS BIGINT) AS q
+         |  FROM st),
+         |qt AS (SELECT CAST(sum(q) AS BIGINT) AS qtot FROM qv),
+         |al AS (SELECT source, n_h, q,
+         |    CAST((500 * q) // greatest(qtot, 1) AS BIGINT) AS n_alloc
+         |  FROM qv CROSS JOIN qt),
+         |rk AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source
+         |    ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+         |  FROM sc),
+         |pk AS (SELECT rk.source, CAST(count(*) AS BIGINT) AS n_picked,
+         |    CAST(sum(doc_id) AS BIGINT) AS picked_id_sum
+         |  FROM rk JOIN al ON al.source = rk.source AND rk.rk <= al.n_alloc
+         |  GROUP BY 1)
+         |SELECT al.source, al.n_h, al.q, al.n_alloc,
+         |  coalesce(pk.n_picked, 0) AS n_picked,
+         |  coalesce(pk.picked_id_sum, 0) AS picked_id_sum
+         |FROM al LEFT JOIN pk ON pk.source = al.source
+         |ORDER BY al.source""".stripMargin,
     "source_quota" ->
       """SELECT source, doc_id, CAST(rk AS BIGINT) AS rk FROM (
         |  SELECT source, doc_id, row_number() OVER (PARTITION BY source

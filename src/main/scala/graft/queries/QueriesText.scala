@@ -1015,6 +1015,45 @@ object QueriesText {
         .orderBy(col("lang"), col("detected"))
     }),
 
+    // WITHIN-doc n-gram repetition (the Gopher repetition filters, Rae et
+    // al. 2021 — "fraction of tokens inside duplicated n-grams": loops,
+    // keyword stuffing and degenerate generations repeat trigrams long
+    // before cross-doc dedup sees anything; line_dedup/substring_dedup are
+    // CROSS-doc, this is the within-doc twin the quality gate was
+    // missing). Per doc: trigram occurrences belonging to a gram seen >=2
+    // times in the SAME doc, over total trigram occurrences — exact
+    // µ-unit BIGINTs. Planted signal (measured margin, the round-10
+    // discipline): every 25th doc re-emitted with text DOUBLED carries
+    // rep >= 0.889 while natural docs top out at 0.154 (measured at
+    // sf0.1) — the 0.5 flag threshold has >=3.2x margin both ways;
+    // provenance rides a literal flag column, so no id-offset aliasing is
+    // possible at any scale. Shape: one ShingleGenerator pass (streamed
+    // trigrams, no array materialization) -> two map-side-combined
+    // aggregates; work is token-linear.
+    "ngram_repetition" -> ((s, dir) => {
+      val base = t(s, dir, "documents").where(col("text").isNotNull)
+        .select(col("doc_id"), col("source"), col("text"))
+      val docs = base.withColumn("planted", lit(false))
+        .unionByName(base.where(col("doc_id") % 25 === 0)
+          .select(col("doc_id"), col("source"),
+            concat(col("text"), lit(" "), col("text")).as("text"))
+          .withColumn("planted", lit(true)))
+      val perDoc = docs
+        .select(col("doc_id"), col("source"), col("planted"),
+          TextFns.shingleExplode(TextFns.tokens(col("text")), 3).as("g"))
+        .groupBy(col("doc_id"), col("source"), col("planted"), col("g"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"), col("source"), col("planted"))
+        .agg(sum(col("c")).as("tt"),
+          sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("r"))
+        .withColumn("rep6", expr("(r * 1000000) DIV greatest(tt, 1)"))
+      perDoc.groupBy(col("source"), col("planted"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr("sum(rep6) DIV count(1)").as("mean_rep6"),
+          count(when(col("rep6") >= 500000L, 1)).as("n_flagged"))
+        .orderBy(col("source"), col("planted"))
+    }),
+
     // Vocabulary-coverage curve for tokenizer sizing: the share of total
     // token MASS the top-k vocabulary covers, k ∈ {10, 100, 1000}. The
     // corpus collapses to (token, count) first; the global Zipf rank is a
@@ -1647,6 +1686,31 @@ object QueriesText {
          |  floor(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY lang) * 1e6 + 0.5) / 1e6
          |    AS share
          |FROM m ORDER BY lang, detected""".stripMargin,
+    "ngram_repetition" ->
+      s"""WITH base AS (SELECT doc_id, source, text FROM documents
+         |  WHERE text IS NOT NULL),
+         |docs AS (SELECT doc_id, source, text, FALSE AS planted FROM base
+         |  UNION ALL SELECT doc_id, source, text || ' ' || text, TRUE
+         |  FROM base WHERE doc_id % 25 = 0),
+         |tk AS (SELECT doc_id, source, planted, ${Tables.toksSql()} AS tk
+         |  FROM docs),
+         |g AS (SELECT doc_id, source, planted,
+         |    unnest(list_transform(range(1, greatest(len(tk) - 1, 1)),
+         |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g
+         |  FROM tk),
+         |c AS (SELECT doc_id, source, planted, g, CAST(count(*) AS BIGINT) AS c
+         |  FROM g GROUP BY 1, 2, 3, 4),
+         |d AS (SELECT doc_id, source, planted, sum(c) AS tt,
+         |    sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS r
+         |  FROM c GROUP BY 1, 2, 3),
+         |p AS (SELECT source, planted,
+         |    CAST((r * 1000000) // greatest(tt, 1) AS BIGINT) AS rep6
+         |  FROM d)
+         |SELECT source, planted, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(rep6) // count(*) AS BIGINT) AS mean_rep6,
+         |  CAST(count(CASE WHEN rep6 >= 500000 THEN 1 END) AS BIGINT)
+         |    AS n_flagged
+         |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "vocab_coverage" ->
       s"""WITH tc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
          |    SELECT unnest($toks) AS w FROM documents WHERE text IS NOT NULL)

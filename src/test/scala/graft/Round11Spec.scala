@@ -241,6 +241,34 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  test("ngram_repetition: planted doubled docs all flag, natural docs never do") {
+    val rows = graft.queries.QueriesText.queries("ngram_repetition")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getBoolean(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val (planted, natural) = rows.partition(_._2)
+    assert(planted.nonEmpty && natural.nonEmpty)
+    // measured margin: planted rep >= 0.889, natural <= 0.154, cut at 0.5
+    planted.foreach { r =>
+      assert(r._5 == r._3, s"source ${r._1}: planted doc below the 0.5 flag") }
+    natural.foreach { r =>
+      assert(r._5 == 0L, s"source ${r._1}: natural doc crossed the 0.5 flag") }
+    // planted means sit far above natural means
+    assert(planted.map(_._4).min > 2 * natural.map(_._4).max)
+  }
+
+  test("stratified_sample: allocation within budget, selection fills each stratum") {
+    val rows = graft.queries.QueriesPipeline.queries("stratified_sample")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.map(_._4).sum <= 500L, "allocations exceed the 500 budget")
+    rows.foreach { r =>
+      assert(r._5 == math.min(r._4, r._2), s"source ${r._1}: picked != min(alloc, n_h)")
+    }
+    // Neyman monotonicity: a larger weight never gets a smaller allocation
+    for (a <- rows; b <- rows if a._3 > b._3)
+      assert(a._4 >= b._4, s"${a._1} q=${a._3} alloc=${a._4} < ${b._1} q=${b._3} alloc=${b._4}")
+  }
+
   test("dedup_bcubed: planted id offsets are collision-free on the active data") {
     // the truth-recovery joins assume base, base+100000, base+200000 are
     // pairwise disjoint AND planted ids never collide with real ids — a
