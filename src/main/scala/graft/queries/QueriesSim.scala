@@ -511,6 +511,52 @@ object QueriesSim {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // RANGE (radius/threshold) similarity search — the retrieval shape
+    // top-k can't express: "EVERYTHING above cos τ" (dedup candidate
+    // generation, near-match alerting, recall-first filtering demand all
+    // matches, not the best k). τ = 0.3 CALIBRATED to the corpus
+    // (measured 1–16 matches per query at both sf0.001 and sf0.1; 0.4
+    // would return zero — the planted-threshold discipline). The IVF
+    // probe answers the range query from nprobe=3 cells; truth is the
+    // exact query-bounded scan, and the card reports range-RECALL —
+    // the probe's matches are a subset of truth by construction, so the
+    // µ-unit recall is the honest cell-pruning price. All-BIGINT output
+    // (counts, id checksums, recalls) — bit-exact compare. Oracle:
+    // trained-oracle pattern with the threshold inlined.
+    "sim_range_search" -> ((s, dir) => {
+      import graft.operators.Ivf
+      val e = t(s, dir, "embeddings").where(col("embedding").isNotNull)
+        .select(col("vec_id"), col("embedding"))
+      val cents = Ivf.trainSampled(e, "vec_id", "embedding", k = 8)
+      val ca = Ivf.collectCentroids(cents)
+      val idx = Ivf.index(e, cents, "vec_id", "embedding")
+      val q = e.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val probes = q.select(col("qid"), col("qe"),
+        explode(Ivf.nearestCells(col("qe"), ca, 3)).as("cell"))
+      val hits = idx.join(broadcast(probes), "cell")
+        .where(col("vec_id") =!= col("qid") &&
+          SimFns.cosine(col("qe"), col("embedding")) >= 0.3)
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("n_probe"), sum(col("vec_id")).as("probe_id_sum"))
+      val exact = e.crossJoin(broadcast(q))
+        .where(col("vec_id") =!= col("qid") &&
+          SimFns.cosine(col("qe"), col("embedding")) >= 0.3)
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("n_exact"), sum(col("vec_id")).as("exact_id_sum"))
+      q.select(col("qid"))
+        .join(exact, Seq("qid"), "left")
+        .join(hits, Seq("qid"), "left")
+        .select(col("qid"),
+          coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+          coalesce(col("exact_id_sum"), lit(0L)).as("exact_id_sum"),
+          coalesce(col("n_probe"), lit(0L)).as("n_probe"),
+          coalesce(col("probe_id_sum"), lit(0L)).as("probe_id_sum"))
+        .withColumn("recall6",
+          expr("(n_probe * 1000000) DIV greatest(n_exact, 1)"))
+        .orderBy(col("qid"))
+    }),
+
     // Label-match retrieval MRR — the reciprocal-rank eval the recall
     // cards (ann_recall, knn_eval) don't cover: "how deep must a user
     // read before the first relevant hit". Relevance = same label;
@@ -1667,6 +1713,60 @@ object QueriesSim {
         |  SELECT vec_id + 100000, CAST(embedding AS DOUBLE[])
         |  FROM embeddings WHERE vec_id % 50 = 0 AND embedding IS NOT NULL""".stripMargin)
 
+  /** sim_range_search's twin: refit the quantizer, assign the corpus,
+    * pick probe cells with inlined distance chains, and reproduce the
+    * probe-hit / exact range counts at the same cos >= 0.3 threshold
+    * (CAST AS DOUBLE — a bare 0.3 parses as DECIMAL in DuckDB). */
+  private def rangeSearchOracle(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    import graft.operators.Ivf
+    val e = t(s, dir, "embeddings").where(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"))
+    val cents = Ivf.collectCentroids(Ivf.trainSampled(e, "vec_id", "embedding", k = 8))
+    val k = cents.length
+    val dDefs = cents.zipWithIndex.map { case (c, i) =>
+      s"${l2ChainSql("v", c)} AS d$i" }.mkString(",\n    ")
+    val dcols = (0 until k).map(i => s"d$i")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |d AS (SELECT vec_id, v,
+       |    $dDefs
+       |  FROM e),
+       |a AS MATERIALIZED (SELECT vec_id, v, ${argminCaseSql(dcols)} AS cell FROM d),
+       |qd AS (SELECT vec_id AS qid, v AS qv, ${dcols.mkString(", ")}
+       |  FROM d WHERE vec_id < 5),
+       |qc AS (SELECT qid, qv, u.cell,
+       |    CASE u.cell ${(0 until k).map(i => s"WHEN $i THEN d$i").mkString(" ")} END AS dist
+       |  FROM qd CROSS JOIN (SELECT unnest(range(0, $k)) AS cell) u),
+       |probes AS MATERIALIZED (SELECT qid, qv, cell FROM (
+       |  SELECT qid, qv, cell,
+       |    row_number() OVER (PARTITION BY qid ORDER BY dist, cell) AS rn FROM qc)
+       |  WHERE rn <= 3),
+       |hits AS (SELECT p.qid, CAST(count(*) AS BIGINT) AS n_probe,
+       |    CAST(sum(a.vec_id) AS BIGINT) AS probe_id_sum
+       |  FROM probes p JOIN a ON a.cell = p.cell
+       |  WHERE a.vec_id <> p.qid
+       |    AND list_cosine_similarity(p.qv, a.v) >= CAST(0.3 AS DOUBLE)
+       |  GROUP BY 1),
+       |ex AS (SELECT q.qid, CAST(count(*) AS BIGINT) AS n_exact,
+       |    CAST(sum(a.vec_id) AS BIGINT) AS exact_id_sum
+       |  FROM (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5) q
+       |    JOIN a ON a.vec_id <> q.qid
+       |      AND list_cosine_similarity(q.qv, a.v) >= CAST(0.3 AS DOUBLE)
+       |  GROUP BY 1),
+       |qs AS (SELECT qid FROM qd)
+       |SELECT qs.qid,
+       |  coalesce(ex.n_exact, 0) AS n_exact,
+       |  coalesce(ex.exact_id_sum, 0) AS exact_id_sum,
+       |  coalesce(hits.n_probe, 0) AS n_probe,
+       |  coalesce(hits.probe_id_sum, 0) AS probe_id_sum,
+       |  CAST((coalesce(hits.n_probe, 0) * 1000000)
+       |    // greatest(coalesce(ex.n_exact, 0), 1) AS BIGINT) AS recall6
+       |FROM qs
+       |LEFT JOIN ex ON ex.qid = qs.qid
+       |LEFT JOIN hits ON hits.qid = qs.qid
+       |ORDER BY qs.qid""".stripMargin
+  }
+
   /** sim_filtered's twin: refit the quantizer, assign the corpus and rank
     * the probes via inlined distance chains, and reproduce the
     * filtered-probe / post-filter / exact-filtered-truth top-10s with the
@@ -2151,6 +2251,7 @@ object QueriesSim {
         // oracle IS the append oracle (full recompute over corpus ∪ batch)
         tryGen("ivf_compact", ivfAppendOracle(s, dir)) ++
         tryGen("sim_filtered", simFilteredOracle(s, dir)) ++
+        tryGen("sim_range_search", rangeSearchOracle(s, dir)) ++
         tryGen("sim_pq", pqOracle(s, dir)) ++
         tryGen("sim_ivfpq", ivfpqOracle(s, dir)) ++
         tryGen("sim_ivfpq_append", ivfpqOracle(s, dir,

@@ -241,6 +241,20 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  test("sim_range_search: probe hits are a subset of the exact range") {
+    val rows = graft.queries.QueriesSim.queries("sim_range_search")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.map(_._1).toSeq == (0L until 5L))
+    rows.foreach { r =>
+      assert(r._4 <= r._2, s"qid ${r._1}: probe found more than exact")
+      assert(r._6 == r._4 * 1000000L / math.max(r._2, 1L))
+    }
+    // the calibrated threshold must actually match something (a dead
+    // threshold would make the card a no-op — planted-signal lesson)
+    assert(rows.map(_._2).sum > 0, "cos>=0.3 matched nothing at this SF")
+  }
+
   test("ngram_repetition: planted doubled docs all flag, natural docs never do") {
     val rows = graft.queries.QueriesText.queries("ngram_repetition")(spark, dir)
       .collect().map(r => (r.getString(0), r.getBoolean(1), r.getLong(2),
