@@ -411,6 +411,56 @@ object QueriesPipeline {
         .orderBy(col("source"))
     }),
 
+    // END-TO-END corpus assembly — the "make the training set" composite
+    // the individual stages (dedup_apply, doc_quality_gate, source_quota,
+    // quality_budget) each cover one leg of: exact dedup (min-id keeper
+    // per md5(text) — one hash groupBy, the exact tier of the dedup
+    // family) → quality gate (the SHARED qualityScore formula, one fused
+    // TextStats scan) → per-source 50-doc cap (deterministic md5 order,
+    // literal rank cut ⇒ WindowGroupLimit prunes each source's sort).
+    // Every stage is linear; the card reports the per-source funnel with
+    // an exact kept-id checksum, so the oracle pins the EXACT surviving
+    // corpus, not just its size. Planted signal: every 25th doc
+    // re-emitted VERBATIM at offset max(doc_id)+1 (collision-free at ANY
+    // scale, pure-SQL-expressible — no power-of-ten/log10 cross-engine
+    // risk); planted copies carry HIGHER ids, so the min-id keeper drops
+    // exactly them at the dedup stage (spec-pinned).
+    "corpus_assembly" -> ((s, dir) => {
+      val base = t(s, dir, "documents").where(col("text").isNotNull)
+        .select(col("doc_id"), col("source"), col("text"), col("n_chars"))
+      val off = base.agg((max(col("doc_id")) + 1L).as("off"))
+      val corpus = base.unionByName(
+        base.where(col("doc_id") % 25 === 0).crossJoin(broadcast(off))
+          .select((col("doc_id") + col("off")).as("doc_id"), col("source"),
+            col("text"), col("n_chars")))
+      val scored = corpus.select(col("doc_id"), col("source"), col("n_chars"),
+          md5(col("text")).as("h"), TextFns.qualityScore(col("text")).as("score"))
+        .localCheckpoint(false) // keeper groupBy AND the flag join read it
+      val keeper = scored.groupBy(col("h")).agg(min(col("doc_id")).as("keep_id"))
+      val flagged = scored.join(keeper, "h")
+        .withColumn("dup", col("doc_id") =!= col("keep_id"))
+        .withColumn("qpass", col("score") >= 0.5)
+        .localCheckpoint(false) // funnel aggregate AND the cap read it
+      val w = Window.partitionBy(col("source"))
+        .orderBy(md5(concat(lit("asm:"), col("doc_id").cast(StringType))), col("doc_id"))
+      val kept = flagged.where(!col("dup") && col("qpass"))
+        .withColumn("rk", row_number().over(w)).where(col("rk") <= 50)
+      flagged.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_raw"),
+          count(when(!col("dup"), 1)).as("n_after_dedup"),
+          count(when(!col("dup") && col("qpass"), 1)).as("n_after_quality"))
+        .join(kept.groupBy(col("source"))
+            .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("kept_id_sum"),
+              sum(col("n_chars")).as("chars_kept")),
+          Seq("source"), "left")
+        .select(col("source"), col("n_raw"), col("n_after_dedup"),
+          col("n_after_quality"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("kept_id_sum"), lit(0L)).as("kept_id_sum"),
+          coalesce(col("chars_kept"), lit(0L)).as("chars_kept"))
+        .orderBy(col("source"))
+    }),
+
     // Neyman-allocated STRATIFIED SAMPLE (Neyman 1934 — the optimal
     // fixed-budget allocation n_h ∝ N_h·σ_h: high-variance strata deserve
     // more of the sample; neyman_alloc computes the allocation THEORY
@@ -1072,6 +1122,41 @@ object QueriesPipeline {
          |SELECT CAST(row_number() OVER (ORDER BY phase, skey, doc_id) AS BIGINT) AS pos,
          |  doc_id, CAST(phase AS BIGINT) AS phase
          |FROM p ORDER BY pos""".stripMargin,
+    "corpus_assembly" ->
+      s"""WITH base AS (SELECT doc_id, source, text, n_chars FROM documents
+         |  WHERE text IS NOT NULL),
+         |off AS (SELECT max(doc_id) + 1 AS off FROM base),
+         |corpus AS (SELECT doc_id, source, text, n_chars FROM base
+         |  UNION ALL SELECT doc_id + off.off, source, text, n_chars
+         |  FROM base, off WHERE doc_id % 25 = 0),
+         |m AS (${Tables.qualityMetricsSql(", source, text, n_chars", "corpus")}),
+         |sc AS (SELECT doc_id, source, n_chars, md5(text) AS h,
+         |    ${Tables.qualityScoreSql} AS score
+         |  FROM m),
+         |keeper AS (SELECT h, min(doc_id) AS keep_id FROM sc GROUP BY 1),
+         |f AS MATERIALIZED (SELECT sc.doc_id, sc.source, sc.n_chars,
+         |    sc.doc_id <> k.keep_id AS dup, sc.score >= 0.5 AS qpass
+         |  FROM sc JOIN keeper k ON k.h = sc.h),
+         |kept AS (SELECT source, doc_id, n_chars FROM (
+         |  SELECT source, doc_id, n_chars,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY md5('asm:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+         |  FROM f WHERE NOT dup AND qpass) z WHERE rk <= 50),
+         |agg1 AS (SELECT source, CAST(count(*) AS BIGINT) AS n_raw,
+         |    CAST(count(CASE WHEN NOT dup THEN 1 END) AS BIGINT) AS n_after_dedup,
+         |    CAST(count(CASE WHEN NOT dup AND qpass THEN 1 END) AS BIGINT)
+         |      AS n_after_quality
+         |  FROM f GROUP BY 1),
+         |agg2 AS (SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+         |    CAST(sum(doc_id) AS BIGINT) AS kept_id_sum,
+         |    CAST(sum(n_chars) AS BIGINT) AS chars_kept
+         |  FROM kept GROUP BY 1)
+         |SELECT agg1.source, n_raw, n_after_dedup, n_after_quality,
+         |  coalesce(n_kept, 0) AS n_kept,
+         |  coalesce(kept_id_sum, 0) AS kept_id_sum,
+         |  coalesce(chars_kept, 0) AS chars_kept
+         |FROM agg1 LEFT JOIN agg2 ON agg2.source = agg1.source
+         |ORDER BY agg1.source""".stripMargin,
     "stratified_sample" ->
       s"""WITH m AS (SELECT * FROM (${Tables.qualityMetricsSql(", source, text")}) z
          |  WHERE text IS NOT NULL),

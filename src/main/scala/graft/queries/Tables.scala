@@ -59,13 +59,13 @@ object Tables {
   /** The DuckDB twin of [[graft.functions.TextFns]]' per-doc quality metrics
     * — emit as a CTE `SELECT doc_id$extra, nc, nt, np, ns FROM documents`;
     * single definition so the score inputs can't drift between oracles. */
-  def qualityMetricsSql(extra: String = ""): String =
+  def qualityMetricsSql(extra: String = "", from: String = "documents"): String =
     s"""SELECT doc_id$extra,
        |    CAST(length(text) AS DOUBLE) AS nc,
        |    CAST(len(${toksSql()}) AS DOUBLE) AS nt,
        |    CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE) AS np,
        |    CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|a|for|on|with|as|by|at|it)\\b')) AS DOUBLE) AS ns
-       |  FROM documents""".stripMargin
+       |  FROM $from""".stripMargin
 
   /** The DuckDB twin of [[graft.functions.TextFns.qualityScoreFrom]] (the
     * weighted CASE chain over the metric columns above), unrounded. */

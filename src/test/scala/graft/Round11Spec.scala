@@ -241,6 +241,24 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  test("corpus_assembly: funnel is monotone and drops exactly the planted copies") {
+    val rows = graft.queries.QueriesPipeline.queries("corpus_assembly")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val planted = graft.queries.Tables.t(spark, dir, "documents")
+      .where(col("text").isNotNull && col("doc_id") % 25 === 0)
+      .groupBy(col("source")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r._2 >= r._3 && r._3 >= r._4 && r._4 >= r._5, s"${r._1}: funnel not monotone")
+      assert(r._5 <= 50L, s"${r._1}: cap exceeded")
+      // sf0.001 has zero natural exact dups (measured), so the dedup stage
+      // drops exactly the planted verbatim copies
+      assert(r._2 - r._3 == planted.getOrElse(r._1, 0L),
+        s"${r._1}: dedup drop != planted count")
+    }
+  }
+
   test("sim_range_search: probe hits are a subset of the exact range") {
     val rows = graft.queries.QueriesSim.queries("sim_range_search")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
