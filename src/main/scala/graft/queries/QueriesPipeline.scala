@@ -464,7 +464,9 @@ object QueriesPipeline {
     // Neyman-allocated STRATIFIED SAMPLE (Neyman 1934 — the optimal
     // fixed-budget allocation n_h ∝ N_h·σ_h: high-variance strata deserve
     // more of the sample; neyman_alloc computes the allocation THEORY
-    // card, this executes the sampling). All-exact arithmetic at any
+    // card, sample_stratified applies FIXED config rates — this card
+    // closes the triangle by DERIVING the optimal allocation from data
+    // moments and executing the exact-count draw). All-exact arithmetic at any
     // scale: per-source Σs6 and Σs6² accumulate in DECIMAL(38,0) (Spark)
     // / HUGEINT (DuckDB) — s6 ≤ 1e6 so N²·1e12 stays inside 1e38 to
     // N ≈ 3e12 docs per stratum — and N_h·σ_h = sqrt(N_h·Σs6² − (Σs6)²)

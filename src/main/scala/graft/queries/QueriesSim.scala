@@ -388,6 +388,70 @@ object QueriesSim {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // PLAID-style centroid-pruned late interaction (Santhanam et al.
+    // 2022 — how ColBERT actually runs at scale: maxsim_retrieval's
+    // brute-force corpus×queries MaxSim is the quality ceiling, PLAID
+    // prunes candidates by coarse-quantizing every SUB-vector into a
+    // shared centroid space and scoring only docs that share a cell with
+    // some query sub-vector). ONE k=32 quantizer trained on the id-ordered
+    // sub-vector stream (sid = vec_id·4+pos — deterministic sample);
+    // candidates come from a cell EQUI-JOIN between the exploded
+    // (vec_id, cell) postings and the query's probe cells — work ∝ cell
+    // occupancy, never corpus×queries — then the exact shared MaxSim
+    // formula re-ranks candidates only. Card: per-query candidate volume
+    // (the pruning price) and top-5 recall vs the brute-force truth —
+    // self-retrieval guarantees hits ≥ 1 (spec). Oracle: trained pattern,
+    // 8 centroids × 4 position offsets inlined as distance chains.
+    "maxsim_ivf" -> ((s, dir) => {
+      import graft.operators.Ivf
+      val e = t(s, dir, "embeddings").where(col("embedding").isNotNull)
+        .select(col("vec_id"), col("embedding"))
+      val d = 16
+      val slices = e.select(col("vec_id"),
+          posexplode(array((0 until 4).map(i =>
+            slice(col("embedding"), i * d + 1, d)): _*)).as(Seq("pos", "sub")))
+        .select((col("vec_id") * 4 + col("pos")).as("sid"), col("sub"))
+      val cents = Ivf.collectCentroids(Ivf.trainSampled(slices, "sid", "sub", k = 32))
+      val cellsArr = array((0 until 4).map(i =>
+        element_at(Ivf.nearestCells(slice(col("embedding"), i * d + 1, d), cents, 1), 1)): _*)
+      val docs = e.select(col("vec_id"), col("embedding"), cellsArr.as("cells"))
+        .localCheckpoint(false) // postings, queries, rerank, truth all read it
+      val q = docs.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cells").as("qcells"))
+      val dcell = docs.select(col("vec_id"), explode(col("cells")).as("cell")).distinct()
+      val qcell = q.select(col("qid"), explode(col("qcells")).as("cell")).distinct()
+      val cand = dcell.join(broadcast(qcell), "cell")
+        .select(col("qid"), col("vec_id")).distinct()
+        .localCheckpoint(false) // counted AND re-ranked
+      val maxsim = (0 until 4).map { i =>
+        greatest((0 until 4).map { j =>
+          SimFns.cosine(slice(col("qe"), i * d + 1, d),
+            slice(col("embedding"), j * d + 1, d))
+        }: _*)
+      }.reduce(_ + _)
+      val wq = Window.partitionBy(col("qid")).orderBy(col("ms").desc, col("vec_id"))
+      val qe = broadcast(q.select(col("qid"), col("qe")))
+      val rer = cand.join(docs.select(col("vec_id"), col("embedding")), "vec_id")
+        .join(qe, "qid")
+        .select(col("qid"), col("vec_id"), maxsim.as("ms"))
+        .withColumn("rk", row_number().over(wq)).where(col("rk") <= 5)
+        .select(col("qid"), col("vec_id"))
+      val truth = docs.select(col("vec_id"), col("embedding")).crossJoin(qe)
+        .select(col("qid"), col("vec_id"), maxsim.as("ms"))
+        .withColumn("rk", row_number().over(wq)).where(col("rk") <= 5)
+        .select(col("qid"), col("vec_id"))
+      q.select(col("qid"))
+        .join(cand.groupBy(col("qid")).agg(count(lit(1)).as("n_cand")), Seq("qid"), "left")
+        .join(rer.join(truth, Seq("qid", "vec_id"), "left_semi")
+            .groupBy(col("qid")).agg(count(lit(1)).as("hits")), Seq("qid"), "left")
+        .crossJoin(e.agg(count(lit(1)).as("n_corpus")))
+        .select(col("qid"), col("n_corpus"),
+          coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+          coalesce(col("hits"), lit(0L)).as("hits"))
+        .withColumn("recall6", expr("(hits * 1000000) DIV 5"))
+        .orderBy(col("qid"))
+    }),
+
     "sim_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val q = e.where(col("vec_id") < 5)
@@ -1713,6 +1777,74 @@ object QueriesSim {
         |  SELECT vec_id + 100000, CAST(embedding AS DOUBLE[])
         |  FROM embeddings WHERE vec_id % 50 = 0 AND embedding IS NOT NULL""".stripMargin)
 
+  /** maxsim_ivf's twin: refit the shared sub-vector quantizer (identical
+    * id-ordered slice stream), inline 32 centroids × 4 position offsets as
+    * distance chains + argmin CASEs, rebuild the cell postings / probe
+    * equi-join candidates, and re-rank with the same sliced MaxSim
+    * formula maxsim_retrieval's oracle uses. */
+  private def maxsimIvfOracle(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    import graft.operators.Ivf
+    val e = t(s, dir, "embeddings").where(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"))
+    val d = 16
+    val slices = e.select(col("vec_id"),
+        posexplode(array((0 until 4).map(i =>
+          slice(col("embedding"), i * d + 1, d)): _*)).as(Seq("pos", "sub")))
+      .select((col("vec_id") * 4 + col("pos")).as("sid"), col("sub"))
+    val cents = Ivf.collectCentroids(Ivf.trainSampled(slices, "sid", "sub", k = 32))
+    val k = cents.length
+    val dDefs = (0 until 4).flatMap { j =>
+      cents.zipWithIndex.map { case (c, i) =>
+        s"${l2ChainSql("v", c, off = j * d)} AS d${j}_$i" }
+    }.mkString(",\n    ")
+    val cellDefs = (0 until 4).map { j =>
+      s"${argminCaseSql((0 until k).map(i => s"d${j}_$i"))} AS c$j"
+    }.mkString(",\n    ")
+    def lcs(i: Int, j: Int) =
+      s"list_cosine_similarity(q.qv[${i * 16 + 1}:${i * 16 + 16}], " +
+        s"e.v[${j * 16 + 1}:${j * 16 + 16}])"
+    val ms = (0 until 4).map(i =>
+      "greatest(" + (0 until 4).map(j => lcs(i, j)).mkString(", ") + ")")
+      .mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |dd AS (SELECT vec_id, v,
+       |    $dDefs
+       |  FROM e),
+       |cl AS MATERIALIZED (SELECT vec_id,
+       |    $cellDefs
+       |  FROM dd),
+       |dc AS MATERIALIZED (SELECT DISTINCT vec_id, cell FROM (
+       |  SELECT vec_id, unnest([c0, c1, c2, c3]) AS cell FROM cl) z),
+       |qcl AS (SELECT vec_id AS qid, cell FROM dc WHERE vec_id < 5),
+       |cand AS MATERIALIZED (SELECT DISTINCT q.qid, d.vec_id
+       |  FROM qcl q JOIN dc d ON d.cell = q.cell),
+       |qe AS MATERIALIZED (SELECT vec_id AS qid, v AS qv FROM e
+       |  WHERE vec_id < 5),
+       |rer AS (SELECT qid, vec_id FROM (
+       |  SELECT qid, vec_id,
+       |    row_number() OVER (PARTITION BY qid ORDER BY ms DESC, vec_id) AS rn
+       |  FROM (SELECT c.qid, c.vec_id, $ms AS ms
+       |    FROM cand c JOIN e ON e.vec_id = c.vec_id
+       |    JOIN qe q ON q.qid = c.qid) z1) z2 WHERE rn <= 5),
+       |tr AS (SELECT qid, vec_id FROM (
+       |  SELECT qid, vec_id,
+       |    row_number() OVER (PARTITION BY qid ORDER BY ms DESC, vec_id) AS rn
+       |  FROM (SELECT q.qid, e.vec_id, $ms AS ms
+       |    FROM e CROSS JOIN qe q) z1) z2 WHERE rn <= 5),
+       |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus FROM e),
+       |cc AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_cand FROM cand GROUP BY 1),
+       |hh AS (SELECT rer.qid, CAST(count(*) AS BIGINT) AS hits
+       |  FROM rer JOIN tr USING (qid, vec_id) GROUP BY 1)
+       |SELECT q.qid, nc.n_corpus, coalesce(cc.n_cand, 0) AS n_cand,
+       |  coalesce(hh.hits, 0) AS hits,
+       |  CAST((coalesce(hh.hits, 0) * 1000000) // 5 AS BIGINT) AS recall6
+       |FROM (SELECT qid FROM qe) q CROSS JOIN nc
+       |LEFT JOIN cc ON cc.qid = q.qid
+       |LEFT JOIN hh ON hh.qid = q.qid
+       |ORDER BY q.qid""".stripMargin
+  }
+
   /** sim_range_search's twin: refit the quantizer, assign the corpus,
     * pick probe cells with inlined distance chains, and reproduce the
     * probe-hit / exact range counts at the same cos >= 0.3 threshold
@@ -2252,6 +2384,7 @@ object QueriesSim {
         tryGen("ivf_compact", ivfAppendOracle(s, dir)) ++
         tryGen("sim_filtered", simFilteredOracle(s, dir)) ++
         tryGen("sim_range_search", rangeSearchOracle(s, dir)) ++
+        tryGen("maxsim_ivf", maxsimIvfOracle(s, dir)) ++
         tryGen("sim_pq", pqOracle(s, dir)) ++
         tryGen("sim_ivfpq", ivfpqOracle(s, dir)) ++
         tryGen("sim_ivfpq_append", ivfpqOracle(s, dir,

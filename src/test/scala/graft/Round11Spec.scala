@@ -241,6 +241,22 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  test("maxsim_ivf: candidates prune, self-retrieval always survives") {
+    val rows = graft.queries.QueriesSim.queries("maxsim_ivf")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).toSeq == (0L until 5L))
+    rows.foreach { r =>
+      // the cell join must actually prune (a candidate set ≈ the corpus
+      // would make the pruning tier a no-op)
+      assert(r._3 < r._2, s"qid ${r._1}: no pruning (${r._3} of ${r._2})")
+      // the query doc shares all its own cells and has MaxSim 4.0 — it is
+      // always a candidate and always rank 1 in truth, so hits >= 1
+      assert(r._4 >= 1 && r._4 <= 5, s"qid ${r._1}: hits ${r._4} out of range")
+      assert(r._5 == r._4 * 1000000L / 5L)
+    }
+  }
+
   test("corpus_assembly: funnel is monotone and drops exactly the planted copies") {
     val rows = graft.queries.QueriesPipeline.queries("corpus_assembly")(spark, dir)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
