@@ -136,7 +136,13 @@ object GlobalOrder {
     * count probe beyond GlobalOrder's own — pass a cached/checkpointed
     * `df` so the probes re-read partitions, not the upstream plan.
     * Descending cuts: negate the lead key (bucket boundaries are sampled
-    * from the key as passed, so monotonicity is preserved).
+    * from the key as passed, so monotonicity is preserved). The negated
+    * lead key MUST be non-null and non-NaN: `ntile().over(orderBy(desc))`
+    * sorts NULLs LAST and NaN above every real double, while a negated
+    * ascending key buckets NULLs first (bucketExpr sends null to bucket 0)
+    * and -NaN is still NaN — either one silently mis-tiles. Every current
+    * call site feeds non-null aggregates; a future descending site with a
+    * nullable/NaN-able key must coalesce/clamp it first (round-11 ADVICE).
     */
   def withNtile(df: DataFrame, orderCols: Seq[Column], k: Int, out: String,
                 numParts: Int = 0, boundaries: Option[Seq[Any]] = None): DataFrame = {

@@ -171,8 +171,11 @@ object Ivf {
     * collision-free (sub < 65536; parents that split leave the id space)
     * up to `maxDepth` = 3 (≤ 2^48 < Long range).
     *
-    * Expected split depth: occupancy shrinks ~(sub-k)× per split, so
-    * d ≈ log_k(N / (k·targetOcc)) — 1B vectors at k=4096 need ONE depth.
+    * Expected split depth: occupancy shrinks ~min(sub-k, sampleN)× per
+    * split (the sub-quantizer can never have more centroids than sample
+    * points — see the kc cap below), so 1B vectors at k=4096 need ONE
+    * depth, and a degenerate single giant cell of N rows needs
+    * ~log_sampleN(N/targetOcc) depths.
     * `maxDepth` caps pathological data (e.g. > bound exact-duplicate
     * vectors, which no quantizer can separate); the bound then holds for
     * every splittable cell and the remainder is duplicate-mass, which the
@@ -223,8 +226,17 @@ object Ivf {
             val rows = it.toArray.sortBy(_._3)
             val cnt = rows.head._2
             val data = rows.map(_._4.toArray)
-            val kc = math.min(
-              math.max(2L, (cnt + targetOcc - 1) / targetOcc), 65535L).toInt
+            // kc is EXPLICITLY capped at the sample size: Pq.lloydLocal can
+            // never produce more centroids than it has sample points, so a
+            // cell larger than sampleN×targetOcc shrinks by at most sampleN×
+            // per split (not cnt/targetOcc×) and relies on the next depth —
+            // the cap here makes that visible instead of silent (round-11
+            // ADVICE). With sampleN=2048, one depth bounds cells up to
+            // 2048·targetOcc ≈ 1M (k=4096 ⇒ ~4B vectors); larger cells
+            // take ceil(log_sampleN(cnt/targetOcc)) depths.
+            val kc = math.min(math.min(
+              math.max(2L, (cnt + targetOcc - 1) / targetOcc),
+              rows.length.toLong), 65535L).toInt
             Pq.lloydLocal(data, kc, maxIters = 25, tol = 1e-4)
               .zipWithIndex.map { case (c, i) => (cell, i, c.toSeq) }.iterator
           }

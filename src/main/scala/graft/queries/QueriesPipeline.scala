@@ -494,9 +494,15 @@ object QueriesPipeline {
         .withColumn("v", col("n_h").cast(d38) * col("sumsq6")
           - col("sum6") * col("sum6"))
         .withColumn("q", floor(sqrt(col("v").cast(DoubleType))).cast(LongType))
+      // the allocation numerator 500·q runs in DECIMAL(38,0) like the
+      // moment sums (round-11 ADVICE): q = N_h·σ_h reaches ~3e18 inside the
+      // documented N≈3e12-per-stratum envelope, so 500·q overflows BIGINT
+      // long before the moments do; the integral divide brings it back
+      // under 500 so the BIGINT cast of the result is always safe
       val alloc = strata
-        .crossJoin(broadcast(strata.agg(sum(col("q")).as("qtot"))))
-        .withColumn("n_alloc", expr("(500 * q) DIV greatest(qtot, 1)"))
+        .crossJoin(broadcast(strata.agg(sum(col("q").cast(d38)).as("qtot"))))
+        .withColumn("n_alloc",
+          expr("CAST((CAST(500 AS DECIMAL(38,0)) * q) DIV greatest(qtot, 1) AS BIGINT)"))
         .select(col("source"), col("n_h"), col("q"), col("n_alloc"))
       val w = Window.partitionBy(col("source"))
         .orderBy(md5(concat(lit("strat:"), col("doc_id").cast(StringType))), col("doc_id"))
@@ -1173,9 +1179,9 @@ object QueriesPipeline {
          |    CAST(floor(sqrt(CAST(CAST(n_h AS HUGEINT) * sumsq6 - sum6 * sum6
          |      AS DOUBLE))) AS BIGINT) AS q
          |  FROM st),
-         |qt AS (SELECT CAST(sum(q) AS BIGINT) AS qtot FROM qv),
+         |qt AS (SELECT sum(CAST(q AS HUGEINT)) AS qtot FROM qv),
          |al AS (SELECT source, n_h, q,
-         |    CAST((500 * q) // greatest(qtot, 1) AS BIGINT) AS n_alloc
+         |    CAST((CAST(500 AS HUGEINT) * q) // greatest(qtot, 1) AS BIGINT) AS n_alloc
          |  FROM qv CROSS JOIN qt),
          |rk AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source
          |    ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk

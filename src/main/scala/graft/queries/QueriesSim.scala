@@ -524,9 +524,14 @@ object QueriesSim {
       }
       val batch = e.where(col("vec_id") % 50 === 0)
         .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
-      // overwrite (not append) keeps reruns idempotent: each batch is its
-      // own snapshot dir, the union below is the live index
-      Ivf.writeIndex(Ivf.index(batch, cents, "vec_id", "embedding"), s"$base/batch_1")
+      // the batch snapshot publishes atomically like every other on-disk
+      // artifact (round-11 ADVICE — a plain overwrite could expose a
+      // partial dir to a concurrent reader of the shared keyed path);
+      // ensure-once also makes reruns cheap: the batch is a pure function
+      // of the fingerprinted corpus, so a completed snapshot is reused
+      graft.operators.DiskCache.ensure(s"$base/batch_1") { tmp =>
+        Ivf.writeIndex(Ivf.index(batch, cents, "vec_id", "embedding"), tmp)
+      }
       val idx = Ivf.readIndex(s, s"$base/corpus")
         .unionByName(Ivf.readIndex(s, s"$base/batch_1"))
       val q = e.where(col("vec_id") < 5)
@@ -560,12 +565,19 @@ object QueriesSim {
       }
       val batch = e.where(col("vec_id") % 50 === 0)
         .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
-      Ivf.writeIndex(Ivf.index(batch, cents, "vec_id", "embedding"), s"$base/batch_1")
-      // the compaction: snapshot union → ONE partitioned-by-cell rewrite
-      // (overwrite keeps reruns idempotent, like the batch snapshots)
-      val union = Ivf.readIndex(s, s"$base/corpus")
-        .unionByName(Ivf.readIndex(s, s"$base/batch_1"))
-      Ivf.writeIndex(union, s"$base/compacted_1")
+      // the SAME ensured snapshot sim_ivf_append publishes — sharing a
+      // keyed path is race-free once publication is atomic (round-11
+      // ADVICE; previously both queries overwrote this dir in place)
+      graft.operators.DiskCache.ensure(s"$base/batch_1") { tmp =>
+        Ivf.writeIndex(Ivf.index(batch, cents, "vec_id", "embedding"), tmp)
+      }
+      // the compaction: snapshot union → ONE partitioned-by-cell rewrite,
+      // atomically published (ensure-once: the union is a pure function of
+      // the two fingerprint-keyed snapshots)
+      graft.operators.DiskCache.ensure(s"$base/compacted_1") { tmp =>
+        Ivf.writeIndex(Ivf.readIndex(s, s"$base/corpus")
+          .unionByName(Ivf.readIndex(s, s"$base/batch_1")), tmp)
+      }
       val idx = Ivf.readIndex(s, s"$base/compacted_1")
       val q = e.where(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))

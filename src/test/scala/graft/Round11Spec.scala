@@ -125,7 +125,12 @@ class Round11Spec extends SparkSpec {
     // occupancy margin instead of assuming it — the planted-threshold
     // lesson. bound = occSlack*targetOcc = 2048; require >= 1.6x margin.
     import graft.operators.Ivf
-    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+    // sf0.1 included (round-11 ADVICE): it is the canonical-sweep SF, and a
+    // split there would silently break the refit oracle's plain
+    // nearest-centroid model — assert the no-split precondition at EVERY
+    // oracle-checked SF
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+                  "/root/testdata/sf0.1")) {
       val e = graft.queries.Tables.t(spark, d, "embeddings")
         .where(col("embedding").isNotNull).select(col("vec_id"), col("embedding"))
       val r = e.agg(count(lit(1)), max(col("vec_id"))).head
