@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Fleet-wide structural plan lint (round-11 verdict #1): three consecutive
+  * rounds found members of the same scale-hazard class by hand
+  * (sessionize → the round-10 five → round-11's window sweep); this spec
+  * makes the class structurally impossible for every PRESENT AND FUTURE
+  * `SparkEntry.queries` card by linting every plan in the map:
+  *
+  *   (a) no unpartitioned (single-task) WindowExec whose input is
+  *       data-sized — config/aggregate-bounded inputs are fine (the
+  *       bucket-count cumsum inside GlobalOrder, per-event-type windows);
+  *   (b) no CartesianProductExec where NEITHER side is bounded — an
+  *       all-pairs blowup over two data-sized inputs can never be right at
+  *       100 TB (broadcast NL joins are exempt: one side is already a
+  *       deliberate broadcast);
+  *   (c) no single-partition ShuffleExchange / coalesce(1) over a
+  *       data-sized input — the "collapse everything onto one task" shape
+  *       GlobalOrder exists to avoid. Global range SORTS are fine (they
+  *       range-partition, the distributed sort every final ORDER BY uses).
+  *
+  * "Bounded" is structural: a subtree is bounded when every leaf path
+  * passes through an aggregate, a limit, or a driver-materialized local
+  * relation — i.e. its row count is a function of config/group cardinality,
+  * not of corpus size. WindowGroupLimit does NOT bound (it caps per group;
+  * groups scale with data).
+  *
+  * The allowlist below is the audited set of cards whose unpartitioned
+  * window input is bounded by a DOMAIN invariant the structural check
+  * cannot see (documented per entry). Adding a NEW card to the allowlist
+  * requires the same audit — by default every new query must pass the
+  * structural lint.
+  */
+class PlanLintSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Cards allowed an unpartitioned window over a non-structurally-bounded
+    * input, each with the domain bound that makes it config-sized. */
+  private val windowAllow: Map[String, String] = Map(
+    "fdr_bh" -> "input is one row per event TYPE (config-sized domain)",
+    "label_balance" -> "input is one row per label (config-sized domain)",
+    "survival_km" -> "input is one row per distinct lifetime DAY, bounded by the calendar",
+    "window_range_frame" -> "demo frame over a literal fixed id range (o_orderkey < 100)"
+  )
+
+  /** Cards allowed a cartesian product with neither side structurally
+    * bounded (audited: one side is bounded by a domain invariant). */
+  private val cartesianAllow: Map[String, String] = Map.empty
+
+  /** Cards allowed a single-partition exchange over a non-bounded input. */
+  private val singlePartAllow: Map[String, String] = Map(
+    "window_range_frame" -> ("the exchange feeds the allowlisted unpartitioned " +
+      "window; its input is the same literal o_orderkey < 100 id range")
+  )
+
+  private def unwrap(p: SparkPlan): SparkPlan = p match {
+    case a: AdaptiveSparkPlanExec => a.executedPlan
+    case other => other
+  }
+
+  /** Structurally bounded: every leaf path passes through an aggregate, a
+    * limit, or a local (driver-materialized, config-sized) relation. */
+  private def bounded(p: SparkPlan): Boolean = p match {
+    case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => true
+    case _: org.apache.spark.sql.execution.GlobalLimitExec => true
+    case _: org.apache.spark.sql.execution.LocalLimitExec => true
+    case _: org.apache.spark.sql.execution.CollectLimitExec => true
+    case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => true
+    case _: org.apache.spark.sql.execution.LocalTableScanExec => true
+    case r: org.apache.spark.sql.execution.RangeExec =>
+      r.numElements.isValidLong && r.numElements.toLong <= 1000000L
+    case leaf if leaf.children.isEmpty => false
+    case n => n.children.forall(bounded)
+  }
+
+  test("every SparkEntry query plan passes the structural scale lint") {
+    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    var i = 0
+    for (name <- names) {
+      val plan =
+        try unwrap(SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan)
+        catch {
+          case e: Throwable =>
+            failures += s"$name: plan construction threw ${e.getClass.getSimpleName}: ${e.getMessage}"
+            null
+        }
+      if (plan != null) {
+        // (a) unpartitioned data-sized windows
+        plan.foreach {
+          case w: org.apache.spark.sql.execution.window.WindowExec
+              if w.partitionSpec.isEmpty && !bounded(w.child) &&
+                !windowAllow.contains(name) =>
+            failures += s"$name: unpartitioned WindowExec over data-sized input"
+          case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+              if w.partitionSpec.isEmpty && !bounded(w.child) &&
+                !windowAllow.contains(name) =>
+            failures += s"$name: unpartitioned WindowGroupLimitExec over data-sized input"
+          // (b) cartesian products with two data-sized sides
+          case j: org.apache.spark.sql.execution.joins.CartesianProductExec
+              if !bounded(j.left) && !bounded(j.right) &&
+                !cartesianAllow.contains(name) =>
+            failures += s"$name: CartesianProduct with neither side bounded"
+          // (c) single-partition collapse of a data-sized input
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+              if e.outputPartitioning.numPartitions == 1 && !bounded(e.child) &&
+                !singlePartAllow.contains(name) =>
+            failures += s"$name: single-partition shuffle over data-sized input"
+          case c: org.apache.spark.sql.execution.CoalesceExec
+              if c.numPartitions == 1 && !bounded(c.child) &&
+                !singlePartAllow.contains(name) =>
+            failures += s"$name: coalesce(1) over data-sized input"
+          case _ => ()
+        }
+      }
+      i += 1
+      // persists registered during plan construction must not accumulate
+      // across 378 cards in one JVM
+      if (i % 25 == 0) graft.operators.CacheRegistry.sweep()
+    }
+    graft.operators.CacheRegistry.sweep()
+    assert(failures.isEmpty,
+      s"${failures.size} plan-lint failures:\n  " + failures.mkString("\n  "))
+  }
+
+  test("the window allowlist names only live queries (no stale entries)") {
+    val qs = SparkEntry.queries.keySet
+    val stale = (windowAllow.keySet ++ cartesianAllow.keySet ++
+      singlePartAllow.keySet).filterNot(qs.contains)
+    assert(stale.isEmpty, s"allowlist entries for unknown queries: $stale")
+  }
+}
