@@ -452,6 +452,53 @@ object QueriesSim {
         .orderBy(col("qid"))
     }),
 
+    // PLAID with COMPRESSED rerank (round-11 verdict missing #2 —
+    // maxsim_ivf prunes candidates by shared sub-vector cells but reranks
+    // on RAW float embeddings; at 100 TB the raw-vector IO dominates, and
+    // PLAID's actual production trick is ADC over PQ-compressed residuals:
+    // the doc side of the rerank reads CODES ONLY — 5 small ints per
+    // sub-vector instead of 16 floats, a ~12× IO cut — while queries keep
+    // their raw vectors, per ColBERTv2/PLAID). Approximate late
+    // interaction: dot(q_i, d_j) ≈ dot(q_i, cent[cell_j]) +
+    // dot(q_i[0:8], rbook0[c_j0]) + dot(q_i[8:16], rbook1[c_j1]) — three
+    // broadcast lut joins (lut size = queries × 4 slices × (32+16+16)
+    // entries, query-set-sized at any corpus scale), summed
+    // left-associatively, maxed per query slice, summed across slices in
+    // a PINNED order (an m0..m3 pivot — a plain double sum would be
+    // accumulation-order-dependent). Card: candidate volume + top-5
+    // recall of the COMPRESSED rerank vs the exact raw-dot MaxSim truth —
+    // the recall-vs-compression trade. Oracle: trained pattern — shared
+    // quantizer + both residual codebooks refit driver-side and inlined.
+    "maxsim_pq" -> ((s, dir) => {
+      val parts = maxsimPqParts(s, dir)
+      val wq = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
+      val rer = parts.scored
+        .withColumn("rk", row_number().over(wq)).where(col("rk") <= 5)
+        .select(col("qid"), col("vec_id"))
+      val d = 16
+      val maxsimDot = (0 until 4).map { i =>
+        greatest((0 until 4).map { j =>
+          SimFns.dot(slice(SimFns.toDouble(col("qe")), i * d + 1, d),
+            slice(SimFns.toDouble(col("embedding")), j * d + 1, d))
+        }: _*)
+      }.reduce(_ + _)
+      val wt = Window.partitionBy(col("qid")).orderBy(col("ms").desc, col("vec_id"))
+      val truth = parts.corpus.crossJoin(broadcast(parts.queries))
+        .select(col("qid"), col("vec_id"), maxsimDot.as("ms"))
+        .withColumn("rk", row_number().over(wt)).where(col("rk") <= 5)
+        .select(col("qid"), col("vec_id"))
+      parts.queries.select(col("qid"))
+        .join(parts.cand.groupBy(col("qid")).agg(count(lit(1)).as("n_cand")),
+          Seq("qid"), "left")
+        .join(rer.join(truth, Seq("qid", "vec_id"), "left_semi")
+            .groupBy(col("qid")).agg(count(lit(1)).as("hits")), Seq("qid"), "left")
+        .select(col("qid"),
+          coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+          coalesce(col("hits"), lit(0L)).as("hits"))
+        .withColumn("recall6", expr("(hits * 1000000) DIV 5"))
+        .orderBy(col("qid"))
+    }),
+
     "sim_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val q = e.where(col("vec_id") < 5)
@@ -1712,6 +1759,93 @@ object QueriesSim {
     * doubles the Spark query uses, inlined as literals (Double.toString is
     * shortest-round-trip, so DuckDB parses back the identical bits), with
     * list_dot_product mirroring the sequential left-fold of SimFns.dot. */
+  final case class MaxsimPqParts(
+    corpus: org.apache.spark.sql.DataFrame, queries: org.apache.spark.sql.DataFrame,
+    cand: org.apache.spark.sql.DataFrame, dcodes: org.apache.spark.sql.DataFrame,
+    scored: org.apache.spark.sql.DataFrame,
+    cents: Array[Array[Double]], books: Seq[Array[Array[Double]]])
+
+  /** Shared construction for maxsim_pq (query + trained oracle +
+    * Round12Spec's codes-only plan assert): the shared k=32 sub-vector
+    * quantizer (identical slice stream to maxsim_ivf), per-subspace
+    * residual codebooks (m=2, k=16 over each 16-dim slice), the
+    * MATERIALIZED doc-side code table (cell + 2 residual codes per slice —
+    * the rerank never reads a raw doc embedding past this checkpoint),
+    * PLAID cell-join candidates, and the ADC-scored candidate stream.
+    * Score determinism: every lut value is a sequential dot fold, the
+    * three terms add left-associatively, the per-slice max is
+    * order-independent, and the cross-slice sum is a PINNED m0..m3 pivot. */
+  private[graft] def maxsimPqParts(s: org.apache.spark.sql.SparkSession,
+                                   dir: String): MaxsimPqParts = {
+    import graft.operators.Ivf
+    import s.implicits._
+    val e = t(s, dir, "embeddings").where(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"))
+    val d = 16
+    val slices0 = e.select(col("vec_id"),
+      posexplode(array((0 until 4).map(i =>
+        slice(col("embedding"), i * d + 1, d)): _*)).as(Seq("pos", "sub")))
+    val slices = slices0.select((col("vec_id") * 4 + col("pos")).as("sid"), col("sub"))
+    val cents = Ivf.collectCentroids(Ivf.trainSampled(slices, "sid", "sub", k = 32))
+    val centDf = broadcast(cents.toSeq.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toDF("cell", "cent"))
+    // residual = slice − its cell centroid, via a broadcast join with the
+    // stored codebook table (same double values NearestCells embeds)
+    val resid = slices0
+      .select(col("vec_id"), col("pos"), col("sub"),
+        element_at(Ivf.nearestCells(col("sub"), cents, 1), 1).as("cell"))
+      .join(centDf, "cell")
+      .select(col("vec_id"), col("pos"), col("cell"),
+        zip_with(SimFns.toDouble(col("sub")), col("cent"), (a, b) => a - b).as("res"))
+    val books = Pq.train(
+      resid.select((col("vec_id") * 4 + col("pos")).as("sid"), col("res")),
+      "sid", "res", m = 2, k = 16)
+    val dcodes = resid
+      .select(col("vec_id"), col("pos"), col("cell"),
+        Pq.codesFor(col("res"), books).as("codes"))
+      .select(col("vec_id"), col("pos"), col("cell"),
+        element_at(col("codes"), 1).as("c0"), element_at(col("codes"), 2).as("c1"))
+      .localCheckpoint(false) // the compressed index: every rerank read hits this
+    val q = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val dcell = dcodes.select(col("vec_id"), col("cell")).distinct()
+    val qcell = dcodes.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("cell")).distinct()
+    val cand = dcell.join(broadcast(qcell), "cell")
+      .select(col("qid"), col("vec_id")).distinct()
+      .localCheckpoint(false) // counted AND re-ranked
+    val iDf = broadcast((0 until 4).toDF("i"))
+    val qi = q.crossJoin(iDf)
+    def qslice(off: Int, len: Int) =
+      slice(SimFns.toDouble(col("qe")), col("i") * d + off + 1, lit(len))
+    def bookDf(b: Array[Array[Double]], cn: String) = broadcast(
+      b.toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toDF(cn, "rc"))
+    val lutC = broadcast(qi.crossJoin(centDf)
+      .select(col("qid"), col("i"), col("cell"),
+        SimFns.dot(qslice(0, 16), col("cent")).as("cd")))
+    val lutR0 = broadcast(qi.crossJoin(bookDf(books(0), "c0"))
+      .select(col("qid"), col("i"), col("c0"),
+        SimFns.dot(qslice(0, 8), col("rc")).as("r0")))
+    val lutR1 = broadcast(qi.crossJoin(bookDf(books(1), "c1"))
+      .select(col("qid"), col("i"), col("c1"),
+        SimFns.dot(qslice(8, 8), col("rc")).as("r1")))
+    val scored = cand.join(dcodes, "vec_id")
+      .crossJoin(iDf)
+      .join(lutC, Seq("qid", "i", "cell"))
+      .join(lutR0, Seq("qid", "i", "c0"))
+      .join(lutR1, Seq("qid", "i", "c1"))
+      .select(col("qid"), col("vec_id"), col("i"),
+        ((col("cd") + col("r0")) + col("r1")).as("sadc"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(max(when(col("i") === 0, col("sadc"))).as("m0"),
+        max(when(col("i") === 1, col("sadc"))).as("m1"),
+        max(when(col("i") === 2, col("sadc"))).as("m2"),
+        max(when(col("i") === 3, col("sadc"))).as("m3"))
+      .select(col("qid"), col("vec_id"),
+        (((col("m0") + col("m1")) + col("m2")) + col("m3")).as("score"))
+    MaxsimPqParts(e, q, cand, dcodes, scored, cents, books)
+  }
+
   private def lshBitsSql: String =
     SimFns.fixedPlanes(nPlanes = 6, dim = 64).zipWithIndex.map { case (p, i) =>
       s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), " +
@@ -1843,6 +1977,125 @@ object QueriesSim {
         |  UNION ALL
         |  SELECT vec_id + 100000, CAST(embedding AS DOUBLE[])
         |  FROM embeddings WHERE vec_id % 50 = 0 AND embedding IS NOT NULL""".stripMargin)
+
+  /** Scientific-notation double literal: parsed by DuckDB directly as
+    * DOUBLE (never DECIMAL — the decimal-literal trap), 18 significant
+    * digits so the exact JVM double round-trips. */
+  private def dlit(d: Double): String =
+    java.lang.String.format(java.util.Locale.ROOT, "%.17E", Double.box(d))
+
+  private def dlistLit(v: Array[Double]): String =
+    v.map(dlit).mkString("CAST([", ", ", "] AS DOUBLE[])")
+
+  /** maxsim_pq's twin: refit the shared k=32 sub-vector quantizer AND the
+    * two m=2/k=16 residual codebooks (all pure functions of id-ordered
+    * samples), inline them, and reproduce the code assignment + ADC
+    * scoring exactly: residual code distances keep the two-subtraction
+    * shape ((v−cent)−rc)² the JVM loop uses (folding cent+rc into one
+    * literal would round differently), luts are sequential dot folds
+    * (list_dot_product ≡ the aggregate/zip_with fold), terms add
+    * left-associatively, and the cross-slice sum is the pinned m0..m3
+    * pivot. */
+  private def maxsimPqOracle(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val p = maxsimPqParts(s, dir)
+    val cents = p.cents
+    val k = cents.length
+    val dDefs = (0 until 4).flatMap { j =>
+      cents.zipWithIndex.map { case (c, i) =>
+        s"${l2ChainSql("v", c, off = j * 16)} AS d${j}_$i" }
+    }.mkString(",\n    ")
+    val cellDefs = (0 until 4).map { j =>
+      s"${argminCaseSql((0 until k).map(i => s"d${j}_$i"))} AS c$j"
+    }.mkString(",\n    ")
+    val centVals = cents.zipWithIndex
+      .map { case (c, i) => s"($i, ${dlistLit(c)})" }.mkString(",\n    ")
+    def bookVals(b: Array[Array[Double]]) = b.zipWithIndex
+      .map { case (c, i) => s"($i, ${dlistLit(c)})" }.mkString(",\n    ")
+    // residual code distance for (subspace m, code c): Σ_t ((v[pos·16+off+t]
+    // − cent[off+t]) − rc_t)² — cent referenced from the joined cv list so
+    // the subtraction order matches the Spark residual exactly
+    def resChain(m: Int, rc: Array[Double]): String =
+      rc.zipWithIndex.map { case (rv, t) =>
+        val x = s"(e.v[p.pos*16 + ${m * 8 + t + 1}] - cv.cent[${m * 8 + t + 1}])"
+        s"(($x - (${dlit(rv)})) * ($x - (${dlit(rv)})))"
+      }.mkString(" + ")
+    val rdDefs = (0 until 2).flatMap { m =>
+      p.books(m).zipWithIndex.map { case (rc, c) =>
+        s"${resChain(m, rc)} AS e${m}_$c" }
+    }.mkString(",\n    ")
+    val msDot = (0 until 4).map { i =>
+      "greatest(" + (0 until 4).map { j =>
+        s"list_dot_product(q.qv[${i * 16 + 1}:${i * 16 + 16}], e.v[${j * 16 + 1}:${j * 16 + 16}])"
+      }.mkString(", ") + ")"
+    }.mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |dd AS (SELECT vec_id, v,
+       |    $dDefs
+       |  FROM e),
+       |cl AS MATERIALIZED (SELECT vec_id,
+       |    $cellDefs
+       |  FROM dd),
+       |pp AS (SELECT vec_id, unnest([0,1,2,3]) AS pos,
+       |    unnest([c0, c1, c2, c3]) AS cell FROM cl),
+       |cv AS (SELECT * FROM (VALUES
+       |    $centVals) t(cell, cent)),
+       |rb AS (SELECT p.vec_id, p.pos, p.cell,
+       |    $rdDefs
+       |  FROM pp p JOIN e ON e.vec_id = p.vec_id JOIN cv ON cv.cell = p.cell),
+       |rd AS MATERIALIZED (SELECT vec_id, pos, cell,
+       |    ${argminCaseSql((0 until 16).map(c => s"e0_$c"))} AS cc0,
+       |    ${argminCaseSql((0 until 16).map(c => s"e1_$c"))} AS cc1
+       |  FROM rb),
+       |dc AS MATERIALIZED (SELECT DISTINCT vec_id, cell FROM rd),
+       |qcl AS (SELECT vec_id AS qid, cell FROM dc WHERE vec_id < 5),
+       |cand AS MATERIALIZED (SELECT DISTINCT q.qid, d.vec_id
+       |  FROM qcl q JOIN dc d ON d.cell = q.cell),
+       |qe AS MATERIALIZED (SELECT vec_id AS qid, v AS qv FROM e
+       |  WHERE vec_id < 5),
+       |ir AS (SELECT unnest([0,1,2,3]) AS i),
+       |rv0 AS (SELECT * FROM (VALUES
+       |    ${bookVals(p.books(0))}) t(code, rc)),
+       |rv1 AS (SELECT * FROM (VALUES
+       |    ${bookVals(p.books(1))}) t(code, rc)),
+       |lutc AS MATERIALIZED (SELECT q.qid, ir.i, cv.cell,
+       |    list_dot_product(q.qv[(ir.i*16+1):(ir.i*16+16)], cv.cent) AS cd
+       |  FROM qe q CROSS JOIN ir CROSS JOIN cv),
+       |lut0 AS MATERIALIZED (SELECT q.qid, ir.i, rv0.code,
+       |    list_dot_product(q.qv[(ir.i*16+1):(ir.i*16+8)], rv0.rc) AS r0
+       |  FROM qe q CROSS JOIN ir CROSS JOIN rv0),
+       |lut1 AS MATERIALIZED (SELECT q.qid, ir.i, rv1.code,
+       |    list_dot_product(q.qv[(ir.i*16+9):(ir.i*16+16)], rv1.rc) AS r1
+       |  FROM qe q CROSS JOIN ir CROSS JOIN rv1),
+       |sc AS (SELECT c.qid, c.vec_id,
+       |    max(CASE WHEN ir.i = 0 THEN (lc.cd + l0.r0) + l1.r1 END) AS m0,
+       |    max(CASE WHEN ir.i = 1 THEN (lc.cd + l0.r0) + l1.r1 END) AS m1,
+       |    max(CASE WHEN ir.i = 2 THEN (lc.cd + l0.r0) + l1.r1 END) AS m2,
+       |    max(CASE WHEN ir.i = 3 THEN (lc.cd + l0.r0) + l1.r1 END) AS m3
+       |  FROM cand c JOIN rd d ON d.vec_id = c.vec_id CROSS JOIN ir
+       |    JOIN lutc lc ON lc.qid = c.qid AND lc.i = ir.i AND lc.cell = d.cell
+       |    JOIN lut0 l0 ON l0.qid = c.qid AND l0.i = ir.i AND l0.code = d.cc0
+       |    JOIN lut1 l1 ON l1.qid = c.qid AND l1.i = ir.i AND l1.code = d.cc1
+       |  GROUP BY 1, 2),
+       |rer AS (SELECT qid, vec_id FROM (
+       |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+       |      ORDER BY ((m0 + m1) + m2) + m3 DESC, vec_id) AS rn FROM sc) z
+       |  WHERE rn <= 5),
+       |tr AS (SELECT qid, vec_id FROM (
+       |  SELECT q.qid, e.vec_id,
+       |    row_number() OVER (PARTITION BY q.qid ORDER BY $msDot DESC, e.vec_id) AS rn
+       |  FROM e CROSS JOIN qe q) z WHERE rn <= 5),
+       |cc AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_cand FROM cand GROUP BY 1),
+       |hh AS (SELECT rer.qid, CAST(count(*) AS BIGINT) AS hits
+       |  FROM rer JOIN tr USING (qid, vec_id) GROUP BY 1)
+       |SELECT q.qid, coalesce(cc.n_cand, 0) AS n_cand,
+       |  coalesce(hh.hits, 0) AS hits,
+       |  CAST((coalesce(hh.hits, 0) * 1000000) // 5 AS BIGINT) AS recall6
+       |FROM (SELECT qid FROM qe) q
+       |LEFT JOIN cc ON cc.qid = q.qid
+       |LEFT JOIN hh ON hh.qid = q.qid
+       |ORDER BY q.qid""".stripMargin
+  }
 
   /** ivf_delete's twin: ground truth is a full recompute over
     * (corpus ∪ batch) − deleted — the compacted post-delete index must
@@ -2467,6 +2720,7 @@ object QueriesSim {
         tryGen("sim_filtered", simFilteredOracle(s, dir)) ++
         tryGen("sim_range_search", rangeSearchOracle(s, dir)) ++
         tryGen("maxsim_ivf", maxsimIvfOracle(s, dir)) ++
+        tryGen("maxsim_pq", maxsimPqOracle(s, dir)) ++
         tryGen("sim_pq", pqOracle(s, dir)) ++
         tryGen("sim_ivfpq", ivfpqOracle(s, dir)) ++
         tryGen("sim_ivfpq_append", ivfpqOracle(s, dir,

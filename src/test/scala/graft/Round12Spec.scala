@@ -32,6 +32,44 @@ class Round12Spec extends SparkSpec {
     assert(!res.exists(r => r.getLong(1) >= 100000L && (r.getLong(1) - 100000L) % 30 == 0))
   }
 
+  test("maxsim_pq: the rerank subtree reads PQ codes, never a corpus embedding") {
+    val parts = graft.queries.QueriesSim.maxsimPqParts(spark, dir)
+    val exec = parts.scored.queryExecution.executedPlan
+    val plan = exec.collectFirst {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+    }.getOrElse(exec)
+    val scans = plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.schema.fieldNames.contains("embedding") => f
+    }
+    // raw embeddings may enter the rerank ONLY on the query side (vec_id<5
+    // pushed to the scan): the doc side reads the materialized code table
+    scans.foreach { f =>
+      assert(f.dataFilters.exists(_.toString.contains("< 5")),
+        s"corpus-sized embedding scan inside the rerank subtree:\n$f")
+    }
+  }
+
+  test("maxsim_pq: same candidates as maxsim_ivf, compressed rerank trades recall") {
+    def rows(q: String) = graft.queries.QueriesSim.queries(q)(spark, dir).collect()
+    val pq = rows("maxsim_pq").map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val ivf = rows("maxsim_ivf").map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(pq.map(_._1).toSeq == (0L until 5L))
+    val nCorpus = graft.queries.Tables.t(spark, dir, "embeddings")
+      .where(col("embedding").isNotNull).count()
+    pq.foreach { r =>
+      // the SAME shared quantizer drives both cards — candidate sets match
+      assert(ivf(r._1) == r._2, s"qid ${r._1}: candidates diverged from maxsim_ivf")
+      assert(r._2 < nCorpus, s"qid ${r._1}: no pruning")
+      assert(r._3 >= 0 && r._3 <= 5)
+      assert(r._4 == r._3 * 1000000L / 5L)
+    }
+    // the compressed rerank must retrieve SOMETHING (a dead ADC scorer
+    // would read 0 everywhere) and, being lossy, may trail the raw rerank
+    assert(pq.map(_._3).sum > 0, "ADC rerank retrieved nothing")
+  }
+
   test("ivf_delete: logical (tombstone anti-join) and physical delete search identically") {
     import graft.operators.Ivf
     val e = graft.queries.Tables.t(spark, dir, "embeddings")
