@@ -70,6 +70,48 @@ class Round12Spec extends SparkSpec {
     assert(pq.map(_._3).sum > 0, "ADC rerank retrieved nothing")
   }
 
+  test("ingestNearDupGate: streaming gate equals the batch incremental verdicts") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Dedup
+    // the SAME appends dedup_incremental gates in batch mode, against the
+    // SAME persisted ensure-once band index
+    val docs = graft.queries.Tables.t(spark, dir, "documents")
+    val existing = docs.where(col("doc_id") >= 100).select(col("doc_id"), col("text"))
+    val idxPath = graft.operators.DiskCache.keyedPath(
+      "minhash_idx_v1", s"$dir/documents.parquet")
+    Dedup.ensureMinhashIndex(existing, "doc_id", "text", idxPath)
+    val incoming = docs.where(col("doc_id") >= 100 && col("doc_id") % 25 === 0)
+      .select((col("doc_id") + 300000L).as("doc_id"),
+        concat(col("text"), lit(" xtra xtra")).as("text"))
+      .unionByName(docs.where(col("doc_id") < 50)
+        .select((col("doc_id") + 400000L).as("doc_id"), col("text")))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val expected = Dedup.incrementalNearDups(
+        incoming.toDF("doc_id", "text"), "doc_id", "text", idxPath, threshold = 0.8)
+      .select(col("id_new"), col("id_idx"), round(col("jaccard"), 6).as("j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(expected.nonEmpty, "batch gate found nothing — planted near-dups missing?")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val gate = graft.streaming.Streams.ingestNearDupGate(
+      spark, ms.toDF().toDF("doc_id", "text"), "doc_id", "text", idxPath,
+      threshold = 0.8)
+    val q = gate.writeStream.format("memory").queryName("gate_hits")
+      .outputMode("append").start()
+    try {
+      // chunked delivery: equivalence must not depend on micro-batch cuts
+      val (a, b) = incoming.splitAt(incoming.length / 2)
+      ms.addData(a: _*); q.processAllAvailable()
+      ms.addData(b: _*); q.processAllAvailable()
+      val got = spark.table("gate_hits")
+        .select(col("id_new"), col("id_idx"), round(col("jaccard"), 6).as("j"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == expected,
+        s"stream/batch divergence: missing=${expected -- got} extra=${got -- expected}")
+    } finally q.stop()
+  }
+
   test("ivf_delete: logical (tombstone anti-join) and physical delete search identically") {
     import graft.operators.Ivf
     val e = graft.queries.Tables.t(spark, dir, "embeddings")
