@@ -461,6 +461,103 @@ object QueriesPipeline {
         .orderBy(col("source"))
     }),
 
+    // INCREMENTAL corpus assembly (round-11 verdict missing #4):
+    // corpus_assembly recomputes the dedup → quality → cap funnel
+    // end-to-end per crawl snapshot; this card maintains it under batch
+    // appends with the repo's IVM pattern (agg_incremental /
+    // bm25_incremental). Persisted base-era state, ensure-once under the
+    // fingerprint-keyed path: (1) the md5(text) → min-id KEEPER index
+    // (the cross-era dedup membership structure — an index scan per
+    // refresh, like bm25's, never a base re-scan), (2) per-source funnel
+    // partials (counts are algebraic — they merge by sum), (3) the
+    // per-source top-50 kept POOL with its rank keys (top-k is
+    // insert-only-maintainable: adding rows only worsens ranks, so the
+    // merged top-50 ⊆ base pool ∪ batch candidates — spec-pinned equal to
+    // the from-scratch funnel). Refresh cost = flag the batch (its own
+    // md5/quality pass), one index probe join, a |sources|-row partial
+    // merge and a (sources×50 + batch)-row re-rank. The batch plants both
+    // cross-era cases: natural appends (doc_id ≥ 400) and re-arrivals of
+    // base docs (verbatim copies at +off — the keeper index must drop
+    // every one: base ids are strictly smaller, so the stored min IS the
+    // global min). Output = corpus_assembly's exact funnel card over
+    // base ∪ batch, oracle = the from-scratch SQL recompute.
+    "corpus_assembly_incremental" -> ((s, dir) => {
+      import graft.operators.DiskCache
+      val docsAll = t(s, dir, "documents").where(col("text").isNotNull)
+        .select(col("doc_id"), col("source"), col("text"), col("n_chars"))
+      val off = docsAll.agg((max(col("doc_id")) + 1L).as("off"))
+      def flagged(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("doc_id"), col("source"), col("n_chars"),
+          md5(col("text")).as("h"),
+          TextFns.qualityScore(col("text")).as("score"),
+          md5(concat(lit("asm:"), col("doc_id").cast(StringType))).as("rkey"))
+      val base = docsAll.where(col("doc_id") < 400)
+      val statePath = DiskCache.keyedPath("asmstate_v1", s"$dir/documents.parquet")
+      DiskCache.ensure(statePath,
+        Seq("hashes/_SUCCESS", "stats/_SUCCESS", "pool/_SUCCESS")) { tmp =>
+        val fb = flagged(base)
+        val keeper = fb.groupBy(col("h")).agg(min(col("doc_id")).as("keep_id"))
+        val fl = fb.join(keeper, "h")
+          .withColumn("dup", col("doc_id") =!= col("keep_id"))
+          .withColumn("qpass", col("score") >= 0.5)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        keeper.write.mode("overwrite").parquet(s"$tmp/hashes")
+        fl.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_raw"),
+            count(when(!col("dup"), 1)).as("n_after_dedup"),
+            count(when(!col("dup") && col("qpass"), 1)).as("n_after_quality"))
+          .write.mode("overwrite").parquet(s"$tmp/stats")
+        val wp = Window.partitionBy(col("source")).orderBy(col("rkey"), col("doc_id"))
+        fl.where(!col("dup") && col("qpass"))
+          .withColumn("rk", row_number().over(wp)).where(col("rk") <= 50)
+          .select(col("source"), col("doc_id"), col("n_chars"), col("rkey"))
+          .write.mode("overwrite").parquet(s"$tmp/pool")
+        fl.unpersist()
+      }
+      val batch = docsAll.where(col("doc_id") >= 400)
+        .unionByName(base.where(col("doc_id") % 25 === 0).crossJoin(broadcast(off))
+          .select((col("doc_id") + col("off")).as("doc_id"), col("source"),
+            col("text"), col("n_chars")))
+      val fb = flagged(batch)
+        .localCheckpoint(false) // dup-flag join AND the pool merge read it
+      val bkeeper = fb.groupBy(col("h")).agg(min(col("doc_id")).as("bkeep"))
+      val bfl = fb
+        .join(s.read.parquet(s"$statePath/hashes"), Seq("h"), "left")
+        .join(bkeeper, "h")
+        // a hash seen in the base era keeps its stored (strictly smaller)
+        // min-id keeper — every batch copy is a dup; a batch-only hash
+        // keeps its within-batch min
+        .withColumn("dup",
+          col("keep_id").isNotNull || col("doc_id") =!= col("bkeep"))
+        .withColumn("qpass", col("score") >= 0.5)
+        .localCheckpoint(false) // funnel partials AND the pool read it
+      val stats = s.read.parquet(s"$statePath/stats")
+        .unionByName(bfl.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_raw"),
+            count(when(!col("dup"), 1)).as("n_after_dedup"),
+            count(when(!col("dup") && col("qpass"), 1)).as("n_after_quality")))
+        .groupBy(col("source"))
+        .agg(sum(col("n_raw")).as("n_raw"),
+          sum(col("n_after_dedup")).as("n_after_dedup"),
+          sum(col("n_after_quality")).as("n_after_quality"))
+      val wp = Window.partitionBy(col("source")).orderBy(col("rkey"), col("doc_id"))
+      val pool = s.read.parquet(s"$statePath/pool")
+        .unionByName(bfl.where(!col("dup") && col("qpass"))
+          .select(col("source"), col("doc_id"), col("n_chars"), col("rkey")))
+        .withColumn("rk", row_number().over(wp)).where(col("rk") <= 50)
+      stats
+        .join(pool.groupBy(col("source"))
+            .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("kept_id_sum"),
+              sum(col("n_chars")).as("chars_kept")),
+          Seq("source"), "left")
+        .select(col("source"), col("n_raw"), col("n_after_dedup"),
+          col("n_after_quality"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("kept_id_sum"), lit(0L)).as("kept_id_sum"),
+          coalesce(col("chars_kept"), lit(0L)).as("chars_kept"))
+        .orderBy(col("source"))
+    }),
+
     // Neyman-allocated STRATIFIED SAMPLE (Neyman 1934 — the optimal
     // fixed-budget allocation n_h ∝ N_h·σ_h: high-variance strata deserve
     // more of the sample; neyman_alloc computes the allocation THEORY
@@ -1137,6 +1234,45 @@ object QueriesPipeline {
          |corpus AS (SELECT doc_id, source, text, n_chars FROM base
          |  UNION ALL SELECT doc_id + off.off, source, text, n_chars
          |  FROM base, off WHERE doc_id % 25 = 0),
+         |m AS (${Tables.qualityMetricsSql(", source, text, n_chars", "corpus")}),
+         |sc AS (SELECT doc_id, source, n_chars, md5(text) AS h,
+         |    ${Tables.qualityScoreSql} AS score
+         |  FROM m),
+         |keeper AS (SELECT h, min(doc_id) AS keep_id FROM sc GROUP BY 1),
+         |f AS MATERIALIZED (SELECT sc.doc_id, sc.source, sc.n_chars,
+         |    sc.doc_id <> k.keep_id AS dup, sc.score >= 0.5 AS qpass
+         |  FROM sc JOIN keeper k ON k.h = sc.h),
+         |kept AS (SELECT source, doc_id, n_chars FROM (
+         |  SELECT source, doc_id, n_chars,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY md5('asm:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+         |  FROM f WHERE NOT dup AND qpass) z WHERE rk <= 50),
+         |agg1 AS (SELECT source, CAST(count(*) AS BIGINT) AS n_raw,
+         |    CAST(count(CASE WHEN NOT dup THEN 1 END) AS BIGINT) AS n_after_dedup,
+         |    CAST(count(CASE WHEN NOT dup AND qpass THEN 1 END) AS BIGINT)
+         |      AS n_after_quality
+         |  FROM f GROUP BY 1),
+         |agg2 AS (SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+         |    CAST(sum(doc_id) AS BIGINT) AS kept_id_sum,
+         |    CAST(sum(n_chars) AS BIGINT) AS chars_kept
+         |  FROM kept GROUP BY 1)
+         |SELECT agg1.source, n_raw, n_after_dedup, n_after_quality,
+         |  coalesce(n_kept, 0) AS n_kept,
+         |  coalesce(kept_id_sum, 0) AS kept_id_sum,
+         |  coalesce(chars_kept, 0) AS chars_kept
+         |FROM agg1 LEFT JOIN agg2 ON agg2.source = agg1.source
+         |ORDER BY agg1.source""".stripMargin,
+    // ground truth for the INCREMENTAL funnel is the FROM-SCRATCH funnel
+    // over base ∪ batch — corpus_assembly's oracle with the corpus
+    // redefined as the two eras (appends ≥ 400 arrive naturally; base docs
+    // ≡ 0 mod 25 re-arrive verbatim at +off)
+    "corpus_assembly_incremental" ->
+      s"""WITH d AS (SELECT doc_id, source, text, n_chars FROM documents
+         |  WHERE text IS NOT NULL),
+         |off AS (SELECT max(doc_id) + 1 AS off FROM d),
+         |corpus AS (SELECT doc_id, source, text, n_chars FROM d
+         |  UNION ALL SELECT doc_id + off.off, source, text, n_chars
+         |  FROM d, off WHERE doc_id % 25 = 0 AND doc_id < 400),
          |m AS (${Tables.qualityMetricsSql(", source, text, n_chars", "corpus")}),
          |sc AS (SELECT doc_id, source, n_chars, md5(text) AS h,
          |    ${Tables.qualityScoreSql} AS score

@@ -70,6 +70,67 @@ class Round12Spec extends SparkSpec {
     assert(pq.map(_._3).sum > 0, "ADC rerank retrieved nothing")
   }
 
+  test("corpus_assembly_incremental: equals the from-scratch funnel over base ∪ batch") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TextFns
+    val got = graft.queries.QueriesPipeline.queries("corpus_assembly_incremental")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    // from-scratch recompute over the SAME two-era corpus (no state, no
+    // keeper index — the maintained funnel must be indistinguishable)
+    val docsAll = graft.queries.Tables.t(spark, dir, "documents")
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), col("source"), col("text"), col("n_chars"))
+    val off = docsAll.agg((max(col("doc_id")) + 1L).as("off"))
+    val corpus = docsAll.unionByName(
+      docsAll.where(col("doc_id") % 25 === 0 && col("doc_id") < 400)
+        .crossJoin(broadcast(off))
+        .select((col("doc_id") + col("off")).as("doc_id"), col("source"),
+          col("text"), col("n_chars")))
+    val scored = corpus.select(col("doc_id"), col("source"), col("n_chars"),
+      md5(col("text")).as("h"), TextFns.qualityScore(col("text")).as("score"))
+    val keeper = scored.groupBy(col("h")).agg(min(col("doc_id")).as("keep_id"))
+    val fl = scored.join(keeper, "h")
+      .withColumn("dup", col("doc_id") =!= col("keep_id"))
+      .withColumn("qpass", col("score") >= 0.5)
+      .localCheckpoint(false)
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(concat(lit("asm:"), col("doc_id").cast("string"))), col("doc_id"))
+    val kept = fl.where(!col("dup") && col("qpass"))
+      .withColumn("rk", row_number().over(w)).where(col("rk") <= 50)
+    val want = fl.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_raw"),
+        count(when(!col("dup"), 1)).as("n_after_dedup"),
+        count(when(!col("dup") && col("qpass"), 1)).as("n_after_quality"))
+      .join(kept.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("kept_id_sum"),
+            sum(col("n_chars")).as("chars_kept")),
+        Seq("source"), "left")
+      .select(col("source"), col("n_raw"), col("n_after_dedup"),
+        col("n_after_quality"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_id_sum"), lit(0L)).as("kept_id_sum"),
+        coalesce(col("chars_kept"), lit(0L)).as("chars_kept"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(got == want,
+      s"incremental/from-scratch divergence: missing=${want -- got} extra=${got -- want}")
+    // the persisted state actually exists — the refresh path had state to read
+    val statePath = graft.operators.DiskCache.keyedPath(
+      "asmstate_v1", s"$dir/documents.parquet")
+    for (part <- Seq("hashes", "stats", "pool"))
+      assert(new java.io.File(s"$statePath/$part/_SUCCESS").exists(),
+        s"missing persisted state $part")
+    // every planted re-arrival was dropped by the keeper index
+    val planted = docsAll.where(col("doc_id") % 25 === 0 && col("doc_id") < 400)
+      .groupBy(col("source")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    got.foreach { r =>
+      assert(r._2 - r._3 >= planted.getOrElse(r._1, 0L),
+        s"${r._1}: dedup dropped fewer than the planted re-arrivals")
+    }
+  }
+
   test("ingestNearDupGate: streaming gate equals the batch incremental verdicts") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
