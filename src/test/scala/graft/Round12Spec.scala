@@ -70,6 +70,30 @@ class Round12Spec extends SparkSpec {
     assert(pq.map(_._3).sum > 0, "ADC rerank retrieved nothing")
   }
 
+  test("chunk_windows: materialized chunk text is exactly its token span") {
+    val rows = graft.queries.QueriesPipeline.queries("chunk_windows")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(5), r.getString(6)))
+    assert(rows.nonEmpty)
+    // the text re-tokenizes to exactly `len` tokens (tokens are non-empty
+    // non-space runs, so a single-space join round-trips)
+    rows.foreach { r =>
+      assert(r._4.split("\\s+").count(_.nonEmpty) == r._3,
+        s"doc ${r._1} chunk ${r._2}: chunk_text token count != len")
+    }
+    // consecutive windows share the 8-token overlap cushion: a FULL chunk's
+    // 8-token suffix is the next chunk's prefix
+    rows.groupBy(_._1).foreach { case (doc, ch) =>
+      val sorted = ch.sortBy(_._2).toSeq
+      sorted.sliding(2).foreach {
+        case Seq(a, b) if a._3 == 32L =>
+          val sfx = a._4.split(" ").takeRight(8).toSeq
+          val pfx = b._4.split(" ").take(8).toSeq
+          assert(sfx == pfx, s"doc $doc: overlap mismatch between chunks ${a._2}/${b._2}")
+        case _ => ()
+      }
+    }
+  }
+
   test("corpus_assembly_incremental: equals the from-scratch funnel over base ∪ batch") {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.TextFns
