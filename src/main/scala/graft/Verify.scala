@@ -36,6 +36,12 @@ object Verify {
     if (only.isEmpty)
       Files.writeString(Paths.get(s"$outDir/_declared.txt"),
         SparkEntry.queries.keys.toSeq.sorted.mkString("\n"))
+    // executor-storage high-water across the sweep: localCheckpoint blocks
+    // are GC-bound (ContextCleaner frees them when the RDD is collected),
+    // so nothing bounds accumulation BY CONSTRUCTION — this records the
+    // actual bound a full sweep reaches (round-11 verdict #3; the measured
+    // number lives in SCALING.md)
+    var hwMem = 0L; var hwDisk = 0L; var hwRdds = 0
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -50,7 +56,12 @@ object Verify {
         val dir = new java.io.File(s"$outDir/$name")
         if (dir.exists()) rm(dir)
       }
+      val st = spark.sparkContext.getRDDStorageInfo
+      val (m, d) = (st.map(_.memSize).sum, st.map(_.diskSize).sum)
+      if (m + d > hwMem + hwDisk) { hwMem = m; hwDisk = d; hwRdds = st.length }
     }
+    System.err.println(f"[verify] storage high-water: mem=${hwMem / 1e6}%.1f MB " +
+      f"disk=${hwDisk / 1e6}%.1f MB cached_rdds=$hwRdds")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

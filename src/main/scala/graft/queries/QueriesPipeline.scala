@@ -226,6 +226,35 @@ object QueriesPipeline {
         .orderBy(col("doc_id"), col("chunk_id"))
     }),
 
+    // Deterministic BALANCED shard assignment for the training data
+    // loader — the layout step between assembly and the trainer: every
+    // doc maps to one of K=16 loader shards by round-robin over the
+    // md5-shuffled global position, so shard doc counts differ by AT MOST
+    // ONE at any corpus size (kfold_assign's hash BANDS balance only in
+    // expectation; a loader wants exact balance) and the mapping is a
+    // pure function of doc_id — reproducible across runs, engines and
+    // epochs. Positions come from GlobalOrder's distributed row numbering
+    // with static hex boundaries (md5 keys are uniform — no probe jobs,
+    // one data shuffle). Card: per-shard doc/token/char mass + id
+    // checksum, the balance report a loader ships with.
+    "loader_shards" -> ((s, dir) => {
+      import graft.operators.GlobalOrder
+      val K = 16
+      val docs = t(s, dir, "documents").where(col("text").isNotNull)
+        .select(col("doc_id"), col("n_chars"),
+          TextFns.tokenCount(col("text")).as("n_tokens"))
+        .withColumn("skey",
+          md5(concat(lit("shard:"), col("doc_id").cast(StringType))))
+      GlobalOrder.withGlobalRowNumber(docs, Seq(col("skey"), col("doc_id")),
+          "pos", numParts = 8,
+          boundaries = Some(GlobalOrder.hexBoundaries(8)))
+        .withColumn("shard", expr(s"(pos - 1) % $K"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tok_mass"),
+          sum(col("n_chars")).as("char_mass"), sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("shard"))
+    }),
+
     // Quality-budget selection: each source gets a char budget (60% of its
     // mass) spent on its highest-quality docs first — the per-domain
     // quality/quantity trade a corpus-assembly stage makes. One window sort
@@ -1205,6 +1234,20 @@ object QueriesPipeline {
       """SELECT CAST(row_number() OVER (ORDER BY md5('shuf:' || doc_id), doc_id) AS BIGINT) AS pos,
         |  doc_id, md5('shuf:' || doc_id) AS skey
         |FROM documents ORDER BY pos""".stripMargin,
+    "loader_shards" ->
+      """WITH d AS (SELECT doc_id, n_chars,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+        |  FROM documents WHERE text IS NOT NULL),
+        |p AS (SELECT doc_id, n_chars, n_tokens,
+        |    row_number() OVER (
+        |      ORDER BY md5('shard:' || CAST(doc_id AS VARCHAR)), doc_id) AS pos
+        |  FROM d)
+        |SELECT CAST((pos - 1) % 16 AS BIGINT) AS shard,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS tok_mass,
+        |  CAST(sum(n_chars) AS BIGINT) AS char_mass,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM p GROUP BY 1 ORDER BY shard""".stripMargin,
     "quantile_normalize" ->
       s"""WITH m AS (${Tables.qualityMetricsSql(", source")}),
          |sc AS (SELECT doc_id, source,

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.functions.TextFns
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -1054,6 +1055,63 @@ object QueriesText {
         .orderBy(col("source"), col("planted"))
     }),
 
+    // The Gopher RULE BATTERY (Rae et al. 2021, Appendix A — the named
+    // filter set every LLM data paper cites) as one fused pass with
+    // PER-RULE drop accounting: word-count bounds, mean-word-length
+    // bounds, symbol-to-word ratio, minimum stopword count. Thresholds
+    // and liveness follow the planted-threshold discipline: the
+    // word-count lower bound (20) and the ≥2-stopword rule fire on
+    // NATURAL docs (measured: 5th-pctile word count 14–16, 34–446
+    // zero-stopword docs per SF), while the symbol and word-length rules
+    // have no natural violators (measured sym=0, mean word length
+    // 3.5–5.73 chars) — so each gets a PLANTED violator family at
+    // collision-free off-multiples (provenance rides a literal family
+    // column): 'short' = 5-token prefixes (word count), 'symbol' = 16
+    // appended '#' tokens (16·10 > nw+16 at the measured ≤100-token
+    // docs), 'glued' = whitespace-stripped one-giant-token docs (mean
+    // word length = the whole doc). All-integer rule arithmetic (µ-unit
+    // DIV, cross-multiplied ratio) — bit-exact compare; one TextStats-
+    // shared stopword definition.
+    "gopher_rules" -> ((s, dir) => {
+      val base = t(s, dir, "documents").where(col("text").isNotNull)
+        .select(col("doc_id"), col("text"))
+      val off = base.agg((max(col("doc_id")) + 1L).as("off"))
+      def planted(m: Long, k: Int, fam: String, f: Column => Column) =
+        base.where(col("doc_id") % 40 === m).crossJoin(broadcast(off))
+          .select((col("doc_id") + col("off") * k).as("doc_id"),
+            f(col("text")).as("text"), lit(fam).as("family"))
+      val hashes = " " + Seq.fill(16)("#").mkString(" ")
+      val corpus = base.withColumn("family", lit("natural"))
+        .unionByName(planted(0L, 1, "short",
+          tx => array_join(slice(TextFns.tokens(tx), 1, 5), " ")))
+        .unionByName(planted(20L, 2, "symbol", tx => concat(tx, lit(hashes))))
+        .unionByName(planted(30L, 3, "glued",
+          tx => regexp_replace(tx, "\\s+", "")))
+      val m = TextFns.textStats(col("text"))
+      val rules = corpus.select(col("doc_id"), col("family"),
+          size(TextFns.tokens(col("text"))).cast(LongType).as("nw"),
+          length(regexp_replace(col("text"), "\\s+", "")).cast(LongType).as("nonspace"),
+          regexp_count(col("text"), lit("#|\\.\\.\\.|…")).cast(LongType).as("sym"),
+          m.getField("n_stop").cast(LongType).as("ns"))
+        .withColumn("mwl6", expr("(nonspace * 1000000) DIV greatest(nw, 1)"))
+        .select(col("doc_id"), col("family"),
+          (col("nw") < 20L || col("nw") > 100000L).as("f_wc"),
+          (col("mwl6") < 3000000L || col("mwl6") > 10000000L).as("f_wl"),
+          (col("sym") * 10L > col("nw")).as("f_sym"),
+          (col("ns") < 2L).as("f_stop"))
+      rules.groupBy(col("family"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("f_wc"), 1)).as("fail_wordcount"),
+          count(when(col("f_wl"), 1)).as("fail_wordlen"),
+          count(when(col("f_sym"), 1)).as("fail_symbol"),
+          count(when(col("f_stop"), 1)).as("fail_stopword"),
+          count(when(!col("f_wc") && !col("f_wl") && !col("f_sym") && !col("f_stop"), 1))
+            .as("n_pass"),
+          coalesce(sum(when(!col("f_wc") && !col("f_wl") && !col("f_sym") && !col("f_stop"),
+            col("doc_id"))), lit(0L)).as("pass_id_sum"))
+        .orderBy(col("family"))
+    }),
+
     // Vocabulary-coverage curve for tokenizer sizing: the share of total
     // token MASS the top-k vocabulary covers, k ∈ {10, 100, 1000}. The
     // corpus collapses to (token, count) first; the global Zipf rank is a
@@ -1686,6 +1744,46 @@ object QueriesText {
          |  floor(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY lang) * 1e6 + 0.5) / 1e6
          |    AS share
          |FROM m ORDER BY lang, detected""".stripMargin,
+    "gopher_rules" ->
+      s"""WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+         |o AS (SELECT max(doc_id) + 1 AS off FROM d),
+         |corpus AS (
+         |  SELECT doc_id, text, 'natural' AS family FROM d
+         |  UNION ALL SELECT doc_id + o.off,
+         |    array_to_string((${Tables.toksSql()})[1:5], ' '), 'short'
+         |  FROM d, o WHERE doc_id % 40 = 0
+         |  UNION ALL SELECT doc_id + 2 * o.off,
+         |    text || ' ${Seq.fill(16)("#").mkString(" ")}', 'symbol'
+         |  FROM d, o WHERE doc_id % 40 = 20
+         |  UNION ALL SELECT doc_id + 3 * o.off,
+         |    regexp_replace(text, '\\s+', '', 'g'), 'glued'
+         |  FROM d, o WHERE doc_id % 40 = 30),
+         |m AS (SELECT doc_id, family,
+         |    CAST(len(${Tables.toksSql()}) AS BIGINT) AS nw,
+         |    CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT)
+         |      AS nonspace,
+         |    CAST(len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS BIGINT) AS sym,
+         |    CAST(len(regexp_extract_all(lower(text),
+         |      '\\b(the|and|of|to|in|is|a|for|on|with|as|by|at|it)\\b')) AS BIGINT)
+         |      AS ns
+         |  FROM corpus),
+         |r AS (SELECT doc_id, family,
+         |    nw < 20 OR nw > 100000 AS f_wc,
+         |    (nonspace * 1000000) // greatest(nw, 1) < 3000000
+         |      OR (nonspace * 1000000) // greatest(nw, 1) > 10000000 AS f_wl,
+         |    sym * 10 > nw AS f_sym,
+         |    ns < 2 AS f_stop
+         |  FROM m)
+         |SELECT family, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(CASE WHEN f_wc THEN 1 END) AS BIGINT) AS fail_wordcount,
+         |  CAST(count(CASE WHEN f_wl THEN 1 END) AS BIGINT) AS fail_wordlen,
+         |  CAST(count(CASE WHEN f_sym THEN 1 END) AS BIGINT) AS fail_symbol,
+         |  CAST(count(CASE WHEN f_stop THEN 1 END) AS BIGINT) AS fail_stopword,
+         |  CAST(count(CASE WHEN NOT f_wc AND NOT f_wl AND NOT f_sym AND NOT f_stop
+         |    THEN 1 END) AS BIGINT) AS n_pass,
+         |  CAST(coalesce(sum(CASE WHEN NOT f_wc AND NOT f_wl AND NOT f_sym
+         |    AND NOT f_stop THEN doc_id END), 0) AS BIGINT) AS pass_id_sum
+         |FROM r GROUP BY family ORDER BY family""".stripMargin,
     "ngram_repetition" ->
       s"""WITH base AS (SELECT doc_id, source, text FROM documents
          |  WHERE text IS NOT NULL),

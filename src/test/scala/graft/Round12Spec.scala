@@ -70,6 +70,41 @@ class Round12Spec extends SparkSpec {
     assert(pq.map(_._3).sum > 0, "ADC rerank retrieved nothing")
   }
 
+  test("gopher_rules: every planted family fails exactly its target rule; natural rules live") {
+    val rows = graft.queries.QueriesText.queries("gopher_rules")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    val (shortF, symF, gluF, nat) =
+      (rows("short"), rows("symbol"), rows("glued"), rows("natural"))
+    // each planted family trips its target rule on EVERY member
+    assert(shortF._2 == shortF._1, "a 5-token doc passed the word-count rule")
+    assert(symF._4 == symF._1, "a '#'-stuffed doc passed the symbol-ratio rule")
+    assert(gluF._3 == gluF._1, "a glued doc passed the word-length rule")
+    // the naturally-live rules actually fire on natural docs (measured:
+    // 5th-pctile word count 14-16, zero-stopword docs exist at every SF)
+    assert(nat._2 > 0, "word-count rule dead on natural docs")
+    assert(nat._5 > 0, "stopword rule dead on natural docs")
+    // and the naturally-dead rules never fire on natural docs (measured
+    // sym=0, mean word length 3.5-5.73)
+    assert(nat._3 == 0 && nat._4 == 0, "symbol/word-length rule fired on natural docs")
+    // most natural docs survive the battery
+    assert(nat._6 * 2 > nat._1, "battery dropped a majority of natural docs")
+  }
+
+  test("loader_shards: exact count balance, disjoint-exhaustive mass accounting") {
+    val rows = graft.queries.QueriesPipeline.queries("loader_shards")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == (0L until 16L), "shards not dense 0..15")
+    // round-robin over the global position: counts differ by AT MOST one
+    val counts = rows.map(_._2)
+    assert(counts.max - counts.min <= 1L, s"shard counts unbalanced: $counts")
+    val docs = graft.queries.Tables.t(spark, dir, "documents")
+      .where(col("text").isNotNull)
+      .agg(count(lit(1)), sum(col("n_chars"))).head
+    assert(counts.sum == docs.getLong(0), "shards do not partition the corpus")
+    assert(rows.map(_._4).sum == docs.getLong(1), "char mass not conserved")
+  }
+
   test("chunk_windows: materialized chunk text is exactly its token span") {
     val rows = graft.queries.QueriesPipeline.queries("chunk_windows")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(5), r.getString(6)))
