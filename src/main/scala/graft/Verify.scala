@@ -40,8 +40,26 @@ object Verify {
     // are GC-bound (ContextCleaner frees them when the RDD is collected),
     // so nothing bounds accumulation BY CONSTRUCTION — this records the
     // actual bound a full sweep reaches (round-11 verdict #3; the measured
-    // number lives in SCALING.md)
-    var hwMem = 0L; var hwDisk = 0L; var hwRdds = 0
+    // number lives in SCALING.md). Sampled at STAGE granularity via a
+    // listener, not just between queries: intra-query persists (the
+    // incremental-state builders, minhash index writes) peak and unpersist
+    // before the query returns, and a between-queries-only probe would
+    // understate the real bound (review-caught).
+    object HighWater {
+      var mem = 0L; var disk = 0L; var rdds = 0
+      def sample(): Unit = {
+        val st = spark.sparkContext.getRDDStorageInfo
+        val (m, d) = (st.map(_.memSize).sum, st.map(_.diskSize).sum)
+        synchronized {
+          if (m + d > mem + disk) { mem = m; disk = d; rdds = st.length }
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        HighWater.sample()
+    })
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -56,12 +74,10 @@ object Verify {
         val dir = new java.io.File(s"$outDir/$name")
         if (dir.exists()) rm(dir)
       }
-      val st = spark.sparkContext.getRDDStorageInfo
-      val (m, d) = (st.map(_.memSize).sum, st.map(_.diskSize).sum)
-      if (m + d > hwMem + hwDisk) { hwMem = m; hwDisk = d; hwRdds = st.length }
+      HighWater.sample()
     }
-    System.err.println(f"[verify] storage high-water: mem=${hwMem / 1e6}%.1f MB " +
-      f"disk=${hwDisk / 1e6}%.1f MB cached_rdds=$hwRdds")
+    System.err.println(f"[verify] storage high-water: mem=${HighWater.mem / 1e6}%.1f MB " +
+      f"disk=${HighWater.disk / 1e6}%.1f MB cached_rdds=${HighWater.rdds}")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -251,7 +251,13 @@ object QueriesPipeline {
         .withColumn("shard", expr(s"(pos - 1) % $K"))
         .groupBy(col("shard"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tok_mass"),
-          sum(col("n_chars")).as("char_mass"), sum(col("doc_id")).as("id_sum"))
+          sum(col("n_chars")).as("char_mass"),
+          // checksum mod 1e18: a raw Σ doc_id over ~N/16 docs overflows
+          // BIGINT at ~3e12-doc corpora (review-caught) — the DECIMAL(38)/
+          // HUGEINT sum is exact and the mod brings it back to BIGINT
+          // identically in both engines
+          expr("CAST(sum(CAST(doc_id AS DECIMAL(38,0))) % 1000000000000000000 AS BIGINT)")
+            .as("id_sum"))
         .orderBy(col("shard"))
     }),
 
@@ -1246,7 +1252,7 @@ object QueriesPipeline {
         |  CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_tokens) AS BIGINT) AS tok_mass,
         |  CAST(sum(n_chars) AS BIGINT) AS char_mass,
-        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |  CAST(sum(CAST(doc_id AS HUGEINT)) % 1000000000000000000 AS BIGINT) AS id_sum
         |FROM p GROUP BY 1 ORDER BY shard""".stripMargin,
     "quantile_normalize" ->
       s"""WITH m AS (${Tables.qualityMetricsSql(", source")}),

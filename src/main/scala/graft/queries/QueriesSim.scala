@@ -561,24 +561,9 @@ object QueriesSim {
     // inlined trained centroids.
     "sim_ivf_append" -> ((s, dir) => {
       import graft.operators.Ivf
-      val e = t(s, dir, "embeddings").where(col("embedding").isNotNull)
-        .select(col("vec_id"), col("embedding"))
-      val cents = Ivf.trainSampled(e, "vec_id", "embedding", k = 8)
-      val base = graft.operators.DiskCache.keyedPath(
-        "ivf_idx_v1", s"$dir/embeddings.parquet")
-      graft.operators.DiskCache.ensure(s"$base/corpus") { tmp =>
-        Ivf.writeIndex(Ivf.index(e, cents, "vec_id", "embedding"), tmp)
-      }
-      val batch = e.where(col("vec_id") % 50 === 0)
-        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
-      // the batch snapshot publishes atomically like every other on-disk
-      // artifact (round-11 ADVICE — a plain overwrite could expose a
-      // partial dir to a concurrent reader of the shared keyed path);
-      // ensure-once also makes reruns cheap: the batch is a pure function
-      // of the fingerprinted corpus, so a completed snapshot is reused
-      graft.operators.DiskCache.ensure(s"$base/batch_1") { tmp =>
-        Ivf.writeIndex(Ivf.index(batch, cents, "vec_id", "embedding"), tmp)
-      }
+      // both snapshots publish atomically ensure-once (round-11 ADVICE) via
+      // the ONE shared lifecycle construction
+      val (e, cents, base) = ivfLifecycleSnapshots(s, dir)
       val idx = Ivf.readIndex(s, s"$base/corpus")
         .unionByName(Ivf.readIndex(s, s"$base/batch_1"))
       val q = e.where(col("vec_id") < 5)
@@ -602,22 +587,7 @@ object QueriesSim {
     // sim_ivf_append oracle (full recompute over corpus ∪ batch).
     "ivf_compact" -> ((s, dir) => {
       import graft.operators.Ivf
-      val e = t(s, dir, "embeddings").where(col("embedding").isNotNull)
-        .select(col("vec_id"), col("embedding"))
-      val cents = Ivf.trainSampled(e, "vec_id", "embedding", k = 8)
-      val base = graft.operators.DiskCache.keyedPath(
-        "ivf_idx_v1", s"$dir/embeddings.parquet")
-      graft.operators.DiskCache.ensure(s"$base/corpus") { tmp =>
-        Ivf.writeIndex(Ivf.index(e, cents, "vec_id", "embedding"), tmp)
-      }
-      val batch = e.where(col("vec_id") % 50 === 0)
-        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
-      // the SAME ensured snapshot sim_ivf_append publishes — sharing a
-      // keyed path is race-free once publication is atomic (round-11
-      // ADVICE; previously both queries overwrote this dir in place)
-      graft.operators.DiskCache.ensure(s"$base/batch_1") { tmp =>
-        Ivf.writeIndex(Ivf.index(batch, cents, "vec_id", "embedding"), tmp)
-      }
+      val (e, cents, base) = ivfLifecycleSnapshots(s, dir)
       // the compaction: snapshot union → ONE partitioned-by-cell rewrite,
       // atomically published (ensure-once: the union is a pure function of
       // the two fingerprint-keyed snapshots)
@@ -651,19 +621,7 @@ object QueriesSim {
     // identically.
     "ivf_delete" -> ((s, dir) => {
       import graft.operators.Ivf
-      val e = t(s, dir, "embeddings").where(col("embedding").isNotNull)
-        .select(col("vec_id"), col("embedding"))
-      val cents = Ivf.trainSampled(e, "vec_id", "embedding", k = 8)
-      val base = graft.operators.DiskCache.keyedPath(
-        "ivf_idx_v1", s"$dir/embeddings.parquet")
-      graft.operators.DiskCache.ensure(s"$base/corpus") { tmp =>
-        Ivf.writeIndex(Ivf.index(e, cents, "vec_id", "embedding"), tmp)
-      }
-      val batch = e.where(col("vec_id") % 50 === 0)
-        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
-      graft.operators.DiskCache.ensure(s"$base/batch_1") { tmp =>
-        Ivf.writeIndex(Ivf.index(batch, cents, "vec_id", "embedding"), tmp)
-      }
+      val (e, cents, base) = ivfLifecycleSnapshots(s, dir)
       // the tombstone set: forgotten users' corpus rows AND their batch
       // copies — id-only (a tombstone never stores the vector)
       val tomb = e.where(col("vec_id") % 30 === 0).select(col("vec_id"))
@@ -1759,6 +1717,34 @@ object QueriesSim {
     * doubles the Spark query uses, inlined as literals (Double.toString is
     * shortest-round-trip, so DuckDB parses back the identical bits), with
     * list_dot_product mirroring the sequential left-fold of SimFns.dot. */
+  /** The ONE definition of the IVF lifecycle's shared on-disk snapshots —
+    * sim_ivf_append, ivf_compact and ivf_delete all read the SAME
+    * fingerprint-keyed `corpus` and `batch_1` dirs, and DiskCache.ensure is
+    * first-runner-wins: if the corpus filter, quantizer k, or batch
+    * definition lived per-card and one drifted, the other two would
+    * silently search a snapshot built under the OLD definition
+    * (review-caught — the block was copy-pasted three times). Returns
+    * (corpus, trained centroids, base path); both snapshots are published
+    * atomically ensure-once. */
+  private def ivfLifecycleSnapshots(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame, String) = {
+    import graft.operators.Ivf
+    val e = t(s, dir, "embeddings").where(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"))
+    val cents = Ivf.trainSampled(e, "vec_id", "embedding", k = 8)
+    val base = graft.operators.DiskCache.keyedPath(
+      "ivf_idx_v1", s"$dir/embeddings.parquet")
+    graft.operators.DiskCache.ensure(s"$base/corpus") { tmp =>
+      Ivf.writeIndex(Ivf.index(e, cents, "vec_id", "embedding"), tmp)
+    }
+    val batch = e.where(col("vec_id") % 50 === 0)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    graft.operators.DiskCache.ensure(s"$base/batch_1") { tmp =>
+      Ivf.writeIndex(Ivf.index(batch, cents, "vec_id", "embedding"), tmp)
+    }
+    (e, cents, base)
+  }
+
   final case class MaxsimPqParts(
     corpus: org.apache.spark.sql.DataFrame, queries: org.apache.spark.sql.DataFrame,
     cand: org.apache.spark.sql.DataFrame, dcodes: org.apache.spark.sql.DataFrame,

@@ -1088,8 +1088,12 @@ object QueriesText {
         .unionByName(planted(30L, 3, "glued",
           tx => regexp_replace(tx, "\\s+", "")))
       val m = TextFns.textStats(col("text"))
+      // nw comes from the SAME fused TextStats scan as ns (≡ len(tokens),
+      // the green qualityMetricsSql equivalence) — materializing the token
+      // array just to count it would re-split the corpus-sized hot path
+      // (review-caught)
       val rules = corpus.select(col("doc_id"), col("family"),
-          size(TextFns.tokens(col("text"))).cast(LongType).as("nw"),
+          m.getField("n_tokens").cast(LongType).as("nw"),
           length(regexp_replace(col("text"), "\\s+", "")).cast(LongType).as("nonspace"),
           regexp_count(col("text"), lit("#|\\.\\.\\.|…")).cast(LongType).as("sym"),
           m.getField("n_stop").cast(LongType).as("ns"))
@@ -1107,8 +1111,12 @@ object QueriesText {
           count(when(col("f_stop"), 1)).as("fail_stopword"),
           count(when(!col("f_wc") && !col("f_wl") && !col("f_sym") && !col("f_stop"), 1))
             .as("n_pass"),
-          coalesce(sum(when(!col("f_wc") && !col("f_wl") && !col("f_sym") && !col("f_stop"),
-            col("doc_id"))), lit(0L)).as("pass_id_sum"))
+          // checksum mod 1e18 in DECIMAL(38)/HUGEINT: a raw Σ doc_id over
+          // most of the corpus plus 4·max_id planted ids overflows BIGINT
+          // well inside the documented envelope (review-caught)
+          expr("CAST(coalesce(sum(CASE WHEN NOT f_wc AND NOT f_wl AND NOT f_sym " +
+            "AND NOT f_stop THEN CAST(doc_id AS DECIMAL(38,0)) END), 0) " +
+            "% 1000000000000000000 AS BIGINT)").as("pass_id_sum"))
         .orderBy(col("family"))
     }),
 
@@ -1782,7 +1790,8 @@ object QueriesText {
          |  CAST(count(CASE WHEN NOT f_wc AND NOT f_wl AND NOT f_sym AND NOT f_stop
          |    THEN 1 END) AS BIGINT) AS n_pass,
          |  CAST(coalesce(sum(CASE WHEN NOT f_wc AND NOT f_wl AND NOT f_sym
-         |    AND NOT f_stop THEN doc_id END), 0) AS BIGINT) AS pass_id_sum
+         |    AND NOT f_stop THEN CAST(doc_id AS HUGEINT) END), 0)
+         |    % 1000000000000000000 AS BIGINT) AS pass_id_sum
          |FROM r GROUP BY family ORDER BY family""".stripMargin,
     "ngram_repetition" ->
       s"""WITH base AS (SELECT doc_id, source, text FROM documents
