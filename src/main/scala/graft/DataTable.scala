@@ -132,10 +132,21 @@ final case class DataTable(df: DataFrame) {
   }
 
   /** `data-table-to-alists`/`-plists` (data-table.lisp:523-537): collect to the
-    * driver as ordered maps. Driver-side by definition — not for large tables. */
-  def toMaps: Seq[Map[String, Any]] = {
+    * driver as ordered maps. Driver-side BY CONTRACT — the reference API is a
+    * whole-table materialization, so the size guard is explicit rather than
+    * silent (round-12 verdict #8): the collect itself runs `limit(maxRows+1)`
+    * (bounded driver transfer no matter the table size, the winsorize
+    * probe-and-collect idiom) and throws if the table exceeds `maxRows`
+    * instead of OOMing the driver. Callers with a genuinely larger
+    * config-sized table pass their own audited bound. */
+  def toMaps(maxRows: Int = DataTable.MaxDriverRows): Seq[Map[String, Any]] = {
     val cols = df.columns
-    df.collect().toSeq.map(r => cols.zipWithIndex.map { case (c, i) => c -> r.get(i) }.toMap)
+    val rows = df.limit(maxRows + 1).collect()
+    require(rows.length <= maxRows,
+      s"toMaps: table exceeds the $maxRows-row driver materialization bound; " +
+        "toMaps is the reference's collect-to-driver API (data-table.lisp:523-537) " +
+        "and must not route corpus-sized data — use the DataFrame directly")
+    rows.toSeq.map(r => cols.zipWithIndex.map { case (c, i) => c -> r.get(i) }.toMap)
   }
 
   /** `fill-in-missing-cells`' non-nil fill value (data-table.lisp:240-264):
@@ -245,6 +256,11 @@ final case class DataTable(df: DataFrame) {
 }
 
 object DataTable {
+  /** Default driver materialization bound for [[DataTable.toMaps]]: 100k
+    * rows of boxed maps ≈ tens of MB — far above any report-sized table,
+    * far below driver distress. */
+  val MaxDriverRows: Int = 100000
+
   /** english->keyword munge (reference: symbol-munger via data-table.lisp:109-117). */
   def kebabCase(name: String): String =
     name.trim.toLowerCase.replaceAll("[^a-z0-9]+", "-").stripPrefix("-").stripSuffix("-")

@@ -35,6 +35,54 @@ object QueriesMlops {
     (su, pu)
   }
 
+  /** time_to_convert with a CARDINALITY-GUARDED quantile path (the
+    * winsorize idiom, QueriesScale.winsorized): ONE bounded job probes AND
+    * collects the hour histogram via `limit(max+1)` — getting max+1 rows
+    * back proves the hour domain is NOT config-sized (e.g. a corrupt
+    * epoch-zero signup at 100 TB) and the quantiles fall back to the fully
+    * distributed [[graft.operators.DiscreteQuantile.quantiles]], whose R-7
+    * arithmetic is bit-identical to the driver fold (MlopsSpec forces the
+    * fallback and asserts equality). `maxHistRows` is exposed ONLY so the
+    * spec can force the fallback. */
+  private[graft] def timeToConvert(s: SparkSession, dir: String,
+      maxHistRows: Long = graft.operators.DiscreteQuantile.DefaultMaxDriverHistRows): DataFrame = {
+    import graft.operators.DiscreteQuantile
+    val (_, pu) = signupFunnel(s, dir)
+    val dur = pu
+      .select(expr("(p - s) DIV 1000000").as("sec"))
+      .withColumn("hr", expr("sec DIV 3600"))
+    val histRows = dur.groupBy(col("hr")).count()
+      .limit(math.min(maxHistRows, Int.MaxValue - 1L).toInt + 1)
+      .collect()
+    val agg = dur.agg(count(lit(1)).as("n_converted"),
+      (floor(avg(col("sec")) * 1e2 + 0.5) / 1e2).as("avg_sec"),
+      max(col("sec")).as("max_sec"))
+    if (histRows.length <= maxHistRows) {
+      val hist = histRows.map(r => (r.getLong(0).toDouble, r.getLong(1))).toSeq
+      // empty-funnel guard: no conversions → NULL quantiles, matching the
+      // oracle's aggregate-over-empty behavior instead of throwing
+      def quant(p: Double) =
+        if (hist.isEmpty) lit(null).cast("double")
+        else lit(math.floor(
+          DiscreteQuantile.quantileOfHistogram(hist, p) * 1e4 + 0.5) / 1e4)
+      agg.select(col("n_converted"), col("avg_sec"),
+        quant(0.5).as("p50_hours"), quant(0.9).as("p90_hours"),
+        col("max_sec"))
+    } else {
+      // distributed fallback: the histogram aggregate bounds the shuffle at
+      // the hour domain; the 1-row quantile frame joins the 1-row summary
+      // via a broadcast-NL left join (empty funnel → quantile side empty →
+      // NULL quantiles, same contract as the driver branch)
+      val q = DiscreteQuantile.quantiles(dur.withColumn("_g", lit(1)), Seq("_g"),
+          col("hr").cast(DoubleType), Seq(0.5, 0.9), Seq("_q50", "_q90"))
+        .select((floor(col("_q50") * 1e4 + 0.5) / 1e4).as("p50_hours"),
+          (floor(col("_q90") * 1e4 + 0.5) / 1e4).as("p90_hours"))
+      agg.join(q, lit(true), "left")
+        .select(col("n_converted"), col("avg_sec"),
+          col("p50_hours"), col("p90_hours"), col("max_sec"))
+    }
+  }
+
   /** did_estimator's shared formula text, evaluated VERBATIM by both
     * engines: pure double arithmetic via scientific literals (a 100.0-style
     * literal parses as DECIMAL, and Spark divides decimals exactly while
@@ -568,30 +616,12 @@ object QueriesMlops {
     // Time-to-convert funnel latency: first signup → first subsequent
     // purchase per user (two user-sized aggregates + one equi-join — never
     // a per-event window), exact integer-second durations, then the
-    // distribution summary reads exact quantiles off a driver-collected
-    // HOUR-bucketed count histogram (bounded domain — the
-    // DiscreteQuantile pattern; a percentile() aggregate would buffer
-    // every user's duration in one reducer at scale).
-    "time_to_convert" -> ((s, dir) => {
-      val (_, pu) = signupFunnel(s, dir)
-      val dur = pu
-        .select(expr("(p - s) DIV 1000000").as("sec"))
-        .withColumn("hr", expr("sec DIV 3600"))
-      val hist = dur.groupBy(col("hr")).count().collect()
-        .map(r => (r.getLong(0).toDouble, r.getLong(1))).toSeq
-      // empty-funnel guard: no conversions → NULL quantiles, matching the
-      // oracle's aggregate-over-empty behavior instead of throwing
-      def quant(p: Double) =
-        if (hist.isEmpty) lit(null).cast("double")
-        else lit(math.floor(
-          graft.operators.DiscreteQuantile.quantileOfHistogram(hist, p) * 1e4 + 0.5) / 1e4)
-      dur.agg(count(lit(1)).as("n_converted"),
-        (floor(avg(col("sec")) * 1e2 + 0.5) / 1e2).as("avg_sec"),
-        max(col("sec")).as("max_sec"))
-        .select(col("n_converted"), col("avg_sec"),
-          quant(0.5).as("p50_hours"), quant(0.9).as("p90_hours"),
-          col("max_sec"))
-    }),
+    // distribution summary reads exact quantiles off the HOUR-bucketed
+    // count histogram via the CARDINALITY-GUARDED winsorize idiom
+    // (round-12 verdict #1: the hour domain is duration-bounded in
+    // practice, but one corrupt epoch-zero timestamp makes it data-sized,
+    // so the collect must probe, not assume).
+    "time_to_convert" -> ((s, dir) => timeToConvert(s, dir)),
 
     // Daily latency-style percentile tracking: exact p50/p95 of value per
     // (series, day) in INTEGER cents with explicit selection semantics

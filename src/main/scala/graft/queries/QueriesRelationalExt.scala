@@ -71,13 +71,24 @@ object QueriesRelationalExt {
       val nation = t(s, dir, "nation").select(
         col("n_nationkey").cast(LongType).as("n_nationkey"), col("n_name"),
         col("n_regionkey").cast(LongType).as("n_regionkey"))
-      Jdbc.save(nation, conn, "graft_nation", SaveMode.Overwrite, numPartitions = 2)
-      Jdbc.scan(s, conn, "graft_nation",
-          Some(Jdbc.Partitioned("n_nationkey", 0L, 25L, 4)))
-        .groupBy(col("n_regionkey"))
-        .agg(count(lit(1)).as("n_nations"), sum(col("n_nationkey")).as("key_sum"),
-          min(col("n_name")).as("first_name"))
-        .orderBy(col("n_regionkey"))
+      // the WHOLE round-trip (write + partitioned read + |regions|-row
+      // aggregate) materializes inside Jdbc.withRetry so a transient
+      // embedded-engine thread failure under container load retries the
+      // idempotent cycle instead of failing the card (round-12 verdict #7;
+      // the one recorded flake: box load 8.7, BASELINE.md r9). The result
+      // returns as a 5-row local relation — a config-sized driver
+      // materialization (|regions|), not a data-sized collect.
+      val agg = Jdbc.withRetry() {
+        Jdbc.save(nation, conn, "graft_nation", SaveMode.Overwrite, numPartitions = 2)
+        val a = Jdbc.scan(s, conn, "graft_nation",
+            Some(Jdbc.Partitioned("n_nationkey", 0L, 25L, 4)))
+          .groupBy(col("n_regionkey"))
+          .agg(count(lit(1)).as("n_nations"), sum(col("n_nationkey")).as("key_sum"),
+            min(col("n_name")).as("first_name"))
+          .orderBy(col("n_regionkey"))
+        (a.schema, a.collect())
+      }
+      s.createDataFrame(s.sparkContext.parallelize(agg._2.toSeq, 1), agg._1)
     }),
 
     // get-data-table: arbitrary SQL in, DataTable out (clsql-data-table.lisp:13-19).

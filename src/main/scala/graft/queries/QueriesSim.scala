@@ -19,6 +19,24 @@ import Tables._
   */
 object QueriesSim {
 
+  /** ivf_retrain_trigger thresholds — frozen from MEASURED margins at all
+    * 3 SFs (Round13Spec asserts the separation; the planted-signal rule).
+    * Measured (sf0.001 = sf0.01 / sf0.1; the first probe also killed a
+    * negation drift live — the embedding distribution is near-symmetric,
+    * so -x moved NOTHING: occ_l1 196k vs 156k in-dist, qerr ratio 1.04):
+    *   occ_l1_ppm  : in-dist 156000 / 134000; shifted 1684000 / 1686000
+    *   qerr_ratio  : in-dist ~1.0e6;          shifted 2.76e8 / 2.70e8
+    *   recall6     : in-dist 860000 / 860000; shifted 1000000 (the +2.0
+    *     shift CROWDS the batch into probed cells, so recall does not decay
+    *     on this plant — the verdict rides on occ/qerr; recall6 stays a
+    *     measured safety net for scatter-type drift, thresholded BELOW the
+    *     in-dist floor so it can never fire spuriously)
+    * occ threshold 500000: ≥3.2× margin both sides; qerr 5000000: ≥5×
+    * below, ≥54× above; recall 500000: 1.7× under the measured floor. */
+  private[graft] val RetrainOccL1Ppm = 500000L
+  private[graft] val RetrainQerrPpm = 5000000L
+  private[graft] val RetrainRecall6 = 500000L
+
   /** Shared construction for embed_classify / triplet_margin /
     * embed_outliers: labeled vectors as array<double> plus per-label mean
     * centroids (a labels×64 posexplode aggregate, centroid re-assembled in
@@ -645,6 +663,106 @@ object QueriesSim {
         .select(col("qid"), col("vec_id"), round(col("cos"), 6).as("cos"),
           col("rank").cast(LongType).as("rank"))
         .orderBy(col("qid"), col("rank"))
+    }),
+
+    // IVF RETRAIN TRIGGER — the operational decision that closes the index
+    // lifecycle build → append → compact → delete (round-12 verdict #3):
+    // after appends, does the FROZEN quantizer still fit the data, or is a
+    // retrain due? FAISS operational practice monitors exactly the signals
+    // measured here per append batch, each exact-integer and bit-exact
+    // against the refit oracle:
+    //   occ_l1_ppm     — L1 distance between the batch's and the corpus's
+    //                    cell-occupancy distributions (ppm, integer DIV);
+    //                    drifted data concentrates in the wrong cells;
+    //   max_share_ppm  — worst single-cell share (imbalance factor);
+    //   qerr_ratio_ppm — batch mean quantization error (µ-unit BIGINT sum
+    //                    of squared distance to the assigned centroid —
+    //                    the bm25_prf per-term-quantize precedent) over
+    //                    corpus mean, in ppm. THE retrain signal: a frozen
+    //                    quantizer far from new data reconstructs it badly;
+    //   recall6        — measured recall decay: nprobe=3/top-10 IVF search
+    //                    of a 5-query panel drawn FROM the batch against
+    //                    exact truth over corpus ∪ batch.
+    // Two planted batches exercise both verdicts: every 5th corpus vector
+    // re-ingested as-is (in-distribution — trigger must stay SILENT) and
+    // the same vectors SHIFTED by +2.0 per dimension (exact in IEEE double,
+    // so both engines transform bit-identically; the shifted cloud sits 16
+    // L2-units up the all-ones diagonal, far from every centroid — trigger
+    // must FIRE). A negation drift was probed first and measured DEAD (the
+    // embedding distribution is near-symmetric — see the threshold
+    // scaladoc); thresholds are frozen from measured margins at all 3 SFs
+    // (Round13Spec; planted-signal rule).
+    // Scale: metrics are one narrow codegen'd assign pass per batch + k-row
+    // aggregates; the corpus baseline is the same pass production amortizes
+    // into the index build. d2u BIGINT sums hold to ~3e10 vectors (d2u ≤
+    // ~3e8 µ-units at this geometry); past that the sums move to
+    // DECIMAL(38) like the checksum precedent.
+    "ivf_retrain_trigger" -> ((s, dir) => {
+      import graft.operators.Ivf
+      val e = t(s, dir, "embeddings").where(col("embedding").isNotNull)
+        .select(col("vec_id"), col("embedding"))
+      val cents = Ivf.trainSampled(e, "vec_id", "embedding", k = 8)
+      val ca = Ivf.collectCentroids(cents)
+      val k = ca.length
+      val ev = e.select(col("vec_id"), SimFns.toDouble(col("embedding")).as("v"))
+      def assigned(df: org.apache.spark.sql.DataFrame) = {
+        val cd = element_at(Ivf.nearestCellDists(col("v"), ca, 1), 1)
+        df.select(col("vec_id"), col("v"), cd.getField("cell").as("cell"),
+          floor(cd.getField("d2") * 1e6 + 0.5).cast(LongType).as("d2u"))
+      }
+      // ONE corpus assign pass feeds the occupancy baseline, the qerr
+      // baseline and both recall indexes (production keeps this materialized
+      // as the index itself — writeIndex — so the baseline is free there)
+      val corpusA = assigned(ev).localCheckpoint(false)
+      val cellDom = s.range(0, k).select(col("id").cast("int").as("cell"))
+      def occ(a: org.apache.spark.sql.DataFrame, n: String) =
+        cellDom.join(a.groupBy(col("cell")).agg(count(lit(1)).as(n)), Seq("cell"), "left")
+          .select(col("cell"), coalesce(col(n), lit(0L)).as(n))
+      def tot(a: org.apache.spark.sql.DataFrame, np: String, sp: String) =
+        a.agg(count(lit(1)).as(np), sum(col("d2u")).as(sp))
+      val cOcc = occ(corpusA, "cn")
+      val cTot = tot(corpusA, "nc", "csum")
+      def card(name: String, batch: org.apache.spark.sql.DataFrame, off: Long) = {
+        val ba = assigned(batch).localCheckpoint(false)
+        val met = occ(ba, "bn").join(cOcc, "cell")
+          .crossJoin(broadcast(tot(ba, "nb", "bsum"))).crossJoin(broadcast(cTot))
+          .agg(
+            max(col("nb")).as("n_vecs"),
+            sum(abs(expr("(bn * 1000000) DIV nb") - expr("(cn * 1000000) DIV nc")))
+              .as("occ_l1_ppm"),
+            max(expr("(bn * 1000000) DIV nb")).as("max_share_ppm"),
+            max(expr("((bsum DIV nb) * 1000000) DIV (csum DIV nc)")).as("qerr_ratio_ppm"))
+        // recall decay: panel = the batch copies of the 5 smallest source
+        // ids ≡ 0 (mod 5); index = corpus ∪ batch, both already assigned
+        val idx = corpusA.select(col("vec_id"), col("v"), col("cell"))
+          .unionByName(ba.select(col("vec_id"), col("v"), col("cell")))
+        val qs = ba.where(col("vec_id") < off + 25L)
+          .select(col("vec_id").as("qid"), col("v").as("qe"))
+        val ivfTop = Ivf.search(idx, cents, qs, "vec_id", "v", "qid", "qe",
+          topK = 10, nprobe = 3).select(col("qid"), col("vec_id"))
+        val truth = idx.crossJoin(broadcast(qs))
+          .select(col("qid"), col("vec_id"), SimFns.cosine(col("qe"), col("v")).as("cos"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))))
+          .where(col("rn") <= 10).select(col("qid"), col("vec_id"))
+        val rec = ivfTop.join(truth, Seq("qid", "vec_id"))
+          .agg(count(lit(1)).as("hits"))
+          .crossJoin(broadcast(qs.agg(count(lit(1)).as("np"))))
+          .select(expr("(hits * 1000000) DIV (10 * np)").as("recall6"))
+        met.join(rec, lit(true), "left").select(lit(name).as("batch"),
+          col("n_vecs"), col("occ_l1_ppm"), col("max_share_ppm"),
+          col("qerr_ratio_ppm"), col("recall6"))
+      }
+      val src = ev.where(col("vec_id") % 5 === 0)
+      val bIn = src.select((col("vec_id") + 100000L).as("vec_id"), col("v"))
+      val bDr = src.select((col("vec_id") + 200000L).as("vec_id"),
+        transform(col("v"), x => x + lit(2.0)).as("v"))
+      card("batch_drifted", bDr, 200000L)
+        .unionByName(card("batch_indist", bIn, 100000L))
+        .withColumn("retrain",
+          col("occ_l1_ppm") > RetrainOccL1Ppm ||
+            col("qerr_ratio_ppm") > RetrainQerrPpm || col("recall6") < RetrainRecall6)
+        .orderBy(col("batch"))
     }),
 
     // RANGE (radius/threshold) similarity search — the retrieval shape
@@ -2219,6 +2337,98 @@ object QueriesSim {
        |ORDER BY qs.qid""".stripMargin
   }
 
+  /** ivf_retrain_trigger's twin: refit the sampled quantizer, inline the 8
+    * centroid distance chains, and reproduce the occupancy-L1 / µ-unit
+    * quantization-error-ratio / panel-recall metrics for both planted
+    * batches in exact integers (shares and ratios via `//`, d2u per-term
+    * floor-quantized to 1e-6 units before the BIGINT sum — the bm25_prf
+    * precedent; `least(d0..d7)` equals NearestCellDists' selected d2 even
+    * on ties). The +2.0 drift is CAST AS DOUBLE (a bare 2.0 parses as
+    * DECIMAL; CLAUDE.md invariant) and exact in IEEE, so both engines
+    * transform bit-identically. */
+  private def ivfRetrainOracle(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    import graft.operators.Ivf
+    val e = t(s, dir, "embeddings").where(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"))
+    val cents = Ivf.collectCentroids(Ivf.trainSampled(e, "vec_id", "embedding", k = 8))
+    val k = cents.length
+    val dDefs = cents.zipWithIndex.map { case (c, i) =>
+      s"${l2ChainSql("v", c)} AS d$i" }.mkString(",\n    ")
+    val dcols = (0 until k).map(i => s"d$i")
+    val leastD = s"least(${dcols.mkString(", ")})"
+    // one block per batch: assignment, occupancy/qerr aggregates, and the
+    // nprobe=3 / top-10 panel recall against exact truth over corpus ∪ batch
+    def batchBlock(tag: String, off: Long, vExpr: String): String =
+      s"""${tag} AS (SELECT vec_id + $off AS vec_id, $vExpr AS v
+         |  FROM e WHERE vec_id % 5 = 0),
+         |${tag}d AS (SELECT vec_id, v,
+         |    $dDefs
+         |  FROM $tag),
+         |${tag}a AS MATERIALIZED (SELECT vec_id, v, ${argminCaseSql(dcols)} AS cell,
+         |    CAST(floor($leastD * 1e6 + 0.5) AS BIGINT) AS d2u FROM ${tag}d),
+         |${tag}occ AS (SELECT cells.cell, coalesce(z.n, 0) AS bn FROM cells
+         |  LEFT JOIN (SELECT cell, CAST(count(*) AS BIGINT) AS n
+         |             FROM ${tag}a GROUP BY 1) z USING (cell)),
+         |${tag}tot AS (SELECT CAST(count(*) AS BIGINT) AS nb,
+         |    CAST(sum(d2u) AS BIGINT) AS bsum FROM ${tag}a),
+         |${tag}met AS (SELECT max(nb) AS n_vecs,
+         |    CAST(sum(abs((bn * 1000000) // nb - (cn * 1000000) // nc)) AS BIGINT)
+         |      AS occ_l1_ppm,
+         |    CAST(max((bn * 1000000) // nb) AS BIGINT) AS max_share_ppm,
+         |    CAST(max(((bsum // nb) * 1000000) // (csum // nc)) AS BIGINT)
+         |      AS qerr_ratio_ppm
+         |  FROM ${tag}occ JOIN cocc USING (cell) CROSS JOIN ${tag}tot CROSS JOIN ctot),
+         |${tag}idx AS MATERIALIZED (SELECT vec_id, v, cell FROM ca
+         |  UNION ALL SELECT vec_id, v, cell FROM ${tag}a),
+         |${tag}q AS MATERIALIZED (SELECT vec_id AS qid, v AS qv, ${dcols.mkString(", ")}
+         |  FROM ${tag}d WHERE vec_id < ${off + 25L}),
+         |${tag}qc AS (SELECT qid, qv, u.cell,
+         |    CASE u.cell ${(0 until k).map(i => s"WHEN $i THEN d$i").mkString(" ")} END AS dist
+         |  FROM ${tag}q CROSS JOIN cells u),
+         |${tag}probes AS (SELECT qid, qv, cell FROM (
+         |  SELECT qid, qv, cell,
+         |    row_number() OVER (PARTITION BY qid ORDER BY dist, cell) AS rn
+         |  FROM ${tag}qc) WHERE rn <= 3),
+         |${tag}ivf AS (SELECT qid, vec_id FROM (
+         |  SELECT p.qid, i.vec_id,
+         |    row_number() OVER (PARTITION BY p.qid
+         |      ORDER BY list_cosine_similarity(p.qv, i.v) DESC, i.vec_id) AS rn
+         |  FROM ${tag}probes p JOIN ${tag}idx i ON i.cell = p.cell) z
+         |  WHERE rn <= 10),
+         |${tag}tr AS (SELECT qid, vec_id FROM (
+         |  SELECT q.qid, i.vec_id,
+         |    row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY list_cosine_similarity(q.qv, i.v) DESC, i.vec_id) AS rn
+         |  FROM (SELECT qid, qv FROM ${tag}q) q CROSS JOIN ${tag}idx i) z
+         |  WHERE rn <= 10),
+         |${tag}rec AS (SELECT CAST((count(*) * 1000000)
+         |    // (10 * (SELECT count(*) FROM ${tag}q)) AS BIGINT) AS recall6
+         |  FROM ${tag}ivf JOIN ${tag}tr USING (qid, vec_id))""".stripMargin
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |cd AS (SELECT vec_id, v,
+       |    $dDefs
+       |  FROM e),
+       |ca AS MATERIALIZED (SELECT vec_id, v, ${argminCaseSql(dcols)} AS cell,
+       |    CAST(floor($leastD * 1e6 + 0.5) AS BIGINT) AS d2u FROM cd),
+       |cells AS (SELECT unnest(range(0, $k)) AS cell),
+       |cocc AS MATERIALIZED (SELECT cells.cell, coalesce(z.n, 0) AS cn FROM cells
+       |  LEFT JOIN (SELECT cell, CAST(count(*) AS BIGINT) AS n
+       |             FROM ca GROUP BY 1) z USING (cell)),
+       |ctot AS (SELECT CAST(count(*) AS BIGINT) AS nc,
+       |    CAST(sum(d2u) AS BIGINT) AS csum FROM ca),
+       |${batchBlock("bi", 100000L, "v")},
+       |${batchBlock("bd", 200000L, "list_transform(v, x -> x + CAST(2.0 AS DOUBLE))")}
+       |SELECT batch, n_vecs, occ_l1_ppm, max_share_ppm, qerr_ratio_ppm, recall6,
+       |  (occ_l1_ppm > $RetrainOccL1Ppm OR qerr_ratio_ppm > $RetrainQerrPpm
+       |    OR recall6 < $RetrainRecall6) AS retrain
+       |FROM (
+       |  SELECT 'batch_drifted' AS batch, * FROM bdmet CROSS JOIN bdrec
+       |  UNION ALL
+       |  SELECT 'batch_indist' AS batch, * FROM bimet CROSS JOIN birec)
+       |ORDER BY batch""".stripMargin
+  }
+
   /** sim_filtered's twin: refit the quantizer, assign the corpus and rank
     * the probes via inlined distance chains, and reproduce the
     * filtered-probe / post-filter / exact-filtered-truth top-10s with the
@@ -2703,6 +2913,7 @@ object QueriesSim {
         // oracle IS the append oracle (full recompute over corpus ∪ batch)
         tryGen("ivf_compact", ivfAppendOracle(s, dir)) ++
         tryGen("ivf_delete", ivfDeleteOracle(s, dir)) ++
+        tryGen("ivf_retrain_trigger", ivfRetrainOracle(s, dir)) ++
         tryGen("sim_filtered", simFilteredOracle(s, dir)) ++
         tryGen("sim_range_search", rangeSearchOracle(s, dir)) ++
         tryGen("maxsim_ivf", maxsimIvfOracle(s, dir)) ++

@@ -91,4 +91,28 @@ object Jdbc {
     props.setProperty("batchsize", batchSize.toString)
     df.coalesce(numPartitions).write.mode(mode).jdbc(conn.url, table, props)
   }
+
+  /** Bounded retry for TRANSIENT embedded-database failures. An embedded
+    * engine shares the JVM/OS with 32 executor threads, and under heavy
+    * container load its connection bootstrap can fail on thread creation
+    * (the one recorded jdbc_roundtrip flake: box load 8.7, BASELINE.md r9
+    * row — passed isolated and in every clean run). A real warehouse
+    * connection pool retries transient connect errors the same way; three
+    * attempts with a short linear backoff outlives a load spike without
+    * masking a genuine failure (the last attempt rethrows). Callers wrap
+    * the WHOLE round-trip (write + materializing read): JDBC writes with
+    * Overwrite and reads are idempotent. */
+  def withRetry[T](attempts: Int = 3, backoffMs: Long = 500)(body: => T): T = {
+    var last: Throwable = null
+    var i = 0
+    while (i < attempts) {
+      try return body
+      catch {
+        case e: Throwable =>
+          last = e; i += 1
+          if (i < attempts) Thread.sleep(backoffMs * i)
+      }
+    }
+    throw last
+  }
 }

@@ -71,9 +71,15 @@ class DataTableSpec extends SparkSpec {
   }
 
   test("toMaps round-trip — data-table.lisp:523-537") {
-    val maps = fixture.toMaps
+    val maps = fixture.toMaps()
     assert(maps.size == 6)
     assert(maps.head.keySet == Set("first name", "last name", "job title", "number of hours", "id"))
+  }
+
+  test("toMaps enforces the driver materialization bound (round-12 verdict #8)") {
+    val ex = intercept[IllegalArgumentException] { fixture.toMaps(maxRows = 3) }
+    assert(ex.getMessage.contains("driver materialization bound"))
+    assert(fixture.toMaps(maxRows = 6).size == 6, "bound exactly met is fine")
   }
 
   test("symbolize / kebabCase — data-table.lisp:109-117") {

@@ -135,6 +135,15 @@ class MlopsSpec extends SparkSpec {
     assert(avg >= 0 && avg <= mx)
   }
 
+  test("time_to_convert: forced distributed fallback is bit-identical to the driver-histogram path") {
+    // maxHistRows = 1 forces the limit(max+1) probe to overflow, taking the
+    // distributed DiscreteQuantile branch; R-7 arithmetic is shared, so the
+    // two branches must agree bit-for-bit (the winsorize/ScaleOpsSpec law)
+    val a = QueriesMlops.timeToConvert(spark, dir).collect().toSeq
+    val b = QueriesMlops.timeToConvert(spark, dir, maxHistRows = 1).collect().toSeq
+    assert(a == b, s"driver $a != distributed $b")
+  }
+
   test("daily_percentiles: selection semantics match sorted-array order statistics") {
     val ev = graft.queries.Tables.t(spark, dir, "events")
       .where(col("event_type").isNotNull && col("ts").isNotNull && col("value").isNotNull)

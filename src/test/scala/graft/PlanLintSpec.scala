@@ -68,7 +68,11 @@ class PlanLintSpec extends SparkSpec {
   private def bounded(p: SparkPlan): Boolean = p match {
     case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => true
     case _: org.apache.spark.sql.execution.GlobalLimitExec => true
-    case _: org.apache.spark.sql.execution.LocalLimitExec => true
+    // LocalLimitExec does NOT bound: it caps rows PER PARTITION, so the
+    // total scales with the data-sized input's partition count. Real
+    // df.limit plans carry GlobalLimit/CollectLimit/TakeOrdered above the
+    // local limit, and those cases short-circuit before recursing here
+    // (round-12 ADVICE).
     case _: org.apache.spark.sql.execution.CollectLimitExec => true
     case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => true
     case _: org.apache.spark.sql.execution.LocalTableScanExec => true
@@ -129,6 +133,61 @@ class PlanLintSpec extends SparkSpec {
     graft.operators.CacheRegistry.sweep()
     assert(failures.isEmpty,
       s"${failures.size} plan-lint failures:\n  " + failures.mkString("\n  "))
+  }
+
+  /** Hazard class 4 (round-12 verdict #1): data-dependent driver collects.
+    * A `.collect()` in main source is only legal when its size is bounded
+    * by CONFIG (sample-N trainers, config-sized aggregates, query panels)
+    * or by a `limit(max+1)` probe-and-collect guard — never by data. The
+    * class is source-level (the collect happens during plan CONSTRUCTION,
+    * so no plan node exists to lint), so the lint is an exact per-file
+    * budget of audited occurrences: adding a `.collect()` anywhere in main
+    * source fails this test until the new site is audited and its budget
+    * entry documents the bound; removing one fails too, keeping the audit
+    * current. Audit trail: round-12 verdict "What's wrong" §1 (39/40
+    * bounded; the 40th, time_to_convert, now carries the winsorize
+    * `limit(max+1)` probe). */
+  private val collectBudget: Map[String, (Int, String)] = Map(
+    "graft/DataTable.scala" -> ((1, "toMaps: limit(maxRows+1) probe-and-collect, throws above the bound")),
+    "graft/operators/DiscreteQuantile.scala" -> ((1, "quantilesViaDriver: callers must pre-check histogramFitsDriver (contract in scaladoc)")),
+    "graft/operators/GlobalOrder.scala" -> ((1, "boundary sample: fraction-sampled input, sample-sized")),
+    "graft/operators/HeavyHitters.scala" -> ((1, "top-k: limit(k) upstream")),
+    "graft/operators/Ivf.scala" -> ((4, "centroid tables (k cells) + first-N-in-id-order Lloyd samples")),
+    "graft/operators/Pca.scala" -> ((1, "first-N-in-id-order fit sample (limit(sampleN))")),
+    "graft/operators/Pq.scala" -> ((2, "codebook trainer sample (limit(sampleN)) + query-panel LUTs")),
+    "graft/queries/QueriesAnalytics.scala" -> ((12, "nation-graph edges/weights (≤ nations² rows), grouping-sets probe (≤ 2³), count-of-count histograms (multiplicity domain), 1-row aggregates")),
+    "graft/queries/QueriesDedup.scala" -> ((1, "CC contraction probe: limit(maxDriverEdges+1)")),
+    "graft/queries/QueriesFacade.scala" -> ((1, "1-row aggregate (.head on agg)")),
+    "graft/queries/QueriesMlops.scala" -> ((3, "time_to_convert limit(max+1) hour histogram; calibration limit(1001); daily limit(4001)")),
+    "graft/queries/QueriesPipeline.scala" -> ((2, "1-row max(doc_id) probe + limit(1) best-pair")),
+    "graft/queries/QueriesRelationalExt.scala" -> ((1, "jdbc_roundtrip: |regions|-row aggregate materialized inside the withRetry cycle")),
+    "graft/queries/QueriesScale.scala" -> ((2, "winsorize/outlier_mad limit(maxHistRows+1) probe-and-collect")),
+    "graft/queries/QueriesSim.scala" -> ((10, "query panels (vec_id < 5/3), panel-bounded truth top-k (queries×k), query-side ADC LUTs, limit(256) sample")),
+    "graft/queries/QueriesTrain.scala" -> ((2, "limit(QcSample) trainer sample + per-source domain aggregate (|sources| rows)"))
+  )
+
+  test("driver .collect() sites stay within the audited per-file budget") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get("src/main/scala")
+    assert(Files.isDirectory(root), s"lint must run from the repo root; missing $root")
+    val counts = Files.walk(root).iterator().asScala
+      .filter(p => p.toString.endsWith(".scala"))
+      .map { p =>
+        val src = new String(Files.readAllBytes(p), "UTF-8")
+        root.relativize(p).toString -> "\\.collect\\(\\)".r.findAllIn(src).length
+      }
+      .filter(_._2 > 0).toMap
+    val problems = scala.collection.mutable.ArrayBuffer.empty[String]
+    for ((f, n) <- counts) collectBudget.get(f) match {
+      case None => problems += s"$f: $n unaudited .collect() site(s) — audit the bound and add a budget entry"
+      case Some((b, _)) if n != b => problems += s"$f: $n .collect() site(s), audited budget $b — re-audit"
+      case _ => ()
+    }
+    for ((f, _) <- collectBudget if !counts.contains(f))
+      problems += s"$f: budget entry but no .collect() in source — remove the stale audit"
+    assert(problems.isEmpty,
+      s"${problems.size} driver-collect lint failures:\n  " + problems.mkString("\n  "))
   }
 
   test("the window allowlist names only live queries (no stale entries)") {

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Round-13 items: the stream_neardup_gate LSH-recall margin (round-12
+  * ADVICE — the gate's oracle is exhaustive all-pairs Jaccard while the
+  * declared query is banded MinHash LSH, so equality rides on the banding
+  * finding EVERY true pair; this spec measures that recall directly at
+  * every oracle-checked SF instead of hoping), plus specs for the round-13
+  * query cards.
+  *
+  * Probe results behind the recall spec (DuckDB, exhaustive, 2026-08-16):
+  * the advisor's proposed "no pair in [0.8, 0.9)" margin does NOT hold —
+  * sf0.1 has 6 non-self + 1 self append-family pairs in [0.8, 0.9) with
+  * min j exactly 0.8 — so the spec pins the property equality actually
+  * depends on: banded candidates ⊇ exhaustive j≥0.8 pairs.
+  */
+class Round13Spec extends SparkSpec {
+
+  private val sfDirs =
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+  private val dir = "/root/testdata/sf0.001"
+
+  test("stream_neardup_gate: banded LSH candidates cover every exhaustive j>=0.8 pair (all SFs)") {
+    import graft.operators.Dedup
+    for (sfDir <- sfDirs) {
+      val docs = graft.queries.Tables.t(spark, sfDir, "documents")
+      val existing = docs.where(col("doc_id") >= 100)
+        .select(col("doc_id"), col("text"))
+      // the query's EXACT arrival construction (QueriesStream)
+      val arrivals = docs.where(col("doc_id") >= 100 && col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" x")).as("text"))
+        .unionByName(docs.where(col("doc_id") >= 100 && col("doc_id") % 20 === 10)
+          .select((col("doc_id") + 1100000L).as("doc_id"),
+            concat_ws(" ", reverse(graft.functions.TextFns.tokens(col("text"))))
+              .as("text")))
+      // exhaustive truth via the sparse inverted-shingle join (pairs with
+      // zero shared shingles have j = 0 — irrelevant to the threshold), and
+      // the j >= 0.8 test in exact integers: 5·inter >= 4·(union)
+      val exSh = Dedup.shingleSets(existing, "doc_id", "text")
+        .select(col("doc_id").as("id_idx"), col("shingles").as("sh_i"))
+      val arSh = Dedup.shingleSets(arrivals, "doc_id", "text")
+        .select(col("doc_id").as("id_new"), col("shingles").as("sh_n"))
+      val truth = arSh.select(col("id_new"), size(col("sh_n")).as("nn"), explode(col("sh_n")).as("s"))
+        .join(exSh.select(col("id_idx"), size(col("sh_i")).as("ni"), explode(col("sh_i")).as("s")), "s")
+        .groupBy(col("id_new"), col("id_idx"))
+        .agg(count(lit(1)).as("inter"), first(col("nn")).as("nn"), first(col("ni")).as("ni"))
+        .where(col("inter") * 5L >= (col("nn") + col("ni") - col("inter")) * 4L)
+        .select(col("id_new"), col("id_idx"))
+      // banded candidates, the SAME 64-hash/16-band layout the gate uses
+      def bandKeys(sh: DataFrame, idAlias: String): DataFrame =
+        Dedup.minhashSignatures(sh.toDF("id", "shingles"), "id", 64)
+          .select(col("id").as(idAlias),
+            posexplode(Dedup.bandHashes(col("mh"), 16, 4)))
+          .toDF(idAlias, "band", "bh")
+      val cand = bandKeys(arSh, "id_new")
+        .join(bandKeys(exSh, "id_idx"), Seq("band", "bh"))
+        .select(col("id_new"), col("id_idx")).distinct()
+      val truthRows = truth.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(truthRows.nonEmpty, s"$sfDir: no true near-dup pair — the gate's duplicate branch is dead")
+      val candRows = cand.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val missed = truthRows -- candRows
+      assert(missed.isEmpty,
+        s"$sfDir: banded LSH missed true j>=0.8 pair(s) $missed — oracle equality would break")
+      // the reversed family must stay clear of the threshold entirely (its
+      // shingles are reversed — measured max j <= 0.14 at every SF), so the
+      // 'admitted' branch is live too
+      assert(!truthRows.exists(_._1 >= 1100000L),
+        s"$sfDir: a reversed-family arrival crossed the threshold — admitted branch dead")
+    }
+  }
+
+  test("ivf_retrain_trigger: fires on the drifted batch, silent on in-dist, with >=2x margins (all SFs)") {
+    import graft.queries.QueriesSim
+    for (sfDir <- sfDirs) {
+      val rows = QueriesSim.queries("ivf_retrain_trigger")(spark, sfDir).collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(2), r.getLong(4), r.getLong(5), r.getBoolean(6))).toMap
+      val dr = rows("batch_drifted")
+      val ind = rows("batch_indist")
+      assert(dr._4, s"$sfDir: trigger SILENT on the planted drifted batch")
+      assert(!ind._4, s"$sfDir: trigger FIRED on the in-distribution batch")
+      // planted-signal rule: each carrying signal clears its threshold with
+      // >=2x room on BOTH sides, so a data-generation wobble can't flip it
+      assert(dr._1 > 2 * QueriesSim.RetrainOccL1Ppm,
+        s"$sfDir: drifted occ_l1 ${dr._1} lacks 2x margin over threshold")
+      assert(ind._1 * 2 < QueriesSim.RetrainOccL1Ppm,
+        s"$sfDir: in-dist occ_l1 ${ind._1} lacks 2x margin under threshold")
+      assert(dr._2 > 2 * QueriesSim.RetrainQerrPpm,
+        s"$sfDir: drifted qerr_ratio ${dr._2} lacks 2x margin over threshold")
+      assert(ind._2 * 2 < QueriesSim.RetrainQerrPpm,
+        s"$sfDir: in-dist qerr_ratio ${ind._2} lacks 2x margin under threshold")
+      // recall6 is the safety-net signal (the crowding drift does not decay
+      // recall — see the threshold scaladoc): both batches must stay >=1.5x
+      // ABOVE the floor so it can never fire spuriously
+      assert(dr._3 * 2 > 3 * QueriesSim.RetrainRecall6 &&
+          ind._3 * 2 > 3 * QueriesSim.RetrainRecall6,
+        s"$sfDir: recall6 (${dr._3}, ${ind._3}) within 1.5x of the safety-net floor")
+    }
+  }
+}
