@@ -1227,6 +1227,82 @@ object QueriesSim {
         .orderBy(col("cell"))
     }),
 
+    // SemDeDup under APPENDS — the IVM variant semdedup lacked (round-12
+    // verdict #4; the bm25_incremental / corpus_assembly_incremental
+    // pattern): the base era's cell assignments, per-cell counts AND drop
+    // verdicts persist once under the data-fingerprint key, and each
+    // append batch pays only (a) one narrow frozen-quantizer assign pass
+    // over the BATCH, (b) batch×base-cell and batch×batch verify joins,
+    // (c) a union with the persisted base partials. The base corpus is
+    // never re-assigned and base×base pairs are never re-verified — the
+    // IVM is EXACT because batch ids exceed every base id (the planted
+    // +off convention), so SemDeDup's keep-the-lowest-id rule makes the
+    // base-era drop set FINAL: arrivals can only be dropped, never drop a
+    // base vector. Output ≡ full recompute over base ∪ batch (the
+    // semdedup card's own corpus), so the oracle IS semdedupOracle and
+    // Round13Spec pins inc ≡ full at 3 SFs. Scale: the frozen plain
+    // assignment composes era-by-era; the bounded-occupancy split tier
+    // (assignBounded) coincides with it at every shipped SF (the measured
+    // 4×-target margin, Round11Spec) — at a true 100 TB the split
+    // boundaries would persist WITH the era state, same as the centroids.
+    "semdedup_incremental" -> ((s, dir) => {
+      import graft.operators.Ivf
+      val e = t(s, dir, "embeddings").where(col("embedding").isNotNull)
+        .select(col("vec_id"), col("embedding"))
+      val (k, off) = semdedupParams(e)
+      val cents = Ivf.trainSampled(e, "vec_id", "embedding", k = k,
+        sampleN = math.max(2048, 8 * k))
+      val state = graft.operators.DiskCache.keyedPath(
+        "semdedup_state_v1", s"$dir/embeddings.parquet")
+      graft.operators.DiskCache.ensure(state,
+          Seq("idx/_SUCCESS", "counts/_SUCCESS", "drops/_SUCCESS")) { tmp =>
+        val baseA = Ivf.index(e, cents, "vec_id", "embedding")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        Ivf.writeIndex(baseA, s"$tmp/idx")
+        baseA.groupBy(col("cell")).agg(count(lit(1)).as("n_base"))
+          .write.parquet(s"$tmp/counts")
+        baseA.as("x").join(baseA.as("b"),
+            col("x.cell") === col("b.cell") && col("x.vec_id") < col("b.vec_id") &&
+              SimFns.cosine(col("x.embedding"), col("b.embedding")) > 0.95)
+          .select(col("b.cell").as("cell"), col("b.vec_id").as("did"))
+          .distinct()
+          .write.parquet(s"$tmp/drops")
+        baseA.unpersist()
+      }
+      val baseIdx = Ivf.readIndex(s, s"$state/idx")
+      val baseCounts = s.read.parquet(s"$state/counts")
+      val baseDrops = s.read.parquet(s"$state/drops")
+      val batch = e.where(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + off).as("vec_id"), col("embedding"))
+      val batchA = Ivf.index(batch, cents, "vec_id", "embedding")
+        .localCheckpoint(false)
+      // x.vec_id < b.vec_id is implied for the vs-base family (off > every
+      // base id) but kept so the predicate IS the SemDeDup rule verbatim
+      val vsBase = batchA.as("b").join(baseIdx.as("x"),
+          col("x.cell") === col("b.cell") && col("x.vec_id") < col("b.vec_id") &&
+            SimFns.cosine(col("x.embedding"), col("b.embedding")) > 0.95)
+        .select(col("b.cell").as("cell"), col("b.vec_id").as("did"))
+      val vsBatch = batchA.as("x").join(batchA.as("b"),
+          col("x.cell") === col("b.cell") && col("x.vec_id") < col("b.vec_id") &&
+            SimFns.cosine(col("x.embedding"), col("b.embedding")) > 0.95)
+        .select(col("b.cell").as("cell"), col("b.vec_id").as("did"))
+      val allDrops = baseDrops.unionByName(
+        vsBase.unionByName(vsBatch).distinct())
+      val nVecs = baseCounts
+        .join(batchA.groupBy(col("cell")).agg(count(lit(1)).as("n_batch")),
+          Seq("cell"), "full")
+        .select(col("cell"),
+          (coalesce(col("n_base"), lit(0L)) + coalesce(col("n_batch"), lit(0L)))
+            .as("n_vecs"))
+      nVecs
+        .join(allDrops.groupBy(col("cell"))
+          .agg(count(lit(1)).as("nd"), sum(col("did")).as("ds")), Seq("cell"), "left")
+        .select(col("cell").cast(LongType).as("cell"), col("n_vecs"),
+          coalesce(col("nd"), lit(0L)).as("n_dropped"),
+          coalesce(col("ds"), lit(0L)).as("dropped_id_sum"))
+        .orderBy(col("cell"))
+    }),
+
     // Matryoshka truncation-recall card (Kusupati et al. 2022): how much
     // of the exact top-10 survives when cosine runs on only the first
     // 8/16/32 of 64 dimensions — THE index-sizing measurement before a
@@ -2931,6 +3007,9 @@ object QueriesSim {
         tryGen("cluster_silhouette", silhouetteOracle(s, dir)) ++
         tryGen("kcenter_coreset", kcenterOracle(s, dir)) ++
         tryGen("semdedup", semdedupOracle(s, dir)) ++
+        // the incremental view must equal the full recompute over the SAME
+        // final corpus — its oracle IS semdedup's (the ivf_compact pattern)
+        tryGen("semdedup_incremental", semdedupOracle(s, dir)) ++
         tryGen("ann_nprobe_sweep", nprobeSweepOracle(s, dir))).toMap
     }.getOrElse(Map.empty)
 

@@ -14,6 +14,137 @@ import Tables._
   */
 object QueriesText {
 
+  /** tokenizer_train_unigram model constants: vocabulary cap, µ-unit UNK
+    * cost for sample-unseen single characters (dead on the shipped corpora
+    * — the 256-doc sample covers the full 26-letter char set — but
+    * deterministic in both engines), and its DP encoding (cost6·1024+1). */
+  private[graft] val UnigramVocabCap = 512
+  private[graft] val UnigramUnkCost6 = 20000000L
+  private[graft] val UnigramUnkEnc = UnigramUnkCost6 * 1024L + 1L
+
+  /** The deterministic unigram-LM fit: a pure function of the first-256
+    * docs in doc_id order (fixed 3 EM rounds, integer-cost Viterbi in the
+    * E-step with ties to the shortest piece, +1-smoothed usage in the
+    * M-step, unused multi-char pieces dropped). Returns piece → cost6 =
+    * floor(−ln(p)·1e6 + 0.5); ln runs ONLY here on the driver — the model
+    * reaches both engines as integer literals, so no cross-engine libm
+    * surface exists. Memoized per dir (the bpeCache convention) so the
+    * query and its oracle generator train once and cannot drift. */
+  private val unigramCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, Long]]()
+  private[graft] def unigramModel(s: org.apache.spark.sql.SparkSession,
+                                  dir: String): Map[String, Long] =
+    unigramCache.computeIfAbsent(dir, _ => {
+      val sample = t(s, dir, "documents").where(col("text").isNotNull)
+        .orderBy(col("doc_id")).limit(256)
+        .select(explode(TextFns.tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+      require(sample.nonEmpty, "unigram trainer: empty sample")
+      val subCnt = scala.collection.mutable.HashMap.empty[String, Long]
+      for ((w, c) <- sample; i <- 0 until w.length;
+           j <- 1 to math.min(4, w.length - i)) {
+        val p = w.substring(i, i + j)
+        subCnt(p) = subCnt.getOrElse(p, 0L) + c
+      }
+      val singles = subCnt.keys.filter(_.length == 1).toSeq.sorted
+      val multis = subCnt.filter(_._1.length > 1).toSeq
+        .sortBy { case (p, c) => (-c, p) }
+        .take(math.max(0, UnigramVocabCap - singles.length)).map(_._1)
+      def costs(cnt: Map[String, Long]): Map[String, Long] = {
+        val t = cnt.values.sum.toDouble
+        cnt.map { case (p, c) =>
+          p -> math.floor(-math.log(c.toDouble / t) * 1e6 + 0.5).toLong }
+      }
+      var model = costs((singles ++ multis).map(p => p -> subCnt(p)).toMap)
+      for (_ <- 1 to 3) {
+        val use = scala.collection.mutable.HashMap.empty[String, Long]
+        for ((w, c) <- sample; p <- unigramSegment(w, model))
+          use(p) = use.getOrElse(p, 0L) + c
+        val kept = model.keys
+          .filter(p => p.length == 1 || use.getOrElse(p, 0L) > 0L).toSeq
+        model = costs(kept.map(p => p -> (use.getOrElse(p, 0L) + 1L)).toMap)
+      }
+      model
+    })
+
+  /** Viterbi segmentation under integer encoded costs — the driver twin of
+    * the 16-step sliding-column SQL DP (identical encoding and chunking,
+    * so the trainer's E-step sees exactly what the corpus application
+    * computes; ties break to the SHORTEST piece, which only affects the
+    * trainer's usage counts — the DP VALUE is tie-invariant). */
+  private[graft] def unigramSegment(word: String, model: Map[String, Long]): Seq[String] = {
+    word.grouped(16).toSeq.flatMap { c =>
+      val n = c.length
+      val d = new Array[Long](n + 1)
+      val from = new Array[Int](n + 1)
+      var i = 1
+      while (i <= n) {
+        var best = Long.MaxValue; var bj = 1
+        var j = 1
+        while (j <= math.min(4, i)) {
+          val p = c.substring(i - j, i)
+          val e = model.get(p).map(_ * 1024L + 1L)
+            .getOrElse(if (j == 1) UnigramUnkEnc else Long.MaxValue)
+          if (e != Long.MaxValue && d(i - j) + e < best) { best = d(i - j) + e; bj = j }
+          j += 1
+        }
+        d(i) = best; from(i) = bj
+        i += 1
+      }
+      val pieces = scala.collection.mutable.ArrayBuffer.empty[String]
+      var pos = n
+      while (pos > 0) { pieces.prepend(c.substring(pos - from(pos), pos)); pos -= from(pos) }
+      pieces.toSeq
+    }
+  }
+
+  /** tokenizer_train_unigram's twin: inline the refit model as ONE map
+    * literal CTE and replay the identical 16-step sliding-column integer
+    * DP (m[piece][1] is the DuckDB map lookup — a missing key yields an
+    * empty list, [1] of which is NULL, and least() skips NULLs in both
+    * engines). */
+  private def unigramOracle(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val model = unigramModel(s, dir).toSeq.sortBy(_._1)
+    val keys = model.map { case (p, _) => s"'${p.replace("'", "''")}'" }.mkString(", ")
+    val vals = model.map { case (_, c6) => (c6 * 1024L + 1L).toString }.mkString(", ")
+    val steps = (1 to 16).map { i =>
+      def look(j: Int) = s"m[substring(c, ${i - j + 1}, $j)][1]"
+      val cands = Seq(s"d + coalesce(${look(1)}, $UnigramUnkEnc)") ++
+        Seq(2, 3, 4).filter(_ <= i).map {
+          case 2 => s"p1 + ${look(2)}"
+          case 3 => s"p2 + ${look(3)}"
+          case 4 => s"p3 + ${look(4)}"
+        }
+      val newD = if (cands.size == 1) cands.head else s"least(${cands.mkString(", ")})"
+      s"""t$i AS (SELECT lang, w, cnt, c, m,
+         |    $newD AS d, d AS p1, p1 AS p2, p2 AS p3,
+         |    CASE WHEN len(c) = ${i - 1} THEN d ELSE r END AS r FROM t${i - 1})"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH wt AS (SELECT lang, unnest(${Tables.toksSql()}) AS w FROM documents
+       |  WHERE text IS NOT NULL AND lang IS NOT NULL),
+       |wc AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS cnt FROM wt GROUP BY 1, 2),
+       |vm AS (SELECT map([$keys], [$vals]) AS m),
+       |t0 AS (SELECT lang, w, cnt, unnest(regexp_extract_all(w, '.{1,16}')) AS c, m,
+       |    CAST(0 AS BIGINT) AS d, CAST(NULL AS BIGINT) AS p1,
+       |    CAST(NULL AS BIGINT) AS p2, CAST(NULL AS BIGINT) AS p3,
+       |    CAST(NULL AS BIGINT) AS r
+       |  FROM wc CROSS JOIN vm),
+       |$steps,
+       |we AS (SELECT lang, w, cnt,
+       |    CAST(sum(CASE WHEN len(c) = 16 THEN d ELSE r END) AS BIGINT) AS we
+       |  FROM t16 GROUP BY 1, 2, 3)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_distinct_words,
+       |  CAST(sum(cnt) AS BIGINT) AS n_words,
+       |  CAST(sum(cnt * len(w)) AS BIGINT) AS n_chars,
+       |  CAST(sum(cnt * (we % 1024)) AS BIGINT) AS n_pieces,
+       |  CAST(sum(cnt * (we // 1024)) AS BIGINT) AS cost6_sum,
+       |  CAST((sum(cnt * (we % 1024)) * 1000000) // sum(cnt) AS BIGINT) AS fertility_ppm,
+       |  CAST((sum(cnt * len(w)) * 1000000) // sum(cnt * (we % 1024)) AS BIGINT) AS cpp_ppm
+       |FROM we GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   /** Shared bigram-LM scoring pipeline (lm_score + ccnet_bucket): add-one
     * smoothed bigram log-probs trained on doc_id >= 50, scored on the
     * held-out doc_id < 50 split. One definition so the two views cannot
@@ -1157,6 +1288,79 @@ object QueriesText {
     // decides per-language token budgets (a language at 2 chars/token
     // costs 2× the context of one at 4). Exact BIGINT char/token sums in
     // ONE map-side-combined aggregate to the langs domain.
+    // Unigram-LM (SentencePiece-style) tokenizer TRAINER + corpus
+    // application — the trainer modern pipelines default to, completing the
+    // tokenizer family beyond BPE (round-12 verdict #5). The model is fit
+    // on the driver over the first-256-docs-in-id-order sample (the
+    // trainSampled convention): seed vocabulary = all substrings of length
+    // ≤4 capped at 512 pieces (singles always kept, so every word stays
+    // segmentable), then 3 FIXED EM rounds — Viterbi-segment the sample
+    // under µ-quantized integer piece costs, re-estimate costs from +1-
+    // smoothed usage, drop unused multi-char pieces. The trained model
+    // inlines into BOTH engines as one literal piece→cost map, and the
+    // corpus application is an EXACT INTEGER Viterbi DP (encoded
+    // cost6·1024 + n_pieces, minimized — cost dominates, then piece
+    // count), unrolled 16 sliding-column steps over ≤16-char chunks
+    // (longer words split greedily first — both engines' regexp '.{1,16}'
+    // contract), so the cross-engine compare is bit-exact with NO float
+    // arithmetic in either engine. Scale: the DP runs over the distinct
+    // (lang, word) table (Heaps-bounded), one row-narrow pass; cost6 sums
+    // hold to ~1e12 corpus words (≤3e8 µ per word), then DECIMAL(38) per
+    // the checksum precedent. Output = per-lang fertility under the
+    // TRAINED tokenizer (pieces/word, chars/piece, corpus cost) — the
+    // tokenizer_fertility consuming proof the verdict asked for.
+    "tokenizer_train_unigram" -> ((s, dir) => {
+      val enc = typedLit(unigramModel(s, dir).map {
+        case (p, c6) => p -> (c6 * 1024L + 1L) })
+      val words = t(s, dir, "documents")
+        .where(col("text").isNotNull && col("lang").isNotNull)
+        .select(col("lang"), explode(TextFns.tokens(col("text"))).as("w"))
+        .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("cnt"))
+      var df = words
+        .select(col("lang"), col("w"), col("cnt"),
+          explode(regexp_extract_all(col("w"), lit(".{1,16}"), lit(0))).as("c"))
+        .withColumn("_m", enc)
+        .withColumn("_d", lit(0L))
+        .withColumn("_p1", lit(null).cast(LongType))
+        .withColumn("_p2", lit(null).cast(LongType))
+        .withColumn("_p3", lit(null).cast(LongType))
+        .withColumn("_r", lit(null).cast(LongType))
+      for (i <- 1 to 16) {
+        def look(j: Int) = element_at(col("_m"), col("c").substr(lit(i - j + 1), lit(j)))
+        // j=1 falls back to the UNK cost (sample-unseen character); j>=2
+        // missing pieces go NULL and least() skips them. The result for a
+        // chunk of length L is captured one step LATER from the _d COLUMN
+        // (a cheap ref — keeps CollapseProject from duplicating the DP
+        // trees), with a final capture after the loop for L = 16.
+        val cands = Seq(col("_d") + coalesce(look(1), lit(UnigramUnkEnc))) ++
+          Seq(2, 3, 4).filter(_ <= i).map {
+            case 2 => col("_p1") + look(2)
+            case 3 => col("_p2") + look(3)
+            case 4 => col("_p3") + look(4)
+          }
+        val newD = if (cands.size == 1) cands.head else least(cands: _*)
+        df = df.select(col("lang"), col("w"), col("cnt"), col("c"), col("_m"),
+          newD.as("_d"), col("_d").as("_p1"), col("_p1").as("_p2"),
+          col("_p2").as("_p3"),
+          when(length(col("c")) === i - 1, col("_d")).otherwise(col("_r")).as("_r"))
+      }
+      df.select(col("lang"), col("w"), col("cnt"),
+          when(length(col("c")) === 16, col("_d")).otherwise(col("_r")).as("e"))
+        .groupBy(col("lang"), col("w"), col("cnt"))
+        .agg(sum(col("e")).as("we")) // multi-chunk words: encs add exactly
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_distinct_words"),
+          sum(col("cnt")).as("n_words"),
+          sum(col("cnt") * length(col("w"))).as("n_chars"),
+          sum(col("cnt") * (col("we") % 1024L)).as("n_pieces"),
+          sum(col("cnt") * expr("we DIV 1024")).as("cost6_sum"))
+        .select(col("lang"), col("n_distinct_words"), col("n_words"),
+          col("n_chars"), col("n_pieces"), col("cost6_sum"),
+          expr("(n_pieces * 1000000) DIV n_words").as("fertility_ppm"),
+          expr("(n_chars * 1000000) DIV n_pieces").as("cpp_ppm"))
+        .orderBy(col("lang"))
+    }),
+
     "tokenizer_fertility" -> ((s, dir) => {
       t(s, dir, "documents")
         .where(col("text").isNotNull && col("lang").isNotNull)
@@ -1234,7 +1438,21 @@ object QueriesText {
          |  LEFT JOIN c1 ON c1.w = string_split(ev.bg, ' ')[1]
          |  CROSS JOIN v)""".stripMargin
 
-  val oracle: Map[String, String] = Map(
+  /** Static oracles + the trained unigram twin when an OracleContext is
+    * set at dump time (the QueriesSim convention — degrades to rows-only
+    * LOUDLY if generation fails, never taking the static oracles along). */
+  def oracle: Map[String, String] = staticOracle ++
+    Tables.OracleContext.ctx.flatMap { case (s, dir) =>
+      scala.util.Try(unigramOracle(s, dir)) match {
+        case scala.util.Success(sql) => Some("tokenizer_train_unigram" -> sql)
+        case scala.util.Failure(e) =>
+          System.err.println("[oracle] trained-oracle generation FAILED for " +
+            s"tokenizer_train_unigram (degrading to rows-only): ${e.getMessage}")
+          None
+      }
+    }
+
+  private val staticOracle: Map[String, String] = Map(
     "badwords_filter" ->
       s"""WITH tok AS (SELECT doc_id, source, unnest($toks) AS w FROM documents),
          |perdoc AS (SELECT doc_id, source, CAST(count(*) AS BIGINT) AS nt,

@@ -163,6 +163,7 @@ class PlanLintSpec extends SparkSpec {
     "graft/queries/QueriesRelationalExt.scala" -> ((1, "jdbc_roundtrip: |regions|-row aggregate materialized inside the withRetry cycle")),
     "graft/queries/QueriesScale.scala" -> ((2, "winsorize/outlier_mad limit(maxHistRows+1) probe-and-collect")),
     "graft/queries/QueriesSim.scala" -> ((10, "query panels (vec_id < 5/3), panel-bounded truth top-k (queries×k), query-side ADC LUTs, limit(256) sample")),
+    "graft/queries/QueriesText.scala" -> ((1, "unigram trainer: distinct words of the limit(256)-doc id-ordered sample")),
     "graft/queries/QueriesTrain.scala" -> ((2, "limit(QcSample) trainer sample + per-source domain aggregate (|sources| rows)"))
   )
 

@@ -100,4 +100,57 @@ class Round13Spec extends SparkSpec {
         s"$sfDir: recall6 (${dr._3}, ${ind._3}) within 1.5x of the safety-net floor")
     }
   }
+
+  test("tokenizer_train_unigram: distributed DP equals the driver Viterbi; multi-char pieces live (all SFs)") {
+    import graft.queries.{QueriesText, Tables}
+    for (sfDir <- sfDirs) {
+      val out = QueriesText.queries("tokenizer_train_unigram")(spark, sfDir).collect()
+        .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+        .toMap
+      val model = QueriesText.unigramModel(spark, sfDir)
+      // every sampled single char is in the vocabulary (segmentability)
+      assert(model.keys.filter(_.length == 1).nonEmpty)
+      // full differential: recompute each lang's piece/cost totals on the
+      // driver from (lang, word) counts + the driver Viterbi (the DP VALUE
+      // is tie-invariant, so driver and SQL ties cannot diverge)
+      val wc = Tables.t(spark, sfDir, "documents")
+        .where(col("text").isNotNull && col("lang").isNotNull)
+        .select(col("lang"), explode(graft.functions.TextFns.tokens(col("text"))).as("w"))
+        .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("cnt"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val exp = wc.groupBy(_._1).map { case (lang, rows) =>
+        var nw = 0L; var np = 0L; var c6 = 0L
+        rows.foreach { case (_, w, cnt) =>
+          val pieces = QueriesText.unigramSegment(w, model)
+          nw += cnt
+          np += cnt * pieces.length
+          c6 += cnt * pieces.map(p => model.getOrElse(p, 20000000L)).sum
+        }
+        lang -> ((nw, np, c6))
+      }
+      for ((lang, (nw, np, c6)) <- exp) {
+        val (qn, _, qp, qc) = out(lang)
+        assert(qn == nw && qp == np && qc == c6,
+          s"$sfDir/$lang: query ($qn, $qp, $qc) != driver ($nw, $np, $c6)")
+      }
+      // the trained vocabulary genuinely uses multi-char pieces: measured
+      // chars-per-piece ~3.0 at every SF; assert >=2.0 (1.5x margin)
+      out.values.foreach { case (_, nchars, npieces, _) =>
+        assert(npieces * 2 <= nchars, s"$sfDir: single-char-ish segmentation ($npieces pieces / $nchars chars)")
+      }
+    }
+  }
+
+  test("semdedup_incremental: equals the full recompute over base ∪ batch (all SFs)") {
+    import graft.queries.QueriesSim
+    for (sfDir <- sfDirs) {
+      def rows(q: String) = QueriesSim.queries(q)(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      val full = rows("semdedup")
+      val inc = rows("semdedup_incremental")
+      assert(inc == full, s"$sfDir: incremental view diverged from the full recompute")
+      assert(full.map(_._3).sum > 0, s"$sfDir: no drops at all — the planted dups are dead")
+      graft.operators.CacheRegistry.sweep()
+    }
+  }
 }
