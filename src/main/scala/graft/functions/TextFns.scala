@@ -99,6 +99,29 @@ object TextFns {
   def punctCount(c: Column): Column =
     regexp_count(c, lit("[^a-zA-Z0-9\\s]")).cast(LongType)
 
+  /** The Gopher rule-battery flags (word-count band, mean-word-length band,
+    * symbol ratio, stopword floor) as ONE struct off the fused [[textStats]]
+    * scan — the ONE definition shared by the batch `gopher_rules` card and
+    * the streaming ingest gate (`stream_gopher_gate`), so the rule
+    * thresholds cannot drift between the two surfaces. The word-length band
+    * is evaluated as exact integer CROSS-MULTIPLICATIONS (floor(a/b) < k ⟺
+    * a < k·b and floor(a/b) > k ⟺ a ≥ (k+1)·b for b > 0), identical to the
+    * oracle's `(nonspace·1e6) // nw` form without any division. */
+  def gopherFlags(c: Column): Column = {
+    val m = textStats(c)
+    val nw = m.getField("n_tokens").cast(LongType)
+    val b = greatest(nw, lit(1L))
+    val nonspace = length(regexp_replace(c, "\\s+", "")).cast(LongType)
+    val sym = regexp_count(c, lit("#|\\.\\.\\.|…")).cast(LongType)
+    val ns = m.getField("n_stop").cast(LongType)
+    struct(
+      (nw < 20L || nw > 100000L).as("f_wc"),
+      (nonspace * 1000000L < lit(3000000L) * b ||
+        nonspace * 1000000L >= lit(10000001L) * b).as("f_wl"),
+      (sym * 10L > nw).as("f_sym"),
+      (ns < 2L).as("f_stop"))
+  }
+
   /** Document quality score in [0,1] from a [[textStats]] struct: length
     * band + low punctuation + healthy stopword ratio + mean word length
     * band. Deterministic, portable arithmetic (everything through

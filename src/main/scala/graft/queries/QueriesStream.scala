@@ -197,6 +197,34 @@ object QueriesStream {
         .orderBy(col("doc_id"))
     }),
 
+    // The streaming Gopher gate in its batch form: the stateless
+    // Streams.gopherGate (shared TextFns.gopherFlags battery +
+    // first-fail drop attribution) applied to the SAME planted corpus
+    // gopher_rules grades (QueriesText.gopherCorpus — one construction,
+    // no drift), aggregated to per-family drop accounting. This is NOT
+    // gopher_rules restated: the per-rule counts here are DISJOINT
+    // short-circuit attributions (which rule actually killed each doc —
+    // they sum to total drops), where gopher_rules reports overlapping
+    // per-rule fail counts. Scale: one narrow fused-TextStats pass, one
+    // |families|-row aggregate; the gate itself carries no state at any
+    // arrival rate.
+    "stream_gopher_gate" -> ((s, dir) => {
+      Streams.gopherGate(QueriesText.gopherCorpus(s, dir), "doc_id", "text",
+          carry = Seq("family"))
+        .groupBy(col("family"))
+        .agg(count(lit(1)).as("n_arrivals"),
+          count(when(col("reason") === "wordcount", 1)).as("drop_wordcount"),
+          count(when(col("reason") === "wordlen", 1)).as("drop_wordlen"),
+          count(when(col("reason") === "symbol", 1)).as("drop_symbol"),
+          count(when(col("reason") === "stopword", 1)).as("drop_stopword"),
+          count(when(col("reason") === "admitted", 1)).as("n_admitted"),
+          // DECIMAL(38) checksum mod 1e18 — the gopher_rules overflow rule
+          expr("CAST(coalesce(sum(CASE WHEN reason = 'admitted' THEN " +
+            "CAST(doc_id AS DECIMAL(38,0)) END), 0) " +
+            "% 1000000000000000000 AS BIGINT)").as("admitted_id_sum"))
+        .orderBy(col("family"))
+    }),
+
     // Streaming dedup surface in its batch form.
     "stream_dedup" -> ((s, dir) => {
       val e = t(s, dir, "events")
@@ -290,6 +318,51 @@ object QueriesStream {
         |FROM (SELECT DISTINCT ON (event_id) * FROM
         |  (SELECT * FROM events UNION ALL SELECT * FROM events))
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the gopher_rules oracle's corpus/metric CTEs with the gate's
+    // first-fail attribution CASE on top (battery order wc → wl → sym →
+    // stop, disjoint by construction)
+    "stream_gopher_gate" ->
+      s"""WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+         |o AS (SELECT max(doc_id) + 1 AS off FROM d),
+         |corpus AS (
+         |  SELECT doc_id, text, 'natural' AS family FROM d
+         |  UNION ALL SELECT doc_id + o.off,
+         |    array_to_string((${Tables.toksSql()})[1:5], ' '), 'short'
+         |  FROM d, o WHERE doc_id % 40 = 0
+         |  UNION ALL SELECT doc_id + 2 * o.off,
+         |    text || ' ${Seq.fill(16)("#").mkString(" ")}', 'symbol'
+         |  FROM d, o WHERE doc_id % 40 = 20
+         |  UNION ALL SELECT doc_id + 3 * o.off,
+         |    regexp_replace(text, '\\s+', '', 'g'), 'glued'
+         |  FROM d, o WHERE doc_id % 40 = 30),
+         |m AS (SELECT doc_id, family,
+         |    CAST(len(${Tables.toksSql()}) AS BIGINT) AS nw,
+         |    CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT)
+         |      AS nonspace,
+         |    CAST(len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS BIGINT) AS sym,
+         |    CAST(len(regexp_extract_all(lower(text),
+         |      '\\b(the|and|of|to|in|is|a|for|on|with|as|by|at|it)\\b')) AS BIGINT)
+         |      AS ns
+         |  FROM corpus),
+         |g AS (SELECT doc_id, family,
+         |    CASE WHEN nw < 20 OR nw > 100000 THEN 'wordcount'
+         |         WHEN (nonspace * 1000000) // greatest(nw, 1) < 3000000
+         |           OR (nonspace * 1000000) // greatest(nw, 1) > 10000000 THEN 'wordlen'
+         |         WHEN sym * 10 > nw THEN 'symbol'
+         |         WHEN ns < 2 THEN 'stopword'
+         |         ELSE 'admitted' END AS reason
+         |  FROM m)
+         |SELECT family, CAST(count(*) AS BIGINT) AS n_arrivals,
+         |  CAST(count(CASE WHEN reason = 'wordcount' THEN 1 END) AS BIGINT) AS drop_wordcount,
+         |  CAST(count(CASE WHEN reason = 'wordlen' THEN 1 END) AS BIGINT) AS drop_wordlen,
+         |  CAST(count(CASE WHEN reason = 'symbol' THEN 1 END) AS BIGINT) AS drop_symbol,
+         |  CAST(count(CASE WHEN reason = 'stopword' THEN 1 END) AS BIGINT) AS drop_stopword,
+         |  CAST(count(CASE WHEN reason = 'admitted' THEN 1 END) AS BIGINT) AS n_admitted,
+         |  CAST(coalesce(sum(CASE WHEN reason = 'admitted'
+         |    THEN CAST(doc_id AS HUGEINT) END), 0)
+         |    % 1000000000000000000 AS BIGINT) AS admitted_id_sum
+         |FROM g GROUP BY family ORDER BY family""".stripMargin,
+
     // exhaustive jaccard between the constructed arrivals and the indexed
     // corpus — dedup_incremental's oracle shape, aggregated to the
     // per-arrival gate decision

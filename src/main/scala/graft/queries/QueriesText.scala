@@ -14,6 +14,28 @@ import Tables._
   */
 object QueriesText {
 
+  /** The gopher_rules planted corpus (natural + short/symbol/glued violator
+    * families at offset ids) — ONE construction shared by the batch card
+    * and the streaming gate card (stream_gopher_gate), so the planted
+    * liveness families cannot drift between the two surfaces. */
+  private[graft] def gopherCorpus(s: org.apache.spark.sql.SparkSession,
+                                  dir: String): org.apache.spark.sql.DataFrame = {
+    val base = t(s, dir, "documents").where(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+    val off = base.agg((max(col("doc_id")) + 1L).as("off"))
+    def planted(m: Long, k: Int, fam: String, f: Column => Column) =
+      base.where(col("doc_id") % 40 === m).crossJoin(broadcast(off))
+        .select((col("doc_id") + col("off") * k).as("doc_id"),
+          f(col("text")).as("text"), lit(fam).as("family"))
+    val hashes = " " + Seq.fill(16)("#").mkString(" ")
+    base.withColumn("family", lit("natural"))
+      .unionByName(planted(0L, 1, "short",
+        tx => array_join(slice(TextFns.tokens(tx), 1, 5), " ")))
+      .unionByName(planted(20L, 2, "symbol", tx => concat(tx, lit(hashes))))
+      .unionByName(planted(30L, 3, "glued",
+        tx => regexp_replace(tx, "\\s+", "")))
+  }
+
   /** tokenizer_train_unigram model constants: vocabulary cap, µ-unit UNK
     * cost for sample-unseen single characters (dead on the shipped corpora
     * — the 256-doc sample covers the full 26-letter char set — but
@@ -1204,36 +1226,16 @@ object QueriesText {
     // DIV, cross-multiplied ratio) — bit-exact compare; one TextStats-
     // shared stopword definition.
     "gopher_rules" -> ((s, dir) => {
-      val base = t(s, dir, "documents").where(col("text").isNotNull)
-        .select(col("doc_id"), col("text"))
-      val off = base.agg((max(col("doc_id")) + 1L).as("off"))
-      def planted(m: Long, k: Int, fam: String, f: Column => Column) =
-        base.where(col("doc_id") % 40 === m).crossJoin(broadcast(off))
-          .select((col("doc_id") + col("off") * k).as("doc_id"),
-            f(col("text")).as("text"), lit(fam).as("family"))
-      val hashes = " " + Seq.fill(16)("#").mkString(" ")
-      val corpus = base.withColumn("family", lit("natural"))
-        .unionByName(planted(0L, 1, "short",
-          tx => array_join(slice(TextFns.tokens(tx), 1, 5), " ")))
-        .unionByName(planted(20L, 2, "symbol", tx => concat(tx, lit(hashes))))
-        .unionByName(planted(30L, 3, "glued",
-          tx => regexp_replace(tx, "\\s+", "")))
-      val m = TextFns.textStats(col("text"))
-      // nw comes from the SAME fused TextStats scan as ns (≡ len(tokens),
-      // the green qualityMetricsSql equivalence) — materializing the token
-      // array just to count it would re-split the corpus-sized hot path
-      // (review-caught)
-      val rules = corpus.select(col("doc_id"), col("family"),
-          m.getField("n_tokens").cast(LongType).as("nw"),
-          length(regexp_replace(col("text"), "\\s+", "")).cast(LongType).as("nonspace"),
-          regexp_count(col("text"), lit("#|\\.\\.\\.|…")).cast(LongType).as("sym"),
-          m.getField("n_stop").cast(LongType).as("ns"))
-        .withColumn("mwl6", expr("(nonspace * 1000000) DIV greatest(nw, 1)"))
+      // flags via the ONE shared battery definition (TextFns.gopherFlags —
+      // the streaming gate applies the same struct per arrival); nw comes
+      // from the SAME fused TextStats scan as ns (≡ len(tokens), the green
+      // qualityMetricsSql equivalence) — materializing the token array just
+      // to count it would re-split the corpus-sized hot path (review-caught)
+      val rules = gopherCorpus(s, dir)
+        .select(col("doc_id"), col("family"), TextFns.gopherFlags(col("text")).as("f"))
         .select(col("doc_id"), col("family"),
-          (col("nw") < 20L || col("nw") > 100000L).as("f_wc"),
-          (col("mwl6") < 3000000L || col("mwl6") > 10000000L).as("f_wl"),
-          (col("sym") * 10L > col("nw")).as("f_sym"),
-          (col("ns") < 2L).as("f_stop"))
+          col("f.f_wc").as("f_wc"), col("f.f_wl").as("f_wl"),
+          col("f.f_sym").as("f_sym"), col("f.f_stop").as("f_stop"))
       rules.groupBy(col("family"))
         .agg(count(lit(1)).as("n_docs"),
           count(when(col("f_wc"), 1)).as("fail_wordcount"),

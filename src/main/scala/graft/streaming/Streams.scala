@@ -428,6 +428,32 @@ object Streams {
       .dropDuplicates("id_new", "id_idx")
   }
 
+  /** Streaming Gopher quality gate — gopher_rules' ingest-time twin
+    * (round-12 verdict #6; stream_neardup_gate is the template): a fully
+    * STATELESS append-mode map over arrivals (no watermark, no state store
+    * — every verdict depends on the arriving document alone), emitting the
+    * four battery flags via the ONE shared rule definition
+    * ([[graft.functions.TextFns.gopherFlags]]) plus the drop `reason` =
+    * FIRST failing rule in battery order (wordcount → wordlen → symbol →
+    * stopword; 'admitted' when none fires) — the short-circuit attribution
+    * a production gate reports, disjoint by construction so per-rule drop
+    * counts sum to total drops. `carry` columns pass through for
+    * downstream accounting. Batch ≡ stream pinned by Round13Spec over
+    * chunked MemoryStream delivery. */
+  def gopherGate(arrivals: DataFrame, idCol: String, textCol: String,
+                 carry: Seq[String] = Nil): DataFrame = {
+    val f = graft.functions.TextFns.gopherFlags(col(textCol))
+    arrivals
+      .select(Seq(col(idCol).cast("long").as("doc_id"), f.as("_f")) ++
+        carry.map(col): _*)
+      .select(Seq(col("doc_id"),
+        col("_f.f_wc").as("f_wc"), col("_f.f_wl").as("f_wl"),
+        col("_f.f_sym").as("f_sym"), col("_f.f_stop").as("f_stop"),
+        when(col("_f.f_wc"), "wordcount").when(col("_f.f_wl"), "wordlen")
+          .when(col("_f.f_sym"), "symbol").when(col("_f.f_stop"), "stopword")
+          .otherwise("admitted").as("reason")) ++ carry.map(col): _*)
+  }
+
   final case class TsEvent(user_id: Long, us: Long)
   final case class RateAlert(user_id: Long, session_start_us: Long,
                              n_events: Long, dur_us: Long)

@@ -141,6 +141,38 @@ class Round13Spec extends SparkSpec {
     }
   }
 
+  test("gopherGate: streaming verdicts equal the batch gate (chunked MemoryStream delivery)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val corpus = graft.queries.QueriesText.gopherCorpus(spark, dir)
+      .select(col("doc_id"), col("text"))
+    val expected = graft.streaming.Streams.gopherGate(corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2),
+        r.getBoolean(3), r.getBoolean(4), r.getString(5))).toSet
+    assert(expected.nonEmpty)
+    assert(expected.exists(_._6 != "admitted") && expected.exists(_._6 == "admitted"),
+      "both gate branches must be live")
+    val arrivals = corpus.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val gate = graft.streaming.Streams.gopherGate(
+      ms.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    val q = gate.writeStream.format("memory").queryName("gopher_gate_out")
+      .outputMode("append").start()
+    try {
+      // chunked delivery: the stateless gate's verdicts must not depend on
+      // micro-batch cuts
+      val (a, b) = arrivals.splitAt(arrivals.length / 2)
+      ms.addData(a: _*); q.processAllAvailable()
+      ms.addData(b: _*); q.processAllAvailable()
+      val got = spark.table("gopher_gate_out")
+        .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2),
+          r.getBoolean(3), r.getBoolean(4), r.getString(5))).toSet
+      assert(got == expected,
+        s"stream/batch divergence: missing=${expected -- got} extra=${got -- expected}")
+    } finally q.stop()
+  }
+
   test("semdedup_incremental: equals the full recompute over base ∪ batch (all SFs)") {
     import graft.queries.QueriesSim
     for (sfDir <- sfDirs) {
