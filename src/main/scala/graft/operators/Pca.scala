@@ -31,6 +31,18 @@ object Pca {
   def fitSampled(vectors: DataFrame, idCol: String, vecCol: String,
                  nComponents: Int = 2, maxIters: Int = 200,
                  sampleN: Int = 2048): (Array[Double], Seq[Array[Double]]) = {
+    val (mu, comps, _) = fitSampledFull(vectors, idCol, vecCol, nComponents,
+      maxIters, sampleN)
+    (mu, comps)
+  }
+
+  /** [[fitSampled]] keeping the Rayleigh eigenvalues (the per-component
+    * sample variances) — the extra output whitening needs for the
+    * 1/√λ scaling. Identical arithmetic and iteration order, so the
+    * (mean, components) pair is bit-identical to [[fitSampled]]'s. */
+  def fitSampledFull(vectors: DataFrame, idCol: String, vecCol: String,
+                 nComponents: Int = 2, maxIters: Int = 200,
+                 sampleN: Int = 2048): (Array[Double], Seq[Array[Double]], Seq[Double]) = {
     val sample = vectors.orderBy(col(idCol)).limit(sampleN)
       .select(SimFns.toDouble(col(vecCol))).collect()
       .map(_.getSeq[Double](0).toArray)
@@ -59,6 +71,7 @@ object Pca {
       while (i < d) { var j = 0; while (j < d) { a(i)(j) /= n; j += 1 }; i += 1 }
     }
     val comps = Seq.newBuilder[Array[Double]]
+    val lams = Seq.newBuilder[Double]
     var c = 0
     while (c < nComponents) {
       var x = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
@@ -96,8 +109,9 @@ object Pca {
         }
       }
       comps += x
+      lams += lam
       c += 1
     }
-    (mu, comps.result())
+    (mu, comps.result(), lams.result())
   }
 }

@@ -1620,6 +1620,57 @@ object QueriesSim {
         .orderBy(col("vec_id"))
     }),
 
+    // PCA WHITENING diagnostic — the embedding-preprocessing step after
+    // embed_pca_project: whitened coordinate w_c = (v − µ)·(comp_c/√λ_c)
+    // should have corpus mean ≈ 0, mean-square ≈ 1, and ≈ 0 covariance
+    // between components; this card MEASURES whether the sample-fit
+    // whitener holds on the full corpus (the drift diagnostic a pipeline
+    // checks before shipping a whitened store). The 1/√λ scaling happens
+    // ON THE DRIVER (the rows inline as literals — no sqrt in either
+    // engine); per-row coordinates µ-quantize BEFORE aggregation, so every
+    // statistic is an exact-integer fold (the bm25_prf rule) and the
+    // compare is bit-exact: mean_u = Σw6 DIV n (truncated division —
+    // measured identical to DuckDB's `//` on negatives), msq_ppm =
+    // Σw6² DIV (n·1e6), cov_next_ppm likewise over (c, c+1) products
+    // (NULL for the last component in both engines). Scale: ONE narrow
+    // codegen'd pass + a 4-row aggregate; Σw6² ≤ ~1e15 per 1e10 rows —
+    // DECIMAL(38) past that, the checksum precedent.
+    "embed_whitening" -> ((s, dir) => {
+      import graft.operators.Pca
+      val e = t(s, dir, "embeddings").where(col("embedding").isNotNull)
+        .select(col("vec_id"), col("embedding"))
+      val (mu, comps, lams) = Pca.fitSampledFull(e, "vec_id", "embedding",
+        nComponents = 4)
+      val rows = comps.zip(lams).map { case (w, l) =>
+        val s2 = math.sqrt(l); w.map(_ / s2) }
+      val eig6 = lams.map(l => math.floor(l * 1e6 + 0.5).toLong)
+      val muArr = array(mu.map(lit).toSeq: _*)
+      val centered = zip_with(SimFns.toDouble(col("embedding")), muArr, (a, b) => a - b)
+      def w6(row: Array[Double]) =
+        floor(SimFns.dot(centered, array(row.map(lit).toSeq: _*)) * 1e6 + 0.5)
+          .cast(LongType)
+      val wcols = e.select((rows.zipWithIndex.map { case (r, i) => w6(r).as(s"w$i") }): _*)
+      val pairs = array(
+        struct(lit(0L).as("comp"), col("w0").as("w"), col("w1").as("wn")),
+        struct(lit(1L).as("comp"), col("w1").as("w"), col("w2").as("wn")),
+        struct(lit(2L).as("comp"), col("w2").as("w"), col("w3").as("wn")),
+        struct(lit(3L).as("comp"), col("w3").as("w"),
+          lit(null).cast(LongType).as("wn")))
+      val eigMap = map(eig6.zipWithIndex.flatMap { case (v, i) =>
+        Seq(lit(i.toLong), lit(v)) }: _*)
+      wcols.select(explode(pairs).as("p"))
+        .select(col("p.comp").as("comp"), col("p.w").as("w"), col("p.wn").as("wn"))
+        .groupBy(col("comp"))
+        .agg(count(lit(1)).as("n_vecs"), sum(col("w")).as("sw"),
+          sum(col("w") * col("w")).as("ssq"), sum(col("w") * col("wn")).as("sxy"))
+        .select(col("comp"), col("n_vecs"),
+          element_at(eigMap, col("comp")).as("eig6"),
+          expr("sw DIV n_vecs").as("mean_u"),
+          expr("ssq DIV (n_vecs * 1000000)").as("msq_ppm"),
+          expr("sxy DIV (n_vecs * 1000000)").as("cov_next_ppm"))
+        .orderBy(col("comp"))
+    }),
+
     // Int8 symmetric quantization: per-vector scale, max reconstruction
     // error, and cosine(original, dequantized) — the embedding-compression
     // step before ANN indexing. Deterministic arithmetic → exact SQL twin.
@@ -2965,6 +3016,46 @@ object QueriesSim {
        |FROM c ORDER BY vec_id""".stripMargin
   }
 
+  /** embed_whitening's twin: refit the identical PCA (bit-reproducible
+    * driver fit), pre-scale the component rows by 1/√λ on the driver, and
+    * replay the µ-quantize-then-integer-fold statistics; list_dot_product
+    * folds sequentially like SimFns.dot (the pcaOracle precedent), and
+    * truncated integer division matches Spark DIV on negative sums
+    * (probed: DuckDB -7//2 = -3). */
+  private def whiteningOracle(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    import graft.operators.Pca
+    val e = t(s, dir, "embeddings").where(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"))
+    val (mu, comps, lams) = Pca.fitSampledFull(e, "vec_id", "embedding", nComponents = 4)
+    val rows = comps.zip(lams).map { case (w, l) =>
+      val s2 = math.sqrt(l); w.map(_ / s2) }
+    val eig6 = lams.map(l => math.floor(l * 1e6 + 0.5).toLong)
+    val muLit = mu.mkString("[", ", ", "]")
+    def wLit(w: Array[Double]) = w.mkString("[", ", ", "]")
+    val wDefs = rows.zipWithIndex.map { case (r, i) =>
+      s"CAST(floor(list_dot_product(cv, ${wLit(r)}) * 1e6 + 0.5) AS BIGINT) AS w$i"
+    }.mkString(",\n    ")
+    val evVals = eig6.zipWithIndex.map { case (v, i) =>
+      s"(CAST($i AS BIGINT), CAST($v AS BIGINT))" }.mkString(", ")
+    s"""WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |  WHERE embedding IS NOT NULL),
+       |c AS (SELECT list_transform(range(1, ${mu.length + 1}), i -> v[i] - ($muLit)[i]) AS cv
+       |  FROM e),
+       |w AS MATERIALIZED (SELECT
+       |    $wDefs
+       |  FROM c),
+       |p AS (SELECT CAST(0 AS BIGINT) AS comp, w0 AS w, w1 AS wn FROM w
+       |  UNION ALL SELECT 1, w1, w2 FROM w
+       |  UNION ALL SELECT 2, w2, w3 FROM w
+       |  UNION ALL SELECT 3, w3, CAST(NULL AS BIGINT) FROM w),
+       |ev AS (SELECT * FROM (VALUES $evVals) AS t(comp, eig6))
+       |SELECT p.comp, CAST(count(*) AS BIGINT) AS n_vecs, ev.eig6,
+       |  CAST(sum(w) // count(*) AS BIGINT) AS mean_u,
+       |  CAST(sum(w * w) // (count(*) * 1000000) AS BIGINT) AS msq_ppm,
+       |  CAST(sum(w * wn) // (count(*) * 1000000) AS BIGINT) AS cov_next_ppm
+       |FROM p JOIN ev USING (comp) GROUP BY p.comp, ev.eig6 ORDER BY comp""".stripMargin
+  }
+
   /** Static oracles + the trained-ANN pair when an OracleContext is set
     * (Verify dump time); without a context the pair is omitted → rows-only,
     * the pre-round-4 behaviour. */
@@ -3004,6 +3095,7 @@ object QueriesSim {
             |  FROM embeddings WHERE vec_id % 50 = 0 AND embedding IS NOT NULL""".stripMargin)) ++
         tryGen("sim_ivfpq_residual", ivfpqResidualOracle(s, dir)) ++
         tryGen("embed_pca_project", pcaOracle(s, dir)) ++
+        tryGen("embed_whitening", whiteningOracle(s, dir)) ++
         tryGen("cluster_silhouette", silhouetteOracle(s, dir)) ++
         tryGen("kcenter_coreset", kcenterOracle(s, dir)) ++
         tryGen("semdedup", semdedupOracle(s, dir)) ++

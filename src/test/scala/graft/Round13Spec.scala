@@ -173,6 +173,37 @@ class Round13Spec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("embed_whitening: whitened corpus is unit-scale, centered, decorrelated (all SFs)") {
+    import graft.queries.QueriesSim
+    // the corpus is inside the 2048-vector fit sample at every shipped SF,
+    // so the whitener must hold almost exactly. Measured (sf0.001 / 0.01 /
+    // 0.1): |mean_u| = 0 everywhere, |msq_ppm − 1e6| ≤ 1 / 1 / 54,
+    // |cov_next_ppm| ≤ 322 / 2545 / 14649 — the cross-covariance residual
+    // comes from the FIXED-200-iteration power method on this corpus's
+    // near-flat spectrum (eigs within ~5% of each other ⇒ slow deflated
+    // convergence; that flatness also means component ORDER is not
+    // guaranteed sorted, so no sorted-spectrum law). Bounds are ~10× the
+    // measured slack.
+    for (sfDir <- sfDirs) {
+      val rows = QueriesSim.queries("embed_whitening")(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), if (r.isNullAt(5)) None else Some(r.getLong(5))))
+      assert(rows.map(_._1).toSeq == (0L until 4L), s"$sfDir: components not dense")
+      rows.foreach { case (c, n, eig6, mean, msq, cov) =>
+        assert(n > 0 && eig6 > 0, s"$sfDir/c$c: degenerate fit")
+        assert(math.abs(mean) <= 60, s"$sfDir/c$c: whitened mean_u $mean not ~0")
+        assert(math.abs(msq - 1000000L) <= 600, s"$sfDir/c$c: msq_ppm $msq not ~1e6")
+        if (c < 3) assert(math.abs(cov.get) <= 150000,
+          s"$sfDir/c$c: cov_next_ppm ${cov.get} not ~0")
+        else assert(cov.isEmpty, s"$sfDir/c3: cov_next must be NULL")
+      }
+      // the near-isotropic spectrum itself is a corpus property worth
+      // pinning: all four sample variances within a 2x band (measured 1.08)
+      val eigs = rows.map(_._3)
+      assert(eigs.max <= 2 * eigs.min, s"$sfDir: spectrum band $eigs wider than measured")
+    }
+  }
+
   test("semdedup_incremental: equals the full recompute over base ∪ batch (all SFs)") {
     import graft.queries.QueriesSim
     for (sfDir <- sfDirs) {
