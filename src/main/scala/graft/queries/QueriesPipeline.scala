@@ -833,6 +833,46 @@ object QueriesPipeline {
         .orderBy(col("lang"))
     }),
 
+    // WordPiece trainer — the likelihood-merge table (see wordpieceMerges:
+    // per-round argmax of count(ab)·1e12 DIV (count(a)·count(b)) over the
+    // CURRENT symbol state, exact DECIMAL(38)/HUGEINT fractions, ties
+    // (score DESC, count DESC, l, r)). Oracle = the same 4 rounds unrolled
+    // with MATERIALIZED per-round state CTEs.
+    "wordpiece_train" -> ((s, dir) => {
+      import s.implicits._
+      wordpieceMerges(s, dir)
+        .toDF("merge_round", "lhs", "rhs", "pair_count", "score12")
+    }),
+
+    // The WordPiece vocabulary APPLIED — per-language fertility under the
+    // likelihood-merge table (bpe_apply's shape, so the two trainers'
+    // compression is directly comparable per language). Same Zipf trick:
+    // merges apply to the distinct (lang, word) vocabulary only.
+    "wordpiece_apply" -> ((s, dir) => {
+      val merges = wordpieceMerges(s, dir)
+      val wordLang = t(s, dir, "documents")
+        .select(col("lang"), explode(TextFns.tokens(col("text"))).as("w"))
+        .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("wc"))
+      val spaced = concat(lit(" "), concat_ws(" ",
+        transform(sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1)))), lit(" "))
+      val encoded = merges.foldLeft(spaced) { case (seq, (_, l, r, _, _)) =>
+        replace(seq, lit(s" $l $r "), lit(s" $l$r "))
+      }
+      wordLang
+        .select(col("lang"), col("wc"), length(col("w")).as("nc"),
+          size(split(trim(encoded), " ")).cast(LongType).as("ns"))
+        .groupBy(col("lang"))
+        .agg(sum(col("wc")).as("n_words"),
+          sum(col("wc") * col("ns")).as("n_tokens"),
+          sum(col("wc") * col("nc")).as("n_chars"),
+          round(sum(col("wc") * col("ns")).cast(DoubleType)
+            / sum(col("wc")), 4).as("tokens_per_word"),
+          round(sum(col("wc") * col("nc")).cast(DoubleType)
+            / sum(col("wc") * col("ns")), 4).as("chars_per_token"))
+        .orderBy(col("lang"))
+    }),
+
     // DSIR data selection (Xie et al., NeurIPS 2023 — importance
     // resampling over hashed n-gram features): every raw doc scores
     // log p_target/p_raw under two bag-of-hashed-bigram unigram models
@@ -1084,6 +1124,83 @@ object QueriesPipeline {
       }
       merges.toSeq
     })
+
+  /** The WordPiece trainer (Schuster & Nakajima 2012; the likelihood-merge
+    * variant BERT ships) — completes the production tokenizer-trainer
+    * triple next to BPE (frequency argmax) and unigram-LM (EM): each round
+    * merges the pair maximizing p(ab)/(p(a)p(b)) over the CURRENT symbol
+    * state, i.e. count(ab)/(count(a)·count(b)) up to a constant. The score
+    * is the EXACT INTEGER fraction score12 = c_ab·1e12 DIV (c_a·c_b)
+    * (DECIMAL(38)/HUGEINT — c·1e12 overflows BIGINT past ~9e6
+    * occurrences), so the cross-engine argmax is bit-deterministic; ties
+    * break (score12 DESC, count DESC, l, r). Same Zipf trick as BPE: all
+    * counting runs over the distinct-word symbol table weighted by word
+    * counts; per round one vocabulary-sized aggregate pair + a 1-row
+    * argmax collect. Memoized per dir (bpeCache convention) so train +
+    * apply share one fit. */
+  private val wpCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, String, String, Long, Long)]]()
+  private def wordpieceMerges(s: org.apache.spark.sql.SparkSession, dir: String)
+      : Seq[(Int, String, String, Long, Long)] =
+    wpCache.computeIfAbsent(dir, _ => {
+      import graft.operators.CacheRegistry
+      val words = CacheRegistry.track(
+        t(s, dir, "documents")
+          .select(explode(TextFns.tokens(col("text"))).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+          .select(concat(lit(" "), concat_ws(" ",
+              transform(sequence(lit(1), length(col("w"))),
+                i => col("w").substr(i, lit(1)))), lit(" ")).as("seq"),
+            col("cnt")))
+      var cur = words
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long, Long)]
+      for (k <- 1 to 4) {
+        val tk = cur.select(col("cnt"), split(trim(col("seq")), " ").as("tk"))
+          .localCheckpoint(false) // feeds BOTH the unigram and pair counts
+        val uni = tk.select(col("cnt"), explode(col("tk")).as("sym"))
+          .groupBy(col("sym")).agg(sum(col("cnt")).as("cu"))
+        val pairs = tk.where(size(col("tk")) >= 2)
+          .select(col("cnt"), explode(expr(
+            "transform(sequence(1, size(tk) - 1), i -> struct(tk[i-1] AS l, tk[i] AS r))")).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("cnt")).as("c"))
+        val best = pairs
+          .join(uni.select(col("sym").as("l"), col("cu").as("cl")), "l")
+          .join(uni.select(col("sym").as("r"), col("cu").as("cr")), "r")
+          .select(col("l"), col("r"), col("c"), expr(
+            "CAST((CAST(c AS DECIMAL(38,0)) * 1000000000000) DIV (CAST(cl AS DECIMAL(38,0)) * cr) AS BIGINT)")
+            .as("score12"))
+          .orderBy(col("score12").desc, col("c").desc, col("l"), col("r"))
+          .limit(1).collect()(0)
+        val (l, r, c, sc) = (best.getString(0), best.getString(1),
+          best.getLong(2), best.getLong(3))
+        require(l.matches("[a-z]+") && r.matches("[a-z]+"),
+          s"wordpiece merge tokens must be [a-z]+ (got '$l', '$r')")
+        merges += ((k, l, r, c, sc))
+        cur = cur.withColumn("seq",
+          replace(col("seq"), lit(s" $l $r "), lit(s" $l$r ")))
+      }
+      merges.toSeq
+    })
+
+  private def wordpieceRoundSql(k: Int): String =
+    s""",
+       |tk$k AS MATERIALIZED (SELECT string_split(trim(seq), ' ') AS tk, cnt FROM v${k - 1}),
+       |u$k AS (SELECT sym, CAST(sum(cnt) AS BIGINT) AS cu
+       |  FROM (SELECT unnest(tk) AS sym, cnt FROM tk$k) GROUP BY 1),
+       |p$k AS (SELECT split_part(pr, ' ', 1) AS l, split_part(pr, ' ', 2) AS r,
+       |    CAST(sum(cnt) AS BIGINT) AS c
+       |  FROM (SELECT unnest(list_transform(range(1, len(tk)),
+       |      i -> tk[i] || ' ' || tk[i+1])) AS pr, cnt
+       |    FROM tk$k WHERE len(tk) >= 2)
+       |  GROUP BY 1, 2),
+       |s$k AS (SELECT p$k.l, p$k.r, c,
+       |    CAST((CAST(c AS HUGEINT) * 1000000000000) // (CAST(ul.cu AS HUGEINT) * ur.cu) AS BIGINT) AS score12
+       |  FROM p$k JOIN u$k ul ON ul.sym = p$k.l JOIN u$k ur ON ur.sym = p$k.r),
+       |b$k AS (SELECT l, r, c, score12 FROM s$k
+       |  ORDER BY score12 DESC, c DESC, l, r LIMIT 1),
+       |v$k AS MATERIALIZED (SELECT replace(seq, ' ' || l || ' ' || r || ' ',
+       |    ' ' || l || r || ' ') AS seq, cnt FROM v${k - 1} CROSS JOIN b$k)""".stripMargin
 
   private def bpeRoundSql(k: Int): String =
     s""",
@@ -1504,6 +1621,47 @@ object QueriesPipeline {
           |  UNION ALL SELECT 3, l, r, c FROM b3
           |  UNION ALL SELECT 4, l, r, c FROM b4)
           |ORDER BY merge_round""".stripMargin),
+    "wordpiece_train" ->
+      (s"""WITH words AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+          |  SELECT unnest($toks) AS w FROM documents) GROUP BY w),
+          |v0 AS MATERIALIZED (SELECT ' ' || array_to_string(
+          |    list_transform(range(1, length(w) + 1), i -> substr(w, CAST(i AS INT), 1)), ' ')
+          |    || ' ' AS seq, cnt FROM words)""".stripMargin
+        + (1 to 4).map(wordpieceRoundSql).mkString +
+        """
+          |SELECT * FROM (
+          |  SELECT 1 AS merge_round, l AS lhs, r AS rhs, c AS pair_count, score12 FROM b1
+          |  UNION ALL SELECT 2, l, r, c, score12 FROM b2
+          |  UNION ALL SELECT 3, l, r, c, score12 FROM b3
+          |  UNION ALL SELECT 4, l, r, c, score12 FROM b4)
+          |ORDER BY merge_round""".stripMargin),
+    "wordpiece_apply" ->
+      (s"""WITH words AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+          |  SELECT unnest($toks) AS w FROM documents) GROUP BY w),
+          |v0 AS MATERIALIZED (SELECT ' ' || array_to_string(
+          |    list_transform(range(1, length(w) + 1), i -> substr(w, CAST(i AS INT), 1)), ' ')
+          |    || ' ' AS seq, cnt FROM words)""".stripMargin
+        + (1 to 4).map(wordpieceRoundSql).mkString +
+        s""",
+          |wl AS MATERIALIZED (SELECT lang, w, CAST(count(*) AS BIGINT) AS wc FROM (
+          |  SELECT lang, unnest($toks) AS w FROM documents) GROUP BY 1, 2),
+          |enc AS (SELECT lang, wc, CAST(length(w) AS BIGINT) AS nc,
+          |    CAST(len(string_split(trim(
+          |      replace(replace(replace(replace(
+          |        ' ' || array_to_string(list_transform(range(1, length(w) + 1),
+          |          i -> substr(w, CAST(i AS INT), 1)), ' ') || ' ',
+          |        ' ' || b1.l || ' ' || b1.r || ' ', ' ' || b1.l || b1.r || ' '),
+          |        ' ' || b2.l || ' ' || b2.r || ' ', ' ' || b2.l || b2.r || ' '),
+          |        ' ' || b3.l || ' ' || b3.r || ' ', ' ' || b3.l || b3.r || ' '),
+          |        ' ' || b4.l || ' ' || b4.r || ' ', ' ' || b4.l || b4.r || ' ')
+          |      ), ' ')) AS BIGINT) AS ns
+          |  FROM wl CROSS JOIN b1 CROSS JOIN b2 CROSS JOIN b3 CROSS JOIN b4)
+          |SELECT lang, CAST(sum(wc) AS BIGINT) AS n_words,
+          |  CAST(sum(wc * ns) AS BIGINT) AS n_tokens,
+          |  CAST(sum(wc * nc) AS BIGINT) AS n_chars,
+          |  round(CAST(sum(wc * ns) AS DOUBLE) / sum(wc), 4) AS tokens_per_word,
+          |  round(CAST(sum(wc * nc) AS DOUBLE) / sum(wc * ns), 4) AS chars_per_token
+          |FROM enc GROUP BY lang ORDER BY lang""".stripMargin),
     "bpe_apply" ->
       (s"""WITH words AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
           |  SELECT unnest($toks) AS w FROM documents) GROUP BY w),

@@ -159,7 +159,7 @@ class PlanLintSpec extends SparkSpec {
     "graft/queries/QueriesDedup.scala" -> ((1, "CC contraction probe: limit(maxDriverEdges+1)")),
     "graft/queries/QueriesFacade.scala" -> ((1, "1-row aggregate (.head on agg)")),
     "graft/queries/QueriesMlops.scala" -> ((3, "time_to_convert limit(max+1) hour histogram; calibration limit(1001); daily limit(4001)")),
-    "graft/queries/QueriesPipeline.scala" -> ((2, "1-row max(doc_id) probe + limit(1) best-pair")),
+    "graft/queries/QueriesPipeline.scala" -> ((3, "1-row max(doc_id) probe + BPE limit(1) best-pair + WordPiece limit(1) best-pair")),
     "graft/queries/QueriesRelationalExt.scala" -> ((1, "jdbc_roundtrip: |regions|-row aggregate materialized inside the withRetry cycle")),
     "graft/queries/QueriesScale.scala" -> ((2, "winsorize/outlier_mad limit(maxHistRows+1) probe-and-collect")),
     "graft/queries/QueriesSim.scala" -> ((10, "query panels (vec_id < 5/3), panel-bounded truth top-k (queries×k), query-side ADC LUTs, limit(256) sample")),

@@ -204,6 +204,25 @@ class Round13Spec extends SparkSpec {
     }
   }
 
+  test("wordpiece_train: the likelihood argmax is live (differs from BPE) and internally consistent") {
+    import graft.queries.QueriesPipeline
+    val wp = QueriesPipeline.queries("wordpiece_train")(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    val bpe = QueriesPipeline.queries("bpe_train")(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+    assert(wp.map(_._1).toSeq.sorted == Seq(1, 2, 3, 4))
+    wp.foreach { case (k, l, r, c, sc) =>
+      assert(c > 0 && sc > 0, s"round $k: degenerate merge ($l,$r,$c,$sc)")
+    }
+    // the likelihood score must DO something: if all four merges coincide
+    // with BPE's frequency argmax, count(ab)/(count(a)count(b)) was a
+    // frequency proxy on this corpus and the trainer is a restatement
+    // (measured: round 1 picks (q,u) — rare but high mutual information —
+    // where BPE picks the most frequent pair)
+    assert(wp.map(m => (m._2, m._3)).toSet != bpe.map(m => (m._2, m._3)).toSet,
+      "wordpiece merge set identical to BPE's — likelihood score dead")
+  }
+
   test("semdedup_incremental: equals the full recompute over base ∪ batch (all SFs)") {
     import graft.queries.QueriesSim
     for (sfDir <- sfDirs) {
