@@ -50,15 +50,25 @@ object GlobalOrder {
     * number of boundaries ≤ k — monotone, null→bucket 0 (nulls sort first).
     * Two eager column-pruned jobs (count, then seeded sample); boundaries
     * become plan literals so both downstream subtrees agree deterministically.
+    *
+    * `knownCount` skips the count probe when the caller already holds the
+    * row count (a query running several GlobalOrder passes over one cached
+    * frame was paying the identical count job per pass — round 14). The
+    * sample probe draws rows BEFORE projecting the key, so an expensive key
+    * expression evaluates on ~n·128 sampled rows, not the whole relation
+    * (boundaries shift only within sampling noise, and the downstream
+    * totals/merge corrections make every output exact for ANY monotone
+    * bucketing, so this is plan-shape-only).
     */
-  private def bucketExpr(df: DataFrame, c0: Column, n: Int): Column = {
-    val cnt = df.select(c0.as("_g_k")).count()
+  private def bucketExpr(df: DataFrame, c0: Column, n: Int,
+                         knownCount: Option[Long] = None): Column = {
+    val cnt = knownCount.getOrElse(df.select(c0.as("_g_k")).count())
     val boundaries: Seq[Any] =
       if (cnt == 0 || n <= 1) Seq.empty
       else {
         val fraction = math.min(1.0, (n.toDouble * SamplesPerBucket) / cnt)
-        val s = df.select(c0.as("_g_k")).where(col("_g_k").isNotNull)
-          .sample(withReplacement = false, fraction, SampleSeed)
+        val s = df.sample(withReplacement = false, fraction, SampleSeed)
+          .select(c0.as("_g_k")).where(col("_g_k").isNotNull)
           .orderBy(col("_g_k")).collect().map(_.get(0))
         if (s.isEmpty) Seq.empty
         else (1 until n).map(i => s(((i.toLong * s.length) / n).toInt.min(s.length - 1)))
@@ -73,8 +83,11 @@ object GlobalOrder {
     * deterministic, monotone-in-`key` integer bucket id computed from
     * sampled boundary literals — the primitive both the prefix-sum and the
     * run-counting operators hash-exchange on. Costs two eager column-pruned
-    * probe jobs (count + seeded sample) at build time. */
-  def rangeBucket(df: DataFrame, key: Column, n: Int): Column = bucketExpr(df, key, n)
+    * probe jobs (count + seeded sample) at build time; pass `knownCount`
+    * to skip the count probe. */
+  def rangeBucket(df: DataFrame, key: Column, n: Int,
+                  knownCount: Option[Long] = None): Column =
+    bucketExpr(df, key, n, knownCount)
 
   /** Adds `out` = the sum of `value` over all rows strictly BEFORE this row
     * in the total order given by `orderCols` (exclusive prefix sum; first
@@ -85,7 +98,8 @@ object GlobalOrder {
     */
   def withExclusivePrefixSum(df: DataFrame, orderCols: Seq[Column], value: Column,
                              out: String, numParts: Int = 0,
-                             boundaries: Option[Seq[Any]] = None): DataFrame = {
+                             boundaries: Option[Seq[Any]] = None,
+                             knownCount: Option[Long] = None): DataFrame = {
     val spark = df.sparkSession
     val n = if (numParts > 0) numParts
             else spark.conf.get("spark.sql.shuffle.partitions").toInt
@@ -93,7 +107,7 @@ object GlobalOrder {
       case Some(bs) => bs.foldLeft(lit(0)) { (acc, b) =>
         acc + when(orderCols.head >= lit(b), 1).otherwise(0)
       }
-      case None => bucketExpr(df, orderCols.head, n)
+      case None => bucketExpr(df, orderCols.head, n, knownCount)
     }
     val keyed = df.withColumn("_g_v", value.cast(LongType))
       .withColumn("_g_bucket", bucket)
@@ -120,8 +134,10 @@ object GlobalOrder {
     */
   def withGlobalRowNumber(df: DataFrame, orderCols: Seq[Column],
                           out: String, numParts: Int = 0,
-                          boundaries: Option[Seq[Any]] = None): DataFrame =
-    withExclusivePrefixSum(df, orderCols, lit(1L), "_g_rank0", numParts, boundaries)
+                          boundaries: Option[Seq[Any]] = None,
+                          knownCount: Option[Long] = None): DataFrame =
+    withExclusivePrefixSum(df, orderCols, lit(1L), "_g_rank0", numParts, boundaries,
+        knownCount)
       .withColumn(out, col("_g_rank0") + lit(1L))
       .drop("_g_rank0")
 
@@ -145,9 +161,12 @@ object GlobalOrder {
     * nullable/NaN-able key must coalesce/clamp it first (round-11 ADVICE).
     */
   def withNtile(df: DataFrame, orderCols: Seq[Column], k: Int, out: String,
-                numParts: Int = 0, boundaries: Option[Seq[Any]] = None): DataFrame = {
+                numParts: Int = 0, boundaries: Option[Seq[Any]] = None,
+                knownCount: Option[Long] = None): DataFrame = {
     require(k >= 1, s"ntile buckets must be >= 1: $k")
-    val n = df.count()
+    // the ntile count IS the bucket-probe count — thread it down so one
+    // probe job serves both (was two identical count jobs per call)
+    val n = knownCount.getOrElse(df.count())
     val q = n / k
     val rem = n % k
     val cut = rem * (q + 1)
@@ -155,7 +174,7 @@ object GlobalOrder {
       if (q == 0) "CAST(_g_pos AS INT)" // n < k: row i is tile i
       else s"CAST(CASE WHEN _g_pos <= $cut THEN (_g_pos - 1) DIV ${q + 1} + 1 " +
         s"ELSE $rem + (_g_pos - $cut - 1) DIV $q + 1 END AS INT)"
-    withGlobalRowNumber(df, orderCols, "_g_pos", numParts, boundaries)
+    withGlobalRowNumber(df, orderCols, "_g_pos", numParts, boundaries, Some(n))
       .withColumn(out, expr(tileSql))
       .drop("_g_pos")
   }

@@ -35,13 +35,26 @@ object Runs {
     * a total order — include a unique suffix; ties would make run counts
     * order-dependent). */
   def counts(df: DataFrame, key: Column, values: Seq[String],
-             numBuckets: Int = 0): DataFrame = {
+             numBuckets: Int = 0): DataFrame =
+    countsOrdered(df, Seq(key), key, values, numBuckets)
+
+  /** Tuple-order variant: runs under the lexicographic order of `orderCols`
+    * (still a total order — include unique suffix columns), hash-exchanged
+    * on a range bucket of `bucketKey`, which must be a monotone coarsening
+    * of the tuple order (e.g. its lead column). Against the single-string
+    * form this sorts native columns instead of a per-row concatenated key —
+    * the concat/format_string evaluated once per row per probe was the
+    * dominant per-pass cost in rle_layout (round 14) — and `knownCount`
+    * lets several passes over one frame share a single count probe. */
+  def countsOrdered(df: DataFrame, orderCols: Seq[Column], bucketKey: Column,
+                    values: Seq[String], numBuckets: Int = 0,
+                    knownCount: Option[Long] = None): DataFrame = {
     val n = if (numBuckets > 0) numBuckets
             else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val withK = df.withColumn("_r_k", key)
-    val keyed = withK.withColumn("_r_b",
-      GlobalOrder.rangeBucket(withK, col("_r_k"), n))
-    val w = Window.partitionBy(col("_r_b")).orderBy(col("_r_k"))
+    val keyed = df.withColumn("_r_b",
+      GlobalOrder.rangeBucket(df, bucketKey, n, knownCount))
+      .withColumn("_r_ord", struct(orderCols: _*))
+    val w = Window.partitionBy(col("_r_b")).orderBy(col("_r_ord"))
     val marked = values.foldLeft(keyed) { (d, v) =>
       d.withColumn(s"_brk_$v",
         when(lag(col(v), 1).over(w).isNull || lag(col(v), 1).over(w) =!= col(v), 1L)
@@ -51,8 +64,8 @@ object Runs {
       count(lit(1)).as("_nr"),
       values.flatMap(v => Seq(
         sum(col(s"_brk_$v")).as(s"_runs_$v"),
-        expr(s"min_by(`$v`, _r_k)").as(s"_first_$v"),
-        expr(s"max_by(`$v`, _r_k)").as(s"_last_$v"))): _*)
+        expr(s"min_by(`$v`, _r_ord)").as(s"_first_$v"),
+        expr(s"max_by(`$v`, _r_ord)").as(s"_last_$v"))): _*)
     // buckets-sized relation; the single partition is EXPLICIT and bounded
     val wb = Window.partitionBy(lit(0)).orderBy(col("_r_b"))
     val corrected = values.foldLeft(perBucket) { (d, v) =>

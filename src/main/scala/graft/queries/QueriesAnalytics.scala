@@ -104,12 +104,7 @@ object QueriesAnalytics {
     // variant), and the card is a sizes-domain aggregate. Oracle:
     // recursive-CTE transitive closure over the identical match pairs.
     "er_cluster" -> ((s, dir) => {
-      import graft.operators.ConnectedComponents
-      val (dirty, scored) = erScoredPairs(s, dir)
-      val edges = scored.where(col("score") >= 45L)
-        .select(col("id_a"), col("id_b"))
-      val labels = ConnectedComponents.components(
-        edges, dirty.select(col("c_custkey")))
+      val labels = erMatchLabels(s, dir)
       labels.groupBy(col("component"))
         .agg(count(lit(1)).as("entity_size"))
         .groupBy(col("entity_size"))
@@ -209,12 +204,8 @@ object QueriesAnalytics {
     // erScoredPairs definition); the survivorship pass is one join +
     // one entity-keyed aggregate.
     "golden_record" -> ((s, dir) => {
-      import graft.operators.ConnectedComponents
-      val (dirty, scored) = erScoredPairs(s, dir)
-      val edges = scored.where(col("score") >= 45L)
-        .select(col("id_a"), col("id_b"))
-      val labels = ConnectedComponents.components(
-        edges, dirty.select(col("c_custkey")))
+      val (dirty, _) = erScoredPairs(s, dir)
+      val labels = erMatchLabels(s, dir)
       dirty.join(labels, dirty("c_custkey") === labels("id"))
         .groupBy(col("component").as("entity_id"))
         .agg(count(lit(1)).as("n_members"),
@@ -1045,7 +1036,11 @@ object QueriesAnalytics {
         e0.select(col("src").as("a"), col("dst").as("b"), col("w"))
           .unionByName(e0.select(col("dst").as("a"), col("src").as("b"), col("w")))
           .groupBy(col("a"), col("b")).agg(sum(col("w")).as("w"))
-          .where(col("w") >= 2))
+          .where(col("w") >= 2)
+          // pre-partition on the per-round join key (guide §2.4): all 5
+          // label-join rounds read a b-co-partitioned cached edge list
+          // instead of re-exchanging it per round at scale
+          .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("b")))
       val nodes = nodes0 // persisted inside successorGraph
       var lbl = nodes.select(col("id"), col("id").as("lbl"))
       for (_ <- 1 to 5) {
@@ -1150,11 +1145,18 @@ object QueriesAnalytics {
           .crossJoin(st.hint("shuffle_replicate_nl"))
           .where(coalesce(col("d"), lit(0L)) < thrExpr)
           .select(col("id")).localCheckpoint(false)
-        v = v.join(rm, Seq("id"), "left_anti").localCheckpoint(false)
+        // HALF the round's materialization barriers (round 14): only rm and
+        // the shrinking edge list checkpoint per round. v stays a LAZY
+        // anti-join chain over the checkpointed rm's — bounded depth (≤5
+        // broadcast-sized antis over the round-0 node checkpoint, the BFS
+        // `reached`-union pattern), and the 1-row stats frame stays lazy
+        // too: its subtree rides INSIDE its consumers' jobs (next round's
+        // rm filter, this round's card) instead of buying its own job.
+        v = v.join(rm, Seq("id"), "left_anti")
         eg = eg.join(rm.select(col("id").as("a")), Seq("a"), "left_anti")
           .join(rm.select(col("id").as("b")), Seq("b"), "left_anti")
           .localCheckpoint(false)
-        val newSt = statsOf(eg, v).localCheckpoint(false)
+        val newSt = statsOf(eg, v)
         cards :+= rm.agg(count(lit(1)).as("n_removed"))
           .crossJoin(st.select(thrExpr.as("thr")))
           .crossJoin(newSt.select(col("n").as("n_remaining"),
@@ -1360,10 +1362,18 @@ object QueriesAnalytics {
         .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + 0.5)
           .cast("long")).as("cents"))
         .localCheckpoint(false) // feeds the prefix sum, its probes, the total
-      val tot = rev.agg(sum(col("cents")).as("total"))
+      // ONE probe job (materializes the checkpoint) collects the row count
+      // for the range-bucket build AND the revenue total — was a count job
+      // plus a broadcast-exchange subtree for the 1-row total (round 14).
+      // Exact integers either way: the total inlines as a BIGINT literal.
+      val pr = rev.agg(count(lit(1)), sum(col("cents"))).head()
+      val nParts = pr.getLong(0)
+      val tot = s.range(1).select(
+        lit(if (pr.isNullAt(1)) 0L else pr.getLong(1)).as("total"))
       GlobalOrder.withExclusivePrefixSum(
           rev.withColumn("_negc", col("cents") * -1),
-          Seq(col("_negc"), col("l_partkey")), col("cents"), "cum0")
+          Seq(col("_negc"), col("l_partkey")), col("cents"), "cum0",
+          knownCount = Some(nParts))
         .withColumn("cum", col("cum0") + col("cents"))
         .crossJoin(broadcast(tot))
         .withColumn("abc_class",
@@ -1479,11 +1489,17 @@ object QueriesAnalytics {
         .crossJoin(broadcast(mx))
         .withColumn("recency", datediff(col("md"), col("last_order")).cast(LongType))
         .localCheckpoint(false) // feeds 3 ntile passes + their probe jobs
+      // ONE count probe (materializes the checkpoint as a side effect)
+      // serves all three cuts' ntile+bucket builds — was 6 identical count
+      // jobs (each withNtile counted once itself and once in its range
+      // bucket; round 14)
+      val nCust = rfm.count()
       // quartile 1 = best on every axis (most recent / most frequent /
       // highest spend); custkey tiebreaks make every cut deterministic
       def cut(lead: org.apache.spark.sql.Column, out: String) =
         GlobalOrder.withNtile(rfm.select(col("o_custkey"), lead.as("_lead")),
-            Seq(col("_lead"), col("o_custkey")), 4, out)
+            Seq(col("_lead"), col("o_custkey")), 4, out,
+            knownCount = Some(nCust))
           .select(col("o_custkey"), col(out))
       rfm.join(cut(col("recency"), "r_q"), "o_custkey")
         .join(cut(col("frequency") * -1, "f_q"), "o_custkey")
@@ -1524,7 +1540,12 @@ object QueriesAnalytics {
       // probe job's cost)
       val raw = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
       val li = raw.distinct()
-      val nOrders = t(s, dir, "orders").agg(count(lit(1))).collect().head.getLong(0)
+      // the order count rides the final job as a broadcast 1-row frame
+      // (round 14) — the eager collect was a separate job before the plan
+      // was even built; the lift arithmetic is unchanged (double × BIGINT
+      // column promotes exactly like the old Long literal)
+      val nOrders = broadcast(t(s, dir, "orders")
+        .agg(count(lit(1)).as("n_orders")))
       val freq = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_p"))
       // ONE probe job over the RAW scan (grouping sets = both groupings in
       // one map-side-combined shuffle; a distinct-based probe would pay the
@@ -1558,8 +1579,9 @@ object QueriesAnalytics {
       pairs
         .join(freq.select(col("l_partkey").as("pa"), col("n_p").as("n_a")), Seq("pa"))
         .join(freq.select(col("l_partkey").as("pb"), col("n_p").as("n_b")), Seq("pb"))
+        .crossJoin(nOrders)
         .select(col("pa"), col("pb"), col("n_ab"),
-          (floor(col("n_ab").cast(DoubleType) * nOrders /
+          (floor(col("n_ab").cast(DoubleType) * col("n_orders") /
             (col("n_a") * col("n_b")) * 1e4 + 0.5) / 1e4).as("lift"))
         .orderBy(col("lift").desc, col("pa"), col("pb"))
         .limit(25)
@@ -1940,6 +1962,15 @@ object QueriesAnalytics {
       .where(col("nxt").isNotNull && col("nxt") =!= col("user_id"))
       .groupBy(col("user_id").as("src"), col("nxt").as("dst"))
       .agg(count(lit(1)).as("w"))
+      // persist PRE-PARTITIONED on src (guide §2.4: establish the
+      // partitioning once, reuse it every round): PageRank/PPR's
+      // out-weight window re-uses it without its own exchange, and the
+      // per-round frontier/contribution joins on src read a co-partitioned
+      // cached side instead of re-exchanging the edge list each round —
+      // at 100 TB that is 5 corpus shuffles saved per card. The explicit
+      // partition count comes from the session conf (scale-adaptive), not
+      // a constant, and pins the layout against AQE renumbering.
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("src"))
     (graft.operators.CacheRegistry.track(e0),
       graft.operators.CacheRegistry.track(ev.select(col("user_id").as("id")).distinct()))
   }
@@ -2009,8 +2040,33 @@ object QueriesAnalytics {
         (levenshtein(col("a.c_name"), col("b.c_name")) <= 1).as("g1"),
         (abs(col("a.c_acctbal") - col("b.c_acctbal")) < 1.0).as("g2"),
         (col("a.c_mktsegment") === col("b.c_mktsegment")).as("g3"))
-    (dirty, pairs)
+    // session-persisted (round 14): FIVE cards (er_linkage / er_em_weights /
+    // er_cluster / er_dedupe_apply / golden_record) consume this identical
+    // blocked join — CacheManager keys by canonicalized plan, so one track
+    // makes every card reuse the levenshtein pair scan instead of re-paying
+    // it per card (the successorGraph precedent).
+    (dirty, graft.operators.CacheRegistry.track(pairs))
   }
+
+  /** The ER match-entity labels er_cluster AND golden_record both consume:
+    * ONE session-memoized CC fixpoint over the match edges (round 14 — CC
+    * materializes internal checkpoints, so plan-level cache dedup can never
+    * share it; each card re-ran the whole star-contraction job train).
+    * components() is deterministic, so sharing is value-identical. Keyed by
+    * (session, dir): concurrent sf0.01/sf0.1 sessions never mix, and the
+    * memo dies with the JVM — no cross-run state. */
+  private val erLabelsMemo = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]()
+  private def erMatchLabels(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    erLabelsMemo.computeIfAbsent((s, dir), { _ =>
+      import graft.operators.ConnectedComponents
+      val (dirty, scored) = erScoredPairs(s, dir)
+      val edges = scored.where(col("score") >= 45L)
+        .select(col("id_a"), col("id_b"))
+      graft.operators.CacheRegistry.track(
+        ConnectedComponents.components(edges, dirty.select(col("c_custkey"))))
+    })
 
   private def erScoredPairs(s: org.apache.spark.sql.SparkSession, dir: String)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {

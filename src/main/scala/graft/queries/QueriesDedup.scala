@@ -70,10 +70,19 @@ object QueriesDedup {
 
   private def contaminationShingles(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val (evalSet, train) = contaminationCorpus(s, dir)
-    (Dedup.shingleSets(evalSet, "doc_id", "text", 8)
-        .select(col("doc_id").as("eval_id"), explode(col("shingles")).as("sh")),
-      Dedup.shingleSets(train, "doc_id", "text", 8)
-        .select(col("doc_id").as("train_id"), explode(col("shingles")).as("sh")))
+    // the per-doc shingle ARRAYS are session-persisted (round 14): THREE
+    // cards (contamination / contamination_bloom / decontaminate_apply)
+    // explode these identical frames — CacheManager's canonicalized-plan
+    // dedup makes one track serve all three, so the corpus tokenize +
+    // 8-gram pass runs once per session instead of per card. The cache
+    // holds the compact array form (docs-sized), NOT the exploded stream —
+    // the hll_card "never cache an exploded token stream" rule.
+    val evalSh = graft.operators.CacheRegistry.track(
+      Dedup.shingleSets(evalSet, "doc_id", "text", 8))
+    val trainSh = graft.operators.CacheRegistry.track(
+      Dedup.shingleSets(train, "doc_id", "text", 8))
+    (evalSh.select(col("doc_id").as("eval_id"), explode(col("shingles")).as("sh")),
+      trainSh.select(col("doc_id").as("train_id"), explode(col("shingles")).as("sh")))
   }
 
   private val corpusSql =
@@ -143,7 +152,10 @@ object QueriesDedup {
 
     // Exact n-gram Jaccard on the constructed duplicate pairs.
     "ngram_jaccard" -> ((s, dir) => {
-      val sh = Dedup.shingleSets(corpus(s, dir), "doc_id", "text", 3)
+      // track: identical canonical plan to minhash_dedup's shingle cache —
+      // whichever card runs first builds it, the rest reuse (round 14)
+      val sh = graft.operators.CacheRegistry.track(
+        Dedup.shingleSets(corpus(s, dir), "doc_id", "text", 3))
       sh.as("a").join(sh.as("b"),
           col("b.doc_id") === col("a.doc_id") + 100000L ||
             col("b.doc_id") === col("a.doc_id") + 200000L)
@@ -185,7 +197,12 @@ object QueriesDedup {
     // (10·shared ≥ 9·min-size). The jaccard_blind flag marks pairs the
     // symmetric 0.8 screen would NOT have caught — the operator's yield.
     "containment_dedup" -> ((s, dir) => {
-      val sh = Dedup.shingleSets(corpus(s, dir), "doc_id", "text", 3)
+      // track the bare shingle frame (same canonical plan as minhash_dedup's
+      // cache) BEFORE the sz projection: containment runs alphabetically
+      // first among the 3-gram consumers, so it builds the session cache the
+      // minhash/ngram cards then reuse (round 14)
+      val sh = graft.operators.CacheRegistry.track(
+          Dedup.shingleSets(corpus(s, dir), "doc_id", "text", 3))
         .select(col("doc_id"), col("shingles"),
           size(col("shingles")).cast("long").as("sz"))
       val posts = sh.select(col("doc_id"), col("sz"), explode(col("shingles")).as("t"))

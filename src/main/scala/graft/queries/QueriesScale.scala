@@ -852,24 +852,34 @@ object QueriesScale {
 
     "rle_layout" -> ((s, dir) => {
       val li = t(s, dir, "lineitem").select(
-        col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
-        date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship"))
-      def runs(key: org.apache.spark.sql.Column, layout: String) =
-        Runs.counts(li, key, Seq("l_returnflag", "ship"))
+          col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship"))
+        .localCheckpoint(false) // two layout passes + their probes read it
+      // one count probe serves both layouts' range-bucket builds
+      val nLi = li.count()
+      def runs(orderCols: Seq[org.apache.spark.sql.Column],
+               bucketKey: org.apache.spark.sql.Column, layout: String) =
+        Runs.countsOrdered(li, orderCols, bucketKey,
+            Seq("l_returnflag", "ship"), knownCount = Some(nLi))
           .select(lit(layout).as("layout"), col("n_rows"),
             col("runs_l_returnflag").as("runs_flag"), col("runs_ship"))
-      // single-char flag + '|' + fixed-width date + '|' + zero-padded key:
-      // lexicographic on the string ≡ the logical tuple order. The synthetic
-      // (l_orderkey, l_linenumber) is NOT unique, so both run columns join
-      // the sort key as tie-breakers — residual ties are then IDENTICAL in
-      // flag and ship, making run counts order-independent (caught live: a
-      // bare key mismatched the oracle by ±2 runs on tie-order luck).
+      // NATIVE tuple ordering (round 14; was a concatenated fixed-width
+      // string key whose per-row format_string/concat dominated both the
+      // sort and the boundary probes). The tuple order is IDENTICAL to the
+      // old string's lexicographic order by construction (zero-padded key,
+      // single-char flag, fixed-width date), so run counts are unchanged.
+      // The synthetic (l_orderkey, l_linenumber) is NOT unique, so both run
+      // columns join the sort key as tie-breakers — residual ties are then
+      // IDENTICAL in flag and ship, making run counts order-independent
+      // (caught live: a bare key mismatched the oracle by ±2 runs on
+      // tie-order luck). Bucket keys are monotone lead prefixes: the raw
+      // orderkey for by_key, the short flag|ship concat for by_flag.
       val byKey = runs(
-        concat(format_string("%012d-%02d", col("l_orderkey"), col("l_linenumber")),
-          lit("|"), col("l_returnflag"), lit("|"), col("ship")), "by_key")
+        Seq(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"), col("ship")),
+        col("l_orderkey"), "by_key")
       val byFlag = runs(
-        concat(col("l_returnflag"), lit("|"), col("ship"),
-          format_string("|%012d-%02d", col("l_orderkey"), col("l_linenumber"))), "by_flag")
+        Seq(col("l_returnflag"), col("ship"), col("l_orderkey"), col("l_linenumber")),
+        concat(col("l_returnflag"), lit("|"), col("ship")), "by_flag")
       byKey.unionByName(byFlag)
         .select(col("layout"), col("n_rows"), col("runs_flag"), col("runs_ship"),
           (floor(col("n_rows") * 1e4 / col("runs_flag") + 0.5) / 1e4).as("avg_run_flag"),

@@ -1633,8 +1633,13 @@ object QueriesSim {
     // measured identical to DuckDB's `//` on negatives), msq_ppm =
     // Σw6² DIV (n·1e6), cov_next_ppm likewise over (c, c+1) products
     // (NULL for the last component in both engines). Scale: ONE narrow
-    // codegen'd pass + a 4-row aggregate; Σw6² ≤ ~1e15 per 1e10 rows —
-    // DECIMAL(38) past that, the checksum precedent.
+    // codegen'd pass + a 4-row aggregate. Whitened coords are unit-scale
+    // by design (msq_ppm ≈ 1e6), so each w6² term is ~1e12 and a BIGINT
+    // Σw6² would hit the 9.2e18 ceiling at ~9e6 vectors — while DuckDB
+    // silently promotes to HUGEINT, i.e. the engines would diverge right
+    // where it matters. ssq/sxy therefore sum as DECIMAL(38,0) (the
+    // wordpiece HUGEINT-matching precedent): headroom to ~1e26 vectors,
+    // and DIV on (DECIMAL, BIGINT) still lands the exact BIGINT.
     "embed_whitening" -> ((s, dir) => {
       import graft.operators.Pca
       val e = t(s, dir, "embeddings").where(col("embedding").isNotNull)
@@ -1662,7 +1667,8 @@ object QueriesSim {
         .select(col("p.comp").as("comp"), col("p.w").as("w"), col("p.wn").as("wn"))
         .groupBy(col("comp"))
         .agg(count(lit(1)).as("n_vecs"), sum(col("w")).as("sw"),
-          sum(col("w") * col("w")).as("ssq"), sum(col("w") * col("wn")).as("sxy"))
+          sum(expr("CAST(w AS DECIMAL(38,0)) * w")).as("ssq"),
+          sum(expr("CAST(w AS DECIMAL(38,0)) * wn")).as("sxy"))
         .select(col("comp"), col("n_vecs"),
           element_at(eigMap, col("comp")).as("eig6"),
           expr("sw DIV n_vecs").as("mean_u"),

@@ -948,19 +948,25 @@ object QueriesText {
       // the refresh: tokenize the BATCH only (three consumers → tracked)
       val batchTerms = CacheRegistry.track(termsOf(docs.where(col("doc_id") >= 400)))
       val postings = s.read.parquet(s"$base/postings").unionByName(batchTerms)
-      val dfs = s.read.parquet(s"$base/dfs")
-        .unionByName(batchTerms.groupBy(col("term")).agg(count(lit(1)).as("df")))
-        .groupBy(col("term")).agg(sum(col("df")).as("df"))
-      val dlen = s.read.parquet(s"$base/doclens")
-        .unionByName(batchTerms.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")))
-      val stats = broadcast(
-        dlen.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len")))
       val q = Seq((0L, "hash join"), (0L, "table scan"),
         (1L, "merge sort"), (1L, "batch stream"),
         (2L, "slow query"), (2L, "fast scan")).toDF("qid", "term")
       val qTerms = Seq("hash join", "table scan", "merge sort",
         "batch stream", "slow query", "fast scan")
-      val qdf = broadcast(q.join(dfs.where(col("term").isin(qTerms: _*)), "term"))
+      // df is only consumed for the 6 query terms — filter BEFORE the
+      // merge aggregate (round 14): the base side becomes a pushed parquet
+      // In-filter and the batch side a 6-term aggregate, instead of
+      // exchanging the full merged term domain and then keeping 6 rows.
+      // Filter-then-aggregate on the grouping key is exact.
+      val dfs = s.read.parquet(s"$base/dfs").where(col("term").isin(qTerms: _*))
+        .unionByName(batchTerms.where(col("term").isin(qTerms: _*))
+          .groupBy(col("term")).agg(count(lit(1)).as("df")))
+        .groupBy(col("term")).agg(sum(col("df")).as("df"))
+      val dlen = s.read.parquet(s"$base/doclens")
+        .unionByName(batchTerms.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")))
+      val stats = broadcast(
+        dlen.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len")))
+      val qdf = broadcast(q.join(dfs, "term"))
       val scored = postings.where(col("term").isin(qTerms: _*)).join(qdf, "term")
         .join(dlen, "doc_id")
         .crossJoin(stats)

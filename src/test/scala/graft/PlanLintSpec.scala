@@ -155,7 +155,7 @@ class PlanLintSpec extends SparkSpec {
     "graft/operators/Ivf.scala" -> ((4, "centroid tables (k cells) + first-N-in-id-order Lloyd samples")),
     "graft/operators/Pca.scala" -> ((1, "first-N-in-id-order fit sample (limit(sampleN))")),
     "graft/operators/Pq.scala" -> ((2, "codebook trainer sample (limit(sampleN)) + query-panel LUTs")),
-    "graft/queries/QueriesAnalytics.scala" -> ((12, "nation-graph edges/weights (≤ nations² rows), grouping-sets probe (≤ 2³), count-of-count histograms (multiplicity domain), 1-row aggregates")),
+    "graft/queries/QueriesAnalytics.scala" -> ((11, "nation-graph edges/weights (≤ nations² rows), grouping-sets probe (≤ 2³), count-of-count histograms (multiplicity domain), 1-row aggregates; r14: basket_pairs' order-count collect became a lazy broadcast")),
     "graft/queries/QueriesDedup.scala" -> ((1, "CC contraction probe: limit(maxDriverEdges+1)")),
     "graft/queries/QueriesFacade.scala" -> ((1, "1-row aggregate (.head on agg)")),
     "graft/queries/QueriesMlops.scala" -> ((3, "time_to_convert limit(max+1) hour histogram; calibration limit(1001); daily limit(4001)")),

@@ -178,6 +178,35 @@ class WarehouseOpsSpec extends SparkSpec {
     assert(got.getLong(1) == runs, s"runs ${got.getLong(1)} != brute $runs")
   }
 
+  test("Runs.countsOrdered: native tuple order ≡ the concatenated-string order " +
+      "(rle_layout's round-14 rewrite), knownCount changes nothing") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
+    // the old string form: zero-padded fixed-width key, lexicographic ≡ tuple
+    val s = graft.operators.Runs.counts(
+      li.withColumn("k", concat(
+        format_string("%012d-%02d", col("l_orderkey"), col("l_linenumber")),
+        lit("|"), col("l_returnflag"))),
+      col("k"), Seq("l_returnflag"), numBuckets = 7).collect().head
+    val tup = graft.operators.Runs.countsOrdered(li,
+      Seq(col("l_orderkey"), col("l_linenumber"), col("l_returnflag")),
+      col("l_orderkey"), Seq("l_returnflag"), numBuckets = 7,
+      knownCount = Some(li.count())).collect().head
+    assert(tup.getLong(0) == s.getLong(0), "n_rows drifted")
+    assert(tup.getLong(1) == s.getLong(1),
+      s"tuple-order runs ${tup.getLong(1)} != string-order runs ${s.getLong(1)}")
+  }
+
+  test("GlobalOrder.withNtile: knownCount probe sharing is value-identical") {
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    def tiles(kc: Option[Long]) = graft.operators.GlobalOrder.withNtile(
+        o, Seq(col("o_totalprice"), col("o_orderkey")), 4, "q", knownCount = kc)
+      .groupBy(col("q")).count().orderBy(col("q"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(tiles(Some(o.count())) == tiles(None))
+  }
+
   test("ab_cuped: moments match a driver-side recompute; adjustment never hurts") {
     val mid = java.sql.Timestamp.valueOf("2024-01-16 00:00:00")
     val per = graft.queries.Tables.t(spark, sf, "events")
