@@ -1145,18 +1145,18 @@ object QueriesAnalytics {
           .crossJoin(st.hint("shuffle_replicate_nl"))
           .where(coalesce(col("d"), lit(0L)) < thrExpr)
           .select(col("id")).localCheckpoint(false)
-        // HALF the round's materialization barriers (round 14): only rm and
-        // the shrinking edge list checkpoint per round. v stays a LAZY
-        // anti-join chain over the checkpointed rm's — bounded depth (≤5
-        // broadcast-sized antis over the round-0 node checkpoint, the BFS
-        // `reached`-union pattern), and the 1-row stats frame stays lazy
-        // too: its subtree rides INSIDE its consumers' jobs (next round's
-        // rm filter, this round's card) instead of buying its own job.
+        // One fewer materialization barrier per round (round 14): v stays a
+        // LAZY anti-join chain over the checkpointed rm's — bounded depth
+        // (≤5 broadcast-sized antis over the round-0 node checkpoint, the
+        // BFS `reached`-union pattern). rm, the shrinking edge list and the
+        // 1-row stats still checkpoint: stats has 2–3 consumers per round
+        // (next round's filter + this round's card), so lazy would re-run
+        // its eg/v scans per consumer.
         v = v.join(rm, Seq("id"), "left_anti")
         eg = eg.join(rm.select(col("id").as("a")), Seq("a"), "left_anti")
           .join(rm.select(col("id").as("b")), Seq("b"), "left_anti")
           .localCheckpoint(false)
-        val newSt = statsOf(eg, v)
+        val newSt = statsOf(eg, v).localCheckpoint(false)
         cards :+= rm.agg(count(lit(1)).as("n_removed"))
           .crossJoin(st.select(thrExpr.as("thr")))
           .crossJoin(newSt.select(col("n").as("n_remaining"),

@@ -119,8 +119,8 @@ object QueriesPipeline {
     // UNROUNDED score (both engines derive the identical double from the
     // same formula text); only the emitted column is rounded.
     "review_sample" -> ((s, dir) => {
-      val m = TextFns.textStats(col("text"))
-      val scored = t(s, dir, "documents")
+      val m = col("m") // shared session TextStats frame (Tables.docStats, r14)
+      val scored = Tables.docStats(s, dir)
         .select(col("doc_id"), col("source"), TextFns.qualityScoreFrom(m).as("score"))
         .withColumn("bucket", when(col("score") >= 0.8, "high")
           .when(col("score") >= 0.5, "mid").otherwise("low"))
@@ -269,8 +269,8 @@ object QueriesPipeline {
     // pure filter. Score ties break on doc_id, so selection is total-order
     // deterministic.
     "quality_budget" -> ((s, dir) => {
-      val m = TextFns.textStats(col("text"))
-      val scored = t(s, dir, "documents")
+      val m = col("m") // shared session TextStats frame (Tables.docStats, r14)
+      val scored = Tables.docStats(s, dir)
         .select(col("doc_id"), col("source"), col("n_chars"),
           round(TextFns.qualityScoreFrom(m), 6).as("score"))
       val wCum = Window.partitionBy(col("source"))
@@ -310,8 +310,8 @@ object QueriesPipeline {
     // partition per source computes moments AND ranks (same exchange);
     // constant-score sources yield NULL z (guarded division), never NaN.
     "score_normalize" -> ((s, dir) => {
-      val m = TextFns.textStats(col("text"))
-      val scored = t(s, dir, "documents")
+      val m = col("m") // shared session TextStats frame (Tables.docStats, r14)
+      val scored = Tables.docStats(s, dir)
         .select(col("doc_id"), col("source"),
           round(TextFns.qualityScoreFrom(m), 6).as("score"))
       val w = Window.partitionBy(col("source"))
@@ -402,8 +402,8 @@ object QueriesPipeline {
     // after-range — sources-sized output.
     "quantile_normalize" -> ((s, dir) => {
       import graft.operators.GlobalOrder
-      val m = TextFns.textStats(col("text"))
-      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"),
+      val m = col("m") // shared session TextStats frame (Tables.docStats, r14)
+      val docs = Tables.docStats(s, dir).select(col("doc_id"), col("source"),
         m.getField("n_stop").cast(LongType).as("ns"),
         m.getField("n_tokens").cast(LongType).as("nt"))
         .select(col("doc_id"), col("source"),
@@ -621,8 +621,8 @@ object QueriesPipeline {
     // by the per-source allocation. Output: the per-source execution card
     // with an exact picked-id checksum.
     "stratified_sample" -> ((s, dir) => {
-      val m = TextFns.textStats(col("text"))
-      val docs = t(s, dir, "documents").where(col("text").isNotNull)
+      val m = col("m") // shared session TextStats frame (Tables.docStats, r14)
+      val docs = Tables.docStats(s, dir).where(col("has_text"))
         .select(col("doc_id"), col("source"),
           m.getField("n_stop").cast(LongType).as("ns"),
           m.getField("n_tokens").cast(LongType).as("nt"))
@@ -711,8 +711,8 @@ object QueriesPipeline {
     // would hold a whole source's values at 100 TB). The two aggregates
     // join broadcast (20 rows).
     "corpus_stats" -> ((s, dir) => {
-      val m = TextFns.textStats(col("text"))
-      val d = t(s, dir, "documents")
+      val m = col("m") // shared session TextStats frame (Tables.docStats, r14)
+      val d = Tables.docStats(s, dir)
         .select(col("source"), m.getField("n_tokens").as("nt"),
           TextFns.qualityScoreFrom(m).as("q"))
       val base = d.groupBy(col("source"))
@@ -885,22 +885,16 @@ object QueriesPipeline {
     // output is the per-source selection card the resampling step
     // consumes: docs, target-like docs (weight > 0), mean weight.
     "dsir_weights" -> ((s, dir) => {
-      import graft.operators.CacheRegistry
       // ONE corpus pass (round 7 re-ran the bigram explode 5×): features
       // collapse straight to exact (doc, bucket) BIGINT counts, cached for
       // the round's two consumers — the 256-row bucket models and the
-      // per-doc scorer. Determinism: each bucket's log-weight is rounded
-      // ONCE to a micro-unit BIGINT (floor(x·1e6+.5) over a 256-row
-      // table), so every downstream fold — per-doc score, target-like
-      // flag, per-source mean — is an ORDER-INDEPENDENT integer sum;
-      // floats reappear only in the final presentation divide.
-      val perDoc = CacheRegistry.track(t(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), col("source"),
-          TextFns.shingleExplode(TextFns.tokens(col("text")), 2).as("bg"))
-        .select(col("doc_id"), col("lang"), col("source"),
-          substring(md5(col("bg")), 1, 2).as("f"))
-        .groupBy(col("doc_id"), col("source"), col("lang"), col("f"))
-        .agg(count(lit(1)).as("c")))
+      // per-doc scorer — and shared with doremi_weights' (source, bucket)
+      // marginalization (round 14). Determinism: each bucket's log-weight
+      // is rounded ONCE to a micro-unit BIGINT (floor(x·1e6+.5) over a
+      // 256-row table), so every downstream fold — per-doc score,
+      // target-like flag, per-source mean — is an ORDER-INDEPENDENT
+      // integer sum; floats reappear only in the final presentation divide.
+      val perDoc = bigramBucketCounts(s, dir)
       // raw + target models from ONE grouped pass over the cached partials
       // (target counts are the lang='en' conditional slice); totals then
       // come from the 256-row table, not another corpus scan
@@ -1090,6 +1084,21 @@ object QueriesPipeline {
     */
   private val bpeCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, String, String, Long)]]()
+  /** Session-persisted per-(doc, source, lang, md5-bucket) bigram counts —
+    * dsir_weights' feature table. doremi_weights' (source, bucket) model is
+    * an EXACT marginalization of this (counts sum over doc/lang), so one
+    * corpus bigram+md5 pass serves both cards (round 14 — doremi re-ran the
+    * full pass to derive counts this table already held). */
+  private[queries] def bigramBucketCounts(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    graft.operators.CacheRegistry.track(t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"),
+        TextFns.shingleExplode(TextFns.tokens(col("text")), 2).as("bg"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        substring(md5(col("bg")), 1, 2).as("f"))
+      .groupBy(col("doc_id"), col("source"), col("lang"), col("f"))
+      .agg(count(lit(1)).as("c")))
+
   private def bpeMerges(s: org.apache.spark.sql.SparkSession, dir: String)
       : Seq[(Int, String, String, Long)] =
     bpeCache.computeIfAbsent(dir, _ => {

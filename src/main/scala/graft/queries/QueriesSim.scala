@@ -76,11 +76,14 @@ object QueriesSim {
          org.apache.spark.sql.DataFrame) = {
     val pa = SimFns.fixedPlanes(nPlanes = 6, dim = 64)
     val pb = SimFns.fixedPlanes(nPlanes = 6, dim = 64, seed = 777L)
-    val e = t(s, dir, "embeddings").where(col("embedding").isNotNull)
-      .select(col("vec_id"), col("embedding"),
-        SimFns.rpLshKey(col("embedding"), pa).as("bka"),
-        SimFns.rpLshKey(col("embedding"), pb).as("bkb"))
-      .localCheckpoint(false) // read by 2 init joins, 2 fetches, truth
+    val e = graft.operators.CacheRegistry.track(
+      t(s, dir, "embeddings").where(col("embedding").isNotNull)
+        .select(col("vec_id"), col("embedding"),
+          SimFns.rpLshKey(col("embedding"), pa).as("bka"),
+          SimFns.rpLshKey(col("embedding"), pb).as("bkb")))
+      // read by 2 init joins, 2 fetches, truth — tracked (not a per-call
+      // localCheckpoint) so BOTH graph consumers (nndescent_round,
+      // sim_beam_search) share one materialization per session (round 14)
     val base = graft.operators.DiskCache.keyedPath(
       "knn_graph_v1", s"$dir/embeddings.parquet")
     graft.operators.DiskCache.ensure(base,

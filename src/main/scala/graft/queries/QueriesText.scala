@@ -290,8 +290,8 @@ object QueriesText {
     // doremi_weights convention).
     "mi_features" -> ((s, dir) => {
       import graft.operators.CacheRegistry
-      val m = TextFns.textStats(col("text"))
-      val cube = CacheRegistry.track(t(s, dir, "documents")
+      val m = col("m") // shared session TextStats frame (Tables.docStats, r14)
+      val cube = CacheRegistry.track(Tables.docStats(s, dir)
         .select(col("lang"), col("source"),
           least(floor(col("n_chars") / lit(100.0)).cast(LongType), lit(5L))
             .as("len_bucket"),
@@ -412,8 +412,8 @@ object QueriesText {
     // from ONE TextStats scan (the repeated struct refs collapse via
     // projection subexpression elimination).
     "quality_score" -> ((s, dir) => {
-      val m = TextFns.textStats(col("text"))
-      t(s, dir, "documents")
+      val m = col("m") // shared session TextStats frame (Tables.docStats, r14)
+      Tables.docStats(s, dir)
         .select(col("doc_id"),
           m.getField("n_chars").as("n_chars"),
           m.getField("n_tokens").as("n_tokens"),
@@ -659,8 +659,8 @@ object QueriesText {
     // from the ONE fused TextStats scan; the report is a single
     // conditional aggregate (one row).
     "doc_quality_gate" -> ((s, dir) => {
-      val m = TextFns.textStats(col("text"))
-      val d = t(s, dir, "documents").select(
+      val m = col("m") // shared session TextStats frame (Tables.docStats, r14)
+      val d = Tables.docStats(s, dir).select(
         m.getField("n_chars").cast(DoubleType).as("nc"),
         m.getField("n_tokens").cast(DoubleType).as("nt"),
         m.getField("n_punct").cast(DoubleType).as("np"),

@@ -50,8 +50,8 @@ object QueriesTrain {
   private def qcWeights(s: org.apache.spark.sql.SparkSession, dir: String)
       : Array[Double] =
     qcCache.computeIfAbsent(dir, _ => {
-      val m = TextFns.textStats(col("text"))
-      val rows = t(s, dir, "documents")
+      val m = col("m") // shared session TextStats frame (Tables.docStats, r14)
+      val rows = Tables.docStats(s, dir)
         .orderBy(col("doc_id")).limit(QcSample)
         .select(m.getField("n_chars").cast(DoubleType).as("nc"),
           m.getField("n_tokens").cast(DoubleType).as("nt"),
@@ -114,7 +114,7 @@ object QueriesTrain {
     // the teacher gate.
     "quality_classifier" -> ((s, dir) => {
       val w = qcWeights(s, dir)
-      val m = TextFns.textStats(col("text"))
+      val m = col("m") // shared session TextStats frame (Tables.docStats, r14)
       val nc = m.getField("n_chars").cast(DoubleType)
       val nt = m.getField("n_tokens").cast(DoubleType)
       val np = m.getField("n_punct").cast(DoubleType)
@@ -124,7 +124,7 @@ object QueriesTrain {
         lit(w(2)) * (nc / greatest(nt, lit(1.0))) +
         lit(w(3)) * (np / greatest(nc, lit(1.0))) +
         lit(w(4)) * (ns / greatest(nt, lit(1.0)))
-      t(s, dir, "documents")
+      Tables.docStats(s, dir)
         .select(col("source"), sc.as("sc"),
           (TextFns.qualityScoreFrom(m) >= 0.8).as("hi"))
         .groupBy(col("source"))
@@ -150,8 +150,8 @@ object QueriesTrain {
     // corpus pass, one 10-group aggregate; the summary reuses the bin
     // frame, never a second corpus scan.
     "calibration_ece" -> ((s, dir) => {
-      val m = TextFns.textStats(col("text"))
-      val scored = t(s, dir, "documents").select(
+      val m = col("m") // shared session TextStats frame (Tables.docStats, r14)
+      val scored = Tables.docStats(s, dir).select(
           m.getField("n_stop").cast(LongType).as("ns"),
           m.getField("n_tokens").cast(LongType).as("nt"),
           (TextFns.qualityScoreFrom(m) >= 0.8).cast(LongType).as("y"))
@@ -187,12 +187,11 @@ object QueriesTrain {
     // round's weights re-gridded to exact nano-unit BIGINTs so the oracle
     // unrolls the identical recurrence in SQL.
     "doremi_weights" -> ((s, dir) => {
-      import graft.operators.CacheRegistry
-      val perDS = CacheRegistry.track(t(s, dir, "documents")
-        .select(col("source"),
-          TextFns.shingleExplode(TextFns.tokens(col("text")), 2).as("bg"))
-        .select(col("source"), substring(md5(col("bg")), 1, 2).as("f"))
-        .groupBy(col("source"), col("f")).agg(count(lit(1)).as("c")))
+      // EXACT marginalization of dsir_weights' shared per-doc bigram-bucket
+      // table (counts sum over doc/lang — same integers; round 14): the
+      // corpus bigram+md5 pass runs once per session for both cards.
+      val perDS = QueriesPipeline.bigramBucketCounts(s, dir)
+        .groupBy(col("source"), col("f")).agg(sum(col("c")).as("c"))
       val dTot = perDS.groupBy(col("source")).agg(sum(col("c")).as("cd"))
       val gBkt = perDS.groupBy(col("f")).agg(sum(col("c")).as("gc"))
       val gTot = gBkt.agg(sum(col("gc")).as("gt"))

@@ -28,6 +28,21 @@ object Tables {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Session-persisted per-doc TextStats frame shared by the quality cards
+    * (round 14): a dozen cards each paid their own fused-TextStats corpus
+    * scan to derive the same four counters and the quality score. This is
+    * the compact docs-sized METADATA projection (never the text, never a
+    * token stream — the hll_card caching rule): (doc_id, lang, source,
+    * n_chars, has_text, m = TextStats struct). Every caller goes through
+    * this ONE definition, so CacheManager's canonicalized-plan dedup makes
+    * the first card build the cache and the rest reuse it; CacheRegistry
+    * sweeps it at session end. */
+  def docStats(s: SparkSession, dir: String): DataFrame =
+    graft.operators.CacheRegistry.track(
+      t(s, dir, "documents").select(col("doc_id"), col("lang"), col("source"),
+        col("n_chars"), col("text").isNotNull.as("has_text"),
+        graft.functions.TextFns.textStats(col("text")).as("m")))
+
   /** Oracle-generation context, set by graft.Verify before dumping
     * `SparkEntry.oracleSql`. Most oracles are static SQL strings; the
     * trained-ANN oracles (sim_ivf_kmeans, sim_pq) must first fit their
