@@ -139,6 +139,11 @@ final case class DataTable(df: DataFrame) {
     * probe-and-collect idiom) and throws if the table exceeds `maxRows`
     * instead of OOMing the driver. Callers with a genuinely larger
     * config-sized table pass their own audited bound. */
+  /** No-arg overload (r14 advice): adding the defaulted `maxRows` parameter
+    * made bare `.toMaps` (no parens) source-breaking for external callers of
+    * this public reference-API surface — keep the parameterless form. */
+  def toMaps: Seq[Map[String, Any]] = toMaps(DataTable.MaxDriverRows)
+
   def toMaps(maxRows: Int = DataTable.MaxDriverRows): Seq[Map[String, Any]] = {
     val cols = df.columns
     val rows = df.limit(maxRows + 1).collect()

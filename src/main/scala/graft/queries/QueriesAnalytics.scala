@@ -1145,14 +1145,14 @@ object QueriesAnalytics {
           .crossJoin(st.hint("shuffle_replicate_nl"))
           .where(coalesce(col("d"), lit(0L)) < thrExpr)
           .select(col("id")).localCheckpoint(false)
-        // One fewer materialization barrier per round (round 14): v stays a
-        // LAZY anti-join chain over the checkpointed rm's — bounded depth
-        // (≤5 broadcast-sized antis over the round-0 node checkpoint, the
-        // BFS `reached`-union pattern). rm, the shrinking edge list and the
-        // 1-row stats still checkpoint: stats has 2–3 consumers per round
-        // (next round's filter + this round's card), so lazy would re-run
-        // its eg/v scans per consumer.
-        v = v.join(rm, Seq("id"), "left_anti")
+        // Round-14 note: checkpoint-thinning was tried here twice (lazy v /
+        // lazy 1-row stats — fewer barriers per round) and MEASURED SLOWER
+        // both times (isolated A/B 7.2 s vs 5.0 s): every consumer of a
+        // lazy frame re-runs its anti-join chain inside its own job, and
+        // with 3-4 consumers per round the re-scans cost more than the
+        // four cheap checkpoint jobs they replace. The original per-round
+        // checkpoint set stands.
+        v = v.join(rm, Seq("id"), "left_anti").localCheckpoint(false)
         eg = eg.join(rm.select(col("id").as("a")), Seq("a"), "left_anti")
           .join(rm.select(col("id").as("b")), Seq("b"), "left_anti")
           .localCheckpoint(false)

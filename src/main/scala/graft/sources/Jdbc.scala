@@ -108,7 +108,19 @@ object Jdbc {
     while (i < attempts) {
       try return body
       catch {
-        case e: Throwable =>
+        // r14 (advice): retry NonFatal plus the ONE fatal error the retry
+        // exists for — the native-thread-creation OutOfMemoryError a loaded
+        // container throws during connection bootstrap. Genuine heap OOM /
+        // LinkageError propagate immediately, and InterruptedException
+        // rethrows with interrupt status restored instead of being
+        // swallowed into a sleep loop.
+        case e: InterruptedException =>
+          Thread.currentThread().interrupt(); throw e
+        case e: OutOfMemoryError
+            if e.getMessage != null && e.getMessage.contains("native thread") =>
+          last = e; i += 1
+          if (i < attempts) Thread.sleep(backoffMs * i)
+        case scala.util.control.NonFatal(e) =>
           last = e; i += 1
           if (i < attempts) Thread.sleep(backoffMs * i)
       }
