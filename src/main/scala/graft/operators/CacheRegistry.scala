@@ -24,12 +24,25 @@ object CacheRegistry {
     ds
   }
 
+  /** Invalidation hooks for DERIVED memos of tracked frames (round-14
+    * ADVICE: QueriesAnalytics' erLabelsMemo hands out a tracked frame by
+    * reference — after sweep() unpersists it, the memo would keep serving
+    * the now-unpersisted plan, silently re-running the whole CC job per
+    * consumer, and would pin the SparkSession for JVM lifetime). Memo
+    * holders register a clear-function once; sweep() runs every hook. */
+  private val sweepHooks =
+    new java.util.concurrent.CopyOnWriteArrayList[() => Unit]()
+
+  /** Register a callback to run on every [[sweep]] (idempotent clears only). */
+  def onSweep(f: () => Unit): Unit = sweepHooks.add(f): Unit
+
   /** Unpersist every registered dataset (non-blocking) and forget them.
     * Safe to call at any point — a subsequent re-use of an operator simply
     * recomputes or re-registers. */
   def sweep(): Unit = {
     val it = live.iterator()
     while (it.hasNext) { it.next().unpersist(false); it.remove() }
+    sweepHooks.forEach(f => f())
   }
 
   /** Number of currently-registered live caches (spec hook). */

@@ -159,6 +159,14 @@ object GlobalOrder {
     * and -NaN is still NaN — either one silently mis-tiles. Every current
     * call site feeds non-null aggregates; a future descending site with a
     * nullable/NaN-able key must coalesce/clamp it first (round-11 ADVICE).
+    *
+    * `knownCount` is LOAD-BEARING here, unlike in [[rangeBucket]] where a
+    * stale count only perturbs sampling noise: the tile boundaries (q, rem,
+    * cut) are computed FROM it, so it must be the exact row count of exactly
+    * this `df` — a count carried over from a differently-filtered frame
+    * yields silently wrong quantiles with no guard (round-14 ADVICE).
+    * WarehouseOpsSpec's "withNtile knownCount value-identical" pins the
+    * equivalence for the honest-count case.
     */
   def withNtile(df: DataFrame, orderCols: Seq[Column], k: Int, out: String,
                 numParts: Int = 0, boundaries: Option[Seq[Any]] = None,

@@ -2054,9 +2054,14 @@ object QueriesAnalytics {
     * share it; each card re-ran the whole star-contraction job train).
     * components() is deterministic, so sharing is value-identical. Keyed by
     * (session, dir): concurrent sf0.01/sf0.1 sessions never mix, and the
-    * memo dies with the JVM — no cross-run state. */
+    * memo dies with the JVM — no cross-run state. Cleared on
+    * CacheRegistry.sweep() (round-14 ADVICE): the memo'd frame is tracked,
+    * so after a sweep unpersists it the memo would otherwise keep serving
+    * the unpersisted plan (re-running CC per consumer) and pin the
+    * SparkSession reference for JVM lifetime. */
   private val erLabelsMemo = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]()
+  graft.operators.CacheRegistry.onSweep(() => erLabelsMemo.clear())
   private def erMatchLabels(s: org.apache.spark.sql.SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame =
     erLabelsMemo.computeIfAbsent((s, dir), { _ =>

@@ -953,11 +953,13 @@ object QueriesText {
         (2L, "slow query"), (2L, "fast scan")).toDF("qid", "term")
       val qTerms = Seq("hash join", "table scan", "merge sort",
         "batch stream", "slow query", "fast scan")
-      // df is only consumed for the 6 query terms — filter BEFORE the
-      // merge aggregate (round 14): the base side becomes a pushed parquet
-      // In-filter and the batch side a 6-term aggregate, instead of
-      // exchanging the full merged term domain and then keeping 6 rows.
-      // Filter-then-aggregate on the grouping key is exact.
+      // df is only consumed for the 6 query terms. NOTE (r14 verdict §14):
+      // this explicit filter is DOCUMENTATION-ONLY — Catalyst already pushes
+      // the In(term) predicate through the grouping-key aggregate on its own
+      // (the r14 before-plan shows PushedFilters: [In(term,…)] on the base
+      // dfs scan), so before/after plans are identical and no speedup is
+      // attributable to it. Kept because filter-then-aggregate on the
+      // grouping key is exact and makes the intent explicit.
       val dfs = s.read.parquet(s"$base/dfs").where(col("term").isin(qTerms: _*))
         .unionByName(batchTerms.where(col("term").isin(qTerms: _*))
           .groupBy(col("term")).agg(count(lit(1)).as("df")))

@@ -116,9 +116,19 @@ object Jdbc {
         // swallowed into a sleep loop.
         case e: InterruptedException =>
           Thread.currentThread().interrupt(); throw e
+        // r15 (r14 advice): match DEFENSIVELY — the class must be exactly
+        // java.lang.OutOfMemoryError (a subclass may carry engine state that
+        // a retry cannot recover), and each retried Error is logged at WARN
+        // so a degraded-JVM retry loop is visible in the run output rather
+        // than silent. The message check stays (JVM-implementation-worded,
+        // but it is the only discriminator the JVM offers for the
+        // thread-creation case vs a genuine heap exhaustion).
         case e: OutOfMemoryError
-            if e.getMessage != null && e.getMessage.contains("native thread") =>
+            if e.getClass == classOf[java.lang.OutOfMemoryError] &&
+              e.getMessage != null && e.getMessage.contains("native thread") =>
           last = e; i += 1
+          System.err.println(
+            s"[jdbc] WARN retrying after OutOfMemoryError (attempt $i/$attempts): ${e.getMessage}")
           if (i < attempts) Thread.sleep(backoffMs * i)
         case scala.util.control.NonFatal(e) =>
           last = e; i += 1
