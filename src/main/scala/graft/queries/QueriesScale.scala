@@ -141,23 +141,44 @@ object QueriesScale {
     // in 1e-6 units is the same integer in both engines.
     "bloom_fpr_curve" -> ((s, dir) => {
       import s.implicits._
+      // r15 (JobProfile evidence): the distinct-orderkey frame is ~1.2 MB at
+      // sf0.1, so AQE coalesced it to ONE partition — and every downstream
+      // stage (the ×k md5 fan-outs over members AND probes) inherited the
+      // single task (job-level profile: one 2.5 s single-task job carried
+      // the whole expansion). Re-establish the fan-out parallelism ONCE on
+      // the checkpointed frame with the session-conf partition count (the
+      // pre-partitioned-iteration-frame idiom): explicit repartition is not
+      // AQE-coalescible, the exchanged bytes are the compact key set (never
+      // the fan-out), and the count is scale-adaptive, not a local constant.
+      val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
       val ok = t(s, dir, "lineitem").select(col("l_orderkey").as("x"))
-        .distinct().localCheckpoint(false) // members + probes both read it
+        .distinct().repartition(nPart, col("x"))
+        .localCheckpoint(false) // members + probes both read it
       val members = ok.where(col("x") % 2 === 0)
       val probes = ok.where(col("x") % 2 === 1)
       val stats = members.agg(count(lit(1)).as("n_keys")).localCheckpoint(false)
-      val cfg = broadcast(Seq((4, 3), (8, 6), (12, 8)).toDF("bpk", "k")
+      val cfgRows = Seq((4, 3), (8, 6), (12, 8))
+      val cfg = broadcast(cfgRows.toDF("bpk", "k")
         .crossJoin(stats).withColumn("m", col("bpk") * col("n_keys")))
-      val posExpr = expr("CAST(conv(substring(md5(concat('bf', " +
+      // r15 (guide §2.3, compute-once): the md5 position hash depends only
+      // on (x, j) — never on the config — so it is evaluated ONCE per
+      // (key, j≤max k) BEFORE the config cross-join instead of once per
+      // (key, config, j): Σk=17 md5+conv evaluations per key drop to
+      // max k=8, and `pos = h % m` is the identical BIGINT (CAST-then-mod
+      // ≡ the old fused expression), so every output is bit-identical.
+      val maxK = cfgRows.map(_._2).max
+      val hashExpr = expr("CAST(conv(substring(md5(concat('bf', " +
         "CAST(j AS STRING), ':', CAST(x AS STRING))), 1, 15), 16, 10) " +
-        "AS BIGINT) % m")
-      val bits = members.crossJoin(cfg)
-        .withColumn("j", explode(sequence(lit(1), col("k"))))
-        .select(col("bpk"), col("k"), posExpr.as("pos")).distinct()
+        "AS BIGINT)")
+      def posHashes(keys: org.apache.spark.sql.DataFrame) = keys
+        .withColumn("j", explode(sequence(lit(1), lit(maxK))))
+        .select(col("x"), col("j"), hashExpr.as("h"))
+        .crossJoin(cfg).where(col("j") <= col("k"))
+      val bits = posHashes(members)
+        .select(col("bpk"), col("k"), (col("h") % col("m")).as("pos")).distinct()
         .localCheckpoint(false) // reused by the bit count and the probe join
-      val pr = probes.crossJoin(cfg)
-        .withColumn("j", explode(sequence(lit(1), col("k"))))
-        .select(col("bpk"), col("k"), col("x"), posExpr.as("pos"))
+      val pr = posHashes(probes)
+        .select(col("bpk"), col("k"), col("x"), (col("h") % col("m")).as("pos"))
       val fp = pr.join(bits, Seq("bpk", "k", "pos"))
         .groupBy(col("bpk"), col("k"), col("x")).agg(count(lit(1)).as("nm"))
         .where(col("nm") === col("k"))
@@ -178,7 +199,9 @@ object QueriesScale {
       // NOT persisted: toks feeds two consumers, but both collapse to tiny
       // aggregates immediately — re-running the narrow tokenize scan twice
       // is the scale-right trade vs caching an EXPLODED token stream
-      // (larger than the corpus) to memory/disk at 100 TB.
+      // (larger than the corpus) to memory/disk at 100 TB. (r15: a shared
+      // vocab-sized (source, token, count) cache was A/B-measured and
+      // REVERTED — the note on token_entropy in QueriesText has the numbers.)
       val toks = t(s, dir, "documents")
         .select(col("source"), explode(TextFns.tokens(col("text"))).as("token"))
       def errCol(est: org.apache.spark.sql.Column, exact: org.apache.spark.sql.Column) =

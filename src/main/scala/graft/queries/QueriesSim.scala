@@ -1531,18 +1531,50 @@ object QueriesSim {
         cands.join(eu, "u").join(q, "qid")
           .select(col("qid"), col("u"), SimFns.cosine(col("qe"), col("eu")).as("cos"))
       val wb = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("u"))
-      var beam = score(q.select(col("qid")).withColumn("u", lit(0L)))
-        .localCheckpoint(false)
+      // r15 (JobProfile evidence): the checkpointed-frame walk ran 52 jobs /
+      // 197 stages for 1.3 s of total task time — the wall clock was
+      // scheduling barriers (a localCheckpoint materialization per hop plus
+      // AQE sub-jobs), not compute. The beam state is CONFIG-bounded
+      // (|queries|=10 × beam 2 ≤ 20 rows), so it rides the driver between
+      // hops as an exact-double literal relation (collected Rows round-trip
+      // binary doubles bit-for-bit; every comparison/top-2 decision still
+      // runs IN Spark with the identical expressions, so outputs are
+      // unchanged — oracle-verified). One job per hop replaces
+      // checkpoint + window + union job trains; at 100 TB the per-hop work
+      // is still beams×degree, corpus-independent — the walk's whole point.
+      val beamSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("qid",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("u",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("cos",
+          org.apache.spark.sql.types.DoubleType, nullable = true)))
+      // the ONE audited collect site of the walk (PlanLintSpec budget):
+      // ≤ 20 rows per call by the rk <= 2 / |queries| bound
+      def collectBeam(df: org.apache.spark.sql.DataFrame)
+          : Seq[org.apache.spark.sql.Row] =
+        df.select(col("qid"), col("u"), col("cos")).collect().toSeq
+      def beamDF(rows: Seq[org.apache.spark.sql.Row]) =
+        s.createDataFrame(
+          new java.util.ArrayList(scala.jdk.CollectionConverters
+            .SeqHasAsJava(rows).asJava), beamSchema)
+      var beamRows = collectBeam(
+        score(q.select(col("qid")).withColumn("u", lit(0L))))
       for (_ <- 1 to 5) {
-        val exp = beam.select(col("qid"), col("u").as("v"))
+        val bdf = beamDF(beamRows)
+        // no .distinct() on the expansion (r15): duplicate (qid, u)
+        // candidates score to the IDENTICAL deterministic double and the
+        // groupBy(qid, u).max below already collapses them — the distinct
+        // only added an exchange + an AQE job train per hop
+        val exp = bdf.select(col("qid"), col("u").as("v"))
           .join(sym1, "v").select(col("qid"), col("u"))
-          .where(col("u") =!= col("qid")).distinct()
-        beam = score(exp).unionByName(beam)
+          .where(col("u") =!= col("qid"))
+        beamRows = collectBeam(score(exp).unionByName(bdf)
           .groupBy(col("qid"), col("u")).agg(max(col("cos")).as("cos"))
           .withColumn("rk", row_number().over(wb)).where(col("rk") <= 2)
-          .select(col("qid"), col("u"), col("cos"))
-          .localCheckpoint(false)
+          .select(col("qid"), col("u"), col("cos")))
       }
+      val beam = beamDF(beamRows)
       // SAMPLED ground truth (round-10 verdict #4 — knn_eval_sampled's
       // seeded-subset treatment): the found node ranks within a seeded
       // md5-ordered 2048-node corpus subset instead of the full corpus, so

@@ -374,6 +374,16 @@ object QueriesText {
     // identity H = ln(N) − Σc·ln(c)/N so ONE aggregate over the per-source
     // term counts suffices (no per-term probability column, no second
     // pass); the term-count table itself is the only shuffle.
+    // NOTE (r15, measured negative result — r14 verdict #8): a shared
+    // session-tracked (source, token, count) table feeding this card,
+    // token_zipf, text_tokens, vocab_coverage and hll_card was implemented
+    // and A/B-measured at sf0.1 (min-of-3 isolated, both directions): the
+    // four consumers gained 0.1–0.3 s each, but the BUILDER card paid ~+0.9 s
+    // (cache build + store + re-read vs the direct stream aggregate whose
+    // map-side partial agg already collapses to the same vocab-sized
+    // exchange) — family net NEGATIVE (7.04 → 7.33 s). Reverted per the
+    // keep-only-if-min-of-sweeps-improves rule; per-card tokenize stays the
+    // documented scale trade.
     "token_entropy" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("source"), explode(TextFns.tokens(col("text"))).as("w"))
@@ -964,8 +974,13 @@ object QueriesText {
         .unionByName(batchTerms.where(col("term").isin(qTerms: _*))
           .groupBy(col("term")).agg(count(lit(1)).as("df")))
         .groupBy(col("term")).agg(sum(col("df")).as("df"))
-      val dlen = s.read.parquet(s"$base/doclens")
-        .unionByName(batchTerms.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")))
+      // r15 (JobProfile: each agg pass over the cached batch-terms costs a
+      // full 32-partition cache read — the merged doclens table was built
+      // TWICE, once for the corpus stats and once for the scoring join).
+      // The merged doclens is docs-sized metadata (doc_id, dl — the
+      // docStats caching rule), so ONE tracked build serves both consumers.
+      val dlen = CacheRegistry.track(s.read.parquet(s"$base/doclens")
+        .unionByName(batchTerms.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))))
       val stats = broadcast(
         dlen.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len")))
       val qdf = broadcast(q.join(dfs, "term"))

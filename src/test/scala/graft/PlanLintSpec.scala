@@ -82,11 +82,26 @@ class PlanLintSpec extends SparkSpec {
     case n => n.children.forall(bounded)
   }
 
-  test("every SparkEntry query plan passes the structural scale lint") {
+  test("every SparkEntry query plan passes the structural scale lint; " +
+      "every unpartitioned window instance is attributed") {
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
     val names = SparkEntry.queries.keys.toSeq.sorted
-    var i = 0
-    for (name <- names) {
+    // Round-15 (r14 verdict #7) — attribute EVERY unpartitioned WindowExec /
+    // WindowGroupLimitExec instance fleet-wide, not only the violating ones:
+    // the VERIFY/test tail is wall-to-wall "WindowExec: No Partition Defined"
+    // warnings (one log line per such operator instance per executed plan),
+    // and until now nobody had mapped warning → attribution end-to-end.
+    // Every instance is either (a) STRUCTURALLY BOUNDED — its input provably
+    // passes through an aggregate/limit/local relation, so the single task
+    // sees a config-sized row count (GlobalOrder's bucket-count cumsum,
+    // Runs' buckets relation, per-event-type/count-of-count windows), or
+    // (b) a named `windowAllow` entry carrying the audited domain bound.
+    // An instance in NEITHER class fails below, so the warning count in the
+    // VERIFY tail is exactly Σ(bounded + allowlisted) instances over the
+    // executed plans — explained, audited, and pinned against growth.
+    var fleetBounded = 0
+    var fleetAllowlisted = 0
+    for ((name, i) <- names.zipWithIndex) {
       val plan =
         try unwrap(SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan)
         catch {
@@ -100,12 +115,14 @@ class PlanLintSpec extends SparkSpec {
         // name-level exemption would silently admit a SECOND, genuinely
         // data-sized operator added to an allowlisted query later —
         // review-caught)
-        var wviol = 0; var cviol = 0; var sviol = 0
+        var wviol = 0; var cviol = 0; var sviol = 0; var wbound = 0
         plan.foreach {
           case w: org.apache.spark.sql.execution.window.WindowExec
-              if w.partitionSpec.isEmpty && !bounded(w.child) => wviol += 1
+              if w.partitionSpec.isEmpty =>
+            if (bounded(w.child)) wbound += 1 else wviol += 1
           case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
-              if w.partitionSpec.isEmpty && !bounded(w.child) => wviol += 1
+              if w.partitionSpec.isEmpty =>
+            if (bounded(w.child)) wbound += 1 else wviol += 1
           case j: org.apache.spark.sql.execution.joins.CartesianProductExec
               if !bounded(j.left) && !bounded(j.right) => cviol += 1
           case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
@@ -115,6 +132,8 @@ class PlanLintSpec extends SparkSpec {
               if c.numPartitions == 1 && !bounded(c.child) => sviol += 1
           case _ => ()
         }
+        fleetBounded += wbound
+        fleetAllowlisted += math.min(wviol, windowAllow.get(name).map(_._1).getOrElse(0))
         val wBudget = windowAllow.get(name).map(_._1).getOrElse(0)
         val cBudget = cartesianAllow.get(name).map(_._1).getOrElse(0)
         val sBudget = singlePartAllow.get(name).map(_._1).getOrElse(0)
@@ -125,14 +144,15 @@ class PlanLintSpec extends SparkSpec {
         if (sviol > sBudget)
           failures += s"$name: $sviol single-partition collapse(s) of data-sized input, budget $sBudget"
       }
-      i += 1
       // persists registered during plan construction must not accumulate
-      // across 378 cards in one JVM
-      if (i % 25 == 0) graft.operators.CacheRegistry.sweep()
+      // across 391 cards in one JVM
+      if ((i + 1) % 25 == 0) graft.operators.CacheRegistry.sweep()
     }
     graft.operators.CacheRegistry.sweep()
     assert(failures.isEmpty,
       s"${failures.size} plan-lint failures:\n  " + failures.mkString("\n  "))
+    info(s"unpartitioned window instances fleet-wide: $fleetBounded structurally " +
+      s"bounded + $fleetAllowlisted allowlisted (domain-bounded) — every one attributed")
   }
 
   /** Hazard class 4 (round-12 verdict #1): data-dependent driver collects.
@@ -162,7 +182,7 @@ class PlanLintSpec extends SparkSpec {
     "graft/queries/QueriesPipeline.scala" -> ((3, "1-row max(doc_id) probe + BPE limit(1) best-pair + WordPiece limit(1) best-pair")),
     "graft/queries/QueriesRelationalExt.scala" -> ((1, "jdbc_roundtrip: |regions|-row aggregate materialized inside the withRetry cycle")),
     "graft/queries/QueriesScale.scala" -> ((2, "winsorize/outlier_mad limit(maxHistRows+1) probe-and-collect")),
-    "graft/queries/QueriesSim.scala" -> ((10, "query panels (vec_id < 5/3), panel-bounded truth top-k (queries×k), query-side ADC LUTs, limit(256) sample")),
+    "graft/queries/QueriesSim.scala" -> ((11, "query panels (vec_id < 5/3), panel-bounded truth top-k (queries×k), query-side ADC LUTs, limit(256) sample; r15: sim_beam_search beam ferry (≤ |queries|×2 = 20 rows per hop)")),
     "graft/queries/QueriesText.scala" -> ((1, "unigram trainer: distinct words of the limit(256)-doc id-ordered sample")),
     "graft/queries/QueriesTrain.scala" -> ((2, "limit(QcSample) trainer sample + per-source domain aggregate (|sources| rows)"))
   )
