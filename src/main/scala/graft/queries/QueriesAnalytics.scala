@@ -1362,18 +1362,18 @@ object QueriesAnalytics {
         .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + 0.5)
           .cast("long")).as("cents"))
         .localCheckpoint(false) // feeds the prefix sum, its probes, the total
-      // ONE probe job (materializes the checkpoint) collects the row count
-      // for the range-bucket build AND the revenue total — was a count job
-      // plus a broadcast-exchange subtree for the 1-row total (round 14).
-      // Exact integers either way: the total inlines as a BIGINT literal.
-      val pr = rev.agg(count(lit(1)), sum(col("cents"))).head()
-      val nParts = pr.getLong(0)
-      val tot = s.range(1).select(
-        lit(if (pr.isNullAt(1)) 0L else pr.getLong(1)).as("total"))
+      // r15 REVERT (r14 verdict #5): the r14 fused count+sum eager probe
+      // (total inlined as a literal, knownCount threaded) removed 2
+      // exchanges on paper but MEASURED SLOWER — 0.90× in the r14 canonical
+      // sweep, confirmed by the settle A/B (min-of-3 isolated: r13 form
+      // 3.55 s vs r14 form 4.66 s, with the r13 side handicapped by higher
+      // ambient load). The eager head() serializes the probe before the
+      // main plan where the lazy 1-row total rides the final job's
+      // broadcast. Restored verbatim per the measured-revert rule.
+      val tot = rev.agg(sum(col("cents")).as("total"))
       GlobalOrder.withExclusivePrefixSum(
           rev.withColumn("_negc", col("cents") * -1),
-          Seq(col("_negc"), col("l_partkey")), col("cents"), "cum0",
-          knownCount = Some(nParts))
+          Seq(col("_negc"), col("l_partkey")), col("cents"), "cum0")
         .withColumn("cum", col("cum0") + col("cents"))
         .crossJoin(broadcast(tot))
         .withColumn("abc_class",

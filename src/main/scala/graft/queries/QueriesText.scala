@@ -288,10 +288,17 @@ object QueriesText {
     // term (n_xy/N)·ln(n_xy·N/(n_x·n_y)) micro-rounds ONCE to a nano-unit
     // BIGINT so the fold is an order-independent integer sum (the
     // doremi_weights convention).
+    // r15 REVERT (r14 verdict #5): the r14 docStats rewiring of this card
+    // measured SLOWER in the canonical sweep (0.92×) and the settle A/B
+    // confirmed it (min-of-3 isolated: r13 direct scan 3.24 s vs r14 form
+    // 3.60 s even with r13 handicapped by higher ambient load) — the direct
+    // fused-TextStats scan collapses straight into the cube's map-side
+    // partial agg, while the cache route pays the docStats read + a second
+    // aggregate. Restored to the direct scan per the measured-revert rule.
     "mi_features" -> ((s, dir) => {
       import graft.operators.CacheRegistry
-      val m = col("m") // shared session TextStats frame (Tables.docStats, r14)
-      val cube = CacheRegistry.track(Tables.docStats(s, dir)
+      val m = TextFns.textStats(col("text"))
+      val cube = CacheRegistry.track(t(s, dir, "documents")
         .select(col("lang"), col("source"),
           least(floor(col("n_chars") / lit(100.0)).cast(LongType), lit(5L))
             .as("len_bucket"),

@@ -149,9 +149,14 @@ object QueriesTrain {
     // row (bin = −1) are BIGINT folds that commute. One fused TextStats
     // corpus pass, one 10-group aggregate; the summary reuses the bin
     // frame, never a second corpus scan.
+    // r15 REVERT (r14 verdict #5): the docStats rewiring measured 0.79× in
+    // the r14 canonical sweep and the settle A/B confirmed it (min-of-3
+    // isolated: direct scan 1.02 s vs docStats form 1.53 s — this card is
+    // the alphabetically-FIRST docStats consumer, so it paid the shared
+    // cache BUILD where the direct fused scan is one cheap pass). Restored.
     "calibration_ece" -> ((s, dir) => {
-      val m = col("m") // shared session TextStats frame (Tables.docStats, r14)
-      val scored = Tables.docStats(s, dir).select(
+      val m = TextFns.textStats(col("text"))
+      val scored = t(s, dir, "documents").select(
           m.getField("n_stop").cast(LongType).as("ns"),
           m.getField("n_tokens").cast(LongType).as("nt"),
           (TextFns.qualityScoreFrom(m) >= 0.8).cast(LongType).as("y"))
