@@ -141,13 +141,21 @@ object Bench {
     // round) so partial data is verifiable against the complete artifact.
     // Methodology (what is timed, and the full line + BENCH_FULL.json) is
     // UNCHANGED — additions only, round-over-round totals stay comparable.
+    // STRICT prefix of the slowest-first order (review-caught): stop at the
+    // first entry that does not fit, so "n_top = N" means exactly the N
+    // slowest queries — a greedy fill would skip a long-named slow query
+    // and still append faster short-named ones, breaking the reader's
+    // "everything slower than the cutoff is present" assumption.
     val topBudgetBytes = 1400
     val topEntries = scala.collection.mutable.ListBuffer.empty[String]
     var topBytes = 0
+    var topFull = false
     results.filter(_._2 >= 0).sortBy(-_._2).foreach { case (k, v) =>
-      val ent = "\"" + k + "\":" + fmt(v)
-      if (topBytes + ent.length + 1 <= topBudgetBytes) {
-        topEntries += ent; topBytes += ent.length + 1
+      if (!topFull) {
+        val ent = "\"" + k + "\":" + fmt(v)
+        if (topBytes + ent.length + 1 <= topBudgetBytes) {
+          topEntries += ent; topBytes += ent.length + 1
+        } else topFull = true
       }
     }
     val digest = java.security.MessageDigest.getInstance("MD5")

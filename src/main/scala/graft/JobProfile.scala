@@ -30,11 +30,17 @@ object JobProfile {
                    var taskTimeMs: Long)
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, Job]()
     private val stageToJob = new java.util.concurrent.ConcurrentHashMap[Int, Int]()
+    // a stage that fails and is resubmitted completes once PER ATTEMPT —
+    // count each stageId's metrics once (first completion) so retries
+    // cannot double the evidence (review-caught)
+    private val seenStages =
+      java.util.Collections.newSetFromMap(
+        new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Boolean]())
     override def onJobStart(e: SparkListenerJobStart): Unit = {
       val j = Job(e.jobId,
         Option(e.properties).map(_.getProperty("spark.job.description"))
           .filter(_ != null).getOrElse(""),
-        e.time, 0L, e.stageIds.size, 0, 0L, 0L, 0L, 0L)
+        e.time, 0L, 0, 0, 0L, 0L, 0L, 0L)
       jobs.put(e.jobId, j)
       e.stageIds.foreach(sid => stageToJob.put(sid, e.jobId))
     }
@@ -43,11 +49,14 @@ object JobProfile {
     }
     override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
       val si = e.stageInfo
-      val jid = stageToJob.get(si.stageId)
-      val j = jobs.get(jid)
-      if (j != null) {
+      val jid: Integer = stageToJob.get(si.stageId)
+      val j = if (jid == null) null else jobs.get(jid.intValue())
+      if (j != null && seenStages.add(si.stageId)) {
         val m = si.taskMetrics
         j.synchronized {
+          // stages counts EXECUTED stages (skipped/reused ones never
+          // complete, and the planned stageIds list includes them)
+          j.stages += 1
           j.tasks += si.numTasks
           j.shufRead += m.shuffleReadMetrics.totalBytesRead
           j.shufWrite += m.shuffleWriteMetrics.bytesWritten
@@ -56,7 +65,7 @@ object JobProfile {
         }
       }
     }
-    def reset(): Unit = { jobs.clear(); stageToJob.clear() }
+    def reset(): Unit = { jobs.clear(); stageToJob.clear(); seenStages.clear() }
   }
 
   def main(args: Array[String]): Unit = {
@@ -74,12 +83,16 @@ object JobProfile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    locally { // Bench's untimed warmup: one-time codegen/parquet/shuffle costs
+    // Bench's untimed warmup, statement-for-statement (parity matters: the
+    // scaladoc promises profiled plans match benched plans — keep this block
+    // AND the builder config in lockstep with Bench.main when either changes)
+    locally {
       import spark.implicits._
       val w = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
       w.join(w.toDF("k", "v2"), "k").groupBy($"v").count().count()
       w.write.mode("overwrite").parquet("target/tmp_bench_warmup")
       spark.read.parquet("target/tmp_bench_warmup").count()
+      spark.sql("SELECT count(*) FROM (SELECT 1 AS x) t WHERE x > 0").count()
     }
     val acc = new Acc
     spark.sparkContext.addSparkListener(acc)
@@ -96,10 +109,12 @@ object JobProfile {
       import scala.jdk.CollectionConverters._
       val js = acc.jobs.values().asScala.toSeq.sortBy(_.id)
       val perJob = js.map { j =>
+        val desc = if (j.desc.isEmpty) ""
+          else s""","desc":"${j.desc.replace("\"", "'")}""""
         s"""{"id":${j.id},"ms":${j.ended - j.started},"stages":${j.stages},""" +
           s""""tasks":${j.tasks},"shuf_read_mb":${fmtB(j.shufRead)},""" +
           s""""shuf_write_mb":${fmtB(j.shufWrite)},"input_mb":${fmtB(j.input)},""" +
-          s""""task_time_ms":${j.taskTimeMs}}"""
+          s""""task_time_ms":${j.taskTimeMs}$desc}"""
       }.mkString("[", ",", "]")
       println(
         s"""{"query":"$name","sec":${f"$sec%.3f"},"jobs":${js.size},""" +

@@ -127,9 +127,13 @@ object Jdbc {
             if e.getClass == classOf[java.lang.OutOfMemoryError] &&
               e.getMessage != null && e.getMessage.contains("native thread") =>
           last = e; i += 1
-          System.err.println(
-            s"[jdbc] WARN retrying after OutOfMemoryError (attempt $i/$attempts): ${e.getMessage}")
-          if (i < attempts) Thread.sleep(backoffMs * i)
+          // log only when a retry will actually happen — the final attempt
+          // rethrows, and a "retrying" line there would lie to the operator
+          if (i < attempts) {
+            System.err.println(s"[jdbc] WARN attempt $i/$attempts failed with " +
+              s"OutOfMemoryError, retrying: ${e.getMessage}")
+            Thread.sleep(backoffMs * i)
+          }
         case scala.util.control.NonFatal(e) =>
           last = e; i += 1
           if (i < attempts) Thread.sleep(backoffMs * i)
